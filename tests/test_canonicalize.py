@@ -1,0 +1,50 @@
+"""URL junk-filter/absolutization/hash tests (link_handler.go:26-58)."""
+
+from gocrawl_spark.canonicalize import (
+    absolutize,
+    host_of,
+    is_junk_link,
+    is_valid_url,
+    registrable_domain,
+)
+
+
+def test_junk_prefixes():
+    assert is_junk_link("#top")
+    assert is_junk_link("javascript:void(0)")
+    assert is_junk_link("mailto:a@b.c")
+    assert is_junk_link("tel:+1555")
+    assert not is_junk_link("/path")
+    assert not is_junk_link("https://e.com")
+
+
+def test_absolutize_relative():
+    assert absolutize("https://e.com/a/b", "c") == "https://e.com/a/c"
+    assert absolutize("https://e.com/a/b", "/c") == "https://e.com/c"
+    assert absolutize("https://e.com/a/", "../x") == "https://e.com/x"
+    assert absolutize("https://e.com/a", "//other.com/p") == "https://other.com/p"
+    assert absolutize("https://e.com/a", "https://abs.com/x") == "https://abs.com/x"
+
+
+def test_absolutize_fragment_returns_empty():
+    assert absolutize("https://e.com/a", "#frag") == ""
+
+
+def test_absolutize_strips_fragment():
+    assert absolutize("https://e.com/a", "/p#sec") == "https://e.com/p"
+
+
+def test_absolutize_non_http_empty():
+    assert absolutize("https://e.com/a", "ftp://x/y") == ""
+
+
+def test_valid_url():
+    assert is_valid_url("https://e.com/a")
+    assert not is_valid_url("not a url")
+
+
+def test_host_and_registrable_domain():
+    assert host_of("https://Sub.Example.COM/p") == "sub.example.com"
+    assert registrable_domain("sub.example.com") == "example.com"
+    assert registrable_domain("a.b.co.uk") == "b.co.uk"
+    assert registrable_domain("example.com") == "example.com"
