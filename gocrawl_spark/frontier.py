@@ -1,0 +1,218 @@
+"""Frontier machinery: URL-seen filter + politeness scheduler.
+
+north_rule components (all plain DataFrame ops + Arrow UDFs — no
+Catalyst extensions needed, SURVEY.md §4):
+
+- **Partitioned Bloom seen-filter** (F7/J3). gocrawl disables colly's
+  visited map (crawler.go:203 AllowURLRevisit); the north rule makes
+  dedup first-class. Design: the 64-bit prefix of each url_hash routes
+  to a shard; each shard is a classic k=4 Bloom bitset built
+  distributedly with ``applyInPandas``, merged on the driver (bytes OR),
+  and broadcast. Candidates that the filter rejects are *definitely
+  new* and skip the anti-join; "maybe seen" survivors go through the
+  exact ``left_anti`` join, so false positives only cost a join row,
+  never a lost URL. At 10^10 URLs: 10 bits/key ≈ 12.5 GB split over
+  1024 shards ≈ 12 MB/shard — broadcastable, and each round only
+  rebuilds shards whose partitions changed.
+
+- **Politeness pop** (P1–P4). Per-domain budget = floor(round_wall /
+  delay) × parallelism (colly LimitRule, crawler.go:223-228), applied
+  as a deterministic top-k per domain ordered by (priority DESC, depth,
+  discovery_seq, url_hash). Hot-domain skew is broken with a two-stage
+  salted window: stage 1 ranks within (domain, salt) cells — S× more
+  parallelism on the hub domain — stage 2 ranks the ≤ S·budget
+  survivors exactly. Same rows out at any parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+# ---------------------------------------------------------------------------
+# Bloom seen-filter
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4  # hash functions, carved out of the sha256 digest itself
+
+
+def _bloom_positions(url_hash_hex: str, m_bits: int) -> list[int]:
+    """k bit positions from non-overlapping 8-byte slices of the sha256
+    hex url_hash — no extra hashing needed, identical everywhere."""
+    return [int(url_hash_hex[16 * i : 16 * (i + 1)], 16) % m_bits for i in range(BLOOM_K)]
+
+
+def _shard_of(url_hash_hex: str, n_shards: int) -> int:
+    return int(url_hash_hex[:8], 16) % n_shards
+
+
+@dataclass
+class BloomFilter:
+    """Sharded Bloom filter over url_hash hex strings."""
+
+    n_shards: int
+    m_bits: int
+    shards: dict[int, bytearray]
+
+    @classmethod
+    def empty(cls, n_shards: int = 64, m_bits: int = 1 << 20) -> "BloomFilter":
+        return cls(n_shards=n_shards, m_bits=m_bits, shards={})
+
+    def add_many(self, hashes) -> None:
+        for h in hashes:
+            s = _shard_of(h, self.n_shards)
+            buf = self.shards.get(s)
+            if buf is None:
+                buf = bytearray(self.m_bits // 8)
+                self.shards[s] = buf
+            for pos in _bloom_positions(h, self.m_bits):
+                buf[pos >> 3] |= 1 << (pos & 7)
+
+    def might_contain(self, h: str) -> bool:
+        buf = self.shards.get(_shard_of(h, self.n_shards))
+        if buf is None:
+            return False
+        return all(buf[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(h, self.m_bits))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_shards, self.m_bits) == (other.n_shards, other.m_bits)
+        out = dict(self.shards)
+        for s, buf in other.shards.items():
+            if s in out:
+                merged = bytearray(out[s])
+                for i, b in enumerate(buf):
+                    merged[i] |= b
+                out[s] = merged
+            else:
+                out[s] = bytearray(buf)
+        return BloomFilter(self.n_shards, self.m_bits, out)
+
+    def to_rows(self) -> list[tuple[int, bytes]]:
+        return [(s, bytes(b)) for s, b in sorted(self.shards.items())]
+
+    @classmethod
+    def from_rows(cls, rows, n_shards: int, m_bits: int) -> "BloomFilter":
+        return cls(n_shards, m_bits, {int(s): bytearray(b) for s, b in rows})
+
+
+def build_bloom(
+    df: DataFrame, hash_col: str = "url_hash", n_shards: int = 64, m_bits: int = 1 << 20
+) -> BloomFilter:
+    """Distributed build: shard-route → per-shard bitset via
+    applyInPandas (the UDAF analogue, SURVEY.md §2.11) → tiny
+    (shard, bytes) rows to the driver → merge. The collect moves only
+    n_shards × m_bits/8 bytes, never URLs."""
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = bytearray(m_bits // 8)
+        for h in pdf[hash_col]:
+            for pos in _bloom_positions(h, m_bits):
+                buf[pos >> 3] |= 1 << (pos & 7)
+        return pd.DataFrame({"shard": [int(pdf["_shard"].iloc[0])], "bits": [bytes(buf)]})
+
+    shard_expr = F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long") % n_shards
+    rows = (
+        df.select(hash_col)
+        .withColumn("_shard", shard_expr)
+        .groupBy("_shard")
+        .applyInPandas(build_shard, schema="shard int, bits binary")
+        .collect()
+    )
+    return BloomFilter.from_rows([(r["shard"], r["bits"]) for r in rows], n_shards, m_bits)
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: BloomFilter | None,
+    spark: SparkSession,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Drop candidates already fetched. Bloom prefilter (broadcast)
+    splits off definite-new rows; only "maybe seen" rows pay the exact
+    left_anti join (J3) — at 10^10-frontier scale that join's left side
+    shrinks by ~the new-URL fraction plus the <1% false-positive rate."""
+    if bloom is None or not bloom.shards:
+        return candidates.join(seen.select(hash_col), hash_col, "left_anti")
+
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        bf = bc.value
+        return h.map(bf.might_contain)
+
+    tagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+    definite_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    resolved_new = maybe.join(seen.select(hash_col), hash_col, "left_anti")
+    return definite_new.unionByName(resolved_new)
+
+
+# ---------------------------------------------------------------------------
+# Politeness scheduler (P1–P4)
+# ---------------------------------------------------------------------------
+
+
+def host_budget(round_wall_s: float, delay_ms: int, parallelism: int) -> int:
+    """Batch analogue of the LimitRule token bucket: how many fetches
+    one host admits in a round of round_wall_s seconds (§7.3.8)."""
+    if delay_ms <= 0:
+        return max(1, int(round_wall_s * 1000) * max(1, parallelism))
+    return max(1, math.floor(round_wall_s * 1000 / delay_ms) * max(1, parallelism))
+
+
+def _order():
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("discovery_seq").asc(),
+        F.col("url_hash").asc(),
+    ]
+
+
+def pop_batch(frontier: DataFrame, budget_col: str = "budget", n_salts: int = 8) -> DataFrame:
+    """Deterministic per-domain top-budget pop (P3), salted two-stage.
+
+    Input must carry a ``budget`` int column (joined from host_state).
+    Stage 1 windows over (domain, salt(url_hash)) so a hub domain's rank
+    spreads over n_salts reducers; stage 2 takes the exact per-domain
+    top-k over ≤ n_salts×budget survivors. Output = rows to fetch this
+    round; identical at any parallelism (total order has no ties:
+    url_hash is unique)."""
+    salt = F.pmod(F.conv(F.substring("url_hash", 57, 8), 16, 10).cast("long"), F.lit(n_salts))
+    stage1 = Window.partitionBy("domain", salt).orderBy(*_order())
+    pruned = (
+        frontier.withColumn("_r1", F.row_number().over(stage1))
+        .filter(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1")
+    )
+    stage2 = Window.partitionBy("domain").orderBy(*_order())
+    return (
+        pruned.withColumn("_r2", F.row_number().over(stage2))
+        .filter(F.col("_r2") <= F.col(budget_col))
+        .drop("_r2")
+    )
+
+
+def apply_rules(frontier: DataFrame, rules: list[dict] | None) -> DataFrame:
+    """F8 allow/deny rules: highest-priority matching rule wins; no
+    match → allow (the reference validates but never evaluates rules —
+    internal/config/types/rules.go:6-38 / SURVEY.md §7.3.7 — so the
+    default empty rule list reproduces reference behavior exactly)."""
+    if not rules:
+        return frontier
+    verdict = F.lit(None).cast("string")
+    for r in sorted(rules, key=lambda r: -int(r.get("priority", 5))):
+        verdict = F.coalesce(
+            verdict,
+            F.when(F.col("url").rlike(r["pattern"]), F.lit(r["action"])),
+        )
+    return frontier.withColumn("_verdict", F.coalesce(verdict, F.lit("allow"))).filter(
+        F.col("_verdict") == "allow"
+    ).drop("_verdict")

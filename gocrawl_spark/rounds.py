@@ -1,0 +1,273 @@
+"""Batch-iterative crawl driver: rounds over snapshotted state.
+
+One round = one Catalyst job chain (SURVEY.md §3.1 "Spark lifecycle
+equivalent"):
+
+    frontier ─pop (politeness top-k)─► batch ─join corpus─► fetched
+      ─extract (fused UDF)─► articles/pages deltas + links
+      ─resolve/hash/filters─► candidates ─bloom+anti-join seen─► new rows
+    frontier' = rest ∪ new rows ; seen' = seen ∪ batch ; metrics
+
+State (frontier, seen, article/page deltas, metrics) is persisted per
+round under ``run_dir/rounds/round=NNNN/`` with a MANIFEST.json commit
+marker written last — the parquet-directory analogue of an Iceberg
+snapshot commit; in production each table is an Iceberg table and the
+manifest is the snapshot. A crash between writes leaves no manifest, so
+:func:`resume_round` restarts from the last *committed* round — the
+north rule's "resumable from any checkpoint".
+
+Materializing each round to storage also truncates the logical plan:
+without it, round N's plan would contain N nested joins/windows and
+Catalyst analysis time would blow up long before the data does.
+
+Determinism: child discovery_seq = parent_seq * 1024 + link_position
+(fanout < 1024 by construction) — a pure function of the graph, so the
+crawl order is identical at local[8], local[32], or 1000 executors
+(§7.3.3; required by the N-vs-4N scaling comparison).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gocrawl_spark import frontier as fr
+from gocrawl_spark import udfs
+from gocrawl_spark.schema import FRONTIER
+
+SEQ_STRIDE = 1024  # > max links/page; keeps child seq a pure function
+
+
+@dataclass
+class CrawlConfig:
+    """Reference defaults: max_depth 3 (constants.go:73), source
+    rate_limit 2s / parallelism 2 (constants.go:70-76). Politeness is
+    per-domain (north rule) rather than colly's single glob-* bucket."""
+
+    max_depth: int = 3
+    delay_ms: int = 2000
+    parallelism: int = 2
+    round_wall_s: float = 60.0
+    max_rounds: int = 32
+    allowed_hosts: list[str] | None = None
+    rules: list[dict] | None = field(default=None)
+    bloom_shards: int = 64
+    bloom_bits: int = 1 << 20
+    n_salts: int = 8
+    use_bloom: bool = True
+
+    @property
+    def budget(self) -> int:
+        return fr.host_budget(self.round_wall_s, self.delay_ms, self.parallelism)
+
+
+def _round_dir(run_dir: str, rnd: int) -> str:
+    return os.path.join(run_dir, "rounds", f"round={rnd:04d}")
+
+
+def _manifest_path(run_dir: str, rnd: int) -> str:
+    return os.path.join(_round_dir(run_dir, rnd), "MANIFEST.json")
+
+
+def last_committed_round(run_dir: str) -> int | None:
+    base = os.path.join(run_dir, "rounds")
+    if not os.path.isdir(base):
+        return None
+    rounds = [
+        int(d.split("=")[1])
+        for d in os.listdir(base)
+        if d.startswith("round=") and os.path.exists(os.path.join(base, d, "MANIFEST.json"))
+    ]
+    return max(rounds) if rounds else None
+
+
+def init_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
+    deduped: dict[str, int] = {}
+    for i, u in enumerate(seeds):
+        deduped.setdefault(u, i)  # keep first occurrence's seq
+    rows = [(u, 0, 5, 0, i, 0) for u, i in deduped.items()]
+    df = spark.createDataFrame(
+        rows, "url string, depth int, priority int, discovered_round int, discovery_seq long, attempt int"
+    )
+    return udfs.with_url_identity(df).select([f.name for f in FRONTIER.fields])
+
+
+def expand_candidates(
+    extracted: DataFrame, batch: DataFrame, cfg: CrawlConfig, rnd: int
+) -> DataFrame:
+    """links[] → next-round frontier rows (F1–F6, F8), deduped within
+    the round by earliest deterministic discovery_seq."""
+    parents = batch.select(
+        "url", F.col("depth").alias("p_depth"), F.col("discovery_seq").alias("p_seq")
+    )
+    cand = (
+        extracted.select("url", udfs.resolve_links_udf("url", "links").alias("resolved"))
+        .join(parents, "url")  # co-partitioned small batch join
+        .select(
+            F.col("p_depth"),
+            F.col("p_seq"),
+            F.posexplode("resolved").alias("pos", "child_url"),
+        )
+        .select(
+            F.col("child_url").alias("url"),
+            (F.col("p_depth") + 1).alias("depth"),
+            F.lit(5).alias("priority"),
+            F.lit(rnd + 1).alias("discovered_round"),
+            (F.col("p_seq") * SEQ_STRIDE + F.col("pos")).alias("discovery_seq"),
+            F.lit(0).alias("attempt"),
+        )
+        .filter(F.col("depth") <= cfg.max_depth)  # F6
+    )
+    cand = udfs.with_url_identity(cand)
+    if cfg.allowed_hosts is not None:  # F5
+        cand = cand.filter(F.col("host").isin(cfg.allowed_hosts))
+    cand = fr.apply_rules(cand, cfg.rules)  # F8
+    # within-round dedup: keep the earliest discovery per url_hash
+    w = Window.partitionBy("url_hash").orderBy("depth", "discovery_seq")
+    cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return cand.select([f.name for f in FRONTIER.fields])
+
+
+class CrawlRun:
+    """Driver loop (P5/P6): iterate rounds, snapshot, resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        seeds: list[str],
+        run_dir: str,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.seeds = seeds
+        self.run_dir = run_dir
+        self.cfg = cfg or CrawlConfig()
+
+    # ---------------------------------------------------------------- io
+    def _write(self, df: DataFrame, rnd: int, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(_round_dir(self.run_dir, rnd), name))
+
+    def _read(self, rnd: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(_round_dir(self.run_dir, rnd), name))
+
+    # ------------------------------------------------------------- round
+    def run_round(self, rnd: int, frontier_df: DataFrame, seen: DataFrame) -> dict:
+        cfg = self.cfg
+        budgeted = frontier_df.withColumn("budget", F.lit(cfg.budget))
+        batch = fr.pop_batch(budgeted, n_salts=cfg.n_salts).drop("budget")
+        rest = frontier_df.join(batch.select("url_hash"), "url_hash", "left_anti")
+
+        # fetch = corpus join (J2); AQE handles residual skew on url
+        fetched = batch.join(self.corpus, "url", "inner")
+        extracted = udfs.extract_pages(fetched)
+
+        articles = (
+            extracted.filter((F.col("content_type") == "article") & F.col("article_valid"))
+            .select("article.*")
+            .withColumn("crawl_round", F.lit(rnd))
+        )
+        pages = (
+            extracted.filter(F.col("content_type") == "page")
+            .select("page.*")
+            .withColumn("crawl_round", F.lit(rnd))
+        )
+        rejected = (
+            extracted.filter((F.col("content_type") == "article") & ~F.col("article_valid"))
+            .groupBy("skip_reason")
+            .count()
+        )
+
+        cand = expand_candidates(extracted, batch, cfg, rnd)
+        bloom = (
+            fr.build_bloom(seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits)
+            if cfg.use_bloom
+            else None
+        )
+        # new candidates must dodge: seen set, still-pending rest, this batch
+        pending = rest.select("url_hash").unionByName(batch.select("url_hash"))
+        new_rows = fr.filter_unseen(cand, seen, bloom, self.spark).join(
+            pending, "url_hash", "left_anti"
+        )
+
+        frontier_next = rest.unionByName(new_rows)
+        seen_next = seen.unionByName(
+            batch.select("url_hash", "url").withColumn("fetched_round", F.lit(rnd))
+        )
+
+        # ---- commit snapshot (order matters: manifest last) ----
+        self._write(frontier_next, rnd, "frontier")
+        self._write(seen_next, rnd, "seen")
+        self._write(articles, rnd, "articles")
+        self._write(pages, rnd, "pages")
+
+        stats = {
+            "round": rnd,
+            "popped": batch.count(),
+            "fetched": fetched.count(),
+            "articles": self._read(rnd, "articles").count(),
+            "pages": self._read(rnd, "pages").count(),
+            "frontier_next": self._read(rnd, "frontier").count(),
+            "rejected": {r["skip_reason"]: r["count"] for r in rejected.collect()},
+        }
+        metrics_rows = [
+            (rnd, k, int(v)) for k, v in stats.items() if isinstance(v, (int, float)) and k != "round"
+        ] + [(rnd, f"skip:{k}", int(v)) for k, v in stats["rejected"].items()]
+        self._write(
+            self.spark.createDataFrame(metrics_rows, "round int, metric string, value long"),
+            rnd,
+            "metrics",
+        )
+        with open(_manifest_path(self.run_dir, rnd), "w") as f:
+            json.dump({"stats": stats, "config": asdict(self.cfg)}, f, default=str)
+        return stats
+
+    # --------------------------------------------------------------- run
+    def run(self, resume: bool = True) -> list[dict]:
+        start = 0
+        last = last_committed_round(self.run_dir) if resume else None
+        if last is not None:
+            frontier_df = self._read(last, "frontier")
+            seen = self._read(last, "seen")
+            start = last + 1
+        else:
+            frontier_df = init_frontier(self.spark, self.seeds)
+            seen = self.spark.createDataFrame([], "url_hash string, url string, fetched_round int")
+        history: list[dict] = []
+        for rnd in range(start, start + self.cfg.max_rounds):
+            if frontier_df.limit(1).count() == 0:
+                break
+            stats = self.run_round(rnd, frontier_df, seen)
+            history.append(stats)
+            # reload from the snapshot: truncates lineage, guarantees
+            # the next round reads exactly the committed state
+            frontier_df = self._read(rnd, "frontier")
+            seen = self._read(rnd, "seen")
+        return history
+
+    # ------------------------------------------------------------ readers
+    def articles(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.run_dir).parquet(
+            os.path.join(self.run_dir, "rounds", "round=*", "articles")
+        )
+
+    def pages(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.run_dir).parquet(
+            os.path.join(self.run_dir, "rounds", "round=*", "pages")
+        )
+
+    def seen_final(self) -> DataFrame:
+        last = last_committed_round(self.run_dir)
+        if last is None:
+            return self.spark.createDataFrame([], "url_hash string, url string, fetched_round int")
+        return self._read(last, "seen")
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.run_dir, "rounds", "round=*", "metrics")
+        )

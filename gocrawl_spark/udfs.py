@@ -1,0 +1,174 @@
+"""Arrow-batched pandas-UDF wrappers around the extraction kernel.
+
+Everything per-row-Python in the engine lives here, batched through
+Arrow (input_hint: "no per-row Python"). Two entry points:
+
+- :func:`resolve_links_udf` — the F2/F3/F4 link pipeline, vectorized
+  over ``array<string>`` href batches (one Python call per ~10k pages).
+- :func:`extract_pages` — the fused single-DOM-pass extraction
+  (detect C1 → extract E1–E14 → validate V1–V7 → prepare V9 → links F1),
+  mirroring ProcessHTML (reference internal/crawler/crawler.go:900-951),
+  as ``mapInPandas`` so one parse serves classification, both
+  extractors, and link discovery (SURVEY.md §4 "single-pass DOM reuse").
+
+Everything else in the engine (hashing, filters, joins, windows,
+aggregations) stays JVM-side in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from gocrawl_spark import canonicalize as canon
+from gocrawl_spark import validate as v
+from gocrawl_spark.extract import (
+    ArticleSelectors,
+    PageSelectors,
+    process_html,
+)
+from gocrawl_spark.schema import ARTICLE, EXTRACTED, PAGE
+
+# ---------------------------------------------------------------------------
+# Link canonicalization (F2 junk filter, F3 absolutize, F4 validate)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def resolve_links_udf(base: pd.Series, links: pd.Series) -> pd.Series:
+    """hrefs → absolute candidate URLs (order-preserving, per page).
+
+    link_handler.go:33-58: drop #/javascript:/mailto:/tel:, resolve
+    against the request URL, keep only parseable results.
+    """
+
+    def one(b: str, hrefs) -> list[str]:
+        if hrefs is None:
+            return []
+        out = []
+        for h in hrefs:
+            if not h or canon.is_junk_link(h):
+                continue
+            absu = canon.absolutize(b, h)
+            if absu and canon.is_valid_url(absu):
+                out.append(absu)
+        return out
+
+    return pd.Series([one(b, ls) for b, ls in zip(base, links)])
+
+
+@F.pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    """Hostname per URL (reference uses raw hostname for domain checks,
+    internal/content/articles/service.go:199-205)."""
+    return urls.map(lambda u: canon.host_of(u) if u else "")
+
+
+def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach url_hash (E11: hex(sha256(url)) — Spark built-in, exact
+    match with the Go reference) + host + politeness domain. All
+    JVM-side except the host parse."""
+    return (
+        df.withColumn("url_hash", F.sha2(F.col(url_col), 256))
+        .withColumn("host", host_udf(F.col(url_col)))
+        .withColumn("domain", F.col("host"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused extraction pass
+# ---------------------------------------------------------------------------
+
+_ART_FIELDS = [f.name for f in ARTICLE.fields]
+_PAGE_FIELDS = [f.name for f in PAGE.fields]
+
+EXTRACT_SCHEMA = (
+    "url string, content_type string, links array<string>, "
+    "extracted_text string, article_valid boolean, skip_reason string, "
+    f"article struct<{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in ARTICLE.fields)}>, "
+    f"page struct<{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in PAGE.fields)}>"
+)
+
+
+def _article_row(d: dict | None) -> dict | None:
+    if d is None:
+        return None
+    d = dict(d)
+    d["word_count"] = v.calculate_word_count(d.get("body", ""))
+    d = v.prepare_for_indexing(d)  # V9 blank-out/dedupe, like gocrawl pre-index
+    return {k: d.get(k) for k in _ART_FIELDS}
+
+
+def _page_row(d: dict | None) -> dict | None:
+    if d is None:
+        return None
+    return {k: d.get(k) for k in _PAGE_FIELDS}
+
+
+def make_extract_fn(article_sel: ArticleSelectors, page_sel: PageSelectors):
+    """Returns the mapInPandas function: (url, html binary) batches →
+    EXTRACT_SCHEMA batches. Selectors are captured in the closure and
+    shipped once per task (broadcast-equivalent for config)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [],
+                "content_type": [],
+                "links": [],
+                "extracted_text": [],
+                "article_valid": [],
+                "skip_reason": [],
+                "article": [],
+                "page": [],
+            }
+            for url, html in zip(pdf["url"], pdf["html"]):
+                h = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
+                res = process_html(h, url, article_sel, page_sel)
+                art, page = res["article"], res["page"]
+                valid, reason = (True, "")
+                text = ""
+                if art is not None:
+                    valid, reason = v.validate_article(art)
+                    text = art.get("body", "")
+                elif page is not None:
+                    text = page.get("content", "")
+                rows["url"].append(url)
+                rows["content_type"].append(res["content_type"])
+                rows["links"].append(res["links"])
+                rows["extracted_text"].append(text)
+                rows["article_valid"].append(bool(valid))
+                rows["skip_reason"].append(reason)
+                rows["article"].append(_article_row(art))
+                rows["page"].append(_page_row(page))
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def extract_pages(
+    fetched: DataFrame,
+    article_sel: ArticleSelectors | None = None,
+    page_sel: PageSelectors | None = None,
+) -> DataFrame:
+    """(url, html, …) → one row per page with content_type, article/page
+    structs, validation verdict, byte-identical extracted_text, links."""
+    article_sel = article_sel or ArticleSelectors.default()
+    page_sel = page_sel or PageSelectors.default()
+    fn = make_extract_fn(article_sel, page_sel)
+    return fetched.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
+
+
+__all__ = [
+    "resolve_links_udf",
+    "host_udf",
+    "with_url_identity",
+    "extract_pages",
+    "make_extract_fn",
+    "EXTRACT_SCHEMA",
+    "EXTRACTED",
+]
