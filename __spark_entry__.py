@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship fetch→extract slice on sf0.001.
+`queries()` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data-pipeline ops); each callable: (spark, sf_dir) → DataFrame.
+`oracle_sql()` — DuckDB-equivalent SQL per query where the op is
+SQL-expressible; crawl/HTML/NumPy-backed ops are rows-only by design
+(the byte-identity of extraction is pinned by golden tests instead —
+tests/test_extract.py, tests/test_crawl_e2e.py).
+
+Determinism rules used throughout so Spark and DuckDB hash-match:
+- md5/sha2 text hashing (identical across engines);
+- integer counts divided as doubles (exact in IEEE754 for small ints);
+- money sums as per-element-rounded DECIMAL (order-independent);
+- float scores rounded to 6 dp, ordering ties broken on ids.
 """
 
 from __future__ import annotations
@@ -12,27 +20,670 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawl_spark import dedup, search, similarity, synth, textstats, udfs
+from gocrawl_spark import multimodal as mm
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _aug_exact(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies of every 50th doc (id+1000000) — the
+    deterministic dup injection used by the exact-dedup checks."""
+    dups = docs.filter((F.col("doc_id") % 50) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dups)
+
+
+def _aug_near(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-dup copies (first word dropped) of every 25th
+    doc — the injection used by MinHash/Jaccard/SimHash checks."""
+    near = docs.filter((F.col("doc_id") % 25) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(near)
+
+
+# SQL fragments shared by several oracles ------------------------------------
+
+_SQL_AUG_EXACT = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 50 = 0
+"""
+
+_SQL_AUG_NEAR = r"""
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', ''), lang, source, n_chars
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+# norm_words / shingles(k) in DuckDB (mirrors textstats.norm_words/shingles)
+_SQL_WORDS = r"""list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+    x -> x <> '')"""
+
+
+def _sql_shingles(k: int) -> str:
+    return f"""CASE WHEN len(w) >= {k}
+        THEN [array_to_string(list_slice(w, i+1, i+{k}), ' ') for i in range(0, len(w)-{k - 1})]
+        ELSE [array_to_string(w, ' ')] END"""
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship fetch→extract slice
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """sf0.001 documents → synthetic pages corpus → fused single-pass
+    extraction UDF (detect C1, extract E1-E14, validate V1-V7) →
+    article projection. The crawl-round scheduler over the same corpus
+    is exercised in tests/test_crawl_e2e.py."""
+    corpus = synth.corpus_from_documents(spark, "/root/testdata/sf0.001")
+    extracted = udfs.extract_pages(corpus)
+    return extracted.select(
+        "url",
+        "content_type",
+        F.col("article.title").alias("title"),
+        F.col("article.word_count").alias("word_count"),
+        "article_valid",
+        F.size("links").alias("n_links"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- text analysis ------------------------------------------------------
+    def text_token_stats(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            textstats.token_count("text").alias("n_tokens"),
+            textstats.bpeish_count("text").alias("n_bpeish"),
+            F.length("text").alias("n_chars_m"),
+        )
+
+    q["text_token_stats"] = text_token_stats
+
+    def text_quality(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            textstats.stopword_hits("text").alias("stop_hits"),
+            textstats.punct_count("text").alias("punct_cnt"),
+            F.round(textstats.quality_score("text"), 6).alias("quality"),
+        )
+
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            textstats.predict_lang("text").alias("pred_lang"),
+        )
+
+    q["text_langid"] = text_langid
+
+    def text_fingerprint(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            textstats.fingerprint("text", k=5).alias("fingerprint"),
+            F.size(textstats.norm_words("text")).alias("n_words"),
+        )
+
+    q["text_fingerprint"] = text_fingerprint
+
+    # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
+    def clean_text_e5(spark, sf_dir):
+        dirty = F.concat(
+            F.col("text"),
+            F.lit(
+                " <script>var x=1;</script> tail function  (a,b) {return a}"
+                " document.addEventListener('x', y) QuerySelector(z) end"
+            ),
+        )
+        # the same regexp chain as extract.clean_text (Java and RE2 agree
+        # on every pattern used; Go \s == [\t\n\f\r ])
+        c = dirty
+        for pat in [
+            r"(?i)<script[^>]*>.*?</script>",
+            r"(?i)document\.addEventListener[^)]*\)",
+            r"(?i)function[\t\n\f\r ]*\([^)]*\)[\t\n\f\r ]*\{[^}]*\}",
+            r"(?i)\.replaceWith\([^)]*\)",
+            r"(?i)\.cloneNode\([^)]*\)",
+            r"(?i)template\.content",
+            r"(?i)\.dataset\.[a-zA-Z]+",
+            r"(?i)\.parentElement",
+            r"(?i)getElementById\([^)]*\)",
+            r"(?i)querySelector\([^)]*\)",
+        ]:
+            c = F.regexp_replace(c, pat, "")
+        c = F.trim(F.regexp_replace(F.regexp_replace(c, r"[\t\n\f\r ]+", " "), r"\n{3,}", "\n\n"))
+        return _docs(spark, sf_dir).select("doc_id", c.alias("cleaned"))
+
+    q["clean_text_e5"] = clean_text_e5
+
+    def generate_id_e11(spark, sf_dir):
+        url = F.concat(F.lit("https://example.com/doc/"), F.col("doc_id").cast("string"))
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.sha2(url, 256).alias("id_sha")
+        )
+
+    q["generate_id_e11"] = generate_id_e11
+
+    def word_count_v6(spark, sf_dir):
+        html_ish = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p> <b>x</b>"))
+        stripped = F.regexp_replace(html_ish, r"<[^>]*>", " ")
+        wc = F.size(F.filter(F.split(F.trim(stripped), r"[\t\n\f\r ]+"), lambda x: x != F.lit("")))
+        return _docs(spark, sf_dir).select("doc_id", wc.alias("word_count"))
+
+    q["word_count_v6"] = word_count_v6
+
+    def validate_length_v4(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .filter(F.length("text").between(100, 100000))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_valid"))
+        )
+
+    q["validate_length_v4"] = validate_length_v4
+
+    # -- dedup --------------------------------------------------------------
+    def dedup_exact(spark, sf_dir):
+        return dedup.exact_dup_groups(_aug_exact(_docs(spark, sf_dir)))
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_exact_survivors(spark, sf_dir):
+        return dedup.exact_dedup(_aug_exact(_docs(spark, sf_dir))).select("doc_id", "source")
+
+    q["dedup_exact_survivors"] = dedup_exact_survivors
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        return dedup.minhash_pairs(
+            _aug_near(_docs(spark, sf_dir)), num_hashes=16, k=5, bands=4, threshold=0.5
+        )
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _aug_near(_docs(spark, sf_dir)), k=3, threshold=0.3
+        )
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_simhash(spark, sf_dir):  # rows-only: pandas-UDF simhash
+        return dedup.simhash_pairs(_aug_near(_docs(spark, sf_dir)), max_hamming=3)
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # -- similarity search --------------------------------------------------
+    def ann_brute_cosine(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        return similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+    q["ann_brute_cosine"] = ann_brute_cosine
+
+    def ann_ivf(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        return similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+        )
+
+    q["ann_ivf"] = ann_ivf
+
+    def emb_dup_pairs(spark, sf_dir):
+        return similarity.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+    q["emb_dup_pairs"] = emb_dup_pairs
+
+    def ann_lsh(spark, sf_dir):  # rows-only: seeded NumPy hyperplanes
+        emb = _emb(spark, sf_dir)
+        return similarity.lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, n_planes=8
+        )
+
+    q["ann_lsh"] = ann_lsh
+
+    # -- search surface (A1, A2, A5, A6, BM25) ------------------------------
+    def search_match_topk(spark, sf_dir):
+        return search.match_topk(
+            _docs(spark, sf_dir), "table scan merge", text_col="text", id_col="doc_id", k=10
+        )
+
+    q["search_match_topk"] = search_match_topk
+
+    def search_multimatch(spark, sf_dir):
+        return search.multi_match_topk(
+            _docs(spark, sf_dir),
+            "spark window src3",
+            fields={"text": 1.0, "source": 2.0},
+            id_col="doc_id",
+            k=10,
+        )
+
+    q["search_multimatch"] = search_multimatch
+
+    def search_bm25(spark, sf_dir):
+        return search.bm25_topk(
+            _docs(spark, sf_dir), "window batch spark", text_col="text", id_col="doc_id", k=10
+        )
+
+    q["search_bm25"] = search_bm25
+
+    def search_count_a1(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .filter(F.col("text").contains("spark"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    q["search_count_a1"] = search_count_a1
+
+    # -- generic agg/join surface (A2/A3 over events/orders) ---------------
+    def agg_events_rollup(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        money = F.round(F.col("value"), 4).cast("decimal(18,4)")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(money).cast("double").alias("sum_value"),
+        )
+
+    q["agg_events_rollup"] = agg_events_rollup
+
+    def join_segment_revenue(spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        money = F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"), F.sum(money).cast("double").alias("revenue"))
+        )
+
+    q["join_segment_revenue"] = join_segment_revenue
+
+    def tpch_q1_lite(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        qty = F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
+        disc_price = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).cast("decimal(18,4)")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(qty).cast("double").alias("sum_qty"),
+                F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["tpch_q1_lite"] = tpch_q1_lite
+
+    # -- multimodal plumbing (rows-only: binary payloads) ------------------
+    def media_features(spark, sf_dir):
+        media = mm.synth_media(spark, _docs(spark, sf_dir), modality="video")
+        feats = mm.extract_features(media, frame_stride_ms=1000)
+        return feats.select("media_id", "payload_sha", "n_bytes", "frames_sampled")
+
+    q["media_features"] = media_features
+
+    def media_stats(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        media = mm.synth_media(spark, docs, "image").unionByName(
+            mm.synth_media(spark, docs, "audio")
+        )
+        return mm.media_stats(mm.extract_features(media))
+
+    q["media_stats"] = media_stats
+
+    # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
+    def crawl_extract_articles(spark, sf_dir):
+        corpus = synth.corpus_from_documents(spark, sf_dir)
+        ex = udfs.extract_pages(corpus)
+        return ex.select(
+            "url",
+            "content_type",
+            F.col("article.id").alias("article_id"),
+            F.col("article.word_count").alias("word_count"),
+            "article_valid",
+            "skip_reason",
+            F.size("links").alias("n_links"),
+        )
+
+    q["crawl_extract_articles"] = crawl_extract_articles
+
+    def crawl_frontier_pop(spark, sf_dir):
+        """Politeness pop (P1-P4) over a frontier synthesized from
+        documents: every doc URL at depth 0, budget 5/host."""
+        docs = _docs(spark, sf_dir)
+        frontier = udfs.with_url_identity(
+            docs.select(
+                F.concat(
+                    F.lit("https://site"),
+                    F.lpad((F.col("doc_id") % 7).cast("string"), 2, "0"),
+                    F.lit(".example.com/doc/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                F.lit(0).alias("depth"),
+                (F.col("doc_id") % 10).cast("int").alias("priority"),
+                F.lit(0).alias("discovered_round"),
+                F.col("doc_id").alias("discovery_seq"),
+            )
+        ).withColumn("budget", F.lit(5))
+        from gocrawl_spark import frontier as fr
+
+        return fr.pop_batch(frontier, n_salts=4).select("url", "domain", "priority")
+
+    q["crawl_frontier_pop"] = crawl_frontier_pop
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["text_token_stats"] = r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+               len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpeish,
+               length(text) AS n_chars_m
+        FROM documents
     """
-    return {}
+
+    _stop = r"\b(the|a|an|and|or|of|to|in|is|that|for|it|on|with|as|was|at|by|be|this)\b"
+    o["text_quality"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '{_stop}', 1)) AS stop_hits,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct_cnt,
+                 length(text)::DOUBLE AS n_chars,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tok
+          FROM documents)
+        SELECT doc_id, stop_hits, punct_cnt,
+               round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                   + 0.3::DOUBLE * least(1.0::DOUBLE,
+                       (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                   + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                       (CASE WHEN n_chars > 0 THEN punct_cnt / n_chars ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)),
+                   6) AS quality
+        FROM t
+    """
+
+    _markers = {
+        "en": r"\b(the|and|of|to|is|that|for|with)\b",
+        "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+        "fr": r"\b(le|la|les|et|est|que|pour|dans)\b",
+        "es": r"\b(el|los|las|es|que|para|por|una)\b",
+        "zh": r"\b(de|shi|le|zai|he|you|wo|ta)\b",
+    }
+    hit_cols = ",\n".join(
+        f"len(regexp_extract_all(lower(text), '{pat}', 1)) AS h_{la}"
+        for la, pat in _markers.items()
+    )
+    o["text_langid"] = f"""
+        WITH h AS (SELECT doc_id, lang, {hit_cols} FROM documents),
+        m AS (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_zh) AS best FROM h)
+        SELECT doc_id, lang,
+          CASE WHEN best = 0 THEN 'und'
+               WHEN h_en = best THEN 'en'
+               WHEN h_de = best THEN 'de'
+               WHEN h_fr = best THEN 'fr'
+               WHEN h_es = best THEN 'es'
+               ELSE 'zh' END AS pred_lang
+        FROM m
+    """
+
+    o["text_fingerprint"] = rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        sh AS (SELECT doc_id, w, {_sql_shingles(5)} AS shingles FROM w)
+        SELECT doc_id,
+               list_min([md5(s) for s in shingles]) AS fingerprint,
+               len(w) AS n_words
+        FROM sh
+    """
+
+    o["clean_text_e5"] = r"""
+        SELECT doc_id, trim(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+              text || ' <script>var x=1;</script> tail function  (a,b) {return a} document.addEventListener(''x'', y) QuerySelector(z) end',
+              '(?i)<script[^>]*>.*?</script>', '', 'g'),
+              '(?i)document\.addEventListener[^)]*\)', '', 'g'),
+              '(?i)function[\t\n\f\r ]*\([^)]*\)[\t\n\f\r ]*\{[^}]*\}', '', 'g'),
+              '(?i)\.replaceWith\([^)]*\)', '', 'g'),
+              '(?i)\.cloneNode\([^)]*\)', '', 'g'),
+              '(?i)template\.content', '', 'g'),
+              '(?i)\.dataset\.[a-zA-Z]+', '', 'g'),
+              '(?i)\.parentElement', '', 'g'),
+              '(?i)getElementById\([^)]*\)', '', 'g'),
+              '(?i)querySelector\([^)]*\)', '', 'g'),
+              '[\t\n\f\r ]+', ' ', 'g'),
+              '\n{3,}', E'\n\n', 'g')) AS cleaned
+        FROM documents
+    """
+
+    o["generate_id_e11"] = """
+        SELECT doc_id, sha256('https://example.com/doc/' || doc_id::VARCHAR) AS id_sha
+        FROM documents
+    """
+
+    o["word_count_v6"] = r"""
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(
+            trim(regexp_replace('<p>' || text || '</p> <b>x</b>', '<[^>]*>', ' ', 'g')),
+            '[\t\n\f\r ]+'), x -> x <> '')) AS word_count
+        FROM documents
+    """
+
+    o["validate_length_v4"] = """
+        SELECT source, count(*) AS n_valid FROM documents
+        WHERE length(text) BETWEEN 100 AND 100000
+        GROUP BY source
+    """
+
+    o["dedup_exact"] = f"""
+        WITH aug AS ({_SQL_AUG_EXACT})
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_key,
+               count(*) AS n_docs, min(doc_id) AS canonical_id
+        FROM aug GROUP BY 1 HAVING count(*) > 1
+    """
+
+    o["dedup_exact_survivors"] = f"""
+        WITH aug AS ({_SQL_AUG_EXACT}),
+        k AS (SELECT doc_id, source,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS tk,
+                     row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                                        ORDER BY doc_id) AS rn
+              FROM aug)
+        SELECT doc_id, source FROM k WHERE rn = 1
+    """
+
+    o["dedup_minhash_lsh"] = rf"""
+        WITH aug AS ({_SQL_AUG_NEAR}),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM aug),
+        sh AS (SELECT id, {_sql_shingles(5)} AS shingles FROM w),
+        sig AS (SELECT id,
+                 [list_min([md5(h::VARCHAR || '#' || s) for s in shingles]) for h in range(0,16)] AS sig
+                FROM sh),
+        bands AS (SELECT id, band,
+                   md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS key
+                  FROM (SELECT id, sig, unnest(range(0,4)) AS band FROM sig)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT c.id_a, c.id_b,
+               (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b
+        WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) >= 0.5::DOUBLE
+    """
+
+    o["dedup_ngram_jaccard"] = rf"""
+        WITH aug AS ({_SQL_AUG_NEAR}),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM aug),
+        s AS (SELECT id, list_distinct({_sql_shingles(3)}) AS sh FROM w),
+        inv AS (SELECT id, unnest(sh) AS g FROM s),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id)
+        SELECT c.id_a, c.id_b,
+               (len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) AS jaccard
+        FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+        WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.3::DOUBLE
+    """
+
+    _dot = "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    _norm_a = "sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+    _norm_b = "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+    _cos = f"round({_dot} / ({_norm_a} * {_norm_b}), 6)"
+
+    o["ann_brute_cosine"] = f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_cos} AS score
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
+    o["ann_ivf"] = f"""
+        WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 16),
+        asgn AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT a.vec_id, a.embedding, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos.replace("b.embedding", "b.embedding")} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN (SELECT centroid_id, embedding FROM cents) b ON true)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT a.vec_id AS query_id, a.embedding AS qv, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN (SELECT centroid_id, embedding FROM cents) b ON a.vec_id < 5)
+          WHERE rn <= 4),
+        scored AS (
+          SELECT p.query_id, v.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, 65), i -> p.qv[i]::DOUBLE * v.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> p.qv[i]::DOUBLE * p.qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))), 6) AS score
+          FROM probes p JOIN asgn v ON v.centroid_id = p.centroid_id AND v.vec_id <> p.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
+    o["emb_dup_pairs"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos} >= 0.4::DOUBLE
+    """
+
+    def _tf(col: str, term: str) -> str:
+        return rf"len(regexp_extract_all(lower({col}), '\b({term})\b', 1))"
+
+    o["search_match_topk"] = f"""
+        SELECT doc_id AS id,
+               ({_tf("text", "table")} + {_tf("text", "scan")} + {_tf("text", "merge")})::DOUBLE AS score
+        FROM documents
+        WHERE ({_tf("text", "table")} + {_tf("text", "scan")} + {_tf("text", "merge")}) > 0
+        ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    o["search_multimatch"] = f"""
+        SELECT doc_id AS id,
+               (1.0::DOUBLE * ({_tf("text", "spark")} + {_tf("text", "window")} + {_tf("text", "src3")})
+              + 2.0::DOUBLE * ({_tf("source", "spark")} + {_tf("source", "window")} + {_tf("source", "src3")}))::DOUBLE AS score
+        FROM documents
+        WHERE (1.0::DOUBLE * ({_tf("text", "spark")} + {_tf("text", "window")} + {_tf("text", "src3")})
+             + 2.0::DOUBLE * ({_tf("source", "spark")} + {_tf("source", "window")} + {_tf("source", "src3")})) > 0
+        ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    _bm_terms = ["window", "batch", "spark"]
+    _tf_exprs = ",\n".join(
+        rf"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(_bm_terms)
+    )
+    _score_terms = " + ".join(
+        f"""(CASE WHEN s.df_{i} > 0 THEN
+              ln(1.0::DOUBLE + (s.n_docs - s.df_{i} + 0.5::DOUBLE) / (s.df_{i} + 0.5::DOUBLE))
+              * d.tf_{i}::DOUBLE
+              / (d.tf_{i}::DOUBLE + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))
+            ELSE 0.0::DOUBLE END)"""
+        for i in range(len(_bm_terms))
+    )
+    o["search_bm25"] = rf"""
+        WITH d0 AS (
+          SELECT doc_id AS id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        d AS (SELECT id, len(toks)::DOUBLE AS dl, {_tf_exprs} FROM d0),
+        s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+                     {", ".join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}" for i in range(len(_bm_terms)))}
+              FROM d)
+        SELECT d.id, round({_score_terms}, 6) AS score
+        FROM d, s
+        WHERE round({_score_terms}, 6) > 0
+        ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    o["search_count_a1"] = """
+        SELECT lang, count(*) AS n_docs FROM documents
+        WHERE text LIKE '%spark%' GROUP BY lang
+    """
+
+    o["agg_events_rollup"] = """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(round(value, 4)::DECIMAL(18,4))::DOUBLE AS sum_value
+        FROM events GROUP BY event_type
+    """
+
+    o["join_segment_revenue"] = """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+    o["tpch_q1_lite"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(round(l_quantity, 2)::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(18,4))::DOUBLE AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    return o

@@ -1,0 +1,127 @@
+"""Benchmark driver: crawl throughput + headline query timings.
+
+Runs the fetch→extract→frontier crawl loop over the synthetic corpus
+derived from $SPARK_GRAFT_SF_DIR's documents table (the BASELINE.json
+metric: URLs fetched+extracted/sec), plus wall-times for the headline
+operator queries. Prints ONE JSON line:
+
+    {"metric": "urls_fetched_extracted_per_sec", "value": N,
+     "unit": "sec", "queries": {...}, "sf": 0.1, ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32). tools/scaling_bench.py runs this at two
+parallelism levels for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline queries from __spark_entry__.queries(); a representative slice
+# of each operator family, cheap enough to run per-round at sf0.1
+HEADLINE = [
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_brute_cosine",
+    "ann_ivf",
+    "search_bm25",
+    "tpch_q1_lite",
+    "crawl_extract_articles",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gocrawl-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark, sf_dir: str) -> tuple[float, int, float]:
+    """Full batch-iterative crawl on the synthetic corpus; returns
+    (seconds, urls_fetched, urls_per_sec)."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import synth
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    run_dir = tempfile.mkdtemp(prefix="gocrawl_bench_")
+    corpus_dir = os.path.join(run_dir, "corpus")
+    # materialize the corpus once (not timed: corpus synthesis is test
+    # scaffolding, not part of the crawl loop being measured)
+    synth.corpus_from_documents(spark, sf_dir).write.mode("overwrite").parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+
+    cfg = CrawlConfig(max_depth=3, round_wall_s=240.0, max_rounds=8, n_salts=8)
+    crawl = CrawlRun(spark, corpus, synth.seed_urls(n_docs), os.path.join(run_dir, "run"), cfg)
+    t0 = time.perf_counter()
+    history = crawl.run(resume=False)
+    dt = time.perf_counter() - t0
+    fetched = sum(h["fetched"] for h in history)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return dt, fetched, fetched / dt if dt > 0 else 0.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {qtimes[name]}s", file=sys.stderr)
+
+    crawl_s, fetched, ups = bench_crawl(spark, SF_DIR)
+    qtimes["crawl_loop"] = round(crawl_s, 3)
+    print(f"# crawl: {fetched} urls in {crawl_s:.1f}s = {ups:.1f} urls/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_extracted_per_sec",
+                "value": round(ups, 2),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "cpus": CPUS,
+                "urls_fetched": fetched,
+                "crawl_seconds": round(crawl_s, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

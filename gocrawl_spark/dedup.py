@@ -1,0 +1,333 @@
+"""Deduplication operators for web-scale training corpora.
+
+Five families, each a standard public technique, each built Spark-first:
+
+- **Exact** — md5-of-normalized-text groupBy; one shuffle on the hash,
+  map-side combine; the canonical survivor is the min doc_id.
+- **MinHash + LSH** — k-shingles → H md5-based minhashes → B banded
+  keys → bucket self-join for candidates → signature-agreement
+  estimate. The signature build ships as an Arrow-batched pandas UDF
+  (minhash_signature_udf) — Spark's nested higher-order functions run
+  interpreted, so the expression twin (minhash_signature, kept as the
+  executable spec that the DuckDB oracle mirrors) is ~100× slower.
+  The only shuffles are the band-bucket join (keys are ~unique, so
+  tiny) and the signature re-join for scoring.
+- **n-gram Jaccard** — exact set Jaccard via an inverted-index join on
+  shingles (never a cross join): candidates are pairs sharing ≥1
+  shingle, then array_intersect/array_union on distinct shingle sets.
+- **SimHash** — 64-bit md5-derived simhash in an Arrow-batched pandas
+  UDF; near-dup candidates via the 4×16-bit band trick (Manku et al.,
+  WWW'07), verified by Hamming distance.
+- **Embedding cosine** — see gocrawl_spark.similarity (shared kernel).
+
+Scale notes (10^10 docs): every op here shuffles on high-cardinality
+keys (md5 / band key / shingle), so partitions stay balanced without
+salting; hot shingles (stop-shingles) are the one skew source and
+`ngram_jaccard_pairs` drops shingles with document-frequency > max_df
+before the join — the standard inverted-index stopword cut.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from gocrawl_spark.textstats import shingles as _shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def text_key(col: Column | str, normalize: bool = True) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(c)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_key, n_docs, canonical_id=min id) for groups with dups."""
+    return (
+        df.select(F.col(id_col), text_key(text_col).alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per normalized-text key. Aggregate-based
+    (min_by), not window-based: partial aggregation halves the shuffle
+    versus row_number() over a window."""
+    key = text_key(text_col).alias("_tk")
+    return (
+        df.withColumn("_tk", key)
+        .groupBy("_tk")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 16, k: int = 5) -> Column:
+    """array<string> of H minhashes: sig[h] = min over shingles of
+    md5('<h>#'<shingle>). md5-per-seed keeps the estimator unbiased
+    enough at H=16 and makes the signature reproducible in any engine
+    (the DuckDB oracle recomputes it bit-for-bit).
+
+    NOTE: Spark evaluates nested higher-order functions interpreted
+    (no codegen) and re-derives the shingle subexpression per seed, so
+    this pure-expression form costs ~30 ms/doc. minhash_signature_udf
+    computes the identical signature ~100× faster via Arrow; use this
+    form only as the executable spec."""
+    sh = _shingles(col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit("#"), s)))
+        ),
+    )
+
+
+def _py_shingles(text: str | None, k: int) -> list[str]:
+    """Python twin of textstats.norm_words+shingles (ASCII corpus:
+    Java/RE2/Python regex classes agree)."""
+    import re
+
+    words = re.sub(r"[^a-z0-9\s]", " ", (text or "").lower()).split()
+    if len(words) >= k:
+        return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return [" ".join(words)]
+
+
+def minhash_signature_udf(num_hashes: int = 16, k: int = 5):
+    """Arrow-batched twin of minhash_signature: identical strings, one
+    hashlib pass per (seed, shingle). This is the production path — the
+    signature build is embarrassingly parallel and never shuffles."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sig(text: pd.Series) -> pd.Series:
+        def one(t: str | None) -> list[str]:
+            shingles = _py_shingles(t, k)
+            out = []
+            for h in range(num_hashes):
+                prefix = f"{h}#".encode()
+                out.append(
+                    min(hashlib.md5(prefix + s.encode("utf-8")).hexdigest() for s in shingles)
+                )
+            return out
+
+        return text.map(one)
+
+    return sig
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, key:string>> — one md5 bucket key per band
+    of `rows` consecutive signature slots."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.array_join(F.slice(sig, b * rows + 1, rows), "|")).alias("key"),
+        ),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 5,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard ≥ threshold.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b. est_jaccard =
+    fraction of agreeing signature slots. The band self-join only ever
+    compares documents that collide in ≥1 band — at corpus scale the
+    bucket sizes are O(dup-cluster size), not O(N).
+    """
+    rows = num_hashes // bands
+    assert bands * rows == num_hashes
+    # persist: the signature table is referenced three times (band
+    # explode + both sides of the scoring join); without it Catalyst
+    # re-derives every signature per reference. At corpus scale this
+    # materializes as a signatures table, exactly like here.
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_udf(num_hashes, k)(F.col(text_col)).alias("sig"),
+    ).persist()
+    exploded = sigs.select("id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")).select(
+        "id", "bk.band", "bk.key"
+    )
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-gram sets for every pair sharing at
+    least one k-gram. (id_a, id_b, jaccard), id_a < id_b.
+
+    max_df drops k-grams appearing in more than max_df docs before the
+    pair join — the stop-shingle cut that keeps the inverted index from
+    exploding on common n-grams at corpus scale.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, k)).alias("sh")
+    ).persist()  # referenced by the inverted index and both join sides
+    inv = sets.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        keep = inv.groupBy("g").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        inv = inv.join(keep.select("g"), "g")
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def _simhash_of_words(words: list[str]) -> int:
+    """64-bit simhash from md5-derived word hashes (two's-complement
+    signed to fit Spark's long)."""
+    import hashlib
+
+    acc = [0] * SIMHASH_BITS
+    for w in words:
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+        for j in range(SIMHASH_BITS):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    v = 0
+    for j in range(SIMHASH_BITS):
+        if acc[j] > 0:
+            v |= 1 << j
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def simhash_udf():
+    @F.pandas_udf(LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        import re
+
+        def one(t: str | None) -> int:
+            words = re.sub(r"[^a-z0-9\s]", " ", (t or "").lower()).split()
+            return _simhash_of_words(words)
+
+        return text.map(one)
+
+    return simhash
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash: 4×16-bit band blocking (any pair
+    within Hamming distance ≤3 of 64 bits must agree on ≥1 of 4
+    16-bit chunks — pigeonhole), then exact Hamming verify via
+    bit_count(xor). (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.band", "c.chunk")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["band", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+__all__ = [
+    "text_key", "exact_dup_groups", "exact_dedup",
+    "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
+]

@@ -160,12 +160,17 @@ class CrawlRun:
     def run_round(self, rnd: int, frontier_df: DataFrame, seen: DataFrame) -> dict:
         cfg = self.cfg
         budgeted = frontier_df.withColumn("budget", F.lit(cfg.budget))
-        batch = fr.pop_batch(budgeted, n_salts=cfg.n_salts).drop("budget")
+        # persist the popped batch: it feeds the fetch join, the rest
+        # anti-join, the seen update, and the stats count
+        batch = fr.pop_batch(budgeted, n_salts=cfg.n_salts).drop("budget").persist()
         rest = frontier_df.join(batch.select("url_hash"), "url_hash", "left_anti")
 
         # fetch = corpus join (J2); AQE handles residual skew on url
         fetched = batch.join(self.corpus, "url", "inner")
-        extracted = udfs.extract_pages(fetched)
+        # persist the extraction output: articles, pages, rejected stats
+        # and link candidates all read it — without this the fused
+        # pandas UDF (the expensive stage) would run once per consumer
+        extracted = udfs.extract_pages(fetched).persist()
 
         articles = (
             extracted.filter((F.col("content_type") == "article") & F.col("article_valid"))
@@ -225,6 +230,8 @@ class CrawlRun:
         )
         with open(_manifest_path(self.run_dir, rnd), "w") as f:
             json.dump({"stats": stats, "config": asdict(self.cfg)}, f, default=str)
+        batch.unpersist()
+        extracted.unpersist()
         return stats
 
     # --------------------------------------------------------------- run

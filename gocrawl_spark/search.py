@@ -1,0 +1,172 @@
+"""Query/search surface (SURVEY.md §2.8 A1–A6).
+
+The reference exposes Elasticsearch queries: `_count` (A1/A3),
+aggregation passthrough (A2), `match{content}` top-k (A5,
+internal/api/api.go:114-122), and `multi_match` over
+`title^2, body, description` (A6, internal/crawler/storage.go:100-110).
+Here the same surface is DataFrame-native over any text table:
+
+- counts/aggs are plain filter/groupBy (Catalyst handles pushdown);
+- `match` relevance is term-frequency scoring, `multi_match` a
+  boost-weighted sum per field;
+- `bm25_topk` is the full BM25 ranking ES actually runs under
+  `match`, built from explode/groupBy/join — no UDFs, the whole
+  scorer is codegen'd, and doc stats (dl, tf) are map-side.
+
+Scoring determinism: scores round to 6 dp and ordering ties break on
+the id column, so results are stable across engines and parallelism.
+
+Scale: term stats shuffle on the term (high cardinality, balanced);
+the query-term set is tiny and broadcast. At 100 TB the df/idf table
+is a precomputed index table rather than a per-query subquery — same
+plan shape, one join instead of a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenize + term frequency
+# ---------------------------------------------------------------------------
+
+
+def _terms(query: str) -> list[str]:
+    return [t for t in query.lower().split() if t]
+
+
+def tf(col: Column | str, term: str) -> Column:
+    """Occurrences of `term` as a whole word, case-insensitive."""
+    c = F.col(col) if isinstance(col, str) else col
+    # escape regex metacharacters in the term
+    import re as _re
+
+    pat = r"\b(" + _re.escape(term.lower()) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 1))
+
+
+# ---------------------------------------------------------------------------
+# A1/A3: counts
+# ---------------------------------------------------------------------------
+
+
+def count_where(df: DataFrame, pred: Column | None = None) -> int:
+    return (df.filter(pred) if pred is not None else df).count()
+
+
+# ---------------------------------------------------------------------------
+# A5: match top-k (TF scoring)
+# ---------------------------------------------------------------------------
+
+
+def match_topk(
+    df: DataFrame, query: str, text_col: str = "content", id_col: str = "id", k: int = 10
+) -> DataFrame:
+    """ES `match` analogue: sum of per-term TFs, top-k.
+    Output: (id, score) ordered by (score DESC, id ASC)."""
+    score = None
+    for t in _terms(query):
+        c = tf(text_col, t)
+        score = c if score is None else score + c
+    if score is None:
+        score = F.lit(0)
+    return (
+        df.select(F.col(id_col).alias("id"), score.cast("double").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: multi-match with field boosts
+# ---------------------------------------------------------------------------
+
+
+def multi_match_topk(
+    df: DataFrame,
+    query: str,
+    fields: dict[str, float],
+    id_col: str = "id",
+    k: int = 10,
+) -> DataFrame:
+    """ES `multi_match` analogue with per-field boost weights
+    (reference boosts: title^2, body, description). Score =
+    Σ_field boost · Σ_term tf(field, term)."""
+    score = F.lit(0.0)
+    for field, boost in fields.items():
+        fscore = F.lit(0)
+        for t in _terms(query):
+            fscore = fscore + tf(field, t)
+        score = score + F.lit(float(boost)) * fscore.cast("double")
+    return (
+        df.select(F.col(id_col).alias("id"), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full BM25 (what ES runs under `match`)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over whitespace-lowercase tokens, entirely in built-in
+    expressions:
+
+        idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene form)
+        score_d = Σ_t idf·tf/(tf + k1·(1 - b + b·dl/avgdl))
+
+    Output (id, score) ordered by (round(score,6) DESC, id ASC),
+    limit k. Plan: one pass for (dl, tf per query term) — map-side;
+    one tiny aggregate for N/avgdl/df broadcast back as literals would
+    require an action, so they join as 1-row/na-row frames (broadcast).
+    """
+    terms = _terms(query)
+    if not terms:
+        return df.sparkSession.createDataFrame([], "id long, score double")
+
+    def _tf_of(term: str) -> Column:
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != F.lit(""))
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+        "id",
+        F.size("toks").alias("dl"),
+        *[_tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in range(len(terms))],
+    )
+    scored = docs.join(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf_c = F.col(f"tf_{i}").cast("double")
+        denom = tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        score = score + F.when(F.col(f"df_{i}") > 0, idf * tf_c / denom).otherwise(F.lit(0.0))
+    return (
+        scored.select("id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+__all__ = ["tf", "count_where", "match_topk", "multi_match_topk", "bm25_topk"]

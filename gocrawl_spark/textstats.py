@@ -1,0 +1,174 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Column-expression builders over a `documents`-shaped table
+(doc_id, text, lang, source, n_chars). Everything here is pure
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd, no Python in
+the hot path — so the same op runs unchanged on a 1000-executor scan of
+100 TB: one narrow projection per document, zero shuffles.
+
+Ops (each has a `queries()` + DuckDB-oracle entry in __spark_entry__):
+- tokenization + token counting (whitespace and BPE-ish regex)
+- quality scoring (length / punctuation / stopword-ratio heuristics)
+- language identification (marker-token n-gram heuristic)
+- document fingerprinting (k-shingle min-hash fingerprint, md5-based
+  so any engine reproduces it bit-for-bit)
+
+The extraction-side text contract (clean_text, word_count) lives in
+gocrawl_spark.extract / validate; these ops consume *already
+extracted* text downstream of the crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (mirrors Go strings.Fields,
+    the reference's word splitter — validator.go:365-402)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+# BPE-ish subword pieces: letter runs, digit runs, single punctuation —
+# the GPT-2 pre-tokenizer shape without the learned merges.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpeish_count(col: Column | str) -> Column:
+    """Proxy token count for budget estimation at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(f"({BPE_ISH_PATTERN})"), 1))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "that",
+    "for", "it", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+_STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+_PUNCT_RE = r"([.,;:!?])"
+
+
+def stopword_hits(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(_STOP_RE), 1))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_PUNCT_RE), 1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic (C4/Gopher-style gates,
+    reduced to public-rule arithmetic):
+
+        0.5 * min(1, chars/500)            -- enough content
+      + 0.3 * min(1, stop_ratio/0.4)       -- natural-language-ness
+      + 0.2 * (1 - min(1, punct_ratio*5))  -- not symbol soup
+
+    Pure integer counts + one division each → bit-stable across
+    engines; rounded to 6 dp at the query layer.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tok = token_count(c).cast("double")
+    stop_ratio = F.when(n_tok > 0, stopword_hits(c) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_count(c) / n_chars).otherwise(F.lit(0.0))
+    return (
+        0.5 * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+        + 0.3 * F.least(F.lit(1.0), stop_ratio / F.lit(0.4))
+        + 0.2 * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5.0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# Top function words per language — the classic n-gram/stopword LID
+# heuristic (Cavnar-Trenkle reduced to unigram markers). Deterministic
+# argmax with fixed tie-break order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "los", "las", "es", "que", "para", "por", "una"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def lang_hits(col: Column | str, lang: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 1))
+
+
+def predict_lang(col: Column | str) -> Column:
+    """First language (in LANG_ORDER) whose marker-hit count equals the
+    max; 'und' when no marker fires at all."""
+    hits = {la: lang_hits(col, la) for la in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for la in reversed(LANG_ORDER):
+        expr = F.when(hits[la] == best, F.lit(la)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting (k-shingle min-hash fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def norm_words(col: Column | str) -> Column:
+    """Lowercase word stream with punctuation stripped — the shingle
+    alphabet for fingerprints and MinHash (dedup.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """k-word shingles (array<string>); whole doc as one shingle when it
+    has fewer than k words. Built with sequence+transform+slice — all
+    codegen'd, no UDF."""
+    w = norm_words(col)
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+
+
+def fingerprint(col: Column | str, k: int = 5) -> Column:
+    """Rolling-window document fingerprint: min md5 over k-shingles.
+    Engine-portable (md5 of UTF-8 text) and robust to small edits —
+    the winnowing-lite fingerprint used for fast doc identity at scale."""
+    return F.array_min(F.transform(shingles(col, k), F.md5))
+
+
+__all__ = [
+    "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
+    "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
+    "LANG_MARKERS", "LANG_ORDER", "lang_hits", "predict_lang",
+    "norm_words", "shingles", "fingerprint",
+]

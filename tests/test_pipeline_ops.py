@@ -1,0 +1,229 @@
+"""Training-data-pipeline operators: textstats, dedup, similarity,
+search, multimodal. Small deterministic inputs; semantic assertions
+(the engine-vs-DuckDB hash equivalence is covered by the driver gate
+and tools/compare_oracle.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawl_spark import dedup, multimodal, search, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today", "en"),
+        (2, "quick brown fox jumps over the lazy dog near the river bank today", "en"),  # near-dup of 1
+        (3, "der hund und die katze sind nicht mit dem vogel ein team", "de"),
+        (4, "le chat est dans la maison et les oiseaux sont pour dans", "fr"),
+        (5, "completely different text about spark query engines and shuffles", "en"),
+        (6, "The quick brown fox jumps over the lazy dog near the river bank today", "en"),  # exact dup of 1
+        (7, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------- textstats
+
+
+def test_token_counts(spark, docs):
+    out = {
+        r["doc_id"]: (r["n"], r["b"])
+        for r in docs.select(
+            "doc_id",
+            textstats.token_count("text").alias("n"),
+            textstats.bpeish_count("text").alias("b"),
+        ).collect()
+    }
+    assert out[1][0] == 14
+    assert out[7] == (0, 0)
+    # bpe-ish counts punctuation-free words identically here
+    assert out[5][0] == 9
+
+
+def test_quality_score_bounds_and_ordering(spark, docs):
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", textstats.quality_score("text").alias("q")).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    assert rows[7] == pytest.approx(0.2)  # empty: only the punct term
+    assert rows[1] > rows[7]
+
+
+def test_predict_lang_markers(spark, docs):
+    rows = {
+        r["doc_id"]: r["p"]
+        for r in docs.select("doc_id", textstats.predict_lang("text").alias("p")).collect()
+    }
+    assert rows[1] == "en"
+    assert rows[3] == "de"
+    assert rows[4] == "fr"
+    assert rows[7] == "und"
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "a b c d e f"), (2, "a b")], "id long, text string")
+    sh = {
+        r["id"]: r["s"]
+        for r in df.select("id", textstats.shingles("text", 5).alias("s")).collect()
+    }
+    assert sh[1] == ["a b c d e", "b c d e f"]
+    assert sh[2] == ["a b"]  # shorter than k → one whole-doc shingle
+    fp = {
+        r["id"]: r["f"]
+        for r in df.select("id", textstats.fingerprint("text", 5).alias("f")).collect()
+    }
+    assert fp[1] == min(
+        hashlib.md5(b"a b c d e").hexdigest(), hashlib.md5(b"b c d e f").hexdigest()
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["canonical_id"] == 1
+    survivors = {r["doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    assert 1 in survivors and 6 not in survivors
+    assert len(survivors) == 6
+
+
+def test_minhash_udf_matches_expression(spark, docs):
+    expr = docs.select(
+        "doc_id", dedup.minhash_signature("text", 8, 3).alias("sig")
+    ).collect()
+    udf = docs.select(
+        "doc_id", dedup.minhash_signature_udf(8, 3)(F.col("text")).alias("sig")
+    ).collect()
+    assert {r["doc_id"]: r["sig"] for r in expr} == {r["doc_id"]: r["sig"] for r in udf}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_pairs(docs, threshold=0.4).collect()
+    }
+    assert (1, 6) in pairs and pairs[(1, 6)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup (first word dropped)
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 6)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs[(1, 6)] == 0  # identical text → identical simhash
+    assert (1, 2) in pairs  # one-word edit → tiny hamming distance
+    assert (1, 5) not in pairs
+
+
+# -------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) * math.pi / 16  # 8 directions, 5 vectors each
+        rows.append((i, [math.cos(angle), math.sin(angle), float(i % 3) * 0.01, 0.5]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_topk_self_similarity(spark, vectors):
+    out = similarity.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # nearest neighbors of direction-0 vectors are other direction-0 vectors
+    top = out[0]
+    assert top["neighbor_id"] % 8 in (0, 1)
+    assert all(0 <= r["score"] <= 1.0 for r in out)
+
+
+def test_ivf_matches_brute_on_probed_cells(spark, vectors):
+    qs = vectors.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_topk(vectors, qs, k=3).collect()
+    ivf = similarity.ivf_topk(vectors, qs, k=3, n_centroids=8, nprobe=8).collect()
+    # nprobe == n_centroids → IVF degenerates to exact search
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    assert key(brute) == key(ivf)
+
+
+def test_cosine_dup_pairs(spark, vectors):
+    pairs = similarity.cosine_dup_pairs(vectors, threshold=0.999).collect()
+    assert pairs  # same-direction same-i%3 vectors are near-identical
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    qs = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.lsh_topk(vectors, qs, k=5, dim=4, n_planes=2).collect()
+    assert out, "bucketed search should find same-direction collisions"
+    assert all(r["query_id"] == 0 for r in out)
+
+
+# ------------------------------------------------------------------ search
+
+
+def test_match_topk(spark, docs):
+    out = search.match_topk(docs, "fox dog", text_col="text", id_col="doc_id", k=10).collect()
+    ids = [r["id"] for r in out]
+    assert set(ids) == {1, 2, 6}
+    assert out[0]["score"] == 2.0
+
+
+def test_multi_match_boost(spark, docs):
+    out = search.multi_match_topk(
+        docs, "en fox", fields={"text": 1.0, "lang": 5.0}, id_col="doc_id", k=10
+    ).collect()
+    scores = {r["id"]: r["score"] for r in out}
+    assert scores[7] == 5.0  # lang match only, boosted
+    assert scores[1] == 6.0  # fox (1) + lang en (5)
+
+
+def test_bm25_ranks_rarer_terms_higher(spark, docs):
+    out = search.bm25_topk(docs, "spark the", text_col="text", id_col="doc_id", k=10).collect()
+    assert out[0]["id"] == 5  # 'spark' is rare → doc 5 wins despite no 'the'
+    assert all(r["score"] > 0 for r in out)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_media_pipeline_deterministic(spark, docs):
+    media = multimodal.synth_media(spark, docs.select("doc_id", "text"), "video")
+    feats = multimodal.extract_features(media, frame_stride_ms=1000)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    by_id = {r["media_id"]: r for r in rows}
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    for mid, r in by_id.items():
+        assert again[mid]["payload_sha"] == r["payload_sha"]
+        assert len(r["feat"]) == multimodal.FEAT_DIM
+        assert r["frames_sampled"] >= 1
+    stats = multimodal.media_stats(feats).collect()
+    assert stats[0]["n_media"] == len(rows)
+
+
+def test_media_real_decode_is_gated(spark, docs):
+    media = multimodal.synth_media(spark, docs.select("doc_id", "text").limit(1), "image")
+    feats = multimodal.extract_features(media, fake_decode=False)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        feats.collect()
