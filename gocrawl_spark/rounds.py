@@ -59,6 +59,9 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20
     n_salts: int = 8
     use_bloom: bool = True
+    # below this many seen URLs the exact anti-join is cheaper than a
+    # bloom build+broadcast; at 10^10 frontier scale the filter pays
+    bloom_min_seen: int = 50_000
 
     @property
     def budget(self) -> int:
@@ -83,6 +86,23 @@ def last_committed_round(run_dir: str) -> int | None:
         if d.startswith("round=") and os.path.exists(os.path.join(base, d, "MANIFEST.json"))
     ]
     return max(rounds) if rounds else None
+
+
+def init_frontier_df(urls: DataFrame) -> DataFrame:
+    """Frontier from a DataFrame of seed URLs — fully distributed, the
+    10^10-frontier path where the seed list never touches the driver.
+    All seeds get discovery_seq 0; the politeness pop's total order
+    tiebreaks on url_hash, so the crawl stays deterministic at any
+    parallelism (just not list-order-preserving like init_frontier)."""
+    df = urls.select("url").distinct().select(
+        "url",
+        F.lit(0).alias("depth"),
+        F.lit(5).alias("priority"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(0).cast("long").alias("discovery_seq"),
+        F.lit(0).alias("attempt"),
+    )
+    return udfs.with_url_identity(df).select([f.name for f in FRONTIER.fields])
 
 
 def init_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
@@ -139,7 +159,7 @@ class CrawlRun:
         self,
         spark: SparkSession,
         corpus: DataFrame,
-        seeds: list[str],
+        seeds: "list[str] | DataFrame",
         run_dir: str,
         cfg: CrawlConfig | None = None,
     ):
@@ -157,7 +177,9 @@ class CrawlRun:
         return self.spark.read.parquet(os.path.join(_round_dir(self.run_dir, rnd), name))
 
     # ------------------------------------------------------------- round
-    def run_round(self, rnd: int, frontier_df: DataFrame, seen: DataFrame) -> dict:
+    def run_round(
+        self, rnd: int, frontier_df: DataFrame, seen: DataFrame, seen_size: int | None = None
+    ) -> dict:
         cfg = self.cfg
         budgeted = frontier_df.withColumn("budget", F.lit(cfg.budget))
         # persist the popped batch: it feeds the fetch join, the rest
@@ -188,10 +210,14 @@ class CrawlRun:
             .count()
         )
 
-        cand = expand_candidates(extracted, batch, cfg, rnd)
+        # persist candidates: filter_unseen's bloom split unions two
+        # branches over them, and the frontier write replays the chain —
+        # without this the link-resolution UDF + dedup window run 3-4×
+        cand = expand_candidates(extracted, batch, cfg, rnd).persist()
+        want_bloom = cfg.use_bloom and (seen_size is None or seen_size >= cfg.bloom_min_seen)
         bloom = (
             fr.build_bloom(seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits)
-            if cfg.use_bloom
+            if want_bloom
             else None
         )
         # new candidates must dodge: seen set, still-pending rest, this batch
@@ -201,20 +227,33 @@ class CrawlRun:
         )
 
         frontier_next = rest.unionByName(new_rows)
-        seen_next = seen.unionByName(
-            batch.select("url_hash", "url").withColumn("fetched_round", F.lit(rnd))
-        )
+        seen_delta = batch.select("url_hash", "url").withColumn("fetched_round", F.lit(rnd))
 
         # ---- commit snapshot (order matters: manifest last) ----
-        self._write(frontier_next, rnd, "frontier")
-        self._write(seen_next, rnd, "seen")
-        self._write(articles, rnd, "articles")
-        self._write(pages, rnd, "pages")
+        # seen is append-only: each round writes only its delta (the
+        # Iceberg-append analogue) — O(batch) IO per round, not O(total);
+        # readers union the deltas of committed rounds. The four writes
+        # are independent Spark jobs → submit concurrently (the inputs
+        # they share — batch/extracted/cand — are persisted above, so
+        # parallel jobs reuse, not recompute, them).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(self._write, frontier_next, rnd, "frontier"),
+                pool.submit(self._write, seen_delta, rnd, "seen"),
+                pool.submit(self._write, articles, rnd, "articles"),
+                pool.submit(self._write, pages, rnd, "pages"),
+            ]
+            for f in futs:
+                f.result()
 
         stats = {
             "round": rnd,
             "popped": batch.count(),
-            "fetched": fetched.count(),
+            # extract output is 1:1 with fetched pages and persisted —
+            # cheaper than re-running the corpus join
+            "fetched": extracted.count(),
             "articles": self._read(rnd, "articles").count(),
             "pages": self._read(rnd, "pages").count(),
             "frontier_next": self._read(rnd, "frontier").count(),
@@ -232,29 +271,51 @@ class CrawlRun:
             json.dump({"stats": stats, "config": asdict(self.cfg)}, f, default=str)
         batch.unpersist()
         extracted.unpersist()
+        cand.unpersist()
         return stats
 
     # --------------------------------------------------------------- run
+    def _empty_seen(self) -> DataFrame:
+        return self.spark.createDataFrame([], "url_hash string, url string, fetched_round int")
+
+    def _seen_upto(self, rnd: int) -> DataFrame:
+        """Union of seen deltas of committed rounds ≤ rnd."""
+        dirs = [
+            os.path.join(_round_dir(self.run_dir, r), "seen")
+            for r in range(rnd + 1)
+            if os.path.exists(_manifest_path(self.run_dir, r))  # committed only
+        ]
+        if not dirs:
+            return self._empty_seen()
+        return self.spark.read.parquet(*dirs)
+
     def run(self, resume: bool = True) -> list[dict]:
         start = 0
         last = last_committed_round(self.run_dir) if resume else None
         if last is not None:
             frontier_df = self._read(last, "frontier")
-            seen = self._read(last, "seen")
+            seen = self._seen_upto(last)
             start = last + 1
         else:
-            frontier_df = init_frontier(self.spark, self.seeds)
-            seen = self.spark.createDataFrame([], "url_hash string, url string, fetched_round int")
+            frontier_df = (
+                init_frontier_df(self.seeds)
+                if isinstance(self.seeds, DataFrame)
+                else init_frontier(self.spark, self.seeds)
+            )
+            seen = self._empty_seen()
         history: list[dict] = []
+        seen_size = None if last is not None else 0
         for rnd in range(start, start + self.cfg.max_rounds):
             if frontier_df.limit(1).count() == 0:
                 break
-            stats = self.run_round(rnd, frontier_df, seen)
+            stats = self.run_round(rnd, frontier_df, seen, seen_size=seen_size)
             history.append(stats)
+            if seen_size is not None:
+                seen_size += stats["popped"]
             # reload from the snapshot: truncates lineage, guarantees
             # the next round reads exactly the committed state
             frontier_df = self._read(rnd, "frontier")
-            seen = self._read(rnd, "seen")
+            seen = self._seen_upto(rnd)
         return history
 
     # ------------------------------------------------------------ readers
@@ -271,8 +332,8 @@ class CrawlRun:
     def seen_final(self) -> DataFrame:
         last = last_committed_round(self.run_dir)
         if last is None:
-            return self.spark.createDataFrame([], "url_hash string, url string, fetched_round int")
-        return self._read(last, "seen")
+            return self._empty_seen()
+        return self._seen_upto(last)
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(

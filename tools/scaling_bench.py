@@ -1,0 +1,132 @@
+"""N-vs-4N scaling-efficiency evidence (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so the contract is evidenced
+by running the SAME crawl job at two parallelism levels — local[8]
+(N) and local[32] (4N) — on the same input and reporting throughput
+at both plus efficiency = T(4N)/(4·T(N)).
+
+The measured job is the steady-state round shape of a 10^10-URL
+frontier: the frontier is already wide (every URL seeded), so one
+politeness-budgeted round pops, fetches (corpus join), extracts
+(fused pandas UDF), updates seen/frontier and commits the snapshot.
+The corpus is the sf0.1 synthetic corpus replicated REPLICAS× under
+distinct hosts (distinct-host replication keeps the politeness
+scheduler balanced, exactly like salting hot domains would).
+
+Each level runs in a fresh subprocess (own JVM). Usage:
+
+    python tools/scaling_bench.py            # orchestrate, write BENCH/BASELINE.md
+    python tools/scaling_bench.py --worker 8 # one measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "64"))
+LEVELS = (8, 32)
+
+
+def build_replicated_corpus(spark, sf_dir: str, replicas: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import synth
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    parts = [
+        corpus.withColumn(
+            "url", F.regexp_replace("url", "^https://", f"https://r{k}.")
+        )
+        for k in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(out_dir)
+
+
+def run_level(cpus: int, corpus_dir: str) -> dict:
+    """One measured crawl round at local[cpus] over the shared corpus."""
+    from pyspark.sql import SparkSession
+
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(corpus_dir)
+    run_dir = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
+    cfg = CrawlConfig(max_depth=0, round_wall_s=3600.0, max_rounds=1, use_bloom=False)
+    # seeds as a DataFrame: the frontier is built distributed, nothing
+    # round-trips through the driver
+    crawl = CrawlRun(spark, corpus, corpus.select("url"), run_dir, cfg)
+    t0 = time.perf_counter()
+    history = crawl.run(resume=False)
+    dt = time.perf_counter() - t0
+    fetched = sum(h["fetched"] for h in history)
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return {"cpus": cpus, "seconds": round(dt, 2), "fetched": fetched,
+            "urls_per_sec": round(fetched / dt, 2)}
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        print(json.dumps(run_level(int(sys.argv[2]), sys.argv[3])))
+        return
+
+    # shared corpus built once by a throwaway session
+    from pyspark.sql import SparkSession
+
+    corpus_dir = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"), "corpus")
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_replicated_corpus(spark, SF_DIR, REPLICAS, corpus_dir)
+    n = spark.read.parquet(corpus_dir).count()
+    spark.stop()
+    print(f"# corpus: {n} pages ({REPLICAS}x {SF_DIR})", file=sys.stderr)
+
+    results = {}
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus), corpus_dir],
+            capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
+
+    n_, fourn = results[LEVELS[0]], results[LEVELS[1]]
+    eff = fourn["urls_per_sec"] / (4 * n_["urls_per_sec"])
+    summary = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "N": n_, "fourN": fourn,
+        "efficiency": round(eff, 3),
+        "replicas": REPLICAS, "sf_dir": SF_DIR, "corpus_pages": n,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
