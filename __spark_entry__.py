@@ -406,6 +406,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_frontier_pop"] = crawl_frontier_pop
 
+    def robots_gate_s3(spark, sf_dir):
+        """S3 robots allow/deny: urls derived from doc_id routed through
+        the real parser+gate (gocrawl_spark.robots); the oracle
+        re-derives the longest-match decision for the synthetic ruleset
+        independently in SQL."""
+        from gocrawl_spark import robots as rb
+
+        docs = _docs(spark, sf_dir)
+        path = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/article/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/category/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/page/"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/page/1"), F.col("doc_id")))
+        )
+        host = F.concat(
+            F.lit("site"), F.lpad((F.col("doc_id") % 16).cast("string"), 2, "0"),
+            F.lit(".example.com"),
+        )
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://"), host, path).alias("url"),
+            host.alias("host"),
+        )
+        return rb.gate(urls, rb.synth_robots(spark)).select("doc_id", "url")
+
+    q["robots_gate_s3"] = robots_gate_s3
+
+    def parse_date_e10(spark, sf_dir):
+        """E10: Go-layout cascade parse; date strings rendered JVM-side
+        from a doc_id-derived timestamp, parsed back by the kernel."""
+        ts = F.to_timestamp(F.lit("2023-01-01 00:00:00")) + F.make_interval(
+            days=(F.col("doc_id") % 365).cast("int"), hours=(F.col("doc_id") % 24).cast("int")
+        )
+        date_str = (
+            F.when(F.col("doc_id") % 4 == 0, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+            .when(F.col("doc_id") % 4 == 1, F.date_format(ts, "yyyy-MM-dd"))
+            .when(F.col("doc_id") % 4 == 2, F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+        )
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            date_str.alias("date_str"),
+            udfs.parse_date_udf(date_str).alias("parsed"),
+        )
+
+    q["parse_date_e10"] = parse_date_e10
+
+    def prepare_v9(spark, sf_dir):
+        """V9 PrepareForIndexing (article.go:110-186) as pure Catalyst
+        expressions: blank og_title when equal to title, whitespace-only
+        strings to empty, tags trimmed/deduped keeping first occurrence,
+        null when empty."""
+        d = F.col("doc_id")
+        title = F.concat(F.lit("Doc "), d)
+        og_title_raw = F.when(d % 2 == 0, title).otherwise(F.concat(F.lit("OG "), d))
+        desc_raw = F.when(d % 3 == 0, F.lit("   ")).otherwise(F.concat(F.lit("desc "), d))
+        tags_raw = F.array(
+            F.concat(F.lit("tag"), (d % 5)),
+            F.concat(F.lit(" tag"), (d % 5), F.lit(" ")),
+            F.concat(F.lit("x"), (d % 3)),
+            F.lit(""),
+        )
+        tags = F.array_distinct(
+            # NB: not F.transform(tags_raw, F.trim) — transform feeds the
+            # element index as trim's trimStr argument
+            F.filter(F.transform(tags_raw, lambda x: F.trim(x)), lambda x: x != F.lit(""))
+        )
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.trim(og_title_raw) == F.trim(title), F.lit("")).otherwise(
+                og_title_raw
+            ).alias("og_title"),
+            F.when(F.trim(desc_raw) == "", F.lit("")).otherwise(desc_raw).alias("description"),
+            F.when(F.size(tags) == 0, F.lit(None)).otherwise(
+                F.array_join(tags, "|")
+            ).alias("tags_s"),
+        )
+
+    q["prepare_v9"] = prepare_v9
+
+    def upsert_articles_s5(spark, sf_dir):
+        """S5 idempotent doc-id upsert (storage.go:85-139): two write
+        generations merged keep-latest-per-id — the Iceberg MERGE INTO
+        analogue expressed as a dedupe window."""
+        from pyspark.sql import Window
+
+        docs = _docs(spark, sf_dir)
+        v0 = docs.select("doc_id", F.lit(0).alias("version"), "source")
+        v1 = (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", F.lit(1).alias("version"), F.lit("updated").alias("source"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+        return (
+            v0.unionByName(v1)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "version", "source")
+        )
+
+    q["upsert_articles_s5"] = upsert_articles_s5
+
+    def get_document_s8(spark, sf_dir):
+        """S8 point lookup by generated id (sha256 of a url-shaped key)."""
+        key = F.concat(F.lit("https://example.com/doc/"), F.col("doc_id").cast("string"))
+        return (
+            _docs(spark, sf_dir)
+            .withColumn("id", F.sha2(key, 256))
+            .filter(F.col("doc_id").isin(7, 42, 421))
+            .select("id", "doc_id", "source", F.sha2(F.col("text"), 256).alias("text_sha"))
+        )
+
+    q["get_document_s8"] = get_document_s8
+
     return q
 
 
@@ -684,6 +798,94 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["robots_gate_s3"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 doc_id % 16 AS hi,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '/article/' || doc_id
+                   WHEN 1 THEN '/category/' || doc_id
+                   WHEN 2 THEN '/page/' || doc_id
+                   ELSE '/page/1' || doc_id
+                 END AS path
+          FROM documents
+        )
+        SELECT doc_id,
+               'https://site' || lpad(hi::VARCHAR, 2, '0') || '.example.com' || path AS url
+        FROM u
+        WHERE CASE
+          -- longest-match semantics of synth_robots' ruleset:
+          -- Disallow /category/ everywhere; hosts hi%3=0 add
+          -- Disallow /page/ + Allow /page/1; hosts hi%5=2 Disallow /
+          WHEN path LIKE '/category/%' THEN FALSE
+          WHEN hi % 3 = 0 AND path LIKE '/page/1%' THEN TRUE
+          WHEN hi % 3 = 0 AND path LIKE '/page/%' THEN FALSE
+          WHEN hi % 5 = 2 THEN FALSE
+          ELSE TRUE END
+    """
+
+    o["parse_date_e10"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 TIMESTAMP '2023-01-01 00:00:00'
+                   + to_days((doc_id % 365)::INT)
+                   + to_hours((doc_id % 24)::INT) AS ts
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                 WHEN 1 THEN strftime(ts, '%Y-%m-%d')
+                 WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                 ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S')
+               END AS date_str,
+               CASE doc_id % 4 WHEN 1 THEN date_trunc('day', ts) ELSE ts END AS parsed
+        FROM t
+    """
+
+    o["prepare_v9"] = r"""
+        WITH a AS (
+          SELECT doc_id,
+                 'Doc ' || doc_id AS title,
+                 CASE WHEN doc_id % 2 = 0 THEN 'Doc ' || doc_id
+                      ELSE 'OG ' || doc_id END AS og_title_raw,
+                 CASE WHEN doc_id % 3 = 0 THEN '   '
+                      ELSE 'desc ' || doc_id END AS desc_raw,
+                 ['tag' || (doc_id % 5), ' tag' || (doc_id % 5) || ' ',
+                  'x' || (doc_id % 3), ''] AS tags_raw
+          FROM documents
+        ), b AS (
+          SELECT doc_id, title, og_title_raw, desc_raw,
+                 list_transform(tags_raw, x -> trim(x)) AS tr
+          FROM a
+        ), c AS (
+          SELECT doc_id, title, og_title_raw, desc_raw,
+                 list_filter(tr, (x, i) -> x <> '' AND list_position(tr, x) = i) AS tags
+          FROM b
+        )
+        SELECT doc_id,
+               CASE WHEN trim(og_title_raw) = trim(title) THEN '' ELSE og_title_raw END AS og_title,
+               CASE WHEN trim(desc_raw) = '' THEN '' ELSE desc_raw END AS description,
+               CASE WHEN len(tags) = 0 THEN NULL
+                    ELSE array_to_string(tags, '|') END AS tags_s
+        FROM c
+    """
+
+    o["upsert_articles_s5"] = """
+        SELECT doc_id, version, source FROM (
+          SELECT doc_id, 0 AS version, source FROM documents
+          UNION ALL
+          SELECT doc_id, 1 AS version, 'updated' AS source
+          FROM documents WHERE doc_id % 10 = 0
+        ) QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+    """
+
+    o["get_document_s8"] = """
+        SELECT sha256('https://example.com/doc/' || doc_id) AS id,
+               doc_id, source, sha256(text) AS text_sha
+        FROM documents WHERE doc_id IN (7, 42, 421)
     """
 
     return o

@@ -200,6 +200,33 @@ def pop_batch(frontier: DataFrame, budget_col: str = "budget", n_salts: int = 8)
     )
 
 
+def pop_split(
+    frontier: DataFrame, budget_col: str = "budget", n_salts: int = 8
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """pop_batch that also returns the un-popped remainder.
+
+    Same two salted window passes, but both outcomes are derived from
+    the SAME cached rankings, so the caller never needs the
+    O(frontier)-shuffle anti-join (frontier ∖ batch) to rebuild the
+    next round's pending set — at 10^10-frontier scale that anti-join
+    was a second full shuffle per round. Returns (batch, rest, cached);
+    caller unpersists `cached` after the round's writes."""
+    salt = F.pmod(F.conv(F.substring("url_hash", 57, 8), 16, 10).cast("long"), F.lit(n_salts))
+    stage1 = Window.partitionBy("domain", salt).orderBy(*_order())
+    r1 = frontier.withColumn("_r1", F.row_number().over(stage1)).persist()
+    dropped1 = r1.filter(F.col("_r1") > F.col(budget_col)).drop("_r1")
+    stage2 = Window.partitionBy("domain").orderBy(*_order())
+    r2 = (
+        r1.filter(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1")
+        .withColumn("_r2", F.row_number().over(stage2))
+        .persist()
+    )
+    batch = r2.filter(F.col("_r2") <= F.col(budget_col)).drop("_r2")
+    rest = dropped1.unionByName(r2.filter(F.col("_r2") > F.col(budget_col)).drop("_r2"))
+    return batch, rest, [r1, r2]
+
+
 def apply_rules(frontier: DataFrame, rules: list[dict] | None) -> DataFrame:
     """F8 allow/deny rules: highest-priority matching rule wins; no
     match → allow (the reference validates but never evaluates rules —

@@ -1,0 +1,194 @@
+"""robots.txt allow/deny, evaluated vectorized over a robots(host, rules) table.
+
+The reference carries a ``respect_robots_txt`` config flag (default true,
+internal/config/crawler/config.go:42-43,101) but its collectors pass
+``colly.IgnoreRobotsTxt()`` (internal/crawler/crawler.go:201,
+internal/crawler/constructor.go:83), so robots is effectively OFF at
+runtime. We implement the configured behavior behind the same flag —
+``CrawlConfig.respect_robots`` — defaulting to off for reference
+equivalence (SURVEY.md §7.3.7).
+
+Matching follows RFC 9309 (what colly's robotstxt dependency implements):
+
+- groups keyed by ``User-agent``; a crawler picks the group whose agent
+  token is the longest prefix of its UA product token, else the ``*``
+  group; multiple UA lines may share one rule block;
+- ``Allow``/``Disallow`` values are path patterns with ``*`` (any chars)
+  and ``$`` (end anchor); empty Disallow ⇒ allow everything;
+- the rule with the longest pattern (octets) wins; on a tie Allow wins;
+- no applicable group or no matching rule ⇒ allowed.
+
+Evaluation is a pandas UDF over ``(url, rules)`` pairs produced by a
+broadcast join of candidates against the small robots table — hosts
+without a robots row are allowed (fetch-404 semantics). Parsed rule
+lists are memoized per distinct rules text within the Python worker, so
+the per-batch cost is one parse per host, not per URL.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from gocrawl_spark import canonicalize as canon
+
+DEFAULT_UA = "gocrawl"
+
+# ------------------------------------------------------------------ parse
+
+
+def _clean_line(line: str) -> str:
+    # comments start at '#'; values are whitespace-trimmed (RFC 9309 §2.2)
+    return line.split("#", 1)[0].strip()
+
+
+def parse_robots(text: str, ua: str = DEFAULT_UA) -> list[tuple[bool, str]]:
+    """robots.txt → ordered [(allow, pattern)] for the best-matching group.
+
+    Group selection: longest ``User-agent`` token that is a
+    case-insensitive prefix of *ua* wins; ``*`` matches any UA with
+    specificity 0. Returns [] when no group applies.
+    """
+    ua_l = ua.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_rules = False
+    for raw in (text or "").splitlines():
+        line = _clean_line(raw)
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((agents, rules))
+                agents, rules, in_rules = [], [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            # empty Disallow = allow all (no-op rule kept out of the list);
+            # empty Allow is meaningless — both drop here
+            if val:
+                rules.append((key == "allow", val))
+        # sitemap/crawl-delay etc. ignored (reference ignores them too)
+    if agents or rules:
+        groups.append((agents, rules))
+
+    best_rules: list[tuple[bool, str]] | None = None
+    best_spec = -1
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif ua_l.startswith(a):
+                spec = len(a)
+            else:
+                continue
+            if spec > best_spec:
+                best_spec, best_rules = spec, rules
+    return best_rules or []
+
+
+@lru_cache(maxsize=4096)
+def _pattern_re(pattern: str) -> re.Pattern:
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def rule_matches(pattern: str, path: str) -> bool:
+    return _pattern_re(pattern).match(path) is not None
+
+
+def robots_allowed(path: str, rules: list[tuple[bool, str]]) -> bool:
+    """Longest-pattern match wins; Allow wins ties; no match ⇒ allowed."""
+    best_len = -1
+    best_allow = True
+    for allow, pattern in rules:
+        if rule_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len, best_allow = plen, allow
+    return best_allow
+
+
+# ------------------------------------------------------------ vectorized
+
+
+@lru_cache(maxsize=1024)
+def _parsed(rules_text: str, ua: str) -> tuple[tuple[bool, str], ...]:
+    return tuple(parse_robots(rules_text, ua))
+
+
+def _path_query(url: str) -> str:
+    # robots patterns match path + optional query (RFC 9309 §2.2.2)
+    m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*", url or "")
+    rest = url[m.end() :] if m else url or ""
+    return rest or "/"
+
+
+def allowed_udf(ua: str = DEFAULT_UA):
+    """pandas UDF (url, rules) → bool; null rules ⇒ allowed."""
+
+    @F.pandas_udf(BooleanType())
+    def _allowed(url: pd.Series, rules: pd.Series) -> pd.Series:
+        out = []
+        for u, r in zip(url, rules):
+            if r is None or not r:
+                out.append(True)
+            else:
+                out.append(robots_allowed(_path_query(u), list(_parsed(r, ua))))
+        return pd.Series(out)
+
+    return _allowed
+
+
+def gate(candidates: DataFrame, robots: DataFrame, ua: str = DEFAULT_UA) -> DataFrame:
+    """Drop candidate URLs a robots(host, rules) table disallows.
+
+    The robots table is one row per host (tiny next to the frontier), so
+    the join is an explicit broadcast; candidates must carry a ``host``
+    column (they do — F5's allowed-domains filter needs it too).
+    """
+    robots_small = robots.select(
+        F.col("host").alias("_robots_host"), F.col("rules").alias("_robots_rules")
+    )
+    joined = candidates.join(
+        F.broadcast(robots_small),
+        candidates["host"] == robots_small["_robots_host"],
+        "left",
+    )
+    kept = joined.filter(allowed_udf(ua)(F.col("url"), F.col("_robots_rules")))
+    return kept.drop("_robots_host", "_robots_rules")
+
+
+# ------------------------------------------------------------- synthetic
+
+
+def synth_robots(spark, hosts: list[str] | None = None) -> DataFrame:
+    """Deterministic robots table over the synthetic corpus hosts.
+
+    Literal-prefix rules only (no wildcards) so the DuckDB oracle for the
+    ``robots_gate_s3`` query can reproduce the longest-match semantics in
+    pure SQL; wildcard/$ handling is covered by unit tests instead.
+    """
+    from gocrawl_spark import synth
+
+    hosts = hosts or [f"site{i:02d}.example.com" for i in range(synth.N_HOSTS)]
+    rows = []
+    for i, h in enumerate(hosts):
+        lines = ["User-agent: *", "Disallow: /category/"]
+        if i % 3 == 0:
+            lines += ["Disallow: /page/", "Allow: /page/1"]
+        if i % 5 == 2:
+            lines += ["Disallow: /"]
+        rows.append((h, "\n".join(lines) + "\n"))
+    return spark.createDataFrame(rows, "host string, rules string")

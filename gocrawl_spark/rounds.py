@@ -62,6 +62,11 @@ class CrawlConfig:
     # below this many seen URLs the exact anti-join is cheaper than a
     # bloom build+broadcast; at 10^10 frontier scale the filter pays
     bloom_min_seen: int = 50_000
+    # S3: the reference's respect_robots_txt flag is ON in config but
+    # the collectors pass colly.IgnoreRobotsTxt() (crawler.go:201), so
+    # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
+    respect_robots: bool = False
+    user_agent: str = "gocrawl"
 
     @property
     def budget(self) -> int:
@@ -121,12 +126,16 @@ def expand_candidates(
 ) -> DataFrame:
     """links[] → next-round frontier rows (F1–F6, F8), deduped within
     the round by earliest deterministic discovery_seq."""
-    parents = batch.select(
+    # only parents below the depth bound can admit children — joining
+    # FIRST prunes the last BFS tier (typically the largest) before the
+    # link-resolution UDF ever runs on it (F6 pushed ahead of F2-F4)
+    parents = batch.filter(F.col("depth") < cfg.max_depth).select(
         "url", F.col("depth").alias("p_depth"), F.col("discovery_seq").alias("p_seq")
     )
     cand = (
-        extracted.select("url", udfs.resolve_links_udf("url", "links").alias("resolved"))
+        extracted.select("url", "links")
         .join(parents, "url")  # co-partitioned small batch join
+        .select("url", udfs.resolve_links_udf("url", "links").alias("resolved"), "p_depth", "p_seq")
         .select(
             F.col("p_depth"),
             F.col("p_seq"),
@@ -162,12 +171,50 @@ class CrawlRun:
         seeds: "list[str] | DataFrame",
         run_dir: str,
         cfg: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+        host_policy: DataFrame | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
         self.seeds = seeds
         self.run_dir = run_dir
         self.cfg = cfg or CrawlConfig()
+        # robots(host, rules): one row per host, broadcast at the gate
+        self.robots = robots
+        # host_policy(domain, delay_ms, parallelism): per-host overrides
+        # of the politeness contract (colly LimitRule analogue, P1)
+        self.host_policy = host_policy
+
+    def _gate_robots(self, df: DataFrame) -> DataFrame:
+        if not self.cfg.respect_robots or self.robots is None:
+            return df
+        from gocrawl_spark import robots as rb
+
+        return rb.gate(df, self.robots, ua=self.cfg.user_agent)
+
+    def _budgeted(self, frontier_df: DataFrame) -> DataFrame:
+        """Attach the per-host round budget (P1/P2): global config unless
+        a host_policy row overrides delay/parallelism for that domain."""
+        cfg = self.cfg
+        if self.host_policy is None:
+            return frontier_df.withColumn("budget", F.lit(cfg.budget))
+        pol = self.host_policy.select(
+            F.col("domain").alias("_pol_domain"),
+            F.col("delay_ms").alias("_pol_delay"),
+            F.col("parallelism").alias("_pol_par"),
+        )
+        joined = frontier_df.join(
+            F.broadcast(pol), frontier_df["domain"] == pol["_pol_domain"], "left"
+        )
+        wall_ms = F.lit(cfg.round_wall_s * 1000.0)
+        budget = F.greatest(
+            F.floor(wall_ms / F.coalesce(F.col("_pol_delay"), F.lit(cfg.delay_ms)))
+            * F.coalesce(F.col("_pol_par"), F.lit(cfg.parallelism)),
+            F.lit(1),
+        )
+        return joined.withColumn("budget", budget.cast("int")).drop(
+            "_pol_domain", "_pol_delay", "_pol_par"
+        )
 
     # ---------------------------------------------------------------- io
     def _write(self, df: DataFrame, rnd: int, name: str) -> None:
@@ -180,54 +227,89 @@ class CrawlRun:
     def run_round(
         self, rnd: int, frontier_df: DataFrame, seen: DataFrame, seen_size: int | None = None
     ) -> dict:
+        import time
+
         cfg = self.cfg
-        budgeted = frontier_df.withColumn("budget", F.lit(cfg.budget))
-        # persist the popped batch: it feeds the fetch join, the rest
-        # anti-join, the seen update, and the stats count
-        batch = fr.pop_batch(budgeted, n_salts=cfg.n_salts).drop("budget").persist()
-        rest = frontier_df.join(batch.select("url_hash"), "url_hash", "left_anti")
+        t: dict[str, float] = {}
+        t0 = time.perf_counter()
+        budgeted = self._budgeted(frontier_df)
+        # batch and rest come from one cached ranking (no anti-join);
+        # batch feeds the fetch join, the seen update and the stats
+        # count, rest feeds the next frontier
+        batch, rest, pop_cache = fr.pop_split(budgeted, n_salts=cfg.n_salts)
+        batch = batch.drop("budget").persist()
+        rest = rest.drop("budget")
+        n_popped = batch.count()
+        t["pop"] = time.perf_counter() - t0
 
         # fetch = corpus join (J2); AQE handles residual skew on url
         fetched = batch.join(self.corpus, "url", "inner")
-        # persist the extraction output: articles, pages, rejected stats
-        # and link candidates all read it — without this the fused
-        # pandas UDF (the expensive stage) would run once per consumer
-        extracted = udfs.extract_pages(fetched).persist()
+        # the fused pandas UDF (the expensive stage) runs EXACTLY once:
+        # its output is committed directly as the round's `extracted`
+        # table, and every consumer (articles/pages views, candidate
+        # expansion, stats) re-reads that parquet with column pruning —
+        # no multi-GB persist, no duplicate text writes (articles/pages
+        # are projections of extracted, not copies)
+        t0 = time.perf_counter()
+        self._write(
+            udfs.extract_pages(fetched).withColumn("crawl_round", F.lit(rnd)),
+            rnd,
+            "extracted",
+        )
+        extracted = self._read(rnd, "extracted")
+        n_fetched = extracted.count()
+        t["fetch_extract"] = time.perf_counter() - t0
 
-        articles = (
-            extracted.filter((F.col("content_type") == "article") & F.col("article_valid"))
-            .select("article.*")
-            .withColumn("crawl_round", F.lit(rnd))
-        )
-        pages = (
-            extracted.filter(F.col("content_type") == "page")
-            .select("page.*")
-            .withColumn("crawl_round", F.lit(rnd))
-        )
-        rejected = (
-            extracted.filter((F.col("content_type") == "article") & ~F.col("article_valid"))
-            .groupBy("skip_reason")
-            .count()
-        )
 
         # persist candidates: filter_unseen's bloom split unions two
         # branches over them, and the frontier write replays the chain —
         # without this the link-resolution UDF + dedup window run 3-4×
-        cand = expand_candidates(extracted, batch, cfg, rnd).persist()
-        want_bloom = cfg.use_bloom and (seen_size is None or seen_size >= cfg.bloom_min_seen)
-        bloom = (
-            fr.build_bloom(seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits)
-            if want_bloom
-            else None
-        )
-        # new candidates must dodge: seen set, still-pending rest, this batch
-        pending = rest.select("url_hash").unionByName(batch.select("url_hash"))
-        new_rows = fr.filter_unseen(cand, seen, bloom, self.spark).join(
-            pending, "url_hash", "left_anti"
-        )
-
-        frontier_next = rest.unionByName(new_rows)
+        # last-BFS-tier fast path: when every popped row sits AT the
+        # depth bound (typical for the largest tier of the crawl), no
+        # child can be admitted — skip link resolution, bloom build and
+        # the anti-join chain outright
+        t0 = time.perf_counter()
+        can_expand = batch.filter(F.col("depth") < cfg.max_depth).limit(1).count() > 0
+        cand = None
+        if can_expand:
+            cand = self._gate_robots(expand_candidates(extracted, batch, cfg, rnd)).persist()
+            cand.count()
+        t["expand"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        if can_expand:
+            want_bloom = cfg.use_bloom and (seen_size is None or seen_size >= cfg.bloom_min_seen)
+            bloom = (
+                fr.build_bloom(seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits)
+                if want_bloom
+                else None
+            )
+            # new candidates dodge: seen set, still-pending rest, this batch
+            pending = rest.select("url_hash").unionByName(batch.select("url_hash"))
+            new_rows = fr.filter_unseen(cand, seen, bloom, self.spark).join(
+                pending, "url_hash", "left_anti"
+            )
+            frontier_next = rest.unionByName(new_rows)
+        else:
+            frontier_next = rest
+        t["bloom"] = time.perf_counter() - t0
         seen_delta = batch.select("url_hash", "url").withColumn("fetched_round", F.lit(rnd))
+        # host_state delta (P1): per-domain fetch accounting this round;
+        # readers aggregate deltas into the cumulative token-bucket view
+        # (next_fetch_ts ≡ round boundary + delay — rounds ARE the clock)
+        host_delta = batch.groupBy("domain").agg(F.count("*").alias("fetched_total"))
+        if self.host_policy is not None:
+            pol = self.host_policy.select("domain", "delay_ms", "parallelism")
+            host_delta = host_delta.join(F.broadcast(pol), "domain", "left")
+            host_delta = host_delta.withColumn(
+                "delay_ms", F.coalesce("delay_ms", F.lit(cfg.delay_ms).cast("long"))
+            ).withColumn("parallelism", F.coalesce("parallelism", F.lit(cfg.parallelism)))
+        else:
+            host_delta = host_delta.withColumn(
+                "delay_ms", F.lit(cfg.delay_ms).cast("long")
+            ).withColumn("parallelism", F.lit(cfg.parallelism))
+        host_delta = host_delta.withColumn("last_round", F.lit(rnd)).select(
+            "domain", "delay_ms", "parallelism", "fetched_total", "last_round"
+        )
 
         # ---- commit snapshot (order matters: manifest last) ----
         # seen is append-only: each round writes only its delta (the
@@ -238,27 +320,42 @@ class CrawlRun:
         # parallel jobs reuse, not recompute, them).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(self._write, frontier_next, rnd, "frontier"),
                 pool.submit(self._write, seen_delta, rnd, "seen"),
-                pool.submit(self._write, articles, rnd, "articles"),
-                pool.submit(self._write, pages, rnd, "pages"),
+                pool.submit(self._write, host_delta, rnd, "host_state"),
             ]
             for f in futs:
                 f.result()
+        t["writes"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # one scan gives every per-round counter (V8's stats rollup)
+        cells = (
+            extracted.groupBy("content_type", "article_valid", "skip_reason")
+            .count()
+            .collect()
+        )
+        n_articles = sum(
+            r["count"] for r in cells if r["content_type"] == "article" and r["article_valid"]
+        )
         stats = {
             "round": rnd,
-            "popped": batch.count(),
-            # extract output is 1:1 with fetched pages and persisted —
-            # cheaper than re-running the corpus join
-            "fetched": extracted.count(),
-            "articles": self._read(rnd, "articles").count(),
-            "pages": self._read(rnd, "pages").count(),
+            "popped": n_popped,
+            "fetched": n_fetched,
+            "articles": n_articles,
+            "pages": sum(r["count"] for r in cells if r["content_type"] == "page"),
             "frontier_next": self._read(rnd, "frontier").count(),
-            "rejected": {r["skip_reason"]: r["count"] for r in rejected.collect()},
+            "rejected": {
+                r["skip_reason"]: r["count"]
+                for r in cells
+                if r["content_type"] == "article" and not r["article_valid"] and r["skip_reason"]
+            },
         }
+        t["stats"] = time.perf_counter() - t0
+        stats["timings"] = {k: round(v, 2) for k, v in t.items()}
         metrics_rows = [
             (rnd, k, int(v)) for k, v in stats.items() if isinstance(v, (int, float)) and k != "round"
         ] + [(rnd, f"skip:{k}", int(v)) for k, v in stats["rejected"].items()]
@@ -270,8 +367,10 @@ class CrawlRun:
         with open(_manifest_path(self.run_dir, rnd), "w") as f:
             json.dump({"stats": stats, "config": asdict(self.cfg)}, f, default=str)
         batch.unpersist()
-        extracted.unpersist()
-        cand.unpersist()
+        if cand is not None:
+            cand.unpersist()
+        for df in pop_cache:
+            df.unpersist()
         return stats
 
     # --------------------------------------------------------------- run
@@ -302,6 +401,10 @@ class CrawlRun:
                 if isinstance(self.seeds, DataFrame)
                 else init_frontier(self.spark, self.seeds)
             )
+            # robots gates frontier ADMISSION (seeds here, candidates in
+            # run_round) — with a static robots table this yields the
+            # same URL set as the reference's check-at-request-time
+            frontier_df = self._gate_robots(frontier_df)
             seen = self._empty_seen()
         history: list[dict] = []
         seen_size = None if last is not None else 0
@@ -319,21 +422,61 @@ class CrawlRun:
         return history
 
     # ------------------------------------------------------------ readers
-    def articles(self) -> DataFrame:
+    def extracted(self) -> DataFrame:
+        """Raw fused-extraction output of every committed round."""
         return self.spark.read.option("basePath", self.run_dir).parquet(
-            os.path.join(self.run_dir, "rounds", "round=*", "articles")
+            os.path.join(self.run_dir, "rounds", "round=*", "extracted")
+        )
+
+    def articles(self) -> DataFrame:
+        """Validated articles view — a column-pruned projection of the
+        per-round extracted tables (S5's index is a view, not a copy)."""
+        ex = self.extracted()
+        return (
+            ex.filter((F.col("content_type") == "article") & F.col("article_valid"))
+            .select("article.*", "crawl_round")
         )
 
     def pages(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.run_dir).parquet(
-            os.path.join(self.run_dir, "rounds", "round=*", "pages")
-        )
+        ex = self.extracted()
+        return ex.filter(F.col("content_type") == "page").select("page.*", "crawl_round")
 
     def seen_final(self) -> DataFrame:
         last = last_committed_round(self.run_dir)
         if last is None:
             return self._empty_seen()
         return self._seen_upto(last)
+
+    def host_state(self) -> DataFrame:
+        """Cumulative per-host token-bucket view over committed rounds:
+        total fetches, last active round, and the effective politeness
+        contract (delay/parallelism of the latest round)."""
+        last = last_committed_round(self.run_dir)
+        if last is None:
+            return self.spark.createDataFrame(
+                [],
+                "domain string, delay_ms long, parallelism int, fetched_total long, last_round int",
+            )
+        dirs = [
+            os.path.join(_round_dir(self.run_dir, r), "host_state")
+            for r in range(last + 1)
+            if os.path.exists(_manifest_path(self.run_dir, r))
+            and os.path.exists(os.path.join(_round_dir(self.run_dir, r), "host_state"))
+        ]
+        deltas = self.spark.read.parquet(*dirs)
+        w = Window.partitionBy("domain").orderBy(F.desc("last_round"))
+        return (
+            deltas.withColumn("_total", F.sum("fetched_total").over(Window.partitionBy("domain")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "domain",
+                "delay_ms",
+                "parallelism",
+                F.col("_total").alias("fetched_total"),
+                "last_round",
+            )
+        )
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(

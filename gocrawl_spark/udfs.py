@@ -68,6 +68,20 @@ def host_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canon.host_of(u) if u else "")
 
 
+def parse_date_udf(col):
+    """E10: the Go 20-layout parse cascade (articles/extractor.go:127-169)
+    as an Arrow-batched UDF — first matching layout wins, else null."""
+    from pyspark.sql.types import TimestampType
+
+    from gocrawl_spark.extract import parse_date
+
+    @F.pandas_udf(TimestampType())
+    def _parse(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: parse_date(x) if x else None)
+
+    return _parse(col)
+
+
 def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach url_hash (E11: hex(sha256(url)) — Spark built-in, exact
     match with the Go reference) + host + politeness domain. All
