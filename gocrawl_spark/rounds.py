@@ -173,6 +173,7 @@ class CrawlRun:
         cfg: CrawlConfig | None = None,
         robots: DataFrame | None = None,
         host_policy: DataFrame | None = None,
+        sources: list | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -184,6 +185,18 @@ class CrawlRun:
         # host_policy(domain, delay_ms, parallelism): per-host overrides
         # of the politeness contract (colly LimitRule analogue, P1)
         self.host_policy = host_policy
+        # source configs (S4): per-source selectors drive extraction
+        # (J1), per-source rate limits the politeness budget, and
+        # source rules the F8 predicate
+        self.sel_map = None
+        if sources:
+            from gocrawl_spark import sources as src
+
+            self.sel_map = src.selector_map(sources)
+            if self.host_policy is None:
+                self.host_policy = src.host_policy_df(spark, sources)
+            if self.cfg.rules is None:
+                self.cfg.rules = src.combined_rules(sources) or None
 
     def _gate_robots(self, df: DataFrame) -> DataFrame:
         if not self.cfg.respect_robots or self.robots is None:
@@ -252,7 +265,9 @@ class CrawlRun:
         # are projections of extracted, not copies)
         t0 = time.perf_counter()
         self._write(
-            udfs.extract_pages(fetched).withColumn("crawl_round", F.lit(rnd)),
+            udfs.extract_pages(fetched, sel_map=self.sel_map).withColumn(
+                "crawl_round", F.lit(rnd)
+            ),
             rnd,
             "extracted",
         )

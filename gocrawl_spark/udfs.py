@@ -123,10 +123,30 @@ def _page_row(d: dict | None) -> dict | None:
     return {k: d.get(k) for k in _PAGE_FIELDS}
 
 
-def make_extract_fn(article_sel: ArticleSelectors, page_sel: PageSelectors):
+def make_extract_fn(
+    article_sel: ArticleSelectors,
+    page_sel: PageSelectors,
+    sel_map: dict | None = None,
+):
     """Returns the mapInPandas function: (url, html binary) batches →
     EXTRACT_SCHEMA batches. Selectors are captured in the closure and
-    shipped once per task (broadcast-equivalent for config)."""
+    shipped once per task (broadcast-equivalent for config). sel_map
+    (host → (ArticleSelectors, PageSelectors), from sources.selector_map)
+    lets each source's configured selectors drive extraction (J1);
+    unmatched hosts fall back to the defaults."""
+
+    def pick(url: str) -> tuple[ArticleSelectors, PageSelectors]:
+        if not sel_map:
+            return article_sel, page_sel
+        host = canon.host_of(url)
+        hit = sel_map.get(host)
+        if hit is None and host:
+            # *.domain suffix match, like sources.match_source
+            for d, v in sel_map.items():
+                if host.endswith("." + d):
+                    hit = v
+                    break
+        return hit if hit is not None else (article_sel, page_sel)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,7 +162,8 @@ def make_extract_fn(article_sel: ArticleSelectors, page_sel: PageSelectors):
             }
             for url, html in zip(pdf["url"], pdf["html"]):
                 h = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
-                res = process_html(h, url, article_sel, page_sel)
+                a_sel, p_sel = pick(url)
+                res = process_html(h, url, a_sel, p_sel)
                 art, page = res["article"], res["page"]
                 valid, reason = (True, "")
                 text = ""
@@ -168,12 +189,14 @@ def extract_pages(
     fetched: DataFrame,
     article_sel: ArticleSelectors | None = None,
     page_sel: PageSelectors | None = None,
+    sel_map: dict | None = None,
 ) -> DataFrame:
     """(url, html, …) → one row per page with content_type, article/page
-    structs, validation verdict, byte-identical extracted_text, links."""
+    structs, validation verdict, byte-identical extracted_text, links.
+    sel_map routes each host to its source's configured selectors."""
     article_sel = article_sel or ArticleSelectors.default()
     page_sel = page_sel or PageSelectors.default()
-    fn = make_extract_fn(article_sel, page_sel)
+    fn = make_extract_fn(article_sel, page_sel, sel_map=sel_map)
     return fetched.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 
