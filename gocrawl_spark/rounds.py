@@ -67,6 +67,14 @@ class CrawlConfig:
     # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
     respect_robots: bool = False
     user_agent: str = "gocrawl"
+    # F9 retry-with-backoff (link_handler.go:60-107): transient fetch
+    # failures re-enqueue with attempt+1 until max_retries; the retry
+    # delay is the round boundary (rounds are the clock). Transient
+    # failures exist only when the corpus carries a fail_attempts
+    # column (fault injection — synth.with_transient_faults); a URL
+    # missing from the corpus is a 404, non-retryable, like the
+    # reference's expected-error classes (crawler.go:300-317)
+    max_retries: int = 3
 
     @property
     def budget(self) -> int:
@@ -257,6 +265,19 @@ class CrawlRun:
 
         # fetch = corpus join (J2); AQE handles residual skew on url
         fetched = batch.join(self.corpus, "url", "inner")
+        # F9: with fault injection, rows whose fail_attempts exceeds the
+        # current attempt are transient failures → re-enqueued below
+        retry = None
+        if cfg.max_retries > 0 and "fail_attempts" in self.corpus.columns:
+            failed = fetched.filter(F.col("attempt") < F.col("fail_attempts"))
+            retry = (
+                failed.filter(F.col("attempt") + 1 < cfg.max_retries)
+                .withColumn("attempt", F.col("attempt") + 1)
+                .select([f.name for f in FRONTIER.fields])
+                .persist()
+            )
+            retry.count()
+            fetched = fetched.filter(F.col("attempt") >= F.col("fail_attempts"))
         # the fused pandas UDF (the expensive stage) runs EXACTLY once:
         # its output is committed directly as the round's `extracted`
         # table, and every consumer (articles/pages views, candidate
@@ -306,8 +327,16 @@ class CrawlRun:
             frontier_next = rest.unionByName(new_rows)
         else:
             frontier_next = rest
+        if retry is not None:
+            frontier_next = frontier_next.unionByName(retry)
         t["bloom"] = time.perf_counter() - t0
-        seen_delta = batch.select("url_hash", "url").withColumn("fetched_round", F.lit(rnd))
+        # retried rows are NOT seen yet (they'll be popped again);
+        # everything else popped this round — fetched, 404s, and
+        # retries that exhausted max_retries — is
+        seen_src = batch
+        if retry is not None:
+            seen_src = batch.join(retry.select("url_hash"), "url_hash", "left_anti")
+        seen_delta = seen_src.select("url_hash", "url").withColumn("fetched_round", F.lit(rnd))
         # host_state delta (P1): per-domain fetch accounting this round;
         # readers aggregate deltas into the cumulative token-bucket view
         # (next_fetch_ts ≡ round boundary + delay — rounds ARE the clock)
@@ -368,6 +397,7 @@ class CrawlRun:
                 for r in cells
                 if r["content_type"] == "article" and not r["article_valid"] and r["skip_reason"]
             },
+            "retried": retry.count() if retry is not None else 0,
         }
         t["stats"] = time.perf_counter() - t0
         stats["timings"] = {k: round(v, 2) for k, v in t.items()}
@@ -384,6 +414,8 @@ class CrawlRun:
         batch.unpersist()
         if cand is not None:
             cand.unpersist()
+        if retry is not None:
+            retry.unpersist()
         for df in pop_cache:
             df.unpersist()
         return stats

@@ -210,3 +210,18 @@ def corpus_from_documents(
 def seed_urls(n_docs: int, k: int = 32) -> list[str]:
     """Deterministic seed list: the first k doc ids (covers every host)."""
     return [url_of(i) for i in range(min(k, n_docs))]
+
+
+def with_transient_faults(corpus: DataFrame, every: int = 7, attempts: int = 2) -> DataFrame:
+    """Deterministic fault injection for the F9 retry path: every
+    ``every``-th URL (by xxhash64) fails its first ``attempts`` fetch
+    attempts, then succeeds — the batch analogue of a transient HTTP
+    error healing on retry (link_handler.go:60-107)."""
+    from pyspark.sql import functions as F
+
+    return corpus.withColumn(
+        "fail_attempts",
+        F.when(F.pmod(F.xxhash64("url"), F.lit(every)) == 0, F.lit(attempts)).otherwise(
+            F.lit(0)
+        ),
+    )
