@@ -216,27 +216,35 @@ def ngram_jaccard_pairs(
     """
     sets = df.select(
         F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, k)).alias("sh")
-    ).persist()  # referenced by the inverted index and both join sides
-    inv = sets.select("id", F.explode("sh").alias("g"))
+    )
+    # one shuffle-heavy structure: distinct (id, |set|, gram) triples;
+    # |A ∩ B| falls straight out of the inverted-index self-join as a
+    # pair count — no exploded-pair distinct, no per-pair array ops,
+    # and the set sizes ride along so J needs no second join
+    inv = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g")).persist()
     if max_df is not None:
+        # stop-shingle cut: boilerplate grams shared by >max_df docs are
+        # exactly the quadratic blowup of the self-join at corpus scale;
+        # dropping them makes `inter` (and so J) a documented undercount
         keep = inv.groupBy("g").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
         inv = inv.join(keep.select("g"), "g")
-    cand = (
+    inter = (
         inv.alias("a")
         .join(inv.alias("b"), "g")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
-    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
