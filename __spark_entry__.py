@@ -520,6 +520,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["get_document_s8"] = get_document_s8
 
+    def discover_selectors_e15(spark, sf_dir):
+        """E15 selector auto-discovery (rows-only: HTML heuristics over
+        the synthetic corpus; reference internal/generator/discovery.go)."""
+        from gocrawl_spark import discovery
+
+        corpus = synth.corpus_from_documents(spark, sf_dir)
+        return discovery.discover_selectors(corpus, sample=200).select(
+            "field", "selector", F.round("score", 6).alias("score")
+        )
+
+    q["discover_selectors_e15"] = discover_selectors_e15
+
     return q
 
 
