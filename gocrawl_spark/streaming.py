@@ -1,0 +1,94 @@
+"""Structured Streaming façade over the extraction pipeline (§2.10).
+
+The reference is not a streaming system (no watermarks/event-time; its
+continuous behaviors are a 1-minute reschedule ticker,
+internal/job/scheduler.go:78, and in-process channels) and the north
+rule mandates a BATCH-iterative frontier scheduler — so the crawl loop
+itself stays batch (rounds.py). What Structured Streaming adds on top
+is the ingestion face: corpus files land continuously (the Common-Crawl
+WARC-drop pattern) and are extracted incrementally with exactly-once
+semantics from the stream checkpoint.
+
+- :func:`stream_extract` — file-source readStream over a corpus
+  directory → the same fused extraction UDF → parquet sink with
+  checkpointed progress. Restart-safe: already-processed files are
+  never re-extracted (checkpoint file log).
+- :func:`stream_seeds` — readStream over a seed-list drop directory,
+  foreachBatch-appending new URLs into a CrawlRun's frontier seed
+  table; each micro-batch is deduped against the frontier the same way
+  round candidates are.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gocrawl_spark import udfs
+from gocrawl_spark.schema import PAGES_CORPUS
+
+
+def stream_extract(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    sel_map: dict | None = None,
+    available_now: bool = True,
+):
+    """Incrementally extract newly-landed corpus parquet files.
+
+    Returns the StreamingQuery; with available_now=True it drains
+    whatever is currently unprocessed and stops (the batch-friendly
+    trigger), otherwise it runs continuously per micro-batch.
+    """
+    src = (
+        spark.readStream.schema(PAGES_CORPUS)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(corpus_dir)
+    )
+    extracted = udfs.extract_pages(src, sel_map=sel_map)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_seeds(
+    spark: SparkSession,
+    seeds_dir: str,
+    frontier_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drip-feed seed URLs (text files, one URL per line) into a
+    frontier seed table, deduped per micro-batch against what's already
+    enqueued. The crawl driver picks the table up as its round-0
+    frontier (rounds.init_frontier_df)."""
+    from gocrawl_spark.rounds import init_frontier_df
+
+    src = spark.readStream.format("text").load(seeds_dir)
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        urls = batch_df.select(F.trim("value").alias("url")).filter(F.col("url") != "")
+        rows = init_frontier_df(urls)
+        if os.path.isdir(frontier_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(frontier_dir)
+        ):
+            existing = batch_df.sparkSession.read.parquet(frontier_dir)
+            rows = rows.join(existing.select("url_hash"), "url_hash", "left_anti")
+        rows.write.mode("append").parquet(frontier_dir)
+
+    writer = src.writeStream.foreachBatch(absorb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

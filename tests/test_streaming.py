@@ -1,0 +1,77 @@
+"""Streaming façade: incremental exactly-once extraction + seed drip."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gocrawl_spark import streaming, synth
+
+
+def _write_corpus_slice(spark, sf_dir, lo, hi, out):
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    corpus.filter(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("int").between(lo, hi - 1)
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+
+
+def test_stream_extract_incremental(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="stream_ex_")
+    corpus_dir = os.path.join(base, "corpus")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(corpus_dir)
+
+    # drop 1: docs 0..99
+    _write_corpus_slice(spark, sf_dir, 0, 100, os.path.join(corpus_dir, "drop1"))
+    # file source reads a flat dir; move parquet parts up
+    for i, d in enumerate(["drop1"]):
+        src = os.path.join(corpus_dir, d)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, f), os.path.join(corpus_dir, f"{d}_{f}"))
+
+    q = streaming.stream_extract(spark, corpus_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 100
+
+    # drop 2: docs 100..149 land later; restart drains ONLY the delta
+    _write_corpus_slice(spark, sf_dir, 100, 150, os.path.join(corpus_dir, "drop2"))
+    src = os.path.join(corpus_dir, "drop2")
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(src, f), os.path.join(corpus_dir, f"drop2_{f}"))
+
+    q2 = streaming.stream_extract(spark, corpus_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 150
+    # exactly-once: no url extracted twice across restarts
+    assert out.select("url").distinct().count() == 150
+
+
+def test_stream_seeds_dedup(spark):
+    base = tempfile.mkdtemp(prefix="stream_seed_")
+    seeds_dir = os.path.join(base, "seeds")
+    frontier_dir = os.path.join(base, "frontier")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(seeds_dir)
+
+    with open(os.path.join(seeds_dir, "a.txt"), "w") as f:
+        f.write("https://site00.example.com/article/1\nhttps://site00.example.com/article/2\n")
+    q = streaming.stream_seeds(spark, seeds_dir, frontier_dir, ckpt)
+    q.awaitTermination(60)
+    assert spark.read.parquet(frontier_dir).count() == 2
+
+    # second drop repeats one URL and adds one — only the new one lands
+    with open(os.path.join(seeds_dir, "b.txt"), "w") as f:
+        f.write("https://site00.example.com/article/2\nhttps://site00.example.com/article/3\n")
+    q2 = streaming.stream_seeds(spark, seeds_dir, frontier_dir, ckpt)
+    q2.awaitTermination(60)
+    fr = spark.read.parquet(frontier_dir)
+    assert fr.count() == 3
+    assert fr.select("url_hash").distinct().count() == 3
+    assert {r.depth for r in fr.collect()} == {0}
