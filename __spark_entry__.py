@@ -812,6 +812,35 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    o["dedup_simhash"] = (
+        r"""
+        WITH aug AS (%s),
+        w AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                   x -> x <> '')) AS word
+          FROM aug
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv FROM w
+        ), bits AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h, range(64) t(j)
+          GROUP BY doc_id, j
+        ), sh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)::UBIGINT AS sh
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+        % _SQL_AUG_NEAR
+    )
+
     o["robots_gate_s3"] = r"""
         WITH u AS (
           SELECT doc_id,
