@@ -1,0 +1,116 @@
+"""Unit tests for the frontier operators (F7/F8, P1-P4) in isolation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawl_spark import frontier as fr
+
+
+def sha(u: str) -> str:
+    return hashlib.sha256(u.encode()).hexdigest()
+
+
+def _frontier_df(spark, rows):
+    """rows: (url, domain, depth, priority, seq, budget)"""
+    data = [(u, sha(u), dom, dom, dep, p, 0, s, 0, b) for (u, dom, dep, p, s, b) in rows]
+    return spark.createDataFrame(
+        data,
+        "url string, url_hash string, host string, domain string, depth int, "
+        "priority int, discovered_round int, discovery_seq long, attempt int, budget int",
+    )
+
+
+@pytest.fixture(scope="module")
+def small_frontier(spark):
+    rows = []
+    for dom, n in (("a.com", 6), ("b.com", 3)):
+        for i in range(n):
+            # priorities 9,8,7,... so the expected pop order is obvious
+            rows.append((f"https://{dom}/p/{i}", dom, 0, 9 - i, i, 2))
+    return _frontier_df(spark, rows)
+
+
+def test_pop_batch_budget_and_priority(small_frontier):
+    batch = fr.pop_batch(small_frontier, n_salts=4)
+    got = {(r.domain, r.url) for r in batch.collect()}
+    # budget 2 per domain; highest priority first
+    assert got == {
+        ("a.com", "https://a.com/p/0"),
+        ("a.com", "https://a.com/p/1"),
+        ("b.com", "https://b.com/p/0"),
+        ("b.com", "https://b.com/p/1"),
+    }
+
+
+def test_pop_batch_salting_invariant(small_frontier):
+    one = sorted(r.url for r in fr.pop_batch(small_frontier, n_salts=1).collect())
+    many = sorted(r.url for r in fr.pop_batch(small_frontier, n_salts=16).collect())
+    assert one == many
+
+
+def test_pop_split_partitions_frontier(small_frontier):
+    batch, rest, cached = fr.pop_split(small_frontier, n_salts=4)
+    b = {r.url for r in batch.collect()}
+    r_ = {r.url for r in rest.collect()}
+    assert b == {r.url for r in fr.pop_batch(small_frontier, n_salts=4).collect()}
+    assert not (b & r_)
+    assert len(b) + len(r_) == small_frontier.count()
+    for df in cached:
+        df.unpersist()
+
+
+def test_host_budget():
+    # 60s round, 2s delay, parallelism 2 → 60 tokens (30 × 2)
+    assert fr.host_budget(60.0, 2000, 2) == 60
+    assert fr.host_budget(10.0, 20000, 1) == 1  # floor but ≥ 1
+    assert fr.host_budget(10.0, 0, 3) >= 1
+
+
+def test_bloom_no_false_negatives(spark):
+    seen_urls = [f"https://s.com/{i}" for i in range(500)]
+    seen = spark.createDataFrame(
+        [(sha(u), u, 0) for u in seen_urls], "url_hash string, url string, fetched_round int"
+    )
+    bloom = fr.build_bloom(seen, n_shards=8, m_bits=1 << 14)
+    assert all(bloom.might_contain(sha(u)) for u in seen_urls)
+
+
+def test_filter_unseen_bloom_matches_exact(spark):
+    seen_urls = [f"https://s.com/{i}" for i in range(300)]
+    cand_urls = [f"https://s.com/{i}" for i in range(200, 600)]  # 100 overlap
+    seen = spark.createDataFrame(
+        [(sha(u), u, 0) for u in seen_urls], "url_hash string, url string, fetched_round int"
+    )
+    cand = spark.createDataFrame([(sha(u), u) for u in cand_urls], "url_hash string, url string")
+    exact = sorted(
+        r.url for r in fr.filter_unseen(cand, seen, None, spark).collect()
+    )
+    bloom = fr.build_bloom(seen, n_shards=8, m_bits=1 << 14)
+    with_bloom = sorted(
+        r.url for r in fr.filter_unseen(cand, seen, bloom, spark).collect()
+    )
+    assert exact == with_bloom
+    assert len(exact) == 300  # 300..599 unseen
+
+
+def test_apply_rules_priority_wins(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://x.com/keep/1",),
+            ("https://x.com/draft/1",),
+            ("https://x.com/draft/special/1",),
+        ],
+        "url string",
+    )
+    rules = [
+        {"pattern": "/draft/", "action": "disallow", "priority": 5},
+        {"pattern": "/draft/special/", "action": "allow", "priority": 9},
+    ]
+    kept = {r.url for r in fr.apply_rules(df, rules).collect()}
+    assert kept == {"https://x.com/keep/1", "https://x.com/draft/special/1"}
+    # empty/None rules = reference runtime behavior: everything allowed
+    assert fr.apply_rules(df, None).count() == 3
