@@ -1,0 +1,120 @@
+"""Index-management surface (S5-S8, A3/A4) over a parquet warehouse.
+
+gocrawl's Elasticsearch index lifecycle maps to table DDL + row-level
+ops:
+
+| reference | here |
+|---|---|
+| CreateIndex/DeleteIndex/IndexExists/ListIndices (internal/storage/storage.go:418-539) | create/drop/exists/list over warehouse dirs |
+| EnsureArticleIndex/EnsurePageIndex + canonical mappings (internal/storage/elasticsearch_index_manager.go:36-63, mappings/) | ensure_* with the §1.1 StructTypes |
+| IndexDocument upsert by doc id, refresh=true (storage.go:85-139) | upsert(): dedupe keep-latest per key, read-your-writes |
+| GetDocument/DeleteDocument (storage.go:156-209) | get()/delete() point ops |
+| doc counts / cat indices (storage.go:313-361,633-662) | count()/list_tables() |
+
+In production each table is an Iceberg table and upsert/delete are
+`MERGE INTO`/`DELETE FROM` snapshot commits; the parquet
+read-modify-overwrite here is the same semantics at local scale
+(exercised behind the identical API, so swapping the catalog
+implementation touches nothing else).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from gocrawl_spark.schema import ARTICLE, PAGE
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad table name: {name!r}")
+        return os.path.join(self.root, name)
+
+    # ------------------------------------------------------------- DDL (S6)
+    def create_table(
+        self, name: str, schema: StructType, if_not_exists: bool = True
+    ) -> None:
+        p = self._path(name)
+        if os.path.isdir(p):
+            if if_not_exists:
+                return
+            raise ValueError(f"table exists: {name}")
+        self.spark.createDataFrame([], schema).write.parquet(p)
+
+    def drop_table(self, name: str) -> None:
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def list_tables(self) -> list[tuple[str, int]]:
+        """A4: (name, doc count) like `_cat/indices`."""
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if os.path.isdir(os.path.join(self.root, d)):
+                out.append((d, self.table(d).count()))
+        return out
+
+    # ------------------------------------------------- canonical tables (S7)
+    def ensure_article_index(self, name: str = "articles") -> None:
+        self.create_table(name, ARTICLE, if_not_exists=True)
+
+    def ensure_page_index(self, name: str = "pages") -> None:
+        self.create_table(name, PAGE, if_not_exists=True)
+
+    # ------------------------------------------------------------ rows (S5)
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def upsert(self, name: str, df: DataFrame, key: str = "id") -> None:
+        """Doc-id upsert: incoming rows overwrite same-key rows,
+        read-your-writes (the refresh=true contract). MERGE INTO
+        analogue: keep-latest-per-key with incoming preferred."""
+        p = self._path(name)
+        current = self.table(name) if os.path.isdir(p) else None
+        incoming = df.withColumn("_gen", F.lit(1))
+        merged = (
+            incoming
+            if current is None
+            else current.withColumn("_gen", F.lit(0)).unionByName(incoming)
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("_gen"))
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_gen")
+        )
+        tmp = p + "._tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p, ignore_errors=True)
+        os.rename(tmp, p)
+
+    def get(self, name: str, doc_id: str, key: str = "id"):
+        """S8 point lookup; returns Row or None."""
+        rows = self.table(name).filter(F.col(key) == doc_id).limit(1).collect()
+        return rows[0] if rows else None
+
+    def delete(self, name: str, doc_id: str, key: str = "id") -> None:
+        """S8 row-level delete (Iceberg `DELETE FROM` analogue)."""
+        p = self._path(name)
+        out = self.table(name).filter(F.col(key) != doc_id)
+        tmp = p + "._tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p, ignore_errors=True)
+        os.rename(tmp, p)
+
+    # ---------------------------------------------------------- aggs (A1/A3)
+    def count(self, name: str, predicate=None) -> int:
+        df = self.table(name)
+        return (df.filter(predicate) if predicate is not None else df).count()
