@@ -158,18 +158,106 @@ def _match_level(scopes: list[Element], comb: str, comp: Compound) -> list[Eleme
     return found
 
 
+class _TreeIndex:
+    """Per-tree candidate index: tag/class/id/attr-name → elements in
+    document order. Built once per parse tree on first ``find`` (one
+    traversal) so each subsequent selector touches only its candidate
+    list instead of re-walking the whole tree — the single-pass DOM
+    design rule (SURVEY.md §4) applied to matching. Detached elements
+    (destructive excludes, ``Remove``) stay in the index; the ancestor
+    walk in ``find`` rejects them because their chain no longer reaches
+    the scope."""
+
+    __slots__ = ("by_tag", "by_class", "by_id", "by_attr", "all")
+
+    def __init__(self, root: Element) -> None:
+        self.by_tag: dict[str, list[Element]] = {}
+        self.by_class: dict[str, list[Element]] = {}
+        self.by_id: dict[str, list[Element]] = {}
+        self.by_attr: dict[str, list[Element]] = {}
+        self.all: list[Element] = []
+        for el in root.iter_elements():
+            self.all.append(el)
+            self.by_tag.setdefault(el.tag, []).append(el)
+            for c in el.classes:
+                self.by_class.setdefault(c, []).append(el)
+            for name in el.attrs:
+                self.by_attr.setdefault(name, []).append(el)
+            sid = el.attrs.get("id")
+            if sid:
+                self.by_id.setdefault(sid, []).append(el)
+
+    def candidates(self, comp: Compound) -> list[Element]:
+        """Smallest available candidate list for a compound (id beats
+        class beats attr beats tag); comp.matches still verifies."""
+        if comp.sid is not None:
+            return self.by_id.get(comp.sid, [])
+        if comp.classes:
+            return self.by_class.get(comp.classes[0], [])
+        if comp.attrs:
+            return self.by_attr.get(comp.attrs[0][0], [])
+        if comp.tag is not None:
+            return self.by_tag.get(comp.tag, [])
+        return self.all
+
+
+def _root_of(el: Element) -> Element:
+    while el.parent is not None:
+        el = el.parent
+    return el
+
+
+def _index_of(scope: Element) -> _TreeIndex:
+    root = _root_of(scope)
+    idx = root.qidx
+    if idx is None:
+        idx = _TreeIndex(root)
+        root.qidx = idx
+    return idx
+
+
+def _chain_ok(el: Element, parts, k: int, scope_ids: set[int]) -> bool:
+    """parts[k] matched at `el`; verify parts[:k] on el's ancestor
+    chain (right-to-left, tiny backtracking) and scope containment."""
+    comb = parts[k][0]
+    if k == 0:
+        if comb == ">":
+            return el.parent is not None and id(el.parent) in scope_ids
+        p = el.parent
+        while p is not None:
+            if id(p) in scope_ids:
+                return True
+            p = p.parent
+        return False
+    prev = parts[k - 1][1]
+    if comb == ">":
+        p = el.parent
+        return p is not None and prev.matches(p) and _chain_ok(p, parts, k - 1, scope_ids)
+    p = el.parent
+    while p is not None:
+        if prev.matches(p) and _chain_ok(p, parts, k - 1, scope_ids):
+            return True
+        p = p.parent
+    return False
+
+
 def find(scope: Element | list[Element], selector: str) -> list[Element]:
     """All descendant elements of ``scope`` matching ``selector``,
     unique, document order (goquery ``Find``)."""
     scopes = [scope] if isinstance(scope, Element) else list(scope)
+    if not scopes:
+        return []
+    idx = _index_of(scopes[0])
+    scope_ids = {id(s) for s in scopes}
     result: list[Element] = []
     seen: set[int] = set()
     for cx in parse_selector(selector):
-        cur = scopes
-        for comb, comp in cx.parts:
-            cur = _match_level(cur, comb, comp)
-        for el in cur:
-            if id(el) not in seen:
+        parts = cx.parts
+        last = parts[-1][1]
+        for el in idx.candidates(last):
+            if id(el) in seen:
+                continue
+            if last.matches(el) and _chain_ok(el, parts, len(parts) - 1, scope_ids):
                 seen.add(id(el))
                 result.append(el)
     result.sort(key=lambda e: e.order)

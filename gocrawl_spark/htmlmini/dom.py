@@ -62,7 +62,7 @@ class TextNode(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "order", "classes")
+    __slots__ = ("tag", "attrs", "children", "order", "classes", "qidx")
 
     def __init__(self, tag: str, attrs: dict[str, str], order: int) -> None:
         self.parent = None
@@ -70,6 +70,7 @@ class Element(Node):
         self.attrs = attrs
         self.children: list[Node] = []
         self.order = order
+        self.qidx = None  # lazy css._TreeIndex, set on the root only
         cls = attrs.get("class")
         self.classes = frozenset(cls.split()) if cls else frozenset()
 
