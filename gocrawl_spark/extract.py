@@ -792,11 +792,15 @@ def process_html(
     source_url: str,
     article_sel: ArticleSelectors,
     page_sel: PageSelectors,
+    want_links: bool = True,
 ) -> dict:
     """One parse per document, mirroring ProcessHTML (crawler.go:900-951):
     detect type → run the matching extractor (mutating the tree) → then
     discover links from the mutated tree. Returns
-    ``{"content_type", "article"|None, "page"|None, "links"}``."""
+    ``{"content_type", "article"|None, "page"|None, "links"}``.
+    want_links=False skips link discovery — rounds at the crawl's depth
+    bound can admit no children, so their (typically largest) tier
+    neither computes nor ships the hrefs."""
     root = parse(html)
     ctype = detect_content_type(root, article_sel)
     article = page = None
@@ -804,5 +808,5 @@ def process_html(
         article = extract_article(root, article_sel, source_url)
     else:
         page = extract_page(root, page_sel, source_url)
-    links = extract_links(root)
+    links = extract_links(root) if want_links else []
     return {"content_type": ctype, "article": article, "page": page, "links": links}

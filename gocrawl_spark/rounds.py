@@ -75,6 +75,9 @@ class CrawlConfig:
     # missing from the corpus is a 404, non-retryable, like the
     # reference's expected-error classes (crawler.go:300-317)
     max_retries: int = 3
+    # bench-only arithmetic-intensity calibration (BENCH/BASELINE.md):
+    # re-runs the extraction kernel per page to sweep compute-per-byte
+    extract_repeat: int = 1
 
     @property
     def budget(self) -> int:
@@ -284,11 +287,19 @@ class CrawlRun:
         # expansion, stats) re-reads that parquet with column pruning —
         # no multi-GB persist, no duplicate text writes (articles/pages
         # are projections of extracted, not copies)
+        # last-BFS-tier fast path, decided BEFORE extraction: when every
+        # popped row sits AT the depth bound no child can be admitted,
+        # so the fused UDF skips link discovery (kernel time + shipped
+        # bytes) and the whole candidate chain below is bypassed
+        can_expand = batch.filter(F.col("depth") < cfg.max_depth).limit(1).count() > 0
         t0 = time.perf_counter()
         self._write(
-            udfs.extract_pages(fetched, sel_map=self.sel_map).withColumn(
-                "crawl_round", F.lit(rnd)
-            ),
+            udfs.extract_pages(
+                fetched,
+                sel_map=self.sel_map,
+                want_links=can_expand,
+                repeat=cfg.extract_repeat,
+            ).withColumn("crawl_round", F.lit(rnd)),
             rnd,
             "extracted",
         )
@@ -300,12 +311,7 @@ class CrawlRun:
         # persist candidates: filter_unseen's bloom split unions two
         # branches over them, and the frontier write replays the chain —
         # without this the link-resolution UDF + dedup window run 3-4×
-        # last-BFS-tier fast path: when every popped row sits AT the
-        # depth bound (typical for the largest tier of the crawl), no
-        # child can be admitted — skip link resolution, bloom build and
-        # the anti-join chain outright
         t0 = time.perf_counter()
-        can_expand = batch.filter(F.col("depth") < cfg.max_depth).limit(1).count() > 0
         cand = None
         if can_expand:
             cand = self._gate_robots(expand_candidates(extracted, batch, cfg, rnd)).persist()
@@ -524,6 +530,16 @@ class CrawlRun:
                 "last_round",
             )
         )
+
+    def publish(self, warehouse, article_index: str = "articles", page_index: str = "pages"):
+        """Index the crawl's validated output into a Warehouse — the
+        storage.IndexDocument flow (S5): ensure indices exist with the
+        canonical mappings (S7), then doc-id upsert so re-publishing a
+        resumed crawl is idempotent."""
+        warehouse.ensure_article_index(article_index)
+        warehouse.ensure_page_index(page_index)
+        warehouse.upsert(article_index, self.articles().drop("crawl_round"), key="id")
+        warehouse.upsert(page_index, self.pages().drop("crawl_round"), key="id")
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(

@@ -138,6 +138,5 @@ EXTRACTED = StructType(
         StructField("article", ARTICLE),
         StructField("page", PAGE),
         StructField("links", ArrayType(StringType())),
-        StructField("extracted_text", StringType()),
     ]
 )

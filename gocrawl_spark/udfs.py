@@ -102,7 +102,7 @@ _PAGE_FIELDS = [f.name for f in PAGE.fields]
 
 EXTRACT_SCHEMA = (
     "url string, content_type string, links array<string>, "
-    "extracted_text string, article_valid boolean, skip_reason string, "
+    "article_valid boolean, skip_reason string, "
     f"article struct<{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in ARTICLE.fields)}>, "
     f"page struct<{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in PAGE.fields)}>"
 )
@@ -127,6 +127,8 @@ def make_extract_fn(
     article_sel: ArticleSelectors,
     page_sel: PageSelectors,
     sel_map: dict | None = None,
+    want_links: bool = True,
+    repeat: int = 1,
 ):
     """Returns the mapInPandas function: (url, html binary) batches →
     EXTRACT_SCHEMA batches. Selectors are captured in the closure and
@@ -154,7 +156,6 @@ def make_extract_fn(
                 "url": [],
                 "content_type": [],
                 "links": [],
-                "extracted_text": [],
                 "article_valid": [],
                 "skip_reason": [],
                 "article": [],
@@ -163,19 +164,19 @@ def make_extract_fn(
             for url, html in zip(pdf["url"], pdf["html"]):
                 h = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
                 a_sel, p_sel = pick(url)
-                res = process_html(h, url, a_sel, p_sel)
+                res = process_html(h, url, a_sel, p_sel, want_links=want_links)
+                # calibration-only (bench arithmetic-intensity sweep):
+                # re-run the kernel to raise compute-per-byte without
+                # changing inputs, outputs, or shuffle volume
+                for _ in range(repeat - 1):
+                    process_html(h, url, a_sel, p_sel, want_links=want_links)
                 art, page = res["article"], res["page"]
                 valid, reason = (True, "")
-                text = ""
                 if art is not None:
                     valid, reason = v.validate_article(art)
-                    text = art.get("body", "")
-                elif page is not None:
-                    text = page.get("content", "")
                 rows["url"].append(url)
                 rows["content_type"].append(res["content_type"])
                 rows["links"].append(res["links"])
-                rows["extracted_text"].append(text)
                 rows["article_valid"].append(bool(valid))
                 rows["skip_reason"].append(reason)
                 rows["article"].append(_article_row(art))
@@ -190,13 +191,19 @@ def extract_pages(
     article_sel: ArticleSelectors | None = None,
     page_sel: PageSelectors | None = None,
     sel_map: dict | None = None,
+    want_links: bool = True,
+    repeat: int = 1,
 ) -> DataFrame:
     """(url, html, …) → one row per page with content_type, article/page
-    structs, validation verdict, byte-identical extracted_text, links.
-    sel_map routes each host to its source's configured selectors."""
+    structs (byte-identical text inside), validation verdict, links.
+    sel_map routes each host to its source's configured selectors;
+    want_links=False skips link discovery (depth-bound tiers); repeat
+    is the bench-only arithmetic-intensity calibration knob."""
     article_sel = article_sel or ArticleSelectors.default()
     page_sel = page_sel or PageSelectors.default()
-    fn = make_extract_fn(article_sel, page_sel, sel_map=sel_map)
+    fn = make_extract_fn(
+        article_sel, page_sel, sel_map=sel_map, want_links=want_links, repeat=repeat
+    )
     return fetched.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 

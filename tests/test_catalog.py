@@ -56,3 +56,22 @@ def test_point_get_delete_count(spark, wh):
     assert wh.get("d2", "x") is None
     assert wh.count("d2") == 1
     assert wh.count("d2", F.col("body").contains("wor")) == 1
+
+
+def test_crawl_publish_idempotent(spark, sf_dir, wh):
+    """S5 end-to-end: crawl → publish → re-publish is a no-op upsert."""
+    from gocrawl_spark import synth
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    run_dir = tempfile.mkdtemp(prefix="pubcrawl_")
+    cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=2)
+    crawl = CrawlRun(
+        spark, synth.corpus_from_documents(spark, sf_dir), synth.seed_urls(500, k=8), run_dir, cfg
+    )
+    crawl.run(resume=False)
+    crawl.publish(wh)
+    n_art, n_page = wh.count("articles"), wh.count("pages")
+    assert n_art == crawl.articles().count() > 0
+    crawl.publish(wh)  # idempotent by doc id
+    assert wh.count("articles") == n_art
+    assert wh.count("pages") == n_page

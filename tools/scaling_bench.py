@@ -78,7 +78,11 @@ def run_level(cpus: int, corpus_dir: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.parquet(corpus_dir)
     run_dir = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
-    cfg = CrawlConfig(max_depth=0, round_wall_s=3600.0, max_rounds=1, use_bloom=False)
+    repeat = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPEAT", "1"))
+    cfg = CrawlConfig(
+        max_depth=0, round_wall_s=3600.0, max_rounds=1, use_bloom=False,
+        extract_repeat=repeat,
+    )
     crawl = CrawlRun(spark, corpus, [], run_dir, cfg)
 
     # untimed prep: materialized frontier (steady state reads it from
@@ -98,7 +102,8 @@ def run_level(cpus: int, corpus_dir: str) -> dict:
 
     shutil.rmtree(run_dir, ignore_errors=True)
     return {"cpus": cpus, "seconds": round(dt, 2), "fetched": fetched,
-            "urls_per_sec": round(fetched / dt, 2), "timings": timings}
+            "urls_per_sec": round(fetched / dt, 2), "extract_repeat": repeat,
+            "timings": timings}
 
 
 def main() -> None:
