@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -430,16 +431,84 @@ class CrawlRun:
     def _empty_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], "url_hash string, url string, fetched_round int")
 
+    def _compact_marker(self) -> dict | None:
+        p = os.path.join(self.run_dir, "compact", "COMPACT.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _seen_upto(self, rnd: int) -> DataFrame:
-        """Union of seen deltas of committed rounds ≤ rnd."""
+        """Union of seen deltas of committed rounds ≤ rnd, on top of the
+        compacted base when one exists."""
+        marker = self._compact_marker()
+        base_upto = marker["upto"] if marker else -1
         dirs = [
             os.path.join(_round_dir(self.run_dir, r), "seen")
-            for r in range(rnd + 1)
+            for r in range(base_upto + 1, rnd + 1)
             if os.path.exists(_manifest_path(self.run_dir, r))  # committed only
         ]
-        if not dirs:
+        parts = []
+        if marker is not None and base_upto <= rnd:
+            parts.append(os.path.join(self.run_dir, "compact", "seen"))
+        parts.extend(d for d in dirs if os.path.exists(d))
+        if not parts:
             return self._empty_seen()
-        return self.spark.read.parquet(*dirs)
+        return self.spark.read.parquet(*parts)
+
+    def compact(self, keep_rounds: int = 2) -> int | None:
+        """P7 maintenance (Iceberg snapshot-expiration analogue;
+        reference cleanup ticker crawler.go:377-393): fold the seen and
+        host_state deltas of rounds older than the last `keep_rounds`
+        into single base tables, then drop those rounds' mutable-state
+        dirs (frontier/seen/host_state). Crawl PRODUCT (extracted,
+        metrics) and the commit manifests stay; resume still works
+        because the latest rounds are untouched. Returns the compacted
+        upper bound round, or None if there was nothing to do."""
+        last = last_committed_round(self.run_dir)
+        if last is None:
+            return None
+        upto = last - keep_rounds
+        marker = self._compact_marker()
+        if upto < 0 or (marker and upto <= marker["upto"]):
+            return None
+        cdir = os.path.join(self.run_dir, "compact")
+        tmp = cdir + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._seen_upto(upto).write.parquet(os.path.join(tmp, "seen"))
+        self._host_deltas_upto(upto).write.parquet(os.path.join(tmp, "host_state"))
+        with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
+            json.dump({"upto": upto}, f)
+        old = cdir + "._old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(cdir):
+            os.rename(cdir, old)
+        os.rename(tmp, cdir)  # atomic-ish swap; COMPACT.json written last inside
+        shutil.rmtree(old, ignore_errors=True)
+        start = (marker["upto"] + 1) if marker else 0
+        for r in range(start, upto + 1):
+            for name in ("frontier", "seen", "host_state"):
+                shutil.rmtree(os.path.join(_round_dir(self.run_dir, r), name), ignore_errors=True)
+        return upto
+
+    def _host_deltas_upto(self, rnd: int) -> DataFrame:
+        marker = self._compact_marker()
+        base_upto = marker["upto"] if marker else -1
+        dirs = [
+            os.path.join(_round_dir(self.run_dir, r), "host_state")
+            for r in range(base_upto + 1, rnd + 1)
+            if os.path.exists(_manifest_path(self.run_dir, r))
+        ]
+        parts = []
+        if marker is not None and base_upto <= rnd:
+            parts.append(os.path.join(self.run_dir, "compact", "host_state"))
+        parts.extend(d for d in dirs if os.path.exists(d))
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                "domain string, delay_ms long, parallelism int, fetched_total long, last_round int",
+            )
+        return self.spark.read.parquet(*parts)
 
     def run(self, resume: bool = True) -> list[dict]:
         start = 0
@@ -510,13 +579,7 @@ class CrawlRun:
                 [],
                 "domain string, delay_ms long, parallelism int, fetched_total long, last_round int",
             )
-        dirs = [
-            os.path.join(_round_dir(self.run_dir, r), "host_state")
-            for r in range(last + 1)
-            if os.path.exists(_manifest_path(self.run_dir, r))
-            and os.path.exists(os.path.join(_round_dir(self.run_dir, r), "host_state"))
-        ]
-        deltas = self.spark.read.parquet(*dirs)
+        deltas = self._host_deltas_upto(last)
         w = Window.partitionBy("domain").orderBy(F.desc("last_round"))
         return (
             deltas.withColumn("_total", F.sum("fetched_total").over(Window.partitionBy("domain")))

@@ -68,3 +68,39 @@ def test_gave_up_after_max_retries(spark, sf_dir):
     assert sum(h["fetched"] for h in history) == n - n_faulty
     # gave-up URLs still count as seen (non-retryable-error semantics)
     assert crawl.seen_final().count() == n
+
+
+def test_compact_preserves_state(spark, sf_dir):
+    """P7: compaction folds old seen/host_state deltas into a base and
+    drops the old rounds' mutable-state dirs; readers and resume see
+    identical state."""
+    import os
+
+    from gocrawl_spark.rounds import CrawlRun, _round_dir
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="compact_crawl_")
+    cfg = CrawlConfig(max_depth=2, round_wall_s=10.0, max_rounds=4)
+    crawl = CrawlRun(spark, corpus, corpus.select("url").limit(8), run_dir, cfg)
+    crawl.run(resume=False)
+
+    before_seen = sorted(r.url for r in crawl.seen_final().collect())
+    before_hosts = {(r.domain, r.fetched_total) for r in crawl.host_state().collect()}
+    upto = crawl.compact(keep_rounds=1)
+    assert upto is not None and upto >= 0
+    # old mutable-state dirs gone, product (extracted) kept
+    assert not os.path.exists(os.path.join(_round_dir(run_dir, 0), "seen"))
+    assert os.path.exists(os.path.join(_round_dir(run_dir, 0), "extracted"))
+    assert sorted(r.url for r in crawl.seen_final().collect()) == before_seen
+    assert {(r.domain, r.fetched_total) for r in crawl.host_state().collect()} == before_hosts
+    # idempotent: nothing new to fold
+    assert crawl.compact(keep_rounds=1) is None
+
+    # resume after compaction continues from the last committed round
+    crawl2 = CrawlRun(
+        spark, corpus, corpus.select("url").limit(8), run_dir,
+        CrawlConfig(max_depth=2, round_wall_s=10.0, max_rounds=1),
+    )
+    hist = crawl2.run(resume=True)
+    sf = crawl2.seen_final()
+    assert sf.count() == sf.select("url_hash").distinct().count()
