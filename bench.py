@@ -55,6 +55,8 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # measured sweet spot for multi-KB html rows: smaller Arrow
+        # batches pipeline scan→python→write better than the 10k default
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
@@ -149,7 +151,9 @@ def main() -> None:
     qtimes["crawl_loop"] = round(crawl_s, 3)
     print(f"# crawl bfs: {fetched_bfs} urls in {crawl_s:.1f}s = {ups_bfs:.1f} urls/s", file=sys.stderr)
 
-    replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "32"))
+    # large enough that the steady round is extraction-bound, not
+    # fixed-cost-bound (~1M pages at sf0.1)
+    replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "192"))
     ss_s, fetched, ups = bench_steady_state(spark, SF_DIR, replicas)
     qtimes["crawl_steady_round"] = round(ss_s, 3)
     print(f"# steady state: {fetched} urls in {ss_s:.1f}s = {ups:.1f} urls/s", file=sys.stderr)
