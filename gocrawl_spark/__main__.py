@@ -1,0 +1,208 @@
+"""CLI entry points mirroring the reference's commands.
+
+    python -m gocrawl_spark crawl   --corpus DIR --run-dir DIR [--sources FILE] ...
+    python -m gocrawl_spark search  --run-dir DIR -q QUERY [-i articles|pages] [-s N]
+    python -m gocrawl_spark index   list|delete ... --warehouse DIR
+    python -m gocrawl_spark sources list --sources FILE
+    python -m gocrawl_spark discover --corpus DIR [--sample N]
+
+Reference: cmd/crawl (crawl.go:108-122), cmd/search (search.go:104-143,
+default size 10 search.go:24), cmd/index/list.go:47-130, sources list
+(tests/features/sources_test.go), generator discovery. httpd is out of
+scope (thin HTTP wrapper over the same search surface).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from pyspark.sql import SparkSession
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    s = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gocrawl-spark-cli")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_crawl(args) -> int:
+    from gocrawl_spark import robots as rb
+    from gocrawl_spark import sources as src
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    sources = src.load_sources(args.sources) if args.sources else None
+    if sources and args.source:
+        sources = [s for s in sources if s.name.lower() == args.source.lower()]
+        if not sources:
+            print(f"unknown source: {args.source}", file=sys.stderr)
+            return 2
+    seeds = (
+        [u for s in sources for u in ([s.url] + list(s.start_urls))]
+        if sources
+        else [r.url for r in corpus.select("url").limit(args.seed_limit).collect()]
+    )
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        round_wall_s=args.round_wall_s,
+        max_rounds=args.max_rounds,
+        respect_robots=args.respect_robots,
+    )
+    robots = rb.synth_robots(spark) if args.respect_robots and args.synth_robots else None
+    crawl = CrawlRun(spark, corpus, seeds, args.run_dir, cfg, robots=robots, sources=sources)
+    history = crawl.run(resume=args.resume)
+    for h in history:
+        print(
+            f"round {h['round']}: popped={h['popped']} fetched={h['fetched']} "
+            f"articles={h['articles']} pages={h['pages']} frontier={h['frontier_next']}"
+        )
+    print(f"total fetched: {sum(h['fetched'] for h in history)}; run dir: {args.run_dir}")
+    if args.publish:
+        from gocrawl_spark.catalog import Warehouse
+
+        crawl.publish(Warehouse(spark, args.publish))
+        print(f"published to warehouse: {args.publish}")
+    return 0
+
+
+def _truncate(s: str, n: int = 100) -> str:  # search.go:283-288
+    s = s or ""
+    return s if len(s) <= n else s[: n - 3] + "..."
+
+
+def cmd_search(args) -> int:
+    from gocrawl_spark import search
+    from gocrawl_spark.rounds import CrawlRun
+
+    spark = _spark(args.cpus)
+    if args.run_dir:
+        crawl = CrawlRun(spark, None, [], args.run_dir)
+        df = crawl.articles() if args.index == "articles" else crawl.pages()
+        text_col = "body" if args.index == "articles" else "content"
+    else:
+        from gocrawl_spark.catalog import Warehouse
+
+        df = Warehouse(spark, args.warehouse).table(args.index)
+        text_col = "body" if args.index == "articles" else "content"
+    if args.mode == "bm25":
+        hits = search.bm25_topk(df, args.query, text_col=text_col, id_col="id", k=args.size)
+    elif args.mode == "multi":
+        hits = search.multi_match_topk(
+            df, args.query, fields={"title": 2.0, text_col: 1.0}, id_col="id", k=args.size
+        )
+    else:
+        hits = search.match_topk(df, args.query, text_col=text_col, id_col="id", k=args.size)
+    from pyspark.sql import functions as F
+
+    joined = (
+        hits.join(df, "id")
+        .select("id", "score", text_col)
+        .orderBy(F.desc("score"), F.asc("id"))
+    )
+    rows = joined.collect()
+    print(f"{len(rows)} result(s) for {args.query!r} in {args.index}")
+    for r in rows:
+        print(f"  {r['score']:8.4f}  {r['id'][:16]}  {_truncate(r[text_col])}")
+    return 0
+
+
+def cmd_index(args) -> int:
+    from gocrawl_spark.catalog import Warehouse
+
+    wh = Warehouse(_spark(args.cpus), args.warehouse)
+    if args.action == "list":
+        for name, n in wh.list_tables():
+            print(f"{name}\t{n}")
+    elif args.action == "delete":
+        if not args.name:
+            print("index delete requires NAME", file=sys.stderr)
+            return 2
+        wh.drop_table(args.name)
+        print(f"deleted {args.name}")
+    return 0
+
+
+def cmd_sources(args) -> int:
+    from gocrawl_spark import sources as src
+
+    for s in src.load_sources(args.sources):
+        print(
+            f"{s.name}\t{s.url}\trate={s.rate_limit_ms}ms depth={s.max_depth} "
+            f"domains={','.join(s.allowed_domains)}"
+        )
+    return 0
+
+
+def cmd_discover(args) -> int:
+    from gocrawl_spark import discovery
+
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    best = discovery.best_selectors(corpus, sample=args.sample)
+    for fld, sel in sorted(best.items()):
+        print(f"{fld}: {sel}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gocrawl_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--run-dir", required=True)
+    c.add_argument("--sources")
+    c.add_argument("--source")
+    c.add_argument("--seed-limit", type=int, default=32)
+    c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--max-rounds", type=int, default=8)
+    c.add_argument("--round-wall-s", type=float, default=60.0)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--respect-robots", action="store_true")
+    c.add_argument("--synth-robots", action="store_true")
+    c.add_argument("--publish", help="warehouse dir to upsert articles/pages into")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("search")
+    s.add_argument("-q", "--query", required=True)
+    s.add_argument("-i", "--index", default="articles", choices=["articles", "pages"])
+    s.add_argument("-s", "--size", type=int, default=10)  # DefaultSearchSize
+    s.add_argument("--mode", default="match", choices=["match", "multi", "bm25"])
+    s.add_argument("--run-dir")
+    s.add_argument("--warehouse")
+    s.set_defaults(fn=cmd_search)
+
+    i = sub.add_parser("index")
+    i.add_argument("action", choices=["list", "delete"])
+    i.add_argument("name", nargs="?")
+    i.add_argument("--warehouse", required=True)
+    i.set_defaults(fn=cmd_index)
+
+    so = sub.add_parser("sources")
+    so.add_argument("action", choices=["list"])
+    so.add_argument("--sources", required=True)
+    so.set_defaults(fn=cmd_sources)
+
+    d = sub.add_parser("discover")
+    d.add_argument("--corpus", required=True)
+    d.add_argument("--sample", type=int, default=500)
+    d.set_defaults(fn=cmd_discover)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

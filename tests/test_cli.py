@@ -1,0 +1,58 @@
+"""CLI smoke: crawl → publish → search → index list (cmd/ parity)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args: str) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "gocrawl_spark", *args],
+        capture_output=True, text=True, check=True, timeout=420, cwd=REPO, env=env,
+    )
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def demo(spark, sf_dir):
+    from gocrawl_spark import synth
+
+    base = tempfile.mkdtemp(prefix="cli_")
+    corpus = os.path.join(base, "corpus")
+    synth.corpus_from_documents(spark, sf_dir).write.parquet(corpus)
+    return base, corpus
+
+
+def test_cli_crawl_search_index(demo):
+    base, corpus = demo
+    run_dir = os.path.join(base, "run")
+    wh = os.path.join(base, "wh")
+    out = _run(
+        "crawl", "--corpus", corpus, "--run-dir", run_dir, "--max-rounds", "2",
+        "--max-depth", "1", "--round-wall-s", "10", "--seed-limit", "8",
+        "--publish", wh,
+    )
+    assert "round 0:" in out and "published to warehouse" in out
+
+    out = _run("search", "-q", "spark table", "--run-dir", run_dir, "-s", "3")
+    assert "result(s)" in out
+
+    out = _run("index", "list", "--warehouse", wh)
+    assert "articles" in out and "pages" in out
+
+
+def test_cli_sources_list(demo):
+    base, _ = demo
+    p = os.path.join(base, "sources.yml")
+    with open(p, "w") as f:
+        f.write("sources:\n  - name: S\n    url: https://site01.example.com\n")
+    out = _run("sources", "list", "--sources", p)
+    assert "site01.example.com" in out
