@@ -532,6 +532,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["discover_selectors_e15"] = discover_selectors_e15
 
+    def search_aggs_terms_a2(spark, sf_dir):
+        """A2 ES-aggs passthrough: terms bucket + metric sub-aggs over
+        events (decimal-rounded sum for cross-engine determinism)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "value_dec", F.round(F.col("value"), 4).cast("decimal(18,4)")
+        )
+        out = search.es_aggs(
+            ev,
+            {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 4},
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value_dec"}},
+                        "n_users": {"cardinality": {"field": "user_id"}},
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", F.col("sum_value").cast("double").alias("sum_value"), "n_users"
+        )
+
+    q["search_aggs_terms_a2"] = search_aggs_terms_a2
+
+    def search_aggs_datehist_a2(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = search.es_aggs(
+            ev, {"per_day": {"date_histogram": {"field": "ts", "calendar_interval": "month"}}}
+        )
+        return out.select(F.date_format("key", "yyyy-MM-dd").alias("key"), "doc_count")
+
+    q["search_aggs_datehist_a2"] = search_aggs_datehist_a2
+
     return q
 
 
@@ -810,6 +843,19 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["search_aggs_terms_a2"] = """
+        SELECT event_type AS key, count(*) AS doc_count,
+               CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+        ORDER BY doc_count DESC, key ASC LIMIT 4
+    """
+
+    o["search_aggs_datehist_a2"] = """
+        SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
+        FROM events GROUP BY 1 ORDER BY key
     """
 
     o["dedup_simhash"] = (

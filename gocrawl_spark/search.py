@@ -170,3 +170,65 @@ def bm25_topk(
 
 
 __all__ = ["tf", "count_where", "match_topk", "multi_match_topk", "bm25_topk"]
+
+
+# ---------------------------------------------------------------------------
+# A2: ES aggregations passthrough
+# ---------------------------------------------------------------------------
+
+_METRICS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "value_count": F.count,
+    "cardinality": F.countDistinct,
+}
+
+
+def _metric(kind: str, field: str) -> Column:
+    try:
+        return _METRICS[kind](field)
+    except KeyError:
+        raise ValueError(f"unsupported metric agg: {kind}") from None
+
+
+def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
+    """ES `aggs` body → DataFrame aggregation (the search manager's
+    arbitrary-aggregations passthrough, reference
+    internal/storage/storage.go:364-415 / search_manager.go:43-55).
+
+    Supported: one top-level bucket agg — ``terms`` (size, ordered by
+    doc_count desc then key asc, ES's default) or ``date_histogram``
+    (calendar_interval, ordered by key) — with optional metric
+    sub-aggs (avg/sum/min/max/value_count/cardinality), or one bare
+    metric agg. Deterministic orderings throughout.
+    """
+    if len(aggs) != 1:
+        raise ValueError("exactly one top-level agg expected")
+    name, spec = next(iter(aggs.items()))
+    kind = next(k for k in spec if k != "aggs")
+    body = spec[kind]
+
+    def sub_metrics() -> list[Column]:
+        out = [F.count("*").alias("doc_count")]
+        for sub_name, sub in (spec.get("aggs") or {}).items():
+            (mk, mb), = sub.items()
+            out.append(_metric(mk, mb["field"]).alias(sub_name))
+        return out
+
+    if kind == "terms":
+        key = F.col(body["field"]).alias("key")
+        size = int(body.get("size", 10))
+        return (
+            df.groupBy(key)
+            .agg(*sub_metrics())
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size)
+        )
+    if kind == "date_histogram":
+        interval = body.get("calendar_interval", "day")
+        key = F.date_trunc(interval, F.col(body["field"])).alias("key")
+        return df.groupBy(key).agg(*sub_metrics()).orderBy(F.asc("key"))
+    # bare metric agg, size:0 style
+    return df.agg(_metric(kind, body["field"]).alias(name))

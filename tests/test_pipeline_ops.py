@@ -227,3 +227,24 @@ def test_media_real_decode_is_gated(spark, docs):
     feats = multimodal.extract_features(media, fake_decode=False)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         feats.collect()
+
+
+def test_es_aggs_terms_and_metrics(spark, sf_dir):
+    from gocrawl_spark import search
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = search.es_aggs(
+        ev,
+        {"by_type": {"terms": {"field": "event_type", "size": 2},
+                     "aggs": {"max_value": {"max": {"field": "value"}}}}},
+    ).collect()
+    assert len(out) == 2
+    assert out[0]["doc_count"] >= out[1]["doc_count"]
+    assert {"key", "doc_count", "max_value"} <= set(out[0].asDict())
+    # bare metric agg
+    n = search.es_aggs(ev, {"n": {"value_count": {"field": "event_id"}}}).collect()[0]["n"]
+    assert n == ev.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search.es_aggs(ev, {"x": {"percentiles": {"field": "value"}}})
