@@ -225,3 +225,26 @@ def with_transient_faults(corpus: DataFrame, every: int = 7, attempts: int = 2) 
             F.lit(0)
         ),
     )
+
+
+def expected_article_body(doc_id: int, text: str) -> str:
+    """Byte-identical oracle for the article `body` field, reconstructed
+    from the template by pure string logic — no DOM, no selector engine.
+    Mirrors the reference semantics: body falls back to the container
+    (`article`) text with excludes removed, goquery `.Text()` = raw
+    text-node concatenation (the template's literal newlines), TrimSpace
+    at the ends only (articles/extractor.go:244-267, 20-46)."""
+    title = title_of(doc_id, text)
+    body = body_text_of(doc_id, text)
+    return (
+        f"{title}\nIntro paragraph for document {doc_id}.\n"
+        f"Reporter {doc_id % 11}\nsection-{doc_id % 5}\npublished\n{body}"
+    ).strip()  # the kernel TrimSpaces the container text (short bodies end in ' ')
+
+
+def expected_page_content(doc_id: int, text: str) -> str:
+    """Byte-identical oracle for the page `content` field: `main`
+    container, default excludes drop the sidebar, then cleanText
+    collapses all whitespace runs to single spaces
+    (page/extractor.go:84-120, 37-57)."""
+    return f"{title_of(doc_id, text)} {body_text_of(doc_id, text)}".strip()

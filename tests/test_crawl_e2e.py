@@ -134,3 +134,34 @@ def test_metrics_table(small_crawl):
     run, history, *_ = small_crawl
     m = run.metrics()
     assert m.filter("metric = 'popped'").count() == len(history)
+
+
+def test_whole_corpus_byte_identity(spark, sf_dir):
+    """input_hint's per-row invariant, corpus-wide: for EVERY url the
+    fused extraction's text equals an independent pure-string
+    reconstruction of the template (no DOM / selector engine on the
+    expected side)."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import udfs
+
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    ex = udfs.extract_pages(corpus).select(
+        "url", "content_type",
+        F.coalesce(F.col("article.body"), F.col("page.content")).alias("text"),
+    )
+    got = {r.url: (r.content_type, r.text) for r in ex.collect()}
+    assert len(got) == len(docs)
+    mismatches = []
+    for i, t in docs.items():
+        url = synth.url_of(i)
+        ctype, text = got[url]
+        if ctype == "article":
+            exp = synth.expected_article_body(i, t)
+        else:
+            exp = synth.expected_page_content(i, t)
+        if text != exp:
+            mismatches.append((url, ctype, exp[:60], (text or "")[:60]))
+    assert not mismatches, mismatches[:3]
