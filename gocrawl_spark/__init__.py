@@ -2,17 +2,26 @@
 engine with the query/data-processing capabilities of jonesrussell/gocrawl.
 
 Layers:
-- ``htmlmini``      pure-stdlib DOM + CSS engine (goquery-compatible)
+- ``htmlmini``      pure-stdlib DOM + CSS engine (goquery-compatible, indexed)
 - ``extract``       selector extraction kernel (byte-identical text contract)
 - ``validate``      article validation gates V1–V9
 - ``canonicalize``  URL resolution/normalization/hashing
-- ``udfs``          Arrow-batched pandas UDF wrappers
+- ``udfs``          Arrow-batched pandas UDF wrappers (fused extraction)
 - ``frontier``      seen-filter (bloom + exact anti-join), politeness pop
-- ``rounds``        batch-iterative crawl driver loop with resumable snapshots
-- ``search``        ES-equivalent query surface (match, multi_match, count)
-- ``textops``       training-data ops: dedup, lang-id, quality, fingerprints
-- ``simsearch``     embedding similarity search (brute-force + LSH)
+- ``rounds``        batch-iterative crawl driver: snapshots, resume, retries, compaction
+- ``robots``        RFC 9309 robots.txt parser + vectorized allow/deny gate
+- ``sources``       source configs: loader, URL→source matching, per-source selectors
+- ``catalog``       index management: DDL, doc-id upsert, point get/delete
+- ``search``        ES-equivalent query surface (match, multi_match, BM25, aggs)
+- ``dedup``         exact / MinHash+LSH / SimHash / n-gram-Jaccard dedup
+- ``similarity``    embedding similarity search (brute-force, IVF, LSH)
+- ``textstats``     lang-id, quality scores, token counts, fingerprints
+- ``multimodal``    binary media columns (decode stubbed, plumbing real)
+- ``discovery``     selector auto-discovery batch job
+- ``streaming``     Structured Streaming ingestion façade
 - ``synth``         deterministic corpus generator (seed=42)
+
+CLI: ``python -m gocrawl_spark crawl|search|index|sources|discover``.
 """
 
 __version__ = "0.1.0"
