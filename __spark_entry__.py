@@ -259,14 +259,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf"] = ann_ivf
 
     def emb_dup_pairs(spark, sf_dir):
-        return similarity.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+        """Embedding near-dup at scale: banded sign-LSH blocking →
+        exact cosine verify on candidates only (never the O(N²) cross
+        join; see tests/test_pipeline_ops.py plan assertion)."""
+        return similarity.blocked_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.4, bands=4, planes_per_band=4, dim=64
+        )
 
     q["emb_dup_pairs"] = emb_dup_pairs
 
-    def ann_lsh(spark, sf_dir):  # rows-only: seeded NumPy hyperplanes
+    def emb_dup_pairs_exact(spark, sf_dir):
+        """The O(N²) exactness baseline, kept as an eval-only query
+        (recall yardstick for the blocked form above)."""
+        return similarity.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+    q["emb_dup_pairs_exact"] = emb_dup_pairs_exact
+
+    def ann_lsh(spark, sf_dir):
+        """Sign-LSH top-k with the md5-derived Rademacher projection —
+        bucket keys reproducible in the DuckDB oracle."""
         emb = _emb(spark, sf_dir)
         return similarity.lsh_topk(
-            emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, n_planes=8
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            k=10,
+            dim=64,
+            n_planes=8,
+            planes=similarity.rademacher_planes(64, 8),
         )
 
     q["ann_lsh"] = ann_lsh
@@ -762,10 +781,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
     """
 
-    o["emb_dup_pairs"] = f"""
+    o["emb_dup_pairs_exact"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS score
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.4::DOUBLE
+    """
+
+    # --- sign-LSH with the md5-Rademacher projection, rebuilt in SQL ---
+    # plane j, dim i: ±1 from the low bit of md5('{j}#{i}') — mirrors
+    # similarity.rademacher_planes exactly.
+    def _sql_plane_dot(j: int, vec: str = "embedding") -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {vec}[i]::DOUBLE * "
+            f"(CASE WHEN ('0x' || substr(md5('{j}#' || (i-1)::VARCHAR), 1, 1))::INT % 2 = 1 "
+            f"THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))"
+        )
+
+    def _sql_band_key(planes: list[int], vec: str = "embedding") -> str:
+        return "(" + " + ".join(
+            f"CASE WHEN {_sql_plane_dot(j, vec)} > 0 THEN {1 << jj} ELSE 0 END"
+            for jj, j in enumerate(planes)
+        ) + ")::BIGINT"
+
+    _band_rows = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_sql_band_key([4 * b + jj for jj in range(4)])} AS key FROM embeddings"
+        for b in range(4)
+    )
+    o["emb_dup_pairs"] = f"""
+        WITH keys AS (
+        {_band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b, {_cos} AS score
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE {_cos} >= 0.4::DOUBLE
+    """
+
+    _qdot = "list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * k.embedding[i]::DOUBLE))"
+    _qnorm = "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))"
+    _knorm = "sqrt(list_sum(list_transform(range(1, 65), i -> k.embedding[i]::DOUBLE * k.embedding[i]::DOUBLE)))"
+    o["ann_lsh"] = f"""
+        WITH keys AS (
+          SELECT vec_id, embedding, {_sql_band_key(list(range(8)))} AS key FROM embeddings),
+        q AS (SELECT vec_id AS query_id, qv, key FROM (
+                SELECT vec_id, embedding AS qv, key FROM keys WHERE vec_id < 5)),
+        scored AS (
+          SELECT q.query_id, k.vec_id AS neighbor_id,
+                 round({_qdot} / ({_qnorm} * {_knorm}), 6) AS score
+          FROM q JOIN keys k ON k.key = q.key AND k.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
     """
 
     def _tf(col: str, term: str) -> str:

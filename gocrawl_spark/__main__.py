@@ -180,8 +180,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-i", "--index", default="articles", choices=["articles", "pages"])
     s.add_argument("-s", "--size", type=int, default=10)  # DefaultSearchSize
     s.add_argument("--mode", default="match", choices=["match", "multi", "bm25"])
-    s.add_argument("--run-dir")
-    s.add_argument("--warehouse")
+    s_src = s.add_mutually_exclusive_group(required=True)
+    s_src.add_argument("--run-dir")
+    s_src.add_argument("--warehouse")
     s.set_defaults(fn=cmd_search)
 
     i = sub.add_parser("index")

@@ -78,11 +78,18 @@ def _page_candidates(html: str) -> list[tuple[str, str, float]]:
 
 
 def discover_selectors(
-    corpus: DataFrame, sample: int = 1000, min_support: float = 0.2
+    corpus: DataFrame, sample: int | None = 1000, min_support: float = 0.2
 ) -> DataFrame:
     """(field, selector, support, confidence, score) over a corpus
     sample, one pandas-UDF pass + one aggregation. score = support ×
-    confidence; downstream picks the max per field."""
+    confidence; downstream picks the max per field.
+
+    ``sample=None`` scores the whole corpus (pass a pre-filtered
+    deterministic slice for reproducible support fractions). With a
+    ``limit`` sample the rows are materialized ONCE (persist) so the
+    support denominator and the candidate scan see the same rows —
+    ``limit`` without ordering is not otherwise guaranteed to pick the
+    same rows across the two jobs."""
     schema = "field string, selector string, confidence double"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,7 +107,9 @@ def discover_selectors(
                     rows["confidence"].append(conf)
             yield pd.DataFrame(rows)
 
-    sampled = corpus.select("html").limit(sample)
+    sampled = corpus.select("html")
+    if sample is not None:
+        sampled = sampled.limit(sample).persist()
     n = sampled.count()
     hits = sampled.mapInPandas(gen, schema=schema)
     return (

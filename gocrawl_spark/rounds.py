@@ -232,9 +232,15 @@ class CrawlRun:
             F.broadcast(pol), frontier_df["domain"] == pol["_pol_domain"], "left"
         )
         wall_ms = F.lit(cfg.round_wall_s * 1000.0)
+        delay = F.coalesce(F.col("_pol_delay"), F.lit(cfg.delay_ms))
+        par = F.greatest(F.coalesce(F.col("_pol_par"), F.lit(cfg.parallelism)), F.lit(1))
+        # delay <= 0 means unthrottled (frontier.host_budget semantics):
+        # wall_ms/delay would be NULL/negative and greatest(...,1) would
+        # silently clamp a rate_limit-0 source to 1 fetch/round
         budget = F.greatest(
-            F.floor(wall_ms / F.coalesce(F.col("_pol_delay"), F.lit(cfg.delay_ms)))
-            * F.coalesce(F.col("_pol_par"), F.lit(cfg.parallelism)),
+            F.when(delay <= 0, F.floor(wall_ms) * par).otherwise(
+                F.floor(wall_ms / delay) * par
+            ),
             F.lit(1),
         )
         return joined.withColumn("budget", budget.cast("int")).drop(

@@ -32,7 +32,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 # ---------------------------------------------------------------------------
 # Vector kernels (pure column expressions)
@@ -204,22 +204,112 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """Pandas UDF: embedding → bucket key (int of n_planes sign bits)
-    from a fixed seeded Gaussian projection. Arrow-batched matmul —
-    one BLAS call per ~10k vectors."""
+def rademacher_planes(dim: int, n_planes: int):
+    """±1 hyperplane matrix whose entry (i, j) is the low bit of
+    md5('{j}#{i}') — a fixed pseudo-random projection any engine can
+    rebuild exactly (the DuckDB oracles recompute it in SQL), unlike a
+    seeded Gaussian RNG. Rademacher projections satisfy the same
+    Johnson-Lindenstrauss/SimHash guarantees as Gaussian ones
+    (Achlioptas 2003), so LSH quality is unchanged."""
+    import hashlib
+
     import numpy as np
 
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    m = np.empty((dim, n_planes), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            bit = int(hashlib.md5(f"{j}#{i}".encode()).hexdigest()[0], 16) & 1
+            m[i, j] = 1.0 if bit else -1.0
+    return m
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42, planes=None):
+    """Pandas UDF: embedding → bucket key (int of n_planes sign bits)
+    from a fixed projection (seeded Gaussian by default; pass
+    ``planes=rademacher_planes(...)`` for the oracle-reproducible
+    variant). Arrow-batched matmul — one BLAS call per ~10k vectors."""
+    import numpy as np
+
+    if planes is None:
+        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ planes) > 0
-        keys = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        keys = bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
         return pd.Series(keys)
 
     return bucket
+
+
+def banded_keys_udf(planes, bands: int):
+    """Pandas UDF: embedding → array of `bands` bucket keys, band b
+    keyed by the sign bits of planes [b·p, (b+1)·p). The banded SimHash
+    trick (same pigeonhole as MinHash banding): a pair collides if ANY
+    band agrees, so recall rises with bands while each bucket join
+    stays tiny."""
+    import numpy as np
+
+    n_planes = planes.shape[1]
+    p = n_planes // bands
+    weights = 1 << np.arange(p, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0
+        out = np.stack(
+            [bits[:, b * p : (b + 1) * p] @ weights for b in range(bands)], axis=1
+        )
+        return pd.Series(list(out))
+
+    return keys
+
+
+def blocked_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded sign-LSH blocking →
+    exact cosine verify on candidate pairs only. Never materializes the
+    O(N²) cross join — candidates come from equi-joins on (band, key),
+    and the verify stage re-joins vectors by id. Plan shape survives
+    10^10 rows: the widest shuffle is the bucket self-join, whose
+    per-key fanout is bounded by bucket occupancy (2^planes_per_band
+    keys per band), not by N².
+
+    The projection is the md5-derived Rademacher matrix, so a SQL
+    oracle reproduces the exact candidate set and scores; semantics =
+    "pairs that share ≥1 LSH band AND cosine ≥ threshold" (recall vs
+    the exact form is the standard banding curve; raise `bands` for
+    more recall). `cosine_dup_pairs` stays as the eval-only exact form.
+    """
+    kfn = banded_keys_udf(rademacher_planes(dim, bands * planes_per_band), bands)
+    keyed = corpus.select(
+        F.col(id_col).alias("id"), F.posexplode(kfn(F.col(vec_col))).alias("band", "key")
+    )
+    a = keyed.select(F.col("id").alias("id_a"), "band", "key")
+    b = keyed.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_rounded(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
 
 
 def lsh_topk(
@@ -231,11 +321,14 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes=None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only among same-bucket
     collisions. Fewer planes → bigger buckets → better recall, more
-    compute; 8 planes ≈ 1/256 of the corpus per probe."""
-    b = lsh_bucket_udf(dim, n_planes, seed)
+    compute; 8 planes ≈ 1/256 of the corpus per probe. Pass
+    ``planes=rademacher_planes(dim, n_planes)`` for the
+    oracle-reproducible projection."""
+    b = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), b(F.col(vec_col)).alias("bucket")
     )
@@ -257,7 +350,7 @@ def lsh_topk(
 
 __all__ = [
     "dot", "norm", "cosine", "cosine_rounded",
-    "brute_topk", "cosine_dup_pairs",
+    "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
     "ivf_centroids", "ivf_assign", "ivf_topk",
-    "lsh_bucket_udf", "lsh_topk",
+    "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
 ]

@@ -61,11 +61,16 @@ def resolve_links_udf(base: pd.Series, links: pd.Series) -> pd.Series:
     return pd.Series([one(b, ls) for b, ls in zip(base, links)])
 
 
-@F.pandas_udf(StringType())
-def host_udf(urls: pd.Series) -> pd.Series:
+def host_col(url_col) -> "F.Column":
     """Hostname per URL (reference uses raw hostname for domain checks,
-    internal/content/articles/service.go:199-205)."""
-    return urls.map(lambda u: canon.host_of(u) if u else "")
+    internal/content/articles/service.go:199-205) — JVM-side via
+    ``parse_url(url, 'HOST')``, lowercased to match Python's
+    ``urlsplit().hostname``. Equivalence with ``canon.host_of`` over the
+    crawl URL shapes is pinned by tests/test_properties.py (the last
+    Python touch on the frontier identity path, removed per round-1
+    review)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.coalesce(F.lower(F.parse_url(c, F.lit("HOST"))), F.lit(""))
 
 
 def parse_date_udf(col):
@@ -85,10 +90,11 @@ def parse_date_udf(col):
 def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach url_hash (E11: hex(sha256(url)) — Spark built-in, exact
     match with the Go reference) + host + politeness domain. All
-    JVM-side except the host parse."""
+    JVM-side, whole-stage-codegen'd — no Python on the frontier
+    identity path."""
     return (
         df.withColumn("url_hash", F.sha2(F.col(url_col), 256))
-        .withColumn("host", host_udf(F.col(url_col)))
+        .withColumn("host", host_col(url_col))
         .withColumn("domain", F.col("host"))
     )
 
@@ -209,7 +215,7 @@ def extract_pages(
 
 __all__ = [
     "resolve_links_udf",
-    "host_udf",
+    "host_col",
     "with_url_identity",
     "extract_pages",
     "make_extract_fn",

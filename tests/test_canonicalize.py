@@ -48,3 +48,29 @@ def test_host_and_registrable_domain():
     assert registrable_domain("sub.example.com") == "example.com"
     assert registrable_domain("a.b.co.uk") == "b.co.uk"
     assert registrable_domain("example.com") == "example.com"
+
+
+def test_host_col_matches_python_host_of(spark):
+    """The JVM-side host expression (udfs.host_col, parse_url) must
+    agree with canonicalize.host_of (urlsplit) on every URL shape the
+    crawl produces — plus casing, ports, userinfo, query/fragment — so
+    swapping the frontier identity path to codegen is behavior-free."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import synth, udfs
+
+    urls = [synth.url_of(i) for i in range(500)]
+    urls += [
+        "https://Sub.Example.COM/p",
+        "http://example.com:8080/a?b=c",
+        "https://user:pw@example.com/x",
+        "https://example.com/a#frag",
+        "http://example.com",
+        "https://example.com/",
+        "https://a.b.co.uk/deep/path?q=1&r=2",
+        "https://xn--bcher-kva.example/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["h"] for r in df.select("url", udfs.host_col("url").alias("h")).collect()}
+    for u in urls:
+        assert got[u] == host_of(u), u

@@ -179,6 +179,38 @@ def test_lsh_topk_recall(spark, vectors):
     assert all(r["query_id"] == 0 for r in out)
 
 
+def test_blocked_dup_pairs_subset_of_exact_and_no_cartesian(spark, vectors):
+    """The blocked near-dup path must (a) return a subset of the exact
+    all-pairs result with identical scores, (b) find the trivial
+    same-direction duplicates, and (c) contain no nested-loop/cartesian
+    join in its physical plan — the round-1 review flagged the exact
+    form being wired as the operator."""
+    blocked_df = similarity.blocked_dup_pairs(
+        vectors, threshold=0.999, bands=4, planes_per_band=2, dim=4
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.cosine_dup_pairs(vectors, threshold=0.999).collect()
+    }
+    blocked = {(r["id_a"], r["id_b"]): r["score"] for r in blocked_df.collect()}
+    assert blocked, "banded LSH should recover near-identical pairs"
+    assert set(blocked) <= set(exact)
+    assert all(exact[k] == v for k, v in blocked.items())
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rademacher_planes_deterministic():
+    import hashlib
+
+    m = similarity.rademacher_planes(4, 3)
+    assert m.shape == (4, 3)
+    assert set(m.flatten().tolist()) <= {1.0, -1.0}
+    bit = int(hashlib.md5(b"2#3").hexdigest()[0], 16) & 1
+    assert m[3, 2] == (1.0 if bit else -1.0)
+
+
 # ------------------------------------------------------------------ search
 
 
