@@ -368,13 +368,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q1_lite"] = tpch_q1_lite
 
-    # -- multimodal plumbing (rows-only: binary payloads) ------------------
+    # -- multimodal plumbing (payload bytes never shuffle; features do) ----
     def media_features(spark, sf_dir):
         media = mm.synth_media(spark, _docs(spark, sf_dir), modality="video")
         feats = mm.extract_features(media, frame_stride_ms=1000)
-        return feats.select("media_id", "payload_sha", "n_bytes", "frames_sampled")
+        return feats.select(
+            "media_id", "payload_sha", "n_bytes", "duration_ms", "frames_sampled"
+        )
 
     q["media_features"] = media_features
+
+    def media_parse(spark, sf_dir):
+        """Header metadata parsed from the RAW payload bytes (PNG IHDR /
+        WAV header) — asserts parse(serialize(meta)) == meta against the
+        oracle's closed-form expectations. NULLs coalesced to -1 for
+        engine-stable hashing."""
+        docs = _docs(spark, sf_dir)
+        media = mm.synth_media(spark, docs, "image").unionByName(
+            mm.synth_media(spark, docs, "audio")
+        )
+        feats = mm.extract_features(media)
+        return feats.select(
+            "media_id",
+            "modality",
+            F.coalesce("width", F.lit(-1)).alias("width"),
+            F.coalesce("height", F.lit(-1)).alias("height"),
+            F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+            "n_bytes",
+        )
+
+    q["media_parse"] = media_parse
 
     def media_stats(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -957,6 +980,27 @@ def oracle_sql() -> dict[str, str]:
         % _SQL_AUG_NEAR
     )
 
+    # P3 politeness pop: a pure deterministic per-domain top-k — the
+    # salted two-stage window must equal one exact window (P4), so the
+    # oracle IS the single-window form.
+    o["crawl_frontier_pop"] = """
+        WITH f AS (
+          SELECT 'https://site' || lpad((doc_id % 7)::VARCHAR, 2, '0')
+                   || '.example.com/doc/' || doc_id AS url,
+                 'site' || lpad((doc_id % 7)::VARCHAR, 2, '0') || '.example.com' AS domain,
+                 (doc_id % 10) AS priority,
+                 doc_id AS discovery_seq
+          FROM documents
+        ), r AS (
+          SELECT url, domain, priority,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY priority DESC, discovery_seq ASC, sha256(url) ASC) AS rn
+          FROM f
+        )
+        SELECT url, domain, priority FROM r WHERE rn <= 5
+    """
+
     o["robots_gate_s3"] = r"""
         WITH u AS (
           SELECT doc_id,
@@ -1028,6 +1072,50 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN len(tags) = 0 THEN NULL
                     ELSE array_to_string(tags, '|') END AS tags_s
         FROM c
+    """
+
+    # --- multimodal: payload layouts re-derived in closed form ---
+    # image payload = PNG(sig 8 + IHDR 25 + IDAT 12+16·reps + IEND 12),
+    # audio = WAV(44-byte header + 2000·reps data @ 16 kB/s), video =
+    # raw md5-digest·reps; reps = 4 + doc_id%13 (multimodal.synth_media).
+    # payload_sha is sha256 over UPPERCASE HEX of the payload (module
+    # doc); md5() returns lowercase hex in both engines.
+    o["media_features"] = """
+        SELECT doc_id * 10 + 3 AS media_id,
+               sha256(upper(repeat(md5(text), 4 + doc_id % 13))) AS payload_sha,
+               (16 * (4 + doc_id % 13))::BIGINT AS n_bytes,
+               (1000 + doc_id % 9000)::INT AS duration_ms,
+               greatest(1, (1000 + doc_id % 9000) // 1000)::INT AS frames_sampled
+        FROM documents
+    """
+
+    o["media_parse"] = """
+        SELECT doc_id * 10 + 1 AS media_id, 'image' AS modality,
+               (64 + (doc_id % 8) * 32)::INT AS width,
+               (64 + (doc_id % 5) * 32)::INT AS height,
+               (-1)::INT AS duration_ms,
+               (57 + 16 * (4 + doc_id % 13))::BIGINT AS n_bytes
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 10 + 2, 'audio', -1, -1,
+               (125 * (4 + doc_id % 13))::INT,
+               (44 + 2000 * (4 + doc_id % 13))::BIGINT
+        FROM documents
+    """
+
+    o["media_stats"] = """
+        SELECT 'image' AS modality, count(*) AS n_media,
+               sum(57 + 16 * (4 + doc_id % 13))::BIGINT AS total_bytes,
+               count(*)::BIGINT AS total_frames,
+               count(DISTINCT md5(text) || '#' || (doc_id % 13) || '#'
+                     || (doc_id % 8) || '#' || (doc_id % 5)) AS distinct_payloads
+        FROM documents
+        UNION ALL
+        SELECT 'audio', count(*),
+               sum(44 + 2000 * (4 + doc_id % 13))::BIGINT,
+               sum(greatest(1, (125 * (4 + doc_id % 13)) // 1000))::BIGINT,
+               count(DISTINCT md5(text) || '#' || (doc_id % 13))
+        FROM documents
     """
 
     o["upsert_articles_s5"] = """

@@ -12,8 +12,13 @@ Catalyst extensions needed, SURVEY.md §4):
   new* and skip the anti-join; "maybe seen" survivors go through the
   exact ``left_anti`` join, so false positives only cost a join row,
   never a lost URL. At 10^10 URLs: 10 bits/key ≈ 12.5 GB split over
-  1024 shards ≈ 12 MB/shard — broadcastable, and each round only
-  rebuilds shards whose partitions changed.
+  1024 shards ≈ 12 MB/shard — broadcastable. Maintenance is
+  incremental: each round builds a Bloom DELTA over its own seen delta
+  only (O(batch)), persists the (shard, bits) rows in the round
+  snapshot, and the driver ORs the delta into the cumulative filter
+  (``BloomFilter.merge``) — OR of per-round blooms is bitwise
+  identical to a bloom of the unioned seen set, and no round ever
+  rescans the historical seen set (rounds.run_round/run).
 
 - **Politeness pop** (P1–P4). Per-domain budget = floor(round_wall /
   delay) × parallelism (colly LimitRule, crawler.go:223-228), applied

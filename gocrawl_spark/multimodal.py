@@ -2,16 +2,30 @@
 
 A training-data pipeline at 100 TB carries media as `binary` columns
 with typed metadata structs, processed by Arrow-batched `mapInPandas`
-stages. This module makes the Spark-side plumbing real — schemas,
-deterministic synthetic payload generation, UDF signatures, batch
-shapes, partition behavior — while the codec calls themselves are
-stubbed (PIL/ffmpeg/librosa are not in this container):
+stages. The Spark-side plumbing is real — schemas, deterministic
+synthetic payload generation, UDF signatures, batch shapes, partition
+behavior — and so is the container-header layer:
 
-- real decode is gated behind `_HAVE_PIL`-style import-tries and
-  raises NotImplementedError when absent;
-- `fake_decode=True` (default) derives deterministic features from the
-  payload bytes (md5-seeded), so tests pin the full distributed path
-  end-to-end — schema, batching, ordering — with stable values.
+- synthetic image payloads are structurally real PNG byte streams
+  (signature + IHDR + IDAT + IEND; CRCs zeroed — synthetic data, and
+  the parser, like most fast scan paths, does not verify CRCs);
+- synthetic audio payloads are canonical 44-byte-header PCM WAV files;
+- :func:`parse_png_header` / :func:`parse_wav_header` recover
+  width/height/duration from the RAW BYTES with the `struct`-level
+  layout rules (no codec deps), so `extract_features` populates typed
+  metadata from real payloads, not from trusted columns.
+
+Only pixel/sample DECODING is stubbed (PIL/ffmpeg absent from this
+container): `fake_decode=True` (default) derives the feature vector
+deterministically from the payload digest so the full distributed path
+— schema, batching, ordering — is pinned end-to-end; the real-codec
+branch raises NotImplementedError until a decoder is installed.
+
+`payload_sha` is sha256 over the UPPERCASE HEX of the payload (not the
+raw bytes): every engine in the verification loop (Spark `sha2(hex())`,
+DuckDB `sha256(upper(hex()))`, Python) can compute it over strings,
+which keeps the cross-engine oracle exact. It is a fingerprint; the
+encoding of the preimage is arbitrary as long as it is fixed.
 
 Layout rule at scale: media rows are 10^3-10^6 × larger than text
 rows, so media tables are partitioned by (modality, bucket(doc_id))
@@ -58,16 +72,80 @@ MEDIA = StructType(
 
 FEATURES_SCHEMA = (
     "media_id long, modality string, payload_sha string, n_bytes long, "
+    "width int, height int, duration_ms int, "
     "feat array<float>, frames_sampled int"
 )
 
 FEAT_DIM = 8
 
+_MODALITY_CODE = {"image": 1, "audio": 2, "video": 3}
+
+# ---------------------------------------------------------------------------
+# Container headers: build + parse (pure struct layout, no codecs)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_WAV_SAMPLE_RATE = 8000
+_WAV_BYTE_RATE = 16000  # mono 16-bit @ 8 kHz
+
+
+def build_png(width: int, height: int, body: bytes) -> bytes:
+    """Minimal structurally-valid PNG: IHDR(8-bit truecolor) + one IDAT
+    carrying `body` + IEND. Chunk CRCs are zeroed (see module doc)."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return len(data).to_bytes(4, "big") + typ + data + b"\x00\x00\x00\x00"
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, truecolor, no interlace
+    )
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+
+
+def build_wav(data: bytes) -> bytes:
+    """Canonical 44-byte-header PCM WAV (mono, 16-bit, 8 kHz)."""
+    le32 = lambda x: x.to_bytes(4, "little")  # noqa: E731
+    le16 = lambda x: x.to_bytes(2, "little")  # noqa: E731
+    return (
+        b"RIFF" + le32(36 + len(data)) + b"WAVE"
+        + b"fmt " + le32(16) + le16(1) + le16(1)
+        + le32(_WAV_SAMPLE_RATE) + le32(_WAV_BYTE_RATE) + le16(2) + le16(16)
+        + b"data" + le32(len(data)) + data
+    )
+
+
+def parse_png_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR of a PNG byte stream, or None."""
+    if len(b) < 24 or b[:8] != PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+
+
+def parse_wav_header(b: bytes) -> int | None:
+    """duration_ms of a canonical-layout PCM WAV, or None."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[12:16] != b"fmt ":
+        return None
+    byte_rate = int.from_bytes(b[28:32], "little")
+    if b[36:40] != b"data" or byte_rate <= 0:
+        return None
+    n_data = int.from_bytes(b[40:44], "little")
+    return n_data * 1000 // byte_rate
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media table
+# ---------------------------------------------------------------------------
+
 
 def synth_media(spark, documents: DataFrame, modality: str = "image") -> DataFrame:
-    """Deterministic fake media table derived from documents: payload =
-    repeated md5 bytes of the doc text; metadata a pure function of
-    doc_id. Pure narrow map — safe at any scale/partitioning."""
+    """Deterministic media table derived from documents; payload body =
+    repeated md5 bytes of the doc text inside a REAL container header
+    (PNG for image, WAV for audio; video stays an opaque stream). Every
+    cell is a pure function of (doc_id, text) — a narrow map, safe at
+    any scale/partitioning. Metadata columns mirror what the headers
+    encode, so parse(serialize(meta)) == meta is testable."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,14 +153,26 @@ def synth_media(spark, documents: DataFrame, modality: str = "image") -> DataFra
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(doc_id)
                 seed = hashlib.md5((text or "").encode("utf-8")).digest()
-                rows["media_id"].append(did * 10 + hash(modality) % 7 % 10)
+                reps = 4 + did % 13
+                width = height = duration = None
+                if modality == "image":
+                    width, height = 64 + (did % 8) * 32, 64 + (did % 5) * 32
+                    payload = build_png(width, height, seed * reps)
+                elif modality == "audio":
+                    payload = build_wav(seed * (125 * reps))
+                    duration = 125 * reps  # 2000·reps bytes / 16000 B/s
+                else:  # video: opaque container
+                    width, height = 64 + (did % 8) * 32, 64 + (did % 5) * 32
+                    duration = 1000 + did % 9000
+                    payload = seed * reps
+                rows["media_id"].append(did * 10 + _MODALITY_CODE[modality])
                 rows["doc_id"].append(did)
                 rows["modality"].append(modality)
-                rows["payload"].append(seed * (4 + did % 13))
+                rows["payload"].append(payload)
                 rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality])
-                rows["width"].append(64 + (did % 8) * 32 if modality != "audio" else None)
-                rows["height"].append(64 + (did % 5) * 32 if modality != "audio" else None)
-                rows["duration_ms"].append(1000 + did % 9000 if modality != "image" else None)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["duration_ms"].append(duration)
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id", "text").mapInPandas(gen, schema=MEDIA)
@@ -98,19 +188,27 @@ def _fake_features(payload: bytes, dim: int = FEAT_DIM) -> list[float]:
 def extract_features(
     media: DataFrame, frame_stride_ms: int = 1000, fake_decode: bool = True
 ) -> DataFrame:
-    """Decode → (resize/frame-sample) → feature vector, as one
-    mapInPandas stage over (media_id, modality, payload, duration_ms).
+    """Header-parse → decode → (resize/frame-sample) → feature vector,
+    as one mapInPandas stage over (media_id, modality, payload,
+    duration_ms).
 
-    With real codecs installed the image branch would decode+resize and
-    the video branch sample one frame per `frame_stride_ms`; here those
-    calls are stubbed (NotImplementedError) unless fake_decode, which
-    derives features from the bytes so the distributed plumbing is
-    testable end-to-end.
+    width/height/duration_ms in the OUTPUT come from parsing the raw
+    payload bytes (PNG IHDR / WAV header) — real header decoding, no
+    codec deps; opaque containers (video) fall back to the metadata
+    column. Pixel/sample decode is stubbed (NotImplementedError) unless
+    fake_decode, which derives features from the bytes so the
+    distributed plumbing is testable end-to-end.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "modality", "payload_sha", "n_bytes", "feat", "frames_sampled")}
+            out = {
+                k: []
+                for k in (
+                    "media_id", "modality", "payload_sha", "n_bytes",
+                    "width", "height", "duration_ms", "feat", "frames_sampled",
+                )
+            }
             for mid, modality, payload, dur in zip(
                 pdf["media_id"], pdf["modality"], pdf["payload"], pdf["duration_ms"]
             ):
@@ -122,13 +220,25 @@ def extract_features(
                             "use fake_decode=True for the deterministic test path"
                         )
                     raise NotImplementedError("real decode path not wired in this sandbox")
+                wh = parse_png_header(payload)
+                parsed_dur = parse_wav_header(payload)
+                duration = (
+                    parsed_dur
+                    if parsed_dur is not None
+                    else (int(dur) if dur is not None and not pd.isna(dur) else None)
+                )
                 frames = 1
-                if modality in ("video", "audio") and dur is not None and not pd.isna(dur):
-                    frames = max(1, int(dur) // max(1, frame_stride_ms))
+                if modality in ("video", "audio") and duration is not None:
+                    frames = max(1, duration // max(1, frame_stride_ms))
                 out["media_id"].append(int(mid))
                 out["modality"].append(modality)
-                out["payload_sha"].append(hashlib.sha256(payload).hexdigest())
+                out["payload_sha"].append(
+                    hashlib.sha256(payload.hex().upper().encode()).hexdigest()
+                )
                 out["n_bytes"].append(len(payload))
+                out["width"].append(wh[0] if wh else None)
+                out["height"].append(wh[1] if wh else None)
+                out["duration_ms"].append(duration)
                 out["feat"].append(_fake_features(payload))
                 out["frames_sampled"].append(frames)
             yield pd.DataFrame(out)
@@ -149,4 +259,8 @@ def media_stats(features: DataFrame) -> DataFrame:
     )
 
 
-__all__ = ["MEDIA", "FEATURES_SCHEMA", "FEAT_DIM", "synth_media", "extract_features", "media_stats"]
+__all__ = [
+    "MEDIA", "FEATURES_SCHEMA", "FEAT_DIM",
+    "build_png", "build_wav", "parse_png_header", "parse_wav_header",
+    "synth_media", "extract_features", "media_stats",
+]

@@ -256,8 +256,20 @@ class CrawlRun:
 
     # ------------------------------------------------------------- round
     def run_round(
-        self, rnd: int, frontier_df: DataFrame, seen: DataFrame, seen_size: int | None = None
+        self,
+        rnd: int,
+        frontier_df: DataFrame,
+        seen: DataFrame,
+        seen_size: int | None = None,
+        bloom: "fr.BloomFilter | None" = None,
     ) -> dict:
+        """One crawl round. ``bloom`` is the CUMULATIVE seen-filter as
+        of round rnd-1, maintained incrementally by :meth:`run`: this
+        round builds a Bloom delta from its own seen delta only
+        (O(batch), not O(total-seen)) and persists the delta's
+        (shard, bits) rows in the snapshot; the caller ORs it into the
+        cumulative filter. A 10^10-URL crawl therefore never rescans
+        the historical seen set to refresh the filter."""
         import time
 
         cfg = self.cfg
@@ -326,17 +338,21 @@ class CrawlRun:
         t["expand"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         if can_expand:
-            want_bloom = cfg.use_bloom and (seen_size is None or seen_size >= cfg.bloom_min_seen)
-            bloom = (
-                fr.build_bloom(seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits)
-                if want_bloom
-                else None
+            # below bloom_min_seen the pandas prefilter costs more than
+            # the exact anti-join saves; the cumulative filter is still
+            # maintained (deltas are O(batch)) so it's ready when the
+            # seen set grows past the threshold
+            want_bloom = (
+                cfg.use_bloom
+                and bloom is not None
+                and bloom.shards
+                and (seen_size is None or seen_size >= cfg.bloom_min_seen)
             )
             # new candidates dodge: seen set, still-pending rest, this batch
             pending = rest.select("url_hash").unionByName(batch.select("url_hash"))
-            new_rows = fr.filter_unseen(cand, seen, bloom, self.spark).join(
-                pending, "url_hash", "left_anti"
-            )
+            new_rows = fr.filter_unseen(
+                cand, seen, bloom if want_bloom else None, self.spark
+            ).join(pending, "url_hash", "left_anti")
             frontier_next = rest.unionByName(new_rows)
         else:
             frontier_next = rest
@@ -378,12 +394,27 @@ class CrawlRun:
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        # F7 incremental maintenance: the round's Bloom DELTA covers
+        # exactly this round's seen delta — built with one applyInPandas
+        # over the (persisted) batch, persisted as (shard, bits) rows.
+        # Readers OR deltas together; OR(per-round blooms) is bitwise
+        # identical to a bloom of the unioned seen set.
+        bloom_delta_df = None
+        if cfg.use_bloom:
+            bloom_delta = fr.build_bloom(
+                seen_delta, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
+            )
+            bloom_delta_df = self.spark.createDataFrame(
+                bloom_delta.to_rows(), "shard int, bits binary"
+            )
+        with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(self._write, frontier_next, rnd, "frontier"),
                 pool.submit(self._write, seen_delta, rnd, "seen"),
                 pool.submit(self._write, host_delta, rnd, "host_state"),
             ]
+            if bloom_delta_df is not None:
+                futs.append(pool.submit(self._write, bloom_delta_df, rnd, "bloom"))
             for f in futs:
                 f.result()
         t["writes"] = time.perf_counter() - t0
@@ -462,6 +493,40 @@ class CrawlRun:
             return self._empty_seen()
         return self.spark.read.parquet(*parts)
 
+    def _bloom_upto(self, rnd: int) -> "fr.BloomFilter | None":
+        """Cumulative Bloom filter for committed rounds ≤ rnd, assembled
+        by OR-merging the persisted per-round deltas (plus the compacted
+        base). Returns None when any committed round lacks a delta
+        (pre-delta run or use_bloom off) — the caller falls back to one
+        full rebuild, after which deltas accumulate again."""
+        marker = self._compact_marker()
+        base_upto = marker["upto"] if marker else -1
+        parts = []
+        if marker is not None and base_upto <= rnd:
+            base = os.path.join(self.run_dir, "compact", "bloom")
+            if not os.path.isdir(base):
+                return None
+            parts.append(base)
+        for r in range(base_upto + 1, rnd + 1):
+            if not os.path.exists(_manifest_path(self.run_dir, r)):
+                continue
+            d = os.path.join(_round_dir(self.run_dir, r), "bloom")
+            if not os.path.isdir(d):
+                return None
+            parts.append(d)
+        cfg = self.cfg
+        out = fr.BloomFilter.empty(cfg.bloom_shards, cfg.bloom_bits)
+        for p in parts:
+            rows = self.spark.read.parquet(p).collect()
+            if rows and len(rows[0]["bits"]) != cfg.bloom_bits // 8:
+                return None  # config changed across generations
+            out = out.merge(
+                fr.BloomFilter.from_rows(
+                    [(r["shard"], r["bits"]) for r in rows], cfg.bloom_shards, cfg.bloom_bits
+                )
+            )
+        return out
+
     def compact(self, keep_rounds: int = 2) -> int | None:
         """P7 maintenance (Iceberg snapshot-expiration analogue;
         reference cleanup ticker crawler.go:377-393): fold the seen and
@@ -483,6 +548,11 @@ class CrawlRun:
         shutil.rmtree(tmp, ignore_errors=True)
         self._seen_upto(upto).write.parquet(os.path.join(tmp, "seen"))
         self._host_deltas_upto(upto).write.parquet(os.path.join(tmp, "host_state"))
+        folded_bloom = self._bloom_upto(upto)
+        if folded_bloom is not None:
+            self.spark.createDataFrame(
+                folded_bloom.to_rows(), "shard int, bits binary"
+            ).write.parquet(os.path.join(tmp, "bloom"))
         with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
             json.dump({"upto": upto}, f)
         old = cdir + "._old"
@@ -493,7 +563,7 @@ class CrawlRun:
         shutil.rmtree(old, ignore_errors=True)
         start = (marker["upto"] + 1) if marker else 0
         for r in range(start, upto + 1):
-            for name in ("frontier", "seen", "host_state"):
+            for name in ("frontier", "seen", "host_state", "bloom"):
                 shutil.rmtree(os.path.join(_round_dir(self.run_dir, r), name), ignore_errors=True)
         return upto
 
@@ -518,11 +588,20 @@ class CrawlRun:
 
     def run(self, resume: bool = True) -> list[dict]:
         start = 0
+        bloom: fr.BloomFilter | None = None
         last = last_committed_round(self.run_dir) if resume else None
         if last is not None:
             frontier_df = self._read(last, "frontier")
             seen = self._seen_upto(last)
             start = last + 1
+            if self.cfg.use_bloom:
+                bloom = self._bloom_upto(last)
+                if bloom is None:
+                    # pre-delta snapshot (or bloom config changed): one
+                    # full rebuild, then deltas accumulate incrementally
+                    bloom = fr.build_bloom(
+                        seen, n_shards=self.cfg.bloom_shards, m_bits=self.cfg.bloom_bits
+                    )
         else:
             frontier_df = (
                 init_frontier_df(self.seeds)
@@ -534,12 +613,14 @@ class CrawlRun:
             # same URL set as the reference's check-at-request-time
             frontier_df = self._gate_robots(frontier_df)
             seen = self._empty_seen()
+            if self.cfg.use_bloom:
+                bloom = fr.BloomFilter.empty(self.cfg.bloom_shards, self.cfg.bloom_bits)
         history: list[dict] = []
         seen_size = None if last is not None else 0
         for rnd in range(start, start + self.cfg.max_rounds):
             if frontier_df.limit(1).count() == 0:
                 break
-            stats = self.run_round(rnd, frontier_df, seen, seen_size=seen_size)
+            stats = self.run_round(rnd, frontier_df, seen, seen_size=seen_size, bloom=bloom)
             history.append(stats)
             if seen_size is not None:
                 seen_size += stats["popped"]
@@ -547,6 +628,19 @@ class CrawlRun:
             # the next round reads exactly the committed state
             frontier_df = self._read(rnd, "frontier")
             seen = self._seen_upto(rnd)
+            if bloom is not None:
+                # OR in ONLY this round's persisted delta — the
+                # cumulative filter never rescans the historical seen set
+                rows = self.spark.read.parquet(
+                    os.path.join(_round_dir(self.run_dir, rnd), "bloom")
+                ).collect()
+                bloom = bloom.merge(
+                    fr.BloomFilter.from_rows(
+                        [(r["shard"], r["bits"]) for r in rows],
+                        self.cfg.bloom_shards,
+                        self.cfg.bloom_bits,
+                    )
+                )
         return history
 
     # ------------------------------------------------------------ readers

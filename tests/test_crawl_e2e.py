@@ -130,6 +130,46 @@ def test_resume_from_checkpoint(small_crawl, spark, sf_dir):
     assert more == [] or more[-1]["popped"] == 0 or len(more) <= 1
 
 
+def test_bloom_deltas_merge_to_full_filter(small_crawl, spark):
+    """OR-merging the persisted per-round Bloom deltas must be bitwise
+    identical to a one-shot bloom of the full seen set (F7 incremental
+    maintenance is lossless)."""
+    from gocrawl_spark import frontier as fr
+
+    run, history, seeds, n, cfg = small_crawl
+    merged = run._bloom_upto(last_committed_round(run.run_dir))
+    assert merged is not None
+    full = fr.build_bloom(
+        run.seen_final(), n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
+    )
+    assert merged.to_rows() == full.to_rows()
+
+
+def test_bloom_builds_scan_only_round_delta(spark, sf_dir, tmp_path, monkeypatch):
+    """Round N's bloom build must scan only round N's seen delta
+    (O(batch)), never the cumulative seen set — the round-1 review
+    flagged a full rebuild per round."""
+    import gocrawl_spark.rounds as R
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    cfg = CrawlConfig(
+        max_depth=2, round_wall_s=10.0, max_rounds=3,
+        bloom_shards=8, bloom_bits=1 << 16, bloom_min_seen=0,
+    )
+    counts: list[int] = []
+    orig = R.fr.build_bloom
+    def counting(df, *a, **kw):
+        counts.append(df.count())
+        return orig(df, *a, **kw)
+    monkeypatch.setattr(R.fr, "build_bloom", counting)
+    run = CrawlRun(spark, corpus, synth.seed_urls(n, k=8), str(tmp_path / "run"), cfg)
+    history = run.run(resume=False)
+    assert len(history) >= 2
+    # one build per round, each over exactly that round's delta
+    assert counts == [h["popped"] - h["retried"] for h in history]
+
+
 def test_metrics_table(small_crawl):
     run, history, *_ = small_crawl
     m = run.metrics()

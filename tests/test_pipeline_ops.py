@@ -254,6 +254,35 @@ def test_media_pipeline_deterministic(spark, docs):
     assert stats[0]["n_media"] == len(rows)
 
 
+def test_png_wav_header_roundtrip():
+    body = b"\x01\x02" * 50
+    png = multimodal.build_png(320, 200, body)
+    assert multimodal.parse_png_header(png) == (320, 200)
+    assert len(png) == 57 + len(body)
+    wav = multimodal.build_wav(b"\x00" * 32000)  # 2 s @ 16 kB/s
+    assert multimodal.parse_wav_header(wav) == 2000
+    assert len(wav) == 44 + 32000
+    # non-container bytes parse to None, never raise
+    assert multimodal.parse_png_header(b"junk") is None
+    assert multimodal.parse_wav_header(b"junk") is None
+    assert multimodal.parse_png_header(wav) is None
+    assert multimodal.parse_wav_header(png) is None
+
+
+def test_media_metadata_parsed_from_real_bytes(spark, docs):
+    """extract_features must recover width/height/duration by parsing
+    the payload headers, matching the metadata synth_media encoded."""
+    for modality in ("image", "audio"):
+        media = multimodal.synth_media(spark, docs.select("doc_id", "text"), modality)
+        feats = multimodal.extract_features(media)
+        meta = {r["media_id"]: r for r in media.collect()}
+        for r in feats.collect():
+            m = meta[r["media_id"]]
+            assert r["width"] == m["width"]
+            assert r["height"] == m["height"]
+            assert r["duration_ms"] == m["duration_ms"]
+
+
 def test_media_real_decode_is_gated(spark, docs):
     media = multimodal.synth_media(spark, docs.select("doc_id", "text").limit(1), "image")
     feats = multimodal.extract_features(media, fake_decode=False)
