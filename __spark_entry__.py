@@ -410,13 +410,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
+        """Flagship fetch→extract slice: the fused single-DOM-pass
+        kernel (C1 detect, E1-E14 extract, V1-V9 validate, F1 links)
+        over the synthetic corpus. The oracle re-derives every output
+        column — urls, content types, sha256 article ids, word counts
+        incl. the pad-loop closed form, validation verdicts with exact
+        skip-reason strings, and link counts — from the documents table
+        by pure SQL (no DOM), so the whole kernel is hash-checked.
+        NULLs (page rows have no article) coalesce to ''/-1 for
+        engine-stable hashing."""
         corpus = synth.corpus_from_documents(spark, sf_dir)
         ex = udfs.extract_pages(corpus)
         return ex.select(
             "url",
             "content_type",
-            F.col("article.id").alias("article_id"),
-            F.col("article.word_count").alias("word_count"),
+            F.coalesce(F.col("article.id"), F.lit("")).alias("article_id"),
+            F.coalesce(F.col("article.word_count"), F.lit(-1)).alias("word_count"),
             "article_valid",
             "skip_reason",
             F.size("links").alias("n_links"),
@@ -563,12 +572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["get_document_s8"] = get_document_s8
 
     def discover_selectors_e15(spark, sf_dir):
-        """E15 selector auto-discovery (rows-only: HTML heuristics over
-        the synthetic corpus; reference internal/generator/discovery.go)."""
+        """E15 selector auto-discovery (reference
+        internal/generator/discovery.go): candidate CSS selectors voted
+        by corpus-wide support × confidence. Runs the real htmlmini
+        matcher over every page (sample=None → deterministic support
+        fractions); the oracle independently re-derives each
+        candidate's support from the known fixture templates (which
+        selectors structurally exist in article vs page HTML)."""
         from gocrawl_spark import discovery
 
         corpus = synth.corpus_from_documents(spark, sf_dir)
-        return discovery.discover_selectors(corpus, sample=200).select(
+        return discovery.discover_selectors(corpus, sample=None).select(
             "field", "selector", F.round("score", 6).alias("score")
         )
 
@@ -980,6 +994,97 @@ def oracle_sql() -> dict[str, str]:
         % _SQL_AUG_NEAR
     )
 
+    # F1/C1/E-series/V-series flagship: every column of the fused
+    # extraction kernel re-derived from documents by pure SQL — no DOM,
+    # no selector engine. Closed forms mirror synth.build_html +
+    # extract/validate semantics: title = 'Synthetic document {d}: ' +
+    # first 6 words; body = whitespace-normalized text padded with the
+    # 121-char/20-word pad sentence until len>=400 AND words>=55
+    # (n_pads has a closed form, no loop); word_count = title words +
+    # 9 fixed template words + body words; V1 trips on /category/ urls,
+    # V6 on short (doc_id%23=5) bodies with the exact reason strings;
+    # links = nav anchor + 4 junk + fanout(3+d%3) + off-domain (d%6=2).
+    o["crawl_extract_articles"] = r"""
+        WITH m AS (
+          SELECT doc_id AS d,
+                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+          FROM documents
+        ), b AS (
+          SELECT d, norm,
+                 length(norm) AS c0,
+                 len(list_filter(regexp_split_to_array(norm, ' '), x -> x <> '')) AS w0,
+                 CASE WHEN d % 4 = 0 THEN 'site00.example.com'
+                      ELSE 'site' || lpad((1 + (d % 15))::VARCHAR, 2, '0') || '.example.com'
+                 END AS host,
+                 (d % 3 <> 0) AS is_article,
+                 (d % 17 = 3) AS is_category,
+                 (d % 23 = 5) AS is_short,
+                 3 + d % 3 AS fanout
+          FROM m
+        ), u AS (
+          SELECT *,
+                 'https://' || host ||
+                   (CASE WHEN is_category THEN '/category/'
+                         WHEN is_article THEN '/article/' ELSE '/page/' END) || d AS url,
+                 CASE WHEN norm = '' THEN 'Synthetic document ' || d
+                      ELSE 'Synthetic document ' || d || ': ' ||
+                           array_to_string(list_slice(
+                             list_filter(regexp_split_to_array(norm, ' '), x -> x <> ''),
+                             1, 6), ' ')
+                 END AS title,
+                 CASE WHEN is_short THEN NULL
+                      WHEN norm = '' THEN 4
+                      ELSE greatest(0,
+                        CASE WHEN c0 >= 400 THEN 0 ELSE (400 - c0 + 121) // 122 END,
+                        CASE WHEN w0 >= 55 THEN 0 ELSE (55 - w0 + 19) // 20 END)
+                 END AS n_pads
+          FROM b
+        ), w AS (
+          SELECT *,
+                 CASE WHEN is_short THEN
+                        CASE WHEN norm = '' THEN 2
+                             ELSE len(list_filter(regexp_split_to_array(
+                                    trim(substr(norm, 1, 60)), ' '), x -> x <> '')) END
+                      WHEN norm = '' THEN 80
+                      ELSE w0 + 20 * n_pads END AS body_words,
+                 CASE WHEN is_short THEN
+                        CASE WHEN norm = '' THEN 9
+                             ELSE length(trim(substr(norm, 1, 60))) END
+                      WHEN norm = '' THEN 487
+                      ELSE least(c0 + 122 * n_pads, 50000) END AS body_chars
+          FROM u
+        ), v AS (
+          SELECT *,
+                 len(list_filter(regexp_split_to_array(title, ' '), x -> x <> ''))
+                   + 9 + body_words AS wc,
+                 length(title) + 1
+                   + length('Intro paragraph for document ' || d || '.') + 1
+                   + length('Reporter ' || (d % 11)) + 1
+                   + length('section-' || (d % 5)) + 1
+                   + length('published') + 1
+                   + body_chars AS assembled_len
+          FROM w
+        )
+        SELECT url,
+               CASE WHEN is_article THEN 'article' ELSE 'page' END AS content_type,
+               CASE WHEN is_article THEN sha256(url) ELSE '' END AS article_id,
+               CASE WHEN is_article THEN wc ELSE -1 END AS word_count,
+               CASE WHEN NOT is_article THEN TRUE
+                    WHEN is_category THEN FALSE
+                    WHEN assembled_len < 100 THEN FALSE
+                    WHEN wc < 50 THEN FALSE
+                    ELSE TRUE END AS article_valid,
+               CASE WHEN NOT is_article THEN ''
+                    WHEN is_category THEN 'URL matches skip pattern: /category/'
+                    WHEN assembled_len < 100 THEN
+                      'Content too short: ' || assembled_len || ' characters (minimum 100)'
+                    WHEN wc < 50 THEN
+                      'Word count too low: ' || wc || ' words (minimum 50)'
+                    ELSE '' END AS skip_reason,
+               5 + fanout + (CASE WHEN d % 6 = 2 THEN 1 ELSE 0 END) AS n_links
+        FROM v
+    """
+
     # P3 politeness pop: a pure deterministic per-domain top-k — the
     # salted two-stage window must equal one exact window (P4), so the
     # oracle IS the single-window form.
@@ -1131,6 +1236,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT sha256('https://example.com/doc/' || doc_id) AS id,
                doc_id, source, sha256(text) AS text_sha
         FROM documents WHERE doc_id IN (7, 42, 421)
+    """
+
+    # E15: supports re-derived from the fixture templates — article
+    # pages (doc_id%3<>0) carry article/og:*/time/p.lead, plain pages
+    # carry main/.content/.sidebar, both carry h1/title/script/nav
+    # (synth.build_html); min_support 0.2, score = support×confidence.
+    o["discover_selectors_e15"] = """
+        WITH c AS (
+          SELECT count(*)::DOUBLE AS n,
+                 sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::DOUBLE AS n_art,
+                 sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::DOUBLE AS n_page
+          FROM documents),
+        cand(field, selector, confidence, kind) AS (VALUES
+          ('title', 'h1', 0.9, 'all'),
+          ('title', 'meta[property=''og:title'']', 0.8, 'art'),
+          ('title', 'title', 0.5, 'all'),
+          ('body', 'article', 0.9, 'art'),
+          ('body', 'main', 0.7, 'page'),
+          ('body', '.content', 0.6, 'page'),
+          ('published_time', 'time[datetime]', 0.9, 'art'),
+          ('image', 'meta[property=''og:image'']', 0.9, 'art'),
+          ('intro', 'p.lead', 0.8, 'art'),
+          ('exclude', 'script', 0.9, 'all'),
+          ('exclude', 'nav', 0.8, 'all'),
+          ('exclude', '.sidebar', 0.7, 'page'))
+        SELECT field, selector,
+               round((CASE kind WHEN 'all' THEN n WHEN 'art' THEN n_art
+                      ELSE n_page END / n) * confidence, 6) AS score
+        FROM cand, c
+        WHERE (CASE kind WHEN 'all' THEN n WHEN 'art' THEN n_art
+               ELSE n_page END / n) >= 0.2
     """
 
     return o

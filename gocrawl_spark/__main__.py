@@ -5,11 +5,13 @@
     python -m gocrawl_spark index   list|delete ... --warehouse DIR
     python -m gocrawl_spark sources list --sources FILE
     python -m gocrawl_spark discover --corpus DIR [--sample N]
+    python -m gocrawl_spark httpd   --run-dir DIR|--warehouse DIR [--port N]
+    python -m gocrawl_spark schedule --corpus DIR --run-dir DIR --sources FILE ...
 
 Reference: cmd/crawl (crawl.go:108-122), cmd/search (search.go:104-143,
 default size 10 search.go:24), cmd/index/list.go:47-130, sources list
-(tests/features/sources_test.go), generator discovery. httpd is out of
-scope (thin HTTP wrapper over the same search surface).
+(tests/features/sources_test.go), generator discovery, cmd/httpd over
+internal/api (httpd.py), job scheduler (scheduler.py).
 """
 
 from __future__ import annotations
@@ -22,6 +24,15 @@ import sys
 def _spark(cpus: int | None = None):
     from pyspark.sql import SparkSession
 
+    # python workers import gocrawl_spark by PYTHONPATH, not the
+    # driver's sys.path — export the package root so the CLI works from
+    # any cwd (cluster deployments ship it via spark-submit --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     s = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -144,6 +155,67 @@ def cmd_sources(args) -> int:
     return 0
 
 
+def cmd_schedule(args) -> int:
+    """Recurring re-crawl of all sources, one snapshot generation per
+    tick (reference internal/job/scheduler.go:59-141)."""
+    from gocrawl_spark import scheduler
+    from gocrawl_spark import sources as src
+    from gocrawl_spark.rounds import CrawlConfig
+
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    sources = src.load_sources(args.sources)
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        round_wall_s=args.round_wall_s,
+        max_rounds=args.max_rounds,
+    )
+    results = scheduler.run_schedule(
+        spark,
+        corpus,
+        sources,
+        args.run_dir,
+        cfg,
+        ticks=args.ticks,
+        interval_s=args.interval,
+    )
+    for r in results:
+        print(
+            f"gen {r['generation']}: rounds={r['rounds']} fetched={r['fetched']} "
+            f"articles={r['articles']}{' (resumed)' if r['resumed'] else ''}"
+        )
+    return 0
+
+
+def cmd_httpd(args) -> int:
+    """Serve POST /search + GET /health over a crawl run dir or
+    warehouse (reference `httpd` command, internal/api/api.go)."""
+    from gocrawl_spark import httpd
+
+    spark = _spark(args.cpus)
+    backend = (
+        httpd.SearchBackend.from_run_dir(spark, args.run_dir)
+        if args.run_dir
+        else httpd.SearchBackend.from_warehouse(spark, args.warehouse)
+    )
+    srv = httpd.serve(
+        backend,
+        host=args.host,
+        port=args.port,
+        api_key=args.api_key,
+        rate_limit=args.rate_limit,
+    )
+    host, port = srv.server_address[:2]
+    print(f"listening on http://{host}:{port} (indices: {', '.join(backend.tables)})")
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def cmd_discover(args) -> int:
     from gocrawl_spark import discovery
 
@@ -200,6 +272,27 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--corpus", required=True)
     d.add_argument("--sample", type=int, default=500)
     d.set_defaults(fn=cmd_discover)
+
+    sc = sub.add_parser("schedule")
+    sc.add_argument("--corpus", required=True)
+    sc.add_argument("--run-dir", required=True)
+    sc.add_argument("--sources", required=True)
+    sc.add_argument("--interval", type=float, default=60.0)  # scheduler.go ticker
+    sc.add_argument("--ticks", type=int, default=1)
+    sc.add_argument("--max-depth", type=int, default=3)
+    sc.add_argument("--max-rounds", type=int, default=8)
+    sc.add_argument("--round-wall-s", type=float, default=60.0)
+    sc.set_defaults(fn=cmd_schedule)
+
+    h = sub.add_parser("httpd")
+    h_src = h.add_mutually_exclusive_group(required=True)
+    h_src.add_argument("--run-dir")
+    h_src.add_argument("--warehouse")
+    h.add_argument("--host", default="127.0.0.1")
+    h.add_argument("--port", type=int, default=8080)
+    h.add_argument("--api-key")
+    h.add_argument("--rate-limit", type=int, default=0)
+    h.set_defaults(fn=cmd_httpd)
 
     args = p.parse_args(argv)
     return args.fn(args)

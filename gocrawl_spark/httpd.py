@@ -1,0 +1,227 @@
+"""HTTP search API façade (reference §3.3: internal/api/api.go).
+
+The reference serves ``POST /search`` via gin with a security
+middleware chain (API key, per-IP rate limit, CORS, security headers —
+internal/api/middleware/security.go:150-227) plus a public
+``GET /health``. This is the same surface over the DataFrame search
+module (search.py), on stdlib ``http.server`` — no new dependencies:
+
+- ``POST /search`` body ``{"query": str, "index": str, "size": int}``
+  (api/types.go:5-9); empty query → 400 "Query cannot be empty",
+  malformed JSON → 400 "Invalid request payload" (api.go:95-106);
+  size 0 → default 10 (DefaultSearchSize). Response
+  ``{"results": [...], "total": N}`` where total is the full match
+  count, not len(results) (api.go:128-147).
+- ``GET /health`` → ``{"status": "ok"}`` (api.go:57-59).
+- middleware: optional ``X-API-Key`` check (401), fixed-window per-IP
+  rate limit (429), CORS echo + OPTIONS preflight 204, and the
+  reference's security headers on success.
+
+The server is a thin driver-side façade: each request plans one Spark
+job over the warehouse/crawl tables. At scale the hot path is the same
+`match_topk` plan the CLI uses — precomputed df/idf index tables keep
+per-query work to one broadcast join (search.py module doc).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+from gocrawl_spark import search
+
+DEFAULT_SEARCH_SIZE = 10  # cmd/search/search.go:24
+
+_SECURITY_HEADERS = {
+    "X-Content-Type-Options": "nosniff",
+    "X-Frame-Options": "DENY",
+    "X-XSS-Protection": "1; mode=block",
+    "Strict-Transport-Security": "max-age=31536000; includeSubDomains",
+    "Content-Security-Policy": "default-src 'self'",
+    "Referrer-Policy": "strict-origin-when-cross-origin",
+}
+
+
+class SearchBackend:
+    """index name → (DataFrame, text column). The reference's
+    SearchManager.Search runs an ES ``match{content}`` query and
+    Count the same query (api.go:114-141); here that is match_topk +
+    a score>0 count over the same TF expression."""
+
+    def __init__(self, tables: "dict[str, tuple[DataFrame, str]]"):
+        self.tables = tables
+
+    def search(self, index: str, query: str, size: int) -> tuple[list[dict], int]:
+        if index not in self.tables:
+            raise KeyError(index)
+        df, text_col = self.tables[index]
+        hits = search.match_topk(df, query, text_col=text_col, id_col="id", k=size)
+        rows = (
+            hits.join(df.select("id", text_col), "id")
+            .orderBy(hits["score"].desc(), hits["id"].asc())
+            .collect()
+        )
+        results = [
+            {"id": r["id"], "score": r["score"], "content": r[text_col]} for r in rows
+        ]
+        # total = all matching docs, not the page size (api.go:134-141)
+        score = None
+        for t in query.lower().split():
+            c = search.tf(text_col, t)
+            score = c if score is None else score + c
+        total = df.filter(score > 0).count() if score is not None else 0
+        return results, total
+
+    @classmethod
+    def from_run_dir(cls, spark, run_dir: str) -> "SearchBackend":
+        from gocrawl_spark.rounds import CrawlRun
+
+        crawl = CrawlRun(spark, None, [], run_dir)
+        return cls(
+            {"articles": (crawl.articles(), "body"), "pages": (crawl.pages(), "content")}
+        )
+
+    @classmethod
+    def from_warehouse(cls, spark, warehouse_dir: str) -> "SearchBackend":
+        from gocrawl_spark.catalog import Warehouse
+
+        wh = Warehouse(spark, warehouse_dir)
+        tables = {}
+        for name, _ in wh.list_tables():
+            df = wh.table(name)
+            tables[name] = (df, "body" if "body" in df.columns else "content")
+        return cls(tables)
+
+
+class _RateLimiter:
+    """Fixed-window per-client counter (security.go:196-203 analogue)."""
+
+    def __init__(self, max_requests: int, window_s: float = 60.0):
+        self.max_requests = max_requests
+        self.window_s = window_s
+        self._hits: dict[str, list[float]] = {}
+        self._lock = threading.Lock()
+
+    def allow(self, client: str) -> bool:
+        if self.max_requests <= 0:
+            return True
+        now = time.monotonic()
+        with self._lock:
+            hits = [t for t in self._hits.get(client, []) if now - t < self.window_s]
+            if len(hits) >= self.max_requests:
+                self._hits[client] = hits
+                return False
+            hits.append(now)
+            self._hits[client] = hits
+            return True
+
+
+def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimiter):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; the CLI logs instead
+            pass
+
+        def _json(self, code: int, payload: dict, secure: bool = True) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            if secure:
+                for k, v in _SECURITY_HEADERS.items():
+                    self.send_header(k, v)
+            self._cors_headers()
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _cors_headers(self) -> None:
+            origin = self.headers.get("Origin")
+            if origin:
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS"
+                )
+                self.send_header(
+                    "Access-Control-Allow-Headers", "Content-Type, Authorization, X-API-Key"
+                )
+                self.send_header("Access-Control-Allow-Credentials", "true")
+
+        def do_OPTIONS(self) -> None:  # CORS preflight (security.go:173-175)
+            self.send_response(204)
+            self._cors_headers()
+            self.end_headers()
+
+        def do_GET(self) -> None:
+            if self.path == "/health":
+                self._json(200, {"status": "ok"}, secure=False)
+            else:
+                self._json(404, {"error": "not found"}, secure=False)
+
+        def _guard(self) -> bool:
+            if api_key is not None:
+                got = self.headers.get("X-API-Key")
+                if not got:
+                    self._json(401, {"error": "missing API key"}, secure=False)
+                    return False
+                if got != api_key:
+                    self._json(401, {"error": "invalid API key"}, secure=False)
+                    return False
+            if not limiter.allow(self.client_address[0]):
+                self._json(429, {"error": "rate limit exceeded"}, secure=False)
+                return False
+            return True
+
+        def do_POST(self) -> None:
+            if self.path != "/search":
+                self._json(404, {"error": "not found"}, secure=False)
+                return
+            if not self._guard():
+                return
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError
+            except (ValueError, json.JSONDecodeError):
+                self._json(400, {"error": "Invalid request payload"}, secure=False)
+                return
+            query = req.get("query") or ""
+            if not query:
+                self._json(400, {"error": "Query cannot be empty"}, secure=False)
+                return
+            index = req.get("index") or "articles"
+            size = int(req.get("size") or 0) or DEFAULT_SEARCH_SIZE
+            try:
+                results, total = backend.search(index, query, size)
+            except KeyError:
+                self._json(400, {"error": f"unknown index: {index}"}, secure=False)
+                return
+            except Exception:
+                self._json(500, {"error": "Search failed"}, secure=False)
+                return
+            self._json(200, {"results": results, "total": total})
+
+    return Handler
+
+
+def serve(
+    backend: SearchBackend,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    api_key: str | None = None,
+    rate_limit: int = 0,
+) -> ThreadingHTTPServer:
+    """Start the API server on a background thread; returns the server
+    (``server.server_address`` carries the bound port when port=0).
+    Caller shuts down with ``server.shutdown()``."""
+    limiter = _RateLimiter(rate_limit)
+    srv = ThreadingHTTPServer((host, port), make_handler(backend, api_key, limiter))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+__all__ = ["SearchBackend", "serve", "make_handler", "DEFAULT_SEARCH_SIZE"]

@@ -1,0 +1,109 @@
+"""P5 completion: the recurring re-crawl scheduler.
+
+The reference runs a 1-minute ticker that re-dispatches every source's
+crawl job when its schedule fires (internal/job/scheduler.go:59-141 —
+``processJobs`` walks sources and calls the crawl command per tick).
+The batch-engine analogue: each tick starts a new crawl GENERATION —
+a fresh seed of every source's start URLs into its own snapshot
+lineage ``base_dir/gen=NNNN`` — so periodic re-crawls are first-class
+snapshots, diffable across generations, while within a generation the
+round loop (rounds.py, P5/P6) provides resume.
+
+Crash semantics mirror the round loop's manifest-last rule: a
+generation directory gets a ``GENERATION.json`` marker only after its
+crawl loop finishes; on startup the scheduler first RESUMES the latest
+unfinished generation (CrawlRun.run(resume=True) continues from the
+last committed round) before starting new ones.
+
+``sleep`` is injectable so tests tick instantly; the CLI wires
+``time.sleep`` with the reference's 60 s default interval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+
+def _gen_dir(base_dir: str, gen: int) -> str:
+    return os.path.join(base_dir, f"gen={gen:04d}")
+
+
+def _marker(base_dir: str, gen: int) -> str:
+    return os.path.join(_gen_dir(base_dir, gen), "GENERATION.json")
+
+
+def generations(base_dir: str) -> list[int]:
+    if not os.path.isdir(base_dir):
+        return []
+    return sorted(
+        int(d.split("=")[1]) for d in os.listdir(base_dir) if d.startswith("gen=")
+    )
+
+
+def last_finished_generation(base_dir: str) -> int | None:
+    done = [g for g in generations(base_dir) if os.path.exists(_marker(base_dir, g))]
+    return max(done) if done else None
+
+
+def seeds_of(sources) -> list[str]:
+    """Every source's entry URL + start_urls, in source order (the
+    scheduler re-dispatches each source's full seed list per tick)."""
+    return [u for s in sources for u in ([s.url] + list(s.start_urls))]
+
+
+def run_schedule(
+    spark: SparkSession,
+    corpus: DataFrame,
+    sources,
+    base_dir: str,
+    cfg: CrawlConfig | None = None,
+    ticks: int = 1,
+    interval_s: float = 60.0,
+    sleep=time.sleep,
+    robots: DataFrame | None = None,
+) -> list[dict]:
+    """Run `ticks` scheduler fires. Each fire either resumes the latest
+    unfinished generation or seeds a new one; returns one summary dict
+    per fire. Generations are independent snapshot lineages, so any
+    fire is crash-resumable and generations are diffable."""
+    cfg = cfg or CrawlConfig()
+    results: list[dict] = []
+    for i in range(ticks):
+        gens = generations(base_dir)
+        unfinished = [g for g in gens if not os.path.exists(_marker(base_dir, g))]
+        gen = min(unfinished) if unfinished else (max(gens) + 1 if gens else 0)
+        resumed = gen in gens
+        run = CrawlRun(
+            spark,
+            corpus,
+            seeds_of(sources),
+            _gen_dir(base_dir, gen),
+            cfg,
+            robots=robots,
+            sources=sources,
+        )
+        history = run.run(resume=True)
+        summary = {
+            "generation": gen,
+            "resumed": resumed,
+            "rounds": len(history),
+            "fetched": sum(h["fetched"] for h in history),
+            "articles": sum(h["articles"] for h in history),
+        }
+        with open(_marker(base_dir, gen), "w") as f:
+            json.dump(summary, f)
+        results.append(summary)
+        if i + 1 < ticks:
+            sleep(interval_s)
+    return results
+
+
+__all__ = [
+    "run_schedule", "generations", "last_finished_generation", "seeds_of",
+]

@@ -1,0 +1,129 @@
+"""HTTP search API façade (reference internal/api/api.go +
+middleware/security.go): /search semantics, error paths, API-key and
+rate-limit middleware, CORS preflight — driven over a live server on a
+loopback port."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from gocrawl_spark import httpd
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [
+        ("a1", "spark shuffles data across the cluster for every join"),
+        ("a2", "the politeness budget limits fetches per host"),
+        ("a3", "spark plans are optimized by catalyst before execution"),
+        ("a4", "bloom filters answer maybe or definitely not"),
+        ("a5", "spark executors run tasks over partitioned data"),
+    ]
+    return spark.createDataFrame(rows, "id string, body string")
+
+
+@pytest.fixture(scope="module")
+def server(corpus_df):
+    backend = httpd.SearchBackend({"articles": (corpus_df, "body")})
+    srv = httpd.serve(backend, port=0)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(base, path, payload, headers=None):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode() if not isinstance(payload, bytes) else payload,
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read()), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}"), dict(e.headers)
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health") as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"status": "ok"}
+
+
+def test_search_results_and_total(server):
+    code, body, headers = _post(server, "/search", {"query": "spark", "index": "articles", "size": 2})
+    assert code == 200
+    assert len(body["results"]) == 2
+    assert body["total"] == 3  # total counts ALL matches, not the page (api.go:134-147)
+    assert body["results"][0]["id"] == "a1"
+    assert all("content" in r and "score" in r for r in body["results"])
+    # reference security headers on success (security.go:151-159)
+    assert headers.get("X-Content-Type-Options") == "nosniff"
+
+
+def test_search_default_size_and_default_index(server):
+    code, body, _ = _post(server, "/search", {"query": "spark"})
+    assert code == 200
+    assert body["total"] == 3 and len(body["results"]) == 3
+
+
+def test_search_error_paths(server):
+    code, body, _ = _post(server, "/search", {"query": "", "index": "articles"})
+    assert code == 400 and body["error"] == "Query cannot be empty"
+    code, body, _ = _post(server, "/search", b"{not json")
+    assert code == 400 and body["error"] == "Invalid request payload"
+    code, body, _ = _post(server, "/search", {"query": "x", "index": "nope"})
+    assert code == 400 and "unknown index" in body["error"]
+
+
+def test_api_key_middleware(corpus_df):
+    backend = httpd.SearchBackend({"articles": (corpus_df, "body")})
+    srv = httpd.serve(backend, port=0, api_key="sekrit")
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body, _ = _post(base, "/search", {"query": "spark"})
+        assert code == 401 and body["error"] == "missing API key"
+        code, body, _ = _post(base, "/search", {"query": "spark"}, {"X-API-Key": "wrong"})
+        assert code == 401 and body["error"] == "invalid API key"
+        code, body, _ = _post(base, "/search", {"query": "spark"}, {"X-API-Key": "sekrit"})
+        assert code == 200 and body["total"] == 3
+    finally:
+        srv.shutdown()
+
+
+def test_rate_limit_middleware(corpus_df):
+    backend = httpd.SearchBackend({"articles": (corpus_df, "body")})
+    srv = httpd.serve(backend, port=0, rate_limit=2)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert _post(base, "/search", {"query": "spark"})[0] == 200
+        assert _post(base, "/search", {"query": "spark"})[0] == 200
+        code, body, _ = _post(base, "/search", {"query": "spark"})
+        assert code == 429 and body["error"] == "rate limit exceeded"
+    finally:
+        srv.shutdown()
+
+
+def test_cors_preflight(server):
+    req = urllib.request.Request(
+        server + "/search", method="OPTIONS", headers={"Origin": "http://x.test"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+        assert resp.headers["Access-Control-Allow-Origin"] == "http://x.test"
+        assert "X-API-Key" in resp.headers["Access-Control-Allow-Headers"]
+
+
+def test_backend_from_warehouse(spark, tmp_path, corpus_df):
+    from gocrawl_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("articles", corpus_df.schema)
+    wh.upsert("articles", corpus_df, key="id")
+    backend = httpd.SearchBackend.from_warehouse(spark, str(tmp_path / "wh"))
+    results, total = backend.search("articles", "spark", 10)
+    assert total == 3 and [r["id"] for r in results] == ["a1", "a3", "a5"]
