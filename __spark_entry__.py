@@ -316,6 +316,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bm25"] = search_bm25
 
+    def search_match_analyzed(spark, sf_dir):
+        """A5 with the ES-standard-analyzer semantics made visible:
+        hyphenated and apostrophized query terms ("Wi-Fi", "O'Brien's",
+        "don't") must match the same way ES's standard analyzer
+        segments them (mappings/article.go:48-84). Fixture text is
+        injected deterministically since the corpus vocabulary carries
+        no punctuation."""
+        d = F.col("doc_id")
+        docs = _docs(spark, sf_dir).withColumn(
+            "text2",
+            F.concat(
+                "text",
+                F.when(d % 7 == 0, F.lit(" The Wi-Fi setup in O'Brien's cafe"))
+                .when(d % 7 == 1, F.lit(" don't reuse passphrases for wi-fi routers"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        return search.match_topk(
+            docs, "Wi-Fi O'Brien's don't", text_col="text2", id_col="doc_id", k=15
+        )
+
+    q["search_match_analyzed"] = search_match_analyzed
+
     def search_count_a1(spark, sf_dir):
         return (
             _docs(spark, sf_dir)
@@ -875,24 +898,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
     """
 
-    def _tf(col: str, term: str) -> str:
-        return rf"len(regexp_extract_all(lower({col}), '\b({term})\b', 1))"
+    # ES-standard-analyzer tokenization (search.ANALYZER_RE): letter/
+    # digit runs, apostrophes kept between runs, lowercased — identical
+    # RE2/Java regex both sides.
+    _AN = r"[\p{L}\p{N}]+(?:[''’][\p{L}\p{N}]+)*"
+
+    def _antoks(col: str) -> str:
+        return f"regexp_extract_all(lower({col}), '{_AN}')"
+
+    def _antf(toks: str, term: str) -> str:
+        return f"len(list_filter({toks}, x -> x = '{term}'))"
 
     o["search_match_topk"] = f"""
-        SELECT doc_id AS id,
-               ({_tf("text", "table")} + {_tf("text", "scan")} + {_tf("text", "merge")})::DOUBLE AS score
-        FROM documents
-        WHERE ({_tf("text", "table")} + {_tf("text", "scan")} + {_tf("text", "merge")}) > 0
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents)
+        SELECT id,
+               ({_antf("toks", "table")} + {_antf("toks", "scan")} + {_antf("toks", "merge")})::DOUBLE AS score
+        FROM t
+        WHERE ({_antf("toks", "table")} + {_antf("toks", "scan")} + {_antf("toks", "merge")}) > 0
         ORDER BY score DESC, id ASC LIMIT 10
     """
 
+    o["search_match_analyzed"] = f"""
+        WITH d AS (
+          SELECT doc_id AS id,
+                 text || CASE WHEN doc_id % 7 = 0 THEN ' The Wi-Fi setup in O''Brien''s cafe'
+                              WHEN doc_id % 7 = 1 THEN ' don''t reuse passphrases for wi-fi routers'
+                              ELSE '' END AS text2
+          FROM documents),
+        t AS (SELECT id, {_antoks("text2")} AS toks FROM d)
+        SELECT id,
+               ({_antf("toks", "wi")} + {_antf("toks", "fi")}
+              + {_antf("toks", "o''brien''s")} + {_antf("toks", "don''t")})::DOUBLE AS score
+        FROM t
+        WHERE ({_antf("toks", "wi")} + {_antf("toks", "fi")}
+             + {_antf("toks", "o''brien''s")} + {_antf("toks", "don''t")}) > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
     o["search_multimatch"] = f"""
-        SELECT doc_id AS id,
-               (1.0::DOUBLE * ({_tf("text", "spark")} + {_tf("text", "window")} + {_tf("text", "src3")})
-              + 2.0::DOUBLE * ({_tf("source", "spark")} + {_tf("source", "window")} + {_tf("source", "src3")}))::DOUBLE AS score
-        FROM documents
-        WHERE (1.0::DOUBLE * ({_tf("text", "spark")} + {_tf("text", "window")} + {_tf("text", "src3")})
-             + 2.0::DOUBLE * ({_tf("source", "spark")} + {_tf("source", "window")} + {_tf("source", "src3")})) > 0
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS tt, {_antoks("source")} AS ts
+                   FROM documents)
+        SELECT id,
+               (1.0::DOUBLE * ({_antf("tt", "spark")} + {_antf("tt", "window")} + {_antf("tt", "src3")})
+              + 2.0::DOUBLE * ({_antf("ts", "spark")} + {_antf("ts", "window")} + {_antf("ts", "src3")}))::DOUBLE AS score
+        FROM t
+        WHERE (1.0::DOUBLE * ({_antf("tt", "spark")} + {_antf("tt", "window")} + {_antf("tt", "src3")})
+             + 2.0::DOUBLE * ({_antf("ts", "spark")} + {_antf("ts", "window")} + {_antf("ts", "src3")})) > 0
         ORDER BY score DESC, id ASC LIMIT 10
     """
 
@@ -910,8 +961,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["search_bm25"] = rf"""
         WITH d0 AS (
-          SELECT doc_id AS id,
-                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+          SELECT doc_id AS id, {_antoks("text")} AS toks
           FROM documents),
         d AS (SELECT id, len(toks)::DOUBLE AS dl, {_tf_exprs} FROM d0),
         s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,

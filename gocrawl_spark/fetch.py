@@ -1,0 +1,99 @@
+"""S2 real-fetch mode: live HTTP fetching as a distributed map stage.
+
+The corpus-join fetch (rounds.py J2) is the benchmark/test contract;
+this module is the S2 variant the reference actually performs — a real
+HTTP GET per popped URL (colly collector fetch,
+reference internal/crawler/crawler.go:197-247) — expressed Spark-first:
+
+- the politeness POP already bounds how many URLs per host enter the
+  round (P1/P2), so the fetch stage is a pure narrow map over the
+  batch: ``repartition(domain)`` co-locates each host's URLs in one
+  partition, and a per-host pacer inside the partition enforces the
+  configured delay between same-host requests — politeness holds
+  per-executor without any coordination;
+- responses join the batch rows positionally (mapInPandas appends
+  ``html``/``status`` columns), so the downstream fused extraction is
+  identical to corpus mode;
+- error classes mirror the reference's retry split
+  (crawler.go:300-317 / link_handler.go:60-107): HTTP 5xx and network
+  errors are TRANSIENT (status recorded, re-enqueued by the round loop
+  with attempt+1), 4xx are permanent misses (dropped like a corpus
+  join miss).
+
+``proxy_base`` rewrites ``https://host/path`` →
+``{proxy_base}/host/path`` so an in-process loopback server can stand
+in for the whole synthetic web (the reference's test helper server,
+tests/helpers/server.go) — same mechanism a production deployment uses
+for a forward-proxy fleet.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+
+def fetch_http(
+    batch: DataFrame,
+    user_agent: str = "gocrawl",
+    timeout_s: float = 10.0,
+    delay_ms: int = 0,
+    proxy_base: str | None = None,
+) -> DataFrame:
+    """batch(url, …) → batch + (html binary, status int), one real HTTP
+    GET per row. Partitioned by domain so the per-host pacer is local;
+    status 0 = network/timeout error (transient), else the HTTP code.
+    """
+    out_schema = StructType(
+        list(batch.schema.fields)
+        + [StructField("html", BinaryType()), StructField("status", IntegerType())]
+    )
+
+    def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+
+        last_hit: dict[str, float] = {}
+        for pdf in parts:
+            htmls: list[bytes | None] = []
+            statuses: list[int] = []
+            for url in pdf["url"]:
+                host = urlsplit(url).hostname or ""
+                if delay_ms > 0:
+                    prev = last_hit.get(host)
+                    if prev is not None:
+                        wait = prev + delay_ms / 1000.0 - time.monotonic()
+                        if wait > 0:
+                            time.sleep(wait)
+                target = url
+                if proxy_base is not None:
+                    parts_ = urlsplit(url)
+                    target = f"{proxy_base.rstrip('/')}/{parts_.hostname}{parts_.path}"
+                    if parts_.query:
+                        target += f"?{parts_.query}"
+                body, status = b"", 0
+                try:
+                    req = urllib.request.Request(
+                        target, headers={"User-Agent": user_agent}
+                    )
+                    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                        body = resp.read()
+                        status = int(resp.status)
+                except urllib.error.HTTPError as e:
+                    status = int(e.code)
+                except Exception:
+                    status = 0  # DNS/conn/timeout: transient
+                last_hit[host] = time.monotonic()
+                htmls.append(body)
+                statuses.append(status)
+            yield pdf.assign(html=htmls, status=statuses)
+
+    return batch.repartition("domain").mapInPandas(run, schema=out_schema)
+
+
+__all__ = ["fetch_http"]

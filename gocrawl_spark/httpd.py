@@ -69,11 +69,11 @@ class SearchBackend:
             {"id": r["id"], "score": r["score"], "content": r[text_col]} for r in rows
         ]
         # total = all matching docs, not the page size (api.go:134-141)
-        score = None
-        for t in query.lower().split():
-            c = search.tf(text_col, t)
-            score = c if score is None else score + c
-        total = df.filter(score > 0).count() if score is not None else 0
+        total = (
+            search.match_scores(df, query, text_col=text_col, id_col="id")
+            .filter("score > 0")
+            .count()
+        )
         return results, total
 
     @classmethod

@@ -76,6 +76,15 @@ class CrawlConfig:
     # missing from the corpus is a 404, non-retryable, like the
     # reference's expected-error classes (crawler.go:300-317)
     max_retries: int = 3
+    # S2 fetch mode: "corpus" joins the snapshot corpus table (the
+    # driver/bench contract); "http" performs real HTTP GETs per popped
+    # URL (fetch.fetch_http) — same downstream extraction, retry
+    # classes from the response status (5xx/network transient, 4xx
+    # permanent). http_proxy_base rewrites host/path onto a loopback
+    # or forward-proxy base URL.
+    fetch_mode: str = "corpus"
+    http_timeout_s: float = 10.0
+    http_proxy_base: str | None = None
     # bench-only arithmetic-intensity calibration (BENCH/BASELINE.md):
     # re-runs the extraction kernel per page to sweep compute-per-byte
     extract_repeat: int = 1
@@ -285,21 +294,47 @@ class CrawlRun:
         n_popped = batch.count()
         t["pop"] = time.perf_counter() - t0
 
-        # fetch = corpus join (J2); AQE handles residual skew on url
-        fetched = batch.join(self.corpus, "url", "inner")
-        # F9: with fault injection, rows whose fail_attempts exceeds the
-        # current attempt are transient failures → re-enqueued below
         retry = None
-        if cfg.max_retries > 0 and "fail_attempts" in self.corpus.columns:
-            failed = fetched.filter(F.col("attempt") < F.col("fail_attempts"))
-            retry = (
-                failed.filter(F.col("attempt") + 1 < cfg.max_retries)
-                .withColumn("attempt", F.col("attempt") + 1)
-                .select([f.name for f in FRONTIER.fields])
-                .persist()
-            )
-            retry.count()
-            fetched = fetched.filter(F.col("attempt") >= F.col("fail_attempts"))
+        resp = None
+        if cfg.fetch_mode == "http":
+            # S2 real-fetch: live GETs, paced per host inside
+            # domain-partitioned tasks; transient statuses re-enqueue
+            from gocrawl_spark import fetch as fh
+
+            resp = fh.fetch_http(
+                batch,
+                user_agent=cfg.user_agent,
+                timeout_s=cfg.http_timeout_s,
+                delay_ms=cfg.delay_ms,
+                proxy_base=cfg.http_proxy_base,
+            ).persist()
+            fetched = resp.filter(F.col("status") == 200).drop("status")
+            if cfg.max_retries > 0:
+                transient = resp.filter(
+                    (F.col("status") == 0) | (F.col("status") >= 500)
+                )
+                retry = (
+                    transient.filter(F.col("attempt") + 1 < cfg.max_retries)
+                    .withColumn("attempt", F.col("attempt") + 1)
+                    .select([f.name for f in FRONTIER.fields])
+                    .persist()
+                )
+                retry.count()
+        else:
+            # fetch = corpus join (J2); AQE handles residual skew on url
+            fetched = batch.join(self.corpus, "url", "inner")
+            # F9: with fault injection, rows whose fail_attempts exceeds
+            # the current attempt are transient failures → re-enqueued
+            if cfg.max_retries > 0 and "fail_attempts" in self.corpus.columns:
+                failed = fetched.filter(F.col("attempt") < F.col("fail_attempts"))
+                retry = (
+                    failed.filter(F.col("attempt") + 1 < cfg.max_retries)
+                    .withColumn("attempt", F.col("attempt") + 1)
+                    .select([f.name for f in FRONTIER.fields])
+                    .persist()
+                )
+                retry.count()
+                fetched = fetched.filter(F.col("attempt") >= F.col("fail_attempts"))
         # the fused pandas UDF (the expensive stage) runs EXACTLY once:
         # its output is committed directly as the round's `extracted`
         # table, and every consumer (articles/pages views, candidate
@@ -460,6 +495,8 @@ class CrawlRun:
             cand.unpersist()
         if retry is not None:
             retry.unpersist()
+        if resp is not None:
+            resp.unpersist()
         for df in pop_cache:
             df.unpersist()
         return stats

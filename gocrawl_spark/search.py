@@ -28,22 +28,47 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
-# Tokenize + term frequency
+# Tokenize + term frequency — the ES `standard` analyzer approximation
 # ---------------------------------------------------------------------------
+
+# ES `match` runs the standard analyzer (UAX#29 word segmentation +
+# lowercase — the articles index mapping,
+# reference internal/storage/elasticsearch/mappings/article.go:48-84).
+# Approximation used on BOTH the index and query side: lowercase, then
+# tokens are letter/digit runs with apostrophes kept between runs —
+# "Wi-Fi" → [wi, fi], "O'Brien's" → [o'brien's] — matching UAX#29 on
+# hyphenated/apostrophized text. Known divergence (documented, fixed
+# identically in Spark, DuckDB and Python, so oracles stay exact):
+# UAX#29 ExtendNumLet joins underscores ("a_b" one token, here two)
+# and combining marks are dropped rather than attached.
+ANALYZER_RE = r"[\p{L}\p{N}]+(?:['’][\p{L}\p{N}]+)*"
+_PY_ANALYZER_RE = r"[^\W_]+(?:['’][^\W_]+)*"
+
+
+def analyze_query(query: str) -> list[str]:
+    """Query-side analysis (Python twin of :func:`tokens`)."""
+    import re as _re
+
+    return _re.findall(_PY_ANALYZER_RE, query.lower(), _re.UNICODE)
+
+
+def tokens(col: Column | str) -> Column:
+    """Standard-analyzer token array for a text column (JVM regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(ANALYZER_RE), 0)
 
 
 def _terms(query: str) -> list[str]:
-    return [t for t in query.lower().split() if t]
+    return analyze_query(query)
+
+
+def _eq(term_lit: Column):
+    return lambda x: x == term_lit
 
 
 def tf(col: Column | str, term: str) -> Column:
-    """Occurrences of `term` as a whole word, case-insensitive."""
-    c = F.col(col) if isinstance(col, str) else col
-    # escape regex metacharacters in the term
-    import re as _re
-
-    pat = r"\b(" + _re.escape(term.lower()) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 1))
+    """Occurrences of analyzer-token `term` in the analyzed column."""
+    return F.size(F.filter(tokens(col), _eq(F.lit(term))))
 
 
 # ---------------------------------------------------------------------------
@@ -60,19 +85,31 @@ def count_where(df: DataFrame, pred: Column | None = None) -> int:
 # ---------------------------------------------------------------------------
 
 
+def match_scores(
+    df: DataFrame, query: str, text_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, score) for every document: score = Σ_term analyzer-token
+    TF. The column is tokenized ONCE (materialized through a select) —
+    Catalyst does not CSE the regexp into each per-term lambda, so the
+    naive per-term `tf()` would re-tokenize T times."""
+    terms = _terms(query)
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    score = F.lit(0)
+    for t in terms:
+        # NB: single-arg lambda built by a factory — a default-arg
+        # binding (lambda x, _t=...) changes the visible arity and
+        # pyspark would feed the element INDEX as the second argument
+        score = score + F.size(F.filter("_toks", _eq(F.lit(t))))
+    return toked.select("id", score.cast("double").alias("score"))
+
+
 def match_topk(
     df: DataFrame, query: str, text_col: str = "content", id_col: str = "id", k: int = 10
 ) -> DataFrame:
-    """ES `match` analogue: sum of per-term TFs, top-k.
+    """ES `match` analogue: sum of per-term analyzer TFs, top-k.
     Output: (id, score) ordered by (score DESC, id ASC)."""
-    score = None
-    for t in _terms(query):
-        c = tf(text_col, t)
-        score = c if score is None else score + c
-    if score is None:
-        score = F.lit(0)
     return (
-        df.select(F.col(id_col).alias("id"), score.cast("double").alias("score"))
+        match_scores(df, query, text_col=text_col, id_col=id_col)
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
@@ -93,15 +130,22 @@ def multi_match_topk(
 ) -> DataFrame:
     """ES `multi_match` analogue with per-field boost weights
     (reference boosts: title^2, body, description). Score =
-    Σ_field boost · Σ_term tf(field, term)."""
+    Σ_field boost · Σ_term tf(field, term). Each field tokenized once
+    (materialized columns, same CSE rationale as match_scores)."""
+    terms = _terms(query)
+    names = list(fields)
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *[tokens(f).alias(f"_toks_{i}") for i, f in enumerate(names)],
+    )
     score = F.lit(0.0)
-    for field, boost in fields.items():
+    for i, name in enumerate(names):
         fscore = F.lit(0)
-        for t in _terms(query):
-            fscore = fscore + tf(field, t)
-        score = score + F.lit(float(boost)) * fscore.cast("double")
+        for t in terms:
+            fscore = fscore + F.size(F.filter(f"_toks_{i}", _eq(F.lit(t))))
+        score = score + F.lit(float(fields[name])) * fscore.cast("double")
     return (
-        df.select(F.col(id_col).alias("id"), score.alias("score"))
+        toked.select("id", score.alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
@@ -122,7 +166,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 over whitespace-lowercase tokens, entirely in built-in
+    """BM25 over standard-analyzer tokens, entirely in built-in
     expressions:
 
         idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene form)
@@ -140,8 +184,7 @@ def bm25_topk(
     def _tf_of(term: str) -> Column:
         return F.size(F.filter("toks", lambda x: x == F.lit(term)))
 
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != F.lit(""))
-    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+    docs = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks")).select(
         "id",
         F.size("toks").alias("dl"),
         *[_tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
@@ -169,7 +212,10 @@ def bm25_topk(
     )
 
 
-__all__ = ["tf", "count_where", "match_topk", "multi_match_topk", "bm25_topk"]
+__all__ = [
+    "tf", "tokens", "analyze_query", "count_where",
+    "match_scores", "match_topk", "multi_match_topk", "bm25_topk",
+]
 
 
 # ---------------------------------------------------------------------------
