@@ -18,7 +18,12 @@ reference internal/crawler/crawler.go:197-247) — expressed Spark-first:
   (crawler.go:300-317 / link_handler.go:60-107): HTTP 5xx and network
   errors are TRANSIENT (status recorded, re-enqueued by the round loop
   with attempt+1), 4xx are permanent misses (dropped like a corpus
-  join miss).
+  join miss);
+- F10 redirect policy: redirects are followed (colly's default —
+  net/http follows up to 10 hops) and the landing URL is RECORDED in a
+  ``final_url`` column, so a downstream canonicalization pass can
+  alias-map redirected URLs — the piece the reference loses (it keeps
+  only the request URL).
 
 ``proxy_base`` rewrites ``https://host/path`` →
 ``{proxy_base}/host/path`` so an in-process loopback server can stand
@@ -35,7 +40,7 @@ from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+from pyspark.sql.types import BinaryType, IntegerType, StringType, StructField, StructType
 
 
 def fetch_http(
@@ -45,23 +50,48 @@ def fetch_http(
     delay_ms: int = 0,
     proxy_base: str | None = None,
 ) -> DataFrame:
-    """batch(url, …) → batch + (html binary, status int), one real HTTP
-    GET per row. Partitioned by domain so the per-host pacer is local;
-    status 0 = network/timeout error (transient), else the HTTP code.
+    """batch(url, …) → batch + (html binary, status int, final_url
+    string), one real HTTP GET per row. Partitioned by domain so the
+    per-host pacer is local; status 0 = network/timeout error
+    (transient), else the HTTP code; final_url is the post-redirect
+    landing URL (== url when no redirect happened).
     """
     out_schema = StructType(
         list(batch.schema.fields)
-        + [StructField("html", BinaryType()), StructField("status", IntegerType())]
+        + [
+            StructField("html", BinaryType()),
+            StructField("status", IntegerType()),
+            StructField("final_url", StringType()),
+        ]
     )
 
     def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import urllib.error
         import urllib.request
 
+        if proxy_base is not None:
+            _pb = urlsplit(proxy_base)
+            _origin = f"{_pb.scheme}://{_pb.netloc}/"
+            _prefix = _pb.path.strip("/")
+
+        def unproxy(u: str) -> str:
+            """Map a proxied landing URL back to crawl-space for the
+            final_url column (inverse of the target rewrite). Redirects
+            may land anywhere under the proxy origin, with or without
+            the proxy's own path prefix."""
+            if proxy_base is None or not u.startswith(_origin):
+                return u
+            rest = u[len(_origin):]
+            if _prefix and rest.startswith(_prefix + "/"):
+                rest = rest[len(_prefix) + 1 :]
+            host, _, path = rest.partition("/")
+            return f"https://{host}/{path}" if path else f"https://{host}"
+
         last_hit: dict[str, float] = {}
         for pdf in parts:
             htmls: list[bytes | None] = []
             statuses: list[int] = []
+            finals: list[str] = []
             for url in pdf["url"]:
                 host = urlsplit(url).hostname or ""
                 if delay_ms > 0:
@@ -76,7 +106,7 @@ def fetch_http(
                     target = f"{proxy_base.rstrip('/')}/{parts_.hostname}{parts_.path}"
                     if parts_.query:
                         target += f"?{parts_.query}"
-                body, status = b"", 0
+                body, status, final = b"", 0, url
                 try:
                     req = urllib.request.Request(
                         target, headers={"User-Agent": user_agent}
@@ -84,6 +114,9 @@ def fetch_http(
                     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                         body = resp.read()
                         status = int(resp.status)
+                        landed = resp.geturl()
+                        if landed and landed != target:
+                            final = unproxy(landed)
                 except urllib.error.HTTPError as e:
                     status = int(e.code)
                 except Exception:
@@ -91,7 +124,8 @@ def fetch_http(
                 last_hit[host] = time.monotonic()
                 htmls.append(body)
                 statuses.append(status)
-            yield pdf.assign(html=htmls, status=statuses)
+                finals.append(final)
+            yield pdf.assign(html=htmls, status=statuses, final_url=finals)
 
     return batch.repartition("domain").mapInPandas(run, schema=out_schema)
 

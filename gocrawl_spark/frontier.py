@@ -215,10 +215,44 @@ def pop_split(
     O(frontier)-shuffle anti-join (frontier ∖ batch) to rebuild the
     next round's pending set — at 10^10-frontier scale that anti-join
     was a second full shuffle per round. Returns (batch, rest, cached);
-    caller unpersists `cached` after the round's writes."""
+    caller unpersists `cached` after the round's writes.
+
+    Degenerate-budget fast path: top-k with k ≥ group size is the
+    identity, so when NO domain exceeds its budget the pop admits the
+    whole frontier without ranking it — one map-side-combined count
+    per domain (cheap partial agg) replaces two full window sorts.
+    This is the common shape for wide-open rounds (last BFS tier,
+    generous wall budgets). In the binding case only the OVER-budget
+    domains (the hot tail — most domains sit under their budget) pay
+    the ranking: under-budget domains pass straight into the batch,
+    and the salted two-stage window sorts just the hot domains' rows.
+    Identical output to ranking everything — per-domain top-k is
+    independent across domains and identity for k ≥ n."""
+    counts = frontier.groupBy("domain").agg(
+        F.count("*").alias("_n"), F.min(budget_col).alias("_b")
+    )
+    over = counts.filter(F.col("_n") > F.col("_b")).select("domain")
+    n_over = over.count()
+    if n_over == 0:
+        return frontier, frontier.limit(0), []
+    if n_over <= 1_000_000:
+        # split: hot domains ranked, the rest admitted whole (the hot
+        # list broadcasts — ~tens of MB worst case at the cap)
+        tagged = frontier.join(
+            F.broadcast(over.withColumn("_hot", F.lit(True))), "domain", "left"
+        ).persist()
+        cold = tagged.filter(F.col("_hot").isNull()).drop("_hot")
+        hot = tagged.filter(F.col("_hot").isNotNull()).drop("_hot")
+        cache = [tagged]
+    else:
+        # nearly every domain is hot (deep politeness-bound crawl):
+        # skip the split, rank everything as before
+        cold = frontier.limit(0)
+        hot = frontier
+        cache = []
     salt = F.pmod(F.conv(F.substring("url_hash", 57, 8), 16, 10).cast("long"), F.lit(n_salts))
     stage1 = Window.partitionBy("domain", salt).orderBy(*_order())
-    r1 = frontier.withColumn("_r1", F.row_number().over(stage1)).persist()
+    r1 = hot.withColumn("_r1", F.row_number().over(stage1)).persist()
     dropped1 = r1.filter(F.col("_r1") > F.col(budget_col)).drop("_r1")
     stage2 = Window.partitionBy("domain").orderBy(*_order())
     r2 = (
@@ -227,9 +261,9 @@ def pop_split(
         .withColumn("_r2", F.row_number().over(stage2))
         .persist()
     )
-    batch = r2.filter(F.col("_r2") <= F.col(budget_col)).drop("_r2")
+    batch = cold.unionByName(r2.filter(F.col("_r2") <= F.col(budget_col)).drop("_r2"))
     rest = dropped1.unionByName(r2.filter(F.col("_r2") > F.col(budget_col)).drop("_r2"))
-    return batch, rest, [r1, r2]
+    return batch, rest, cache + [r1, r2]
 
 
 def apply_rules(frontier: DataFrame, rules: list[dict] | None) -> DataFrame:

@@ -202,6 +202,11 @@ class _TreeIndex:
 
 
 def _root_of(el: Element) -> Element:
+    # parse() stamps rootref on every element (stable across Remove);
+    # the ancestor walk is the fallback for hand-built trees
+    r = el.rootref
+    if r is not None:
+        return r
     while el.parent is not None:
         el = el.parent
     return el
@@ -249,9 +254,21 @@ def find(scope: Element | list[Element], selector: str) -> list[Element]:
         return []
     idx = _index_of(scopes[0])
     scope_ids = {id(s) for s in scopes}
+    cxs = parse_selector(selector)
+    if len(cxs) == 1:
+        # fast path: candidate lists are unique and in document order,
+        # so a single complex selector needs no dedup and no sort
+        parts = cxs[0].parts
+        last = parts[-1][1]
+        k = len(parts) - 1
+        return [
+            el
+            for el in idx.candidates(last)
+            if last.matches(el) and _chain_ok(el, parts, k, scope_ids)
+        ]
     result: list[Element] = []
     seen: set[int] = set()
-    for cx in parse_selector(selector):
+    for cx in cxs:
         parts = cx.parts
         last = parts[-1][1]
         for el in idx.candidates(last):

@@ -15,13 +15,23 @@ as used by the reference crawler:
 - ``Find`` matches descendants only (not self), unique nodes, document
   order.
 
-Parsing uses ``html.parser`` (C-tokenizer-free but adequate); entities are
-decoded in both text and attribute values, mirroring x/net/html.
+Parsing is a hand-rolled single-pass scanner (find('<') + two compiled
+regexes) rather than stdlib ``html.parser``: the kernel runs on every
+fetched page, and html.parser's per-tag bookkeeping (line/column
+``updatepos``, multi-regex dispatch) dominated the profile at ~3× the
+cost while allocating far more short-lived objects — churn the 32-way
+parallel extraction pays for at the memory subsystem (see
+BENCH/BASELINE.md calibration). Semantics kept from html.parser:
+lowercased tag/attr names, first duplicate attribute wins, charrefs
+decoded in text and attribute values, script/style content raw
+(no entity decoding), void elements never pushed, implicit ``</p>``
+before block elements, unmatched end tags ignored.
 """
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
+import re
+from html import unescape
 
 # Elements with no closing tag (HTML5 void elements) — mirrors
 # x/net/html's void element handling used by goquery's parser.
@@ -62,7 +72,7 @@ class TextNode(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "order", "classes", "qidx")
+    __slots__ = ("tag", "attrs", "children", "order", "classes", "qidx", "rootref")
 
     def __init__(self, tag: str, attrs: dict[str, str], order: int) -> None:
         self.parent = None
@@ -71,6 +81,7 @@ class Element(Node):
         self.children: list[Node] = []
         self.order = order
         self.qidx = None  # lazy css._TreeIndex, set on the root only
+        self.rootref = None  # tree root, set by parse(); survives Remove
         cls = attrs.get("class")
         self.classes = frozenset(cls.split()) if cls else frozenset()
 
@@ -121,47 +132,50 @@ class Element(Node):
         return f"<{self.tag} order={self.order}>"
 
 
-class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self._order = 0
-        self.root = Element("#document", {}, self._order)
-        self._stack: list[Element] = [self.root]
+# start tag: name, raw attribute blob (quote-aware so '>' inside quoted
+# values is not a tag end), optional self-closing slash
+_STARTTAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:\s+[^\s/>][^\s/>=]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
+_ATTR_RE = re.compile(r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
+# raw-content close scanners (html.parser CDATA mode: script/style only)
+_RAW_CLOSE = {t: re.compile(rf"</\s*{t}", re.I) for t in ("script", "style")}
 
-    def _attrs_dict(self, attrs) -> dict[str, str]:
-        d: dict[str, str] = {}
-        for k, v in attrs:
-            if k not in d:  # first occurrence wins (x/net/html behavior)
-                d[k] = v if v is not None else ""
-        return d
+# canonical lowercase names: tag/attr-name slices repeat constantly
+# across pages; the cache hands every occurrence the SAME str object
+# (no per-occurrence allocation, cheaper dict hashing downstream)
+_NAME_CACHE: dict[str, str] = {}
 
-    def handle_starttag(self, tag: str, attrs) -> None:
-        # implicit </p> before block-level elements
-        if tag in _P_CLOSERS and self._stack[-1].tag == "p":
-            self._stack.pop()
-        self._order += 1
-        el = Element(tag, self._attrs_dict(attrs), self._order)
-        self._stack[-1].append(el)
-        if tag not in VOID_ELEMENTS:
-            self._stack.append(el)
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        self._order += 1
-        el = Element(tag, self._attrs_dict(attrs), self._order)
-        self._stack[-1].append(el)
+def _canon(name: str) -> str:
+    c = _NAME_CACHE.get(name)
+    if c is None:
+        c = name.lower()
+        if len(_NAME_CACHE) < 8192:
+            _NAME_CACHE[name] = c
+    return c
 
-    def handle_endtag(self, tag: str) -> None:
-        # pop to the nearest matching open tag; ignore unmatched
-        for i in range(len(self._stack) - 1, 0, -1):
-            if self._stack[i].tag == tag:
-                del self._stack[i:]
-                return
 
-    def handle_data(self, data: str) -> None:
-        if data:
-            t = TextNode(data)
-            t.parent = self._stack[-1]
-            self._stack[-1].children.append(t)
+def _parse_attrs(blob: str) -> dict[str, str]:
+    d: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(blob):
+        k = _canon(m.group(1))
+        if k in d:  # first occurrence wins (x/net/html behavior)
+            continue
+        v = m.group(2)
+        if v is None:
+            d[k] = ""
+            continue
+        if v and v[0] in "\"'":
+            v = v[1:-1]
+        d[k] = unescape(v) if "&" in v else v
+    return d
+
+
+_EMPTY_ATTRS: dict[str, str] = {}
 
 
 def parse(html: str) -> Element:
@@ -172,10 +186,94 @@ def parse(html: str) -> Element:
     /root/reference/internal/crawler/crawler.go:291), else a synthetic
     document root wrapping everything.
     """
-    b = _TreeBuilder()
-    b.feed(html)
-    b.close()
-    for el in b.root.iter_elements():
-        if el.tag == "html":
-            return el
-    return b.root
+    if not isinstance(html, str):
+        html = str(html)
+    order = 0
+    root = Element("#document", _EMPTY_ATTRS, 0)
+    root.rootref = root
+    stack: list[Element] = [root]
+    top = root
+    n = len(html)
+    pos = 0
+    html_el: Element | None = None
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data = html[pos:]
+            if data:
+                t = TextNode(unescape(data) if "&" in data else data)
+                t.parent = top
+                top.children.append(t)
+            break
+        if lt > pos:
+            data = html[pos:lt]
+            t = TextNode(unescape(data) if "&" in data else data)
+            t.parent = top
+            top.children.append(t)
+        c = html[lt + 1 : lt + 2]
+        if c == "/":
+            m = _ENDTAG_RE.match(html, lt)
+            if m is None:
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+                continue
+            pos = m.end()
+            tag = _canon(m.group(1))
+            # pop to the nearest matching open tag; ignore unmatched
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    top = stack[-1]
+                    break
+            continue
+        if c == "!" or c == "?":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+            continue
+        m = _STARTTAG_RE.match(html, lt)
+        if m is None:
+            # bare '<' in text (html.parser emits it as data)
+            t = TextNode("<")
+            t.parent = top
+            top.children.append(t)
+            pos = lt + 1
+            continue
+        pos = m.end()
+        tag = _canon(m.group(1))
+        blob = m.group(2)
+        # implicit </p> before block-level elements
+        if top.tag == "p" and tag in _P_CLOSERS:
+            stack.pop()
+            top = stack[-1]
+        order += 1
+        el = Element(tag, _parse_attrs(blob) if blob else {}, order)
+        el.parent = top
+        el.rootref = root
+        top.children.append(el)
+        if html_el is None and tag == "html":
+            html_el = el
+        if m.group(3) or tag in VOID_ELEMENTS:
+            continue
+        raw = _RAW_CLOSE.get(tag)
+        if raw is not None:
+            # CDATA content: no entity decoding, no nested tags
+            mm = raw.search(html, pos)
+            end = mm.start() if mm else n
+            if end > pos:
+                t = TextNode(html[pos:end])
+                t.parent = el
+                el.children.append(t)
+            if mm:
+                gt = find(">", mm.start())
+                pos = n if gt < 0 else gt + 1
+            else:
+                pos = n
+            continue
+        stack.append(el)
+        top = el
+    return html_el if html_el is not None else root

@@ -93,6 +93,31 @@ class CrawlConfig:
     def budget(self) -> int:
         return fr.host_budget(self.round_wall_s, self.delay_ms, self.parallelism)
 
+    def validate(self) -> None:
+        """V10 job validation (reference JobValidator,
+        internal/content/job.go:59-71 / internal/job/service.go:96-101):
+        reject a crawl job with a nonsensical config before any Spark
+        work is dispatched."""
+        problems = []
+        if self.max_depth < 0:
+            problems.append(f"max_depth must be >= 0, got {self.max_depth}")
+        if self.max_rounds < 1:
+            problems.append(f"max_rounds must be >= 1, got {self.max_rounds}")
+        if self.round_wall_s <= 0:
+            problems.append(f"round_wall_s must be > 0, got {self.round_wall_s}")
+        if self.parallelism < 1:
+            problems.append(f"parallelism must be >= 1, got {self.parallelism}")
+        if self.max_retries < 0:
+            problems.append(f"max_retries must be >= 0, got {self.max_retries}")
+        if self.bloom_shards < 1 or self.bloom_bits < 8:
+            problems.append("bloom_shards must be >= 1 and bloom_bits >= 8")
+        if self.n_salts < 1:
+            problems.append(f"n_salts must be >= 1, got {self.n_salts}")
+        if self.fetch_mode not in ("corpus", "http"):
+            problems.append(f"fetch_mode must be 'corpus' or 'http', got {self.fetch_mode!r}")
+        if problems:
+            raise ValueError("invalid crawl job config: " + "; ".join(problems))
+
 
 def _round_dir(run_dir: str, rnd: int) -> str:
     return os.path.join(run_dir, "rounds", f"round={rnd:04d}")
@@ -201,6 +226,13 @@ class CrawlRun:
         self.seeds = seeds
         self.run_dir = run_dir
         self.cfg = cfg or CrawlConfig()
+        self.cfg.validate()  # V10: reject invalid jobs up front
+        if isinstance(seeds, list):
+            from gocrawl_spark import canonicalize as _canon
+
+            bad = [u for u in seeds if not _canon.is_valid_url(u)]
+            if bad:
+                raise ValueError(f"invalid seed URLs in job: {bad[:5]}")
         # robots(host, rules): one row per host, broadcast at the gate
         self.robots = robots
         # host_policy(domain, delay_ms, parallelism): per-host overrides
@@ -308,7 +340,7 @@ class CrawlRun:
                 delay_ms=cfg.delay_ms,
                 proxy_base=cfg.http_proxy_base,
             ).persist()
-            fetched = resp.filter(F.col("status") == 200).drop("status")
+            fetched = resp.filter(F.col("status") == 200).drop("status", "final_url")
             if cfg.max_retries > 0:
                 transient = resp.filter(
                     (F.col("status") == 0) | (F.col("status") >= 500)
@@ -450,6 +482,12 @@ class CrawlRun:
             ]
             if bloom_delta_df is not None:
                 futs.append(pool.submit(self._write, bloom_delta_df, rnd, "bloom"))
+            if resp is not None:
+                # F10: record followed redirects (request → landing URL)
+                redirects = resp.filter(
+                    F.col("final_url") != F.col("url")
+                ).select("url", "final_url", "status")
+                futs.append(pool.submit(self._write, redirects, rnd, "redirects"))
             for f in futs:
                 f.result()
         t["writes"] = time.perf_counter() - t0
@@ -624,6 +662,11 @@ class CrawlRun:
         return self.spark.read.parquet(*parts)
 
     def run(self, resume: bool = True) -> list[dict]:
+        if self.cfg.fetch_mode == "corpus" and self.corpus is None:
+            raise ValueError(
+                "crawl job has no corpus table (fetch_mode='corpus'); "
+                "pass a corpus DataFrame or use fetch_mode='http'"
+            )
         start = 0
         bloom: fr.BloomFilter | None = None
         last = last_committed_round(self.run_dir) if resume else None
@@ -744,4 +787,11 @@ class CrawlRun:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self.run_dir, "rounds", "round=*", "metrics")
+        )
+
+    def redirects(self) -> DataFrame:
+        """F10: (url, final_url, status) for every followed redirect of
+        every committed round (http fetch mode only)."""
+        return self.spark.read.parquet(
+            os.path.join(self.run_dir, "rounds", "round=*", "redirects")
         )

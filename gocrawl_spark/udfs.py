@@ -106,6 +106,19 @@ def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
 _ART_FIELDS = [f.name for f in ARTICLE.fields]
 _PAGE_FIELDS = [f.name for f in PAGE.fields]
 
+# The UDF ships FLAT typed columns (a_*/p_*) over Arrow — primitive
+# arrays serialize far cheaper than object-dtype dict-per-row struct
+# columns — and extract_pages re-assembles the article/page structs
+# JVM-side with one codegen'd projection (null struct when the row is
+# the other content type, preserving the nullable-struct contract).
+_FLAT_SCHEMA = (
+    "url string, content_type string, links array<string>, "
+    "article_valid boolean, skip_reason string, "
+    + ", ".join(f"a_{f.name} {f.dataType.simpleString()}" for f in ARTICLE.fields)
+    + ", "
+    + ", ".join(f"p_{f.name} {f.dataType.simpleString()}" for f in PAGE.fields)
+)
+
 EXTRACT_SCHEMA = (
     "url string, content_type string, links array<string>, "
     "article_valid boolean, skip_reason string, "
@@ -120,13 +133,7 @@ def _article_row(d: dict | None) -> dict | None:
     d = dict(d)
     d["word_count"] = v.calculate_word_count(d.get("body", ""))
     d = v.prepare_for_indexing(d)  # V9 blank-out/dedupe, like gocrawl pre-index
-    return {k: d.get(k) for k in _ART_FIELDS}
-
-
-def _page_row(d: dict | None) -> dict | None:
-    if d is None:
-        return None
-    return {k: d.get(k) for k in _PAGE_FIELDS}
+    return d
 
 
 def make_extract_fn(
@@ -156,16 +163,18 @@ def make_extract_fn(
                     break
         return hit if hit is not None else (article_sel, page_sel)
 
+    a_cols = [f"a_{f}" for f in _ART_FIELDS]
+    p_cols = [f"p_{f}" for f in _PAGE_FIELDS]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {
-                "url": [],
-                "content_type": [],
-                "links": [],
-                "article_valid": [],
-                "skip_reason": [],
-                "article": [],
-                "page": [],
+                k: []
+                for k in (
+                    ["url", "content_type", "links", "article_valid", "skip_reason"]
+                    + a_cols
+                    + p_cols
+                )
             }
             for url, html in zip(pdf["url"], pdf["html"]):
                 h = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
@@ -180,13 +189,22 @@ def make_extract_fn(
                 valid, reason = (True, "")
                 if art is not None:
                     valid, reason = v.validate_article(art)
+                    art = _article_row(art)
                 rows["url"].append(url)
                 rows["content_type"].append(res["content_type"])
                 rows["links"].append(res["links"])
                 rows["article_valid"].append(bool(valid))
                 rows["skip_reason"].append(reason)
-                rows["article"].append(_article_row(art))
-                rows["page"].append(_page_row(page))
+                if art is not None:
+                    for f, c in zip(_ART_FIELDS, a_cols):
+                        rows[c].append(art.get(f))
+                    for c in p_cols:
+                        rows[c].append(None)
+                else:
+                    for c in a_cols:
+                        rows[c].append(None)
+                    for f, c in zip(_PAGE_FIELDS, p_cols):
+                        rows[c].append(page.get(f) if page else None)
             yield pd.DataFrame(rows)
 
     return run
@@ -210,7 +228,25 @@ def extract_pages(
     fn = make_extract_fn(
         article_sel, page_sel, sel_map=sel_map, want_links=want_links, repeat=repeat
     )
-    return fetched.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
+    flat = fetched.select("url", "html").mapInPandas(fn, schema=_FLAT_SCHEMA)
+    # re-assemble the nullable structs JVM-side (one codegen projection)
+    art = F.when(
+        F.col("content_type") == "article",
+        F.struct(*[F.col(f"a_{f}").alias(f) for f in _ART_FIELDS]),
+    ).otherwise(F.lit(None).cast(ARTICLE))
+    page = F.when(
+        F.col("content_type") != "article",
+        F.struct(*[F.col(f"p_{f}").alias(f) for f in _PAGE_FIELDS]),
+    ).otherwise(F.lit(None).cast(PAGE))
+    return flat.select(
+        "url",
+        "content_type",
+        "links",
+        "article_valid",
+        "skip_reason",
+        art.alias("article"),
+        page.alias("page"),
+    )
 
 
 __all__ = [

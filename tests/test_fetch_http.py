@@ -40,6 +40,18 @@ def web(spark, sf_dir):
                 self.send_response(503)
                 self.end_headers()
                 return
+            if self.path.startswith("/hop/"):
+                # F10: permanent redirect to the canonical location
+                self.send_response(301)
+                self.send_header("Location", self.path.removeprefix("/hop"))
+                self.end_headers()
+                return
+            if "/moved/" in self.path:
+                # crawl-space-visible redirect: moved path → article path
+                self.send_response(301)
+                self.send_header("Location", self.path.replace("/moved/", "/article/"))
+                self.end_headers()
+                return
             key = self.path.removeprefix("/flaky")
             body = pages.get(key)
             if body is None:
@@ -83,6 +95,46 @@ def test_http_mode_equals_corpus_mode(spark, web, tmp_path):
     art_h = {r["id"]: (r["title"], r["body"]) for r in via_http.articles().collect()}
     art_j = {r["id"]: (r["title"], r["body"]) for r in via_join.articles().collect()}
     assert art_h == art_j and len(art_h) > 0
+
+
+def test_redirects_followed_and_recorded(spark, web):
+    """F10: redirects are followed (colly/net/http default) and the
+    landing URL is recorded in final_url, mapped back to crawl space."""
+    from gocrawl_spark import fetch, udfs
+
+    base, corpus, _ = web
+    u = synth.url_of(4)
+    batch = udfs.with_url_identity(
+        corpus.sparkSession.createDataFrame([(u,)], "url string")
+    )
+    out = fetch.fetch_http(batch, proxy_base=base + "/hop").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["status"] == 200
+    assert r["final_url"] == u  # /hop/<host><path> 301s to /<host><path>
+    assert bytes(r["html"]).startswith(b"<!DOCTYPE html>")
+    # no-redirect fetch keeps final_url == url
+    out2 = fetch.fetch_http(batch, proxy_base=base).collect()
+    assert out2[0]["final_url"] == u and out2[0]["status"] == 200
+
+
+def test_redirect_table_in_snapshot(spark, web, tmp_path):
+    """A crawl in http mode records crawl-space-visible redirects in
+    the round snapshot's `redirects` table (F10)."""
+    base, corpus, _ = web
+    canonical = synth.url_of(7)  # .../article/7
+    moved = canonical.replace("/article/", "/moved/")
+    cfg = CrawlConfig(
+        max_depth=0, round_wall_s=10.0, max_rounds=1, use_bloom=False,
+        fetch_mode="http", http_proxy_base=base,
+    )
+    run = CrawlRun(spark, None, [moved], str(tmp_path / "rdir"), cfg)
+    history = run.run(resume=False)
+    assert history[0]["fetched"] == 1
+    rows = run.redirects().collect()
+    assert [(r["url"], r["final_url"], r["status"]) for r in rows] == [
+        (moved, canonical, 200)
+    ]
 
 
 def test_http_transient_503_retries(spark, web, tmp_path):

@@ -63,6 +63,31 @@ def test_pop_split_partitions_frontier(small_frontier):
         df.unpersist()
 
 
+def test_pop_split_degenerate_budget_fast_path(spark):
+    """k ≥ n per domain → the pop is the identity: whole frontier
+    admitted, nothing ranked, rest empty."""
+    rows = [(f"https://{d}/p/{i}", d, 0, 5, i, 10) for d in ("a.com", "b.com") for i in range(4)]
+    f = _frontier_df(spark, rows)
+    batch, rest, cached = fr.pop_split(f, n_salts=4)
+    assert {r.url for r in batch.collect()} == {r.url for r in f.collect()}
+    assert rest.count() == 0 and cached == []
+
+
+def test_pop_split_hot_cold_equals_full_ranking(spark):
+    """Mixed budgets: over-budget domains ranked, under-budget domains
+    passed through — output must equal pop_batch's full ranking."""
+    rows = [(f"https://hot.com/p/{i}", "hot.com", 0, 9 - i, i, 2) for i in range(6)]
+    rows += [(f"https://cold.com/p/{i}", "cold.com", 0, 5, i, 9) for i in range(3)]
+    f = _frontier_df(spark, rows)
+    batch, rest, cached = fr.pop_split(f, n_salts=4)
+    b = {r.url for r in batch.collect()}
+    assert b == {r.url for r in fr.pop_batch(f, n_salts=4).collect()}
+    assert {r.url for r in rest.collect()} == {f"https://hot.com/p/{i}" for i in range(2, 6)}
+    assert all(u.startswith("https://cold.com/") or "p/0" in u or "p/1" in u for u in b)
+    for df in cached:
+        df.unpersist()
+
+
 def test_host_budget():
     # 60s round, 2s delay, parallelism 2 → 60 tokens (30 × 2)
     assert fr.host_budget(60.0, 2000, 2) == 60

@@ -32,7 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "64"))
-LEVELS = (8, 32)
+# the N and 4N core counts; "2,8" stays inside the host's linear
+# memory-bandwidth region (models N→4N executors with fixed per-node
+# parallelism), "8,32" additionally stresses one shared DRAM domain
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
+)
 
 
 def build_replicated_corpus(spark, sf_dir: str, replicas: int, out_dir: str) -> None:
@@ -71,8 +76,15 @@ def run_level(cpus: int, corpus_dir: str) -> dict:
         .appName(f"scaling-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        # match bench.py's tuned arrow batch: multi-KB html rows
+        # pipeline scan→python→write far better at 2048 than 10k
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,10 +123,13 @@ def main() -> None:
         print(json.dumps(run_level(int(sys.argv[2]), sys.argv[3])))
         return
 
-    # shared corpus built once by a throwaway session
+    # shared corpus built once by a throwaway session (or reused via
+    # SPARK_GRAFT_CORPUS_DIR when running several level pairs)
     from pyspark.sql import SparkSession
 
-    corpus_dir = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"), "corpus")
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR") or os.path.join(
+        tempfile.mkdtemp(prefix="scaling_corpus_"), "corpus"
+    )
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.driver.memory", "16g")
@@ -122,15 +137,18 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build_replicated_corpus(spark, SF_DIR, REPLICAS, corpus_dir)
+    if not os.path.isdir(corpus_dir):
+        build_replicated_corpus(spark, SF_DIR, REPLICAS, corpus_dir)
     n = spark.read.parquet(corpus_dir).count()
     spark.stop()
     print(f"# corpus: {n} pages ({REPLICAS}x {SF_DIR})", file=sys.stderr)
 
     results = {}
+    all_trials: dict[int, list] = {}
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     for cpus in LEVELS:
         best = None
+        all_trials[cpus] = []
         for trial in range(trials):
             # quiesce: let the previous run's page-cache writeback drain
             # so one leg isn't billed for the other's dirty pages
@@ -147,6 +165,7 @@ def main() -> None:
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             print(f"# local[{cpus}] trial {trial}: {r}", file=sys.stderr)
+            all_trials[cpus].append(r["urls_per_sec"])
             if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                 best = r
         results[cpus] = best
@@ -155,8 +174,10 @@ def main() -> None:
     eff = fourn["urls_per_sec"] / (4 * n_["urls_per_sec"])
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
+        "levels": list(LEVELS),
         "N": n_, "fourN": fourn,
         "efficiency": round(eff, 3),
+        "all_trials_urls_per_sec": all_trials,
         "replicas": REPLICAS, "sf_dir": SF_DIR, "corpus_pages": n,
     }
     print(json.dumps(summary))
