@@ -213,6 +213,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["validate_length_v4"] = validate_length_v4
 
+    def curate_corpus(spark, sf_dir):
+        """End-to-end curation pipeline (language-ID → quality gate →
+        exact-dedup survivors) over the corpus with injected exact
+        duplicates — the per-shard training-data pass, one scan + one
+        content-hash shuffle (curation.py)."""
+        from gocrawl_spark import curation
+
+        return curation.curate(
+            _aug_exact(_docs(spark, sf_dir)), langs=("en",), min_quality=0.5
+        )
+
+    q["curate_corpus"] = curate_corpus
+
     # -- dedup --------------------------------------------------------------
     def dedup_exact(spark, sf_dir):
         return dedup.exact_dup_groups(_aug_exact(_docs(spark, sf_dir)))
@@ -699,6 +712,43 @@ def oracle_sql() -> dict[str, str]:
                WHEN h_es = best THEN 'es'
                ELSE 'zh' END AS pred_lang
         FROM m
+    """
+
+    # curation pipeline = langid CASE ∘ quality formula ∘ dedup window,
+    # composed from the same verified building blocks, over the
+    # dup-injected corpus
+    o["curate_corpus"] = rf"""
+        WITH aug AS ({_SQL_AUG_EXACT}),
+        h AS (
+          SELECT doc_id, text, {hit_cols},
+                 len(regexp_extract_all(lower(text), '{_stop}', 1)) AS stop_hits,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct_cnt,
+                 length(text)::DOUBLE AS n_chars,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+          FROM aug),
+        m AS (
+          SELECT doc_id, text, n_tokens,
+                 CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                      WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                      WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                      ELSE 'zh' END AS pred_lang,
+                 round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE,
+                         (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                     + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                         (CASE WHEN n_chars > 0 THEN punct_cnt / n_chars ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)),
+                     6) AS quality
+          FROM h),
+        k AS (SELECT * FROM m WHERE pred_lang = 'en' AND quality >= 0.5::DOUBLE),
+        d AS (
+          SELECT doc_id, pred_lang, quality, n_tokens,
+                 row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM k)
+        SELECT doc_id, pred_lang, quality, n_tokens FROM d WHERE rn = 1
     """
 
     o["text_fingerprint"] = rf"""

@@ -17,6 +17,7 @@ Layers:
 - ``dedup``         exact / MinHash+LSH / SimHash / n-gram-Jaccard dedup
 - ``similarity``    embedding similarity search (brute-force, IVF, LSH)
 - ``textstats``     lang-id, quality scores, token counts, fingerprints
+- ``curation``      training-data curation pipeline (langid ∘ quality ∘ dedup)
 - ``multimodal``    binary media columns (real PNG/WAV headers; pixel decode stubbed)
 - ``discovery``     selector auto-discovery batch job
 - ``streaming``     Structured Streaming ingestion façade

@@ -69,6 +69,8 @@ def cmd_crawl(args) -> int:
         round_wall_s=args.round_wall_s,
         max_rounds=args.max_rounds,
         respect_robots=args.respect_robots,
+        fetch_mode="http" if args.fetch_http else "corpus",
+        http_proxy_base=args.proxy_base,
     )
     robots = rb.synth_robots(spark) if args.respect_robots and args.synth_robots else None
     crawl = CrawlRun(spark, corpus, seeds, args.run_dir, cfg, robots=robots, sources=sources)
@@ -243,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--round-wall-s", type=float, default=60.0)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--respect-robots", action="store_true")
+    c.add_argument("--fetch-http", action="store_true",
+                   help="real HTTP fetch mode instead of the corpus join (S2 variant)")
+    c.add_argument("--proxy-base",
+                   help="rewrite https://host/path onto BASE/host/path (loopback/forward proxy)")
     c.add_argument("--synth-robots", action="store_true")
     c.add_argument("--publish", help="warehouse dir to upsert articles/pages into")
     c.set_defaults(fn=cmd_crawl)

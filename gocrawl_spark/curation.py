@@ -1,0 +1,63 @@
+"""End-to-end training-data curation over a document corpus.
+
+The single pipeline a pretraining-data run applies per shard, composed
+from this package's primitives, all JVM-side built-ins until the final
+projection (one scan, one shuffle for the dedup group):
+
+    language-ID filter  →  quality gate  →  exact-dedup survivors
+
+Scale shape: langid/quality are pure codegen'd expressions evaluated in
+the scan (no shuffle, predicate applied before the dedup exchange);
+the only shuffle keys on the content hash (high cardinality, balanced);
+map-side partial aggregation reduces each duplicate class early. At
+100 TB this is exactly the plan you want: filters first so the shuffle
+carries only the kept fraction.
+
+Near-dup variants (MinHash/SimHash/embedding blocking) chain after the
+exact pass — see dedup.py / similarity.py; exact-first is the standard
+ordering since it removes the cheap mass before banded candidate
+generation pays per-pair cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gocrawl_spark import textstats
+
+
+def curate(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kept documents with their curation features:
+    (doc_id, pred_lang, quality, n_tokens). A document survives when
+    its predicted language is in `langs`, its quality score ≥
+    `min_quality`, and it is the canonical (lowest-id) member of its
+    exact-duplicate class."""
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        textstats.predict_lang(text_col).alias("pred_lang"),
+        F.round(textstats.quality_score(text_col), 6).alias("quality"),
+        textstats.token_count(text_col).alias("n_tokens"),
+    )
+    kept = feat.filter(
+        F.col("pred_lang").isin(list(langs)) & (F.col("quality") >= min_quality)
+    )
+    # exact dedup among the kept: canonical = min doc_id per normalized
+    # content hash (same key as dedup.exact_dedup)
+    key = F.md5(F.trim(F.regexp_replace(F.lower(F.col("_text")), r"\s+", " ")))
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )
+
+
+__all__ = ["curate"]

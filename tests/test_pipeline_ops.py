@@ -236,6 +236,19 @@ def test_bm25_ranks_rarer_terms_higher(spark, docs):
     assert all(r["score"] > 0 for r in out)
 
 
+def test_curate_pipeline(spark, docs):
+    """Curation = langid filter ∘ quality gate ∘ exact-dedup survivors
+    in one pipeline (curation.py)."""
+    from gocrawl_spark import curation
+
+    out = {r["doc_id"]: r for r in curation.curate(docs, langs=("en",), min_quality=0.0).collect()}
+    assert 1 in out and 6 not in out  # 6 is an exact dup of 1; min id survives
+    assert 3 not in out and 4 not in out  # de/fr filtered
+    assert 7 not in out  # empty text → 'und'
+    assert set(out) == {1, 2, 5}
+    assert all(r["n_tokens"] > 0 and 0.0 <= r["quality"] <= 1.0 for r in out.values())
+
+
 # -------------------------------------------------------------- multimodal
 
 
