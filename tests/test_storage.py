@@ -1,0 +1,64 @@
+"""Co-located fetch join over a bucketed corpus: the html side must
+not shuffle (exactly one Exchange — the frontier side), and crawl
+results over the bucketed table must equal the plain-parquet path."""
+
+from __future__ import annotations
+
+import pytest
+
+from gocrawl_spark import storage, synth
+from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    storage.write_bucketed_corpus(corpus, table="t_corpus_bucketed", buckets=8)
+    yield storage.bucketed_corpus(spark, "t_corpus_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_corpus_bucketed")
+
+
+def test_bucketed_join_shuffles_only_frontier(spark, sf_dir, bucketed, tmp_path):
+    """J2 plan contract at scale: the corpus (html payload) side of the
+    fetch join reads straight from its buckets — no Exchange above the
+    corpus scan. An external (snapshot-read) frontier pays the ONLY
+    shuffle; a frontier derived from the bucketed table inherits the
+    distribution and the join is fully exchange-free."""
+    from gocrawl_spark.rounds import init_frontier_df
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # = bucket count
+    try:
+        # external frontier (the per-round snapshot read): 1 Exchange,
+        # on the narrow frontier side only
+        init_frontier_df(bucketed.select("url")).write.parquet(str(tmp_path / "f"))
+        external = spark.read.parquet(str(tmp_path / "f"))
+        assert storage.n_exchanges(external.join(bucketed, "url", "inner")) == 1
+        # bucket-aligned frontier: fully exchange-free
+        aligned = init_frontier_df(bucketed.select("url"))
+        assert storage.n_exchanges(aligned.join(bucketed, "url", "inner")) == 0
+        # plain parquet corpus: both sides shuffle (incl. the html)
+        unbucketed = synth.corpus_from_documents(spark, sf_dir)
+        assert storage.n_exchanges(external.join(unbucketed, "url", "inner")) == 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_crawl_over_bucketed_corpus_equivalent(spark, sf_dir, bucketed, tmp_path):
+    """A crawl against the bucketed table yields the identical seen set
+    as against the plain parquet corpus."""
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seeds = synth.seed_urls(n, k=8)
+    cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False)
+    run_b = CrawlRun(spark, bucketed, seeds, str(tmp_path / "b"), cfg)
+    run_b.run(resume=False)
+    plain = synth.corpus_from_documents(spark, sf_dir)
+    run_p = CrawlRun(spark, plain, seeds, str(tmp_path / "p"), cfg)
+    run_p.run(resume=False)
+    sb = sorted((r["url"], r["fetched_round"]) for r in run_b.seen_final().collect())
+    sp = sorted((r["url"], r["fetched_round"]) for r in run_p.seen_final().collect())
+    assert sb == sp and len(sb) > 8
