@@ -17,6 +17,17 @@ semantics from the stream checkpoint.
   foreachBatch-appending new URLs into a CrawlRun's frontier seed
   table; each micro-batch is deduped against the frontier the same way
   round candidates are.
+- :func:`stream_dedup_urls` — the F7 URL-seen filter as a CUSTOM
+  STATEFUL operator (``applyInPandasWithState``): candidate URLs
+  stream in, first-seen URLs stream out, and the seen set lives in
+  sharded group state that survives micro-batches AND restarts (state
+  store in the checkpoint). State is keyed by the url_hash prefix
+  shard — the same sharding as the batch Bloom filter — so state rows
+  stay bounded per key and scale horizontally with shards. At 10^10
+  URLs the exact per-shard hash set becomes a bloom bitset in the same
+  state slot (binary column), trading the false-positive rate for
+  constant state size; the exact form here keeps the semantics
+  assertable.
 """
 
 from __future__ import annotations
@@ -88,6 +99,67 @@ def stream_seeds(
 
     writer = src.writeStream.foreachBatch(absorb).option(
         "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_urls(
+    spark: SparkSession,
+    urls_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 16,
+    available_now: bool = True,
+):
+    """Streaming URL-seen filter (F7 as a stateful streaming operator).
+
+    Text-file drops of candidate URLs → parquet of FIRST-SEEN URLs
+    only, deduped across micro-batches and restarts via per-shard
+    group state. Returns the StreamingQuery.
+    """
+    import pandas as pd
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        urls, hashes = [], []
+        for pdf in pdfs:
+            for url, h in zip(pdf["url"], pdf["url_hash"]):
+                if h not in seen:
+                    seen.add(h)
+                    urls.append(url)
+                    hashes.append(h)
+        state.update((list(seen),))
+        if urls:
+            yield pd.DataFrame(
+                {"shard": [int(key[0])] * len(urls), "url": urls, "url_hash": hashes}
+            )
+
+    src = (
+        spark.readStream.format("text")
+        .load(urls_dir)
+        .select(F.trim("value").alias("url"))
+        .filter(F.col("url") != "")
+        .withColumn("url_hash", F.sha2("url", 256))
+        .withColumn(
+            "shard",
+            F.pmod(F.conv(F.substring("url_hash", 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int"),
+        )
+    )
+    deduped = src.groupBy("shard").applyInPandasWithState(
+        dedup,
+        outputStructType="shard int, url string, url_hash string",
+        stateStructType="hashes array<string>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

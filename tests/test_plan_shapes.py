@@ -1,0 +1,65 @@
+"""Physical-plan contracts: pushdown, pruning, and shuffle counts for
+the hot paths. These pin the properties the engine's 100 TB story
+rests on — a plan regression fails loudly even while results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from gocrawl_spark import synth
+from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir, tmp_path_factory):
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=2, use_bloom=False)
+    r = CrawlRun(spark, corpus, synth.seed_urls(n, k=8),
+                 str(tmp_path_factory.mktemp("planrun")), cfg)
+    r.run(resume=False)
+    return r
+
+
+def test_articles_view_prunes_and_pushes(spark, run):
+    """articles() is a projection of the extracted snapshot: the scan
+    must read ONLY the article struct + flags (no html-derived page
+    struct, no links) and push the validity filters into the scan."""
+    plan = _plan(run.articles().select("id", "title"))
+    scan = plan[plan.index("FileScan") :]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    assert "PushedFilters: [" in scan
+    assert "IsNotNull(content_type)" in scan or "EqualTo(content_type,article)" in scan
+    # column pruning: page struct and links never leave the scan
+    assert "page" not in head.split("ReadSchema")[-1]
+    assert "links" not in head.split("ReadSchema")[-1]
+
+
+def test_seen_filter_antijoin_prunes_to_hash(spark, run):
+    """The exact seen anti-join (J3) must scan only url_hash from the
+    seen deltas, not the full rows."""
+    from gocrawl_spark import frontier as fr
+    from gocrawl_spark.rounds import init_frontier_df
+
+    cand = init_frontier_df(run.corpus.select("url").limit(50))
+    out = fr.filter_unseen(cand, run.seen_final(), None, spark)
+    plan = _plan(out)
+    # the seen-side FileScan reads only url_hash
+    seen_scans = [seg for seg in plan.split("FileScan") if "/seen" in seg]
+    assert seen_scans, plan
+    assert all("url_hash" in seg.split("ReadSchema:")[-1][:120] for seg in seen_scans)
+    assert all("fetched_round" not in seg.split("ReadSchema:")[-1][:120] for seg in seen_scans)
+
+
+def test_metrics_scan_partition_pruning(spark, run):
+    """Round-partitioned snapshot layout: reading one round's metrics
+    touches one directory, not the whole run (the Iceberg
+    partition-pruning analogue)."""
+    m = run.metrics().filter("round = 0")
+    plan = _plan(m)
+    assert "PushedFilters" in plan or "PartitionFilters" in plan

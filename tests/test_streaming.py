@@ -53,6 +53,39 @@ def test_stream_extract_incremental(spark, sf_dir):
     assert out.select("url").distinct().count() == 150
 
 
+def test_stream_dedup_urls_stateful(spark):
+    """Custom stateful operator (applyInPandasWithState): the URL-seen
+    state must survive micro-batches AND stream restarts — a URL from
+    drop 1 re-arriving in drop 2 is suppressed by the state store, not
+    by any external table."""
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    urls_dir = os.path.join(base, "urls")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(urls_dir)
+
+    with open(os.path.join(urls_dir, "a.txt"), "w") as f:
+        f.write("https://a.example.com/1\nhttps://a.example.com/2\nhttps://a.example.com/1\n")
+    q = streaming.stream_dedup_urls(spark, urls_dir, out_dir, ckpt, n_shards=4)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(out_dir)
+    assert sorted(r.url for r in out1.collect()) == [
+        "https://a.example.com/1", "https://a.example.com/2",
+    ]
+
+    # restart with a drop overlapping drop 1: only the new URL emits
+    with open(os.path.join(urls_dir, "b.txt"), "w") as f:
+        f.write("https://a.example.com/2\nhttps://a.example.com/3\n")
+    q2 = streaming.stream_dedup_urls(spark, urls_dir, out_dir, ckpt, n_shards=4)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(out_dir)
+    assert sorted(r.url for r in out2.collect()) == [
+        "https://a.example.com/1", "https://a.example.com/2", "https://a.example.com/3",
+    ]
+    # shards route by url_hash prefix, matching the batch bloom sharding
+    assert out2.select("shard").distinct().count() >= 1
+
+
 def test_stream_seeds_dedup(spark):
     base = tempfile.mkdtemp(prefix="stream_seed_")
     seeds_dir = os.path.join(base, "seeds")
