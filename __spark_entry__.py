@@ -648,6 +648,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_terms_a2"] = search_aggs_terms_a2
 
+    def search_aggs_minmax_a2(spark, sf_dir):
+        """A2: terms bucket with min/max/value_count metric sub-aggs
+        (decimal-exact values for cross-engine hashing)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "value_dec", F.round(F.col("value"), 4).cast("decimal(18,4)")
+        )
+        out = search.es_aggs(
+            ev,
+            {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 3},
+                    "aggs": {
+                        "min_value": {"min": {"field": "value_dec"}},
+                        "max_value": {"max": {"field": "value_dec"}},
+                        "n_vals": {"value_count": {"field": "value"}},
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key",
+            "doc_count",
+            F.col("min_value").cast("double").alias("min_value"),
+            F.col("max_value").cast("double").alias("max_value"),
+            "n_vals",
+        )
+
+    q["search_aggs_minmax_a2"] = search_aggs_minmax_a2
+
+    def search_aggs_cardinality_a2(spark, sf_dir):
+        """A2 bare metric agg (size:0-style body, one row out)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return search.es_aggs(ev, {"users": {"cardinality": {"field": "user_id"}}})
+
+    q["search_aggs_cardinality_a2"] = search_aggs_cardinality_a2
+
     def search_aggs_datehist_a2(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         out = search.es_aggs(
@@ -1058,6 +1094,19 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
         ORDER BY doc_count DESC, key ASC LIMIT 4
+    """
+
+    o["search_aggs_minmax_a2"] = """
+        SELECT event_type AS key, count(*) AS doc_count,
+               CAST(min(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+               CAST(max(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS max_value,
+               count(value) AS n_vals
+        FROM events GROUP BY 1
+        ORDER BY doc_count DESC, key ASC LIMIT 3
+    """
+
+    o["search_aggs_cardinality_a2"] = """
+        SELECT count(DISTINCT user_id) AS users FROM events
     """
 
     o["search_aggs_datehist_a2"] = """

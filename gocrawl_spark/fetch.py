@@ -130,4 +130,50 @@ def fetch_http(
     return batch.repartition("domain").mapInPandas(run, schema=out_schema)
 
 
-__all__ = ["fetch_http"]
+def fetch_robots(
+    hosts: DataFrame,
+    user_agent: str = "gocrawl",
+    timeout_s: float = 10.0,
+    proxy_base: str | None = None,
+) -> DataFrame:
+    """hosts(host) → robots(host, rules): one GET /robots.txt per
+    DISTINCT host, the live analogue of the static robots table
+    (colly's per-domain robots fetch, reference crawler.go collector
+    setup). RFC 9309 §2.3.1: a 4xx (unavailable) robots file means
+    crawling is unrestricted → empty rules; 5xx/network (unreachable)
+    is treated the same here, with the round loop's retries giving the
+    host another chance next round. The output plugs straight into
+    robots.gate / CrawlRun(robots=...)."""
+    from pyspark.sql.types import StringType, StructField as SF, StructType as ST
+
+    out_schema = ST([SF("host", StringType()), SF("rules", StringType())])
+
+    def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+
+        for pdf in parts:
+            rules: list[str] = []
+            for host in pdf["host"]:
+                target = (
+                    f"{proxy_base.rstrip('/')}/{host}/robots.txt"
+                    if proxy_base is not None
+                    else f"https://{host}/robots.txt"
+                )
+                text = ""
+                try:
+                    req = urllib.request.Request(
+                        target, headers={"User-Agent": user_agent}
+                    )
+                    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                        if int(resp.status) == 200:
+                            text = resp.read().decode("utf-8", errors="replace")
+                except Exception:
+                    text = ""  # unavailable/unreachable → unrestricted
+                rules.append(text)
+            yield pd.DataFrame({"host": list(pdf["host"]), "rules": rules})
+
+    return hosts.select("host").distinct().mapInPandas(run, schema=out_schema)
+
+
+__all__ = ["fetch_http", "fetch_robots"]

@@ -18,13 +18,18 @@ from gocrawl_spark.rounds import CrawlConfig, CrawlRun
 
 @pytest.fixture(scope="module")
 def web(spark, sf_dir):
-    """Loopback server serving the synthetic corpus at /<host>/<path>;
-    unknown paths 404. /flaky/... 503s on the first two hits (F9)."""
+    """Loopback server serving the synthetic corpus at /<host>/<path>
+    plus per-host /robots.txt; unknown paths 404. /flaky/... 503s on
+    the first two hits (F9)."""
+    from gocrawl_spark import robots as rb
+
     corpus = synth.corpus_from_documents(spark, sf_dir)
     pages = {}
     for r in corpus.collect():
         p = urlsplit(r["url"])
         pages[f"/{p.hostname}{p.path}"] = bytes(r["html"])
+    for r in rb.synth_robots(spark).collect():
+        pages[f"/{r['host']}/robots.txt"] = r["rules"].encode()
     hits = defaultdict(int)
     lock = threading.Lock()
 
@@ -116,6 +121,44 @@ def test_redirects_followed_and_recorded(spark, web):
     # no-redirect fetch keeps final_url == url
     out2 = fetch.fetch_http(batch, proxy_base=base).collect()
     assert out2[0]["final_url"] == u and out2[0]["status"] == 200
+
+
+def test_fetch_robots_live(spark, web, tmp_path):
+    """S3 live mode: robots.txt fetched per distinct host over HTTP;
+    missing robots (404) → unrestricted (RFC 9309 §2.3.1.2); a crawl
+    gated by the live-fetched table must equal one gated by the static
+    synth table."""
+    from gocrawl_spark import fetch
+    from gocrawl_spark import robots as rb
+
+    base, corpus, _ = web
+    hosts = spark.createDataFrame(
+        [("site00.example.com",), ("site02.example.com",), ("nowhere.example.com",)],
+        "host string",
+    )
+    got = {r["host"]: r["rules"] for r in
+           fetch.fetch_robots(hosts, proxy_base=base).collect()}
+    assert "Disallow: /page/" in got["site00.example.com"]  # host 0: i%3==0 rules
+    assert "Disallow: /" in got["site02.example.com"]  # host 2: i%5==2
+    assert got["nowhere.example.com"] == ""  # 404 → unrestricted
+
+    all_hosts = spark.createDataFrame(
+        [(f"site{i:02d}.example.com",) for i in range(16)], "host string"
+    )
+    live = fetch.fetch_robots(all_hosts, proxy_base=base)
+    n = 500
+    seeds = synth.seed_urls(n, k=8)
+    cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3,
+                      use_bloom=False, respect_robots=True)
+    run_live = CrawlRun(spark, corpus, seeds, str(tmp_path / "live"), cfg, robots=live)
+    run_live.run(resume=False)
+    run_static = CrawlRun(
+        spark, corpus, seeds, str(tmp_path / "static"), cfg, robots=rb.synth_robots(spark)
+    )
+    run_static.run(resume=False)
+    sl = sorted(r["url"] for r in run_live.seen_final().collect())
+    ss = sorted(r["url"] for r in run_static.seen_final().collect())
+    assert sl == ss and len(sl) > 0
 
 
 def test_redirect_table_in_snapshot(spark, web, tmp_path):
