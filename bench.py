@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_brute_cosine",
     "ann_ivf",
+    "emb_dup_pairs",
+    "curate_corpus",
     "search_bm25",
     "tpch_q1_lite",
     "crawl_extract_articles",
