@@ -227,6 +227,15 @@ class CrawlRun:
         self.run_dir = run_dir
         self.cfg = cfg or CrawlConfig()
         self.cfg.validate()  # V10: reject invalid jobs up front
+        # live robots discovery state (http mode, no static table):
+        # hosts whose robots.txt has been fetched this run
+        self._robots_hosts: set[str] = set()
+        self._robots_rows: list[tuple[str, str]] = []
+        self._live_robots = (
+            robots is None
+            and self.cfg.respect_robots
+            and self.cfg.fetch_mode == "http"
+        )
         if isinstance(seeds, list):
             from gocrawl_spark import canonicalize as _canon
 
@@ -252,11 +261,43 @@ class CrawlRun:
                 self.cfg.rules = src.combined_rules(sources) or None
 
     def _gate_robots(self, df: DataFrame) -> DataFrame:
-        if not self.cfg.respect_robots or self.robots is None:
+        if not self.cfg.respect_robots:
             return df
+        if self._live_robots:
+            # http mode with no static table: discover per-host robots
+            # for any hosts this gate hasn't seen yet (every round)
+            self._discover_robots(df)
+        if self.robots is None:
+            return df  # no table, no live endpoint: nothing to gate on
         from gocrawl_spark import robots as rb
 
         return rb.gate(df, self.robots, ua=self.cfg.user_agent)
+
+    def _discover_robots(self, candidates: DataFrame) -> None:
+        """Live S3: fetch robots.txt once per newly-seen host (the
+        reference fetches robots per collector domain) and grow the
+        broadcastable robots table. The host list per round is tiny
+        (bounded by new domains discovered), so the driver-side set is
+        cheap; rules text lives in the table like the static path."""
+        from gocrawl_spark import fetch as fh
+
+        hosts = {r["host"] for r in candidates.select("host").distinct().collect()}
+        new = sorted(hosts - self._robots_hosts)
+        if new:
+            fetched = fh.fetch_robots(
+                self.spark.createDataFrame([(h,) for h in new], "host string"),
+                user_agent=self.cfg.user_agent,
+                timeout_s=self.cfg.http_timeout_s,
+                proxy_base=self.cfg.http_proxy_base,
+            )
+            self._robots_rows.extend(
+                (r["host"], r["rules"]) for r in fetched.collect()
+            )
+            self._robots_hosts |= set(new)
+        if self._robots_rows:
+            self.robots = self.spark.createDataFrame(
+                self._robots_rows, "host string, rules string"
+            )
 
     def _budgeted(self, frontier_df: DataFrame) -> DataFrame:
         """Attach the per-host round budget (P1/P2): global config unless

@@ -161,6 +161,37 @@ def test_fetch_robots_live(spark, web, tmp_path):
     assert sl == ss and len(sl) > 0
 
 
+def test_live_robots_autodiscovery_in_crawl(spark, web, tmp_path):
+    """An http-mode crawl with respect_robots and NO static table must
+    discover per-host robots.txt live and match the corpus-join crawl
+    gated by the equivalent static table."""
+    from gocrawl_spark import robots as rb
+
+    base, corpus, _ = web
+    n = 500
+    seeds = synth.seed_urls(n, k=8)
+    live_cfg = CrawlConfig(
+        max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False,
+        respect_robots=True, fetch_mode="http", http_proxy_base=base, delay_ms=0,
+    )
+    run_live = CrawlRun(spark, None, seeds, str(tmp_path / "live"), live_cfg)
+    run_live.run(resume=False)
+    static_cfg = CrawlConfig(
+        max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False,
+        respect_robots=True,
+    )
+    run_static = CrawlRun(
+        spark, corpus, seeds, str(tmp_path / "static"), static_cfg,
+        robots=rb.synth_robots(spark),
+    )
+    run_static.run(resume=False)
+    sl = sorted(r["url"] for r in run_live.seen_final().collect())
+    ss = sorted(r["url"] for r in run_static.seen_final().collect())
+    assert sl == ss and len(sl) > 0
+    # the disallowed /category/ URLs never got fetched
+    assert not any("/category/" in u for u in sl)
+
+
 def test_redirect_table_in_snapshot(spark, web, tmp_path):
     """A crawl in http mode records crawl-space-visible redirects in
     the round snapshot's `redirects` table (F10)."""
