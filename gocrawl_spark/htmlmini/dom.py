@@ -133,13 +133,16 @@ class Element(Node):
 
 
 # start tag: name, raw attribute blob (quote-aware so '>' inside quoted
-# values is not a tag end), optional self-closing slash
+# values is not a tag end), optional self-closing slash. Tag names allow
+# ':', '_', '.' after the first letter (html.parser tagfind_tolerant) so
+# real-web namespaced markup (<o:p>, <fb:like>) parses as elements
+# instead of spilling into text nodes.
 _STARTTAG_RE = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"<([a-zA-Z][a-zA-Z0-9._:-]*)"
     r"((?:\s+[^\s/>][^\s/>=]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
     r"\s*(/?)>"
 )
-_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9._:-]*)[^>]*>")
 _ATTR_RE = re.compile(r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
 # raw-content close scanners (html.parser CDATA mode: script/style only)
 _RAW_CLOSE = {t: re.compile(rf"</\s*{t}", re.I) for t in ("script", "style")}

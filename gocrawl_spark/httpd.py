@@ -98,19 +98,30 @@ class SearchBackend:
 
 
 class _RateLimiter:
-    """Fixed-window per-client counter (security.go:196-203 analogue)."""
+    """Sliding-window per-client counter (security.go:196-203; the
+    reference's Cleanup ticker, security.go Cleanup, maps to the lazy
+    sweep below — expired clients are evicted so a long-running server
+    doesn't grow one hit list per distinct IP forever)."""
 
     def __init__(self, max_requests: int, window_s: float = 60.0):
         self.max_requests = max_requests
         self.window_s = window_s
         self._hits: dict[str, list[float]] = {}
         self._lock = threading.Lock()
+        self._last_sweep = time.monotonic()
 
     def allow(self, client: str) -> bool:
         if self.max_requests <= 0:
             return True
         now = time.monotonic()
         with self._lock:
+            if now - self._last_sweep > self.window_s:
+                self._last_sweep = now
+                self._hits = {
+                    c: h
+                    for c, h in self._hits.items()
+                    if h and now - h[-1] < self.window_s
+                }
             hits = [t for t in self._hits.get(client, []) if now - t < self.window_s]
             if len(hits) >= self.max_requests:
                 self._hits[client] = hits
@@ -180,20 +191,27 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
                 return
             if not self._guard():
                 return
+            # field coercion lives INSIDE the try: {"size": "abc"} or a
+            # non-string query/index must map to 400, not an uncaught
+            # handler-thread exception (api.go:95-106)
             try:
                 n = int(self.headers.get("Content-Length") or 0)
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(req, dict):
                     raise ValueError
-            except (ValueError, json.JSONDecodeError):
+                query = req.get("query") or ""
+                if not isinstance(query, str):
+                    raise ValueError
+                index = req.get("index") or "articles"
+                if not isinstance(index, str):
+                    raise ValueError
+                size = max(int(req.get("size") or 0), 0) or DEFAULT_SEARCH_SIZE
+            except (ValueError, TypeError, json.JSONDecodeError):
                 self._json(400, {"error": "Invalid request payload"}, secure=False)
                 return
-            query = req.get("query") or ""
             if not query:
                 self._json(400, {"error": "Query cannot be empty"}, secure=False)
                 return
-            index = req.get("index") or "articles"
-            size = int(req.get("size") or 0) or DEFAULT_SEARCH_SIZE
             try:
                 results, total = backend.search(index, query, size)
             except KeyError:

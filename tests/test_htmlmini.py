@@ -121,3 +121,15 @@ def test_unclosed_tags_recover():
     root = parse("<html><body><div><p>one<p>two</div><span>s</span></body></html>")
     assert [p.text() for p in find(root, "p")] == ["one", "two"]
     assert find(root, "span")[0].text() == "s"
+
+
+def test_namespaced_tags_parse_as_elements():
+    """ADVICE: real-web namespaced/underscore/dot tag names (<o:p>,
+    <fb:like>) must tokenize as elements (html.parser
+    tagfind_tolerant), not spill into extracted text."""
+    root = parse("<div><o:p>ms office</o:p><fb:like href='x'></fb:like>tail</div>")
+    div = find(root, "div")[0]
+    kids = [e for e in div.children if getattr(e, "tag", None)]
+    assert [e.tag for e in kids] == ["o:p", "fb:like"]
+    assert kids[0].text() == "ms office"
+    assert kids[1].attrs.get("href") == "x"

@@ -127,3 +127,27 @@ def test_backend_from_warehouse(spark, tmp_path, corpus_df):
     backend = httpd.SearchBackend.from_warehouse(spark, str(tmp_path / "wh"))
     results, total = backend.search("articles", "spark", 10)
     assert total == 3 and [r["id"] for r in results] == ["a1", "a3", "a5"]
+
+
+def test_bad_field_types_return_400(server):
+    """ADVICE: coercion inside the 400 try — bad size/query/index types
+    must yield a JSON 400, not a dropped connection."""
+    for payload in (
+        {"query": "x", "size": "abc"},
+        {"query": 5},
+        {"query": "x", "index": ["articles"]},
+    ):
+        code, body, _ = _post(server, "/search", payload)
+        assert code == 400 and body["error"] == "Invalid request payload"
+
+
+def test_rate_limiter_evicts_expired_clients():
+    """The sweep drops clients whose whole window expired (the
+    reference's Cleanup ticker analogue)."""
+    rl = httpd._RateLimiter(2, window_s=0.05)
+    assert rl.allow("1.2.3.4") and rl.allow("5.6.7.8")
+    import time as _t
+
+    _t.sleep(0.12)
+    assert rl.allow("9.9.9.9")  # triggers the sweep
+    assert set(rl._hits) == {"9.9.9.9"}
