@@ -49,12 +49,19 @@ def fetch_http(
     timeout_s: float = 10.0,
     delay_ms: int = 0,
     proxy_base: str | None = None,
+    delay_col: str | None = None,
 ) -> DataFrame:
     """batch(url, …) → batch + (html binary, status int, final_url
     string), one real HTTP GET per row. Partitioned by domain so the
     per-host pacer is local; status 0 = network/timeout error
     (transient), else the HTTP code; final_url is the post-redirect
     landing URL (== url when no redirect happened).
+
+    ``delay_col`` names an optional per-row effective-delay column
+    (milliseconds): when set, the pacer waits that row's delay since
+    the host's previous request instead of the scalar ``delay_ms`` —
+    this is how per-source LimitRule overrides (host_policy) are
+    enforced against live servers, not just in the pop budget.
     """
     out_schema = StructType(
         list(batch.schema.fields)
@@ -92,12 +99,17 @@ def fetch_http(
             htmls: list[bytes | None] = []
             statuses: list[int] = []
             finals: list[str] = []
-            for url in pdf["url"]:
+            delays = (
+                pdf[delay_col]
+                if delay_col is not None and delay_col in pdf.columns
+                else [delay_ms] * len(pdf)
+            )
+            for url, row_delay_ms in zip(pdf["url"], delays):
                 host = urlsplit(url).hostname or ""
-                if delay_ms > 0:
+                if row_delay_ms and row_delay_ms > 0:
                     prev = last_hit.get(host)
                     if prev is not None:
-                        wait = prev + delay_ms / 1000.0 - time.monotonic()
+                        wait = prev + float(row_delay_ms) / 1000.0 - time.monotonic()
                         if wait > 0:
                             time.sleep(wait)
                 target = url

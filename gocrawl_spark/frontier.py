@@ -37,7 +37,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 # ---------------------------------------------------------------------------
 # Bloom seen-filter
@@ -105,13 +105,17 @@ class BloomFilter:
         return cls(n_shards, m_bits, {int(s): bytearray(b) for s, b in rows})
 
 
-def build_bloom(
+def _shard_expr(hash_col: str, n_shards: int):
+    return (F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+
+
+def build_bloom_df(
     df: DataFrame, hash_col: str = "url_hash", n_shards: int = 64, m_bits: int = 1 << 20
-) -> BloomFilter:
+) -> DataFrame:
     """Distributed build: shard-route → per-shard bitset via
-    applyInPandas (the UDAF analogue, SURVEY.md §2.11) → tiny
-    (shard, bytes) rows to the driver → merge. The collect moves only
-    n_shards × m_bits/8 bytes, never URLs."""
+    applyInPandas (the UDAF analogue, SURVEY.md §2.11) → (shard, bits)
+    rows, fully distributed. This is the canonical form the round
+    snapshots persist; nothing here touches the driver."""
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         buf = bytearray(m_bits // 8)
@@ -120,28 +124,132 @@ def build_bloom(
                 buf[pos >> 3] |= 1 << (pos & 7)
         return pd.DataFrame({"shard": [int(pdf["_shard"].iloc[0])], "bits": [bytes(buf)]})
 
-    shard_expr = F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long") % n_shards
-    rows = (
+    return (
         df.select(hash_col)
-        .withColumn("_shard", shard_expr)
+        .withColumn("_shard", _shard_expr(hash_col, n_shards))
         .groupBy("_shard")
         .applyInPandas(build_shard, schema="shard int, bits binary")
-        .collect()
     )
+
+
+def build_bloom(
+    df: DataFrame, hash_col: str = "url_hash", n_shards: int = 64, m_bits: int = 1 << 20
+) -> BloomFilter:
+    """Driver-side BloomFilter object (the broadcast fast path for
+    small filters). The collect moves only n_shards × m_bits/8 bytes,
+    never URLs — at 10^10-URL sizing use the sharded DataFrame form
+    (:func:`build_bloom_df` + :func:`filter_unseen` with a DataFrame)
+    instead."""
+    rows = build_bloom_df(df, hash_col, n_shards, m_bits).collect()
     return BloomFilter.from_rows([(r["shard"], r["bits"]) for r in rows], n_shards, m_bits)
+
+
+def fold_bloom_df(bloom_df: DataFrame) -> DataFrame:
+    """OR-merge per-round (shard, bits) delta rows into one row per
+    shard — the distributed analogue of BloomFilter.merge, used by
+    compaction so the full filter is never assembled on the driver."""
+    import numpy as np
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
+        for b in pdf["bits"]:
+            arr |= np.frombuffer(bytes(b), dtype=np.uint8)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]})
+
+    return bloom_df.groupBy("shard").applyInPandas(fold, schema="shard int, bits binary")
+
+
+def _split_on_bloom(tagged: DataFrame, seen: DataFrame, hash_col: str) -> DataFrame:
+    """definite-new rows skip the exact join; "maybe seen" rows pay the
+    left_anti (J3). False positives only cost a join row, never a lost
+    URL."""
+    definite_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    resolved_new = maybe.join(seen.select(hash_col), hash_col, "left_anti")
+    return definite_new.unionByName(resolved_new)
+
+
+def filter_unseen_sharded(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    probe_acc=None,
+) -> DataFrame:
+    """Sharded Bloom application — the 10^10-frontier path. The filter
+    stays a DISTRIBUTED (shard, bits) table (per-round deltas straight
+    from the snapshots, not pre-merged): candidates hash-route to their
+    shard and a cogrouped applyInPandas tests each shard's candidates
+    against ONLY that shard's bitsets, OR-merging the deltas inside the
+    task. Peak filter memory per task is one shard (m_bits/8 bytes, 12
+    MB at the module's 10^10 sizing) — never the 12.5 GB whole filter,
+    which the broadcast fast path would put on the driver AND every
+    executor. m_bits is inferred from the stored bits length, so the
+    caller only supplies the routing shard count.
+
+    ``probe_acc``: optional Spark accumulator; each task adds the bytes
+    it materialized for its shard's merged bitset (test instrumentation
+    for the O(1-shard) memory contract)."""
+    import numpy as np
+
+    cand = candidates.withColumn("_shard", _shard_expr(hash_col, n_shards))
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("_maybe_seen", BooleanType())]
+    )
+
+    def check(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.drop(columns=["_shard"])
+        if len(out) == 0:
+            return out.assign(_maybe_seen=pd.Series([], dtype=bool))
+        if len(bloom_pdf) == 0:
+            return out.assign(_maybe_seen=False)
+        arr = np.zeros(len(bloom_pdf["bits"].iloc[0]), dtype=np.uint8)
+        for b in bloom_pdf["bits"]:
+            arr |= np.frombuffer(bytes(b), dtype=np.uint8)
+        if probe_acc is not None:
+            probe_acc.add(int(arr.nbytes))
+        mb = arr.nbytes * 8
+
+        def might(h: str) -> bool:
+            for i in range(BLOOM_K):
+                p = int(h[16 * i : 16 * (i + 1)], 16) % mb
+                if not arr[p >> 3] & (1 << (p & 7)):
+                    return False
+            return True
+
+        return out.assign(_maybe_seen=[might(h) for h in out[hash_col]])
+
+    tagged = (
+        cand.groupBy("_shard")
+        .cogroup(bloom_df.groupBy(F.col("shard").cast("int").alias("shard")))
+        .applyInPandas(check, schema=out_schema)
+    )
+    return _split_on_bloom(tagged, seen, hash_col)
 
 
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: BloomFilter | None,
+    bloom: "BloomFilter | DataFrame | None",
     spark: SparkSession,
     hash_col: str = "url_hash",
+    n_shards: int = 64,
 ) -> DataFrame:
-    """Drop candidates already fetched. Bloom prefilter (broadcast)
-    splits off definite-new rows; only "maybe seen" rows pay the exact
-    left_anti join (J3) — at 10^10-frontier scale that join's left side
-    shrinks by ~the new-URL fraction plus the <1% false-positive rate."""
+    """Drop candidates already fetched. The Bloom prefilter splits off
+    definite-new rows so only "maybe seen" rows pay the exact left_anti
+    join (J3) — at 10^10-frontier scale that join's left side shrinks
+    by ~the new-URL fraction plus the <1% false-positive rate.
+
+    ``bloom`` dispatch: a driver-side :class:`BloomFilter` is broadcast
+    (small-filter fast path); a (shard, bits) DataFrame is applied
+    shard-partitioned via :func:`filter_unseen_sharded` without ever
+    assembling the whole filter in one address space; None = exact
+    anti-join only."""
+    if isinstance(bloom, DataFrame):
+        return filter_unseen_sharded(
+            candidates, seen, bloom, hash_col=hash_col, n_shards=n_shards
+        )
     if bloom is None or not bloom.shards:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
 
@@ -153,10 +261,7 @@ def filter_unseen(
         return h.map(bf.might_contain)
 
     tagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
-    definite_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    resolved_new = maybe.join(seen.select(hash_col), hash_col, "left_anti")
-    return definite_new.unionByName(resolved_new)
+    return _split_on_bloom(tagged, seen, hash_col)
 
 
 # ---------------------------------------------------------------------------

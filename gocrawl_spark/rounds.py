@@ -63,6 +63,15 @@ class CrawlConfig:
     # below this many seen URLs the exact anti-join is cheaper than a
     # bloom build+broadcast; at 10^10 frontier scale the filter pays
     bloom_min_seen: int = 50_000
+    # F7 application strategy: "broadcast" ships the whole assembled
+    # filter to the driver + every executor (fine while it's MBs);
+    # "sharded" keeps the filter a distributed (shard, bits) table and
+    # cogroups candidates against ONLY their shard's bits — peak filter
+    # bytes per task = one shard, the 10^10-URL path (12 MB/shard vs
+    # 12.5 GB whole-filter at 10 bits/key). "auto" picks sharded once
+    # the configured filter exceeds bloom_broadcast_max_bytes.
+    bloom_apply: str = "auto"
+    bloom_broadcast_max_bytes: int = 64 << 20
     # S3: the reference's respect_robots_txt flag is ON in config but
     # the collectors pass colly.IgnoreRobotsTxt() (crawler.go:201), so
     # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
@@ -115,6 +124,10 @@ class CrawlConfig:
             problems.append(f"n_salts must be >= 1, got {self.n_salts}")
         if self.fetch_mode not in ("corpus", "http"):
             problems.append(f"fetch_mode must be 'corpus' or 'http', got {self.fetch_mode!r}")
+        if self.bloom_apply not in ("auto", "broadcast", "sharded"):
+            problems.append(
+                f"bloom_apply must be auto|broadcast|sharded, got {self.bloom_apply!r}"
+            )
         if problems:
             raise ValueError("invalid crawl job config: " + "; ".join(problems))
 
@@ -227,15 +240,17 @@ class CrawlRun:
         self.run_dir = run_dir
         self.cfg = cfg or CrawlConfig()
         self.cfg.validate()  # V10: reject invalid jobs up front
-        # live robots discovery state (http mode, no static table):
-        # hosts whose robots.txt has been fetched this run
-        self._robots_hosts: set[str] = set()
-        self._robots_rows: list[tuple[str, str]] = []
+        # live robots discovery (http mode, no static table): state
+        # lives in per-round parquet deltas under run_dir/robots/ —
+        # fully distributed, never a driver-side host set (an open-web
+        # crawl discovers millions of hosts)
         self._live_robots = (
             robots is None
             and self.cfg.respect_robots
             and self.cfg.fetch_mode == "http"
         )
+        if self._live_robots:
+            robots = self._robots_table()
         if isinstance(seeds, list):
             from gocrawl_spark import canonicalize as _canon
 
@@ -273,31 +288,55 @@ class CrawlRun:
 
         return rb.gate(df, self.robots, ua=self.cfg.user_agent)
 
+    def _robots_dir(self) -> str:
+        return os.path.join(self.run_dir, "robots")
+
+    def _robots_table(self) -> "DataFrame | None":
+        """Union of the persisted robots deltas, or None before any
+        host has been discovered. Survives restarts like every other
+        piece of crawl state (the deltas are plain snapshot tables)."""
+        base = self._robots_dir()
+        if not os.path.isdir(base):
+            return None
+        deltas = sorted(
+            os.path.join(base, d) for d in os.listdir(base) if d.startswith("delta=")
+        )
+        if not deltas:
+            return None
+        return self.spark.read.parquet(*deltas)
+
     def _discover_robots(self, candidates: DataFrame) -> None:
         """Live S3: fetch robots.txt once per newly-seen host (the
-        reference fetches robots per collector domain) and grow the
-        broadcastable robots table. The host list per round is tiny
-        (bounded by new domains discovered), so the driver-side set is
-        cheap; rules text lives in the table like the static path."""
+        reference fetches robots per collector domain). Fully
+        distributed — new hosts come from a left_anti join against the
+        persisted robots table and each round's fetches land as a
+        parquet delta; no host list or rules text ever accumulates on
+        the driver (at open-web scale that's millions of hosts)."""
         from gocrawl_spark import fetch as fh
 
-        hosts = {r["host"] for r in candidates.select("host").distinct().collect()}
-        new = sorted(hosts - self._robots_hosts)
-        if new:
-            fetched = fh.fetch_robots(
-                self.spark.createDataFrame([(h,) for h in new], "host string"),
-                user_agent=self.cfg.user_agent,
-                timeout_s=self.cfg.http_timeout_s,
-                proxy_base=self.cfg.http_proxy_base,
-            )
-            self._robots_rows.extend(
-                (r["host"], r["rules"]) for r in fetched.collect()
-            )
-            self._robots_hosts |= set(new)
-        if self._robots_rows:
-            self.robots = self.spark.createDataFrame(
-                self._robots_rows, "host string, rules string"
-            )
+        hosts = candidates.select("host").distinct()
+        known = self._robots_table()
+        if known is not None:
+            hosts = hosts.join(known.select("host"), "host", "left_anti")
+        if hosts.limit(1).count() == 0:
+            self.robots = known
+            return
+        fetched = fh.fetch_robots(
+            hosts,
+            user_agent=self.cfg.user_agent,
+            timeout_s=self.cfg.http_timeout_s,
+            proxy_base=self.cfg.http_proxy_base,
+        )
+        base = self._robots_dir()
+        idx = (
+            len([d for d in os.listdir(base) if d.startswith("delta=")])
+            if os.path.isdir(base)
+            else 0
+        )
+        fetched.write.mode("overwrite").parquet(
+            os.path.join(base, f"delta={idx:04d}")
+        )
+        self.robots = self._robots_table()
 
     def _budgeted(self, frontier_df: DataFrame) -> DataFrame:
         """Attach the per-host round budget (P1/P2): global config unless
@@ -374,13 +413,36 @@ class CrawlRun:
             # domain-partitioned tasks; transient statuses re-enqueue
             from gocrawl_spark import fetch as fh
 
-            resp = fh.fetch_http(
-                batch,
+            # per-source LimitRule delays (host_policy) must pace the
+            # LIVE requests, not just the pop budget: join the effective
+            # per-domain delay as a column and let the pacer read it
+            paced = batch
+            delay_col = None
+            if self.host_policy is not None:
+                pol = self.host_policy.select(
+                    "domain", F.col("delay_ms").alias("_pace_ms")
+                )
+                paced = batch.join(F.broadcast(pol), "domain", "left").withColumn(
+                    "_pace_ms", F.coalesce("_pace_ms", F.lit(cfg.delay_ms).cast("long"))
+                )
+                delay_col = "_pace_ms"
+            resp_live = fh.fetch_http(
+                paced,
                 user_agent=cfg.user_agent,
                 timeout_s=cfg.http_timeout_s,
                 delay_ms=cfg.delay_ms,
                 proxy_base=cfg.http_proxy_base,
-            ).persist()
+                delay_col=delay_col,
+            )
+            if delay_col is not None:
+                resp_live = resp_live.drop(delay_col)
+            # snapshot the responses BEFORE fan-out: retry counting,
+            # extraction and redirect recording must all see one
+            # consistent response set — a persist() evicted under
+            # memory pressure would silently re-issue the GETs against
+            # a possibly-changed live server mid-round
+            self._write(resp_live, rnd, "responses")
+            resp = self._read(rnd, "responses")
             fetched = resp.filter(F.col("status") == 200).drop("status", "final_url")
             if cfg.max_retries > 0:
                 transient = resp.filter(
@@ -450,16 +512,22 @@ class CrawlRun:
             # the exact anti-join saves; the cumulative filter is still
             # maintained (deltas are O(batch)) so it's ready when the
             # seen set grows past the threshold
+            has_filter = bloom is not None and (
+                isinstance(bloom, DataFrame) or bloom.shards
+            )
             want_bloom = (
                 cfg.use_bloom
-                and bloom is not None
-                and bloom.shards
+                and has_filter
                 and (seen_size is None or seen_size >= cfg.bloom_min_seen)
             )
             # new candidates dodge: seen set, still-pending rest, this batch
             pending = rest.select("url_hash").unionByName(batch.select("url_hash"))
             new_rows = fr.filter_unseen(
-                cand, seen, bloom if want_bloom else None, self.spark
+                cand,
+                seen,
+                bloom if want_bloom else None,
+                self.spark,
+                n_shards=cfg.bloom_shards,
             ).join(pending, "url_hash", "left_anti")
             frontier_next = rest.unionByName(new_rows)
         else:
@@ -504,16 +572,14 @@ class CrawlRun:
         t0 = time.perf_counter()
         # F7 incremental maintenance: the round's Bloom DELTA covers
         # exactly this round's seen delta — built with one applyInPandas
-        # over the (persisted) batch, persisted as (shard, bits) rows.
-        # Readers OR deltas together; OR(per-round blooms) is bitwise
-        # identical to a bloom of the unioned seen set.
+        # over the (persisted) batch and written straight to parquet as
+        # (shard, bits) rows, never materialized on the driver. Readers
+        # OR deltas together; OR(per-round blooms) is bitwise identical
+        # to a bloom of the unioned seen set.
         bloom_delta_df = None
         if cfg.use_bloom:
-            bloom_delta = fr.build_bloom(
+            bloom_delta_df = fr.build_bloom_df(
                 seen_delta, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
-            )
-            bloom_delta_df = self.spark.createDataFrame(
-                bloom_delta.to_rows(), "shard int, bits binary"
             )
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
@@ -574,8 +640,6 @@ class CrawlRun:
             cand.unpersist()
         if retry is not None:
             retry.unpersist()
-        if resp is not None:
-            resp.unpersist()
         for df in pop_cache:
             df.unpersist()
         return stats
@@ -609,12 +673,11 @@ class CrawlRun:
             return self._empty_seen()
         return self.spark.read.parquet(*parts)
 
-    def _bloom_upto(self, rnd: int) -> "fr.BloomFilter | None":
-        """Cumulative Bloom filter for committed rounds ≤ rnd, assembled
-        by OR-merging the persisted per-round deltas (plus the compacted
-        base). Returns None when any committed round lacks a delta
-        (pre-delta run or use_bloom off) — the caller falls back to one
-        full rebuild, after which deltas accumulate again."""
+    def _bloom_delta_paths(self, rnd: int) -> "list[str] | None":
+        """Parquet dirs holding the (shard, bits) Bloom deltas of the
+        committed rounds ≤ rnd (compacted base first). None = some
+        committed round lacks a delta (pre-delta run or use_bloom
+        off)."""
         marker = self._compact_marker()
         base_upto = marker["upto"] if marker else -1
         parts = []
@@ -630,6 +693,19 @@ class CrawlRun:
             if not os.path.isdir(d):
                 return None
             parts.append(d)
+        return parts
+
+    def _bloom_upto(self, rnd: int) -> "fr.BloomFilter | None":
+        """Cumulative Bloom filter for committed rounds ≤ rnd, assembled
+        by OR-merging the persisted per-round deltas (plus the compacted
+        base) — the BROADCAST fast path's driver object; the sharded
+        application path uses :meth:`_bloom_df_upto` and never builds
+        this. Returns None when any committed round lacks a delta
+        (pre-delta run or use_bloom off) — the caller falls back to one
+        full rebuild, after which deltas accumulate again."""
+        parts = self._bloom_delta_paths(rnd)
+        if parts is None:
+            return None
         cfg = self.cfg
         out = fr.BloomFilter.empty(cfg.bloom_shards, cfg.bloom_bits)
         for p in parts:
@@ -642,6 +718,41 @@ class CrawlRun:
                 )
             )
         return out
+
+    @property
+    def _bloom_sharded(self) -> bool:
+        """Sharded application when forced, or in auto mode once the
+        configured filter outgrows the broadcast budget."""
+        cfg = self.cfg
+        return cfg.bloom_apply == "sharded" or (
+            cfg.bloom_apply == "auto"
+            and cfg.bloom_shards * (cfg.bloom_bits // 8) > cfg.bloom_broadcast_max_bytes
+        )
+
+    def _bloom_df_upto(self, rnd: int) -> DataFrame:
+        """Cumulative filter as a DISTRIBUTED (shard, bits) delta table
+        (sharded application path): simply the union of the persisted
+        per-round delta parquet — nothing is collected or merged on the
+        driver; filter_unseen_sharded ORs a shard's deltas inside its
+        own task. A pre-delta snapshot (or a bloom-config change)
+        triggers one distributed full rebuild persisted under
+        bloom_rebuild/, after which deltas accumulate again."""
+        cfg = self.cfg
+        parts = self._bloom_delta_paths(rnd)
+        if parts is not None and parts:
+            df = self.spark.read.parquet(*parts)
+            probe = df.limit(1).collect()
+            if not probe or len(probe[0]["bits"]) == cfg.bloom_bits // 8:
+                return df
+            parts = None  # config changed across generations: rebuild
+        if parts is not None:  # empty list: nothing committed yet
+            return self.spark.createDataFrame([], "shard int, bits binary")
+        p = os.path.join(self.run_dir, "bloom_rebuild", f"upto={rnd:04d}")
+        if not os.path.isdir(p):
+            fr.build_bloom_df(
+                self._seen_upto(rnd), n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
+            ).write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p)
 
     def compact(self, keep_rounds: int = 2) -> int | None:
         """P7 maintenance (Iceberg snapshot-expiration analogue;
@@ -664,11 +775,14 @@ class CrawlRun:
         shutil.rmtree(tmp, ignore_errors=True)
         self._seen_upto(upto).write.parquet(os.path.join(tmp, "seen"))
         self._host_deltas_upto(upto).write.parquet(os.path.join(tmp, "host_state"))
-        folded_bloom = self._bloom_upto(upto)
-        if folded_bloom is not None:
-            self.spark.createDataFrame(
-                folded_bloom.to_rows(), "shard int, bits binary"
-            ).write.parquet(os.path.join(tmp, "bloom"))
+        # fold the bloom deltas DISTRIBUTED (one row per shard after the
+        # OR) — the whole filter never lands in one address space even
+        # during maintenance
+        bloom_parts = self._bloom_delta_paths(upto)
+        if bloom_parts:
+            fr.fold_bloom_df(self.spark.read.parquet(*bloom_parts)).write.parquet(
+                os.path.join(tmp, "bloom")
+            )
         with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
             json.dump({"upto": upto}, f)
         old = cdir + "._old"
@@ -709,13 +823,16 @@ class CrawlRun:
                 "pass a corpus DataFrame or use fetch_mode='http'"
             )
         start = 0
-        bloom: fr.BloomFilter | None = None
+        bloom: "fr.BloomFilter | DataFrame | None" = None
+        sharded = self.cfg.use_bloom and self._bloom_sharded
         last = last_committed_round(self.run_dir) if resume else None
         if last is not None:
             frontier_df = self._read(last, "frontier")
             seen = self._seen_upto(last)
             start = last + 1
-            if self.cfg.use_bloom:
+            if sharded:
+                bloom = self._bloom_df_upto(last)
+            elif self.cfg.use_bloom:
                 bloom = self._bloom_upto(last)
                 if bloom is None:
                     # pre-delta snapshot (or bloom config changed): one
@@ -734,7 +851,9 @@ class CrawlRun:
             # same URL set as the reference's check-at-request-time
             frontier_df = self._gate_robots(frontier_df)
             seen = self._empty_seen()
-            if self.cfg.use_bloom:
+            if sharded:
+                bloom = self.spark.createDataFrame([], "shard int, bits binary")
+            elif self.cfg.use_bloom:
                 bloom = fr.BloomFilter.empty(self.cfg.bloom_shards, self.cfg.bloom_bits)
         history: list[dict] = []
         seen_size = None if last is not None else 0
@@ -749,7 +868,11 @@ class CrawlRun:
             # the next round reads exactly the committed state
             frontier_df = self._read(rnd, "frontier")
             seen = self._seen_upto(rnd)
-            if bloom is not None:
+            if sharded:
+                # the delta union just grows by one lazy parquet path —
+                # the driver never touches a bitset byte
+                bloom = self._bloom_df_upto(rnd)
+            elif bloom is not None:
                 # OR in ONLY this round's persisted delta — the
                 # cumulative filter never rescans the historical seen set
                 rows = self.spark.read.parquet(

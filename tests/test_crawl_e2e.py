@@ -158,11 +158,11 @@ def test_bloom_builds_scan_only_round_delta(spark, sf_dir, tmp_path, monkeypatch
         bloom_shards=8, bloom_bits=1 << 16, bloom_min_seen=0,
     )
     counts: list[int] = []
-    orig = R.fr.build_bloom
+    orig = R.fr.build_bloom_df
     def counting(df, *a, **kw):
         counts.append(df.count())
         return orig(df, *a, **kw)
-    monkeypatch.setattr(R.fr, "build_bloom", counting)
+    monkeypatch.setattr(R.fr, "build_bloom_df", counting)
     run = CrawlRun(spark, corpus, synth.seed_urls(n, k=8), str(tmp_path / "run"), cfg)
     history = run.run(resume=False)
     assert len(history) >= 2
@@ -205,3 +205,39 @@ def test_whole_corpus_byte_identity(spark, sf_dir):
         if text != exp:
             mismatches.append((url, ctype, exp[:60], (text or "")[:60]))
     assert not mismatches, mismatches[:3]
+
+
+def test_sharded_bloom_crawl_no_driver_assembly(spark, sf_dir, tmp_path, monkeypatch):
+    """bloom_apply='sharded' (the 10^10-URL F7 path): the crawl must
+    produce the identical seen set to broadcast mode while NEVER
+    assembling the filter in one address space — any driver-side
+    BloomFilter construction or merge fails the run."""
+    from gocrawl_spark import frontier as fr
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seeds = synth.seed_urls(n, k=8)
+    base = dict(max_depth=2, round_wall_s=10.0, max_rounds=4,
+                bloom_shards=8, bloom_bits=1 << 16, bloom_min_seen=0)
+    run_b = CrawlRun(
+        spark, corpus, seeds, str(tmp_path / "bcast"),
+        CrawlConfig(**base, bloom_apply="broadcast"),
+    )
+    run_b.run(resume=False)
+
+    def boom(*a, **kw):
+        raise AssertionError("driver-side Bloom assembly in sharded mode")
+
+    monkeypatch.setattr(
+        fr.BloomFilter, "from_rows", classmethod(lambda cls, *a, **k: boom())
+    )
+    monkeypatch.setattr(fr.BloomFilter, "merge", lambda self, other: boom())
+    monkeypatch.setattr(fr, "build_bloom", boom)
+    run_s = CrawlRun(
+        spark, corpus, seeds, str(tmp_path / "shard"),
+        CrawlConfig(**base, bloom_apply="sharded"),
+    )
+    run_s.run(resume=False)
+    sb = sorted((r["url_hash"], r["fetched_round"]) for r in run_b.seen_final().collect())
+    ss = sorted((r["url_hash"], r["fetched_round"]) for r in run_s.seen_final().collect())
+    assert sb == ss and len(ss) > 50

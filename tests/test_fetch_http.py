@@ -228,3 +228,93 @@ def test_http_transient_503_retries(spark, web, tmp_path):
     assert sum(h["retried"] for h in history) == 2
     p = urlsplit(flaky_url)
     assert hits[f"/flaky/{p.hostname}{p.path}"] == 3
+
+
+def test_host_policy_delay_paces_live_fetch(spark, tmp_path):
+    """ADVICE: per-source LimitRule delay overrides (host_policy) must
+    be enforced BETWEEN live requests, not only in the pop budget — a
+    host with a stricter configured delay may not be fetched faster
+    than its policy allows."""
+    import time
+
+    times = defaultdict(list)
+    lock = threading.Lock()
+    body = b"<html><head><title>t</title></head><body><p>x</p></body></html>"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            host = self.path.split("/")[1]
+            with lock:
+                times[host].append(time.monotonic())
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        urls = [f"https://slow.example.com/p/{i}" for i in range(3)] + [
+            f"https://fast.example.com/p/{i}" for i in range(3)
+        ]
+        cfg = CrawlConfig(
+            max_depth=0, round_wall_s=10.0, max_rounds=1, use_bloom=False,
+            fetch_mode="http", http_proxy_base=base, delay_ms=0,
+        )
+        policy = spark.createDataFrame(
+            [("slow.example.com", 300, 1)],
+            "domain string, delay_ms long, parallelism int",
+        )
+        run = CrawlRun(
+            spark, None, urls, str(tmp_path / "paced"), cfg, host_policy=policy
+        )
+        run.run(resume=False)
+        slow, fast = times["slow.example.com"], times["fast.example.com"]
+        assert len(slow) == 3 and len(fast) == 3
+        gaps = [b - a for a, b in zip(slow, slow[1:])]
+        assert min(gaps) >= 0.25, f"policy delay not enforced: gaps={gaps}"
+    finally:
+        srv.shutdown()
+
+
+def test_robots_discovery_is_distributed(spark, web, tmp_path, monkeypatch):
+    """Live robots state must not accumulate on the driver: new hosts
+    resolve via a left_anti join (no collect() anywhere in the
+    discovery path) and rules land as parquet deltas that survive a
+    restart."""
+    from pyspark.sql import DataFrame as _DF
+
+    from gocrawl_spark import synth as sy
+    from gocrawl_spark import udfs
+
+    base, corpus, _ = web
+    cfg = CrawlConfig(
+        respect_robots=True, fetch_mode="http", http_proxy_base=base, delay_ms=0
+    )
+    run = CrawlRun(spark, None, [sy.url_of(0)], str(tmp_path / "rb"), cfg)
+    cand = udfs.with_url_identity(
+        spark.createDataFrame([(sy.url_of(i),) for i in range(40)], "url string")
+    )
+
+    def no_collect(self):
+        raise AssertionError("collect() in the robots discovery path")
+
+    monkeypatch.setattr(_DF, "collect", no_collect)
+    run._discover_robots(cand)
+    run._discover_robots(cand)  # second pass: all hosts known, no-op
+    monkeypatch.undo()
+
+    tbl = run._robots_table()
+    rows = {r["host"]: r["rules"] for r in tbl.collect()}
+    assert len(rows) == 16 and "Disallow: /page/" in rows["site00.example.com"]
+    # exactly one delta written (pass 2 discovered nothing new)
+    import os as _os
+
+    assert len(_os.listdir(run._robots_dir())) == 1
+    # a restarted run on the same run_dir picks the table up from disk
+    run2 = CrawlRun(spark, None, [sy.url_of(0)], str(tmp_path / "rb"), cfg)
+    assert run2.robots is not None and run2.robots.count() == 16

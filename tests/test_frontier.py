@@ -139,3 +139,78 @@ def test_apply_rules_priority_wins(spark):
     assert kept == {"https://x.com/keep/1", "https://x.com/draft/special/1"}
     # empty/None rules = reference runtime behavior: everything allowed
     assert fr.apply_rules(df, None).count() == 3
+
+
+def test_filter_unseen_sharded_matches_broadcast_and_exact(spark):
+    """The sharded (cogrouped, per-shard bits) application must return
+    exactly the same rows as the broadcast fast path and the exact
+    anti-join — deltas pre-merge is NOT required (the task ORs them)."""
+    seen_urls = [f"https://s.com/{i}" for i in range(300)]
+    cand_urls = [f"https://s.com/{i}" for i in range(200, 600)]
+    seen = spark.createDataFrame(
+        [(sha(u), u, 0) for u in seen_urls], "url_hash string, url string, fetched_round int"
+    )
+    cand = spark.createDataFrame([(sha(u), u) for u in cand_urls], "url_hash string, url string")
+    # tiny m_bits → plenty of false positives → both branches exercised
+    half_a = seen.filter(F.col("url_hash") < "8")
+    half_b = seen.filter(F.col("url_hash") >= "8")
+    deltas = fr.build_bloom_df(half_a, n_shards=8, m_bits=1 << 10).unionByName(
+        fr.build_bloom_df(half_b, n_shards=8, m_bits=1 << 10)
+    )
+    exact = sorted(r.url for r in fr.filter_unseen(cand, seen, None, spark).collect())
+    sharded = sorted(
+        r.url for r in fr.filter_unseen(cand, seen, deltas, spark, n_shards=8).collect()
+    )
+    bloom = fr.build_bloom(seen, n_shards=8, m_bits=1 << 10)
+    bcast = sorted(r.url for r in fr.filter_unseen(cand, seen, bloom, spark).collect())
+    assert exact == sharded == bcast and len(exact) == 300
+
+
+def test_sharded_filter_peak_bytes_is_one_shard(spark):
+    """O(1-shard) memory contract: each cogroup task materializes ONE
+    shard's merged bitset (m_bits/8 bytes), never the whole filter, and
+    the plan is a FlatMapCoGroupsInPandas — no bloom broadcast."""
+    n_shards, m_bits = 8, 1 << 10
+    seen_urls = [f"https://s.com/{i}" for i in range(200)]
+    seen = spark.createDataFrame(
+        [(sha(u), u, 0) for u in seen_urls], "url_hash string, url string, fetched_round int"
+    )
+    cand = spark.createDataFrame(
+        [(sha(f"https://s.com/{i}"), f"https://s.com/{i}") for i in range(100, 400)],
+        "url_hash string, url string",
+    )
+    deltas = fr.build_bloom_df(seen, n_shards=n_shards, m_bits=m_bits).persist()
+    n_groups = deltas.count()  # shards that actually hold bits
+    acc = spark.sparkContext.accumulator(0)
+    out = fr.filter_unseen_sharded(
+        cand, seen, deltas, n_shards=n_shards, probe_acc=acc
+    )
+    assert out.count() == 200
+    # every group allocated exactly one shard's bitset. The union's two
+    # branches may re-evaluate the cogroup from the reused shuffle, so
+    # allow 1× or 2× — a whole-filter materialization would read
+    # n_groups × n_shards × shard_bytes (8× more) and fail this.
+    shard_bytes = m_bits // 8
+    assert acc.value in (n_groups * shard_bytes, 2 * n_groups * shard_bytes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    deltas.unpersist()
+
+
+def test_fold_bloom_df_bitwise_equals_driver_merge(spark):
+    """Distributed compaction fold ≡ BloomFilter.merge, bitwise."""
+    urls_a = [f"https://a.com/{i}" for i in range(150)]
+    urls_b = [f"https://b.com/{i}" for i in range(150)]
+    mk = lambda urls: spark.createDataFrame(
+        [(sha(u), u, 0) for u in urls], "url_hash string, url string, fetched_round int"
+    )
+    d1 = fr.build_bloom_df(mk(urls_a), n_shards=8, m_bits=1 << 12)
+    d2 = fr.build_bloom_df(mk(urls_b), n_shards=8, m_bits=1 << 12)
+    folded = {
+        r["shard"]: bytes(r["bits"])
+        for r in fr.fold_bloom_df(d1.unionByName(d2)).collect()
+    }
+    merged = fr.build_bloom(mk(urls_a), n_shards=8, m_bits=1 << 12).merge(
+        fr.build_bloom(mk(urls_b), n_shards=8, m_bits=1 << 12)
+    )
+    assert folded == {s: bytes(b) for s, b in merged.to_rows()}
