@@ -264,9 +264,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_brute_cosine"] = ann_brute_cosine
 
     def ann_ivf(spark, sf_dir):
+        """IVF probe over the PERSISTED centroid_id-partitioned index
+        (similarity.ivf_write_index) — the probe join broadcasts the
+        tiny probe side and dynamic partition pruning restricts the
+        index scan to the probed cells (plan-pinned in
+        tests/test_pipeline_ops.py)."""
+        import tempfile
+
         emb = _emb(spark, sf_dir)
+        idx = tempfile.mkdtemp(prefix="ivf_index_")
+        similarity.ivf_write_index(emb, idx, n_centroids=16)
         return similarity.ivf_topk(
-            emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+            emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4,
+            index_path=idx,
         )
 
     q["ann_ivf"] = ann_ivf
@@ -287,6 +297,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
     q["emb_dup_pairs_exact"] = emb_dup_pairs_exact
+
+    def emb_dup_recall(spark, sf_dir):
+        """Recall of the blocked near-dup vs the exact form at the
+        shipped threshold: |blocked ∩ exact| / |exact|. Makes the
+        banding curve VISIBLE: 4 bands × 4 planes recovers ~56% of
+        pairs at the (unusually low) threshold 0.4 used by these eval
+        queries, and ≈98% at realistic near-dup thresholds (≥0.9) —
+        P(collision) = 1-(1-s^p)^b rises steeply with cosine
+        similarity s. Raise `bands` to buy recall at low thresholds."""
+        emb = _emb(spark, sf_dir)
+        blocked = similarity.blocked_dup_pairs(
+            emb, threshold=0.4, bands=4, planes_per_band=4, dim=64
+        ).select("id_a", "id_b")
+        exact = similarity.cosine_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+        n_exact = exact.agg(F.count("*").alias("n_exact"))
+        n_blocked = blocked.agg(F.count("*").alias("n_blocked"))
+        n_common = exact.join(blocked, ["id_a", "id_b"]).agg(
+            F.count("*").alias("n_common")
+        )
+        return (
+            n_exact.crossJoin(n_blocked)
+            .crossJoin(n_common)
+            .select(
+                "n_exact",
+                "n_blocked",
+                "n_common",
+                F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recall"),
+            )
+        )
+
+    q["emb_dup_recall"] = emb_dup_recall
 
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
@@ -965,6 +1006,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN embeddings a ON a.vec_id = c.id_a
         JOIN embeddings b ON b.vec_id = c.id_b
         WHERE {_cos} >= 0.4::DOUBLE
+    """
+
+    o["emb_dup_recall"] = f"""
+        WITH keys AS (
+        {_band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        blocked AS (
+          SELECT c.id_a, c.id_b FROM cand c
+          JOIN embeddings a ON a.vec_id = c.id_a
+          JOIN embeddings b ON b.vec_id = c.id_b
+          WHERE {_cos} >= 0.4::DOUBLE),
+        exact AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_cos} >= 0.4::DOUBLE),
+        common AS (
+          SELECT count(*) AS c FROM exact e
+          JOIN blocked bl ON bl.id_a = e.id_a AND bl.id_b = e.id_b)
+        SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+               (SELECT count(*) FROM blocked)::BIGINT AS n_blocked,
+               (SELECT c FROM common)::BIGINT AS n_common,
+               round((SELECT c FROM common)::DOUBLE
+                     / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
     """
 
     _qdot = "list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * k.embedding[i]::DOUBLE))"

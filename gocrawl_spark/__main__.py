@@ -135,8 +135,15 @@ def cmd_index(args) -> int:
 
     wh = Warehouse(_spark(args.cpus), args.warehouse)
     if args.action == "list":
-        for name, n in wh.list_tables():
-            print(f"{name}\t{n}")
+        # cmd/index/list.go:47-130 table: Index Health Status Docs Size
+        # (the reference renders Size as N/A; real bytes here)
+        rows = wh.cat_indices()
+        print("Index\tHealth\tStatus\tDocs\tSize")
+        for r in rows:
+            print(
+                f"{r['index']}\t{r['health']}\t{r['status']}\t"
+                f"{r['docs']}\t{r['size_bytes']}"
+            )
     elif args.action == "delete":
         if not args.name:
             print("index delete requires NAME", file=sys.stderr)

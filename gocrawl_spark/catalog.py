@@ -29,6 +29,47 @@ from pyspark.sql.types import StructType
 
 from gocrawl_spark.schema import ARTICLE, PAGE
 
+# Spark ↔ ES field-type correspondence for the S6 mapping surface
+_ES_FROM_SPARK = {
+    "string": "text",
+    "long": "long",
+    "int": "integer",
+    "short": "short",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "timestamp": "date",
+    "date": "date",
+    "binary": "binary",
+}
+_SPARK_FROM_ES = {
+    "text": "string",
+    "keyword": "string",
+    "long": "long",
+    "integer": "int",
+    "short": "short",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "timestamp",
+    "binary": "binary",
+}
+
+
+def _field_mapping(dt) -> dict:
+    """One schema field → its ES-mapping property dict. Arrays map to
+    their element type (ES fields are implicitly multi-valued); structs
+    map to nested ``properties``."""
+    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        return {"properties": {f.name: _field_mapping(f.dataType) for f in dt.fields}}
+    if isinstance(dt, ArrayType):
+        return _field_mapping(dt.elementType)
+    s = dt.simpleString()
+    return {"type": _ES_FROM_SPARK.get(s, s)}
+
 
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
@@ -65,6 +106,110 @@ class Warehouse:
             if os.path.isdir(os.path.join(self.root, d)):
                 out.append((d, self.table(d).count()))
         return out
+
+    def get_index_health(self, name: str) -> str:
+        """A4 health (GetIndexHealth, storage.go:600-630): green =
+        readable with data files; yellow = exists but empty (created,
+        nothing indexed beyond the schema stub); red = dir present but
+        unreadable as a table."""
+        p = self._path(name)
+        if not os.path.isdir(p):
+            raise KeyError(name)
+        try:
+            has_rows = bool(self.table(name).take(1))
+        except Exception:
+            return "red"
+        return "green" if has_rows else "yellow"
+
+    @staticmethod
+    def ingestion_status(health: str) -> str:
+        """cmd/index/list.go:173-184 mapping."""
+        return {"green": "Active", "yellow": "Degraded", "red": "Failed"}.get(
+            health, "Unknown"
+        )
+
+    def cat_indices(self) -> list[dict]:
+        """A4 detail (`_cat/indices` + the list-command rendering,
+        cmd/index/list.go:47-130): per index — health, ingestion
+        status, doc count, size on disk (real bytes, where the
+        reference renders N/A), file count, and a schema summary."""
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, d)
+            if not os.path.isdir(p):
+                continue
+            size = files = 0
+            for root, _, names in os.walk(p):
+                for n in names:
+                    if not n.startswith(("_", ".")):
+                        files += 1
+                    size += os.path.getsize(os.path.join(root, n))
+            health = self.get_index_health(d)
+            row = {
+                "index": d,
+                "health": health,
+                "status": self.ingestion_status(health),
+                "docs": self.table(d).count() if health != "red" else 0,
+                "size_bytes": size,
+                "files": files,
+                "columns": len(self.table(d).columns) if health != "red" else 0,
+            }
+            out.append(row)
+        return out
+
+    # -------------------------------------------------------- mappings (S6)
+    def get_mapping(self, name: str) -> dict:
+        """S6 GetMapping (storage.go:542-570): the table schema rendered
+        as the ES get-mapping response shape
+        ``{index: {"mappings": {"properties": {...}}}}``."""
+        schema = self.table(name).schema
+        return {
+            name: {
+                "mappings": {
+                    "properties": {
+                        f.name: _field_mapping(f.dataType) for f in schema.fields
+                    }
+                }
+            }
+        }
+
+    def update_mapping(self, name: str, mapping: dict) -> None:
+        """S6 UpdateMapping (storage.go:573-598) with ES PutMapping
+        semantics: ADDITIVE only. New properties become new null-filled
+        columns; changing an existing field's type is rejected like
+        ES's "mapper cannot be changed". The local parquet rewrite is
+        Iceberg's metadata-only ``ALTER TABLE ADD COLUMNS`` at scale —
+        no data files move there."""
+        props = (
+            mapping.get("properties")
+            or mapping.get("mappings", {}).get("properties")
+            or {}
+        )
+        current = self.get_mapping(name)[name]["mappings"]["properties"]
+        additions = []
+        for fname, spec in props.items():
+            if fname in current:
+                if spec != current[fname]:
+                    raise ValueError(
+                        f"mapper for [{fname}] cannot be changed: "
+                        f"{current[fname]} -> {spec}"
+                    )
+                continue
+            es_t = spec.get("type", "text")
+            spark_t = _SPARK_FROM_ES.get(es_t)
+            if spark_t is None:
+                raise ValueError(f"unsupported mapping type for [{fname}]: {es_t!r}")
+            additions.append((fname, spark_t))
+        if not additions:
+            return
+        df = self.table(name)
+        for fname, t in additions:
+            df = df.withColumn(fname, F.lit(None).cast(t))
+        p = self._path(name)
+        tmp = p + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p, ignore_errors=True)
+        os.rename(tmp, p)
 
     # ------------------------------------------------- canonical tables (S7)
     def ensure_article_index(self, name: str = "articles") -> None:

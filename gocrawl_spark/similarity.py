@@ -167,21 +167,36 @@ def ivf_assign(
     return _nearest_cells(vecs, cents, 1, "vec_id", "embedding")
 
 
-def ivf_topk(
+def ivf_write_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
+    path: str,
     n_centroids: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: the assignment table written PARTITIONED
+    BY centroid_id — the concrete 100 TB ANN layout. A probe then scans
+    only its nprobe cells (partition pruning), i.e. ~nprobe/n_centroids
+    of the corpus bytes, and cells re-cluster for free on read."""
+    ivf_assign(corpus, n_centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
+def _probe_cells(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k: probe the nprobe nearest cells per query,
-    exact cosine within the probed cells. Output as brute_topk."""
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probes = _nearest_cells(q, cents, nprobe, "query_id", "qv")
+    return _nearest_cells(q, cents, nprobe, "query_id", "qv")
+
+
+def _rank_probed(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
     scored = (
         probes.join(assigned, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -197,6 +212,35 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_path: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest cells per query,
+    exact cosine within the probed cells. Output as brute_topk.
+
+    With ``index_path`` the assignment comes from the PERSISTED
+    centroid_id-partitioned index (ivf_write_index) and the probe join
+    partition-prunes: the tiny probe side broadcasts and dynamic
+    partition pruning restricts the parquet scan to the probed cells —
+    the plan a 100 TB corpus needs (verified by a plan-shape test)."""
+    assigned = (
+        corpus.sparkSession.read.parquet(index_path)
+        if index_path is not None
+        else ivf_assign(corpus, n_centroids, id_col, vec_col)
+    )
+    probes = _probe_cells(corpus, queries, n_centroids, nprobe, id_col, vec_col)
+    if index_path is not None:
+        probes = F.broadcast(probes)
+    return _rank_probed(probes, assigned, k)
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +395,6 @@ def lsh_topk(
 __all__ = [
     "dot", "norm", "cosine", "cosine_rounded",
     "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
-    "ivf_centroids", "ivf_assign", "ivf_topk",
+    "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
 ]

@@ -8,7 +8,8 @@ exact hostname, allowed-domain list, ``*.host`` suffix — all
 case-insensitive (internal/sources/sources.go:443-511).
 
 The reference loads sources from a REST API (sources.go:252-281) with a
-YAML loader for tests; here the loader reads YAML/JSON files. Sources
+YAML loader for tests; here the loader handles both — YAML/JSON files
+and an http(s) sources-API endpoint (same response shape). Sources
 are driver-side config: small enough to broadcast, either as a python
 closure captured by the extraction UDF (per-host selector map) or as a
 broadcast DataFrame for the politeness policy join.
@@ -130,16 +131,31 @@ def source_from_dict(d: dict) -> Source:
     return src
 
 
-def load_sources(path: str) -> list[Source]:
-    """YAML (`sources:` list or bare list) or JSON file → [Source]."""
-    with open(path) as f:
-        text = f.read()
-    if path.endswith(".json"):
-        data = json.loads(text)
-    else:
-        import yaml
+def load_sources(path: str, timeout_s: float = 30.0) -> list[Source]:
+    """YAML (`sources:` list or bare list), JSON file, or an
+    ``http(s)://`` sources-API endpoint → [Source].
 
-        data = yaml.safe_load(text)
+    The REST branch is the reference's PRIMARY loader (apiclient
+    GET base_url → ``{"sources": [...], "count": N}``,
+    internal/sources/apiclient/client.go:68-80 + types.go:83-86,
+    wired API-only in sources.go:252-281); the file branch mirrors its
+    YAML test loader. Both shapes land in the same
+    :func:`source_from_dict` normalization."""
+    if path.startswith(("http://", "https://")):
+        import urllib.request
+
+        req = urllib.request.Request(path, headers={"Accept": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            data = json.loads(resp.read().decode("utf-8"))
+    else:
+        with open(path) as f:
+            text = f.read()
+        if path.endswith(".json"):
+            data = json.loads(text)
+        else:
+            import yaml
+
+            data = yaml.safe_load(text)
     if isinstance(data, dict):
         data = data.get("sources", [])
     return [source_from_dict(d) for d in data]

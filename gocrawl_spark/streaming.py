@@ -23,11 +23,12 @@ semantics from the stream checkpoint.
   sharded group state that survives micro-batches AND restarts (state
   store in the checkpoint). State is keyed by the url_hash prefix
   shard — the same sharding as the batch Bloom filter — so state rows
-  stay bounded per key and scale horizontally with shards. At 10^10
-  URLs the exact per-shard hash set becomes a bloom bitset in the same
-  state slot (binary column), trading the false-positive rate for
-  constant state size; the exact form here keeps the semantics
-  assertable.
+  stay bounded per key and scale horizontally with shards. Both state
+  layouts are implemented (``state_mode``): the exact per-shard hash
+  set (assertable semantics baseline) and the 10^10-URL path — a Bloom
+  BITSET in the same state slot (binary column, constant bytes per
+  shard regardless of URL count, false-positive rate traded per the
+  standard sizing curve).
 """
 
 from __future__ import annotations
@@ -112,16 +113,35 @@ def stream_dedup_urls(
     checkpoint_dir: str,
     n_shards: int = 16,
     available_now: bool = True,
+    state_mode: str = "exact",
+    m_bits: int = 1 << 20,
 ):
     """Streaming URL-seen filter (F7 as a stateful streaming operator).
 
     Text-file drops of candidate URLs → parquet of FIRST-SEEN URLs
     only, deduped across micro-batches and restarts via per-shard
     group state. Returns the StreamingQuery.
+
+    ``state_mode``:
+
+    - ``"exact"`` — per-shard hash set (array<string> state). Grows
+      with distinct URLs; the assertable semantics baseline.
+    - ``"bloom"`` — per-shard Bloom BITSET state (binary column,
+      ``m_bits`` bits, same k=4/sha256-slice scheme as the batch
+      filter in frontier.py) — CONSTANT state size per shard, the
+      10^10-URL path. Trade: a false positive suppresses a genuinely
+      new URL (rate follows the standard (1-e^{-kn/m})^k curve; size
+      m_bits ≥ ~10 bits per expected distinct URL per shard to keep it
+      <1%). Emission stays at-most-once per URL in both modes.
     """
     import pandas as pd
 
-    def dedup(key, pdfs, state):
+    from gocrawl_spark.frontier import BLOOM_K, _bloom_positions
+
+    if state_mode not in ("exact", "bloom"):
+        raise ValueError(f"state_mode must be exact|bloom, got {state_mode!r}")
+
+    def dedup_exact(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
         urls, hashes = [], []
         for pdf in pdfs:
@@ -131,6 +151,26 @@ def stream_dedup_urls(
                     urls.append(url)
                     hashes.append(h)
         state.update((list(seen),))
+        if urls:
+            yield pd.DataFrame(
+                {"shard": [int(key[0])] * len(urls), "url": urls, "url_hash": hashes}
+            )
+
+    def dedup_bloom(key, pdfs, state):
+        buf = bytearray(state.get[0]) if state.exists else bytearray(m_bits // 8)
+        urls, hashes = [], []
+        for pdf in pdfs:
+            for url, h in zip(pdf["url"], pdf["url_hash"]):
+                pos = _bloom_positions(h, m_bits)
+                if len(pos) == BLOOM_K and all(
+                    buf[p >> 3] & (1 << (p & 7)) for p in pos
+                ):
+                    continue  # maybe-seen: suppressed (FP = lost URL)
+                for p in pos:
+                    buf[p >> 3] |= 1 << (p & 7)
+                urls.append(url)
+                hashes.append(h)
+        state.update((bytes(buf),))
         if urls:
             yield pd.DataFrame(
                 {"shard": [int(key[0])] * len(urls), "url": urls, "url_hash": hashes}
@@ -149,9 +189,11 @@ def stream_dedup_urls(
         )
     )
     deduped = src.groupBy("shard").applyInPandasWithState(
-        dedup,
+        dedup_bloom if state_mode == "bloom" else dedup_exact,
         outputStructType="shard int, url string, url_hash string",
-        stateStructType="hashes array<string>",
+        stateStructType=(
+            "bits binary" if state_mode == "bloom" else "hashes array<string>"
+        ),
         outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -75,3 +75,51 @@ def test_crawl_publish_idempotent(spark, sf_dir, wh):
     crawl.publish(wh)  # idempotent by doc id
     assert wh.count("articles") == n_art
     assert wh.count("pages") == n_page
+
+
+def test_get_mapping_shape(spark, wh):
+    """S6 GetMapping (storage.go:542-570): ES get-mapping response
+    shape with the type correspondence (string→text, timestamp→date,
+    array→element type, struct→nested properties)."""
+    wh.ensure_article_index("articles")
+    m = wh.get_mapping("articles")
+    props = m["articles"]["mappings"]["properties"]
+    assert props["title"] == {"type": "text"}
+    assert props["word_count"]["type"] in ("integer", "long")
+    assert props["published_date"] == {"type": "date"}
+    assert props["tags"] == {"type": "text"}  # array<string> → element type
+
+
+def test_update_mapping_additive_and_rejects_changes(spark, wh):
+    """S6 UpdateMapping (storage.go:573-598): new properties become
+    null-filled columns; an existing field's type cannot change."""
+    df = spark.createDataFrame([("a", 1)], "id string, n long")
+    wh.upsert("t", df, key="id")
+    wh.update_mapping("t", {"properties": {"score": {"type": "double"}}})
+    got = wh.table("t")
+    assert dict(got.dtypes)["score"] == "double"
+    row = got.collect()[0]
+    assert row["id"] == "a" and row["score"] is None
+    # same mapping again: no-op, not an error (ES PutMapping semantics)
+    wh.update_mapping("t", {"properties": {"score": {"type": "double"}}})
+    with pytest.raises(ValueError, match="cannot be changed"):
+        wh.update_mapping("t", {"properties": {"n": {"type": "text"}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        wh.update_mapping("t", {"properties": {"x": {"type": "geo_shape"}}})
+
+
+def test_index_health_and_cat_indices(spark, wh):
+    """A4 detail (storage.go:600-630 + cmd/index/list.go:47-184):
+    health green/yellow, ingestion-status mapping, real size bytes."""
+    wh.ensure_article_index("articles")  # empty → yellow/Degraded
+    wh.upsert("docs", spark.createDataFrame([("a", "x")], "id string, body string"))
+    assert wh.get_index_health("articles") == "yellow"
+    assert wh.get_index_health("docs") == "green"
+    assert Warehouse.ingestion_status("green") == "Active"
+    assert Warehouse.ingestion_status("red") == "Failed"
+    cat = {r["index"]: r for r in wh.cat_indices()}
+    assert cat["docs"]["status"] == "Active" and cat["docs"]["docs"] == 1
+    assert cat["articles"]["status"] == "Degraded"
+    assert cat["docs"]["size_bytes"] > 0 and cat["docs"]["files"] >= 1
+    with pytest.raises(KeyError):
+        wh.get_index_health("nope")

@@ -322,3 +322,35 @@ def test_es_aggs_terms_and_metrics(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         search.es_aggs(ev, {"x": {"percentiles": {"field": "value"}}})
+
+
+def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF index (partitioned by centroid_id) must be
+    probed with partition pruning — the broadcast probe side drives a
+    dynamic partition-pruning filter into the index scan, so a probe
+    reads ~nprobe/n_centroids of the corpus — and must return exactly
+    the in-memory ivf_topk result."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_index")
+    sim.ivf_write_index(emb, idx, n_centroids=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    mem = sim.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+    per = sim.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4, index_path=idx)
+    assert sorted(map(tuple, per.collect())) == sorted(map(tuple, mem.collect()))
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_emb_dup_recall_query(spark, sf_dir):
+    """The recall eval query reports |blocked ∩ exact| / |exact| —
+    the banding curve made visible (VERDICT r2 item 4)."""
+    import __spark_entry__ as E
+
+    row = E.queries()["emb_dup_recall"](spark, sf_dir).collect()[0]
+    assert row["n_common"] <= min(row["n_exact"], row["n_blocked"])
+    assert 0.0 <= row["recall"] <= 1.0
+    assert abs(row["recall"] - row["n_common"] / row["n_exact"]) < 1e-3

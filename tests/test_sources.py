@@ -118,3 +118,58 @@ def test_host_policy_df(spark, sources_file):
     pol = {r.domain: r for r in src.host_policy_df(spark, ss).collect()}
     assert pol["news.example.com"].delay_ms == 5000
     assert pol["example.org"].parallelism == 4
+
+
+def test_load_sources_from_rest_api(tmp_path):
+    """S4 REST loader (the reference's primary path, apiclient
+    client.go:68-80): an http endpoint serving the ListSourcesResponse
+    shape must yield the same sources as the equivalent YAML file, and
+    must drive selector/policy derivation identically."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    payload = {
+        "sources": [
+            {
+                "name": "Example News",
+                "url": "https://news.example.com",
+                "rate_limit": "500ms",
+                "max_depth": 2,
+                "selectors": {"article": {"title": "h1.headline"}},
+            },
+            {"name": "Other", "url": "https://other.example.com"},
+        ],
+        "count": 2,
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        via_api = src.load_sources(
+            f"http://127.0.0.1:{srv.server_address[1]}/api/v1/sources"
+        )
+        yml = tmp_path / "sources.json"
+        yml.write_text(_json.dumps(payload))
+        via_file = src.load_sources(str(yml))
+        assert via_api == via_file
+        assert [s.name for s in via_api] == ["Example News", "Other"]
+        assert via_api[0].rate_limit_ms == 500
+        assert via_api[0].article_selectors.title == "h1.headline"
+        assert via_api[0].allowed_domains == ["news.example.com"]
+        sel = src.selector_map(via_api)
+        assert sel["news.example.com"][0].title == "h1.headline"
+    finally:
+        srv.shutdown()

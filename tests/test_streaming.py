@@ -108,3 +108,38 @@ def test_stream_seeds_dedup(spark):
     assert fr.count() == 3
     assert fr.select("url_hash").distinct().count() == 3
     assert {r.depth for r in fr.collect()} == {0}
+
+
+def test_stream_dedup_bloom_state_constant_and_equal(spark):
+    """state_mode='bloom': output ≡ exact mode on the same drops
+    (sized so no false positive fires), state survives restarts, and
+    the per-shard state stays CONSTANT bytes while exact-mode state
+    grows with distinct URLs."""
+    base = tempfile.mkdtemp(prefix="stream_dedup_bloom_")
+    drops = [
+        [f"https://a.example.com/{i}" for i in range(40)] + ["https://a.example.com/1"],
+        [f"https://a.example.com/{i}" for i in range(20, 60)],  # 20 overlap
+    ]
+    dirs = {}
+    for mode in ("exact", "bloom"):
+        urls_dir = os.path.join(base, mode, "urls")
+        out_dir = os.path.join(base, mode, "out")
+        ckpt = os.path.join(base, mode, "ckpt")
+        os.makedirs(urls_dir)
+        dirs[mode] = (urls_dir, out_dir, ckpt)
+        for i, drop in enumerate(drops):
+            with open(os.path.join(urls_dir, f"{i}.txt"), "w") as f:
+                f.write("\n".join(drop) + "\n")
+            # each drop is its own restart (fresh query, same checkpoint)
+            q = streaming.stream_dedup_urls(
+                spark, urls_dir, out_dir, ckpt, n_shards=4,
+                state_mode=mode, m_bits=1 << 14,
+            )
+            q.awaitTermination(120)
+    exact = sorted(r.url for r in spark.read.parquet(dirs["exact"][1]).collect())
+    bloom = sorted(r.url for r in spark.read.parquet(dirs["bloom"][1]).collect())
+    assert exact == bloom and len(exact) == 60
+    # state-store introspection: bloom state is fixed m_bits/8 bytes
+    st = spark.read.format("statestore").load(dirs["bloom"][2])
+    sizes = {len(bytes(r["value"]["groupState"]["bits"])) for r in st.collect()}
+    assert sizes == {(1 << 14) // 8}
