@@ -91,6 +91,76 @@ def bench_crawl(spark, sf_dir: str) -> tuple[float, int, float]:
     return dt, fetched, fetched / dt if dt > 0 else 0.0
 
 
+def _build_replicated(spark, sf_dir: str, replicas: int, corpus_dir: str) -> None:
+    """sf corpus replicated under distinct hosts — the wide-frontier
+    steady-state input (distinct hosts keep the politeness scheduler
+    balanced, exactly like salting hot domains would)."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import synth
+
+    base = synth.corpus_from_documents(spark, sf_dir)
+    parts = [
+        base.withColumn("url", F.regexp_replace("url", "^https://", f"https://r{k}."))
+        for k in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(corpus_dir)
+
+
+def bench_pinned_replay(
+    spark, sf_dir: str, replicas: int = 48, cores: int = 8, trials: int = 2
+) -> dict:
+    """Same-binary comparability leg (BENCH_r03 protocol): the 32-core
+    headline wanders ±30-40% with neighbor load on this host, but a
+    taskset-pinned 8-core steady-state leg repeats within ~9%, so
+    round-over-round deltas are attributable to the code, not the
+    host. Runs tools/scaling_bench.py's worker pinned to cores
+    0..cores-1 on a smaller replicated corpus, plus the kernel-only
+    pool-calibration snapshot (pages/s of the raw extraction kernel at
+    `cores` pinned processes — the engine-independent ceiling)."""
+    import subprocess
+
+    base = tempfile.mkdtemp(prefix="bench_pin_")
+    corpus_dir = os.path.join(base, "corpus")
+    _build_replicated(spark, sf_dir, replicas, corpus_dir)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pin = ["taskset", "-c", f"0-{cores - 1}", sys.executable]
+    legs = []
+    for _ in range(trials):
+        subprocess.run(["sync"])
+        time.sleep(5)
+        out = subprocess.run(
+            pin + [os.path.join(repo, "tools", "scaling_bench.py"),
+                   "--worker", str(cores), corpus_dir],
+            capture_output=True, text=True,
+        )
+        try:
+            legs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        except Exception:
+            legs.append({"error": (out.stderr or "no output")[-400:]})
+    cal = subprocess.run(
+        pin + [os.path.join(repo, "tools", "pool_calibration.py"), str(cores)],
+        capture_output=True, text=True,
+        env={**os.environ, "POOL_PAGES": "8000"},
+    )
+    try:
+        cal_j = json.loads(cal.stdout.strip().splitlines()[-1])
+    except Exception:
+        cal_j = {"error": (cal.stderr or "no output")[-400:]}
+    shutil.rmtree(base, ignore_errors=True)
+    ups = [leg["urls_per_sec"] for leg in legs if "urls_per_sec" in leg]
+    return {
+        "cores": cores,
+        "replicas": replicas,
+        "trials_urls_per_sec": ups,
+        "best_urls_per_sec": max(ups) if ups else None,
+        "pool_calibration": cal_j,
+    }
+
+
 def bench_steady_state(spark, sf_dir: str, replicas: int) -> tuple[float, int, float]:
     """Steady-state round throughput — the BASELINE.json metric shape.
 
@@ -107,15 +177,7 @@ def bench_steady_state(spark, sf_dir: str, replicas: int) -> tuple[float, int, f
 
     run_dir = tempfile.mkdtemp(prefix="gocrawl_bench_ss_")
     corpus_dir = os.path.join(run_dir, "corpus")
-    base = synth.corpus_from_documents(spark, sf_dir)
-    parts = [
-        base.withColumn("url", F.regexp_replace("url", "^https://", f"https://r{k}."))
-        for k in range(replicas)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite").parquet(corpus_dir)
+    _build_replicated(spark, sf_dir, replicas, corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
 
     cfg = CrawlConfig(max_depth=0, round_wall_s=3600.0, max_rounds=1, use_bloom=False)
@@ -160,6 +222,13 @@ def main() -> None:
     qtimes["crawl_steady_round"] = round(ss_s, 3)
     print(f"# steady state: {fetched} urls in {ss_s:.1f}s = {ups:.1f} urls/s", file=sys.stderr)
 
+    # low-variance comparability leg + kernel calibration (see
+    # BENCH/BASELINE.md noise protocol); skip with SPARK_GRAFT_NO_REPLAY=1
+    replay = {}
+    if not os.environ.get("SPARK_GRAFT_NO_REPLAY"):
+        replay = bench_pinned_replay(spark, SF_DIR)
+        print(f"# pinned replay: {replay}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -172,6 +241,7 @@ def main() -> None:
                 "urls_fetched": fetched,
                 "steady_round_seconds": round(ss_s, 2),
                 "bfs_urls_per_sec": round(ups_bfs, 2),
+                "pinned_replay": replay,
                 "scaling_efficiency_note": "see BENCH/BASELINE.md (N-vs-4N pinned-core evidence)",
             }
         )
