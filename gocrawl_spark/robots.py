@@ -151,20 +151,34 @@ def allowed_udf(ua: str = DEFAULT_UA):
     return _allowed
 
 
-def gate(candidates: DataFrame, robots: DataFrame, ua: str = DEFAULT_UA) -> DataFrame:
+def gate(
+    candidates: DataFrame,
+    robots: DataFrame,
+    ua: str = DEFAULT_UA,
+    broadcast: bool | None = None,
+) -> DataFrame:
     """Drop candidate URLs a robots(host, rules) table disallows.
 
-    The robots table is one row per host (tiny next to the frontier), so
-    the join is an explicit broadcast; candidates must carry a ``host``
-    column (they do — F5's allowed-domains filter needs it too).
+    Candidates must carry a ``host`` column (they do — F5's
+    allowed-domains filter needs it too). ``broadcast=None`` (default)
+    lets Catalyst/AQE pick the join strategy from size estimates: a
+    site-scoped robots table (one row per host) broadcasts, while an
+    open-web table — millions of hosts × KBs of rules, the same
+    whole-state-broadcast trap as an unsharded Bloom filter — falls
+    back to a host-keyed shuffle join so no executor ever holds the
+    full rules corpus. Pass True/False to force either shape.
     """
     robots_small = robots.select(
         F.col("host").alias("_robots_host"), F.col("rules").alias("_robots_rules")
     )
+    if broadcast:
+        right = F.broadcast(robots_small)
+    elif broadcast is False:
+        right = robots_small.hint("shuffle_hash")  # forced open-web shape
+    else:
+        right = robots_small  # Catalyst/AQE decides from size estimates
     joined = candidates.join(
-        F.broadcast(robots_small),
-        candidates["host"] == robots_small["_robots_host"],
-        "left",
+        right, candidates["host"] == robots_small["_robots_host"], "left"
     )
     kept = joined.filter(allowed_udf(ua)(F.col("url"), F.col("_robots_rules")))
     return kept.drop("_robots_host", "_robots_rules")

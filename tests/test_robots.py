@@ -141,3 +141,25 @@ def test_host_policy_budget(spark, sf_dir):
     # un-policied hosts use the default budget (20s / 2s * 2 = 20)
     assert all(v <= 20 for h, v in by_host.items() if h != "site00.example.com")
     assert any(v > 1 for h, v in by_host.items() if h != "site00.example.com")
+
+
+def test_gate_join_strategy_dispatch(spark):
+    """gate() must not hard-broadcast the robots table: forced
+    broadcast=False yields a non-broadcast host join (the open-web
+    shape where the rules corpus is too big for one address space),
+    and both shapes return identical rows."""
+    from gocrawl_spark import synth, udfs
+
+    robots = rb.synth_robots(spark)
+    cand = udfs.with_url_identity(
+        spark.createDataFrame(
+            [(synth.url_of(i),) for i in range(60)], "url string"
+        )
+    )
+    bcast = rb.gate(cand, robots, broadcast=True)
+    shuffled = rb.gate(cand, robots, broadcast=False)
+    assert sorted(r.url for r in bcast.collect()) == sorted(
+        r.url for r in shuffled.collect()
+    )
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
