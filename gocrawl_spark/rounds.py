@@ -72,6 +72,15 @@ class CrawlConfig:
     # the configured filter exceeds bloom_broadcast_max_bytes.
     bloom_apply: str = "auto"
     bloom_broadcast_max_bytes: int = 64 << 20
+    # F7/J3 exact-backstop storage: "deltas" anti-joins the union of
+    # per-round snapshot deltas (both join sides shuffle — fine while
+    # seen is small); "bucketed" ALSO maintains a hash-bucketed catalog
+    # index of the seen set (storage.BucketedSeenStore) so the
+    # anti-join reads seen pre-partitioned and shuffles only the small
+    # maybe-seen side — the 10^10-seen path (O(batch), not
+    # O(total-seen), data movement per round)
+    seen_store: str = "deltas"
+    seen_buckets: int = 64
     # S3: the reference's respect_robots_txt flag is ON in config but
     # the collectors pass colly.IgnoreRobotsTxt() (crawler.go:201), so
     # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
@@ -128,6 +137,12 @@ class CrawlConfig:
             problems.append(
                 f"bloom_apply must be auto|broadcast|sharded, got {self.bloom_apply!r}"
             )
+        if self.seen_store not in ("deltas", "bucketed"):
+            problems.append(
+                f"seen_store must be deltas|bucketed, got {self.seen_store!r}"
+            )
+        if self.seen_buckets < 1:
+            problems.append(f"seen_buckets must be >= 1, got {self.seen_buckets}")
         if problems:
             raise ValueError("invalid crawl job config: " + "; ".join(problems))
 
@@ -262,6 +277,15 @@ class CrawlRun:
         # host_policy(domain, delay_ms, parallelism): per-host overrides
         # of the politeness contract (colly LimitRule analogue, P1)
         self.host_policy = host_policy
+        # F7 exact-backstop index (seen_store="bucketed"): the
+        # anti-join's seen side reads pre-bucketed, never shuffles
+        self._seen_index = None
+        if self.cfg.seen_store == "bucketed":
+            from gocrawl_spark.storage import BucketedSeenStore
+
+            self._seen_index = BucketedSeenStore(
+                spark, run_dir, buckets=self.cfg.seen_buckets
+            )
         # source configs (S4): per-source selectors drive extraction
         # (J1), per-source rate limits the politeness budget, and
         # source rules the F8 predicate
@@ -597,6 +621,12 @@ class CrawlRun:
                 futs.append(pool.submit(self._write, redirects, rnd, "redirects"))
             for f in futs:
                 f.result()
+        if self._seen_index is not None:
+            # second O(batch) append into the bucketed index (the
+            # snapshot delta above stays the commit-protocol source of
+            # truth; a crash before the manifest just re-appends the
+            # same deterministic rows on resume — membership semantics)
+            self._seen_index.append(self._read(rnd, "seen"), rnd)
         t["writes"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -816,6 +846,49 @@ class CrawlRun:
             )
         return self.spark.read.parquet(*parts)
 
+    def _sync_seen_index(self, last: "int | None") -> None:
+        """Reconcile the bucketed seen index with the committed
+        snapshots before a run. Fresh run: drop any stale table left at
+        this path by a wiped run_dir. Resume: append the committed
+        deltas past the watermark (O(missed batches)); if any needed
+        delta was already compacted away — or the table/watermark is
+        gone or the bucket count changed — rebuild from the snapshot
+        seen set in one distributed pass."""
+        idx = self._seen_index
+        if last is None:
+            if idx.exists() or idx.watermark() is not None:
+                idx.drop()
+            return
+        wm = idx.watermark()
+        if not idx.exists() or wm is None:
+            idx.rebuild(self._seen_upto(last), last)
+            return
+        if wm >= last:
+            return  # crash-ahead superset is fine: anti-join is membership
+        rounds = [
+            r
+            for r in range(wm + 1, last + 1)
+            if os.path.exists(_manifest_path(self.run_dir, r))
+        ]
+        paths = [os.path.join(_round_dir(self.run_dir, r), "seen") for r in rounds]
+        if any(not os.path.isdir(p) for p in paths):
+            idx.rebuild(self._seen_upto(last), last)
+            return
+        for r, p in zip(rounds, paths):
+            idx.append(self.spark.read.parquet(p), r)
+
+    def _seen_for_filter(self, rnd: "int | None") -> DataFrame:
+        """The seen set the anti-join backstop runs against: the
+        bucketed index when enabled (seen side never shuffles), else
+        the union of snapshot deltas."""
+        if self._seen_index is not None:
+            return (
+                self._seen_index.df()
+                if self._seen_index.exists()
+                else self._empty_seen()
+            )
+        return self._seen_upto(rnd) if rnd is not None else self._empty_seen()
+
     def run(self, resume: bool = True) -> list[dict]:
         if self.cfg.fetch_mode == "corpus" and self.corpus is None:
             raise ValueError(
@@ -826,9 +899,11 @@ class CrawlRun:
         bloom: "fr.BloomFilter | DataFrame | None" = None
         sharded = self.cfg.use_bloom and self._bloom_sharded
         last = last_committed_round(self.run_dir) if resume else None
+        if self._seen_index is not None:
+            self._sync_seen_index(last)
         if last is not None:
             frontier_df = self._read(last, "frontier")
-            seen = self._seen_upto(last)
+            seen = self._seen_for_filter(last)
             start = last + 1
             if sharded:
                 bloom = self._bloom_df_upto(last)
@@ -867,7 +942,7 @@ class CrawlRun:
             # reload from the snapshot: truncates lineage, guarantees
             # the next round reads exactly the committed state
             frontier_df = self._read(rnd, "frontier")
-            seen = self._seen_upto(rnd)
+            seen = self._seen_for_filter(rnd)
             if sharded:
                 # the delta union just grows by one lazy parquet path —
                 # the driver never touches a bitset byte

@@ -56,4 +56,120 @@ def n_exchanges(df: DataFrame) -> int:
     return plan.count("Exchange")
 
 
-__all__ = ["write_bucketed_corpus", "bucketed_corpus", "n_exchanges"]
+class BucketedSeenStore:
+    """Hash-bucketed seen-set index — removes the LAST O(total-seen)
+    shuffle in the round plan (F7/J3).
+
+    The Bloom prefilter already shrinks the anti-join's *candidate*
+    side to "maybe seen" rows (popped URLs + <1% false positives), but
+    the exact ``left_anti`` backstop still had to shuffle the entire
+    seen set every round to co-partition it with those candidates — at
+    10^10 seen URLs that is ~320 GB of url_hash movement per round,
+    forever. Fix mirrors the bucketed fetch join above: maintain the
+    seen set as a catalog table ``bucketBy(N, url_hash)`` + sorted.
+    The bucketing metadata satisfies the anti-join's required
+    distribution on the seen side, so Catalyst shuffles ONLY the small
+    maybe-side and streams each bucket's sorted run — per-round data
+    movement drops from O(total-seen) to O(batch).
+
+    Cost: each round appends its seen delta a second time (O(batch)
+    write IO) — the classic index trade. Consistency with the
+    manifest-last commit protocol: the snapshot deltas under
+    ``rounds/round=NNNN/seen`` stay the source of truth; this table is
+    a derived index with a WATERMARK.json advanced only after a
+    successful append. A crash between append and watermark just
+    re-appends the same rows on resume — duplicates are harmless
+    because the anti-join needs membership, not uniqueness (and crawl
+    pops are deterministic, so the re-run's delta is identical). A
+    missing or stale index (compacted-away deltas, config change)
+    rebuilds from the snapshot seen set in one distributed pass.
+
+    Iceberg analogue: ``bucket(N, url_hash)`` partition transform on
+    the seen table + storage-partitioned join.
+    Reference parity: gocrawl keeps no persistent visited set at all
+    (AllowURLRevisit, crawler.go:203) — this is north-rule surface.
+    """
+
+    def __init__(self, spark: SparkSession, run_dir: str, buckets: int = 64):
+        import hashlib
+        import os
+
+        self.spark = spark
+        self.run_dir = run_dir
+        self.buckets = buckets
+        tag = hashlib.md5(os.path.abspath(run_dir).encode()).hexdigest()[:12]
+        self.table = f"seen_idx_{tag}"
+        self._wm_path = os.path.join(run_dir, "seen_index", "WATERMARK.json")
+
+    # ------------------------------------------------------------ state
+    def watermark(self) -> "int | None":
+        import json
+        import os
+
+        if not os.path.exists(self._wm_path):
+            return None
+        with open(self._wm_path) as f:
+            wm = json.load(f)
+        if wm.get("buckets") != self.buckets:
+            return None  # bucket-count change: treat as missing → rebuild
+        return wm["upto"]
+
+    def _set_watermark(self, rnd: int) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(self._wm_path), exist_ok=True)
+        with open(self._wm_path, "w") as f:
+            json.dump({"upto": rnd, "buckets": self.buckets, "table": self.table}, f)
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def df(self) -> "DataFrame | None":
+        """The seen index WITH bucketing metadata (must be a catalog
+        read — a raw parquet path read loses it). None before the
+        first append; callers fall back to the empty seen set."""
+        return self.spark.table(self.table) if self.exists() else None
+
+    # ------------------------------------------------------------ writes
+    def append(self, seen_delta: DataFrame, rnd: int) -> None:
+        """Append one round's seen delta into its buckets (O(batch))
+        and advance the watermark. Append-to-bucketed keeps the
+        metadata valid: each new file is tagged with its bucket id."""
+        (
+            seen_delta.write.bucketBy(self.buckets, "url_hash")
+            .sortBy("url_hash")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(self.table)
+        )
+        self._set_watermark(rnd)
+
+    def rebuild(self, seen: DataFrame, upto: int) -> None:
+        """One distributed pass over the snapshot seen set — the
+        bootstrap / repair path (first enable on an existing run, or
+        needed deltas already compacted away)."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        (
+            seen.write.bucketBy(self.buckets, "url_hash")
+            .sortBy("url_hash")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(self.table)
+        )
+        self._set_watermark(upto)
+
+    def drop(self) -> None:
+        import shutil
+        import os
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        shutil.rmtree(os.path.dirname(self._wm_path), ignore_errors=True)
+
+
+__all__ = [
+    "write_bucketed_corpus",
+    "bucketed_corpus",
+    "n_exchanges",
+    "BucketedSeenStore",
+]

@@ -241,3 +241,67 @@ def test_sharded_bloom_crawl_no_driver_assembly(spark, sf_dir, tmp_path, monkeyp
     sb = sorted((r["url_hash"], r["fetched_round"]) for r in run_b.seen_final().collect())
     ss = sorted((r["url_hash"], r["fetched_round"]) for r in run_s.seen_final().collect())
     assert sb == ss and len(ss) > 50
+
+
+def test_bucketed_seen_store_crawl_equivalent_and_resumes(spark, sf_dir, tmp_path):
+    """seen_store="bucketed" must change ONLY the anti-join plan: the
+    crawl's seen set is identical to deltas mode, the index holds
+    exactly the seen membership, and resume catches a stale index up
+    from committed snapshots (the crash-between-append-and-watermark
+    window; duplicate re-appends are harmless by membership)."""
+    import json
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seeds = synth.seed_urls(n, k=8)
+    base = dict(
+        max_depth=2,
+        round_wall_s=10.0,
+        max_rounds=4,
+        use_bloom=True,
+        bloom_shards=8,
+        bloom_bits=1 << 16,
+    )
+    run_d = CrawlRun(spark, corpus, seeds, str(tmp_path / "d"), CrawlConfig(**base))
+    run_d.run(resume=False)
+    cfg_b = CrawlConfig(**base, seen_store="bucketed", seen_buckets=8)
+    run_b = CrawlRun(spark, corpus, seeds, str(tmp_path / "b"), cfg_b)
+    try:
+        run_b.run(resume=False)
+        want = sorted(
+            (r["url"], r["fetched_round"]) for r in run_d.seen_final().collect()
+        )
+        got = sorted(
+            (r["url"], r["fetched_round"]) for r in run_b.seen_final().collect()
+        )
+        assert got == want and len(got) > 8
+        idx = run_b._seen_index
+        last = last_committed_round(run_b.run_dir)
+        assert idx.watermark() == last
+        assert sorted({r["url_hash"] for r in idx.df().collect()}) == sorted(
+            r["url_hash"] for r in run_b.seen_final().collect()
+        )
+        # simulate the crash window: roll the watermark back one round,
+        # resume → _sync_seen_index re-appends that round's delta; the
+        # index stays membership-equal (dups tolerated, never trusted)
+        with open(idx._wm_path) as f:
+            wm = json.load(f)
+        wm["upto"] = last - 1
+        with open(idx._wm_path, "w") as f:
+            json.dump(wm, f)
+        run_b2 = CrawlRun(spark, corpus, seeds, str(tmp_path / "b"), cfg_b)
+        run_b2.run(resume=True)
+        idx2 = run_b2._seen_index
+        assert idx2.watermark() == last_committed_round(run_b2.run_dir)
+        assert sorted({r["url_hash"] for r in idx2.df().collect()}) == sorted(
+            r["url_hash"] for r in run_b2.seen_final().collect()
+        )
+        # missing watermark (first enable on an existing run): rebuild
+        idx2.drop()
+        run_b3 = CrawlRun(spark, corpus, seeds, str(tmp_path / "b"), cfg_b)
+        run_b3.run(resume=True)
+        assert sorted({r["url_hash"] for r in run_b3._seen_index.df().collect()}) == sorted(
+            r["url_hash"] for r in run_b3.seen_final().collect()
+        )
+    finally:
+        run_b._seen_index.drop()

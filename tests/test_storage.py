@@ -62,3 +62,57 @@ def test_crawl_over_bucketed_corpus_equivalent(spark, sf_dir, bucketed, tmp_path
     sb = sorted((r["url"], r["fetched_round"]) for r in run_b.seen_final().collect())
     sp = sorted((r["url"], r["fetched_round"]) for r in run_p.seen_final().collect())
     assert sb == sp and len(sb) > 8
+
+
+def test_seen_index_anti_join_shuffles_only_candidates(spark, sf_dir, tmp_path):
+    """F7/J3 plan contract at 10^10-seen scale: the exact-backstop
+    anti-join over the bucketed seen index reads the seen set straight
+    from its buckets — the ONLY Exchange is on the (small) maybe-seen
+    candidate side — and membership equals the plain delta-union path,
+    including after a second (append) round."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import frontier as fr
+    from gocrawl_spark.rounds import init_frontier_df
+
+    corpus = synth.corpus_from_documents(spark, sf_dir).select("url")
+    rows = init_frontier_df(corpus)
+    parity = F.conv(F.substring("url_hash", 1, 2), 16, 10) % 2
+    d0 = rows.filter(parity == 0).select("url_hash", "url").withColumn(
+        "fetched_round", F.lit(0)
+    )
+    d1 = (
+        rows.filter(parity == 1)
+        .limit(50)
+        .select("url_hash", "url")
+        .withColumn("fetched_round", F.lit(1))
+    )
+    store = storage.BucketedSeenStore(spark, str(tmp_path / "run"), buckets=8)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # = bucket count
+    try:
+        store.append(d0, 0)
+        store.append(d1, 1)  # append keeps the bucket metadata valid
+        assert store.watermark() == 1
+        # externally-materialized candidates (the snapshot-read shape)
+        rows.write.parquet(str(tmp_path / "cand"))
+        cand = spark.read.parquet(str(tmp_path / "cand"))
+        out = fr.filter_unseen(cand, store.df(), None, spark)
+        assert storage.n_exchanges(out) == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # the delta-union path shuffles BOTH sides (what the index removes)
+        d0.unionByName(d1).write.parquet(str(tmp_path / "deltas"))
+        exact_seen = spark.read.parquet(str(tmp_path / "deltas"))
+        exact = fr.filter_unseen(cand, exact_seen, None, spark)
+        assert storage.n_exchanges(exact) == 2
+        got = sorted(r["url_hash"] for r in out.collect())
+        want = sorted(r["url_hash"] for r in exact.collect())
+        assert got == want and 0 < len(got) < cand.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        store.drop()
