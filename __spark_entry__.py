@@ -256,6 +256,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_clusters(spark, sf_dir):
+        """Near-dup CLUSTERS: MinHash-LSH pairs collapsed to disjoint
+        components via distributed min-label propagation
+        (dedup.connected_components) — A~B, B~C merge even when A~C was
+        never a candidate pair; canonical survivor = min doc_id."""
+        pairs = dedup.minhash_pairs(
+            _aug_near(_docs(spark, sf_dir)), num_hashes=16, k=5, bands=4, threshold=0.5
+        )
+        return dedup.dup_clusters(pairs)
+
+    q["dedup_clusters"] = dedup_clusters
+
+    def sample_stratified(spark, sf_dir):
+        """Deterministic per-stratum Bernoulli sample over the lang
+        column (curation.sample_stratified): downsample en to 25%, zh
+        to 50%, keep the rest — membership is a pure hash of
+        (doc_id, seed), identical at any parallelism and in DuckDB."""
+        from gocrawl_spark import curation
+
+        return curation.sample_stratified(
+            _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+            "lang",
+            {"en": 0.25, "zh": 0.5},
+            default=1.0,
+        )
+
+    q["sample_stratified"] = sample_stratified
+
     # -- similarity search --------------------------------------------------
     def ann_brute_cosine(spark, sf_dir):
         emb = _emb(spark, sf_dir)
@@ -912,6 +940,41 @@ def oracle_sql() -> dict[str, str]:
         JOIN sig sa ON sa.id = c.id_a
         JOIN sig sb ON sb.id = c.id_b
         WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) >= 0.5::DOUBLE
+    """
+
+    o["dedup_clusters"] = rf"""
+        WITH RECURSIVE
+        aug AS ({_SQL_AUG_NEAR}),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM aug),
+        sh AS (SELECT id, {_sql_shingles(5)} AS shingles FROM w),
+        sig AS (SELECT id,
+                 [list_min([md5(h::VARCHAR || '#' || s) for s in shingles]) for h in range(0,16)] AS sig
+                FROM sh),
+        bands AS (SELECT id, band,
+                   md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS key
+                  FROM (SELECT id, sig, unnest(range(0,4)) AS band FROM sig)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        pairs AS (SELECT c.id_a, c.id_b
+                  FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+                  WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) >= 0.5::DOUBLE),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+        cc AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+               UNION
+               SELECT e.u, c.label FROM edges e JOIN cc c ON c.u = e.v),
+        lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               l.doc_id = l.cluster_id AS is_canonical
+        FROM lab l JOIN sz s USING (cluster_id)
+    """
+
+    o["sample_stratified"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':' || 'gocrawl'), 1, 8))::UBIGINT::DOUBLE
+                / 4294967296.0
+              < CASE lang WHEN 'en' THEN 0.25::DOUBLE WHEN 'zh' THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END
     """
 
     o["dedup_ngram_jaccard"] = rf"""

@@ -60,4 +60,38 @@ def curate(
     )
 
 
-__all__ = ["curate"]
+def sample_stratified(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the mix-rebalancing
+    op of a pretraining pipeline (downsample the dominant language /
+    source, keep all of the scarce ones).
+
+    Keep a row iff u(id) < fraction(stratum), where u is a uniform
+    [0,1) value carved from md5(id ":" seed) — no RNG state, so the
+    sample is identical at any parallelism, on re-runs, and across
+    engines (exactly reproducible training mixes; DuckDB mirrors the
+    same expression). Unlike ``df.sample``, membership is a pure
+    function of the ROW, not of partition layout. Everything is
+    codegen'd expressions evaluated in the scan: the filter pushes
+    down, no shuffle, no UDF. Nested strata = call again with another
+    column; changing ``seed`` draws an independent sample."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long").cast("double") / F.lit(4294967296.0)
+    frac = F.lit(float(default))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return docs.filter(u < frac)
+
+
+__all__ = ["curate", "sample_stratified"]

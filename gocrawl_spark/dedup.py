@@ -333,9 +333,79 @@ def simhash_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list →
+    (id, cluster_id = min node id in the component).
+
+    The dedup end-game: pairwise near-dup evidence (MinHash / SimHash /
+    embedding pairs) must become DISJOINT clusters before survivors can
+    be chosen — A~B and B~C must collapse into one cluster even when
+    A~C was never a candidate pair. Pure DataFrame ops: each sweep
+    joins the symmetrized edges to the current labels and takes the
+    per-node min; converges in O(cluster diameter) sweeps (near-dup
+    clusters are near-cliques, so 2-4 in practice), each sweep one
+    shuffle keyed on the node id (high cardinality, balanced). Lineage
+    is truncated per sweep (localCheckpoint) so the plan stays O(1)
+    deep instead of O(iterations) nested joins. For adversarial
+    diameters the large-star/small-star variant (Kiveris et al.,
+    SoCC'14) drops the bound to O(log n) sweeps; unnecessary at
+    dup-cluster shapes. min is order-free, so output is deterministic
+    at any parallelism."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        new = (
+            labels.unionByName(nbr).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.select("u", F.col("label").alias("_old")), "u")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) for every
+    document carrying near-dup evidence. cluster_id = min doc_id of
+    the component; the canonical member (doc_id == cluster_id) is the
+    survivor the curation pipeline keeps, everything else is dropped —
+    one row per document, so the downstream anti-join against the
+    corpus is a plain equi-join on the id."""
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
     "ngram_jaccard_pairs",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
+    "connected_components", "dup_clusters",
 ]

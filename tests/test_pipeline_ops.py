@@ -354,3 +354,88 @@ def test_emb_dup_recall_query(spark, sf_dir):
     assert row["n_common"] <= min(row["n_exact"], row["n_blocked"])
     assert 0.0 <= row["recall"] <= 1.0
     assert abs(row["recall"] - row["n_common"] / row["n_exact"]) < 1e-3
+
+
+def test_connected_components_merges_transitive_pairs(spark):
+    """A~B, B~C must land in ONE cluster even though A~C was never a
+    pair; disjoint evidence stays disjoint; labels are the component
+    min and identical at any partitioning."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)}
+    got8 = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs.repartition(8)).collect()
+    }
+    assert got8 == got
+    clusters = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert clusters == {
+        (1, 1, 4, True),
+        (2, 1, 4, False),
+        (3, 1, 4, False),
+        (7, 1, 4, False),
+        (10, 10, 2, True),
+        (11, 10, 2, False),
+    }
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph is the worst case for label propagation (diameter
+    sweeps): a 12-node chain must still collapse to one cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0} and len(rows) == 13
+
+
+def test_sample_stratified_deterministic_pure_function(spark, sf_dir):
+    """Membership is a pure hash of (doc_id, seed): identical at any
+    partitioning, monotone in the fraction, empty at 0, full at 1, and
+    a different seed draws a genuinely different sample."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    frac = {"en": 0.25, "zh": 0.5}
+    s1 = {r["doc_id"] for r in curation.sample_stratified(docs, "lang", frac).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in curation.sample_stratified(docs.repartition(16), "lang", frac).collect()
+    }
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    assert curation.sample_stratified(docs, "lang", {}, default=0.0).count() == 0
+    assert (
+        curation.sample_stratified(docs, "lang", {}, default=1.0).count()
+        == docs.count()
+    )
+    # en is downsampled hardest; non-listed strata kept whole
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in curation.sample_stratified(docs, "lang", frac)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] < full["en"] and by_lang["de"] == full["de"]
+    # wider fraction is a superset (same hash, higher threshold)
+    s_wide = {
+        r["doc_id"]
+        for r in curation.sample_stratified(docs, "lang", {"en": 0.5, "zh": 0.5}).collect()
+    }
+    assert s1 <= s_wide
+    s_other = {
+        r["doc_id"]
+        for r in curation.sample_stratified(docs, "lang", frac, seed="other").collect()
+    }
+    assert s_other != s1
