@@ -226,6 +226,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_corpus"] = curate_corpus
 
+    def curate_corpus_neardup(spark, sf_dir):
+        """Curation with the near-dup end-game chained on: language-ID
+        → quality gate → exact-dedup survivors → MinHash-LSH pairs →
+        connected components → canonical-only (curation.curate with
+        near_dup=...), over the corpus with injected near-duplicates."""
+        from gocrawl_spark import curation
+
+        return curation.curate(
+            _aug_near(_docs(spark, sf_dir)),
+            langs=("en",),
+            min_quality=0.5,
+            near_dup={"num_hashes": 16, "k": 5, "bands": 4, "threshold": 0.5},
+        )
+
+    q["curate_corpus_neardup"] = curate_corpus_neardup
+
     # -- dedup --------------------------------------------------------------
     def dedup_exact(spark, sf_dir):
         return dedup.exact_dup_groups(_aug_exact(_docs(spark, sf_dir)))
@@ -854,6 +870,68 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY doc_id) AS rn
           FROM k)
         SELECT doc_id, pred_lang, quality, n_tokens FROM d WHERE rn = 1
+    """
+
+    # curation + near-dup end-game: the curate_corpus chain over the
+    # near-dup-injected corpus, then MinHash-LSH pairs among the exact
+    # survivors → connected components → canonical-only. Composed from
+    # the verified curate_corpus and dedup_clusters oracle blocks.
+    o["curate_corpus_neardup"] = rf"""
+        WITH RECURSIVE
+        aug AS ({_SQL_AUG_NEAR}),
+        h AS (
+          SELECT doc_id, text, {hit_cols},
+                 len(regexp_extract_all(lower(text), '{_stop}', 1)) AS stop_hits,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct_cnt,
+                 length(text)::DOUBLE AS n_chars,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+          FROM aug),
+        m AS (
+          SELECT doc_id, text, n_tokens,
+                 CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                      WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                      WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                      ELSE 'zh' END AS pred_lang,
+                 round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE,
+                         (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                     + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                         (CASE WHEN n_chars > 0 THEN punct_cnt / n_chars ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)),
+                     6) AS quality
+          FROM h),
+        kq AS (SELECT * FROM m WHERE pred_lang = 'en' AND quality >= 0.5::DOUBLE),
+        d AS (
+          SELECT doc_id, text, pred_lang, quality, n_tokens,
+                 row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM kq),
+        surv AS (SELECT doc_id, text, pred_lang, quality, n_tokens FROM d WHERE rn = 1),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM surv),
+        sh AS (SELECT id, {_sql_shingles(5)} AS shingles FROM w),
+        sig AS (SELECT id,
+                 [list_min([md5(hx::VARCHAR || '#' || s) for s in shingles]) for hx in range(0,16)] AS sig
+                FROM sh),
+        bands AS (SELECT id, band,
+                   md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS key
+                  FROM (SELECT id, sig, unnest(range(0,4)) AS band FROM sig)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        prs AS (SELECT c.id_a, c.id_b
+                FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+                WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) >= 0.5::DOUBLE),
+        edges AS (SELECT id_a AS u, id_b AS v FROM prs
+                  UNION SELECT id_b AS u, id_a AS v FROM prs),
+        cc AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+               UNION
+               SELECT e.u, c.label FROM edges e JOIN cc c ON c.u = e.v),
+        lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+        losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        SELECT s.doc_id, s.pred_lang, s.quality, s.n_tokens
+        FROM surv s LEFT JOIN losers l ON l.doc_id = s.doc_id
+        WHERE l.doc_id IS NULL
     """
 
     o["text_fingerprint"] = rf"""

@@ -33,12 +33,21 @@ def curate(
     min_quality: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup: dict | None = None,
 ) -> DataFrame:
     """Kept documents with their curation features:
     (doc_id, pred_lang, quality, n_tokens). A document survives when
     its predicted language is in `langs`, its quality score ≥
     `min_quality`, and it is the canonical (lowest-id) member of its
-    exact-duplicate class."""
+    exact-duplicate class.
+
+    ``near_dup`` chains the full near-dup end-game after the exact
+    pass: MinHash-LSH pairs among the survivors (kwargs forwarded to
+    dedup.minhash_pairs, e.g. {"num_hashes": 16, "k": 5, "bands": 4,
+    "threshold": 0.5}) → connected components → drop every
+    non-canonical cluster member. Running it post-filter/post-exact is
+    the standard ordering: the banded self-join only pays for the kept
+    fraction."""
     feat = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
@@ -53,11 +62,20 @@ def curate(
     # content hash (same key as dedup.exact_dedup)
     key = F.md5(F.trim(F.regexp_replace(F.lower(F.col("_text")), r"\s+", " ")))
     w = Window.partitionBy(key).orderBy("doc_id")
-    return (
+    out = (
         kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("doc_id", "pred_lang", "quality", "n_tokens")
+        .drop("_rn")
     )
+    if near_dup:
+        from gocrawl_spark import dedup
+
+        pairs = dedup.minhash_pairs(out, text_col="_text", **near_dup)
+        losers = dedup.dup_clusters(pairs).filter(~F.col("is_canonical")).select(
+            "doc_id"
+        )
+        out = out.join(losers, "doc_id", "left_anti")
+    return out.select("doc_id", "pred_lang", "quality", "n_tokens")
 
 
 def sample_stratified(

@@ -249,6 +249,26 @@ def test_curate_pipeline(spark, docs):
     assert all(r["n_tokens"] > 0 and 0.0 <= r["quality"] <= 1.0 for r in out.values())
 
 
+def test_curate_pipeline_neardup(spark, docs):
+    """near_dup= chains the MinHash-LSH → connected-components →
+    canonical-only end-game after the exact pass (curation.py): doc 2
+    (near-dup of 1, not an exact dup) is dropped too, and the chain
+    runs over the exact survivors only."""
+    from gocrawl_spark import curation
+
+    out = {
+        r["doc_id"]: r
+        for r in curation.curate(
+            docs,
+            langs=("en",),
+            min_quality=0.0,
+            near_dup={"num_hashes": 16, "k": 5, "bands": 4, "threshold": 0.5},
+        ).collect()
+    }
+    assert set(out) == {1, 5}  # 2 now dropped as near-dup of 1; 6 by exact pass
+    assert all(r["n_tokens"] > 0 for r in out.values())
+
+
 # -------------------------------------------------------------- multimodal
 
 
