@@ -825,6 +825,19 @@ class CrawlRun:
         for r in range(start, upto + 1):
             for name in ("frontier", "seen", "host_state", "bloom"):
                 shutil.rmtree(os.path.join(_round_dir(self.run_dir, r), name), ignore_errors=True)
+        # fold the bucketed seen index too (one sorted file per bucket
+        # instead of one file set per round) — rebuilt from the
+        # just-compacted snapshot state, never from the table itself
+        if self._seen_index is not None and self._seen_index.exists():
+            wm = self._seen_index.watermark()
+            if wm is not None:
+                # clamp to the committed frontier: a crash between
+                # append and manifest can leave wm one round ahead, and
+                # _seen_upto only yields committed deltas — rebuilding
+                # at min(wm, last) keeps "index = committed ≤ watermark"
+                # (the resumed round re-appends its delta either way)
+                wm = min(wm, last)
+                self._seen_index.compact(self._seen_upto(wm), wm)
         return upto
 
     def _host_deltas_upto(self, rnd: int) -> DataFrame:

@@ -159,6 +159,21 @@ class BucketedSeenStore:
         )
         self._set_watermark(upto)
 
+    def compact(self, seen: DataFrame, upto: int) -> None:
+        """Maintenance twin of ``CrawlRun.compact`` (P7): every round's
+        ``append`` adds one file set per bucket, so after R rounds each
+        bucket is R small sorted runs — at 10^5 rounds that is a
+        small-files problem and R-way merges per anti-join task. Fold
+        the index back to ONE sorted file per bucket: repartition by
+        the bucket column with numPartitions == buckets (Spark's
+        bucketing and repartition both use Murmur3 pmod, so each task
+        holds exactly one bucket) and rewrite. `seen` must be the
+        snapshot-derived seen set ≤ `upto` — the source of truth —
+        never a read of this table (rebuild drops it first)."""
+        from pyspark.sql import functions as F
+
+        self.rebuild(seen.repartition(self.buckets, F.col("url_hash")), upto)
+
     def drop(self) -> None:
         import shutil
         import os

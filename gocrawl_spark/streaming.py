@@ -17,6 +17,13 @@ semantics from the stream checkpoint.
   foreachBatch-appending new URLs into a CrawlRun's frontier seed
   table; each micro-batch is deduped against the frontier the same way
   round candidates are.
+- :func:`stream_fetch_metrics` — the A8 metrics rollup as an
+  EVENT-TIME windowed aggregation with a WATERMARK: fetch-log events
+  (url, host, status, fetched_at) land continuously and possibly out
+  of order; per-host per-window fetch/error counts are emitted exactly
+  once per finalized window (append mode), late events inside the
+  watermark are merged into their window's state, later-than-watermark
+  events are dropped — the bounded-state late-data contract.
 - :func:`stream_dedup_urls` — the F7 URL-seen filter as a CUSTOM
   STATEFUL operator (``applyInPandasWithState``): candidate URLs
   stream in, first-seen URLs stream out, and the seen set lives in
@@ -100,6 +107,66 @@ def stream_seeds(
 
     writer = src.writeStream.foreachBatch(absorb).option(
         "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# fetch-log event schema (what rounds.py's fetch stage would emit
+# continuously on a cluster; synthesized in tests)
+FETCH_EVENTS = "url string, host string, status int, fetched_at timestamp"
+
+
+def stream_fetch_metrics(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+):
+    """Per-host fetch metrics over event-time windows with late-data
+    handling (A8 as a streaming rollup).
+
+    Fetch-log parquet drops under ``events_dir`` (schema
+    :data:`FETCH_EVENTS`) → append-mode parquet of
+    ``(window_start, window_end, host, n_fetched, n_errors)``, one row
+    per (window, host) emitted exactly once — when the watermark
+    (max event time seen minus ``watermark``) passes the window end.
+    Events arriving later than the watermark are dropped; events late
+    but within it are merged into their window's state. State is
+    bounded: windows older than the watermark are evicted, so state
+    size is O(hosts x windows-in-flight) regardless of stream length.
+    Pure built-in exprs — no Python in the stream. Returns the
+    StreamingQuery.
+    """
+    src = (
+        spark.readStream.schema(FETCH_EVENTS)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(events_dir)
+    )
+    agg = (
+        src.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window).alias("w"), "host")
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.count(F.when(F.col("status") >= 400, 1)).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_fetched",
+            "n_errors",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

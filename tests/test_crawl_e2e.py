@@ -303,5 +303,16 @@ def test_bucketed_seen_store_crawl_equivalent_and_resumes(spark, sf_dir, tmp_pat
         assert sorted({r["url_hash"] for r in run_b3._seen_index.df().collect()}) == sorted(
             r["url_hash"] for r in run_b3.seen_final().collect()
         )
+        # P7: compact() folds the index too — membership and watermark
+        # survive, and each bucket collapses to one file
+        assert run_b3.compact(keep_rounds=1) is not None
+        idx3 = run_b3._seen_index
+        assert idx3.watermark() == last_committed_round(run_b3.run_dir)
+        assert sorted({r["url_hash"] for r in idx3.df().collect()}) == sorted(
+            r["url_hash"] for r in run_b3.seen_final().collect()
+        )
+        from tests.test_storage import _table_parquet_files
+
+        assert len(_table_parquet_files(spark, idx3.table)) == cfg_b.seen_buckets
     finally:
         run_b._seen_index.drop()

@@ -116,3 +116,71 @@ def test_seen_index_anti_join_shuffles_only_candidates(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         store.drop()
+
+
+def _table_parquet_files(spark, table: str) -> list[str]:
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(loc)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+
+
+def test_bucketed_seen_compact_folds_to_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """Per-round appends leave one file set per round in every bucket
+    (R-way merge per anti-join task after R rounds); compact() must
+    fold the index to exactly one sorted file per bucket while
+    preserving membership, bucketing metadata (one-Exchange plan), and
+    the watermark."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import frontier as fr
+    from gocrawl_spark.rounds import init_frontier_df
+
+    corpus = synth.corpus_from_documents(spark, sf_dir).select("url")
+    rows = init_frontier_df(corpus)
+    store = storage.BucketedSeenStore(spark, str(tmp_path / "run"), buckets=8)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        parity = F.conv(F.substring("url_hash", 1, 2), 16, 10) % 3
+        deltas = [
+            rows.filter(parity == r)
+            .select("url_hash", "url")
+            .withColumn("fetched_round", F.lit(r))
+            for r in range(3)
+        ]
+        for r, d in enumerate(deltas):
+            store.append(d, r)
+        n_before = len(_table_parquet_files(spark, store.table))
+        assert n_before > 8  # one file set per append per bucket
+        want = sorted(r["url_hash"] for r in store.df().collect())
+
+        seen = deltas[0].unionByName(deltas[1]).unionByName(deltas[2])
+        store.compact(seen, 2)
+
+        files = _table_parquet_files(spark, store.table)
+        assert len(files) == 8  # exactly one file per bucket
+        assert store.watermark() == 2
+        assert sorted(r["url_hash"] for r in store.df().collect()) == want
+        # bucketing metadata survives: anti-join still one-Exchange
+        rows.write.parquet(str(tmp_path / "cand"))
+        cand = spark.read.parquet(str(tmp_path / "cand"))
+        out = fr.filter_unseen(cand, store.df(), None, spark)
+        assert storage.n_exchanges(out) == 1
+        assert "Bucketed: true" in out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        store.drop()

@@ -53,6 +53,74 @@ def test_stream_extract_incremental(spark, sf_dir):
     assert out.select("url").distinct().count() == 150
 
 
+def test_stream_fetch_metrics_watermark_late_data(spark):
+    """Event-time windowed rollup with watermark: windows are emitted
+    exactly once when the watermark passes them; a late event within
+    the watermark merges into its window; an event LATER than the
+    watermark is dropped and never surfaces — across restarts, from
+    the checkpointed watermark, not driver memory."""
+    import datetime as dt
+
+    base = tempfile.mkdtemp(prefix="stream_fm_")
+    events_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(events_dir)
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, streaming.FETCH_EVENTS).coalesce(1).write.parquet(
+            os.path.join(base, name)
+        )
+        src = os.path.join(base, name)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, f), os.path.join(events_dir, f"{name}_{f}"))
+
+    def run():
+        q = streaming.stream_fetch_metrics(
+            spark, events_dir, out_dir, ckpt, window="1 minute", watermark="2 minutes"
+        )
+        q.awaitTermination(120)
+
+    # drop 1: two fetches in window 10:00, one error at 10:05 (advances
+    # event time to 10:05 → watermark 10:03 for the NEXT batch)
+    drop("d1", [
+        ("https://a/1", "a", 200, t(0, 10)),
+        ("https://a/2", "a", 200, t(0, 20)),
+        ("https://a/3", "a", 503, t(5, 0)),
+    ])
+    run()
+
+    # drop 2: a LATE event at 10:00:30 (behind the 10:03 watermark →
+    # dropped) + a fresh event at 10:10
+    drop("d2", [
+        ("https://b/1", "b", 200, t(0, 30)),
+        ("https://a/4", "a", 200, t(10, 0)),
+    ])
+    run()
+    rows = {
+        (r["window_start"].minute, r["host"]): (r["n_fetched"], r["n_errors"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows[(0, "a")] == (2, 0)  # 10:00 window finalized once, b's late row dropped
+    assert (0, "b") not in rows
+
+    # drop 3: event at 10:20 pushes the watermark past 10:05 and 10:10
+    drop("d3", [("https://a/5", "a", 200, t(20, 0))])
+    run()
+    rows = {
+        (r["window_start"].minute, r["host"]): (r["n_fetched"], r["n_errors"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows[(5, "a")] == (1, 1) and rows[(10, "a")] == (1, 0)
+    assert all(h != "b" for _, h in rows)  # the late row never surfaces
+    # exactly-once: one row per (window, host) across all restarts
+    out = spark.read.parquet(out_dir)
+    assert out.count() == out.select("window_start", "host").distinct().count()
+
+
 def test_stream_dedup_urls_stateful(spark):
     """Custom stateful operator (applyInPandasWithState): the URL-seen
     state must survive micro-batches AND stream restarts — a URL from
