@@ -242,6 +242,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_corpus_neardup"] = curate_corpus_neardup
 
+    def link_rank_pagerank(spark, sf_dir):
+        """Frontier-prioritization signal: damped PageRank (3 fixed
+        sweeps, d=0.85) over the corpus link graph — one shuffle per
+        sweep, per-sweep rounding pins the fixpoint across engines and
+        parallelism (graphrank.py; edge formula = synth.link_targets,
+        what extraction recovers from the built HTML)."""
+        from gocrawl_spark import graphrank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        return (
+            graphrank.link_rank(graphrank.doc_edges(docs, n), iters=3, damping=0.85)
+            .select(F.col("node").alias("doc_id"), "rank")
+        )
+
+    q["link_rank_pagerank"] = link_rank_pagerank
+
     # -- dedup --------------------------------------------------------------
     def dedup_exact(spark, sf_dir):
         return dedup.exact_dup_groups(_aug_exact(_docs(spark, sf_dir)))
@@ -932,6 +949,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.doc_id, s.pred_lang, s.quality, s.n_tokens
         FROM surv s LEFT JOIN losers l ON l.doc_id = s.doc_id
         WHERE l.doc_id IS NULL
+    """
+
+    # damped PageRank, 3 sweeps unrolled (no recursion needed for a
+    # FIXED iteration count); same per-sweep round(…, 9) as the engine
+    _pr_iters = []
+    for i in range(3):
+        prev = f"r{i}"
+        _pr_iters.append(f"""
+        c{i + 1} AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+                 FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst),
+        r{i + 1} AS (SELECT nodes.node,
+                   round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                         + 0.85::DOUBLE * coalesce(c, 0.0::DOUBLE), 9) AS rank
+                 FROM nodes LEFT JOIN c{i + 1} ON c{i + 1}.node = nodes.node)""")
+    o["link_rank_pagerank"] = f"""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),{",".join(_pr_iters)}
+        SELECT node AS doc_id, round(rank, 6) AS rank FROM r3
     """
 
     o["text_fingerprint"] = rf"""

@@ -1,0 +1,89 @@
+"""Link-graph ranking for frontier prioritization (P3 adjunct).
+
+gocrawl pops by a static per-source priority (internal/common/types.go
+Source.Priority; frontier ordering rounds.py:23-26). At open-web scale
+the standard refinement is a link-graph score — rank hubs before leaf
+pages so the politeness-limited fetch budget goes to high-yield URLs
+first. This module adds that as a batch operator over the crawl's own
+link structure: damped PageRank with a FIXED iteration count, suitable
+as an extra priority column for `frontier.pop_batch`.
+
+Scale shape: each iteration is ONE shuffle (groupBy dst) over the edge
+list plus a broadcast-sized join against out-degrees when the graph is
+wide; nodes/ranks tables are O(pages). That is the canonical
+distributed PageRank plan — no driver-side graph, no per-row Python.
+Determinism: every iteration rounds to ``ITER_DIGITS`` decimals, so
+float summation order (Spark vs DuckDB vs parallelism level) cannot
+drift the fixpoint; the final rank is rounded to 6.
+
+In production the edge list comes from the extraction output (url →
+out-links, udfs.extract_pages); tests and the oracle use the synthetic
+corpus' formula-derived doc-id graph (synth.link_targets), which the
+extraction goldens pin as byte-identical to what extraction recovers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ITER_DIGITS = 9
+
+
+def doc_edges(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """The synthetic corpus link graph as (src, dst) — the pure-expr
+    twin of synth.link_targets (fanout 3 + id%3, target
+    (id*31 + 7*(j+1) + 1) % n), exactly what extraction recovers from
+    the built HTML minus junk links."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j")
+    e = docs.select(F.col(id_col).alias("src"), j)
+    return e.filter(F.col("j") < 3 + F.col("src") % 3).select(
+        "src", ((F.col("src") * 31 + 7 * (F.col("j") + 1) + 1) % n).alias("dst")
+    )
+
+
+def link_rank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """(node, rank) after `iters` damped PageRank sweeps.
+
+    r0 = 1/N; r_{t+1}(v) = round((1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u),
+    ITER_DIGITS). Nodes with no out-edges leak their mass (no dangling
+    redistribution — documented choice, matched by the oracle; the
+    synthetic graph has min out-degree 3 so none exist there). Output
+    rank is rounded to 6 — engine- and parallelism-independent.
+    """
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # O(nodes) count; PageRank needs N
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .withColumn(
+                "rank",
+                F.round(
+                    F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    ITER_DIGITS,
+                ),
+            )
+            .select("node", "rank")
+        )
+        # each sweep is one shuffle; snapshot the small rank table so
+        # the next sweep's plan doesn't re-derive every prior sweep
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+__all__ = ["doc_edges", "link_rank", "ITER_DIGITS"]
