@@ -259,6 +259,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_rank_pagerank"] = link_rank_pagerank
 
+    def rank_priorities_p3(spark, sf_dir):
+        """Rank → politeness-priority bucketing (the P3 adjunct fed to
+        CrawlRun(rank_priority=...)): mean-normalized PageRank bucketed
+        by fixed thresholds into the reference's int priority scale —
+        one O(pages) agg for the mean, then pure map-side expressions
+        (graphrank.rank_priorities)."""
+        from gocrawl_spark import graphrank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        ranks = graphrank.link_rank(
+            graphrank.doc_edges(docs, n), iters=3, damping=0.85
+        )
+        return graphrank.rank_priorities(
+            ranks.select(F.col("node").cast("string").alias("url"), "rank")
+        )
+
+    q["rank_priorities_p3"] = rank_priorities_p3
+
     # -- dedup --------------------------------------------------------------
     def dedup_exact(spark, sf_dir):
         return dedup.exact_dup_groups(_aug_exact(_docs(spark, sf_dir)))
@@ -976,6 +995,28 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
         r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),{",".join(_pr_iters)}
         SELECT node AS doc_id, round(rank, 6) AS rank FROM r3
+    """
+
+    # rank → priority bucketing: same PageRank CTE chain, then the
+    # engine's mean-normalize (round(mean,9), round(x,6)) + fixed
+    # thresholds; url_hash = sha256 of the stringified node id
+    o["rank_priorities_p3"] = f"""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),{",".join(_pr_iters)},
+        rf AS (SELECT node, round(rank, 6) AS rank FROM r3),
+        m AS (SELECT round(sum(rank) / count(*), 9) AS mean FROM rf),
+        x AS (SELECT node, round(rank / (SELECT mean FROM m), 6) AS x FROM rf)
+        SELECT sha256(node::VARCHAR) AS url_hash,
+               CASE WHEN x >= 4.0 THEN 8 WHEN x >= 2.0 THEN 7 ELSE 6 END AS priority
+        FROM x WHERE x >= 1.2
     """
 
     o["text_fingerprint"] = rf"""

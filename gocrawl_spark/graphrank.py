@@ -86,4 +86,59 @@ def link_rank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
-__all__ = ["doc_edges", "link_rank", "ITER_DIGITS"]
+def rank_from_extracted(
+    extracted: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """(url, rank) from a finished crawl's extraction output — the
+    offline between-generations pass: generation G's link graph ranks
+    generation G+1's frontier (scheduler re-crawl loop, P5). Links are
+    resolved through the same F2-F4 pipeline the frontier expansion
+    uses, so the graph is exactly the crawl's admissible-URL graph."""
+    from gocrawl_spark import udfs
+
+    edges = extracted.select(
+        F.col("url").alias("src"),
+        F.explode(udfs.resolve_links_udf("url", "links")).alias("dst"),
+    )
+    return link_rank(edges, iters=iters, damping=damping).select(
+        F.col("node").alias("url"), "rank"
+    )
+
+
+def rank_priorities(ranks: DataFrame, base: int = 5) -> DataFrame:
+    """(url_hash, priority) overrides for CrawlRun(rank_priority=...).
+
+    Buckets mean-normalized rank (rank / mean(rank); 1.0 = average
+    page) into the reference's int priority scale with fixed
+    thresholds — one O(pages) agg for the mean, then a pure map-side
+    expression (no global sort/quantile), so it is deterministic and
+    O(pages) at any scale: >=4x average -> base+3, >=2x -> base+2,
+    >=1.2x -> base+1, else base (dropped — the default already is
+    `base`). Normalizing by the OBSERVED mean, not 1/N, keeps the
+    thresholds meaningful on crawl graphs where dangling final-tier
+    pages leak PageRank mass (link_rank's documented no-redistribution
+    choice)."""
+    from gocrawl_spark import udfs
+
+    stats = ranks.agg(
+        F.count("*").alias("n"), F.sum("rank").alias("s")
+    ).collect()[0]
+    mean = round(stats["s"] / stats["n"], ITER_DIGITS)
+    x = F.round(F.col("rank") / F.lit(mean), 6)
+    pri = (
+        F.when(x >= 4.0, base + 3)
+        .when(x >= 2.0, base + 2)
+        .when(x >= 1.2, base + 1)
+        .otherwise(base)
+    )
+    out = udfs.with_url_identity(ranks.select("url", pri.alias("priority")))
+    return out.filter(F.col("priority") != base).select("url_hash", "priority")
+
+
+__all__ = [
+    "doc_edges",
+    "link_rank",
+    "rank_from_extracted",
+    "rank_priorities",
+    "ITER_DIGITS",
+]

@@ -248,6 +248,7 @@ class CrawlRun:
         robots: DataFrame | None = None,
         host_policy: DataFrame | None = None,
         sources: list | None = None,
+        rank_priority: DataFrame | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -277,6 +278,13 @@ class CrawlRun:
         # host_policy(domain, delay_ms, parallelism): per-host overrides
         # of the politeness contract (colly LimitRule analogue, P1)
         self.host_policy = host_policy
+        # optional (url_hash, priority) overrides — typically the
+        # previous generation's link-graph rank (graphrank.
+        # rank_from_extracted ∘ rank_priorities). OPT-IN: the default
+        # keeps the reference's static priority-5 ordering (parity
+        # contract); with it, hub URLs spend the politeness budget
+        # first. Applied to seeds and every round's candidates.
+        self.rank_priority = rank_priority
         # F7 exact-backstop index (seen_store="bucketed"): the
         # anti-join's seen side reads pre-bucketed, never shuffles
         self._seen_index = None
@@ -298,6 +306,26 @@ class CrawlRun:
                 self.host_policy = src.host_policy_df(spark, sources)
             if self.cfg.rules is None:
                 self.cfg.rules = src.combined_rules(sources) or None
+
+    def _apply_rank_priority(self, df: DataFrame) -> DataFrame:
+        """Overlay the (url_hash, priority) rank overrides (P3 adjunct,
+        graphrank.rank_priorities) onto frontier rows. Plain equi-join
+        on url_hash — the override table holds only boosted URLs (the
+        base tier is dropped at the source), so AQE broadcasts it when
+        small; at open-web scale both sides hash-partition on the key
+        the frontier already carries. Reorders the politeness pop only:
+        the seen/bloom/expansion semantics never read priority."""
+        if self.rank_priority is None:
+            return df
+        cols = df.columns
+        ov = self.rank_priority.select(
+            "url_hash", F.col("priority").alias("_rank_pri")
+        )
+        return (
+            df.join(ov, "url_hash", "left")
+            .withColumn("priority", F.coalesce("_rank_pri", F.col("priority")))
+            .select(cols)
+        )
 
     def _gate_robots(self, df: DataFrame) -> DataFrame:
         if not self.cfg.respect_robots:
@@ -527,7 +555,9 @@ class CrawlRun:
         t0 = time.perf_counter()
         cand = None
         if can_expand:
-            cand = self._gate_robots(expand_candidates(extracted, batch, cfg, rnd)).persist()
+            cand = self._apply_rank_priority(
+                self._gate_robots(expand_candidates(extracted, batch, cfg, rnd))
+            ).persist()
             cand.count()
         t["expand"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -937,7 +967,7 @@ class CrawlRun:
             # robots gates frontier ADMISSION (seeds here, candidates in
             # run_round) — with a static robots table this yields the
             # same URL set as the reference's check-at-request-time
-            frontier_df = self._gate_robots(frontier_df)
+            frontier_df = self._apply_rank_priority(self._gate_robots(frontier_df))
             seen = self._empty_seen()
             if sharded:
                 bloom = self.spark.createDataFrame([], "shard int, bits binary")
