@@ -187,6 +187,7 @@ def cmd_schedule(args) -> int:
         cfg,
         ticks=args.ticks,
         interval_s=args.interval,
+        rank_frontier=args.rank_frontier,
     )
     for r in results:
         print(
@@ -291,6 +292,9 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--run-dir", required=True)
     sc.add_argument("--sources", required=True)
     sc.add_argument("--interval", type=float, default=60.0)  # scheduler.go ticker
+    # feedback loop: pop each new generation by the previous one's
+    # link-rank priorities (graphrank); default = reference ordering
+    sc.add_argument("--rank-frontier", action="store_true")
     sc.add_argument("--ticks", type=int, default=1)
     sc.add_argument("--max-depth", type=int, default=3)
     sc.add_argument("--max-rounds", type=int, default=8)

@@ -57,6 +57,26 @@ def seeds_of(sources) -> list[str]:
     return [u for s in sources for u in ([s.url] + list(s.start_urls))]
 
 
+def generation_rank(
+    spark: SparkSession, base_dir: str, gen: int, base: int = 5
+) -> "DataFrame | None":
+    """(url_hash, priority) overrides from a FINISHED generation's own
+    link graph (graphrank.rank_from_extracted ∘ rank_priorities) — the
+    between-generations feedback loop: generation G's hubs spend
+    generation G+1's politeness budget first. None when the generation
+    is unfinished or extracted nothing."""
+    from gocrawl_spark import graphrank
+
+    if not os.path.exists(_marker(base_dir, gen)):
+        return None
+    run = CrawlRun(spark, None, [], _gen_dir(base_dir, gen))
+    try:
+        ext = run.extracted()
+    except Exception:
+        return None  # no committed rounds with extraction output
+    return graphrank.rank_priorities(graphrank.rank_from_extracted(ext), base=base)
+
+
 def run_schedule(
     spark: SparkSession,
     corpus: DataFrame,
@@ -67,11 +87,17 @@ def run_schedule(
     interval_s: float = 60.0,
     sleep=time.sleep,
     robots: DataFrame | None = None,
+    rank_frontier: bool = False,
 ) -> list[dict]:
     """Run `ticks` scheduler fires. Each fire either resumes the latest
     unfinished generation or seeds a new one; returns one summary dict
     per fire. Generations are independent snapshot lineages, so any
-    fire is crash-resumable and generations are diffable."""
+    fire is crash-resumable and generations are diffable.
+
+    ``rank_frontier=True`` turns on the feedback loop: each NEW
+    generation pops its frontier with the previous finished
+    generation's link-rank priorities (OPT-IN — the default keeps the
+    reference's static priority ordering)."""
     cfg = cfg or CrawlConfig()
     results: list[dict] = []
     for i in range(ticks):
@@ -79,6 +105,11 @@ def run_schedule(
         unfinished = [g for g in gens if not os.path.exists(_marker(base_dir, g))]
         gen = min(unfinished) if unfinished else (max(gens) + 1 if gens else 0)
         resumed = gen in gens
+        rank_priority = None
+        if rank_frontier:
+            prev = last_finished_generation(base_dir)
+            if prev is not None:
+                rank_priority = generation_rank(spark, base_dir, prev)
         run = CrawlRun(
             spark,
             corpus,
@@ -87,6 +118,7 @@ def run_schedule(
             cfg,
             robots=robots,
             sources=sources,
+            rank_priority=rank_priority,
         )
         history = run.run(resume=True)
         summary = {
@@ -106,4 +138,5 @@ def run_schedule(
 
 __all__ = [
     "run_schedule", "generations", "last_finished_generation", "seeds_of",
+    "generation_rank",
 ]

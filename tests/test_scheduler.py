@@ -64,6 +64,46 @@ def test_two_ticks_two_generations(spark, corpus, sources, tmp_path):
     assert seen0 == seen1 and len(seen0) > 0
 
 
+def test_rank_frontier_feedback_loop(spark, corpus, sources, tmp_path):
+    """rank_frontier=True: generation G+1 pops with generation G's
+    link-rank priorities — the boosted set as a whole spends the
+    politeness budget no later than in the unranked generation."""
+    base = str(tmp_path / "sched3")
+    # depth 3 so gen 0's link graph is dense enough to have hubs
+    # (thin samples rank near-uniform and nothing clears 1.2x mean)
+    cfg = CrawlConfig(max_depth=3, round_wall_s=10.0, max_rounds=5, use_bloom=False)
+    results = scheduler.run_schedule(
+        spark, corpus, sources, base, cfg, ticks=2, sleep=lambda s: None,
+        rank_frontier=True,
+    )
+    assert [r["generation"] for r in results] == [0, 1]
+    # the feedback table exists and is non-trivial after gen 0
+    pri = scheduler.generation_rank(spark, base, 0)
+    assert pri is not None and pri.count() > 0
+    assert scheduler.generation_rank(spark, base, 7) is None  # no such gen
+    # directional effect: boosted URLs reached by both generations are
+    # fetched, in aggregate, no later in the ranked generation (depth >
+    # 1 means pop order can shift individual discovery depths/rounds,
+    # so per-URL and exact-coverage claims don't hold here — the
+    # depth-1 invariance is pinned in test_graphrank.py)
+    from pyspark.sql import functions as F
+
+    run0 = CrawlRun(spark, corpus, [], os.path.join(base, "gen=0000"), cfg)
+    run1 = CrawlRun(spark, corpus, [], os.path.join(base, "gen=0001"), cfg)
+
+    def rounds_of(run):
+        ext = run.extracted().withColumn("url_hash", F.sha2("url", 256))
+        return {
+            r["url_hash"]: r["crawl_round"]
+            for r in ext.join(pri, "url_hash").select("url_hash", "crawl_round").collect()
+        }
+
+    r0, r1 = rounds_of(run0), rounds_of(run1)
+    both = set(r0) & set(r1)
+    assert both
+    assert sum(r1[h] for h in both) <= sum(r0[h] for h in both)
+
+
 def test_unfinished_generation_resumes_first(spark, corpus, sources, tmp_path):
     base = str(tmp_path / "sched2")
     cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False)
