@@ -242,6 +242,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_corpus_neardup"] = curate_corpus_neardup
 
+    def corpus_diff(spark, sf_dir):
+        """Snapshot diff (curation.diff_corpus — the incremental-ingest
+        primitive behind scheduler.generation_diff): old snapshot drops
+        doc_id%11==3, new snapshot drops doc_id%13==4 and revises
+        doc_id%7==0; diff classifies every id added/removed/changed/
+        unchanged by content hash. Content never shuffles — only (key,
+        md5) rows reach the full-outer join."""
+        from gocrawl_spark import curation
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        old = docs.filter(F.col("doc_id") % 11 != 3)
+        new = docs.filter(F.col("doc_id") % 13 != 4).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return curation.diff_corpus(old, new)
+
+    q["corpus_diff"] = corpus_diff
+
     def link_rank_pagerank(spark, sf_dir):
         """Frontier-prioritization signal: damped PageRank (3 fixed
         sweeps, d=0.85) over the corpus link graph — one shuffle per
@@ -906,6 +927,23 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY doc_id) AS rn
           FROM k)
         SELECT doc_id, pred_lang, quality, n_tokens FROM d WHERE rn = 1
+    """
+
+    # snapshot diff: same derived old/new snapshots, same md5-compare
+    o["corpus_diff"] = """
+        WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+        b AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 4),
+        j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     md5(a.text) AS ha, md5(b.text) AS hb
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT doc_id,
+               CASE WHEN ha IS NULL THEN 'added'
+                    WHEN hb IS NULL THEN 'removed'
+                    WHEN ha <> hb THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM j
     """
 
     # curation + near-dup end-game: the curate_corpus chain over the

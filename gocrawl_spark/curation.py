@@ -112,4 +112,32 @@ def sample_stratified(
     return docs.filter(u < frac)
 
 
-__all__ = ["curate", "sample_stratified"]
+def diff_corpus(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "doc_id",
+    content: str = "text",
+) -> DataFrame:
+    """Snapshot diff — the incremental-ingest primitive of a recurring
+    pipeline: (key, change) with change ∈ added | removed | changed |
+    unchanged, comparing snapshot ``a`` (old) to ``b`` (new) by content
+    hash.
+
+    Scale shape: each side is projected to (key, md5(content)) IN THE
+    SCAN — the content bytes never reach the exchange; the only
+    shuffle is the full-outer equi-join on the key (high cardinality,
+    balanced), so the plan moves O(rows × 48 bytes) regardless of
+    document size. At 100 TB with both snapshots bucketed on the key
+    (storage.write_bucketed) even that exchange disappears."""
+    ha = a.select(F.col(key), F.md5(F.col(content)).alias("_ha"))
+    hb = b.select(F.col(key), F.md5(F.col(content)).alias("_hb"))
+    change = (
+        F.when(F.col("_ha").isNull(), "added")
+        .when(F.col("_hb").isNull(), "removed")
+        .when(F.col("_ha") != F.col("_hb"), "changed")
+        .otherwise("unchanged")
+    )
+    return ha.join(hb, key, "full_outer").select(F.col(key), change.alias("change"))
+
+
+__all__ = ["curate", "sample_stratified", "diff_corpus"]

@@ -77,6 +77,32 @@ def generation_rank(
     return graphrank.rank_priorities(graphrank.rank_from_extracted(ext), base=base)
 
 
+def generation_diff(
+    spark: SparkSession, base_dir: str, gen_a: int, gen_b: int
+) -> DataFrame:
+    """What changed between two crawl generations: per-URL change
+    status (added | removed | changed | unchanged) from the extracted
+    content — articles diff on body, pages on content. The recurring
+    re-crawl's incremental-ingest feed: downstream consumers re-process
+    only `change != 'unchanged'` rows instead of the whole snapshot
+    (curation.diff_corpus does the hashing; content bytes never
+    shuffle)."""
+    from gocrawl_spark.curation import diff_corpus
+
+    def snap(gen: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ext = CrawlRun(spark, None, [], _gen_dir(base_dir, gen)).extracted()
+        return ext.select(
+            "url",
+            F.coalesce(
+                F.col("article.body"), F.col("page.content"), F.lit("")
+            ).alias("content"),
+        )
+
+    return diff_corpus(snap(gen_a), snap(gen_b), key="url", content="content")
+
+
 def run_schedule(
     spark: SparkSession,
     corpus: DataFrame,
@@ -138,5 +164,5 @@ def run_schedule(
 
 __all__ = [
     "run_schedule", "generations", "last_finished_generation", "seeds_of",
-    "generation_rank",
+    "generation_rank", "generation_diff",
 ]

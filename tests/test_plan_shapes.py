@@ -56,6 +56,24 @@ def test_seen_filter_antijoin_prunes_to_hash(spark, run):
     assert all("fetched_round" not in seg.split("ReadSchema:")[-1][:120] for seg in seen_scans)
 
 
+def test_diff_corpus_hashes_below_the_exchange(spark, sf_dir):
+    """Snapshot diff (curation.diff_corpus): the content column must be
+    reduced to md5 IN THE SCAN-side projection — only (key, 48-byte
+    hash) rows cross the full-outer join's exchanges, so the plan moves
+    O(rows) bytes regardless of document size."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(curation.diff_corpus(docs, docs))
+    parts = plan.split("Exchange hashpartitioning")
+    assert len(parts) >= 3, plan  # both join inputs shuffle on the key
+    for seg in parts[1:]:
+        # between each exchange and its child scan sits the md5 project
+        assert "md5" in seg.split("FileScan")[0], seg
+    # nothing above the exchanges (join/sort) touches the raw text
+    assert "text#" not in parts[0], parts[0]
+
+
 def test_metrics_scan_partition_pruning(spark, run):
     """Round-partitioned snapshot layout: reading one round's metrics
     touches one directory, not the whole run (the Iceberg

@@ -104,6 +104,49 @@ def test_rank_frontier_feedback_loop(spark, corpus, sources, tmp_path):
     assert sum(r1[h] for h in both) <= sum(r0[h] for h in both)
 
 
+def test_generation_diff_classifies_changes(spark, corpus, sources, sf_dir, tmp_path):
+    """generation_diff: re-crawling against a mutated corpus yields
+    changed (revised text), removed (url gone from the corpus → fetch
+    miss), and unchanged rows, keyed by url."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "sched4")
+    cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False)
+    scheduler.run_schedule(
+        spark, corpus, sources, base, cfg, ticks=1, sleep=lambda s: None
+    )
+    # rebuild the corpus from revised document text (same doc count →
+    # identical link graph), then drop one crawled non-seed url
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mdir = str(tmp_path / "docs2")
+    docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" Revised edition content.")),
+        ).otherwise(F.col("text")),
+    ).write.parquet(os.path.join(mdir, "documents.parquet"))
+    run0 = CrawlRun(spark, corpus, [], os.path.join(base, "gen=0000"), cfg)
+    crawled = sorted(r["url"] for r in run0.extracted().select("url").collect())
+    victim = next(u for u in crawled if u not in scheduler.seeds_of(sources))
+    corpus_b = synth.corpus_from_documents(spark, mdir).filter(F.col("url") != victim)
+    scheduler.run_schedule(
+        spark, corpus_b, sources, base, cfg, ticks=1, sleep=lambda s: None
+    )
+
+    d = scheduler.generation_diff(spark, base, 0, 1)
+    rows = d.collect()
+    changes = {}
+    for r in rows:
+        changes.setdefault(r["change"], set()).add(r["url"])
+    assert victim in changes.get("removed", set())
+    assert changes.get("changed"), "revised docs must hash differently"
+    assert changes.get("unchanged"), "untouched docs must hash identically"
+    # every changed url belongs to a revised (doc_id % 5 == 0) document
+    for u in changes["changed"]:
+        assert int(u.rsplit("/", 1)[1]) % 5 == 0, u
+
+
 def test_unfinished_generation_resumes_first(spark, corpus, sources, tmp_path):
     base = str(tmp_path / "sched2")
     cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False)
