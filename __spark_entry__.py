@@ -157,6 +157,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = text_fingerprint
 
+    def text_redact_pii(spark, sf_dir):
+        """PII scrub (textstats.redact_pii): every third document gets
+        a deterministic email/IP/phone injected, then the RE2-safe
+        redaction chain replaces them with typed placeholders; counts
+        audit the scrub. Pure chained regexp_replace in the scan."""
+        d = F.col("doc_id")
+        aug = F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"), d.cast("string"),
+                F.lit("@mail.example.org from 10.1."), (d % 256).cast("string"),
+                F.lit(".9 or call +1 (555) 010-"),
+                (1000 + d % 9000).cast("string"), F.lit(" now."),
+            ),
+        ).otherwise(F.col("text"))
+        docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+        counts = textstats.pii_counts("text")
+        return docs.select(
+            "doc_id",
+            textstats.redact_pii("text").alias("redacted"),
+            counts["email"].alias("n_email"),
+            counts["ip"].alias("n_ip"),
+            counts["phone"].alias("n_phone"),
+        )
+
+    q["text_redact_pii"] = text_redact_pii
+
+    def text_gopher(spark, sf_dir):
+        """Gopher/C4 shape gates (textstats.gopher_stats/gopher_keep):
+        words-count, mean word length, alpha-word fraction, symbol
+        ratio and the published-threshold keep verdict — all codegen'd
+        expressions over one tokenization."""
+        st = textstats.gopher_stats("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            st["n_words"].alias("n_words"),
+            F.round(st["mean_word_len"], 6).alias("mean_word_len"),
+            F.round(st["frac_alpha"], 6).alias("frac_alpha"),
+            F.round(st["symbol_ratio"], 6).alias("symbol_ratio"),
+            textstats.gopher_keep(st).alias("keep"),
+        )
+
+    q["text_gopher"] = text_gopher
+
+    def decontaminate(spark, sf_dir):
+        """Test-set decontamination (dedup.contamination): benchmark =
+        10-word excerpts of every 50th document; flag every corpus doc
+        sharing a verbatim 8-gram with a benchmark item. One broadcast
+        equi-join on the shingle — the corpus side never shuffles."""
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 50 == 10).select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(
+                F.slice(textstats.norm_words("text"), 3, 10), " "
+            ).alias("bench_text"),
+        )
+        return dedup.contamination(docs, bench, k=8)
+
+    q["decontaminate"] = decontaminate
+
     # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
     def clean_text_e5(spark, sf_dir):
         dirty = F.concat(
@@ -1064,6 +1125,72 @@ def oracle_sql() -> dict[str, str]:
                list_min([md5(s) for s in shingles]) AS fingerprint,
                len(w) AS n_words
         FROM sh
+    """
+
+    # PII scrub: same injection, same RE2-safe patterns (global flag),
+    # same email -> ip -> phone order
+    _pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _pii_ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    _pii_phone = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+    o["text_redact_pii"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' Contact user' || doc_id::VARCHAR
+                           || '@mail.example.org from 10.1.' || (doc_id % 256)::VARCHAR
+                           || '.9 or call +1 (555) 010-'
+                           || (1000 + doc_id % 9000)::VARCHAR || ' now.'
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_pii_email}', '<EMAIL>', 'g'),
+                 '{_pii_ip}', '<IP>', 'g'),
+                 '{_pii_phone}', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(text, '({_pii_email})', 1)) AS n_email,
+               len(regexp_extract_all(text, '({_pii_ip})', 1)) AS n_ip,
+               len(regexp_extract_all(text, '({_pii_phone})', 1)) AS n_phone
+        FROM aug
+    """
+
+    # Gopher/C4 shape gates: same whitespace tokenization as the
+    # engine's tokens() (word_count_v6 pattern), raw doubles compared
+    # against the thresholds, rounding only at the output
+    o["text_gopher"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct
+          FROM documents),
+        m AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)::DOUBLE AS mwl,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(ws)::DOUBLE AS fa,
+                 punct::DOUBLE / len(ws)::DOUBLE AS sr
+          FROM t)
+        SELECT doc_id, n_words,
+               round(mwl, 6) AS mean_word_len,
+               round(fa, 6) AS frac_alpha,
+               round(sr, 6) AS symbol_ratio,
+               (n_words >= 50 AND mwl BETWEEN 3.0 AND 10.0
+                AND fa >= 0.8 AND sr <= 0.1) AS keep
+        FROM m
+    """
+
+    # decontamination: benchmark = words 3..12 of every 50th doc;
+    # verbatim 8-gram collision via the shared shingle fragment
+    o["decontaminate"] = f"""
+        WITH w0 AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g
+                FROM (SELECT doc_id, {_sql_shingles(8)} AS sh FROM w0)),
+        bw AS (SELECT doc_id AS bench_id, list_slice(w, 3, 12) AS w
+               FROM w0 WHERE doc_id % 50 = 10),
+        bsh AS (SELECT bench_id, unnest(list_distinct(sh)) AS g
+                FROM (SELECT bench_id, {_sql_shingles(8)} AS sh FROM bw))
+        SELECT d.doc_id, b.bench_id, count(*) AS n_hits
+        FROM dsh d JOIN bsh b USING (g)
+        GROUP BY d.doc_id, b.bench_id
+        HAVING count(*) >= 1
     """
 
     o["clean_text_e5"] = r"""

@@ -402,10 +402,48 @@ def dup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "bench_text",
+) -> DataFrame:
+    """Test-set decontamination: (doc_id, bench_id, n_hits) for every
+    document sharing ≥ min_hits distinct k-gram shingles with a
+    benchmark item — the published n-gram-overlap contamination check
+    (verbatim k-gram collision, the GPT-3/C4 decontamination rule).
+
+    Scale shape: both sides explode to distinct (id, shingle) rows and
+    meet in ONE equi-join on the shingle string. The benchmark side is
+    eval-suite-sized (thousands of items), so its exploded index
+    broadcasts; the corpus side streams through map-side — at 100 TB
+    the plan is a broadcast-hash-join in the scan, no corpus shuffle.
+    The hit count per (doc, bench) pair falls out of the join as a
+    row count, exactly like ngram_jaccard_pairs' intersection."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingles(text_col, k))).alias("g"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(_shingles(bench_text_col, k))).alias("g"),
+    )
+    return (
+        d.join(F.broadcast(b), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters",
 ]

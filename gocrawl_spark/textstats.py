@@ -175,9 +175,98 @@ def fingerprint(col: Column | str, k: int = 5) -> Column:
     return F.array_min(F.transform(shingles(col, k), F.md5))
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) so the SAME regex runs in Spark
+# (java.util.regex), DuckDB (RE2), and any downstream engine. Applied
+# in this order — email first so the phone pattern can't eat digits
+# out of an address, IP before phone for the same reason.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+PII_PATTERNS = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ip", PII_IPV4_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """{kind: match count} BEFORE redaction — the scrub audit trail."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(f"({pat})"), 1))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with emails / IPv4s / phone numbers replaced by typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    chained regexp_replace: codegen'd in the scan, no shuffle, no UDF,
+    and byte-identical across engines (patterns are RE2-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition & shape gates
+# ---------------------------------------------------------------------------
+
+
+def gopher_stats(col: Column | str) -> dict[str, Column]:
+    """Per-document shape metrics behind the public Gopher/C4 filter
+    rules, as pure codegen'd expressions over the word array (bound
+    once via the same length-1-array trick as shingles()):
+
+      mean_word_len   -- avg chars per whitespace word
+      frac_alpha      -- fraction of words containing a letter
+      symbol_ratio    -- punctuation marks per word
+
+    All integer counts + one division each → bit-stable across
+    engines (round at the query layer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    w = F.array(tokens(c))  # length-1 wrapper: tokenize once, use thrice
+    n = F.size(w.getItem(0))
+    nn = F.when(n > 0, n.cast("double"))  # NULL-safe denominator
+    out["n_words"] = n
+    out["mean_word_len"] = F.transform(
+        w, lambda ws: F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x))
+    ).getItem(0) / nn
+    out["frac_alpha"] = F.transform(
+        w, lambda ws: F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+    ).getItem(0) / nn
+    out["symbol_ratio"] = punct_count(c) / nn
+    return out
+
+
+def gopher_keep(
+    stats: dict[str, Column],
+    min_words: int = 50,
+    word_len: tuple[float, float] = (3.0, 10.0),
+    min_alpha: float = 0.8,
+    max_symbol: float = 0.1,
+) -> Column:
+    """The Gopher repetition/shape gate as one boolean expression over
+    gopher_stats() — published-rule thresholds as defaults."""
+    return (
+        (stats["n_words"] >= min_words)
+        & stats["mean_word_len"].between(*word_len)
+        & (stats["frac_alpha"] >= min_alpha)
+        & (stats["symbol_ratio"] <= max_symbol)
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
     "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
     "LANG_MARKERS", "LANG_ORDER", "lang_hits", "predict_lang",
     "norm_words", "shingles", "fingerprint",
+    "PII_PATTERNS", "pii_counts", "redact_pii",
+    "gopher_stats", "gopher_keep",
 ]

@@ -86,6 +86,64 @@ def test_shingles_and_fingerprint(spark):
 # ------------------------------------------------------------------- dedup
 
 
+def test_redact_pii(spark):
+    rows = [
+        (1, "Mail bob.smith+x@corp.example.co.uk or call +1 (555) 010-1234 now"),
+        (2, "server at 192.168.0.17 responded"),
+        (3, "no pii in this sentence at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = textstats.pii_counts("text")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            textstats.redact_pii("text").alias("red"),
+            c["email"].alias("e"), c["ip"].alias("i"), c["phone"].alias("p"),
+        ).collect()
+    }
+    assert got[1]["red"] == "Mail <EMAIL> or call <PHONE> now"
+    assert (got[1]["e"], got[1]["p"]) == (1, 1)
+    assert got[2]["red"] == "server at <IP> responded"
+    assert got[2]["i"] == 1
+    assert got[3]["red"] == rows[2][1] and got[3]["e"] == got[3]["i"] == got[3]["p"] == 0
+
+
+def test_gopher_gate(spark):
+    long_good = " ".join(f"word{i}" for i in range(60))
+    symbol_soup = " ".join("!!;;..,," for _ in range(60))
+    rows = [(1, long_good), (2, "too short"), (3, symbol_soup)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    st = textstats.gopher_stats("text")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", st["n_words"].alias("n"), st["frac_alpha"].alias("fa"),
+            textstats.gopher_keep(st).alias("keep"),
+        ).collect()
+    }
+    assert got[1]["keep"] is True and got[1]["n"] == 60
+    assert got[2]["keep"] is False  # below min_words
+    assert got[3]["keep"] is False and got[3]["fa"] == 0.0  # symbol soup
+
+
+def test_contamination_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, bench_text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta epsilon zeta eta theta verbatim"),
+            (2, "alpha beta gamma but the rest diverges entirely from the benchmark item"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dedup.contamination(docs, bench, k=8).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in got] == [(1, 100)]
+    assert got[0]["n_hits"] == 1  # the single verbatim 8-gram
+
+
 def test_exact_dedup(spark, docs):
     groups = dedup.exact_dup_groups(docs).collect()
     assert len(groups) == 1
