@@ -43,6 +43,12 @@ HEADLINE = [
     "search_bm25",
     "tpch_q1_lite",
     "crawl_extract_articles",
+    # round-3 additions: link-graph rank, snapshot diff, hygiene ops
+    "link_rank_pagerank",
+    "corpus_diff",
+    "text_redact_pii",
+    "text_gopher",
+    "decontaminate",
 ]
 
 
