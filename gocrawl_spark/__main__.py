@@ -46,13 +46,29 @@ def _spark(cpus: int | None = None):
     return s
 
 
+def _load_corpus(spark, path: str):
+    """Parquet by default; a directory of .warc/.warc.gz files (or a
+    path ending in .warc[.gz]) loads through the WARC reader."""
+    import glob as _glob
+
+    is_warc = path.rstrip("/").endswith((".warc", ".warc.gz")) or (
+        os.path.isdir(path)
+        and any(_glob.glob(os.path.join(path, "*.warc*")))
+    )
+    if is_warc:
+        from gocrawl_spark import warc
+
+        return warc.warc_corpus(spark, path)
+    return spark.read.parquet(path)
+
+
 def cmd_crawl(args) -> int:
     from gocrawl_spark import robots as rb
     from gocrawl_spark import sources as src
     from gocrawl_spark.rounds import CrawlConfig, CrawlRun
 
     spark = _spark(args.cpus)
-    corpus = spark.read.parquet(args.corpus)
+    corpus = _load_corpus(spark, args.corpus)
     sources = src.load_sources(args.sources) if args.sources else None
     if sources and args.source:
         sources = [s for s in sources if s.name.lower() == args.source.lower()]

@@ -1,0 +1,211 @@
+"""WARC source/sink — the web-archive interchange format (ISO 28500).
+
+The reference engine fetches the live web; archived crawls in the
+wider ecosystem are exchanged as WARC (wget/Heritrix/CommonCrawl all
+emit it), so the engine speaks it as a first-class corpus format next
+to parquet. Spark-first shape:
+
+- ``write_warc``: one ``.warc[.gz]`` file per input partition, written
+  INSIDE the task (the standard Spark custom-sink pattern: task-local
+  file named by partition id, idempotent under retry because a rerun
+  overwrites the same name with identical bytes — every field is a
+  pure function of the row). No driver hop, no shuffle: a 100 TB
+  corpus streams partition-by-partition into archive files.
+- ``read_warc``: ``binaryFile`` scan → ``mapInPandas`` record parser.
+  Parallelism is per-FILE (real-world WARCs are ~1 GB, the CommonCrawl
+  segment convention), payload bytes never leave the task that read
+  them, and the parser walks records by Content-Length — payloads
+  containing header-like byte sequences cannot desynchronize it.
+
+Record layout written (response records only, the crawl-relevant
+type): WARC/1.0 headers with deterministic record ids
+(``<urn:sha256:...>`` of the URL — no RNG, so archives are
+byte-reproducible), payload = a minimal HTTP/1.1 response envelope
+around the html bytes. The reader accepts plain and gzip (single- or
+multi-member) files and tolerates ``warcinfo``/``request`` records by
+skipping every non-response type.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_CRLF = b"\r\n"
+_WARC_TS = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _record_bytes(url: str, ts, html: bytes) -> bytes:
+    """One deterministic WARC response record (headers + HTTP payload)."""
+    if html is None:
+        html = b""
+    when = ts.strftime(_WARC_TS) if ts is not None else "1970-01-01T00:00:00Z"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+    )
+    rid = hashlib.sha256(url.encode("utf-8")).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:sha256:" + rid.encode() + b">\r\n"
+        b"WARC-Date: " + when.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+    )
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc(
+    corpus: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Archive a corpus as WARC files, one per partition; returns the
+    written manifest (path, n_records, n_bytes) — an ACTION has already
+    run (the write happens eagerly so the manifest is truthful)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        buf = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
+                buf.write(_record_bytes(url, ts, bytes(html) if html is not None else b""))
+                n += 1
+        raw = buf.getvalue()
+        if compress:
+            # mtime=0: byte-reproducible archives across reruns
+            out = io.BytesIO()
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(raw)
+            raw = out.getvalue()
+        if n:
+            tmp = path + ".inprogress"
+            with open(tmp, "wb") as f:
+                f.write(raw)
+            os.replace(tmp, path)  # atomic publish (retry-idempotent)
+            yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [len(raw)]})
+
+    sel = corpus.select(url_col, ts_col, html_col)
+    manifest = sel.mapInPandas(sink, schema="path string, n_records long, n_bytes long")
+    rows = manifest.collect()  # drive the write; manifest is tiny (1 row/partition)
+    return corpus.sparkSession.createDataFrame(
+        rows or [], "path string, n_records long, n_bytes long"
+    )
+
+
+def _decompress(data: bytes) -> bytes:
+    if data[:2] == b"\x1f\x8b":  # gzip magic; GzipFile reads multi-member
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            return gz.read()
+    return data
+
+
+def _iter_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(headers, payload) per record, walked strictly by Content-Length
+    so payload bytes can contain anything."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[start:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("ascii", "replace").strip().lower()] = v.decode(
+                    "utf-8", "replace"
+                ).strip()
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body_start = head_end + 4
+        yield headers, data[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def _parse_http(payload: bytes) -> tuple[int, bytes]:
+    """(status, body) from an HTTP response payload."""
+    split = payload.find(b"\r\n\r\n")
+    if split < 0:
+        return 0, payload
+    head = payload[:split].split(_CRLF)[0].split(b" ")
+    try:
+        status = int(head[1])
+    except (IndexError, ValueError):
+        status = 0
+    return status, payload[split + 4 :]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → (url, warc_ts, html, status) rows; response records
+    only, every other record type skipped."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, whens, htmls, statuses = [], [], [], []
+            for content in pdf["content"]:
+                data = _decompress(bytes(content))
+                for headers, payload in _iter_records(data):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    status, body = _parse_http(payload)
+                    urls.append(headers.get("warc-target-uri", ""))
+                    ts = headers.get("warc-date")
+                    try:
+                        whens.append(
+                            datetime.strptime(ts, _WARC_TS).replace(tzinfo=timezone.utc)
+                            if ts
+                            else None
+                        )
+                    except ValueError:
+                        whens.append(None)
+                    htmls.append(body)
+                    statuses.append(status)
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": whens, "html": htmls, "status": statuses}
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(
+        parse, schema="url string, warc_ts timestamp, html binary, status int"
+    )
+
+
+def warc_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive → crawl-corpus shape (PAGES_CORPUS columns; text and
+    lang are NULL — extraction derives everything from html). Drop-in
+    for CrawlRun(corpus=...): the fetch join needs url + html only."""
+    return read_warc(spark, path).filter(F.col("status") == 200).select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+__all__ = ["write_warc", "read_warc", "warc_corpus"]

@@ -49,6 +49,20 @@ def test_cli_crawl_search_index(demo):
     assert "articles" in out and "pages" in out
 
 
+def test_cli_crawl_from_warc(demo, spark):
+    from gocrawl_spark import warc
+
+    base, corpus = demo
+    arch = os.path.join(base, "arch")
+    warc.write_warc(spark.read.parquet(corpus), arch)
+    out = _run(
+        "crawl", "--corpus", arch, "--run-dir", os.path.join(base, "run_warc"),
+        "--max-rounds", "1", "--max-depth", "0", "--round-wall-s", "10",
+        "--seed-limit", "4",
+    )
+    assert "round 0:" in out and "total fetched: 4" in out
+
+
 def test_cli_sources_list(demo):
     base, _ = demo
     p = os.path.join(base, "sources.yml")

@@ -1,0 +1,97 @@
+"""WARC source/sink: byte-reproducible archives, lossless round-trip,
+and crawl-from-WARC equivalence with the parquet corpus path."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawl_spark import synth, warc
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return synth.corpus_from_documents(spark, sf_dir)
+
+
+def test_roundtrip_lossless(spark, corpus, tmp_path):
+    out = str(tmp_path / "arch")
+    manifest = warc.write_warc(corpus.repartition(4), out)
+    rows = manifest.collect()
+    assert sum(r["n_records"] for r in rows) == corpus.count()
+    assert all(r["path"].endswith(".warc.gz") for r in rows)
+
+    back = warc.read_warc(spark, out)
+    a = corpus.select("url", F.sha2("html", 256).alias("h"), "warc_ts")
+    b = back.select("url", F.sha2("html", 256).alias("h"), "warc_ts", "status")
+    assert b.filter("status != 200").count() == 0
+    j = a.join(b, ["url", "h", "warc_ts"], "inner")
+    assert j.count() == corpus.count()  # every row survives byte-identically
+
+
+def test_plain_and_gzip_equivalent(spark, corpus, tmp_path):
+    small = corpus.limit(20)
+    gz_dir, plain_dir = str(tmp_path / "gz"), str(tmp_path / "plain")
+    warc.write_warc(small.coalesce(1), gz_dir, compress=True)
+    warc.write_warc(small.coalesce(1), plain_dir, compress=False)
+    (gz_file,) = glob.glob(os.path.join(gz_dir, "*.warc.gz"))
+    (plain_file,) = glob.glob(os.path.join(plain_dir, "*.warc"))
+    with open(gz_file, "rb") as f:
+        unzipped = gzip.decompress(f.read())
+    with open(plain_file, "rb") as f:
+        raw = f.read()
+    assert unzipped == raw  # same bytes inside; mtime=0 pins the gz too
+    a = sorted(map(tuple, warc.read_warc(spark, gz_dir).collect()))
+    b = sorted(map(tuple, warc.read_warc(spark, plain_dir).collect()))
+    assert a == b
+
+
+def test_reader_skips_non_response_records(spark, tmp_path):
+    # hand-built file: warcinfo record, then one response whose BODY
+    # contains header-like bytes (Content-Length walking must not split)
+    body = b"<html>fake\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n</html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n"
+        b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example.com/a\r\n"
+        b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(rec)
+    got = warc.read_warc(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["url"] == "https://x.example.com/a"
+    assert bytes(got[0]["html"]) == body
+    assert str(got[0]["warc_ts"]).startswith("2026-01-02 03:04:05")
+
+
+def test_crawl_from_warc_matches_parquet_corpus(spark, corpus, sf_dir, tmp_path):
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    out = str(tmp_path / "arch2")
+    warc.write_warc(corpus, out)
+    wcorpus = warc.warc_corpus(spark, out)
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seeds = synth.seed_urls(n, k=6)
+    cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False)
+    r1 = CrawlRun(spark, corpus, seeds, str(tmp_path / "runA"), cfg)
+    r1.run()
+    r2 = CrawlRun(spark, wcorpus, seeds, str(tmp_path / "runB"), cfg)
+    r2.run()
+    a = sorted(
+        map(tuple, r1.articles().select("id", F.sha2("body", 256)).collect())
+    )
+    b = sorted(
+        map(tuple, r2.articles().select("id", F.sha2("body", 256)).collect())
+    )
+    assert a == b and len(a) > 0  # WARC corpus crawls byte-identically
