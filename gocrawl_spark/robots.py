@@ -184,6 +184,87 @@ def gate(
     return kept.drop("_robots_host", "_robots_rules")
 
 
+# ----------------------------------------------------------- crawl-delay
+
+
+def parse_crawl_delay(text: str, ua: str = DEFAULT_UA) -> float | None:
+    """Crawl-delay seconds from the best-matching UA group, or None.
+
+    The de-facto directive (Bing/Yandex honor it; RFC 9309 leaves it
+    out, and the reference — like colly — ignores it, which is why the
+    engine's use of it is OPT-IN via crawl_delay_policy). Same
+    group-selection semantics as parse_robots: longest UA prefix wins,
+    ``*`` at specificity 0; last directive inside the group wins."""
+    ua_l = ua.lower()
+    groups: list[tuple[list[str], float | None]] = []
+    agents: list[str] = []
+    delay: float | None = None
+    in_rules = False
+    for raw in (text or "").splitlines():
+        line = _clean_line(raw)
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((agents, delay))
+                agents, delay, in_rules = [], None, False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+    if agents or in_rules:
+        groups.append((agents, delay))
+
+    best: float | None = None
+    best_spec = -1
+    for agents, delay in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif ua_l.startswith(a):
+                spec = len(a)
+            else:
+                continue
+            if spec > best_spec:
+                best_spec, best = spec, delay
+    return best
+
+
+def crawl_delay_policy(
+    robots: DataFrame, ua: str = DEFAULT_UA, parallelism: int = 1
+) -> DataFrame:
+    """robots(host, rules) → host_policy(domain, delay_ms, parallelism)
+    rows for every host that declares a Crawl-delay — the S3 → P1
+    bridge: feed to CrawlRun(host_policy=...) (or let
+    CrawlConfig.robots_crawl_delay merge it) and robots-declared
+    delays get the same pop-budget + live-pacing treatment as
+    per-source rate limits. One narrow map over the robots table."""
+
+    @F.pandas_udf("double")
+    def _delay(rules: pd.Series) -> pd.Series:
+        return pd.Series(
+            [parse_crawl_delay(r, ua) if r else None for r in rules],
+            dtype="float64",
+        )
+
+    return (
+        robots.select("host", _delay(F.col("rules")).alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(
+            F.col("host").alias("domain"),
+            (F.col("_s") * 1000).cast("long").alias("delay_ms"),
+            F.lit(parallelism).cast("int").alias("parallelism"),
+        )
+    )
+
+
 # ------------------------------------------------------------- synthetic
 
 

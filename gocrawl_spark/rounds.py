@@ -85,6 +85,10 @@ class CrawlConfig:
     # the collectors pass colly.IgnoreRobotsTxt() (crawler.go:201), so
     # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
     respect_robots: bool = False
+    # S3→P1 bridge (OPT-IN; the reference, like colly, ignores the
+    # directive): derive per-host delay_ms from robots.txt Crawl-delay
+    # and merge into host_policy — explicit source policy still wins
+    robots_crawl_delay: bool = False
     user_agent: str = "gocrawl"
     # F9 retry-with-backoff (link_handler.go:60-107): transient fetch
     # failures re-enqueue with attempt+1 until max_retries; the retry
@@ -306,6 +310,25 @@ class CrawlRun:
                 self.host_policy = src.host_policy_df(spark, sources)
             if self.cfg.rules is None:
                 self.cfg.rules = src.combined_rules(sources) or None
+        # robots Crawl-delay → politeness budget (opt-in): explicit
+        # per-source policy keeps precedence, robots fills the gaps
+        self._explicit_policy = self.host_policy
+        if self.cfg.robots_crawl_delay and self.robots is not None:
+            self._merge_robots_policy()
+
+    def _merge_robots_policy(self) -> None:
+        from gocrawl_spark import robots as rb
+
+        pol = rb.crawl_delay_policy(
+            self.robots, ua=self.cfg.user_agent, parallelism=self.cfg.parallelism
+        )
+        base = self._explicit_policy
+        if base is None:
+            self.host_policy = pol
+        else:
+            self.host_policy = base.unionByName(
+                pol.join(base.select("domain"), "domain", "left_anti")
+            )
 
     def _apply_rank_priority(self, df: DataFrame) -> DataFrame:
         """Overlay the (url_hash, priority) rank overrides (P3 adjunct,
@@ -372,7 +395,7 @@ class CrawlRun:
             hosts = hosts.join(known.select("host"), "host", "left_anti")
         if hosts.limit(1).count() == 0:
             self.robots = known
-            return
+            return  # no new hosts → merged policy already current
         fetched = fh.fetch_robots(
             hosts,
             user_agent=self.cfg.user_agent,
@@ -389,6 +412,8 @@ class CrawlRun:
             os.path.join(base, f"delta={idx:04d}")
         )
         self.robots = self._robots_table()
+        if self.cfg.robots_crawl_delay:
+            self._merge_robots_policy()  # newly discovered Crawl-delays
 
     def _budgeted(self, frontier_df: DataFrame) -> DataFrame:
         """Attach the per-host round budget (P1/P2): global config unless

@@ -143,6 +143,67 @@ def test_host_policy_budget(spark, sf_dir):
     assert any(v > 1 for h, v in by_host.items() if h != "site00.example.com")
 
 
+DELAYED = """
+User-agent: googlebot
+Crawl-delay: 1
+
+User-agent: gocrawl
+Disallow: /private/
+Crawl-delay: 30
+
+User-agent: *
+Crawl-delay: 5
+"""
+
+
+def test_parse_crawl_delay_group_selection():
+    assert rb.parse_crawl_delay(DELAYED, ua="gocrawl") == 30.0
+    assert rb.parse_crawl_delay(DELAYED, ua="googlebot") == 1.0
+    assert rb.parse_crawl_delay(DELAYED, ua="otherbot") == 5.0
+    assert rb.parse_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+    assert rb.parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert rb.parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert rb.parse_crawl_delay("") is None
+
+
+def test_crawl_delay_policy_budget(spark, sf_dir):
+    """robots Crawl-delay shapes the politeness budget (S3→P1 bridge):
+    a 10s delay on site00 caps it at 2 pops in a 20s round, while an
+    explicit host_policy row for the same host takes precedence."""
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("site00.example.com", "User-agent: *\nCrawl-delay: 10\n")],
+        "host string, rules string",
+    )
+    cfg = CrawlConfig(
+        max_depth=0, round_wall_s=20.0, max_rounds=1,
+        parallelism=1, robots_crawl_delay=True,
+    )
+    crawl = CrawlRun(
+        spark, corpus, corpus.select("url"),
+        tempfile.mkdtemp(prefix="cd_crawl_"), cfg, robots=robots,
+    )
+    crawl.run(resume=False)
+    by_host = {r.domain: r.fetched_total for r in crawl.host_state().collect()}
+    assert by_host["site00.example.com"] == 2  # floor(20s/10s) * 1
+    assert any(v > 2 for h, v in by_host.items() if h != "site00.example.com")
+
+    # explicit policy wins over the robots-derived row
+    explicit = spark.createDataFrame(
+        [("site00.example.com", 20_000, 1)], "domain string, delay_ms long, parallelism int"
+    )
+    crawl2 = CrawlRun(
+        spark, corpus, corpus.select("url"),
+        tempfile.mkdtemp(prefix="cd_crawl2_"), cfg,
+        robots=robots, host_policy=explicit,
+    )
+    crawl2.run(resume=False)
+    by_host2 = {r.domain: r.fetched_total for r in crawl2.host_state().collect()}
+    assert by_host2["site00.example.com"] == 1  # explicit 20s, not robots 10s
+
+
 def test_gate_join_strategy_dispatch(spark):
     """gate() must not hard-broadcast the robots table: forced
     broadcast=False yields a non-broadcast host join (the open-web
