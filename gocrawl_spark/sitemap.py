@@ -1,0 +1,192 @@
+"""Sitemap ingestion: robots ``Sitemap:`` directives → sitemap.xml →
+seed URLs (sitemaps.org protocol).
+
+The reference seeds crawls from configured source URLs only; at
+open-web scale the standard complement is the site's own sitemap —
+robots.txt advertises it (a GLOBAL directive, outside any UA group,
+RFC 9309 §2.2.4 allows unknown lines and sitemaps.org defines this
+one), and the XML lists canonical page URLs with optional lastmod
+hints that slot straight into the frontier and the re-crawl
+scheduler.
+
+Spark shape: everything is a narrow map. ``sitemaps_from_robots`` is a
+pure-expression extraction over the robots table;
+``sitemap_entries`` parses XML per row inside a pandas UDF batch (the
+XML never shuffles — only the extracted (url, lastmod) rows do);
+``fetch_sitemaps`` mirrors fetch_robots' distributed GET. A
+``sitemapindex`` expands one level per call — the driver loops while
+index rows remain (sitemaps.org caps nesting in practice at one
+index level; the loop handles any depth, bounded by ``max_hops``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOC_RE = re.compile(r"<\s*loc\s*>\s*(.*?)\s*<\s*/\s*loc\s*>", re.I | re.S)
+_URL_BLOCK_RE = re.compile(r"<\s*(url|sitemap)\s*>(.*?)<\s*/\s*\1\s*>", re.I | re.S)
+_LASTMOD_RE = re.compile(r"<\s*lastmod\s*>\s*(.*?)\s*<\s*/\s*lastmod\s*>", re.I | re.S)
+_INDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.I)
+
+
+def _parse_lastmod(s: str | None):
+    """W3C datetime (the sitemaps.org lastmod format): date-only or
+    full timestamp, optional timezone."""
+    if not s:
+        return None
+    s = s.strip()
+    for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            dt = datetime.strptime(s, fmt)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return dt.astimezone(timezone.utc)
+        except ValueError:
+            continue
+    return None
+
+
+def parse_sitemap(xml: str | None) -> list[tuple[str, object, bool]]:
+    """[(loc, lastmod|None, is_index_entry)] from one sitemap document.
+
+    Regex-scoped to <url>/<sitemap> blocks (namespace-proof — real
+    sitemaps carry the sitemaps.org xmlns and often arbitrary prefixes,
+    which is exactly what trips strict tag matching) so each lastmod
+    binds to ITS loc, not a neighbor's."""
+    if not xml:
+        return []
+    is_index = bool(_INDEX_RE.search(xml))
+    out = []
+    for m in _URL_BLOCK_RE.finditer(xml):
+        block = m.group(2)
+        loc = _LOC_RE.search(block)
+        if not loc:
+            continue
+        lm = _LASTMOD_RE.search(block)
+        out.append(
+            (loc.group(1), _parse_lastmod(lm.group(1) if lm else None), is_index)
+        )
+    return out
+
+
+def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
+    """robots(host, rules) → (host, sitemap_url): every ``Sitemap:``
+    line (global directive — group membership is irrelevant), comments
+    stripped. Pure codegen'd expressions, no UDF."""
+    lines = F.split(F.col("rules"), "\n")
+    # "sitemap:" is 8 chars; the value itself contains a colon, so
+    # strip the fixed-length prefix rather than splitting on ":"
+    urls = F.transform(
+        F.filter(
+            F.transform(lines, lambda l: F.trim(F.split(l, "#").getItem(0))),
+            lambda l: F.lower(l).startswith("sitemap:"),
+        ),
+        lambda l: F.trim(F.substring(l, 9, 1 << 20)),
+    )
+    return robots.select("host", F.explode(urls).alias("sitemap_url")).filter(
+        F.col("sitemap_url") != ""
+    )
+
+
+def sitemap_entries(xml_df: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml") -> DataFrame:
+    """(sitemap_url, xml) rows → (sitemap_url, loc, lastmod, is_index):
+    one Arrow-batched parse per row; only extracted rows shuffle."""
+
+    def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            src, locs, lastmods, idx = [], [], [], []
+            for u, x in zip(pdf[url_col], pdf[xml_col]):
+                for loc, lm, is_idx in parse_sitemap(x):
+                    src.append(u)
+                    locs.append(loc)
+                    lastmods.append(lm)
+                    idx.append(is_idx)
+            yield pd.DataFrame(
+                {"sitemap_url": src, "loc": locs, "lastmod": lastmods, "is_index": idx}
+            )
+
+    return xml_df.select(
+        F.col(url_col).alias(url_col), F.col(xml_col).alias(xml_col)
+    ).mapInPandas(
+        run,
+        schema="sitemap_url string, loc string, lastmod timestamp, is_index boolean",
+    )
+
+
+def fetch_sitemaps(
+    urls: DataFrame,
+    user_agent: str = "gocrawl",
+    timeout_s: float = 10.0,
+    proxy_base: str | None = None,
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """(sitemap_url) → (sitemap_url, xml): distributed GET, one per
+    distinct sitemap URL (fetch_robots' pattern); unavailable → empty
+    xml (no entries, like an unavailable robots file)."""
+
+    def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.request
+        from urllib.parse import urlsplit
+
+        for pdf in parts:
+            xmls = []
+            for u in pdf[url_col]:
+                target = u
+                if proxy_base is not None:
+                    parts_ = urlsplit(u)
+                    target = f"{proxy_base.rstrip('/')}/{parts_.netloc}{parts_.path}"
+                text = ""
+                try:
+                    req = urllib.request.Request(target, headers={"User-Agent": user_agent})
+                    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                        if int(resp.status) == 200:
+                            text = resp.read().decode("utf-8", errors="replace")
+                except Exception:
+                    text = ""
+                xmls.append(text)
+            yield pd.DataFrame({url_col: list(pdf[url_col]), "xml": xmls})
+
+    return urls.select(url_col).distinct().mapInPandas(
+        run, schema=f"{url_col} string, xml string"
+    )
+
+
+def discover_seeds(
+    spark: SparkSession,
+    robots: DataFrame,
+    fetch=fetch_sitemaps,
+    max_hops: int = 3,
+    **fetch_kwargs,
+) -> DataFrame:
+    """robots table → seed URLs (url, lastmod): advertise → fetch →
+    parse, expanding sitemapindex hops until none remain (≤ max_hops).
+    ``fetch`` is injectable so tests can resolve sitemap URLs from a
+    static table instead of the network."""
+    pending = sitemaps_from_robots(robots).select("sitemap_url")
+    seeds = None
+    for _ in range(max_hops):
+        if pending.limit(1).count() == 0:
+            break
+        entries = sitemap_entries(fetch(pending, **fetch_kwargs))
+        leaf = entries.filter(~F.col("is_index")).select(
+            F.col("loc").alias("url"), "lastmod"
+        )
+        seeds = leaf if seeds is None else seeds.unionByName(leaf)
+        pending = entries.filter(F.col("is_index")).select(
+            F.col("loc").alias("sitemap_url")
+        )
+    if seeds is None:
+        return spark.createDataFrame([], "url string, lastmod timestamp")
+    return seeds.dropDuplicates(["url"])
+
+
+__all__ = [
+    "parse_sitemap", "sitemaps_from_robots", "sitemap_entries",
+    "fetch_sitemaps", "discover_seeds",
+]

@@ -1,0 +1,167 @@
+"""Sitemap ingestion: robots Sitemap: directive, XML parsing (urlset +
+sitemapindex, lastmod binding), distributed discovery, live fetch."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawl_spark import sitemap as sm
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://site00.example.com/article/4</loc>
+       <lastmod>2026-01-15</lastmod></url>
+  <url><loc>https://site00.example.com/page/8</loc>
+       <lastmod>2026-02-01T10:20:30Z</lastmod></url>
+  <url><loc>https://site00.example.com/article/12</loc></url>
+</urlset>
+"""
+
+INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://site00.example.com/sitemap-a.xml</loc></sitemap>
+  <sitemap><loc>https://site00.example.com/sitemap-b.xml</loc>
+           <lastmod>2026-03-01</lastmod></sitemap>
+</sitemapindex>
+"""
+
+CHILD_B = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>https://site00.example.com/page/16</loc></url></urlset>
+"""
+
+
+def test_parse_urlset_binds_lastmod_per_loc():
+    got = sm.parse_sitemap(URLSET)
+    assert [u for u, _, _ in got] == [
+        "https://site00.example.com/article/4",
+        "https://site00.example.com/page/8",
+        "https://site00.example.com/article/12",
+    ]
+    assert str(got[0][1]).startswith("2026-01-15 00:00")
+    assert str(got[1][1]).startswith("2026-02-01 10:20:30")
+    assert got[2][1] is None
+    assert all(not is_idx for _, _, is_idx in got)
+
+
+def test_parse_sitemapindex():
+    got = sm.parse_sitemap(INDEX)
+    assert [u for u, _, _ in got] == [
+        "https://site00.example.com/sitemap-a.xml",
+        "https://site00.example.com/sitemap-b.xml",
+    ]
+    assert all(is_idx for _, _, is_idx in got)
+    assert sm.parse_sitemap("") == [] and sm.parse_sitemap(None) == []
+
+
+def test_sitemaps_from_robots(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /x\nSitemap: https://a.com/s.xml\n"),
+            ("b.com", "SITEMAP: https://b.com/m.xml  # comment\nUser-agent: *\n"),
+            ("c.com", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, rules string",
+    )
+    got = sorted(map(tuple, sm.sitemaps_from_robots(robots).collect()))
+    assert got == [
+        ("a.com", "https://a.com/s.xml"),
+        ("b.com", "https://b.com/m.xml"),
+    ]
+
+
+def test_discover_seeds_expands_index(spark):
+    """Static-resolution discovery: index hop → child sitemaps → seeds,
+    deduped; the injectable fetch keeps the network out."""
+    robots = spark.createDataFrame(
+        [("site00.example.com",
+          "User-agent: *\nSitemap: https://site00.example.com/sitemap.xml\n")],
+        "host string, rules string",
+    )
+    table = {
+        "https://site00.example.com/sitemap.xml": INDEX,
+        "https://site00.example.com/sitemap-a.xml": URLSET,
+        "https://site00.example.com/sitemap-b.xml": CHILD_B,
+    }
+
+    def static_fetch(pending, **kw):
+        rows = [(r["sitemap_url"], table.get(r["sitemap_url"], "")) for r in pending.collect()]
+        return spark.createDataFrame(rows, "sitemap_url string, xml string")
+
+    seeds = sm.discover_seeds(spark, robots, fetch=static_fetch)
+    urls = sorted(r["url"] for r in seeds.collect())
+    assert urls == [
+        "https://site00.example.com/article/12",
+        "https://site00.example.com/article/4",
+        "https://site00.example.com/page/16",
+        "https://site00.example.com/page/8",
+    ]
+    lm = {r["url"]: r["lastmod"] for r in seeds.collect()}
+    assert lm["https://site00.example.com/article/4"] is not None
+
+
+@pytest.fixture()
+def xml_server():
+    docs = {
+        "/site00.example.com/sitemap.xml": URLSET.encode(),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            body = docs.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_sitemaps_live(spark, xml_server):
+    urls = spark.createDataFrame(
+        [("https://site00.example.com/sitemap.xml",),
+         ("https://site00.example.com/missing.xml",)],
+        "sitemap_url string",
+    )
+    got = {
+        r["sitemap_url"]: r["xml"]
+        for r in sm.fetch_sitemaps(urls, proxy_base=xml_server).collect()
+    }
+    assert got["https://site00.example.com/sitemap.xml"] == URLSET
+    assert got["https://site00.example.com/missing.xml"] == ""
+    entries = sm.sitemap_entries(
+        sm.fetch_sitemaps(urls, proxy_base=xml_server)
+    ).filter(~F.col("is_index"))
+    assert entries.count() == 3
+
+
+def test_seeds_drive_a_crawl(spark, sf_dir, tmp_path):
+    """Sitemap seeds plug into the distributed frontier path
+    (init_frontier_df) and the crawl runs from them."""
+    from gocrawl_spark import synth
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    want = sorted(synth.url_of(i) for i in (4, 8, 12))
+    xml = "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in want) + "</urlset>"
+    xml_df = spark.createDataFrame([("s", xml)], "sitemap_url string, xml string")
+    seeds = sm.sitemap_entries(xml_df).select(F.col("loc").alias("url"))
+    cfg = CrawlConfig(max_depth=0, max_rounds=1, use_bloom=False)
+    run = CrawlRun(spark, corpus, seeds, str(tmp_path / "run"), cfg)
+    run.run()
+    got = sorted(r["url"] for r in run.extracted().select("url").collect())
+    assert got == want
