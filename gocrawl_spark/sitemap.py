@@ -162,12 +162,16 @@ def discover_seeds(
     robots: DataFrame,
     fetch=fetch_sitemaps,
     max_hops: int = 3,
+    since=None,
     **fetch_kwargs,
 ) -> DataFrame:
     """robots table → seed URLs (url, lastmod): advertise → fetch →
     parse, expanding sitemapindex hops until none remain (≤ max_hops).
     ``fetch`` is injectable so tests can resolve sitemap URLs from a
-    static table instead of the network."""
+    static table instead of the network. ``since`` (timestamp) keeps
+    only entries modified on/after it — the incremental re-crawl cut:
+    a generation seeds from pages the site itself marked fresh
+    (entries WITHOUT a lastmod always pass; absence is not staleness)."""
     pending = sitemaps_from_robots(robots).select("sitemap_url")
     seeds = None
     for _ in range(max_hops):
@@ -183,6 +187,10 @@ def discover_seeds(
         )
     if seeds is None:
         return spark.createDataFrame([], "url string, lastmod timestamp")
+    if since is not None:
+        seeds = seeds.filter(
+            F.col("lastmod").isNull() | (F.col("lastmod") >= F.lit(since))
+        )
     return seeds.dropDuplicates(["url"])
 
 

@@ -74,6 +74,18 @@ def test_diff_corpus_hashes_below_the_exchange(spark, sf_dir):
     assert "text#" not in parts[0], parts[0]
 
 
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination must broadcast the (eval-suite-sized) benchmark
+    shingle index — the corpus side joins map-side, no corpus shuffle
+    before the join."""
+    from gocrawl_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.limit(5).selectExpr("doc_id as bench_id", "text as bench_text")
+    plan = _plan(dedup.contamination(docs, bench))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_metrics_scan_partition_pruning(spark, run):
     """Round-partitioned snapshot layout: reading one round's metrics
     touches one directory, not the whole run (the Iceberg

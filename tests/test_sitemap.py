@@ -102,6 +102,22 @@ def test_discover_seeds_expands_index(spark):
     lm = {r["url"]: r["lastmod"] for r in seeds.collect()}
     assert lm["https://site00.example.com/article/4"] is not None
 
+    # incremental cut: since keeps fresh + lastmod-less entries only
+    from datetime import datetime, timezone
+
+    fresh = sm.discover_seeds(
+        spark, robots, fetch=static_fetch,
+        since=datetime(2026, 1, 20, tzinfo=timezone.utc),
+    )
+    got = sorted(r["url"] for r in fresh.collect())
+    # article/4 (2026-01-15) is stale; page/8 (2026-02-01) is fresh;
+    # article/12 and page/16 carry no lastmod and always pass
+    assert got == [
+        "https://site00.example.com/article/12",
+        "https://site00.example.com/page/16",
+        "https://site00.example.com/page/8",
+    ]
+
 
 @pytest.fixture()
 def xml_server():
