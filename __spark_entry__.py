@@ -218,6 +218,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = decontaminate
 
+    def sitemap_parse(spark, sf_dir):
+        """Sitemap XML parser (sitemap.sitemap_entries) against an
+        independent SQL reconstruction: one synthetic urlset per doc
+        with both W3C lastmod forms (date-only and full timestamp);
+        the oracle recomputes the expected (loc, lastmod) rows without
+        parsing XML at all."""
+        from gocrawl_spark import sitemap as sm
+
+        d = F.col("doc_id")
+        dd = F.lpad(((d % 28) + 1).cast("string"), 2, "0")
+        lastmod = F.when(
+            d % 2 == 0, F.concat(F.lit("2026-01-"), dd)
+        ).otherwise(F.concat(F.lit("2026-02-"), dd, F.lit("T08:30:45Z")))
+        xml = F.concat(
+            F.lit("<urlset><url><loc>https://sm.example.com/doc/"),
+            d.cast("string"),
+            F.lit("</loc><lastmod>"), lastmod, F.lit("</lastmod></url></urlset>"),
+        )
+        src = _docs(spark, sf_dir).select(
+            d.cast("string").alias("sitemap_url"), xml.alias("xml")
+        )
+        return sm.sitemap_entries(src).select(
+            F.col("sitemap_url").cast("long").alias("doc_id"), "loc", "lastmod"
+        )
+
+    q["sitemap_parse"] = sitemap_parse
+
     # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
     def clean_text_e5(spark, sf_dir):
         dirty = F.concat(
@@ -988,6 +1015,18 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY doc_id) AS rn
           FROM k)
         SELECT doc_id, pred_lang, quality, n_tokens FROM d WHERE rn = 1
+    """
+
+    # sitemap parse: the oracle never sees XML — it reconstructs the
+    # expected rows from the same doc_id arithmetic
+    o["sitemap_parse"] = """
+        SELECT doc_id,
+               'https://sm.example.com/doc/' || doc_id::VARCHAR AS loc,
+               CASE WHEN doc_id % 2 = 0
+                    THEN ('2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0'))::TIMESTAMP
+                    ELSE ('2026-02-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                          || ' 08:30:45')::TIMESTAMP END AS lastmod
+        FROM documents
     """
 
     # snapshot diff: same derived old/new snapshots, same md5-compare
