@@ -101,9 +101,9 @@ class CrawlConfig:
     # S2 fetch mode: "corpus" joins the snapshot corpus table (the
     # driver/bench contract); "http" performs real HTTP GETs per popped
     # URL (fetch.fetch_http) — same downstream extraction, retry
-    # classes from the response status (5xx/network transient, 4xx
-    # permanent). http_proxy_base rewrites host/path onto a loopback
-    # or forward-proxy base URL.
+    # classes from the response status (5xx/network/429 transient,
+    # other 4xx permanent). http_proxy_base rewrites host/path onto a
+    # loopback or forward-proxy base URL.
     fetch_mode: str = "corpus"
     http_timeout_s: float = 10.0
     http_proxy_base: str | None = None
@@ -522,8 +522,14 @@ class CrawlRun:
             resp = self._read(rnd, "responses")
             fetched = resp.filter(F.col("status") == 200).drop("status", "final_url")
             if cfg.max_retries > 0:
+                # network/5xx, plus 429 Too Many Requests: the one 4xx
+                # a polite crawler must treat as transient (RFC 6585) —
+                # the host asked for backoff, and rounds ARE the
+                # backoff clock here, so it re-enqueues for next round
                 transient = resp.filter(
-                    (F.col("status") == 0) | (F.col("status") >= 500)
+                    (F.col("status") == 0)
+                    | (F.col("status") >= 500)
+                    | (F.col("status") == 429)
                 )
                 retry = (
                     transient.filter(F.col("attempt") + 1 < cfg.max_retries)

@@ -45,6 +45,11 @@ def web(spark, sf_dir):
                 self.send_response(503)
                 self.end_headers()
                 return
+            if self.path.startswith("/throttle/") and n <= 2:
+                # rate-limited host: 429 until the third visit
+                self.send_response(429)
+                self.end_headers()
+                return
             if self.path.startswith("/hop/"):
                 # F10: permanent redirect to the canonical location
                 self.send_response(301)
@@ -57,7 +62,7 @@ def web(spark, sf_dir):
                 self.send_header("Location", self.path.replace("/moved/", "/article/"))
                 self.end_headers()
                 return
-            key = self.path.removeprefix("/flaky")
+            key = self.path.removeprefix("/flaky").removeprefix("/throttle")
             body = pages.get(key)
             if body is None:
                 self.send_response(404)
@@ -228,6 +233,25 @@ def test_http_transient_503_retries(spark, web, tmp_path):
     assert sum(h["retried"] for h in history) == 2
     p = urlsplit(flaky_url)
     assert hits[f"/flaky/{p.hostname}{p.path}"] == 3
+
+
+def test_http_429_is_transient(spark, web, tmp_path):
+    """429 Too Many Requests is the one 4xx a polite crawler retries
+    (RFC 6585): twice-throttled URL re-enqueues and lands on round 2."""
+    base, corpus, hits = web
+    url = synth.url_of(2)
+    cfg = CrawlConfig(
+        max_depth=0, round_wall_s=10.0, max_rounds=4, use_bloom=False,
+        fetch_mode="http", http_proxy_base=base + "/throttle", max_retries=3,
+    )
+    run = CrawlRun(spark, None, [url], str(tmp_path / "throttle"), cfg)
+    history = run.run(resume=False)
+    seen = run.seen_final().collect()
+    assert [r["url"] for r in seen] == [url]
+    assert seen[0]["fetched_round"] == 2  # rounds 0,1 were 429s
+    assert sum(h["retried"] for h in history) == 2
+    p = urlsplit(url)
+    assert hits[f"/throttle/{p.hostname}{p.path}"] == 3
 
 
 def test_host_policy_delay_paces_live_fetch(spark, tmp_path):
