@@ -899,6 +899,27 @@ class CrawlRun:
                 # (the resumed round re-appends its delta either way)
                 wm = min(wm, last)
                 self._seen_index.compact(self._seen_upto(wm), wm)
+        # fold the live-robots deltas into one (hosts are DISJOINT
+        # across deltas — only newly-seen hosts are ever fetched — so
+        # the fold is a plain rewrite, no dedup needed); an open-web
+        # crawl otherwise accumulates one delta dir per round forever
+        rb_dir = self._robots_dir()
+        if os.path.isdir(rb_dir):
+            deltas = sorted(d for d in os.listdir(rb_dir) if d.startswith("delta="))
+            if len(deltas) > 1:
+                folded = self.spark.read.parquet(
+                    *[os.path.join(rb_dir, d) for d in deltas]
+                )
+                tmp_rb = rb_dir + "._tmp"
+                shutil.rmtree(tmp_rb, ignore_errors=True)
+                folded.write.parquet(os.path.join(tmp_rb, "delta=0000"))
+                old_rb = rb_dir + "._old"
+                shutil.rmtree(old_rb, ignore_errors=True)
+                os.rename(rb_dir, old_rb)
+                os.rename(tmp_rb, rb_dir)
+                shutil.rmtree(old_rb, ignore_errors=True)
+                if self._live_robots:
+                    self.robots = self._robots_table()
         return upto
 
     def _host_deltas_upto(self, rnd: int) -> DataFrame:

@@ -342,3 +342,25 @@ def test_robots_discovery_is_distributed(spark, web, tmp_path, monkeypatch):
     # a restarted run on the same run_dir picks the table up from disk
     run2 = CrawlRun(spark, None, [sy.url_of(0)], str(tmp_path / "rb"), cfg)
     assert run2.robots is not None and run2.robots.count() == 16
+
+    # P7: compact() folds multiple robots deltas into one, lossless
+    extra = udfs.with_url_identity(
+        spark.createDataFrame(
+            [(f"https://ghost{i:02d}.example.com/x",) for i in range(5)], "url string"
+        )
+    )
+    run2._discover_robots(extra)  # 404 robots → unrestricted, new delta
+    assert len(_os.listdir(run2._robots_dir())) == 2
+    cfg1 = CrawlConfig(
+        respect_robots=True, fetch_mode="http", http_proxy_base=base,
+        delay_ms=0, max_depth=0, max_rounds=1,
+    )
+    # url_of(4) = site00 /article/4 — allowed by the synth robots
+    # (url_of(0) is /page/0, which site00 disallows → empty frontier
+    # would commit no round and compact would no-op)
+    run3 = CrawlRun(spark, None, [sy.url_of(4)], str(tmp_path / "rb"), cfg1)
+    run3.run(resume=True)  # one committed round so compact() engages
+    run3.compact(keep_rounds=0)
+    assert len(_os.listdir(run3._robots_dir())) == 1
+    folded = {r["host"] for r in run3._robots_table().collect()}
+    assert len(folded) == 21 and "ghost00.example.com" in folded
