@@ -202,6 +202,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_gopher"] = text_gopher
 
+    def text_repetition(spark, sf_dir):
+        """Gopher repetition rule (textstats.repetition_stats): every
+        ninth document gets a spam phrase repeated onto it; the top
+        2-gram mass fraction spikes on exactly those docs. Explode +
+        two keyed aggs — gram strings shuffle, documents don't."""
+        d = F.col("doc_id")
+        aug = F.when(
+            d % 9 == 4,
+            F.concat(F.col("text"), F.repeat(F.lit(" buy cheap gold"), 40)),
+        ).otherwise(F.col("text"))
+        docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+        return textstats.repetition_stats(docs, k=2)
+
+    q["text_repetition"] = text_repetition
+
     def decontaminate(spark, sf_dir):
         """Test-set decontamination (dedup.contamination): benchmark =
         10-word excerpts of every 50th document; flag every corpus doc
@@ -1015,6 +1030,27 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY doc_id) AS rn
           FROM k)
         SELECT doc_id, pred_lang, quality, n_tokens FROM d WHERE rn = 1
+    """
+
+    # repetition rule: same augmented text, same normalized 2-gram
+    # stream, grouped in SQL
+    o["text_repetition"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 4
+                      THEN text || repeat(' buy cheap gold', 40)
+                      ELSE text END AS text
+          FROM documents),
+        w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM aug),
+        g AS (SELECT doc_id, unnest({_sql_shingles(2)}) AS g FROM w),
+        per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        a AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total,
+                     count(*) AS n_distinct
+              FROM per GROUP BY doc_id)
+        SELECT doc_id,
+               round(top_c::DOUBLE / total::DOUBLE, 6) AS top_ngram_frac,
+               round(n_distinct::DOUBLE / total::DOUBLE, 6) AS distinct_frac
+        FROM a
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

@@ -245,6 +245,35 @@ def gopher_stats(col: Column | str) -> dict[str, Column]:
     return out
 
 
+def repetition_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+):
+    """Gopher's repetition rule, the n-gram half: per document, the
+    fraction of k-gram mass taken by the single most frequent k-gram
+    (`top_ngram_frac` — boilerplate/spam pages spike it) and the
+    distinct-gram fraction (`distinct_frac` — low = loopy text).
+
+    Plan: explode k-grams → two keyed aggregations, first on the
+    high-cardinality (doc, gram) pair, then on doc — both with
+    map-side partial agg, no window over the whole corpus, no UDF.
+    At 100 TB the gram strings the shuffle carries are k words each,
+    not the documents."""
+    from pyspark.sql import functions as _F
+
+    grams = docs.select(_F.col(id_col), _F.explode(shingles(text_col, k)).alias("g"))
+    per = grams.groupBy(id_col, "g").agg(_F.count("*").alias("c"))
+    agg = per.groupBy(id_col).agg(
+        _F.max("c").alias("top_c"),
+        _F.sum("c").alias("total"),
+        _F.count("*").alias("n_distinct"),
+    )
+    return agg.select(
+        _F.col(id_col),
+        _F.round(_F.col("top_c") / _F.col("total"), 6).alias("top_ngram_frac"),
+        _F.round(_F.col("n_distinct") / _F.col("total"), 6).alias("distinct_frac"),
+    )
+
+
 def gopher_keep(
     stats: dict[str, Column],
     min_words: int = 50,
@@ -268,5 +297,5 @@ __all__ = [
     "LANG_MARKERS", "LANG_ORDER", "lang_hits", "predict_lang",
     "norm_words", "shingles", "fingerprint",
     "PII_PATTERNS", "pii_counts", "redact_pii",
-    "gopher_stats", "gopher_keep",
+    "gopher_stats", "gopher_keep", "repetition_stats",
 ]

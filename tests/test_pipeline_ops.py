@@ -127,6 +127,18 @@ def test_gopher_gate(spark):
     assert got[3]["keep"] is False and got[3]["fa"] == 0.0  # symbol soup
 
 
+def test_repetition_stats(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df, k=2).collect()}
+    assert got[2]["top_ngram_frac"] == 1.0  # every 2-gram is "spam spam"
+    assert got[1]["top_ngram_frac"] < 0.3
+    assert got[1]["distinct_frac"] == 1.0  # all 2-grams unique
+
+
 def test_contamination_ngram_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta eta theta")],
