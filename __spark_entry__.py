@@ -597,6 +597,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_match_analyzed"] = search_match_analyzed
 
+    def search_match_phrase(spark, sf_dir):
+        """ES match_phrase analogue (search.match_phrase_topk): the
+        analyzed terms must be CONSECUTIVE — a slice-equality scan
+        over the token array, codegen'd, no positions index. Every
+        sixth doc gets the phrase injected; score = occurrence count."""
+        d = F.col("doc_id")
+        aug = F.when(
+            d % 6 == 1,
+            F.concat(F.col("text"), F.lit(" The distributed query engine wins.")),
+        ).otherwise(F.col("text"))
+        docs = _docs(spark, sf_dir).select(d.alias("id"), aug.alias("content"))
+        return search.match_phrase_topk(
+            docs, "Distributed Query Engine", text_col="content", id_col="id", k=12
+        )
+
+    q["search_match_phrase"] = search_match_phrase
+
     def search_count_a1(spark, sf_dir):
         return (
             _docs(spark, sf_dir)
@@ -1552,6 +1569,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE ({_antf("toks", "wi")} + {_antf("toks", "fi")}
              + {_antf("toks", "o''brien''s")} + {_antf("toks", "don''t")}) > 0
         ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # match_phrase: same analyzer, consecutive-window slice equality
+    o["search_match_phrase"] = f"""
+        WITH d AS (
+          SELECT doc_id AS id,
+                 text || CASE WHEN doc_id % 6 = 1
+                              THEN ' The distributed query engine wins.'
+                              ELSE '' END AS c
+          FROM documents),
+        t AS (SELECT id, {_antoks("c")} AS toks FROM d),
+        s AS (SELECT id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       len([i for i in range(1, len(toks) - 1)
+                            if toks[i:i+2] = ['distributed', 'query', 'engine']])
+                     ELSE 0 END AS score
+              FROM t)
+        SELECT id, score::DOUBLE AS score FROM s
+        WHERE score > 0 ORDER BY score DESC, id ASC LIMIT 12
     """
 
     o["search_multimatch"] = f"""

@@ -130,6 +130,10 @@ def cmd_search(args) -> int:
         hits = search.multi_match_topk(
             df, args.query, fields={"title": 2.0, text_col: 1.0}, id_col="id", k=args.size
         )
+    elif args.mode == "phrase":
+        hits = search.match_phrase_topk(
+            df, args.query, text_col=text_col, id_col="id", k=args.size
+        )
     else:
         hits = search.match_topk(df, args.query, text_col=text_col, id_col="id", k=args.size)
     from pyspark.sql import functions as F
@@ -281,7 +285,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-q", "--query", required=True)
     s.add_argument("-i", "--index", default="articles", choices=["articles", "pages"])
     s.add_argument("-s", "--size", type=int, default=10)  # DefaultSearchSize
-    s.add_argument("--mode", default="match", choices=["match", "multi", "bm25"])
+    s.add_argument("--mode", default="match", choices=["match", "multi", "bm25", "phrase"])
     s_src = s.add_mutually_exclusive_group(required=True)
     s_src.add_argument("--run-dir")
     s_src.add_argument("--warehouse")

@@ -152,6 +152,47 @@ def multi_match_topk(
     )
 
 
+def match_phrase_topk(
+    df: DataFrame,
+    query: str,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+) -> DataFrame:
+    """ES `match_phrase` analogue: the analyzed query terms must occur
+    CONSECUTIVELY; score = exact-phrase occurrence count (documented
+    simplification of ES's position-aware scoring), top-k by
+    (score DESC, id ASC). Pure codegen'd array expressions — a
+    slice-equality scan over each doc's token array, no positions
+    index, no UDF; tokenized once like match_scores."""
+    terms = _terms(query)
+    if not terms:
+        return df.select(F.col(id_col).alias("id")).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    n = len(terms)
+    phrase = F.array(*[F.lit(t) for t in terms])
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    sz = F.size("_toks")
+    # explicit +1 step: Spark's sequence() defaults to step -1 when
+    # stop < start, so the short-doc case must be guarded anyway
+    cnt = F.when(
+        sz >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), sz - n + 1, F.lit(1)),
+                lambda i: F.slice(F.col("_toks"), i, n) == phrase,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        toked.select("id", cnt.cast("double").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Full BM25 (what ES runs under `match`)
 # ---------------------------------------------------------------------------
@@ -214,7 +255,8 @@ def bm25_topk(
 
 __all__ = [
     "tf", "tokens", "analyze_query", "count_where",
-    "match_scores", "match_topk", "multi_match_topk", "bm25_topk",
+    "match_scores", "match_topk", "multi_match_topk", "match_phrase_topk",
+    "bm25_topk",
 ]
 
 

@@ -300,6 +300,23 @@ def test_multi_match_boost(spark, docs):
     assert scores[1] == 6.0  # fox (1) + lang en (5)
 
 
+def test_match_phrase_requires_adjacency(spark):
+    rows = [
+        ("a", "the quick brown fox"),            # exact phrase
+        ("b", "quick and also brown then fox"),  # all terms, not adjacent
+        ("c", "quick brown fox quick brown fox"),  # phrase twice
+        ("d", "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "id string, content string")
+    got = [(r["id"], r["score"]) for r in
+           search.match_phrase_topk(df, "Quick Brown Fox", k=10).collect()]
+    assert got == [("c", 2.0), ("a", 1.0)]  # b and d excluded
+    # phrase longer than the doc → no match, no error
+    assert search.match_phrase_topk(
+        df.limit(1), "the quick brown fox jumps over everything else entirely today ok"
+    ).count() == 0
+
+
 def test_bm25_ranks_rarer_terms_higher(spark, docs):
     out = search.bm25_topk(docs, "spark the", text_col="text", id_col="doc_id", k=10).collect()
     assert out[0]["id"] == 5  # 'spark' is rare → doc 5 wins despite no 'the'
