@@ -160,38 +160,67 @@ def _parse_http(payload: bytes) -> tuple[int, bytes]:
     return status, payload[split + 4 :]
 
 
+def _parse_warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel shared by the batch and streaming readers."""
+    for pdf in batches:
+        urls, whens, htmls, statuses = [], [], [], []
+        for content in pdf["content"]:
+            data = _decompress(bytes(content))
+            for headers, payload in _iter_records(data):
+                if headers.get("warc-type") != "response":
+                    continue
+                status, body = _parse_http(payload)
+                urls.append(headers.get("warc-target-uri", ""))
+                ts = headers.get("warc-date")
+                try:
+                    whens.append(
+                        datetime.strptime(ts, _WARC_TS).replace(tzinfo=timezone.utc)
+                        if ts
+                        else None
+                    )
+                except ValueError:
+                    whens.append(None)
+                htmls.append(body)
+                statuses.append(status)
+        yield pd.DataFrame(
+            {"url": urls, "warc_ts": whens, "html": htmls, "status": statuses}
+        )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files → (url, warc_ts, html, status) rows; response records
     only, every other record type skipped."""
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, whens, htmls, statuses = [], [], [], []
-            for content in pdf["content"]:
-                data = _decompress(bytes(content))
-                for headers, payload in _iter_records(data):
-                    if headers.get("warc-type") != "response":
-                        continue
-                    status, body = _parse_http(payload)
-                    urls.append(headers.get("warc-target-uri", ""))
-                    ts = headers.get("warc-date")
-                    try:
-                        whens.append(
-                            datetime.strptime(ts, _WARC_TS).replace(tzinfo=timezone.utc)
-                            if ts
-                            else None
-                        )
-                    except ValueError:
-                        whens.append(None)
-                    htmls.append(body)
-                    statuses.append(status)
-            yield pd.DataFrame(
-                {"url": urls, "warc_ts": whens, "html": htmls, "status": statuses}
-            )
-
     files = spark.read.format("binaryFile").load(path)
     return files.select("content").mapInPandas(
-        parse, schema="url string, warc_ts timestamp, html binary, status int"
+        _parse_warc_batches,
+        schema="url string, warc_ts timestamp, html binary, status int",
+    )
+
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file
+    stream over an archive landing directory → the same per-record
+    parse — continuous WARC ingest (e.g. an archiving crawler dropping
+    one segment per flush). Plug into writeStream with a checkpoint
+    for exactly-once, restart-safe ingestion; combine with
+    streaming.stream_extract's trigger conventions. Whole files are
+    the unit of progress (the WARC convention — ~1 GB segments), so a
+    half-written file must be land-then-rename, exactly what
+    write_warc's .inprogress → rename publish does."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .load(path)
+    )
+    return files.select("content").mapInPandas(
+        _parse_warc_batches,
+        schema="url string, warc_ts timestamp, html binary, status int",
     )
 
 
@@ -208,4 +237,4 @@ def warc_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-__all__ = ["write_warc", "read_warc", "warc_corpus"]
+__all__ = ["write_warc", "read_warc", "read_warc_stream", "warc_corpus"]

@@ -74,6 +74,45 @@ def test_reader_skips_non_response_records(spark, tmp_path):
     assert str(got[0]["warc_ts"]).startswith("2026-01-02 03:04:05")
 
 
+def test_streaming_warc_ingest_exactly_once(spark, corpus, tmp_path):
+    """read_warc_stream: archives landing in two drops are ingested
+    incrementally with exactly-once semantics across restarts (same
+    checkpoint, file-level progress)."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+
+    first = corpus.limit(60)
+    warc.write_warc(first.coalesce(2), land)
+
+    def drain():
+        q = (
+            warc.read_warc_stream(spark, land)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 60
+
+    # drop 2 lands later under different names; restart drains ONLY it
+    rest = corpus.subtract(first)
+    warc.write_warc(rest.coalesce(2), str(tmp_path / "stage"))
+    for f in glob.glob(str(tmp_path / "stage" / "*.warc.gz")):
+        os.rename(f, os.path.join(land, "drop2-" + os.path.basename(f)))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == corpus.count()
+    assert got.select("url").distinct().count() == corpus.count()  # exactly-once
+
+
 def test_crawl_from_warc_matches_parquet_corpus(spark, corpus, sf_dir, tmp_path):
     from gocrawl_spark.rounds import CrawlConfig, CrawlRun
 
