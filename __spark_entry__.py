@@ -614,6 +614,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_match_phrase"] = search_match_phrase
 
+    def search_match_and(spark, sf_dir):
+        """ES match with operator=and (search.match_topk): every
+        analyzed term must occur; scoring stays the TF sum."""
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), F.col("text").alias("content")
+        )
+        return search.match_topk(
+            docs, "spark table merge", id_col="id", k=10, operator="and"
+        )
+
+    q["search_match_and"] = search_match_and
+
     def search_count_a1(spark, sf_dir):
         return (
             _docs(spark, sf_dir)
@@ -1569,6 +1581,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE ({_antf("toks", "wi")} + {_antf("toks", "fi")}
              + {_antf("toks", "o''brien''s")} + {_antf("toks", "don''t")}) > 0
         ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # match operator=and: all terms required, TF-sum scoring unchanged
+    o["search_match_and"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents)
+        SELECT id,
+               ({_antf("toks", "spark")} + {_antf("toks", "table")} + {_antf("toks", "merge")})::DOUBLE AS score
+        FROM t
+        WHERE {_antf("toks", "spark")} > 0
+          AND {_antf("toks", "table")} > 0
+          AND {_antf("toks", "merge")} > 0
+        ORDER BY score DESC, id ASC LIMIT 10
     """
 
     # match_phrase: same analyzer, consecutive-window slice equality

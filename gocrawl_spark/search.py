@@ -104,13 +104,29 @@ def match_scores(
 
 
 def match_topk(
-    df: DataFrame, query: str, text_col: str = "content", id_col: str = "id", k: int = 10
+    df: DataFrame,
+    query: str,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    operator: str = "or",
 ) -> DataFrame:
     """ES `match` analogue: sum of per-term analyzer TFs, top-k.
-    Output: (id, score) ordered by (score DESC, id ASC)."""
+    Output: (id, score) ordered by (score DESC, id ASC).
+    ``operator="and"`` requires EVERY analyzed term to occur (the ES
+    match operator parameter); scoring is unchanged."""
+    scored = match_scores(df, query, text_col=text_col, id_col=id_col)
+    if operator == "and":
+        # min over per-term TFs > 0 ⇔ all terms present; recomputed on
+        # the same single tokenization via a second materialized pass
+        terms = _terms(query)
+        toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        present = F.lit(True)
+        for t in terms:
+            present = present & (F.size(F.filter("_toks", _eq(F.lit(t)))) > 0)
+        scored = scored.join(toked.filter(present).select("id"), "id")
     return (
-        match_scores(df, query, text_col=text_col, id_col=id_col)
-        .filter(F.col("score") > 0)
+        scored.filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )

@@ -300,6 +300,19 @@ def test_multi_match_boost(spark, docs):
     assert scores[1] == 6.0  # fox (1) + lang en (5)
 
 
+def test_match_operator_and(spark):
+    rows = [
+        ("a", "fox and hound together"),  # both terms
+        ("b", "fox fox fox fox alone"),   # one term, higher TF
+    ]
+    df = spark.createDataFrame(rows, "id string, content string")
+    anded = [(r["id"], r["score"]) for r in
+             search.match_topk(df, "fox hound", operator="and").collect()]
+    assert anded == [("a", 2.0)]  # b excluded despite larger TF sum
+    ored = {r["id"] for r in search.match_topk(df, "fox hound").collect()}
+    assert ored == {"a", "b"}
+
+
 def test_match_phrase_requires_adjacency(spark):
     rows = [
         ("a", "the quick brown fox"),            # exact phrase
