@@ -485,6 +485,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf"] = ann_ivf
 
+    def ann_pq(spark, sf_dir):
+        """Product-quantized ADC top-k (similarity.pq_topk, IVF-PQ's
+        compression half): 64 float dims → 4 codebook ints per vector;
+        the scan reads codes only, each query broadcasts its 4×8
+        distance table. Deterministic codebooks (corpus rows < ksub
+        sliced per subspace) keep the index engine-rebuildable."""
+        emb = _emb(spark, sf_dir)
+        cb = similarity.pq_codebooks(emb, m=4, ksub=8)
+        return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 5), cb, k=10)
+
+    q["ann_pq"] = ann_pq
+
     def emb_dup_pairs(spark, sf_dir):
         """Embedding near-dup at scale: banded sign-LSH blocking →
         exact cosine verify on candidates only (never the O(N²) cross
@@ -1459,6 +1471,32 @@ def oracle_sql() -> dict[str, str]:
                     * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))), 6) AS score
           FROM probes p JOIN asgn v ON v.centroid_id = p.centroid_id AND v.vec_id <> p.query_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
+    # PQ/ADC: same deterministic codebooks (rows < 8 sliced into 4
+    # subspaces of 16 dims), same per-subspace rounded L2² and
+    # (d, c)-ordered argmin, same table-lookup sum
+    o["ann_pq"] = """
+        WITH subd AS (
+          SELECT a.vec_id, s.s, b.vec_id AS c,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> (a.embedding[s.s*16 + i]::DOUBLE - b.embedding[s.s*16 + i]::DOUBLE)
+                      * (a.embedding[s.s*16 + i]::DOUBLE - b.embedding[s.s*16 + i]::DOUBLE))), 6) AS d
+          FROM embeddings a,
+               (SELECT unnest([0, 1, 2, 3]) AS s) s,
+               (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) b),
+        enc AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+            FROM subd) WHERE rn = 1),
+        qd AS (SELECT vec_id AS query_id, s, c, d FROM subd WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, round(sum(q.d), 6) AS score
+          FROM enc e JOIN qd q ON q.s = e.s AND q.c = e.c AND e.vec_id <> q.query_id
+          GROUP BY q.query_id, e.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score, neighbor_id) AS rank
               FROM scored)
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
     """

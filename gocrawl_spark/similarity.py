@@ -392,9 +392,143 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (the compression half of IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """In-order fold: Σ (a[i]-b[i])² as double."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic codebooks: entry c of subspace s = that subspace's
+    dims of corpus row c (ids < ksub) — the same swap-in-kmeans-later
+    contract as ivf_centroids, so any engine rebuilds the identical
+    index. Returns [m][ksub][dim/m] floats — index METADATA (m·ksub·W
+    values), collected once and shipped into plans as literals, the
+    way a real PQ index broadcasts its codebooks."""
+    rows = {
+        r[id_col]: list(r[vec_col])
+        for r in corpus.filter(F.col(id_col) < ksub).collect()
+    }
+    dim = len(next(iter(rows.values())))
+    w = dim // m
+    return [
+        [[float(rows[c][s * w + i]) for i in range(w)] for c in range(ksub)]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace the nearest codebook
+    entry by (rounded L2² ASC, entry ASC). 64 float dims → m small
+    ints — the scan-compression that makes 100 TB ANN affordable.
+    Pure codegen'd expressions: struct array_min implements the
+    deterministic argmin, no UDF, no shuffle."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    w = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = []
+    for s in range(m):
+        sub = F.slice(vec, s * w + 1, w)
+        cands = [
+            F.struct(
+                F.round(
+                    _l2sq(sub, F.array(*[F.lit(x) for x in codebooks[s][c]])), 6
+                ).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(ksub)
+        ]
+        codes.append(F.array_min(F.array(*cands)).getField("c"))
+    return corpus.select(F.col(id_col).alias("vec_id"), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approx L2²(q, doc) =
+    Σ_s dtable_s[code_s], with dtable_s[c] = rounded L2² between the
+    query's subspace-s slice and codebook entry c. The scan touches
+    only the m-int codes — never the document vectors; each query
+    carries its (m × ksub)-double distance table on the broadcast
+    side. Output (query_id, neighbor_id, score, rank), score = approx
+    distance ASC (smaller = closer), ties neighbor_id ASC."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    w = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    qv = F.col("qv")
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _l2sq(
+                            F.slice(qv, s * w + 1, w),
+                            F.array(*[F.lit(x) for x in codebooks[s][c]]),
+                        ),
+                        6,
+                    )
+                    for c in range(ksub)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qd = q.select("query_id", dtab.alias("dt"))
+    joined = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qd))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            F.col("dt").getItem(s), F.col("codes").getItem(s) + 1
+        )
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(dist, 6).alias("score")
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.asc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 __all__ = [
     "dot", "norm", "cosine", "cosine_rounded",
     "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
+    "pq_codebooks", "pq_encode", "pq_topk",
 ]

@@ -242,6 +242,56 @@ def test_cosine_dup_pairs(spark, vectors):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_pq_codebook_rows_encode_to_themselves(spark):
+    # distinct sub-vectors per row — row c is at L2 distance 0 from
+    # codebook entry c in every subspace, so it must encode to [c]*m
+    rows = [(i, [float(i), 10.0 + i, 20.0 + i, 30.0 + i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.pq_codebooks(df, m=4, ksub=4)
+    assert len(cb) == 4 and len(cb[0]) == 4
+    codes = {r["vec_id"]: list(r["codes"]) for r in similarity.pq_encode(df, cb).collect()}
+    for c in range(4):
+        assert codes[c] == [c, c, c, c]
+    # a tied subspace (identical entries) resolves to the LOWEST entry
+    tied = [(i, [0.5, float(i)]) for i in range(4)]
+    tdf = spark.createDataFrame(tied, "vec_id long, embedding array<float>")
+    tcb = similarity.pq_codebooks(tdf, m=2, ksub=3)
+    tcodes = {r["vec_id"]: list(r["codes"]) for r in similarity.pq_encode(tdf, tcb).collect()}
+    assert all(cs[0] == 0 for cs in tcodes.values())  # constant dim ties → 0
+
+
+def test_pq_topk_approximates_brute(spark, vectors):
+    cb = similarity.pq_codebooks(vectors, m=4, ksub=8)
+    queries = vectors.filter("vec_id < 3")
+    pq = similarity.pq_topk(vectors, queries, cb, k=10)
+    brute = similarity.brute_topk(vectors, queries, k=10)
+    pq_sets = {
+        q: {r["neighbor_id"] for r in rows}
+        for q, rows in _group(pq.collect(), "query_id").items()
+    }
+    brute_sets = {
+        q: {r["neighbor_id"] for r in rows}
+        for q, rows in _group(brute.collect(), "query_id").items()
+    }
+    # quantized distance is approximate; require nonempty overlap per
+    # query (deterministic — this pins the pipeline, not a recall SLA)
+    for q in brute_sets:
+        assert pq_sets[q] & brute_sets[q]
+    # and the ADC score of a vector against itself-as-code is minimal:
+    # every query's own codebook-coded form scores 0 against... itself
+    # is excluded; instead check scores are non-negative and sorted
+    for q, rows in _group(pq.collect(), "query_id").items():
+        scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert all(s >= 0 for s in scores) and scores == sorted(scores)
+
+
+def _group(rows, key):
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
 def test_lsh_topk_recall(spark, vectors):
     qs = vectors.filter(F.col("vec_id") == 0)
     out = similarity.lsh_topk(vectors, qs, k=5, dim=4, n_planes=2).collect()
