@@ -497,6 +497,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq"] = ann_pq
 
+    def ann_ivfpq(spark, sf_dir):
+        """IVF-PQ (similarity.ivfpq_topk): coarse cells prune the scan
+        to nprobe/n_centroids of the corpus, PQ codes compress the
+        rest — the canonical billion-scale ANN composition, scored by
+        broadcast per-query distance tables over the probed cells."""
+        emb = _emb(spark, sf_dir)
+        cb = similarity.pq_codebooks(emb, m=4, ksub=8)
+        return similarity.ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), cb, k=10,
+            n_centroids=16, nprobe=4,
+        )
+
+    q["ann_ivfpq"] = ann_ivfpq
+
     def emb_dup_pairs(spark, sf_dir):
         """Embedding near-dup at scale: banded sign-LSH blocking →
         exact cosine verify on candidates only (never the O(N²) cross
@@ -1496,6 +1510,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT q.query_id, e.vec_id AS neighbor_id, round(sum(q.d), 6) AS score
           FROM enc e JOIN qd q ON q.s = e.s AND q.c = e.c AND e.vec_id <> q.query_id
           GROUP BY q.query_id, e.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
+    # IVF-PQ: ann_ivf's cell assignment/probes composed with ann_pq's
+    # codebook encoding and ADC table-lookup sum
+    o["ann_ivfpq"] = f"""
+        WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 16),
+        asgn AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT a.vec_id, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN (SELECT centroid_id, embedding FROM cents) b ON true)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT a.vec_id AS query_id, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN (SELECT centroid_id, embedding FROM cents) b ON a.vec_id < 5)
+          WHERE rn <= 4),
+        subd AS (
+          SELECT a.vec_id, s.s, b.vec_id AS c,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> (a.embedding[s.s*16 + i]::DOUBLE - b.embedding[s.s*16 + i]::DOUBLE)
+                      * (a.embedding[s.s*16 + i]::DOUBLE - b.embedding[s.s*16 + i]::DOUBLE))), 6) AS d
+          FROM embeddings a,
+               (SELECT unnest([0, 1, 2, 3]) AS s) s,
+               (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) b),
+        enc AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+            FROM subd) WHERE rn = 1),
+        qd AS (SELECT vec_id AS query_id, s, c, d FROM subd WHERE vec_id < 5),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id, round(sum(q.d), 6) AS score
+          FROM probes p
+          JOIN asgn v ON v.centroid_id = p.centroid_id AND v.vec_id <> p.query_id
+          JOIN enc e ON e.vec_id = v.vec_id
+          JOIN qd q ON q.query_id = p.query_id AND q.s = e.s AND q.c = e.c
+          GROUP BY p.query_id, e.vec_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score, neighbor_id) AS rank
               FROM scored)
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10

@@ -525,10 +525,73 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN plan — coarse cells
+    prune the scan (only `nprobe`/`n_centroids` of the corpus is
+    read), PQ codes compress what remains (the scan carries m ints
+    per vector, not the vectors). Composition of ivf_assign and
+    pq_encode; at rest the (centroid_id, vec_id, codes) table is
+    written partitioned by centroid_id exactly like ivf_write_index.
+    Output (query_id, neighbor_id, score, rank) — ADC distance ASC."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    w = len(codebooks[0][0])
+    cells = ivf_assign(corpus, n_centroids, id_col, vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    index = cells.join(codes, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id", "codes"
+    )
+    probes = _probe_cells(corpus, queries, n_centroids, nprobe, id_col, vec_col)
+    qv = F.col("qv")
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _l2sq(
+                            F.slice(qv, s * w + 1, w),
+                            F.array(*[F.lit(x) for x in codebooks[s][c]]),
+                        ),
+                        6,
+                    )
+                    for c in range(ksub)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    qd = probes.select("query_id", "centroid_id", dtab.alias("dt"))
+    joined = index.join(F.broadcast(qd), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            F.col("dt").getItem(s), F.col("codes").getItem(s) + 1
+        )
+    scored = joined.select("query_id", "neighbor_id", F.round(dist, 6).alias("score"))
+    wnd = Window.partitionBy("query_id").orderBy(F.asc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 __all__ = [
     "dot", "norm", "cosine", "cosine_rounded",
     "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
-    "pq_codebooks", "pq_encode", "pq_topk",
+    "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
 ]
