@@ -111,3 +111,67 @@ def test_robots_longer_allow_wins(path):
     rules = [(False, prefix), (True, path)]
     assert rb.robots_allowed(path, rules) is True
     assert rb.robots_allowed(prefix + "zzz", [(False, prefix)]) is False
+
+
+# --------------------------------------------------------------- warc/sitemap
+
+from datetime import datetime, timezone
+
+from gocrawl_spark import sitemap as sm
+from gocrawl_spark import warc as wa
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    # header values are whitespace-trimmed per the header grammar, so
+    # the property holds for URLs without control/space characters
+    # (real URLs — RFC 3986 forbids them unencoded)
+    url=st.text(min_size=1, max_size=80).filter(
+        lambda s: not any(
+            c.isspace() or ord(c) <= 0x20 or ord(c) == 0x7F for c in s
+        )
+    ),
+    body=st.binary(max_size=400),
+)
+def test_warc_record_roundtrip_any_payload(url, body):
+    """A record built from ANY url/payload — including payloads that
+    contain WARC header bytes — parses back byte-identically; the
+    Content-Length walk cannot desynchronize."""
+    ts = datetime(2026, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+    blob = wa._record_bytes(url, ts, body) + wa._record_bytes(url + "x", ts, b"tail")
+    recs = list(wa._iter_records(blob))
+    assert len(recs) == 2
+    headers, payload = recs[0]
+    assert headers["warc-target-uri"] == url
+    status, got = wa._parse_http(payload)
+    assert status == 200 and got == body
+    # second record intact even after an adversarial first payload
+    assert wa._parse_http(recs[1][1])[1] == b"tail"
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_warc_parser_total_on_garbage(data):
+    # arbitrary bytes must never raise, only yield 0+ records
+    assert isinstance(list(wa._iter_records(data)), list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(xml=st.text(alphabet="<>/locsitemaindxurl \n\tabc:-.0123456789", max_size=400))
+def test_sitemap_parse_total(xml):
+    out = sm.parse_sitemap(xml)
+    assert isinstance(out, list)
+    for loc, lastmod, is_idx in out:
+        assert isinstance(loc, str) and isinstance(is_idx, bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    locs=st.lists(
+        st.text(alphabet="abc/:.-0123456789", min_size=1, max_size=40), max_size=8
+    )
+)
+def test_sitemap_urlset_roundtrip(locs):
+    xml = "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in locs) + "</urlset>"
+    got = [loc for loc, _, idx in sm.parse_sitemap(xml) if not idx]
+    assert got == locs
