@@ -89,6 +89,11 @@ class CrawlConfig:
     # directive): derive per-host delay_ms from robots.txt Crawl-delay
     # and merge into host_policy — explicit source policy still wins
     robots_crawl_delay: bool = False
+    # adaptive politeness (http mode, OPT-IN): a domain that returned
+    # 429 in round r fetches at DOUBLE its effective delay (half the
+    # pop budget) in round r+1 — rounds are the backoff clock, so the
+    # penalty persists exactly while the host keeps throttling
+    adaptive_backoff: bool = False
     user_agent: str = "gocrawl"
     # F9 retry-with-backoff (link_handler.go:60-107): transient fetch
     # failures re-enqueue with attempt+1 until max_retries; the retry
@@ -415,23 +420,51 @@ class CrawlRun:
         if self.cfg.robots_crawl_delay:
             self._merge_robots_policy()  # newly discovered Crawl-delays
 
-    def _budgeted(self, frontier_df: DataFrame) -> DataFrame:
+    def _backoff_domains(self, rnd: int) -> "DataFrame | None":
+        """Domains 429-throttled in the PREVIOUS round (adaptive
+        politeness state — a per-round snapshot table like everything
+        else, so backoff survives resume)."""
+        if not self.cfg.adaptive_backoff or rnd <= 0:
+            return None
+        p = os.path.join(_round_dir(self.run_dir, rnd - 1), "throttled")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _budgeted(self, frontier_df: DataFrame, rnd: int = 0) -> DataFrame:
         """Attach the per-host round budget (P1/P2): global config unless
-        a host_policy row overrides delay/parallelism for that domain."""
+        a host_policy row overrides delay/parallelism for that domain;
+        with adaptive_backoff, last round's 429-throttled domains run
+        at double delay."""
         cfg = self.cfg
-        if self.host_policy is None:
+        backoff = self._backoff_domains(rnd)
+        if self.host_policy is None and backoff is None:
             return frontier_df.withColumn("budget", F.lit(cfg.budget))
-        pol = self.host_policy.select(
-            F.col("domain").alias("_pol_domain"),
-            F.col("delay_ms").alias("_pol_delay"),
-            F.col("parallelism").alias("_pol_par"),
-        )
-        joined = frontier_df.join(
-            F.broadcast(pol), frontier_df["domain"] == pol["_pol_domain"], "left"
-        )
+        joined = frontier_df
+        drop = []
+        if self.host_policy is not None:
+            pol = self.host_policy.select(
+                F.col("domain").alias("_pol_domain"),
+                F.col("delay_ms").alias("_pol_delay"),
+                F.col("parallelism").alias("_pol_par"),
+            )
+            joined = joined.join(
+                F.broadcast(pol), joined["domain"] == pol["_pol_domain"], "left"
+            )
+            delay = F.coalesce(F.col("_pol_delay"), F.lit(cfg.delay_ms))
+            par = F.greatest(
+                F.coalesce(F.col("_pol_par"), F.lit(cfg.parallelism)), F.lit(1)
+            )
+            drop += ["_pol_domain", "_pol_delay", "_pol_par"]
+        else:
+            delay = F.lit(cfg.delay_ms)
+            par = F.lit(max(cfg.parallelism, 1))
+        if backoff is not None:
+            th = backoff.select("domain").distinct().withColumn("_throttled", F.lit(True))
+            joined = joined.join(F.broadcast(th), "domain", "left")
+            delay = F.when(F.col("_throttled"), delay * 2).otherwise(delay)
+            drop.append("_throttled")
         wall_ms = F.lit(cfg.round_wall_s * 1000.0)
-        delay = F.coalesce(F.col("_pol_delay"), F.lit(cfg.delay_ms))
-        par = F.greatest(F.coalesce(F.col("_pol_par"), F.lit(cfg.parallelism)), F.lit(1))
         # delay <= 0 means unthrottled (frontier.host_budget semantics):
         # wall_ms/delay would be NULL/negative and greatest(...,1) would
         # silently clamp a rate_limit-0 source to 1 fetch/round
@@ -441,9 +474,7 @@ class CrawlRun:
             ),
             F.lit(1),
         )
-        return joined.withColumn("budget", budget.cast("int")).drop(
-            "_pol_domain", "_pol_delay", "_pol_par"
-        )
+        return joined.withColumn("budget", budget.cast("int")).drop(*drop)
 
     # ---------------------------------------------------------------- io
     def _write(self, df: DataFrame, rnd: int, name: str) -> None:
@@ -473,7 +504,7 @@ class CrawlRun:
         cfg = self.cfg
         t: dict[str, float] = {}
         t0 = time.perf_counter()
-        budgeted = self._budgeted(frontier_df)
+        budgeted = self._budgeted(frontier_df, rnd)
         # batch and rest come from one cached ranking (no anti-join);
         # batch feeds the fetch join, the seen update and the stats
         # count, rest feeds the next frontier
@@ -521,6 +552,14 @@ class CrawlRun:
             self._write(resp_live, rnd, "responses")
             resp = self._read(rnd, "responses")
             fetched = resp.filter(F.col("status") == 200).drop("status", "final_url")
+            if cfg.adaptive_backoff:
+                # adaptive-politeness state: domains the host throttled
+                # this round fetch at double delay next round
+                self._write(
+                    resp.filter(F.col("status") == 429).select("domain").distinct(),
+                    rnd,
+                    "throttled",
+                )
             if cfg.max_retries > 0:
                 # network/5xx, plus 429 Too Many Requests: the one 4xx
                 # a polite crawler must treat as transient (RFC 6585) —

@@ -254,6 +254,65 @@ def test_http_429_is_transient(spark, web, tmp_path):
     assert hits[f"/throttle/{p.hostname}{p.path}"] == 3
 
 
+def test_adaptive_backoff_halves_budget_after_429(spark, sf_dir, tmp_path):
+    """adaptive_backoff: a domain that 429'd in round r runs at double
+    delay (half the pop budget) in round r+1; without the flag the
+    budget is unchanged."""
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    pages = {}
+    for r in corpus.collect():
+        p = urlsplit(r["url"])
+        pages[f"/{p.hostname}{p.path}"] = bytes(r["html"])
+    hits = defaultdict(int)
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+                n = hits[self.path]
+            if n == 1:  # host throttles the first visit of every page
+                self.send_response(429)
+                self.end_headers()
+                return
+            body = pages.get(self.path, b"")
+            self.send_response(200 if body else 404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # six same-host seeds (ids % 4 == 0 → site00); budget 4/round
+        seeds = [synth.url_of(i) for i in (0, 4, 8, 12, 16, 20)]
+
+        def run(flag, name):
+            cfg = CrawlConfig(
+                max_depth=0, max_rounds=4, use_bloom=False,
+                fetch_mode="http", http_proxy_base=base, max_retries=4,
+                delay_ms=1000, round_wall_s=4.0, parallelism=1,
+                adaptive_backoff=flag,
+            )
+            r = CrawlRun(spark, None, seeds, str(tmp_path / name), cfg)
+            return r.run(resume=False)
+
+        hist = run(True, "on")
+        assert hist[0]["popped"] == 4 and hist[0]["fetched"] == 0  # all 429
+        assert hist[1]["popped"] == 2  # halved budget after throttling
+        assert sum(h["fetched"] for h in hist) > 0
+
+        hits.clear()
+        hist2 = run(False, "off")
+        assert hist2[0]["popped"] == 4 and hist2[1]["popped"] == 4  # no backoff
+    finally:
+        srv.shutdown()
+
+
 def test_host_policy_delay_paces_live_fetch(spark, tmp_path):
     """ADVICE: per-source LimitRule delay overrides (host_policy) must
     be enforced BETWEEN live requests, not only in the pop budget — a
