@@ -498,15 +498,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_pq"] = ann_pq
 
     def ann_ivfpq(spark, sf_dir):
-        """IVF-PQ (similarity.ivfpq_topk): coarse cells prune the scan
-        to nprobe/n_centroids of the corpus, PQ codes compress the
-        rest — the canonical billion-scale ANN composition, scored by
-        broadcast per-query distance tables over the probed cells."""
+        """IVF-PQ over the PERSISTED index (similarity.ivfpq_topk with
+        ivfpq_write_index): coarse cells prune the scan to
+        nprobe/n_centroids of the corpus — partition pruning on the
+        centroid_id-partitioned codes table, plan-pinned in tests —
+        and PQ codes compress the rest; scored by broadcast per-query
+        distance tables over the probed cells."""
+        import tempfile
+
         emb = _emb(spark, sf_dir)
         cb = similarity.pq_codebooks(emb, m=4, ksub=8)
+        idx = tempfile.mkdtemp(prefix="ivfpq_index_")
+        similarity.ivfpq_write_index(emb, idx, cb, n_centroids=16)
         return similarity.ivfpq_topk(
             emb, emb.filter(F.col("vec_id") < 5), cb, k=10,
-            n_centroids=16, nprobe=4,
+            n_centroids=16, nprobe=4, index_path=idx,
         )
 
     q["ann_ivfpq"] = ann_ivfpq

@@ -525,6 +525,29 @@ def pq_topk(
     )
 
 
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index: (vec_id, codes) written PARTITIONED BY
+    centroid_id — the at-rest layout of a production billion-scale ANN
+    store: a probe reads only its nprobe cell directories, and each
+    row is m small ints instead of the vector. The codebooks travel
+    separately (they're metadata — regenerate with pq_codebooks or
+    persist the list yourself)."""
+    cells = ivf_assign(corpus, n_centroids, id_col, vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    cells.join(codes, "vec_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -534,23 +557,31 @@ def ivfpq_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN plan — coarse cells
     prune the scan (only `nprobe`/`n_centroids` of the corpus is
     read), PQ codes compress what remains (the scan carries m ints
     per vector, not the vectors). Composition of ivf_assign and
-    pq_encode; at rest the (centroid_id, vec_id, codes) table is
-    written partitioned by centroid_id exactly like ivf_write_index.
+    pq_encode; with ``index_path`` the codes come from the PERSISTED
+    centroid_id-partitioned table (ivfpq_write_index) and the
+    broadcast probe side partition-prunes the scan to the probed
+    cells, like ivf_topk's persisted path.
     Output (query_id, neighbor_id, score, rank) — ADC distance ASC."""
     m, ksub = len(codebooks), len(codebooks[0])
     w = len(codebooks[0][0])
-    cells = ivf_assign(corpus, n_centroids, id_col, vec_col).select(
-        "vec_id", "centroid_id"
-    )
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    index = cells.join(codes, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), "centroid_id", "codes"
-    )
+    if index_path is not None:
+        index = corpus.sparkSession.read.parquet(index_path).select(
+            F.col("vec_id").alias("neighbor_id"), "centroid_id", "codes"
+        )
+    else:
+        cells = ivf_assign(corpus, n_centroids, id_col, vec_col).select(
+            "vec_id", "centroid_id"
+        )
+        codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        index = cells.join(codes, "vec_id").select(
+            F.col("vec_id").alias("neighbor_id"), "centroid_id", "codes"
+        )
     probes = _probe_cells(corpus, queries, n_centroids, nprobe, id_col, vec_col)
     qv = F.col("qv")
     dtab = F.array(
@@ -570,8 +601,8 @@ def ivfpq_topk(
             for s in range(m)
         ]
     )
-    qd = probes.select("query_id", "centroid_id", dtab.alias("dt"))
-    joined = index.join(F.broadcast(qd), "centroid_id").filter(
+    qd = F.broadcast(probes.select("query_id", "centroid_id", dtab.alias("dt")))
+    joined = index.join(qd, "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     dist = F.lit(0.0)
@@ -593,5 +624,5 @@ __all__ = [
     "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
-    "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
+    "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_write_index",
 ]

@@ -515,6 +515,28 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_ivfpq_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index (codes partitioned by centroid_id)
+    returns exactly the in-memory composition's result and the probe
+    partition-prunes the code scan like the IVF index does."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = sim.pq_codebooks(emb, m=4, ksub=8)
+    idx = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_write_index(emb, idx, cb, n_centroids=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    mem = sim.ivfpq_topk(emb, q, cb, k=10, n_centroids=16, nprobe=4)
+    per = sim.ivfpq_topk(
+        emb, q, cb, k=10, n_centroids=16, nprobe=4, index_path=idx
+    )
+    assert sorted(map(tuple, per.collect())) == sorted(map(tuple, mem.collect()))
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_emb_dup_recall_query(spark, sf_dir):
     """The recall eval query reports |blocked ∩ exact| / |exact| —
     the banding curve made visible (VERDICT r2 item 4)."""
