@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 _LOC_RE = re.compile(r"<\s*loc\s*>\s*(.*?)\s*<\s*/\s*loc\s*>", re.I | re.S)
 _URL_BLOCK_RE = re.compile(r"<\s*(url|sitemap)\s*>(.*?)<\s*/\s*\1\s*>", re.I | re.S)
 _LASTMOD_RE = re.compile(r"<\s*lastmod\s*>\s*(.*?)\s*<\s*/\s*lastmod\s*>", re.I | re.S)
+_PRIORITY_RE = re.compile(r"<\s*priority\s*>\s*(.*?)\s*<\s*/\s*priority\s*>", re.I | re.S)
 _INDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.I)
 
 
@@ -52,13 +53,15 @@ def _parse_lastmod(s: str | None):
     return None
 
 
-def parse_sitemap(xml: str | None) -> list[tuple[str, object, bool]]:
-    """[(loc, lastmod|None, is_index_entry)] from one sitemap document.
+def parse_sitemap(xml: str | None) -> list[tuple[str, object, bool, float | None]]:
+    """[(loc, lastmod|None, is_index_entry, priority|None)] from one
+    sitemap document.
 
-    Regex-scoped to <url>/<sitemap> blocks (namespace-proof — real
-    sitemaps carry the sitemaps.org xmlns and often arbitrary prefixes,
-    which is exactly what trips strict tag matching) so each lastmod
-    binds to ITS loc, not a neighbor's."""
+    Regex-scoped to <url>/<sitemap> blocks (default-namespace-proof —
+    real sitemaps carry the sitemaps.org xmlns, which trips strict tag
+    matching) so each lastmod/priority binds to ITS loc, not a
+    neighbor's. priority is the protocol's 0.0-1.0 hint (default 0.5
+    per sitemaps.org; None = not stated)."""
     if not xml:
         return []
     is_index = bool(_INDEX_RE.search(xml))
@@ -69,8 +72,20 @@ def parse_sitemap(xml: str | None) -> list[tuple[str, object, bool]]:
         if not loc:
             continue
         lm = _LASTMOD_RE.search(block)
+        pr = _PRIORITY_RE.search(block)
+        prio: float | None = None
+        if pr:
+            try:
+                prio = min(1.0, max(0.0, float(pr.group(1))))
+            except ValueError:
+                prio = None
         out.append(
-            (loc.group(1), _parse_lastmod(lm.group(1) if lm else None), is_index)
+            (
+                loc.group(1),
+                _parse_lastmod(lm.group(1) if lm else None),
+                is_index,
+                prio,
+            )
         )
     return out
 
@@ -100,22 +115,32 @@ def sitemap_entries(xml_df: DataFrame, url_col: str = "sitemap_url", xml_col: st
 
     def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in parts:
-            src, locs, lastmods, idx = [], [], [], []
+            src, locs, lastmods, idx, prios = [], [], [], [], []
             for u, x in zip(pdf[url_col], pdf[xml_col]):
-                for loc, lm, is_idx in parse_sitemap(x):
+                for loc, lm, is_idx, prio in parse_sitemap(x):
                     src.append(u)
                     locs.append(loc)
                     lastmods.append(lm)
                     idx.append(is_idx)
+                    prios.append(prio)
             yield pd.DataFrame(
-                {"sitemap_url": src, "loc": locs, "lastmod": lastmods, "is_index": idx}
+                {
+                    "sitemap_url": src,
+                    "loc": locs,
+                    "lastmod": lastmods,
+                    "is_index": idx,
+                    "priority": pd.array(prios, dtype="float64"),
+                }
             )
 
     return xml_df.select(
         F.col(url_col).alias(url_col), F.col(xml_col).alias(xml_col)
     ).mapInPandas(
         run,
-        schema="sitemap_url string, loc string, lastmod timestamp, is_index boolean",
+        schema=(
+            "sitemap_url string, loc string, lastmod timestamp, "
+            "is_index boolean, priority double"
+        ),
     )
 
 
@@ -179,14 +204,16 @@ def discover_seeds(
             break
         entries = sitemap_entries(fetch(pending, **fetch_kwargs))
         leaf = entries.filter(~F.col("is_index")).select(
-            F.col("loc").alias("url"), "lastmod"
+            F.col("loc").alias("url"), "lastmod", "priority"
         )
         seeds = leaf if seeds is None else seeds.unionByName(leaf)
         pending = entries.filter(F.col("is_index")).select(
             F.col("loc").alias("sitemap_url")
         )
     if seeds is None:
-        return spark.createDataFrame([], "url string, lastmod timestamp")
+        return spark.createDataFrame(
+            [], "url string, lastmod timestamp, priority double"
+        )
     if since is not None:
         seeds = seeds.filter(
             F.col("lastmod").isNull() | (F.col("lastmod") >= F.lit(since))
@@ -194,7 +221,30 @@ def discover_seeds(
     return seeds.dropDuplicates(["url"])
 
 
+def seed_priorities(seeds: DataFrame, base: int = 5) -> DataFrame:
+    """(url_hash, priority) overrides from the sitemap ``priority``
+    hint, for CrawlRun(rank_priority=...): the protocol's 0.5 default
+    is "average", so only above-average hints boost — >= 0.9 →
+    base+3, >= 0.7 → base+2, > 0.5 → base+1; unstated or ≤ 0.5 rows
+    are dropped (the frontier default already is `base`). Same int
+    scale as graphrank.rank_priorities, so site-declared and
+    link-graph priorities compose on the same mechanism."""
+    from gocrawl_spark import udfs
+
+    pri = (
+        F.when(F.col("priority") >= 0.9, base + 3)
+        .when(F.col("priority") >= 0.7, base + 2)
+        .when(F.col("priority") > 0.5, base + 1)
+    )
+    out = udfs.with_url_identity(
+        seeds.filter(F.col("priority").isNotNull()).select(
+            "url", pri.alias("priority")
+        )
+    )
+    return out.filter(F.col("priority").isNotNull()).select("url_hash", "priority")
+
+
 __all__ = [
     "parse_sitemap", "sitemaps_from_robots", "sitemap_entries",
-    "fetch_sitemaps", "discover_seeds",
+    "fetch_sitemaps", "discover_seeds", "seed_priorities",
 ]

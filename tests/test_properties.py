@@ -161,7 +161,7 @@ def test_warc_parser_total_on_garbage(data):
 def test_sitemap_parse_total(xml):
     out = sm.parse_sitemap(xml)
     assert isinstance(out, list)
-    for loc, lastmod, is_idx in out:
+    for loc, lastmod, is_idx, priority in out:
         assert isinstance(loc, str) and isinstance(is_idx, bool)
 
 
@@ -173,5 +173,5 @@ def test_sitemap_parse_total(xml):
 )
 def test_sitemap_urlset_roundtrip(locs):
     xml = "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in locs) + "</urlset>"
-    got = [loc for loc, _, idx in sm.parse_sitemap(xml) if not idx]
+    got = [loc for loc, _, idx, _ in sm.parse_sitemap(xml) if not idx]
     assert got == locs

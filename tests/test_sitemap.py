@@ -14,9 +14,9 @@ from gocrawl_spark import sitemap as sm
 URLSET = """<?xml version="1.0" encoding="UTF-8"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
   <url><loc>https://site00.example.com/article/4</loc>
-       <lastmod>2026-01-15</lastmod></url>
+       <lastmod>2026-01-15</lastmod><priority>0.9</priority></url>
   <url><loc>https://site00.example.com/page/8</loc>
-       <lastmod>2026-02-01T10:20:30Z</lastmod></url>
+       <lastmod>2026-02-01T10:20:30Z</lastmod><priority>0.3</priority></url>
   <url><loc>https://site00.example.com/article/12</loc></url>
 </urlset>
 """
@@ -36,7 +36,7 @@ CHILD_B = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
 
 def test_parse_urlset_binds_lastmod_per_loc():
     got = sm.parse_sitemap(URLSET)
-    assert [u for u, _, _ in got] == [
+    assert [u for u, *_ in got] == [
         "https://site00.example.com/article/4",
         "https://site00.example.com/page/8",
         "https://site00.example.com/article/12",
@@ -44,17 +44,34 @@ def test_parse_urlset_binds_lastmod_per_loc():
     assert str(got[0][1]).startswith("2026-01-15 00:00")
     assert str(got[1][1]).startswith("2026-02-01 10:20:30")
     assert got[2][1] is None
-    assert all(not is_idx for _, _, is_idx in got)
+    assert all(not is_idx for _, _, is_idx, _ in got)
+    # priority binds per-loc too; absent → None, out-of-range clamps
+    assert [p for *_, p in got] == [0.9, 0.3, None]
+    clamped = sm.parse_sitemap("<urlset><url><loc>u</loc><priority>7</priority></url></urlset>")
+    assert clamped[0][3] == 1.0
 
 
 def test_parse_sitemapindex():
     got = sm.parse_sitemap(INDEX)
-    assert [u for u, _, _ in got] == [
+    assert [u for u, *_ in got] == [
         "https://site00.example.com/sitemap-a.xml",
         "https://site00.example.com/sitemap-b.xml",
     ]
-    assert all(is_idx for _, _, is_idx in got)
+    assert all(is_idx for _, _, is_idx, _ in got)
     assert sm.parse_sitemap("") == [] and sm.parse_sitemap(None) == []
+
+
+def test_seed_priorities_bucketing(spark):
+    rows = [
+        ("https://h/a", 0.95), ("https://h/b", 0.7), ("https://h/c", 0.6),
+        ("https://h/d", 0.5), ("https://h/e", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, priority double")
+    got = {r["url_hash"]: r["priority"] for r in sm.seed_priorities(df).collect()}
+    import hashlib
+
+    sha = lambda u: hashlib.sha256(u.encode()).hexdigest()
+    assert got == {sha("https://h/a"): 8, sha("https://h/b"): 7, sha("https://h/c"): 6}
 
 
 def test_sitemaps_from_robots(spark):
