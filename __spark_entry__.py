@@ -217,6 +217,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = text_repetition
 
+    def corpus_mixture(spark, sf_dir):
+        """Training-mix planning report: docs, token budget, and token
+        share per (lang, source) stratum — the table a mixture
+        rebalance (curation.sample_stratified) is tuned against. One
+        scan, one partial-agged shuffle; share = stratum tokens over a
+        scalar total (computed in-plan, no driver hop)."""
+        from pyspark.sql import Window as W
+
+        d = _docs(spark, sf_dir).select(
+            "lang", "source", textstats.token_count("text").alias("t")
+        )
+        agg = d.groupBy("lang", "source").agg(
+            F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens")
+        )
+        total = W.partitionBy()
+        return agg.select(
+            "lang", "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+                "token_share"
+            ),
+        )
+
+    q["corpus_mixture"] = corpus_mixture
+
     def decontaminate(spark, sf_dir):
         """Test-set decontamination (dedup.contamination): benchmark =
         10-word excerpts of every 50th document; flag every corpus doc
@@ -1091,6 +1115,19 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY doc_id) AS rn
           FROM k)
         SELECT doc_id, pred_lang, quality, n_tokens FROM d WHERE rn = 1
+    """
+
+    # mixture report: same whitespace token count, same share math
+    o["corpus_mixture"] = r"""
+        WITH t AS (
+          SELECT lang, source,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+          FROM documents),
+        a AS (SELECT lang, source, count(*) AS n_docs, sum(t)::BIGINT AS n_tokens
+              FROM t GROUP BY lang, source)
+        SELECT lang, source, n_docs, n_tokens,
+               round(n_tokens::DOUBLE / (SELECT sum(n_tokens)::DOUBLE FROM a), 6) AS token_share
+        FROM a
     """
 
     # repetition rule: same augmented text, same normalized 2-gram

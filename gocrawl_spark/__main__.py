@@ -170,6 +170,12 @@ def cmd_index(args) -> int:
             return 2
         wh.drop_table(args.name)
         print(f"deleted {args.name}")
+    elif args.action == "export":
+        if not (args.name and args.out):
+            print("index export requires NAME and --out DIR", file=sys.stderr)
+            return 2
+        n = wh.export_jsonl(args.name, args.out)
+        print(f"exported {n} rows of {args.name} to {args.out} (jsonl)")
     return 0
 
 
@@ -292,9 +298,10 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_search)
 
     i = sub.add_parser("index")
-    i.add_argument("action", choices=["list", "delete"])
+    i.add_argument("action", choices=["list", "delete", "export"])
     i.add_argument("name", nargs="?")
     i.add_argument("--warehouse", required=True)
+    i.add_argument("--out")  # export: JSONL shard directory
     i.set_defaults(fn=cmd_index)
 
     so = sub.add_parser("sources")

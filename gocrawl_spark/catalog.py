@@ -263,3 +263,22 @@ class Warehouse:
     def count(self, name: str, predicate=None) -> int:
         df = self.table(name)
         return (df.filter(predicate) if predicate is not None else df).count()
+
+    # -------------------------------------------------------------- export
+    def export_jsonl(
+        self, name: str, path: str, mapping: "dict[str, str] | None" = None
+    ) -> int:
+        """Emit an index as JSONL shards — the training-data delivery
+        format (one JSON object per line, one file per partition,
+        written by the executors; the driver never sees a row).
+        ``mapping`` selects + renames on the way out, e.g.
+        {"body": "text", "source": "url"}; None dumps every column.
+        Timestamps serialize ISO-8601 (Spark's JSON writer default).
+        Returns the exported row count."""
+        from pyspark.sql import functions as F
+
+        df = self.table(name)
+        if mapping:
+            df = df.select([F.col(k).alias(v) for k, v in mapping.items()])
+        df.write.mode("overwrite").json(path)
+        return self.spark.read.json(path).count()

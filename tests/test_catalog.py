@@ -123,3 +123,30 @@ def test_index_health_and_cat_indices(spark, wh):
     assert cat["docs"]["size_bytes"] > 0 and cat["docs"]["files"] >= 1
     with pytest.raises(KeyError):
         wh.get_index_health("nope")
+
+
+def test_export_jsonl(spark, wh, tmp_path):
+    """JSONL export: the training-data delivery format — full dump and
+    mapped projection ({"body": "text", "source": "url"})."""
+    import json
+
+    rows = [("a1", "Title A", "Body text A", "https://s/a"),
+            ("b2", "Title B", "Body text B", "https://s/b")]
+    df = spark.createDataFrame(rows, "id string, title string, body string, source string")
+    wh.create_table("docs", df.schema)
+    wh.upsert("docs", df)
+
+    out_full = str(tmp_path / "full")
+    assert wh.export_jsonl("docs", out_full) == 2
+    back = {r["id"]: r for r in spark.read.json(out_full).collect()}
+    assert back["a1"]["body"] == "Body text A"
+
+    out_map = str(tmp_path / "mapped")
+    wh.export_jsonl("docs", out_map, mapping={"body": "text", "source": "url"})
+    import glob as _g
+    lines = []
+    for f in sorted(set(_g.glob(out_map + "/part-*.json"))):
+        with open(f) as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    assert sorted(l["url"] for l in lines) == ["https://s/a", "https://s/b"]
+    assert all(set(l) == {"text", "url"} for l in lines)
