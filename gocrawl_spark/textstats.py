@@ -20,6 +20,7 @@ extracted* text downstream of the crawl.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -274,6 +275,41 @@ def repetition_stats(
     )
 
 
+def compression_ratio_udf():
+    """Arrow-batched pandas UDF: len(zlib(text)) / len(text) — the
+    compression-ratio quality signal (boilerplate/repetitive spam
+    compresses far below prose; the published web-corpus filters cut
+    both extremes). No SQL twin exists (zlib), so this ships with
+    tests instead of a DuckDB oracle; it is deterministic (zlib level
+    6 is bit-stable across platforms for a given input). Empty text →
+    NULL. Rounded to 6 dp."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(round(len(zlib.compress(raw, 6)) / len(raw), 6))
+        return pd.Series(out, dtype="float64")
+
+    return _ratio
+
+
+def compression_keep(
+    ratio: Column, lo: float = 0.25, hi: float = 0.95
+) -> Column:
+    """The two-sided compression gate: below ``lo`` = machine-repeated
+    boilerplate, above ``hi`` = high-entropy noise (base64 blobs,
+    minified code); prose sits between."""
+    return ratio.between(lo, hi)
+
+
 def gopher_keep(
     stats: dict[str, Column],
     min_words: int = 50,
@@ -298,4 +334,5 @@ __all__ = [
     "norm_words", "shingles", "fingerprint",
     "PII_PATTERNS", "pii_counts", "redact_pii",
     "gopher_stats", "gopher_keep", "repetition_stats",
+    "compression_ratio_udf", "compression_keep",
 ]

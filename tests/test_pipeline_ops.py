@@ -127,6 +127,38 @@ def test_gopher_gate(spark):
     assert got[3]["keep"] is False and got[3]["fa"] == 0.0  # symbol soup
 
 
+def test_compression_ratio_gate(spark):
+    import random
+
+    random.seed(7)
+    prose = ("The committee reviewed seventeen distinct proposals before "
+             "narrowing the field to a shortlist of three candidates.")
+    boiler = "spam " * 200
+    # random CJK codepoints: near-incompressible multi-byte UTF-8
+    noise = "".join(chr(random.randint(0x4E00, 0x9FFF)) for _ in range(40))
+    rows = [(1, prose), (2, boiler), (3, noise), (4, "")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    r = textstats.compression_ratio_udf()
+    got = {
+        x["id"]: x
+        for x in df.select(
+            "id",
+            r("text").alias("ratio"),
+        ).withColumn(
+            "keep", textstats.compression_keep(F.col("ratio"))
+        ).collect()
+    }
+    assert got[2]["ratio"] < 0.25 and got[2]["keep"] is False  # boilerplate
+    assert got[3]["ratio"] > 0.95 and got[3]["keep"] is False  # noise
+    assert got[1]["keep"] is True  # prose sits between
+    assert got[4]["ratio"] is None  # empty → NULL
+    # deterministic across runs/parallelism (None sorts first)
+    a = df.select(r("text").alias("x")).collect()
+    b = df.repartition(4).select(r("text").alias("x")).collect()
+    assert sorted((row["x"] for row in a), key=lambda v: (v is not None, v or 0)) == \
+           sorted((row["x"] for row in b), key=lambda v: (v is not None, v or 0))
+
+
 def test_repetition_stats(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta"),
