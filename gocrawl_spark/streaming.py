@@ -273,3 +273,83 @@ def stream_dedup_urls(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# documents-table schema for the curation stream (driver testdata shape)
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_curate(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    langs: tuple = ("en",),
+    min_quality: float = 0.5,
+    available_now: bool = True,
+):
+    """Continuous curation: the per-shard training-data pass as a
+    stream (curation.curate's streaming analogue).
+
+    Language-ID and quality are stateless codegen'd filters evaluated
+    inside each micro-batch's scan; exact-dedup state is a persistent
+    content-hash table under ``out_dir/_seen_hashes`` — each batch
+    anti-joins it (cross-batch: FIRST ARRIVAL WINS, the streaming
+    analogue of curate's lowest-id canonical), dedups within itself by
+    lowest doc_id, appends survivors to ``out_dir/kept`` and its new
+    hashes to the state table. foreachBatch keeps both writes in one
+    batch-scoped unit; re-running a batch after a crash re-derives the
+    same deterministic survivor set (appends are idempotent at the
+    row level because hashes dedupe on read)."""
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    from gocrawl_spark import textstats as _ts
+    from gocrawl_spark.dedup import text_key as _text_key
+
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(docs_dir)
+    )
+    kept_dir = _os.path.join(out_dir, "kept")
+    seen_dir = _os.path.join(out_dir, "_seen_hashes")
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        feat = batch_df.select(
+            "doc_id",
+            _text_key("text").alias("_h"),
+            _ts.predict_lang("text").alias("pred_lang"),
+            F.round(_ts.quality_score("text"), 6).alias("quality"),
+            _ts.token_count("text").alias("n_tokens"),
+        ).filter(
+            F.col("pred_lang").isin(list(langs))
+            & (F.col("quality") >= F.lit(min_quality))
+        )
+        # within-batch canonical: lowest doc_id per content hash
+        w = _W.partitionBy("_h").orderBy("doc_id")
+        feat = (
+            feat.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if _os.path.isdir(seen_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(seen_dir)
+        ):
+            seen = s.read.parquet(seen_dir).select("_h").distinct()
+            feat = feat.join(seen, "_h", "left_anti")
+        feat.persist()
+        feat.select("doc_id", "pred_lang", "quality", "n_tokens").write.mode(
+            "append"
+        ).parquet(kept_dir)
+        feat.select("_h").write.mode("append").parquet(seen_dir)
+        feat.unpersist()
+
+    writer = src.writeStream.foreachBatch(absorb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -211,3 +211,46 @@ def test_stream_dedup_bloom_state_constant_and_equal(spark):
     st = spark.read.format("statestore").load(dirs["bloom"][2])
     sizes = {len(bytes(r["value"]["groupState"]["bits"])) for r in st.collect()}
     assert sizes == {(1 << 14) // 8}
+
+
+def test_stream_curate_first_arrival_wins(spark, tmp_path):
+    """Continuous curation: langid/quality filters per micro-batch,
+    exact-dedup state persists across restarts — a duplicate arriving
+    in a later drop is dropped (first arrival wins)."""
+    import shutil
+
+    base = str(tmp_path / "sc")
+    docs_dir, out_dir, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(docs_dir)
+    en = ("the data pipeline is that a report for it on the table "
+          "with the analysis and the second sentence that is for it " * 3)
+    de = "der hund und die katze sind nicht mit dem vogel ein team da"
+
+    def drop(name, rows):
+        tmp = f"{base}/{name}_stage"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(tmp, f), os.path.join(docs_dir, f"{name}_{f}"))
+
+    def drain():
+        q = streaming.stream_curate(spark, docs_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+    # drop 1: 1 keeps; 2 is an in-batch dup of 1 (lowest id wins);
+    # 3 fails language-ID; 4 fails quality (short)
+    drop("d1", [(1, en, "en", "s", len(en)), (2, en, "en", "s", len(en)),
+                (3, de, "de", "s", len(de)), (4, "too short", "en", "s", 9)])
+    drain()
+    kept1 = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/kept").collect()}
+    assert kept1 == {1}
+
+    # drop 2 (fresh query, same state): 5 is a cross-drop dup of 1 →
+    # dropped; 6 is new prose → kept
+    en2 = en.replace("pipeline", "warehouse")
+    drop("d2", [(5, en, "en", "s", len(en)), (6, en2, "en", "s", len(en2))])
+    drain()
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/kept").collect()}
+    assert kept2 == {1, 6}
