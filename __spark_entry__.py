@@ -217,6 +217,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = text_repetition
 
+    def text_line_dedup(spark, sf_dir):
+        """CCNet/RefinedWeb boilerplate cut (dedup.line_dedup): every
+        doc gets a shared copyright footer (and every fourth a shared
+        newsletter plug) plus one unique line; lines whose normalized
+        hash spans ≥2 documents are dropped corpus-wide, survivors
+        rejoin in order. One hash-keyed shuffle builds the (tiny)
+        boilerplate table; the back-join broadcasts under AQE."""
+        d = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.lit("\nCopyright Example Corp. All rights reserved."),
+            F.when(
+                d % 4 == 0, F.lit("\nSubscribe to our newsletter today!")
+            ).otherwise(F.lit("")),
+            F.lit("\nUnique line for doc "), d.cast("string"),
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+        return dedup.line_dedup(docs)
+
+    q["text_line_dedup"] = text_line_dedup
+
+    def text_c4_clean(spark, sf_dir):
+        """The published C4 recipe (textstats.c4_clean/c4_page_keep):
+        deterministic multi-line pages exercise every rule — a line
+        dies for missing terminal punctuation, <5 words, or
+        'javascript'; a page dies for 'lorem ipsum', a curly brace, or
+        <3 sentences after cleaning. Pure codegen'd expressions in the
+        scan projection; zero shuffles."""
+        d = F.col("doc_id")
+        aug = F.concat(
+            F.lit("This sentence has enough words right here.\n"),
+            F.substring("text", 1, 60),
+            F.when(
+                d % 3 == 0, F.lit("\nEnable javascript to view this page now.")
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\nShort line.")).otherwise(F.lit("")),
+            F.lit("\nAnother fine sentence appears right here today!"),
+            F.when(
+                d % 7 == 2,
+                F.lit("\nlorem ipsum dolor sit amet consectetur adipiscing."),
+            ).otherwise(F.lit("")),
+            F.when(d % 11 == 5, F.lit("\nconst x = {a: 1};")).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.lit("\nAnd a third good sentence lands right here too."),
+            ).otherwise(F.lit("")),
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+        st = textstats.c4_clean("text")
+        return docs.select(
+            "doc_id",
+            st["text"].alias("clean"),
+            st["n_lines"].alias("n_lines"),
+            st["n_kept"].alias("n_kept"),
+            textstats.c4_page_keep("text", st["text"]).alias("keep_page"),
+        )
+
+    q["text_c4_clean"] = text_c4_clean
+
     def corpus_mixture(spark, sf_dir):
         """Training-mix planning report: docs, token budget, and token
         share per (lang, source) stratum — the table a mixture
@@ -1149,6 +1208,63 @@ def oracle_sql() -> dict[str, str]:
                round(top_c::DOUBLE / total::DOUBLE, 6) AS top_ngram_frac,
                round(n_distinct::DOUBLE / total::DOUBLE, 6) AS distinct_frac
         FROM a
+    """
+
+    o["text_line_dedup"] = r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || chr(10) || 'Copyright Example Corp. All rights reserved.'
+                      || CASE WHEN doc_id % 4 = 0
+                              THEN chr(10) || 'Subscribe to our newsletter today!'
+                              ELSE '' END
+                      || chr(10) || 'Unique line for doc ' || doc_id::VARCHAR AS text
+          FROM documents),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        ex AS (SELECT doc_id, u.pos, u.line
+               FROM ls, LATERAL (SELECT unnest(l) AS line,
+                                        unnest(range(1, len(l)+1)) AS pos) u),
+        h AS (SELECT doc_id, pos, line,
+                     md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS hh
+              FROM ex),
+        boiler AS (SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT * FROM h WHERE hh NOT IN (SELECT hh FROM boiler)),
+        reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(l)::INTEGER AS n_lines FROM ls)
+        SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_lines,
+               coalesce(r.n_kept, 0)::INTEGER AS n_kept
+        FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """
+
+    o["text_c4_clean"] = r"""
+        WITH aug AS (
+          SELECT doc_id,
+            'This sentence has enough words right here.' || chr(10) || substr(text, 1, 60)
+            || CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'Enable javascript to view this page now.' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Short line.' ELSE '' END
+            || chr(10) || 'Another fine sentence appears right here today!'
+            || CASE WHEN doc_id % 7 = 2
+                    THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 11 = 5 THEN chr(10) || 'const x = {a: 1};' ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'And a third good sentence lands right here too.'
+                    ELSE '' END AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS l,
+                 list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(regexp_extract_all(trim(x), '\S+')) >= 5
+                        AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+          FROM aug)
+        SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+               len(l)::INTEGER AS n_lines, len(kept)::INTEGER AS n_kept,
+               (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+                AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3)
+                 AS keep_page
+        FROM c
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

@@ -49,6 +49,8 @@ HEADLINE = [
     "text_redact_pii",
     "text_gopher",
     "decontaminate",
+    "text_c4_clean",
+    "text_line_dedup",
 ]
 
 

@@ -440,10 +440,71 @@ def contamination(
     )
 
 
+def line_key(line: Column) -> Column:
+    """Normalized line identity: md5 of the lowercased, whitespace-
+    squeezed, trimmed line — the CCNet paragraph-hash normalization."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(line), r"\s+", " ")))
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line-level dedup (the CCNet/RefinedWeb
+    boilerplate cut): drop every line whose normalized form appears in
+    ≥ `min_docs` distinct documents — nav bars, footers, cookie
+    banners repeat across a site; body prose does not. Returns
+    (doc_id, text, n_lines, n_kept) with surviving lines rejoined in
+    original order; a document whose every line is boilerplate keeps
+    an empty text.
+
+    Scale shape (10^10 docs): lines explode once; the duplicate-line
+    table is built by one partial-agged shuffle on the line hash
+    (high cardinality, balanced) and is tiny relative to the corpus —
+    only hashes crossing the threshold survive the HAVING — so the
+    back-join is broadcastable (AQE decides). Reassembly shuffles
+    (id, pos, line) rows once on doc_id. No driver hop, no UDF.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", line_key(F.col("line")))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+    )
+
+
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
     "ngram_jaccard_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters",
+    "line_key", "line_dedup",
 ]

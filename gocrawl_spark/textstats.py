@@ -327,6 +327,63 @@ def gopher_keep(
     )
 
 
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning (Raffel et al. 2020, the published C4 recipe)
+# ---------------------------------------------------------------------------
+
+# a line survives C4 when it ends in terminal punctuation, carries at
+# least `min_words` whitespace words, and does not mention javascript
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_keep(line: Column, min_words: int = 5) -> Column:
+    """The published C4 per-line rule as one boolean expression:
+    terminal punctuation, ≥ min_words words, no 'javascript'."""
+    t = F.trim(line)
+    # word count via regexp, not a nested filter() lambda — a HOF
+    # inside another HOF's lambda drops the outer filter out of
+    # codegen into the interpreted path
+    n_words = F.size(F.regexp_extract_all(t, F.lit(r"(\S+)"), 1))
+    return (
+        t.rlike(C4_TERMINAL_RE)
+        & (n_words >= min_words)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean(col: Column | str, min_words: int = 5) -> dict[str, Column]:
+    """C4 cleaning over a multi-line document, pure codegen'd
+    expressions (no shuffle, no UDF — the line filter runs inside the
+    scan projection):
+
+      text     -- surviving lines rejoined in order
+      n_lines  -- lines before the cut
+      n_kept   -- lines after the cut
+
+    Compose with c4_page_keep() for the page-level verdict."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, lambda x: c4_line_keep(x, min_words=min_words))
+    return {
+        "text": F.concat_ws("\n", kept),
+        "n_lines": F.size(lines),
+        "n_kept": F.size(kept),
+    }
+
+
+def c4_page_keep(raw: Column | str, cleaned: Column, min_sentences: int = 3) -> Column:
+    """The C4 page gate: drop pages mentioning 'lorem ipsum' or
+    containing a curly brace (code), or whose cleaned text has fewer
+    than `min_sentences` sentence-terminal marks."""
+    r = F.col(raw) if isinstance(raw, str) else raw
+    n_sent = F.size(F.regexp_extract_all(cleaned, F.lit(r"([.!?])"), 1))
+    return (
+        ~F.lower(r).contains("lorem ipsum")
+        & ~r.contains("{")
+        & (n_sent >= min_sentences)
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
     "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
@@ -335,4 +392,5 @@ __all__ = [
     "PII_PATTERNS", "pii_counts", "redact_pii",
     "gopher_stats", "gopher_keep", "repetition_stats",
     "compression_ratio_udf", "compression_keep",
+    "c4_line_keep", "c4_clean", "c4_page_keep",
 ]

@@ -171,6 +171,63 @@ def test_repetition_stats(spark):
     assert got[1]["distinct_frac"] == 1.0  # all 2-grams unique
 
 
+def test_c4_clean_rules(spark):
+    """Each published C4 rule kills exactly its target: no terminal
+    punctuation, <5 words, 'javascript' (line level); 'lorem ipsum',
+    '{', <3 sentences after cleaning (page level)."""
+    good = ("One good sentence sits right here today.\n"
+            "Another good sentence lands right here now!\n"
+            "A third good sentence closes the page out.")
+    rows = [
+        (1, good),
+        (2, good + "\nno terminal punctuation on this line"),
+        (3, good + "\nEnable javascript to view this page now."),
+        (4, good + "\nShort line."),
+        (5, good + "\nlorem ipsum dolor sit amet consectetur adipiscing."),
+        (6, good + "\nconst x = {a: 1};"),
+        (7, "Only two sentences survive in this page body.\n"
+            "The second good sentence lands right here now!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = textstats.c4_clean("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", st["text"].alias("clean"),
+            st["n_lines"].alias("n_lines"), st["n_kept"].alias("n_kept"),
+            textstats.c4_page_keep("text", st["text"]).alias("keep"),
+        ).collect()
+    }
+    assert got[1]["n_kept"] == 3 and got[1]["keep"] is True
+    assert got[1]["clean"] == good
+    # line rules: the extra line dies, the three good ones survive
+    for i in (2, 3, 4):
+        assert got[i]["n_lines"] == 4 and got[i]["n_kept"] == 3
+        assert got[i]["keep"] is True
+    # page rules: lorem-ipsum / brace kill kept pages; <3 sentences too
+    assert got[5]["n_kept"] == 4 and got[5]["keep"] is False
+    assert got[6]["keep"] is False
+    assert got[7]["n_kept"] == 2 and got[7]["keep"] is False
+
+
+def test_line_dedup_drops_cross_document_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [(1, "unique opening line\nCopyright Example Corp.\nbody text alpha"),
+         (2, "Copyright  example corp.\nbody text beta\nSubscribe now!"),
+         (3, "Subscribe now!\nCopyright Example Corp."),
+         (4, "all mine\nonly here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    # normalization (case + whitespace squeeze) unifies the copyright
+    # variants; both boilerplate lines span >=2 docs and die everywhere
+    assert got[1]["text"] == "unique opening line\nbody text alpha"
+    assert got[2]["text"] == "body text beta"
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0
+    assert got[3]["n_lines"] == 2
+    # a doc with no shared lines is untouched
+    assert got[4]["text"] == "all mine\nonly here" and got[4]["n_kept"] == 2
+
+
 def test_contamination_ngram_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta eta theta")],
