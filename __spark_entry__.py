@@ -741,6 +741,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_match_and"] = search_match_and
 
+    def search_bool(spark, sf_dir):
+        """ES `bool` compositor (search.bool_topk): must-match TF
+        scoring + should boosts (a match clause and a keyword term
+        clause) under a range filter and a must_not exclusion — the
+        four ES occurrence contexts in one query, all compiled into a
+        single scan projection + boolean filter."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"match": {"text": "table scan"}}],
+                "should": [
+                    {"match": {"text": "merge"}},
+                    {"term": {"source": "src3"}},
+                ],
+                "must_not": [{"term": {"lang": "de"}}],
+                "filter": [{"range": {"doc_id": {"gte": 10, "lt": 450}}}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_bool"] = search_bool
+
     def search_count_a1(spark, sf_dir):
         return (
             _docs(spark, sf_dir)
@@ -1845,6 +1868,24 @@ def oracle_sql() -> dict[str, str]:
           AND {_antf("toks", "table")} > 0
           AND {_antf("toks", "merge")} > 0
         ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    # bool: must = match(table scan) [OR over terms, TF-scored];
+    # should = match(merge) + term(source=src3) [scores add];
+    # must_not = term(lang=de); filter = 10 <= doc_id < 450 (no score)
+    o["search_bool"] = f"""
+        WITH t AS (SELECT doc_id AS id, source, lang, {_antoks("text")} AS toks
+                   FROM documents WHERE doc_id >= 10 AND doc_id < 450),
+        s AS (SELECT id, source, lang,
+                     {_antf("toks", "table")} + {_antf("toks", "scan")} AS must_s,
+                     {_antf("toks", "merge")} AS merge_s
+              FROM t)
+        SELECT id,
+               round(must_s + merge_s
+                     + CASE WHEN source = 'src3' THEN 1 ELSE 0 END, 6)::DOUBLE AS score
+        FROM s
+        WHERE must_s > 0 AND lang <> 'de'
+        ORDER BY score DESC, id ASC LIMIT 15
     """
 
     # match_phrase: same analyzer, consecutive-window slice equality

@@ -269,10 +269,128 @@ def bm25_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# ES `bool` query compositor (must / should / must_not / filter)
+# ---------------------------------------------------------------------------
+
+
+def _compile_clause(clause: dict, tokcol: dict[str, str]):
+    """One ES leaf clause → (predicate Column, score Column).
+
+    Supported leaves (the ES query-DSL shapes the reference's search
+    surface composes — internal/api/api.go match bodies):
+      {"match": {field: querystring}}   OR over analyzed terms; score
+                                        = Σ term TF (match_topk's TF
+                                        scoring, same determinism)
+      {"term":  {field: value}}         exact raw equality; score 1.0
+      {"range": {field: {gte/gt/lte/lt: v}}}  bound checks; score 1.0
+    """
+    ((kind, body),) = clause.items()
+    if kind == "match":
+        ((field, qs),) = body.items()
+        score = F.lit(0)
+        for t in _terms(qs):
+            score = score + F.size(F.filter(tokcol[field], _eq(F.lit(t))))
+        return score > 0, score.cast("double")
+    if kind == "term":
+        ((field, val),) = body.items()
+        pred = F.col(field) == F.lit(val)
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "range":
+        ((field, spec),) = body.items()
+        ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+        pred = F.lit(True)
+        for op, v in spec.items():
+            try:
+                pred = pred & getattr(F.col(field), ops[op])(F.lit(v))
+            except KeyError:
+                raise ValueError(f"unsupported range op: {op}") from None
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    raise ValueError(f"unsupported bool leaf clause: {kind}")
+
+
+def bool_topk(
+    df: DataFrame,
+    query: dict,
+    id_col: str = "id",
+    k: int = 10,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """ES `bool` query analogue with the ES combination semantics:
+
+    - ``must``     — every clause matches; scores add.
+    - ``filter``   — every clause matches; no score contribution.
+    - ``must_not`` — no clause matches; no score contribution.
+    - ``should``   — scores of matching clauses add; at least
+      ``minimum_should_match`` must match (ES default: 1 when the
+      query has no must/filter context, else 0).
+
+    Output (id, score) ordered by (round(score,6) DESC, id ASC),
+    limit k. Score-0 matches survive (a filter-only bool matches with
+    score 0, as in ES).
+
+    Plan shape: each text field referenced by a match clause is
+    analyzed ONCE into a materialized token column (Catalyst does not
+    CSE the regexp across clause lambdas — the match_scores rationale);
+    the whole compositor is one scan projection + one boolean filter,
+    no joins, no shuffle beyond the top-k sort of matches."""
+    must = list(query.get("must", ()))
+    should = list(query.get("should", ()))
+    must_not = list(query.get("must_not", ()))
+    filt = list(query.get("filter", ()))
+    if minimum_should_match is None:
+        minimum_should_match = 1 if should and not (must or filt) else 0
+
+    # analyze each match-referenced field exactly once
+    fields: list[str] = []
+    for c in (*must, *should, *must_not, *filt):
+        ((kind, body),) = c.items()
+        if kind == "match":
+            ((field, _qs),) = body.items()
+            if field not in fields:
+                fields.append(field)
+    tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
+    # keep every raw column (the id column too, under its own name) so
+    # term/range clauses can reference any field, id included
+    raw = [c for c in df.columns if c != "id"]
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *raw,
+        *[tokens(f).alias(tokcol[f]) for f in fields],
+    )
+
+    matched = F.lit(True)
+    score = F.lit(0.0)
+    for c in must:
+        pred, s = _compile_clause(c, tokcol)
+        matched = matched & pred
+        score = score + s
+    for c in filt:
+        pred, _s = _compile_clause(c, tokcol)
+        matched = matched & pred
+    for c in must_not:
+        pred, _s = _compile_clause(c, tokcol)
+        matched = matched & ~pred
+    if should:
+        n_should = F.lit(0)
+        for c in should:
+            pred, s = _compile_clause(c, tokcol)
+            n_should = n_should + pred.cast("int")
+            score = score + s
+        matched = matched & (n_should >= minimum_should_match)
+
+    return (
+        toked.filter(matched)
+        .select("id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 __all__ = [
     "tf", "tokens", "analyze_query", "count_where",
     "match_scores", "match_topk", "multi_match_topk", "match_phrase_topk",
-    "bm25_topk",
+    "bm25_topk", "bool_topk",
 ]
 
 

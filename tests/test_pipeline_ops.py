@@ -469,6 +469,47 @@ def test_match_phrase_requires_adjacency(spark):
     ).count() == 0
 
 
+def test_bool_query_semantics(spark):
+    """ES bool occurrence contexts: must gates + scores, should adds
+    score without gating (msm=0 when must present), must_not excludes,
+    filter gates without scoring; filter-only matches keep score 0."""
+    rows = [
+        (1, "alpha beta gamma", "news", 5),
+        (2, "alpha alpha delta", "blog", 7),
+        (3, "beta delta", "news", 9),       # no alpha -> must fails
+        (4, "alpha beta", "spam", 3),       # must_not source=spam
+        (5, "alpha beta beta", "news", 99),  # outside range filter
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, rank long")
+    got = search.bool_topk(
+        df,
+        {
+            "must": [{"match": {"text": "alpha"}}],
+            "should": [{"match": {"text": "beta"}}],
+            "must_not": [{"term": {"source": "spam"}}],
+            "filter": [{"range": {"rank": {"gte": 4, "lte": 10}}}],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    scores = {r["id"]: r["score"] for r in got}
+    # doc1: alpha(1) + beta(1) = 2; doc2: alpha(2) + beta(0) = 2
+    assert scores == {1: 2.0, 2: 2.0}
+    # ordering: tie broken by id asc
+    assert [r["id"] for r in got] == [1, 2]
+
+    # should-only query: minimum_should_match defaults to 1
+    got2 = search.bool_topk(
+        df, {"should": [{"match": {"text": "delta"}}]}, id_col="doc_id", k=10
+    ).collect()
+    assert {r["id"] for r in got2} == {2, 3}
+
+    # filter-only: matches everything in range with score 0
+    got3 = search.bool_topk(
+        df, {"filter": [{"range": {"rank": {"lt": 6}}}]}, id_col="doc_id", k=10
+    ).collect()
+    assert {(r["id"], r["score"]) for r in got3} == {(1, 0.0), (4, 0.0)}
+
+
 def test_bm25_ranks_rarer_terms_higher(spark, docs):
     out = search.bm25_topk(docs, "spark the", text_col="text", id_col="doc_id", k=10).collect()
     assert out[0]["id"] == 5  # 'spark' is rare → doc 5 wins despite no 'the'
