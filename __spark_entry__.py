@@ -764,6 +764,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bool"] = search_bool
 
+    def search_bool_nested(spark, sf_dir):
+        """Nested ES `bool` compositor (search.bool_topk): the must
+        context holds a sub-bool (should-of-matches, msm=1 — ES's
+        should-only default applies per level), the should context a
+        match_phrase over an injected phrase, plus terms/exists/prefix
+        filters and a must_not term — the full pass-through query-DSL
+        surface (reference storage.go:212-257 forwards arbitrary query
+        maps) compiled into one scan projection + one boolean filter."""
+        d = F.col("doc_id")
+        docs = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(
+                d % 5 == 2,
+                F.concat(F.col("text"), F.lit(" The fused vector kernel wins.")),
+            ).otherwise(F.col("text")),
+        )
+        return search.bool_topk(
+            docs,
+            {
+                "must": [
+                    {"bool": {"should": [
+                        {"match": {"text": "table"}},
+                        {"match": {"text": "stream"}},
+                    ]}},
+                ],
+                "should": [{"match_phrase": {"text": "Fused Vector Kernel"}}],
+                "must_not": [{"term": {"source": "src11"}}],
+                "filter": [
+                    {"terms": {"lang": ["en", "fr", "es"]}},
+                    {"exists": {"field": "source"}},
+                    {"prefix": {"source": "src1"}},
+                ],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_bool_nested"] = search_bool_nested
+
     def search_count_a1(spark, sf_dir):
         return (
             _docs(spark, sf_dir)
@@ -1885,6 +1924,36 @@ def oracle_sql() -> dict[str, str]:
                      + CASE WHEN source = 'src3' THEN 1 ELSE 0 END, 6)::DOUBLE AS score
         FROM s
         WHERE must_s > 0 AND lang <> 'de'
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # nested bool: must = sub-bool(should: match table | match stream,
+    # msm=1 per-level default) scored as the TF sum; should =
+    # match_phrase over the injected phrase (adds occurrence count, no
+    # gating since must present); filters = terms(lang) + exists +
+    # prefix; must_not = term(source=src11)
+    o["search_bool_nested"] = f"""
+        WITH d AS (
+          SELECT doc_id AS id, lang, source,
+                 text || CASE WHEN doc_id % 5 = 2
+                              THEN ' The fused vector kernel wins.'
+                              ELSE '' END AS c
+          FROM documents),
+        t AS (SELECT id, lang, source, {_antoks("c")} AS toks FROM d),
+        s AS (SELECT id, lang, source,
+                     {_antf("toks", "table")} + {_antf("toks", "stream")} AS must_s,
+                     CASE WHEN len(toks) >= 3 THEN
+                       len([i for i in range(1, len(toks) - 1)
+                            if toks[i:i+2] = ['fused', 'vector', 'kernel']])
+                     ELSE 0 END AS ph
+              FROM t)
+        SELECT id, round(must_s + ph, 6)::DOUBLE AS score
+        FROM s
+        WHERE must_s > 0
+          AND lang IN ('en', 'fr', 'es')
+          AND source IS NOT NULL
+          AND source LIKE 'src1%'
+          AND source <> 'src11'
         ORDER BY score DESC, id ASC LIMIT 15
     """
 

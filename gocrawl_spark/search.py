@@ -274,27 +274,79 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 
 
-def _compile_clause(clause: dict, tokcol: dict[str, str]):
-    """One ES leaf clause → (predicate Column, score Column).
+def _collect_match_fields(clauses, fields: list[str]) -> None:
+    """Every field referenced by a match/match_phrase leaf, depth-first
+    through nested bools — each gets ONE materialized token column."""
+    for c in clauses:
+        ((kind, body),) = c.items()
+        if kind == "bool":
+            for ctx in ("must", "should", "must_not", "filter"):
+                _collect_match_fields(body.get(ctx, ()), fields)
+        elif kind in ("match", "match_phrase"):
+            ((field, _qs),) = body.items()
+            if field not in fields:
+                fields.append(field)
 
-    Supported leaves (the ES query-DSL shapes the reference's search
-    surface composes — internal/api/api.go match bodies):
+
+def _compile_clause(clause: dict, tokcol: dict[str, str]):
+    """One ES clause → (predicate Column, score Column).
+
+    Supported shapes (the ES query-DSL the reference's search surface
+    passes through verbatim — internal/storage/storage.go:212-257 takes
+    an arbitrary query map):
+      {"bool": {...}}                   nested compositor (recursive);
+                                        score gated to 0 on non-match
       {"match": {field: querystring}}   OR over analyzed terms; score
                                         = Σ term TF (match_topk's TF
                                         scoring, same determinism)
+      {"match_phrase": {field: qs}}     consecutive analyzed terms;
+                                        score = phrase occurrence count
+                                        (match_phrase_topk semantics)
       {"term":  {field: value}}         exact raw equality; score 1.0
+      {"terms": {field: [v, ...]}}      membership; score 1.0
       {"range": {field: {gte/gt/lte/lt: v}}}  bound checks; score 1.0
+      {"exists": {"field": name}}       non-null; score 1.0
+      {"prefix": {field: string}}       raw startswith; score 1.0
+      {"match_all": {}}                 always true; score 1.0
     """
     ((kind, body),) = clause.items()
+    if kind == "bool":
+        pred, score = _compile_bool(body, tokcol)
+        # a non-matching sub-bool contributes nothing, even if its
+        # should clauses matched (ES: only matching clauses score)
+        return pred, F.when(pred, score).otherwise(F.lit(0.0))
     if kind == "match":
         ((field, qs),) = body.items()
         score = F.lit(0)
         for t in _terms(qs):
             score = score + F.size(F.filter(tokcol[field], _eq(F.lit(t))))
         return score > 0, score.cast("double")
+    if kind == "match_phrase":
+        ((field, qs),) = body.items()
+        terms = _terms(qs)
+        if not terms:
+            return F.lit(False), F.lit(0.0)
+        n = len(terms)
+        phrase = F.array(*[F.lit(t) for t in terms])
+        toks = F.col(tokcol[field])
+        sz = F.size(toks)
+        cnt = F.when(
+            sz >= n,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), sz - n + 1, F.lit(1)),
+                    lambda i: F.slice(toks, i, n) == phrase,
+                )
+            ),
+        ).otherwise(F.lit(0))
+        return cnt > 0, cnt.cast("double")
     if kind == "term":
         ((field, val),) = body.items()
         pred = F.col(field) == F.lit(val)
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "terms":
+        ((field, vals),) = body.items()
+        pred = F.col(field).isin(list(vals))
         return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
     if kind == "range":
         ((field, spec),) = body.items()
@@ -306,7 +358,51 @@ def _compile_clause(clause: dict, tokcol: dict[str, str]):
             except KeyError:
                 raise ValueError(f"unsupported range op: {op}") from None
         return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
-    raise ValueError(f"unsupported bool leaf clause: {kind}")
+    if kind == "exists":
+        pred = F.col(body["field"]).isNotNull()
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "prefix":
+        ((field, pfx),) = body.items()
+        pred = F.col(field).startswith(str(pfx))
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "match_all":
+        return F.lit(True), F.lit(1.0)
+    raise ValueError(f"unsupported bool clause: {kind}")
+
+
+def _compile_bool(
+    body: dict, tokcol: dict[str, str], minimum_should_match: int | None = None
+):
+    """One bool level → (matched Column, score Column), ES semantics
+    (see :func:`bool_topk`). msm defaults per level: 1 when the level
+    is should-only, else 0 — ES's own default."""
+    must = list(body.get("must", ()))
+    should = list(body.get("should", ()))
+    must_not = list(body.get("must_not", ()))
+    filt = list(body.get("filter", ()))
+    if minimum_should_match is None:
+        minimum_should_match = 1 if should and not (must or filt) else 0
+
+    matched = F.lit(True)
+    score = F.lit(0.0)
+    for c in must:
+        pred, s = _compile_clause(c, tokcol)
+        matched = matched & pred
+        score = score + s
+    for c in filt:
+        pred, _s = _compile_clause(c, tokcol)
+        matched = matched & pred
+    for c in must_not:
+        pred, _s = _compile_clause(c, tokcol)
+        matched = matched & ~pred
+    if should:
+        n_should = F.lit(0)
+        for c in should:
+            pred, s = _compile_clause(c, tokcol)
+            n_should = n_should + pred.cast("int")
+            score = score + s
+        matched = matched & (n_should >= minimum_should_match)
+    return matched, score
 
 
 def bool_topk(
@@ -329,26 +425,21 @@ def bool_topk(
     limit k. Score-0 matches survive (a filter-only bool matches with
     score 0, as in ES).
 
-    Plan shape: each text field referenced by a match clause is
-    analyzed ONCE into a materialized token column (Catalyst does not
-    CSE the regexp across clause lambdas — the match_scores rationale);
-    the whole compositor is one scan projection + one boolean filter,
-    no joins, no shuffle beyond the top-k sort of matches."""
-    must = list(query.get("must", ()))
-    should = list(query.get("should", ()))
-    must_not = list(query.get("must_not", ()))
-    filt = list(query.get("filter", ()))
-    if minimum_should_match is None:
-        minimum_should_match = 1 if should and not (must or filt) else 0
+    Clauses may nest arbitrarily ({"bool": {...}} is itself a clause) —
+    the reference passes the whole query map through to ES verbatim
+    (internal/storage/storage.go:212-257), so any DSL shape a caller
+    composes must compile. A nested bool's score is gated to 0 when the
+    sub-bool doesn't match (ES scores only matching clauses).
 
-    # analyze each match-referenced field exactly once
+    Plan shape: each text field referenced by a match/match_phrase
+    clause — at any nesting depth — is analyzed ONCE into a
+    materialized token column (Catalyst does not CSE the regexp across
+    clause lambdas — the match_scores rationale); the whole compositor
+    is one scan projection + one boolean filter, no joins, no shuffle
+    beyond the top-k sort of matches."""
+    # analyze each match-referenced field exactly once (nested too)
     fields: list[str] = []
-    for c in (*must, *should, *must_not, *filt):
-        ((kind, body),) = c.items()
-        if kind == "match":
-            ((field, _qs),) = body.items()
-            if field not in fields:
-                fields.append(field)
+    _collect_match_fields([{"bool": query}], fields)
     tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
     # keep every raw column (the id column too, under its own name) so
     # term/range clauses can reference any field, id included
@@ -359,25 +450,7 @@ def bool_topk(
         *[tokens(f).alias(tokcol[f]) for f in fields],
     )
 
-    matched = F.lit(True)
-    score = F.lit(0.0)
-    for c in must:
-        pred, s = _compile_clause(c, tokcol)
-        matched = matched & pred
-        score = score + s
-    for c in filt:
-        pred, _s = _compile_clause(c, tokcol)
-        matched = matched & pred
-    for c in must_not:
-        pred, _s = _compile_clause(c, tokcol)
-        matched = matched & ~pred
-    if should:
-        n_should = F.lit(0)
-        for c in should:
-            pred, s = _compile_clause(c, tokcol)
-            n_should = n_should + pred.cast("int")
-            score = score + s
-        matched = matched & (n_should >= minimum_should_match)
+    matched, score = _compile_bool(query, tokcol, minimum_should_match)
 
     return (
         toked.filter(matched)

@@ -510,6 +510,72 @@ def test_bool_query_semantics(spark):
     assert {(r["id"], r["score"]) for r in got3} == {(1, 0.0), (4, 0.0)}
 
 
+def test_bool_nested_and_extended_leaves(spark):
+    """Nested {"bool": ...} clauses compile recursively; a non-matching
+    sub-bool contributes 0 score even when its should clauses matched;
+    terms/exists/prefix/match_all/match_phrase leaves work inside any
+    occurrence context."""
+    rows = [
+        (1, "alpha beta gamma", "news",  "en"),
+        (2, "alpha delta quick brown fox", "blog", None),
+        (3, "beta quick brown fox", "news",  "fr"),
+        (4, "alpha quick fox brown", "newswire", "en"),  # terms not adjacent
+        (5, "alpha beta", "spam", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+
+    # should = [nested bool(must=match alpha, must_not=term spam),
+    #           match_phrase "quick brown fox"] with msm=1
+    got = search.bool_topk(
+        df,
+        {
+            "should": [
+                {"bool": {
+                    "must": [{"match": {"text": "alpha"}}],
+                    "must_not": [{"term": {"source": "spam"}}],
+                }},
+                {"match_phrase": {"text": "Quick Brown Fox"}},
+            ],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    scores = {r["id"]: r["score"] for r in got}
+    # 1: alpha(1); 2: alpha(1)+phrase(1)=2; 3: phrase(1); 4: alpha only
+    # (not adjacent); 5: sub-bool fails must_not -> no match, no score
+    assert scores == {1: 1.0, 2: 2.0, 3: 1.0, 4: 1.0}
+
+    # terms + exists + prefix + match_all across contexts
+    got2 = search.bool_topk(
+        df,
+        {
+            "must": [{"match_all": {}}],
+            "filter": [
+                {"terms": {"source": ["news", "newswire", "blog"]}},
+                {"exists": {"field": "lang"}},
+                {"prefix": {"source": "news"}},
+            ],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    # doc2 lang NULL fails exists; doc2/blog + doc5/spam fail prefix
+    assert {(r["id"], r["score"]) for r in got2} == {(1, 1.0), (3, 1.0), (4, 1.0)}
+
+    # nested sub-bool that matches with score (should inside must)
+    got3 = search.bool_topk(
+        df,
+        {
+            "must": [
+                {"bool": {"should": [
+                    {"match": {"text": "gamma"}},
+                    {"match": {"text": "delta"}},
+                ]}},
+            ],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    assert {(r["id"], r["score"]) for r in got3} == {(1, 1.0), (2, 1.0)}
+
+
 def test_bm25_ranks_rarer_terms_higher(spark, docs):
     out = search.bm25_topk(docs, "spark the", text_col="text", id_col="doc_id", k=10).collect()
     assert out[0]["id"] == 5  # 'spark' is rare → doc 5 wins despite no 'the'
