@@ -238,6 +238,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_line_dedup"] = text_line_dedup
 
+    def dedup_substring_spans(spark, sf_dir):
+        """ExactSubstr-style duplicated-span detection
+        (dedup.substring_spans, the window-hash form of Lee et al.
+        2021): every fourth doc gets a shared 13-word boilerplate tail,
+        so its 8-word windows collide across documents and merge into
+        one long span (max_span_words = 13 for pure-tail dups; longer
+        where the random prefix happens to collide too). One md5-keyed
+        shuffle finds duplicated windows; never a doc×doc join."""
+        d = F.col("doc_id")
+        aug = F.when(
+            d % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for the latest"
+                    " updates and exclusive offers today"
+                ),
+            ),
+        ).otherwise(F.col("text"))
+        docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+        return dedup.substring_spans(docs, k=8)
+
+    q["dedup_substring_spans"] = dedup_substring_spans
+
+    def text_lm_ppl(spark, sf_dir):
+        """CCNet-style bigram-LM perplexity (textstats.lm_perplexity):
+        the LM is trained distributively on the corpus itself
+        (lm_bigram_counts — two partial-agged count shuffles), then
+        each doc's position-ordered log-prob fold scores it. The fold
+        is a sequential F.aggregate over array_sort'ed (pos, logp)
+        structs, so the floating sum is bit-stable across engines and
+        parallelism — the oracle mirrors it with list_reduce over a
+        pos-ordered list."""
+        return textstats.lm_perplexity(_docs(spark, sf_dir))
+
+    q["text_lm_ppl"] = text_lm_ppl
+
     def text_c4_clean(spark, sf_dir):
         """The published C4 recipe (textstats.c4_clean/c4_page_keep):
         deterministic multi-line pages exercise every rule — a line
@@ -1327,6 +1364,75 @@ def oracle_sql() -> dict[str, str]:
                 AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3)
                  AS keep_page
         FROM c
+    """
+
+    # ExactSubstr spans: same norm-words window hashing, duplicated
+    # windows = md5 collisions across docs, runs via gaps-and-islands
+    o["dedup_substring_spans"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 4 = 1
+                   THEN ' subscribe to our newsletter for the latest updates and exclusive offers today'
+                   ELSE '' END AS text
+          FROM documents),
+        w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM d),
+        win AS (
+          SELECT doc_id, u.pos AS pos, u.h AS h
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'h': md5(array_to_string(list_slice(w, i+1, i+8), ' '))}}
+                               for i in range(0, len(w) - 7)]) AS u
+                FROM w WHERE len(w) >= 8)),
+        dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        m AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+        runs AS (SELECT doc_id,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM m),
+        rl AS (SELECT doc_id, grp, count(*) AS run_len FROM runs GROUP BY 1, 2),
+        st AS (SELECT doc_id, sum(run_len) AS dup_windows, count(*) AS dup_runs,
+                      max(run_len) + 7 AS max_span_words
+               FROM rl GROUP BY 1),
+        tot AS (SELECT doc_id, greatest(len(w) - 7, 0) AS total_windows FROM w)
+        SELECT t.doc_id,
+               t.total_windows::BIGINT AS total_windows,
+               coalesce(s.dup_windows, 0)::BIGINT AS dup_windows,
+               coalesce(s.dup_runs, 0)::BIGINT AS dup_runs,
+               coalesce(s.max_span_words, 0)::BIGINT AS max_span_words
+        FROM tot t LEFT JOIN st s USING (doc_id)
+    """
+
+    # bigram-LM perplexity: identical counts, smoothing, and a
+    # position-ordered sequential fold (list_reduce seeded with 0.0 =
+    # Spark's F.aggregate(0.0, acc + lp)) so floats match bit-for-bit
+    o["text_lm_ppl"] = f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        uni AS (SELECT u AS w1, count(*) AS c1
+                FROM (SELECT unnest(w) AS u FROM w) GROUP BY u),
+        v AS (SELECT count(*) AS v FROM uni),
+        trans AS (
+          SELECT doc_id, u.pos AS pos, u.bg AS bg, string_split(u.bg, ' ')[1] AS w1
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'bg': array_to_string(list_slice(w, i+1, i+2), ' ')}}
+                               for i in range(0, len(w) - 1)]) AS u
+                FROM w WHERE len(w) >= 2)),
+        bg AS (SELECT bg, count(*) AS c2 FROM trans GROUP BY bg),
+        j AS (SELECT t.doc_id, t.pos,
+                     ln((coalesce(b.c2, 0) + 1.0)
+                        / (coalesce(u.c1, 0) + 1.0 * (SELECT v FROM v))) AS lp
+              FROM trans t
+              LEFT JOIN bg b ON t.bg = b.bg
+              LEFT JOIN uni u ON t.w1 = u.w1),
+        sc AS (SELECT doc_id, count(*) AS n_trans,
+                      list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                  (acc, x) -> acc + x) AS sum_lp
+               FROM j GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_trans, 0)::BIGINT AS n_trans,
+               round(coalesce(s.sum_lp, 0.0), 6)::DOUBLE AS sum_logp,
+               round(CASE WHEN s.n_trans > 0 THEN exp(-s.sum_lp / s.n_trans)
+                          ELSE 0.0 END, 6)::DOUBLE AS ppl
+        FROM documents d LEFT JOIN sc s USING (doc_id)
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

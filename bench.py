@@ -51,6 +51,8 @@ HEADLINE = [
     "decontaminate",
     "text_c4_clean",
     "text_line_dedup",
+    "dedup_substring_spans",
+    "text_lm_ppl",
 ]
 
 

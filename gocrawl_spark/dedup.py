@@ -34,7 +34,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from gocrawl_spark.textstats import norm_words as _norm_words
 from gocrawl_spark.textstats import shingles as _shingles
+from gocrawl_spark.textstats import shingles_of_words as _shingles_of_words
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -500,11 +502,84 @@ def line_dedup(
     )
 
 
+def substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    within_doc: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (the window-hash
+    form of Lee et al. 2021's suffix-array ExactSubstr, word-granular):
+    a window position is DUPLICATED when its k-word window occurs in
+    another document (`within_doc=True` also counts repeats inside the
+    same document, the paper's semantics). Consecutive duplicated
+    positions merge into spans — a duplicated substring of m > k words
+    shows up as a run of m-k+1 duplicated windows.
+
+    Returns one row per input document:
+      (doc_id, total_windows, dup_windows, dup_runs, max_span_words)
+    where max_span_words = longest duplicated span ≈ longest run
+    + k - 1 words (0 when nothing is duplicated). Documents shorter
+    than k words emit no windows (total_windows = 0).
+
+    Scale shape (100 TB): windows ≈ one row per corpus token; the
+    duplicate-hash table is ONE partial-agged shuffle on the md5 key
+    (high cardinality, balanced — boilerplate hot windows each still
+    aggregate to a single row), the mark-back is a semi equi-join on
+    the same key, and run/span stats shuffle only the duplicated
+    positions, partitioned by doc. Never a doc×doc join, no UDF, no
+    driver hop.
+    """
+    from pyspark.sql.window import Window
+
+    wdf = df.select(F.col(id_col).alias("id"), _norm_words(text_col).alias("w"))
+    win = wdf.filter(F.size("w") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(_shingles_of_words(F.col("w"), k), F.md5)
+        ).alias("pos", "h"),
+    )
+    occ = win.groupBy("h").agg(
+        F.count("*").alias("occ"), F.count_distinct("id").alias("docs")
+    )
+    dup = occ.filter(
+        (F.col("occ") >= 2) if within_doc else (F.col("docs") >= 2)
+    ).select("h")
+    marked = win.join(dup, "h", "left_semi")
+    # runs of consecutive duplicated positions: pos - row_number is
+    # constant within a run (the classic gaps-and-islands grouping)
+    seq = Window.partitionBy("id").orderBy("pos")
+    per_run = (
+        marked.withColumn("grp", F.col("pos") - F.row_number().over(seq))
+        .groupBy("id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    stats = per_run.groupBy("id").agg(
+        F.sum("run_len").alias("dup_windows"),
+        F.count("*").alias("dup_runs"),
+        (F.max("run_len") + F.lit(k - 1)).alias("max_span_words"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(
+            F.size(_norm_words(text_col)) - F.lit(k - 1), F.lit(0)
+        ).alias("total_windows"),
+    )
+    return totals.join(stats, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("total_windows").cast("long").alias("total_windows"),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("dup_runs", F.lit(0)).cast("long").alias("dup_runs"),
+        F.coalesce("max_span_words", F.lit(0)).cast("long").alias("max_span_words"),
+    )
+
+
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
     "ngram_jaccard_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters",
-    "line_key", "line_dedup",
+    "line_key", "line_dedup", "substring_spans",
 ]

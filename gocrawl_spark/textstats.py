@@ -21,7 +21,7 @@ extracted* text downstream of the crawl.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -384,6 +384,99 @@ def c4_page_keep(raw: Column | str, cleaned: Column, min_sentences: int = 3) -> 
     )
 
 
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity scoring (the CCNet quality signal)
+# ---------------------------------------------------------------------------
+
+
+def lm_bigram_counts(train: DataFrame, text_col: str = "text"):
+    """Train an add-α-smoothable bigram LM distributively: returns
+    (unigrams, bigrams, vocab_size) where unigrams = (w1, c1) over
+    every normalized word, bigrams = (bg, c2) over 'w1 w2' joined
+    windows (documents shorter than 2 words contribute unigrams only).
+    Both tables are ONE partial-agged shuffle each over high-
+    cardinality string keys; vocab_size is an O(1) driver scalar."""
+    w = train.select(norm_words(text_col).alias("w"))
+    unigrams = (
+        w.select(F.explode("w").alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    bigrams = (
+        w.filter(F.size("w") >= 2)
+        .select(F.explode(shingles_of_words(F.col("w"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+    )
+    return unigrams, bigrams, unigrams.count()
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style LM quality signal: score every document by the
+    perplexity of its word stream under an add-α-smoothed bigram LM
+    trained (distributively, `lm_bigram_counts`) on `train` —
+    defaulting to the corpus itself. Boilerplate-ish, repetitive text
+    scores low perplexity; lexical soup scores high; CCNet buckets the
+    corpus into head/middle/tail on exactly this number.
+
+        p(w_i | w_{i-1}) = (c2(w_{i-1} w_i) + α) / (c1(w_{i-1}) + α·V)
+
+    Returns (doc_id, n_trans, sum_logp, ppl) with ppl =
+    exp(-sum_logp / n_trans); documents with fewer than 2 normalized
+    words get n_trans = 0 and NULL-free sentinel ppl = 0.0.
+
+    Determinism across engines/parallelism: the per-document log-prob
+    fold runs POSITION-ORDERED (array_sort over collected (pos, logp)
+    structs, then a sequential F.aggregate), so the floating sum is
+    bit-stable — the DuckDB oracle reproduces it with an ORDER BY pos
+    list aggregate, no tolerance needed.
+
+    Scale shape: transitions = one row per corpus token; two equi-
+    joins against the count tables (vocab-sized — far smaller than the
+    corpus, AQE broadcasts when they fit); one doc-partitioned shuffle
+    folds per-doc scores. Per-doc state is bounded by document length.
+    """
+    if train is None:
+        train = df
+    unigrams, bigrams, vocab = lm_bigram_counts(train, text_col)
+    docs = df.select(F.col(id_col).alias("id"), norm_words(text_col).alias("w"))
+    trans = docs.filter(F.size("w") >= 2).select(
+        "id",
+        F.posexplode(shingles_of_words(F.col("w"), 2)).alias("pos", "bg"),
+    ).withColumn("w1", F.split("bg", " ").getItem(0))
+    a = float(alpha)
+    j = trans.join(bigrams, "bg", "left").join(unigrams, "w1", "left")
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(a))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a * vocab))
+    )
+    scored = j.groupBy("id").agg(
+        F.count("*").alias("n_trans"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", logp.alias("lp")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("sum_lp"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+        F.round(F.coalesce("sum_lp", F.lit(0.0)), 6).alias("sum_logp"),
+        F.round(
+            F.when(
+                F.col("n_trans") > 0,
+                F.exp(-F.col("sum_lp") / F.col("n_trans")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ppl"),
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
     "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
@@ -393,4 +486,5 @@ __all__ = [
     "gopher_stats", "gopher_keep", "repetition_stats",
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
+    "lm_bigram_counts", "lm_perplexity",
 ]

@@ -576,6 +576,69 @@ def test_bool_nested_and_extended_leaves(spark):
     assert {(r["id"], r["score"]) for r in got3} == {(1, 1.0), (2, 1.0)}
 
 
+def test_substring_spans(spark):
+    """ExactSubstr window-hash spans: shared k-word runs merge into
+    one span of run_len + k - 1 words; docs shorter than k emit no
+    windows; within_doc=True also counts same-document repeats."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # shares doc 1's full 10-word run, padded both sides
+        (2, "xx alpha beta gamma delta epsilon zeta eta theta iota kappa yy"),
+        (3, "one two three four five six seven eight"),   # = doc 5 prefix
+        (4, "short doc"),                                  # < k words
+        (5, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           dedup.substring_spans(df, k=8).collect()}
+    assert got[1] == {"doc_id": 1, "total_windows": 3, "dup_windows": 3,
+                      "dup_runs": 1, "max_span_words": 10}
+    assert got[2]["dup_windows"] == 3 and got[2]["total_windows"] == 5
+    assert got[3] == {"doc_id": 3, "total_windows": 1, "dup_windows": 1,
+                      "dup_runs": 1, "max_span_words": 8}
+    assert got[4] == {"doc_id": 4, "total_windows": 0, "dup_windows": 0,
+                      "dup_runs": 0, "max_span_words": 0}
+
+    # within_doc: a doc that repeats its own window is duplicated even
+    # with no cross-doc collision
+    solo = spark.createDataFrame(
+        [(9, "w1 w2 w3 w4 w5 w6 w7 w8 filler w1 w2 w3 w4 w5 w6 w7 w8")],
+        "doc_id long, text string",
+    )
+    cross = dedup.substring_spans(solo, k=8).collect()[0]
+    assert cross["dup_windows"] == 0
+    within = dedup.substring_spans(solo, k=8, within_doc=True).collect()[0]
+    assert within["dup_windows"] == 2 and within["dup_runs"] == 2
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Add-one bigram LM on a 3-doc corpus: every probability is
+    hand-checkable. unigrams a:4 b:3, bigrams 'a b':3 'b a':1, V=2."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.lm_perplexity(df).collect()}
+    p_ab = (3 + 1) / (4 + 2)   # 2/3
+    p_ba = (1 + 1) / (3 + 2)   # 0.4
+    assert got[1]["n_trans"] == 3
+    assert got[1]["sum_logp"] == round(
+        math.log(p_ab) + math.log(p_ba) + math.log(p_ab), 6)
+    assert got[2] == {"doc_id": 2, "n_trans": 1,
+                      "sum_logp": round(math.log(p_ab), 6), "ppl": 1.5}
+    # one-word doc: no transitions, sentinel zeros
+    assert got[3] == {"doc_id": 3, "n_trans": 0, "sum_logp": 0.0, "ppl": 0.0}
+    # repetitive text is more predictable than lexical soup
+    big = spark.createDataFrame(
+        [(1, "spam ham " * 30), (2, "q w e r t y u i o p a s d f g h j k l z")],
+        "doc_id long, text string",
+    )
+    ppl = {r["doc_id"]: r["ppl"] for r in textstats.lm_perplexity(big).collect()}
+    assert ppl[1] < ppl[2]
+
+
 def test_bm25_ranks_rarer_terms_higher(spark, docs):
     out = search.bm25_topk(docs, "spark the", text_col="text", id_col="doc_id", k=10).collect()
     assert out[0]["id"] == 5  # 'spark' is rare → doc 5 wins despite no 'the'
