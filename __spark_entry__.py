@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gocrawl_spark import dedup, search, similarity, synth, textstats, udfs
+from gocrawl_spark import curation, dedup, search, similarity, synth, textstats, udfs
 from gocrawl_spark import multimodal as mm
 
 # ---------------------------------------------------------------------------
@@ -274,6 +274,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.lm_perplexity(_docs(spark, sf_dir))
 
     q["text_lm_ppl"] = text_lm_ppl
+
+    def text_lm_buckets(spark, sf_dir):
+        """CCNet head/middle/tail (textstats.lm_buckets): per-language
+        exact tertile split by bigram-LM perplexity, ties broken by
+        doc_id. The scale twin lm_buckets_approx (quantile thresholds,
+        no per-group sort) is pinned equal-on-this-corpus by pytest."""
+        return textstats.lm_buckets(_docs(spark, sf_dir))
+
+    q["text_lm_buckets"] = text_lm_buckets
+
+    def train_shuffle_shards(spark, sf_dir):
+        """Deterministic training-shard shuffle (curation.
+        shuffle_shards): shard = md5(id:seed) high bits mod 8, pos =
+        rank by (key, id) within the shard — the same permutation at
+        any parallelism or engine. write_training_shards is the
+        rank-free delivery path."""
+        return curation.shuffle_shards(_docs(spark, sf_dir), 8).select(
+            "doc_id", "shard", "pos"
+        )
+
+    q["train_shuffle_shards"] = train_shuffle_shards
+
+    def train_pack_sequences(spark, sf_dir):
+        """GPT-style sequence packing plan (curation.pack_sequences):
+        concatenate each shard's documents in shuffle order, cut the
+        token stream at a 512-token budget; each doc reports the
+        sequence index and offset where it starts. Per-shard window
+        cumsum — no global ordering bottleneck."""
+        return curation.pack_sequences(
+            _docs(spark, sf_dir), budget=512, n_shards=8
+        )
+
+    q["train_pack_sequences"] = train_pack_sequences
 
     def text_c4_clean(spark, sf_dir):
         """The published C4 recipe (textstats.c4_clean/c4_page_keep):
@@ -1433,6 +1466,78 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN s.n_trans > 0 THEN exp(-s.sum_lp / s.n_trans)
                           ELSE 0.0 END, 6)::DOUBLE AS ppl
         FROM documents d LEFT JOIN sc s USING (doc_id)
+    """
+
+    # CCNet buckets: the lm_ppl pipeline + per-language ntile(3) over
+    # (rounded ppl, doc_id) — identical larger-buckets-first rule
+    o["text_lm_buckets"] = f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        uni AS (SELECT u AS w1, count(*) AS c1
+                FROM (SELECT unnest(w) AS u FROM w) GROUP BY u),
+        v AS (SELECT count(*) AS v FROM uni),
+        trans AS (
+          SELECT doc_id, u.pos AS pos, u.bg AS bg, string_split(u.bg, ' ')[1] AS w1
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'bg': array_to_string(list_slice(w, i+1, i+2), ' ')}}
+                               for i in range(0, len(w) - 1)]) AS u
+                FROM w WHERE len(w) >= 2)),
+        bg AS (SELECT bg, count(*) AS c2 FROM trans GROUP BY bg),
+        j AS (SELECT t.doc_id, t.pos,
+                     ln((coalesce(b.c2, 0) + 1.0)
+                        / (coalesce(u.c1, 0) + 1.0 * (SELECT v FROM v))) AS lp
+              FROM trans t
+              LEFT JOIN bg b ON t.bg = b.bg
+              LEFT JOIN uni u ON t.w1 = u.w1),
+        sc AS (SELECT doc_id, count(*) AS n_trans,
+                      list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                  (acc, x) -> acc + x) AS sum_lp
+               FROM j GROUP BY doc_id),
+        p AS (SELECT d.doc_id, d.lang,
+                     round(CASE WHEN s.n_trans > 0 THEN exp(-s.sum_lp / s.n_trans)
+                                ELSE 0.0 END, 6)::DOUBLE AS ppl
+              FROM documents d LEFT JOIN sc s USING (doc_id)),
+        r AS (SELECT doc_id, lang, ppl,
+                     ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS nt
+              FROM p)
+        SELECT doc_id, lang, ppl,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM r
+    """
+
+    # deterministic shard shuffle: same md5 key, same high-32-bit mod
+    o["train_shuffle_shards"] = """
+        WITH k AS (
+          SELECT doc_id,
+                 md5(doc_id::VARCHAR || ':' || 'gocrawl') AS key,
+                 (('0x' || substr(md5(doc_id::VARCHAR || ':' || 'gocrawl'), 1, 8))::UBIGINT
+                  % 8)::INTEGER AS shard
+          FROM documents)
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)::BIGINT AS pos
+        FROM k
+    """
+
+    # sequence packing: per-shard running token count in shuffle order,
+    # cut at the 512-token budget
+    o["train_pack_sequences"] = r"""
+        WITH k AS (
+          SELECT doc_id,
+                 md5(doc_id::VARCHAR || ':' || 'gocrawl') AS key,
+                 (('0x' || substr(md5(doc_id::VARCHAR || ':' || 'gocrawl'), 1, 8))::UBIGINT
+                  % 8)::INTEGER AS shard,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> ''))::BIGINT AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start
+          FROM k)
+        SELECT doc_id, shard, n_tokens,
+               (start // 512)::BIGINT AS seq,
+               (start % 512)::BIGINT AS offset
+        FROM c
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

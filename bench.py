@@ -53,6 +53,7 @@ HEADLINE = [
     "text_line_dedup",
     "dedup_substring_spans",
     "text_lm_ppl",
+    "train_pack_sequences",
 ]
 
 

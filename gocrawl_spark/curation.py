@@ -140,4 +140,120 @@ def diff_corpus(
     return ha.join(hb, key, "full_outer").select(F.col(key), change.alias("change"))
 
 
-__all__ = ["curate", "sample_stratified", "diff_corpus"]
+def shuffle_key(id_col: str = "doc_id", seed: str = "gocrawl") -> "F.Column":
+    """Deterministic global-shuffle sort key: md5(id ':' seed). A pure
+    function of the row, so the training-order permutation is identical
+    at any parallelism, on re-runs, and across engines; a new `seed`
+    draws an independent permutation."""
+    return F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Deterministic global shuffle into `n_shards` training shards —
+    the delivery op of a pretraining pipeline (break source/time
+    locality before the loader streams shards sequentially).
+
+    shard = first-8-hex of the key mod n_shards; pos = rank within the
+    shard by (key, id). Both are pure row functions + one per-shard
+    sort, so the full (shard, pos) permutation is reproducible
+    anywhere. Returns the input columns + (shard, pos).
+
+    Scale shape: one hash-partitioned exchange on shard, then a
+    per-shard sort (the window never sees more than one shard). Size
+    n_shards ≥ a few × executor count so shards stay task-sized at
+    10^10 docs; for delivery-to-disk prefer `write_training_shards`,
+    which skips the rank entirely (files arrive key-sorted)."""
+    key = shuffle_key(id_col, seed)
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards)
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        docs.withColumn("_key", key)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_key")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "gocrawl",
+) -> None:
+    """Write the `shuffle_shards` permutation as parquet partitioned by
+    shard, rows key-sorted inside each file — the loader streams
+    shard=K dirs in file order and sees the deterministic permutation
+    without any rank column. One exchange (repartition by shard) + an
+    in-task sort; no window, no driver hop."""
+    key = shuffle_key(id_col, seed)
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards)
+    (
+        docs.withColumn("_key", key)
+        .withColumn("shard", shard.cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_key", id_col)
+        .drop("_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """GPT-style sequence packing plan: documents are concatenated in
+    deterministic shuffle order within each shard and the token stream
+    is cut into fixed-`budget` sequences — documents straddle cuts, as
+    in standard pretraining packing. Emits per document:
+
+      (doc_id, shard, n_tokens, seq, offset)
+
+    where `seq` = sequence index (within the shard) where the document
+    STARTS and `offset` its token offset inside that sequence:
+    seq = floor(start / budget), offset = start % budget, with start =
+    the running token count of all earlier documents in the shard's
+    shuffle order. Tokens = whitespace tokens (textstats.token_count).
+
+    Scale shape: one exchange on shard + a per-shard ordered window
+    cumsum — the same layout as `shuffle_shards`; no global ordering
+    bottleneck because packing is per-shard by construction (shards
+    are independent training streams)."""
+    key = shuffle_key(id_col, seed)
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return (
+        docs.withColumn("_key", key)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("n_tokens", textstats.token_count(text_col).cast("long"))
+        .withColumn("_start", start)
+        .select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            F.floor(F.col("_start") / budget).cast("long").alias("seq"),
+            F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("offset"),
+        )
+    )
+
+
+__all__ = [
+    "curate", "sample_stratified", "diff_corpus",
+    "shuffle_key", "shuffle_shards", "write_training_shards", "pack_sequences",
+]

@@ -477,6 +477,82 @@ def lm_perplexity(
     )
 
 
+def lm_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "lang",
+    train: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank every document by LM
+    perplexity WITHIN its `by` group (language, in CCNet) and cut the
+    group into equal thirds — head = most-fluent third (lowest ppl).
+    Returns (doc_id, <by>, ppl, bucket). The rank orders by
+    (ppl, doc_id) so ties are deterministic; ntile(3) follows the
+    standard larger-buckets-first rule in every engine.
+
+    Scale note: exact ntile hash-partitions by group, so ONE TASK
+    sorts each language — exact and oracle-checkable, but not the
+    10^10-docs-per-language plan. At that scale use
+    `lm_buckets_approx`: same split via per-group quantile THRESHOLDS
+    (one agg + a broadcast join, no per-group sort)."""
+    from pyspark.sql.window import Window
+
+    ppl = lm_perplexity(df, id_col, text_col, train, alpha)
+    w = Window.partitionBy(by).orderBy("ppl", id_col)
+    nt = F.ntile(3).over(w)
+    return (
+        df.select(F.col(id_col), F.col(by))
+        .join(ppl.select(id_col, "ppl"), id_col)
+        .select(
+            F.col(id_col),
+            F.col(by),
+            "ppl",
+            F.when(nt == 1, "head")
+            .when(nt == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+def lm_buckets_approx(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "lang",
+    train: DataFrame | None = None,
+    alpha: float = 1.0,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of `lm_buckets`: per-group head/middle/tail by
+    ppl THRESHOLDS (approx tertile cutpoints) instead of an exact
+    rank. One groupBy computes both cutpoints per group
+    (percentile_approx, error ≤ 1/accuracy of the group), the
+    (group, t1, t2) table is broadcast back, and bucketing is a pure
+    comparison in the scan — no per-group sort anywhere, so a
+    language with 10^10 documents costs the same plan as one with
+    10^3. Bucket sizes are equal to within the sketch error; the
+    exact form remains the oracle-checkable twin."""
+    ppl = lm_perplexity(df, id_col, text_col, train, alpha)
+    joined = df.select(F.col(id_col), F.col(by)).join(
+        ppl.select(id_col, "ppl"), id_col
+    )
+    th = joined.groupBy(by).agg(
+        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_th")
+    )
+    return joined.join(F.broadcast(th), by).select(
+        F.col(id_col),
+        F.col(by),
+        "ppl",
+        F.when(F.col("ppl") <= F.col("_th")[0], "head")
+        .when(F.col("ppl") <= F.col("_th")[1], "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
     "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
@@ -486,5 +562,5 @@ __all__ = [
     "gopher_stats", "gopher_keep", "repetition_stats",
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
-    "lm_bigram_counts", "lm_perplexity",
+    "lm_bigram_counts", "lm_perplexity", "lm_buckets",
 ]

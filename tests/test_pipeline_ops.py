@@ -639,6 +639,77 @@ def test_lm_perplexity_hand_computed(spark):
     assert ppl[1] < ppl[2]
 
 
+def test_shuffle_shards_and_packing(spark, tmp_path):
+    """Deterministic training delivery: the (shard, pos) permutation is
+    a pure function of (id, seed) — identical across parallelism and
+    independent draws per seed; pack_sequences cuts each shard's token
+    stream at exact budget boundaries; write_training_shards files
+    reproduce the same in-shard order without a rank column."""
+    from gocrawl_spark import curation
+
+    docs = spark.createDataFrame(
+        [(i, ("w" + str(i) + " ") * (5 + i % 7)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(curation.shuffle_shards(docs, 4).select(
+        "doc_id", "shard", "pos").collect())
+    b = sorted(curation.shuffle_shards(docs.repartition(7), 4).select(
+        "doc_id", "shard", "pos").collect())
+    assert a == b  # parallelism-independent permutation
+    c = sorted(curation.shuffle_shards(docs, 4, seed="other").select(
+        "doc_id", "shard", "pos").collect())
+    assert a != c  # a new seed draws a different permutation
+    # pos is a dense 1..n rank within each shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+
+    packed = curation.pack_sequences(docs, budget=16, n_shards=4).collect()
+    ranked = {r["doc_id"]: r for r in
+              curation.shuffle_shards(docs, 4).collect()}
+    # replay each shard in pos order: starts must be the running sum
+    stream = defaultdict(list)
+    for r in packed:
+        stream[r["shard"]].append((ranked[r["doc_id"]]["pos"], r))
+    for shard, rows in stream.items():
+        run = 0
+        for _pos, r in sorted(rows):
+            assert (r["seq"], r["offset"]) == (run // 16, run % 16)
+            run += r["n_tokens"]
+
+    # file delivery: partition dirs hold the same docs, key-sorted
+    out = str(tmp_path / "shards")
+    curation.write_training_shards(docs, out, 4)
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    got_shards = {r["doc_id"]: r["shard"] for r in back.collect()}
+    want_shards = {r["doc_id"]: r["shard"] for r in a}
+    assert got_shards == want_shards
+
+
+def test_lm_buckets_exact_vs_approx(spark):
+    """Per-group tertile split: exact ntile form vs the scale-path
+    threshold form agree on a corpus with distinct ppl values; bucket
+    sizes differ by ≤1 within each group."""
+    docs = spark.createDataFrame(
+        [(i, " ".join("tok%d" % ((i * 7 + j) % 23) for j in range(12)),
+          "en" if i % 3 else "fr") for i in range(45)],
+        "doc_id long, text string, lang string",
+    )
+    exact = textstats.lm_buckets(docs)
+    sizes = {(r["lang"], r["bucket"]): r["n"] for r in
+             exact.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()}
+    for lang in ("en", "fr"):
+        vals = [sizes.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert max(vals) - min(vals) <= 1
+    approx = textstats.lm_buckets_approx(docs).withColumnRenamed("bucket", "b2")
+    joined = exact.join(approx, ["doc_id", "lang", "ppl"])
+    n_agree = joined.filter(F.col("bucket") == F.col("b2")).count()
+    assert n_agree == 45
+
+
 def test_bm25_ranks_rarer_terms_higher(spark, docs):
     out = search.bm25_topk(docs, "spark the", text_col="text", id_col="doc_id", k=10).collect()
     assert out[0]["id"] == 5  # 'spark' is rare → doc 5 wins despite no 'the'
