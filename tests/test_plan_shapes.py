@@ -93,3 +93,42 @@ def test_metrics_scan_partition_pruning(spark, run):
     m = run.metrics().filter("round = 0")
     plan = _plan(m)
     assert "PushedFilters" in plan or "PartitionFilters" in plan
+
+
+def test_substring_spans_equi_join_no_python(spark, sf_dir):
+    """ExactSubstr spans must stay hash-keyed end to end: the dup-hash
+    mark-back is an equi (semi) join, never a cartesian/nested-loop,
+    and the whole pipeline is built-in expressions — no Python eval in
+    the plan."""
+    from gocrawl_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(dedup.substring_spans(docs, k=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan
+    assert "EvalPython" not in plan, plan  # Batch/ArrowEvalPython
+
+
+def test_pack_sequences_one_exchange_no_python(spark, sf_dir):
+    """Sequence packing is ONE hash exchange on shard + an in-partition
+    window sort — no second shuffle, no Python eval, so the plan costs
+    the same per shard at any corpus size."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(curation.pack_sequences(docs, budget=512, n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_lm_buckets_approx_broadcasts_thresholds(spark, sf_dir):
+    """The scale-path bucketing joins the per-group quantile thresholds
+    via broadcast — the corpus side never shuffles for the bucket
+    assignment (the ppl computation's own aggregations aside)."""
+    from gocrawl_spark import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    plan = _plan(textstats.lm_buckets_approx(docs))
+    assert "BroadcastHashJoin" in plan, plan
