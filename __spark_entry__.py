@@ -308,6 +308,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pack_sequences"] = train_pack_sequences
 
+    def curate_blocklist(spark, sf_dir):
+        """UT1-style domain blocklist (curation.blocklist_filter, the
+        RefinedWeb adult/malware cut): synthetic per-doc URLs, a
+        2-domain blocklist DataFrame; suffix-label matching blocks the
+        domain and every subdomain. Suffixes explode over DISTINCT
+        hosts only; the corpus anti-joins the (tiny) blocked-host
+        table."""
+        d = F.col("doc_id")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("https://w"), (d % 5).cast("string"),
+                F.lit(".dom"), (d % 9).cast("string"),
+                F.lit(".com/p/"), d.cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.createDataFrame([("dom3.com",), ("w2.dom5.com",)], "domain string")
+        return curation.blocklist_filter(docs, bl)
+
+    q["curate_blocklist"] = curate_blocklist
+
     def text_c4_clean(spark, sf_dir):
         """The published C4 recipe (textstats.c4_clean/c4_page_keep):
         deterministic multi-line pages exercise every rule — a line
@@ -1538,6 +1559,20 @@ def oracle_sql() -> dict[str, str]:
                (start // 512)::BIGINT AS seq,
                (start % 512)::BIGINT AS offset
         FROM c
+    """
+
+    # blocklist: the oracle never parses URLs — it re-derives the
+    # blocked hosts from the same doc_id arithmetic (host =
+    # w{id%5}.dom{id%9}.com; dom3.com blocks all id%9=3, w2.dom5.com
+    # blocks the exact host id%5=2 AND id%9=5)
+    o["curate_blocklist"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 'https://w' || (doc_id % 5)::VARCHAR || '.dom'
+                   || (doc_id % 9)::VARCHAR || '.com/p/' || doc_id::VARCHAR AS url
+          FROM documents)
+        SELECT doc_id, url FROM d
+        WHERE NOT ((doc_id % 9) = 3 OR ((doc_id % 5) = 2 AND (doc_id % 9) = 5))
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

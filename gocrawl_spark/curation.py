@@ -253,7 +253,57 @@ def pack_sequences(
     )
 
 
+def host_suffixes(host) -> "F.Column":
+    """All label suffixes of a hostname: 'a.b.example.com' →
+    [a.b.example.com, b.example.com, example.com, com] — the UT1/
+    RefinedWeb blocklist match domain ('example.com' blocks every
+    subdomain). Pure codegen'd split+slice, no UDF."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked: DataFrame | list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """UT1-style domain blocklist (the RefinedWeb adult/malware cut):
+    drop every row whose URL host equals a blocked domain OR is a
+    subdomain of one. `blocked` is a list (compiled to one boolean
+    scan expression) or a one-column DataFrame for real blocklists
+    (UT1 ships millions of domains).
+
+    Scale shape (DataFrame path): suffixes explode over DISTINCT hosts
+    only — O(hosts × labels), tiny next to the corpus — meet the
+    blocklist in one equi semi-join, and the resulting blocked-host
+    table anti-joins the corpus on the host expression (AQE broadcasts
+    it; hosts ≪ rows). The corpus itself never explodes."""
+    from gocrawl_spark.udfs import host_col
+
+    host = host_col(url_col)
+    if isinstance(blocked, list):
+        pred = F.lit(False)
+        for d in sorted(set(b.lower() for b in blocked)):
+            pred = pred | (host == d) | host.endswith("." + d)
+        return docs.filter(~pred)
+    bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias("_hsuf"))
+    bad_hosts = (
+        docs.select(host.alias("_host"))
+        .distinct()
+        .select("_host", F.explode(host_suffixes(F.col("_host"))).alias("_hsuf"))
+        .join(bl, "_hsuf", "left_semi")
+        .select("_host")
+        .distinct()
+    )
+    return docs.join(bad_hosts, host == F.col("_host"), "left_anti")
+
+
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
     "shuffle_key", "shuffle_shards", "write_training_shards", "pack_sequences",
+    "host_suffixes", "blocklist_filter",
 ]

@@ -689,6 +689,29 @@ def test_shuffle_shards_and_packing(spark, tmp_path):
     assert got_shards == want_shards
 
 
+def test_blocklist_filter(spark):
+    """UT1 domain blocklist: exact host and subdomains die; lookalike
+    suffixes (notdom.com vs dom.com) survive; the list path and the
+    DataFrame (big-blocklist) path agree."""
+    from gocrawl_spark import curation
+
+    rows = [
+        (1, "https://dom.com/x"),            # exact
+        (2, "https://a.b.dom.com/y"),        # subdomain
+        (3, "https://notdom.com/z"),         # suffix lookalike — keep
+        (4, "https://safe.org/w"),           # keep
+        (5, "https://Sub.DOM.com/v"),        # case-insensitive subdomain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept_list = {r["doc_id"] for r in
+                 curation.blocklist_filter(df, ["dom.com"]).collect()}
+    assert kept_list == {3, 4}
+    bl = spark.createDataFrame([("dom.com",)], "domain string")
+    kept_df = {r["doc_id"] for r in
+               curation.blocklist_filter(df, bl).collect()}
+    assert kept_df == kept_list
+
+
 def test_lm_buckets_exact_vs_approx(spark):
     """Per-group tertile split: exact ntile form vs the scale-path
     threshold form agree on a corpus with distinct ppl values; bucket
