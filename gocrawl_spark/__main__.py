@@ -176,6 +176,19 @@ def cmd_index(args) -> int:
             return 2
         n = wh.export_jsonl(args.name, args.out)
         print(f"exported {n} rows of {args.name} to {args.out} (jsonl)")
+    elif args.action == "shards":
+        # training delivery: deterministic shard shuffle of an index
+        # (curation.write_training_shards — same permutation anywhere)
+        if not (args.name and args.out):
+            print("index shards requires NAME and --out DIR", file=sys.stderr)
+            return 2
+        from gocrawl_spark import curation
+
+        curation.write_training_shards(
+            wh.table(args.name), args.out, args.shards,
+            id_col=args.id_col, seed=args.seed,
+        )
+        print(f"wrote {args.shards} training shards of {args.name} to {args.out}")
     return 0
 
 
@@ -298,10 +311,13 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_search)
 
     i = sub.add_parser("index")
-    i.add_argument("action", choices=["list", "delete", "export"])
+    i.add_argument("action", choices=["list", "delete", "export", "shards"])
     i.add_argument("name", nargs="?")
     i.add_argument("--warehouse", required=True)
-    i.add_argument("--out")  # export: JSONL shard directory
+    i.add_argument("--out")  # export/shards: output directory
+    i.add_argument("--shards", type=int, default=64)
+    i.add_argument("--id-col", default="id")
+    i.add_argument("--seed", default="gocrawl")
     i.set_defaults(fn=cmd_index)
 
     so = sub.add_parser("sources")

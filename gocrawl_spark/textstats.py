@@ -13,6 +13,11 @@ Ops (each has a `queries()` + DuckDB-oracle entry in __spark_entry__):
 - document fingerprinting (k-shingle min-hash fingerprint, md5-based
   so any engine reproduces it bit-for-bit)
 
+The one exception to "zero shuffles" here is the bigram-LM family at
+the bottom (lm_bigram_counts / lm_perplexity / lm_buckets*): training
+the LM is inherently an aggregation, so those ops shuffle — their
+docstrings spell out the exact exchange budget.
+
 The extraction-side text contract (clean_text, word_count) lives in
 gocrawl_spark.extract / validate; these ops consume *already
 extracted* text downstream of the crawl.

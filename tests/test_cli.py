@@ -63,6 +63,30 @@ def test_cli_crawl_from_warc(demo, spark):
     assert "round 0:" in out and "total fetched: 4" in out
 
 
+def test_cli_index_shards(demo, spark):
+    """Training delivery verb: `index shards` writes the deterministic
+    shard permutation of a warehouse table as partitioned parquet."""
+    from gocrawl_spark.catalog import Warehouse
+
+    base, _ = demo
+    wh_dir = os.path.join(base, "wh2")
+    wh = Warehouse(spark, wh_dir)
+    df = spark.createDataFrame(
+        [(str(i), f"body {i}") for i in range(40)], "id string, body string"
+    )
+    wh.upsert("docs", df)
+    out_dir = os.path.join(base, "shards")
+    out = _run(
+        "index", "shards", "docs", "--warehouse", wh_dir,
+        "--out", out_dir, "--shards", "4",
+    )
+    assert "wrote 4 training shards" in out
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 40
+    shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shards <= set(range(4))
+
+
 def test_cli_sources_list(demo):
     base, _ = demo
     p = os.path.join(base, "sources.yml")
