@@ -637,6 +637,12 @@ def test_lm_perplexity_hand_computed(spark):
     )
     ppl = {r["doc_id"]: r["ppl"] for r in textstats.lm_perplexity(big).collect()}
     assert ppl[1] < ppl[2]
+    # external reference LM (the CCNet setup): OOV transitions fall
+    # back to pure smoothing mass, p = α/(0 + α·V)
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    oov = spark.createDataFrame([(9, "x y")], "doc_id long, text string")
+    got_oov = textstats.lm_perplexity(oov, train=train).collect()[0]
+    assert got_oov["n_trans"] == 1 and got_oov["ppl"] == 2.0  # 1/(0+1·2)
 
 
 def test_shuffle_shards_and_packing(spark, tmp_path):
