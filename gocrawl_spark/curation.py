@@ -148,6 +148,17 @@ def shuffle_key(id_col: str = "doc_id", seed: str = "gocrawl") -> "F.Column":
     return F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
 
 
+def shard_col(key, n_shards: int) -> "F.Column":
+    """Shard assignment from a shuffle key: first 8 hex chars → uint32
+    mod n_shards. THE cross-engine shard contract — the DuckDB oracles
+    mirror this expression byte-for-byte, so every caller
+    (shuffle_shards, write_training_shards, pack_sequences) must share
+    this one definition."""
+    return F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards
+    ).cast("int")
+
+
 def shuffle_shards(
     docs: DataFrame,
     n_shards: int,
@@ -169,11 +180,11 @@ def shuffle_shards(
     10^10 docs; for delivery-to-disk prefer `write_training_shards`,
     which skips the rank entirely (files arrive key-sorted)."""
     key = shuffle_key(id_col, seed)
-    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards)
+    shard = shard_col(key, n_shards)
     w = Window.partitionBy("shard").orderBy("_key", id_col)
     return (
         docs.withColumn("_key", key)
-        .withColumn("shard", shard.cast("int"))
+        .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_key")
     )
@@ -192,10 +203,10 @@ def write_training_shards(
     without any rank column. One exchange (repartition by shard) + an
     in-task sort; no window, no driver hop."""
     key = shuffle_key(id_col, seed)
-    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards)
+    shard = shard_col(key, n_shards)
     (
         docs.withColumn("_key", key)
-        .withColumn("shard", shard.cast("int"))
+        .withColumn("shard", shard)
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "_key", id_col)
         .drop("_key")
@@ -231,7 +242,7 @@ def pack_sequences(
     bottleneck because packing is per-shard by construction (shards
     are independent training streams)."""
     key = shuffle_key(id_col, seed)
-    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), n_shards)
+    shard = shard_col(key, n_shards)
     w = (
         Window.partitionBy("shard")
         .orderBy("_key", id_col)
@@ -240,7 +251,7 @@ def pack_sequences(
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return (
         docs.withColumn("_key", key)
-        .withColumn("shard", shard.cast("int"))
+        .withColumn("shard", shard)
         .withColumn("n_tokens", textstats.token_count(text_col).cast("long"))
         .withColumn("_start", start)
         .select(
@@ -304,6 +315,7 @@ def blocklist_filter(
 
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
-    "shuffle_key", "shuffle_shards", "write_training_shards", "pack_sequences",
+    "shuffle_key", "shard_col", "shuffle_shards", "write_training_shards",
+    "pack_sequences",
     "host_suffixes", "blocklist_filter",
 ]

@@ -186,21 +186,8 @@ def match_phrase_topk(
         return df.select(F.col(id_col).alias("id")).limit(0).withColumn(
             "score", F.lit(0.0)
         )
-    n = len(terms)
-    phrase = F.array(*[F.lit(t) for t in terms])
     toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-    sz = F.size("_toks")
-    # explicit +1 step: Spark's sequence() defaults to step -1 when
-    # stop < start, so the short-doc case must be guarded anyway
-    cnt = F.when(
-        sz >= n,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), sz - n + 1, F.lit(1)),
-                lambda i: F.slice(F.col("_toks"), i, n) == phrase,
-            )
-        ),
-    ).otherwise(F.lit(0))
+    cnt = _phrase_count(F.col("_toks"), terms)
     return (
         toked.select("id", cnt.cast("double").alias("score"))
         .filter(F.col("score") > 0)
@@ -288,14 +275,40 @@ def _collect_match_fields(clauses, fields: list[str]) -> None:
                 fields.append(field)
 
 
+def _phrase_count(toks, terms: list[str]):
+    """Occurrence count of the exact analyzed phrase in a token array:
+    a slice-equality scan over every window. Explicit +1 step because
+    Spark's sequence() defaults to step -1 when stop < start, so the
+    short-doc case must be guarded anyway. Shared by match_phrase_topk
+    and the bool compositor's match_phrase leaf."""
+    n = len(terms)
+    phrase = F.array(*[F.lit(t) for t in terms])
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), sz - n + 1, F.lit(1)),
+                lambda i: F.slice(toks, i, n) == phrase,
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
 def _compile_clause(clause: dict, tokcol: dict[str, str]):
-    """One ES clause → (predicate Column, score Column).
+    """One ES clause → (predicate Column, score Column) — both
+    NULL-free: a clause over a NULL field value evaluates to (False,
+    0.0), matching ES, where a doc missing a field simply doesn't
+    match — instead of letting SQL NULL poison the enclosing
+    should-count / must_not conjunction.
 
     Supported shapes (the ES query-DSL the reference's search surface
     passes through verbatim — internal/storage/storage.go:212-257 takes
     an arbitrary query map):
-      {"bool": {...}}                   nested compositor (recursive);
-                                        score gated to 0 on non-match
+      {"bool": {...}}                   nested compositor (recursive;
+                                        honors an embedded
+                                        minimum_should_match); score
+                                        gated to 0 on non-match
       {"match": {field: querystring}}   OR over analyzed terms; score
                                         = Σ term TF (match_topk's TF
                                         scoring, same determinism)
@@ -309,6 +322,14 @@ def _compile_clause(clause: dict, tokcol: dict[str, str]):
       {"prefix": {field: string}}       raw startswith; score 1.0
       {"match_all": {}}                 always true; score 1.0
     """
+    pred, score = _compile_leaf(clause, tokcol)
+    return (
+        F.coalesce(pred, F.lit(False)),
+        F.coalesce(score, F.lit(0.0)),
+    )
+
+
+def _compile_leaf(clause: dict, tokcol: dict[str, str]):
     ((kind, body),) = clause.items()
     if kind == "bool":
         pred, score = _compile_bool(body, tokcol)
@@ -326,19 +347,7 @@ def _compile_clause(clause: dict, tokcol: dict[str, str]):
         terms = _terms(qs)
         if not terms:
             return F.lit(False), F.lit(0.0)
-        n = len(terms)
-        phrase = F.array(*[F.lit(t) for t in terms])
-        toks = F.col(tokcol[field])
-        sz = F.size(toks)
-        cnt = F.when(
-            sz >= n,
-            F.size(
-                F.filter(
-                    F.sequence(F.lit(1), sz - n + 1, F.lit(1)),
-                    lambda i: F.slice(toks, i, n) == phrase,
-                )
-            ),
-        ).otherwise(F.lit(0))
+        cnt = _phrase_count(F.col(tokcol[field]), terms)
         return cnt > 0, cnt.cast("double")
     if kind == "term":
         ((field, val),) = body.items()
@@ -374,12 +383,16 @@ def _compile_bool(
     body: dict, tokcol: dict[str, str], minimum_should_match: int | None = None
 ):
     """One bool level → (matched Column, score Column), ES semantics
-    (see :func:`bool_topk`). msm defaults per level: 1 when the level
-    is should-only, else 0 — ES's own default."""
+    (see :func:`bool_topk`). msm resolution per level: an explicit
+    argument wins, then a "minimum_should_match" key embedded in the
+    bool body (how nested levels carry it), then ES's own default —
+    1 when the level is should-only, else 0."""
     must = list(body.get("must", ()))
     should = list(body.get("should", ()))
     must_not = list(body.get("must_not", ()))
     filt = list(body.get("filter", ()))
+    if minimum_should_match is None:
+        minimum_should_match = body.get("minimum_should_match")
     if minimum_should_match is None:
         minimum_should_match = 1 if should and not (must or filt) else 0
 

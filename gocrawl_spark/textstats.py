@@ -411,6 +411,10 @@ def lm_bigram_counts(train: DataFrame, text_col: str = "text"):
         .groupBy("bg")
         .agg(F.count("*").alias("c2"))
     )
+    # vocab_size is an eager action; persist so the scoring join reuses
+    # the aggregated (vocab-sized) table instead of re-scanning the
+    # training corpus a second time
+    unigrams = unigrams.persist()
     return unigrams, bigrams, unigrams.count()
 
 
@@ -541,9 +545,12 @@ def lm_buckets_approx(
     10^3. Bucket sizes are equal to within the sketch error; the
     exact form remains the oracle-checkable twin."""
     ppl = lm_perplexity(df, id_col, text_col, train, alpha)
+    # the scored table feeds BOTH the threshold agg and the final
+    # bucket join; persist it (O(docs) thin rows) so the whole LM
+    # train+score pipeline runs once, not twice
     joined = df.select(F.col(id_col), F.col(by)).join(
         ppl.select(id_col, "ppl"), id_col
-    )
+    ).persist()
     th = joined.groupBy(by).agg(
         F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_th")
     )
@@ -567,5 +574,5 @@ __all__ = [
     "gopher_stats", "gopher_keep", "repetition_stats",
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
-    "lm_bigram_counts", "lm_perplexity", "lm_buckets",
+    "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
 ]

@@ -575,6 +575,47 @@ def test_bool_nested_and_extended_leaves(spark):
     ).collect()
     assert {(r["id"], r["score"]) for r in got3} == {(1, 1.0), (2, 1.0)}
 
+    # NULL field values must behave as non-matches (ES: a doc missing
+    # the field doesn't match), not poison the should-count / must_not
+    # conjunction with SQL NULL. doc 2 has lang NULL: the should prefix
+    # over lang is simply false for it, and must_not(term lang=en)
+    # KEEPS it.
+    got4 = search.bool_topk(
+        df,
+        {
+            "should": [
+                {"match": {"text": "alpha"}},
+                {"prefix": {"lang": "e"}},
+            ],
+            "must_not": [{"term": {"lang": "fr"}}],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    ids4 = {r["id"]: r["score"] for r in got4}
+    assert 2 in ids4 and ids4[2] == 1.0  # alpha only; NULL lang harmless
+    assert 3 not in ids4                 # lang=fr excluded by must_not
+
+    # nested bool honors an embedded minimum_should_match
+    got5 = search.bool_topk(
+        df,
+        {
+            "must": [
+                {"bool": {
+                    "should": [
+                        {"match": {"text": "alpha"}},
+                        {"match": {"text": "beta"}},
+                        {"match_phrase": {"text": "quick brown fox"}},
+                    ],
+                    "minimum_should_match": 2,
+                }},
+            ],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    # 1: alpha+beta; 2: alpha+phrase; 3: beta+phrase; 4: alpha only;
+    # 5: alpha+beta
+    assert {r["id"] for r in got5} == {1, 2, 3, 5}
+
 
 def test_substring_spans(spark):
     """ExactSubstr window-hash spans: shared k-word runs merge into
