@@ -176,6 +176,15 @@ def cmd_index(args) -> int:
             return 2
         n = wh.export_jsonl(args.name, args.out)
         print(f"exported {n} rows of {args.name} to {args.out} (jsonl)")
+    elif args.action == "create":
+        # cmd/index/create.go: DefaultMapping, no-op if exists
+        if not args.name:
+            print("index create requires NAME", file=sys.stderr)
+            return 2
+        if wh.create_index(args.name):
+            print(f"created {args.name}")
+        else:
+            print(f"index {args.name} already exists")
     elif args.action == "shards":
         # training delivery: deterministic shard shuffle of an index
         # (curation.write_training_shards — same permutation anywhere)
@@ -311,7 +320,7 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_search)
 
     i = sub.add_parser("index")
-    i.add_argument("action", choices=["list", "delete", "export", "shards"])
+    i.add_argument("action", choices=["list", "create", "delete", "export", "shards"])
     i.add_argument("name", nargs="?")
     i.add_argument("--warehouse", required=True)
     i.add_argument("--out")  # export/shards: output directory

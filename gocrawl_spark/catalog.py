@@ -56,6 +56,22 @@ _SPARK_FROM_ES = {
 }
 
 
+# cmd/index/create.go:18-41 DefaultMapping — the schema `index create`
+# gives a new index when the caller supplies none
+DEFAULT_MAPPING = {
+    "mappings": {
+        "properties": {
+            "title": {"type": "text"},
+            "content": {"type": "text"},
+            "url": {"type": "keyword"},
+            "source": {"type": "keyword"},
+            "published_at": {"type": "date"},
+            "created_at": {"type": "date"},
+        }
+    }
+}
+
+
 def _field_mapping(dt) -> dict:
     """One schema field → its ES-mapping property dict. Arrays map to
     their element type (ES fields are implicitly multi-valued); structs
@@ -158,6 +174,30 @@ class Warehouse:
         return out
 
     # -------------------------------------------------------- mappings (S6)
+    def create_index(self, name: str, mapping: dict | None = None) -> bool:
+        """`index create` (cmd/index/create.go:73-102): create NAME
+        from an ES mapping dict — DefaultMapping when none given —
+        and no-op returning False when the index already exists (the
+        reference logs "Index already exists" and returns nil)."""
+        from pyspark.sql.types import StructType
+
+        if self.table_exists(name):
+            return False
+        props = (
+            (mapping or DEFAULT_MAPPING).get("mappings", {}).get("properties")
+            or (mapping or DEFAULT_MAPPING).get("properties")
+            or {}
+        )
+        cols = []
+        for fname, spec in props.items():
+            es_t = spec.get("type", "text")
+            spark_t = _SPARK_FROM_ES.get(es_t)
+            if spark_t is None:
+                raise ValueError(f"unsupported mapping type for [{fname}]: {es_t!r}")
+            cols.append(f"{fname} {spark_t}")
+        self.create_table(name, StructType.fromDDL(", ".join(cols)))
+        return True
+
     def get_mapping(self, name: str) -> dict:
         """S6 GetMapping (storage.go:542-570): the table schema rendered
         as the ES get-mapping response shape

@@ -150,3 +150,22 @@ def test_export_jsonl(spark, wh, tmp_path):
             lines += [json.loads(l) for l in fh if l.strip()]
     assert sorted(l["url"] for l in lines) == ["https://s/a", "https://s/b"]
     assert all(set(l) == {"text", "url"} for l in lines)
+
+
+def test_create_index_default_mapping(spark):
+    """`index create` parity (cmd/index/create.go): DefaultMapping
+    schema when none given, no-op returning False when it exists."""
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_create_"))
+    assert wh.create_index("articles_v2") is True
+    assert wh.create_index("articles_v2") is False
+    props = wh.get_mapping("articles_v2")["articles_v2"]["mappings"]["properties"]
+    assert set(props) == {
+        "title", "content", "url", "source", "published_at", "created_at"
+    }
+    assert props["published_at"] == {"type": "date"}
+    assert props["title"] == {"type": "text"}
+    # custom mapping path + unsupported type rejection
+    assert wh.create_index("tiny", {"properties": {"k": {"type": "keyword"}}})
+    assert wh.table("tiny").schema.fieldNames() == ["k"]
+    with pytest.raises(ValueError):
+        wh.create_index("bad", {"properties": {"x": {"type": "geo_shape"}}})
