@@ -109,6 +109,27 @@ def _shard_expr(hash_col: str, n_shards: int):
     return (F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
 
 
+def _or_bits(bufs):
+    """OR-merge a collection of equal-length bitset buffers into one
+    numpy array. Mixed lengths mean deltas from different bloom_bits
+    generations were unioned — fail with the cause instead of numpy's
+    opaque broadcast error (the rounds-level compatibility gate should
+    have routed such state to a rebuild)."""
+    import numpy as np
+
+    sizes = {len(b) for b in bufs}
+    if len(sizes) > 1:
+        raise ValueError(
+            f"mixed bloom m_bits in one shard: {sorted(sizes)} bytes — "
+            "bloom deltas from different bloom_bits configs cannot be "
+            "merged; rebuild the filter"
+        )
+    arr = np.zeros(sizes.pop(), dtype=np.uint8)
+    for b in bufs:
+        arr |= np.frombuffer(bytes(b), dtype=np.uint8)
+    return arr
+
+
 def build_bloom_df(
     df: DataFrame, hash_col: str = "url_hash", n_shards: int = 64, m_bits: int = 1 << 20
 ) -> DataFrame:
@@ -148,12 +169,8 @@ def fold_bloom_df(bloom_df: DataFrame) -> DataFrame:
     """OR-merge per-round (shard, bits) delta rows into one row per
     shard — the distributed analogue of BloomFilter.merge, used by
     compaction so the full filter is never assembled on the driver."""
-    import numpy as np
-
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        arr = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
-        for b in pdf["bits"]:
-            arr |= np.frombuffer(bytes(b), dtype=np.uint8)
+        arr = _or_bits(pdf["bits"])
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]})
 
     return bloom_df.groupBy("shard").applyInPandas(fold, schema="shard int, bits binary")
@@ -188,11 +205,16 @@ def filter_unseen_sharded(
     executor. m_bits is inferred from the stored bits length, so the
     caller only supplies the routing shard count.
 
+    The filter passed in must be COMPLETE (cover every seen URL ≤ the
+    round): a shard group with candidates but no bits rows then truly
+    holds no seen URLs, so definite-new is sound. An entirely EMPTY
+    bloom_df is a caller error against a non-empty seen set —
+    :func:`filter_unseen` guards that case by falling back to the
+    exact anti-join, mirroring its empty-BloomFilter dispatch.
+
     ``probe_acc``: optional Spark accumulator; each task adds the bytes
     it materialized for its shard's merged bitset (test instrumentation
     for the O(1-shard) memory contract)."""
-    import numpy as np
-
     cand = candidates.withColumn("_shard", _shard_expr(hash_col, n_shards))
     out_schema = StructType(
         list(candidates.schema.fields) + [StructField("_maybe_seen", BooleanType())]
@@ -204,9 +226,7 @@ def filter_unseen_sharded(
             return out.assign(_maybe_seen=pd.Series([], dtype=bool))
         if len(bloom_pdf) == 0:
             return out.assign(_maybe_seen=False)
-        arr = np.zeros(len(bloom_pdf["bits"].iloc[0]), dtype=np.uint8)
-        for b in bloom_pdf["bits"]:
-            arr |= np.frombuffer(bytes(b), dtype=np.uint8)
+        arr = _or_bits(bloom_pdf["bits"])
         if probe_acc is not None:
             probe_acc.add(int(arr.nbytes))
         mb = arr.nbytes * 8
@@ -245,8 +265,12 @@ def filter_unseen(
     (small-filter fast path); a (shard, bits) DataFrame is applied
     shard-partitioned via :func:`filter_unseen_sharded` without ever
     assembling the whole filter in one address space; None = exact
-    anti-join only."""
+    anti-join only. An EMPTY filter of either form means "no filter" —
+    both arms fall back to the exact anti-join, so an empty DataFrame
+    can never silently drop the seen-set backstop."""
     if isinstance(bloom, DataFrame):
+        if bloom.isEmpty():
+            return candidates.join(seen.select(hash_col), hash_col, "left_anti")
         return filter_unseen_sharded(
             candidates, seen, bloom, hash_col=hash_col, n_shards=n_shards
         )
@@ -286,6 +310,16 @@ def _order():
     ]
 
 
+def _salt(n_salts: int):
+    """Stage-1 spreading salt: hex chars 57-64 of the url_hash (disjoint
+    from the Bloom shard-routing prefix) mod n_salts. Shared by
+    pop_batch and pop_split — the tested batch ≡ pop_batch invariant
+    depends on both deriving the same salt."""
+    return F.pmod(
+        F.conv(F.substring("url_hash", 57, 8), 16, 10).cast("long"), F.lit(n_salts)
+    )
+
+
 def pop_batch(frontier: DataFrame, budget_col: str = "budget", n_salts: int = 8) -> DataFrame:
     """Deterministic per-domain top-budget pop (P3), salted two-stage.
 
@@ -295,8 +329,7 @@ def pop_batch(frontier: DataFrame, budget_col: str = "budget", n_salts: int = 8)
     top-k over ≤ n_salts×budget survivors. Output = rows to fetch this
     round; identical at any parallelism (total order has no ties:
     url_hash is unique)."""
-    salt = F.pmod(F.conv(F.substring("url_hash", 57, 8), 16, 10).cast("long"), F.lit(n_salts))
-    stage1 = Window.partitionBy("domain", salt).orderBy(*_order())
+    stage1 = Window.partitionBy("domain", _salt(n_salts)).orderBy(*_order())
     pruned = (
         frontier.withColumn("_r1", F.row_number().over(stage1))
         .filter(F.col("_r1") <= F.col(budget_col))
@@ -336,9 +369,13 @@ def pop_split(
     counts = frontier.groupBy("domain").agg(
         F.count("*").alias("_n"), F.min(budget_col).alias("_b")
     )
-    over = counts.filter(F.col("_n") > F.col("_b")).select("domain")
+    # persist the (tiny, domain-only) hot list: it feeds BOTH the
+    # n_over count and the broadcast join — without the persist the
+    # un-cached frontier is scanned + aggregated twice per round
+    over = counts.filter(F.col("_n") > F.col("_b")).select("domain").persist()
     n_over = over.count()
     if n_over == 0:
+        over.unpersist()
         return frontier, frontier.limit(0), []
     if n_over <= 1_000_000:
         # split: hot domains ranked, the rest admitted whole (the hot
@@ -348,15 +385,15 @@ def pop_split(
         ).persist()
         cold = tagged.filter(F.col("_hot").isNull()).drop("_hot")
         hot = tagged.filter(F.col("_hot").isNotNull()).drop("_hot")
-        cache = [tagged]
+        cache = [tagged, over]
     else:
         # nearly every domain is hot (deep politeness-bound crawl):
         # skip the split, rank everything as before
+        over.unpersist()
         cold = frontier.limit(0)
         hot = frontier
         cache = []
-    salt = F.pmod(F.conv(F.substring("url_hash", 57, 8), 16, 10).cast("long"), F.lit(n_salts))
-    stage1 = Window.partitionBy("domain", salt).orderBy(*_order())
+    stage1 = Window.partitionBy("domain", _salt(n_salts)).orderBy(*_order())
     r1 = hot.withColumn("_r1", F.row_number().over(stage1)).persist()
     dropped1 = r1.filter(F.col("_r1") > F.col(budget_col)).drop("_r1")
     stage2 = Window.partitionBy("domain").orderBy(*_order())

@@ -702,8 +702,17 @@ class CrawlRun:
         # to a bloom of the unioned seen set.
         bloom_delta_df = None
         if cfg.use_bloom:
-            bloom_delta_df = fr.build_bloom_df(
-                seen_delta, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
+            # tagged with the build config so readers can verify the
+            # delta matches the CURRENT routing config — an untagged or
+            # mismatched delta (bloom_shards/bloom_bits changed across
+            # a resume) would otherwise produce Bloom FALSE NEGATIVES:
+            # candidates routed mod new-N tested against bits built mod
+            # old-N skip the exact anti-join backstop and re-admit seen
+            # URLs silently
+            bloom_delta_df = self._tag_bloom(
+                fr.build_bloom_df(
+                    seen_delta, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
+                )
             )
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
@@ -803,6 +812,42 @@ class CrawlRun:
             return self._empty_seen()
         return self.spark.read.parquet(*parts)
 
+    def _tag_bloom(self, bloom_df: DataFrame) -> DataFrame:
+        """Stamp (shard, bits) rows with the config that built them —
+        the compatibility contract the read side verifies."""
+        cfg = self.cfg
+        return bloom_df.select(
+            "shard",
+            "bits",
+            F.lit(cfg.bloom_shards).alias("n_shards"),
+            F.lit(cfg.bloom_bits).alias("m_bits"),
+        )
+
+    def _bloom_rows_compatible(self, df: DataFrame) -> bool:
+        """True iff every persisted delta row can be applied under the
+        CURRENT bloom config. Tagged rows must match bloom_shards and
+        bloom_bits exactly; legacy untagged rows (pre-tag snapshots)
+        are checked as far as the data allows — bits length and shard
+        id range — which catches bloom_bits changes and shard-count
+        DECREASES; a legacy shard-count increase is undetectable from
+        data alone, which is why every new delta is tagged. Any
+        incompatible row routes the caller to the full distributed
+        rebuild instead of risking Bloom false negatives."""
+        cfg = self.cfg
+        bad = (F.length("bits") != cfg.bloom_bits // 8) | (
+            F.col("shard") >= cfg.bloom_shards
+        )
+        if "n_shards" in df.columns:
+            bad = bad | (
+                F.col("n_shards").isNotNull()
+                & (F.col("n_shards") != cfg.bloom_shards)
+            )
+        if "m_bits" in df.columns:
+            bad = bad | (
+                F.col("m_bits").isNotNull() & (F.col("m_bits") != cfg.bloom_bits)
+            )
+        return df.filter(bad).limit(1).isEmpty()
+
     def _bloom_delta_paths(self, rnd: int) -> "list[str] | None":
         """Parquet dirs holding the (shard, bits) Bloom deltas of the
         committed rounds ≤ rnd (compacted base first). None = some
@@ -838,10 +883,16 @@ class CrawlRun:
             return None
         cfg = self.cfg
         out = fr.BloomFilter.empty(cfg.bloom_shards, cfg.bloom_bits)
+        if not parts:
+            return out
+        # every row must match the CURRENT config (see
+        # _bloom_rows_compatible) — else fall back to the full rebuild
+        if not self._bloom_rows_compatible(
+            self.spark.read.option("mergeSchema", "true").parquet(*parts)
+        ):
+            return None
         for p in parts:
-            rows = self.spark.read.parquet(p).collect()
-            if rows and len(rows[0]["bits"]) != cfg.bloom_bits // 8:
-                return None  # config changed across generations
+            rows = self.spark.read.parquet(p).select("shard", "bits").collect()
             out = out.merge(
                 fr.BloomFilter.from_rows(
                     [(r["shard"], r["bits"]) for r in rows], cfg.bloom_shards, cfg.bloom_bits
@@ -870,14 +921,24 @@ class CrawlRun:
         cfg = self.cfg
         parts = self._bloom_delta_paths(rnd)
         if parts is not None and parts:
-            df = self.spark.read.parquet(*parts)
-            probe = df.limit(1).collect()
-            if not probe or len(probe[0]["bits"]) == cfg.bloom_bits // 8:
-                return df
+            df = self.spark.read.option("mergeSchema", "true").parquet(*parts)
+            # deterministic compatibility gate (never a sampled probe):
+            # a single row built under a different bloom_shards or
+            # bloom_bits poisons the union — false negatives re-admit
+            # seen URLs — so any mismatch routes to the full rebuild
+            if self._bloom_rows_compatible(df):
+                return df.select("shard", "bits")
             parts = None  # config changed across generations: rebuild
         if parts is not None:  # empty list: nothing committed yet
             return self.spark.createDataFrame([], "shard int, bits binary")
-        p = os.path.join(self.run_dir, "bloom_rebuild", f"upto={rnd:04d}")
+        # the rebuild dir is keyed by the BUILD CONFIG as well as the
+        # round: a second config change must not reuse a stale rebuild
+        # built under a different (shards, bits) pair
+        p = os.path.join(
+            self.run_dir,
+            "bloom_rebuild",
+            f"upto={rnd:04d}_s{cfg.bloom_shards}_b{cfg.bloom_bits}",
+        )
         if not os.path.isdir(p):
             fr.build_bloom_df(
                 self._seen_upto(rnd), n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
@@ -910,9 +971,15 @@ class CrawlRun:
         # during maintenance
         bloom_parts = self._bloom_delta_paths(upto)
         if bloom_parts:
-            fr.fold_bloom_df(self.spark.read.parquet(*bloom_parts)).write.parquet(
-                os.path.join(tmp, "bloom")
-            )
+            bdf = self.spark.read.option("mergeSchema", "true").parquet(*bloom_parts)
+            if self._bloom_rows_compatible(bdf):
+                self._tag_bloom(fr.fold_bloom_df(bdf)).write.parquet(
+                    os.path.join(tmp, "bloom")
+                )
+            # else: skip the fold — no compact/bloom dir means
+            # _bloom_delta_paths returns None and readers take the
+            # rebuild path, exactly like a pre-delta snapshot; mixing
+            # configs in one OR would corrupt the filter
         with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
             json.dump({"upto": upto}, f)
         old = cdir + "._old"

@@ -108,8 +108,14 @@ class BucketedSeenStore:
 
         if not os.path.exists(self._wm_path):
             return None
-        with open(self._wm_path) as f:
-            wm = json.load(f)
+        try:
+            with open(self._wm_path) as f:
+                wm = json.load(f)
+        except ValueError:
+            # crash mid-write left a truncated file: treat as missing —
+            # the caller's catch-up/rebuild path re-derives the index,
+            # which is exactly the class's crash-consistency contract
+            return None
         if wm.get("buckets") != self.buckets:
             return None  # bucket-count change: treat as missing → rebuild
         return wm["upto"]
@@ -119,8 +125,12 @@ class BucketedSeenStore:
         import os
 
         os.makedirs(os.path.dirname(self._wm_path), exist_ok=True)
-        with open(self._wm_path, "w") as f:
+        # write-then-rename so a crash can never leave a truncated
+        # watermark (the resume path parses this file first thing)
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"upto": rnd, "buckets": self.buckets, "table": self.table}, f)
+        os.replace(tmp, self._wm_path)
 
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)

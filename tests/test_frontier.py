@@ -3,11 +3,14 @@
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
 
 from gocrawl_spark import frontier as fr
+from gocrawl_spark import synth
+from gocrawl_spark.rounds import CrawlConfig, CrawlRun, last_committed_round
 
 
 def sha(u: str) -> str:
@@ -214,3 +217,78 @@ def test_fold_bloom_df_bitwise_equals_driver_merge(spark):
         fr.build_bloom(mk(urls_b), n_shards=8, m_bits=1 << 12)
     )
     assert folded == {s: bytes(b) for s, b in merged.to_rows()}
+
+
+def test_or_bits_mixed_lengths_raises_with_cause(spark):
+    """Deltas from different bloom_bits generations must fail loudly,
+    not with numpy's opaque broadcast error."""
+    with pytest.raises(ValueError, match="mixed bloom m_bits"):
+        fr._or_bits([b"\x00" * 8, b"\x00" * 16])
+
+
+def test_filter_unseen_empty_df_falls_back_to_exact(spark):
+    """An EMPTY (shard, bits) DataFrame means 'no filter', exactly like
+    an empty BloomFilter — the exact anti-join backstop must still
+    apply (a complete-but-empty-filter reading would wrongly mark every
+    candidate definite-new)."""
+    seen_urls = [f"https://s.com/{i}" for i in range(50)]
+    seen = spark.createDataFrame(
+        [(sha(u), u, 0) for u in seen_urls], "url_hash string, url string, fetched_round int"
+    )
+    cand = spark.createDataFrame(
+        [(sha(u), u) for u in seen_urls[:30]] + [(sha("https://n.com/x"), "https://n.com/x")],
+        "url_hash string, url string",
+    )
+    empty = spark.createDataFrame([], "shard int, bits binary")
+    out = sorted(r.url for r in fr.filter_unseen(cand, seen, empty, spark, n_shards=8).collect())
+    assert out == ["https://n.com/x"]
+
+
+def test_bloom_config_change_rebuilds_not_corrupts(spark, sf_dir, tmp_path):
+    """Resuming with a different bloom_shards/bloom_bits must NEVER
+    apply the old deltas under the new routing (Bloom false negatives
+    would silently re-admit seen URLs past the skipped anti-join):
+    the tagged-delta compatibility gate routes both application forms
+    to a rebuild under the new config, and the rebuilt filter is
+    complete."""
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    base = dict(max_depth=1, round_wall_s=10.0, max_rounds=2, use_bloom=True,
+                bloom_bits=1 << 14, bloom_min_seen=0)
+    run_dir = str(tmp_path / "bloomcfg")
+    CrawlRun(
+        spark, corpus, synth.seed_urls(n, k=6), run_dir,
+        CrawlConfig(**base, bloom_shards=8, bloom_apply="sharded"),
+    ).run()
+    last = last_committed_round(run_dir)
+
+    for new_shards in (4, 16):  # decrease AND increase
+        run2 = CrawlRun(
+            spark, corpus, synth.seed_urls(n, k=6), run_dir,
+            CrawlConfig(**base, bloom_shards=new_shards, bloom_apply="sharded"),
+        )
+        # broadcast form refuses the incompatible deltas outright
+        assert run2._bloom_upto(last) is None
+        # sharded form returns the REBUILT filter under the new config
+        bdf = run2._bloom_df_upto(last)
+        rows = bdf.collect()
+        assert rows and all(r["shard"] < new_shards for r in rows)
+        # completeness: filtering the seen set against it yields nothing
+        seen = run2.seen_final()
+        out = fr.filter_unseen(
+            seen.select("url_hash"), seen, bdf, spark, n_shards=new_shards
+        )
+        assert out.count() == 0
+
+    # unchanged config still reuses the deltas (no rebuild regression):
+    # the broadcast form assembles, and the sharded form returns the
+    # 8-shard deltas, not a rebuild under some other config
+    run3 = CrawlRun(
+        spark, corpus, synth.seed_urls(n, k=6), run_dir,
+        CrawlConfig(**base, bloom_shards=8, bloom_apply="sharded"),
+    )
+    assert run3._bloom_upto(last) is not None
+    assert not os.path.isdir(
+        os.path.join(run_dir, "bloom_rebuild", f"upto={last:04d}_s8_b{1 << 14}")
+    )
+    assert all(r["shard"] < 8 for r in run3._bloom_df_upto(last).collect())

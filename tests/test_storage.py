@@ -184,3 +184,22 @@ def test_bucketed_seen_compact_folds_to_one_file_per_bucket(spark, sf_dir, tmp_p
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         store.drop()
+
+
+def test_watermark_survives_truncated_file(spark, tmp_path):
+    """Crash-consistency: a truncated WATERMARK.json (killed mid-write)
+    must read as 'missing' — triggering the rebuild/catch-up path —
+    not crash the resume; and writes go through a rename so new
+    truncation can't happen."""
+    import json
+    import os
+
+    store = storage.BucketedSeenStore(spark, str(tmp_path / "run"), buckets=8)
+    store._set_watermark(3)
+    assert store.watermark() == 3
+    assert not os.path.exists(store._wm_path + ".tmp")  # atomic rename
+    with open(store._wm_path, "w") as f:
+        f.write('{"upto": 3, "buck')  # simulate a mid-write crash
+    assert store.watermark() is None
+    store._set_watermark(4)
+    assert store.watermark() == 4
