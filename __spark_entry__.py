@@ -329,6 +329,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_blocklist"] = curate_blocklist
 
+    def dedup_url_aliases(spark, sf_dir):
+        """Heritrix-style URL canonicalization for frontier dedup
+        (canonicalize.normalize_url_expr): four alias spellings per
+        target page — case, default port, fragment, tracking params —
+        collapse to one normalized URL; groups report alias count and
+        canonical (min) doc. One scan projection + one groupBy on the
+        normalized string."""
+        d = F.col("doc_id")
+        g = (d / 4).cast("long")
+        base = F.concat(
+            F.lit("w.site"), (g % 10).cast("string"), F.lit(".com/p/"),
+            g.cast("string"),
+        )
+        url = (
+            F.when(d % 4 == 0, F.concat(F.lit("https://"), base))
+            .when(d % 4 == 1, F.concat(F.lit("HTTPS://"), F.upper(base), F.lit("#frag")))
+            .when(d % 4 == 2, F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&fbclid=xyz")))
+            .otherwise(F.concat(F.lit("https://"), base, F.lit("?utm_campaign=a&ref=home#top")))
+        )
+        # the :443 default-port alias needs the host/path split
+        url = F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://W.SITE"), (g % 10).cast("string"),
+                F.lit(".COM:443/p/"), g.cast("string"), F.lit("#frag"),
+            ),
+        ).otherwise(url)
+        from gocrawl_spark.canonicalize import normalize_url_expr
+
+        docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+        return (
+            docs.select("doc_id", normalize_url_expr("url").alias("norm_url"))
+            .groupBy("norm_url")
+            .agg(
+                F.count("*").alias("n_aliases"),
+                F.min("doc_id").alias("canonical_doc"),
+            )
+        )
+
+    q["dedup_url_aliases"] = dedup_url_aliases
+
     def text_c4_clean(spark, sf_dir):
         """The published C4 recipe (textstats.c4_clean/c4_page_keep):
         deterministic multi-line pages exercise every rule — a line
@@ -1573,6 +1614,17 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, url FROM d
         WHERE NOT ((doc_id % 9) = 3 OR ((doc_id % 5) = 2 AND (doc_id % 9) = 5))
+    """
+
+    # URL aliases: the oracle never parses URLs — all four alias
+    # spellings of page g normalize to the same canonical form, so the
+    # groups are pure doc_id arithmetic (4 consecutive ids per page)
+    o["dedup_url_aliases"] = """
+        WITH g AS (SELECT DISTINCT doc_id // 4 AS g FROM documents)
+        SELECT 'https://w.site' || (g % 10)::VARCHAR || '.com/p/' || g::VARCHAR AS norm_url,
+               4::BIGINT AS n_aliases,
+               (g * 4)::BIGINT AS canonical_doc
+        FROM g
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

@@ -81,3 +81,65 @@ def registrable_domain(host: str) -> str:
     if ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES:
         return ".".join(labels[-3:])
     return ".".join(labels[-2:])
+
+
+# ---------------------------------------------------------------------------
+# URL normalization for frontier/corpus dedup (opt-in — the reference
+# parity path keeps raw URLs: the byte-identity contract hashes the URL
+# exactly as discovered)
+# ---------------------------------------------------------------------------
+
+# dropped query parameters: the ubiquitous click/campaign trackers that
+# make one page enumerable under unbounded URL aliases
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+
+
+def normalize_url_expr(col):
+    """RFC 3986 §6 normalization as ONE codegen'd expression — the
+    Heritrix-style canonicalization a frontier applies to collapse URL
+    aliases before the seen filter (opt-in; never on the parity path):
+
+    - scheme and host lowercased
+    - default ports stripped (http:80, https:443)
+    - fragment removed
+    - empty path → "/"
+    - query parameters SORTED, empty params and tracking params
+      (TRACKING_PARAM_RE) dropped; "?" dropped when nothing survives
+
+    Non-http(s) inputs pass through unchanged. Pure
+    `parse_url`/regexp/array built-ins — JVM-side, no UDF, evaluated in
+    the scan, so at 10^10 URLs it costs a projection, not a shuffle.
+    Percent-encoding case and dot-segment removal are NOT normalized
+    (the absolutization path already resolves dot-segments)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.parse_url(c, F.lit("AUTHORITY"))
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    normalized = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        query,
+    )
+    return F.when(scheme.isin("http", "https"), normalized).otherwise(c)

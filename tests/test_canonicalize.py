@@ -74,3 +74,26 @@ def test_host_col_matches_python_host_of(spark):
     got = {r["url"]: r["h"] for r in df.select("url", udfs.host_col("url").alias("h")).collect()}
     for u in urls:
         assert got[u] == host_of(u), u
+
+
+def test_normalize_url_expr(spark):
+    """RFC 3986 §6 normalization (opt-in frontier-dedup op): case,
+    default ports, fragments, tracking params, empty paths; non-http
+    schemes pass through untouched."""
+    from gocrawl_spark.canonicalize import normalize_url_expr
+
+    cases = [
+        ("HTTP://Example.COM:80/a?b=2&utm_source=x&a=1#frag",
+         "http://example.com/a?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/p?utm_campaign=z", "https://example.com/p"),
+        ("https://example.com:8080/p?z=1&a=2",
+         "https://example.com:8080/p?a=2&z=1"),
+        ("mailto:x@example.com", "mailto:x@example.com"),
+        ("ftp://example.com/f", "ftp://example.com/f"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in
+           df.select(normalize_url_expr("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
