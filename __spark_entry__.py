@@ -642,6 +642,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_minhash_incremental(spark, sf_dir):
+        """Incremental near-dup index (dedup.MinHashIndex): the corpus
+        arrives as TWO generations (even doc_ids, then odd); each
+        ingest signs only its new docs and joins their band keys
+        against the persisted index. The union of per-ingest pairs
+        must equal the one-shot minhash_pairs over the whole corpus —
+        the oracle is literally dedup_minhash_lsh's SQL."""
+        import tempfile
+
+        docs = _aug_near(_docs(spark, sf_dir))
+        idx = dedup.MinHashIndex(
+            spark, tempfile.mkdtemp(prefix="mhidx_"),
+            num_hashes=16, k=5, bands=4, threshold=0.5,
+        )
+        p1 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 0))
+        p2 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 1))
+        return p1.unionByName(p2)
+
+    q["dedup_minhash_incremental"] = dedup_minhash_incremental
+
     def dedup_simhash(spark, sf_dir):  # rows-only: pandas-UDF simhash
         return dedup.simhash_pairs(_aug_near(_docs(spark, sf_dir)), max_hamming=3)
 
@@ -1918,6 +1938,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN sig sb ON sb.id = c.id_b
         WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) >= 0.5::DOUBLE
     """
+
+    # incremental index invariant: union of per-generation ingests ≡
+    # one-shot LSH over the whole corpus — same SQL, verbatim
+    o["dedup_minhash_incremental"] = o["dedup_minhash_lsh"]
 
     o["dedup_clusters"] = rf"""
         WITH RECURSIVE

@@ -575,11 +575,147 @@ def substring_spans(
     )
 
 
+class MinHashIndex:
+    """Incremental MinHash-LSH near-dup index for a GROWING corpus —
+    the recurring-crawl shape: each generation ingests only its new or
+    changed documents (curation.diff_corpus's added/changed feed)
+    instead of re-signing the whole corpus.
+
+    ``ingest(new_docs)``:
+    - signatures are computed ONLY for the new documents (the Arrow
+      UDF pass is O(new), not O(corpus));
+    - candidate pairs = new×old ∪ new×new via the banded equi-join of
+      the new band keys against the persisted band table (bucket
+      collisions only — never all-pairs);
+    - returns the verified pairs (estimated Jaccard ≥ threshold, same
+      scoring as :func:`minhash_pairs`);
+    - appends the new signatures + band keys as parquet deltas.
+
+    Invariant (tested + oracle-checked): because the md5 minhash is
+    deterministic, the UNION of pairs over any ingest partitioning
+    equals :func:`minhash_pairs` over the whole corpus in one shot —
+    old×old pairs were emitted when their later member arrived, and
+    old×old is never re-joined, so nothing is duplicated or missed.
+
+    Scale shape: per ingest, one signature pass over the new docs, one
+    equi-join of O(new × bands) keys against the band table, one
+    verify join against the signature table. State is append-only
+    deltas (the crawl's seen-delta pattern); params are pinned in
+    META.json and validated on open."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        num_hashes: int = 16,
+        k: int = 5,
+        bands: int = 4,
+        threshold: float = 0.5,
+    ):
+        import json
+        import os
+
+        assert num_hashes % bands == 0
+        self.spark, self.path = spark, path
+        self.num_hashes, self.k = num_hashes, k
+        self.bands, self.threshold = bands, threshold
+        self._meta_path = os.path.join(path, "META.json")
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            want = {"num_hashes": num_hashes, "k": k, "bands": bands}
+            if meta != want:
+                raise ValueError(
+                    f"MinHashIndex at {path} was built with {meta}, "
+                    f"opened with {want} — signatures are not comparable"
+                )
+
+    def _deltas(self, sub: str) -> list[str]:
+        import os
+
+        d = os.path.join(self.path, sub)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, x) for x in os.listdir(d) if x.startswith("delta=")
+        )
+
+    def _read(self, sub: str):
+        parts = self._deltas(sub)
+        return self.spark.read.parquet(*parts) if parts else None
+
+    def ingest(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        import json
+        import os
+
+        rows = self.num_hashes // self.bands
+        sigs = docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature_udf(self.num_hashes, self.k)(F.col(text_col)).alias("sig"),
+        ).persist()
+        new_bands = sigs.select(
+            "id", F.explode(band_keys(F.col("sig"), self.bands, rows)).alias("bk")
+        ).select("id", "bk.band", "bk.key").persist()
+
+        old_bands = self._read("bands")
+        nn = (
+            new_bands.alias("a")
+            .join(new_bands.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cand = nn
+        if old_bands is not None:
+            no = (
+                new_bands.alias("a")
+                .join(old_bands.alias("b"), ["band", "key"])
+                .select(
+                    F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"),
+                )
+            )
+            cand = cand.unionByName(no)
+        cand = cand.distinct()
+
+        old_sigs = self._read("sigs")
+        all_sigs = sigs if old_sigs is None else sigs.unionByName(old_sigs)
+        sa = all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        pairs = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "est_jaccard", agree.cast("double") / F.lit(float(self.num_hashes))
+            )
+            .filter(F.col("est_jaccard") >= self.threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+
+        n = len(self._deltas("sigs"))
+        sigs.write.parquet(os.path.join(self.path, "sigs", f"delta={n:04d}"))
+        new_bands.write.parquet(os.path.join(self.path, "bands", f"delta={n:04d}"))
+        if not os.path.exists(self._meta_path):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"num_hashes": self.num_hashes, "k": self.k, "bands": self.bands},
+                    f,
+                )
+            os.replace(tmp, self._meta_path)
+        return pairs
+
+
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
     "ngram_jaccard_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters",
-    "line_key", "line_dedup", "substring_spans",
+    "line_key", "line_dedup", "substring_spans", "MinHashIndex",
 ]

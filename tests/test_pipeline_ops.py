@@ -736,6 +736,34 @@ def test_shuffle_shards_and_packing(spark, tmp_path):
     assert got_shards == want_shards
 
 
+def test_minhash_index_incremental_equals_batch(spark, docs, tmp_path):
+    """The incremental index's accumulated pairs over ANY ingest split
+    must equal one-shot minhash_pairs on the whole corpus (the md5
+    minhash is deterministic, old×old is never re-joined)."""
+    import pytest as _pytest
+
+    full = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.concat("text", F.lit(" near dup tail")))
+        .otherwise(F.col("text")),
+    )
+    batch = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in
+             dedup.minhash_pairs(full, num_hashes=16, k=2, bands=4,
+                                 threshold=0.2).collect()}
+    idx = dedup.MinHashIndex(spark, str(tmp_path / "mhidx"),
+                             num_hashes=16, k=2, bands=4, threshold=0.2)
+    got = set()
+    for part in (full.filter("doc_id % 3 = 0"), full.filter("doc_id % 3 = 1"),
+                 full.filter("doc_id % 3 = 2")):
+        got |= {(r["id_a"], r["id_b"], r["est_jaccard"])
+                for r in idx.ingest(part).collect()}
+    assert got == batch and batch  # non-trivial corpus
+    # param mismatch on reopen is refused
+    with _pytest.raises(ValueError, match="not comparable"):
+        dedup.MinHashIndex(spark, str(tmp_path / "mhidx"), num_hashes=32,
+                           k=2, bands=4)
+
+
 def test_blocklist_filter(spark):
     """UT1 domain blocklist: exact host and subdomains die; lookalike
     suffixes (notdom.com vs dom.com) survive; the list path and the
