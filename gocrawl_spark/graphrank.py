@@ -59,6 +59,10 @@ def link_rank(
         .distinct()
     )
     n_nodes = nodes.count()  # O(nodes) count; PageRank needs N
+    if n_nodes == 0:
+        # empty admissible-link graph (every link junk/off-domain):
+        # an empty rank table, not a ZeroDivisionError on the driver
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
@@ -123,6 +127,9 @@ def rank_priorities(ranks: DataFrame, base: int = 5) -> DataFrame:
     stats = ranks.agg(
         F.count("*").alias("n"), F.sum("rank").alias("s")
     ).collect()[0]
+    if not stats["n"]:
+        # empty rank table (empty link graph): no overrides
+        return ranks.sparkSession.createDataFrame([], "url_hash string, priority int")
     mean = round(stats["s"] / stats["n"], ITER_DIGITS)
     x = F.round(F.col("rank") / F.lit(mean), 6)
     pri = (

@@ -267,6 +267,27 @@ def rademacher_planes(dim: int, n_planes: int):
     return m
 
 
+def _clean_matrix(vecs, dim: int):
+    """(matrix, ok_row_indices) from an Arrow batch of embeddings,
+    skipping NULL or wrong-dimension rows so one bad row gets a NULL
+    key (joins nothing — the same null-propagation the SQL cosine
+    kernels give) instead of aborting the whole task in np.stack."""
+    import numpy as np
+
+    ok_idx, clean = [], []
+    for i, v in enumerate(vecs):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape != (dim,):
+            continue
+        ok_idx.append(i)
+        clean.append(a)
+    if not clean:
+        return None, ok_idx
+    return np.stack(clean), ok_idx
+
+
 def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42, planes=None):
     """Pandas UDF: embedding → bucket key (int of n_planes sign bits)
     from a fixed projection (seeded Gaussian by default; pass
@@ -279,10 +300,14 @@ def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42, planes=None):
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes) > 0
-        keys = bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
-        return pd.Series(keys)
+        mat, ok = _clean_matrix(vecs, planes.shape[0])
+        out = [None] * len(vecs)
+        if mat is not None:
+            bits = (mat @ planes) > 0
+            keys = bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
+            for i, kv in zip(ok, keys):
+                out[i] = int(kv)
+        return pd.Series(out, dtype="object")
 
     return bucket
 
@@ -301,12 +326,16 @@ def banded_keys_udf(planes, bands: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def keys(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes) > 0
-        out = np.stack(
-            [bits[:, b * p : (b + 1) * p] @ weights for b in range(bands)], axis=1
-        )
-        return pd.Series(list(out))
+        mat, ok = _clean_matrix(vecs, planes.shape[0])
+        out = [None] * len(vecs)
+        if mat is not None:
+            bits = (mat @ planes) > 0
+            kk = np.stack(
+                [bits[:, b * p : (b + 1) * p] @ weights for b in range(bands)], axis=1
+            )
+            for i, row in zip(ok, kk):
+                out[i] = [int(x) for x in row]
+        return pd.Series(out, dtype="object")
 
     return keys
 

@@ -42,7 +42,18 @@ def _parse_lastmod(s: str | None):
     if not s:
         return None
     s = s.strip()
-    for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ"):
+    for fmt in (
+        "%Y-%m-%d",
+        "%Y-%m-%dT%H:%M:%S%z",
+        "%Y-%m-%dT%H:%M:%SZ",
+        # fractional seconds and minute precision are valid W3C
+        # datetime variants many CMSes emit — rejecting them silently
+        # disabled the `since` incremental cut for those sites
+        "%Y-%m-%dT%H:%M:%S.%f%z",
+        "%Y-%m-%dT%H:%M:%S.%fZ",
+        "%Y-%m-%dT%H:%M%z",
+        "%Y-%m-%dT%H:%MZ",
+    ):
         try:
             dt = datetime.strptime(s, fmt)
             if dt.tzinfo is None:
@@ -94,7 +105,10 @@ def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
     """robots(host, rules) → (host, sitemap_url): every ``Sitemap:``
     line (global directive — group membership is irrelevant), comments
     stripped. Pure codegen'd expressions, no UDF."""
-    lines = F.split(F.col("rules"), "\n")
+    # \r?\n: robots.py parses rules with splitlines() (CRLF-safe);
+    # splitting on bare \n here would leave a trailing \r on every
+    # sitemap URL from a CRLF robots.txt
+    lines = F.split(F.col("rules"), "\r?\n")
     # "sitemap:" is 8 chars; the value itself contains a colon, so
     # strip the fixed-length prefix rather than splitting on ":"
     urls = F.transform(
@@ -164,8 +178,11 @@ def fetch_sitemaps(
             for u in pdf[url_col]:
                 target = u
                 if proxy_base is not None:
+                    # .hostname (not .netloc): lowercased, port/userinfo
+                    # stripped — the same proxy-path convention as
+                    # fetch.py's page/robots rewrites
                     parts_ = urlsplit(u)
-                    target = f"{proxy_base.rstrip('/')}/{parts_.netloc}{parts_.path}"
+                    target = f"{proxy_base.rstrip('/')}/{parts_.hostname}{parts_.path}"
                 text = ""
                 try:
                     req = urllib.request.Request(target, headers={"User-Agent": user_agent})
@@ -202,7 +219,11 @@ def discover_seeds(
     for _ in range(max_hops):
         if pending.limit(1).count() == 0:
             break
-        entries = sitemap_entries(fetch(pending, **fetch_kwargs))
+        # persist: the fetch lineage is non-deterministic network I/O
+        # referenced by this hop's index test, the next hop, AND the
+        # final seed evaluation — without the pin each reference
+        # re-issues every prior hop's GETs
+        entries = sitemap_entries(fetch(pending, **fetch_kwargs)).persist()
         leaf = entries.filter(~F.col("is_index")).select(
             F.col("loc").alias("url"), "lastmod", "priority"
         )
@@ -218,7 +239,12 @@ def discover_seeds(
         seeds = seeds.filter(
             F.col("lastmod").isNull() | (F.col("lastmod") >= F.lit(since))
         )
-    return seeds.dropDuplicates(["url"])
+    # deterministic merge for URLs listed in several sitemaps: keep
+    # the freshest lastmod and the highest priority (dropDuplicates
+    # would keep an arbitrary partition-order row)
+    return seeds.groupBy("url").agg(
+        F.max("lastmod").alias("lastmod"), F.max("priority").alias("priority")
+    )
 
 
 def seed_priorities(seeds: DataFrame, base: int = 5) -> DataFrame:

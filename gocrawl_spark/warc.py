@@ -46,7 +46,9 @@ def _record_bytes(url: str, ts, html: bytes) -> bytes:
     """One deterministic WARC response record (headers + HTTP payload)."""
     if html is None:
         html = b""
-    when = ts.strftime(_WARC_TS) if ts is not None else "1970-01-01T00:00:00Z"
+    # pd.isna, not `is None`: a null timestamp column arrives from
+    # Arrow as pandas NaT, which strftime would reject
+    when = "1970-01-01T00:00:00Z" if ts is None or pd.isna(ts) else ts.strftime(_WARC_TS)
     http = (
         b"HTTP/1.1 200 OK\r\n"
         b"Content-Type: text/html; charset=utf-8\r\n"
@@ -78,31 +80,43 @@ def write_warc(
     run (the write happens eagerly so the manifest is truthful)."""
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
+    # one archive dir = one corpus: drop stale part files from a prior
+    # write (a re-run with fewer partitions, or a now-empty partition,
+    # would otherwise leave ghost records that read_warc resurrects)
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and ".warc" in name:
+            os.remove(os.path.join(out_dir, name))
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        buf = io.BytesIO()
+        tmp = path + ".inprogress"
+        # stream records straight into the (gzip) file — O(record)
+        # task memory, never the whole partition's archive bytes;
+        # mtime=0 keeps compressed output byte-reproducible
+        raw_f = open(tmp, "wb")
+        f = gzip.GzipFile(fileobj=raw_f, mode="wb", mtime=0) if compress else raw_f
         n = 0
-        for pdf in batches:
-            for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
-                buf.write(_record_bytes(url, ts, bytes(html) if html is not None else b""))
-                n += 1
-        raw = buf.getvalue()
-        if compress:
-            # mtime=0: byte-reproducible archives across reruns
-            out = io.BytesIO()
-            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
-                gz.write(raw)
-            raw = out.getvalue()
+        try:
+            for pdf in batches:
+                for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
+                    f.write(
+                        _record_bytes(url, ts, bytes(html) if html is not None else b"")
+                    )
+                    n += 1
+        finally:
+            f.close()
+            if f is not raw_f:
+                raw_f.close()
         if n:
-            tmp = path + ".inprogress"
-            with open(tmp, "wb") as f:
-                f.write(raw)
             os.replace(tmp, path)  # atomic publish (retry-idempotent)
-            yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [len(raw)]})
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [n], "n_bytes": [os.path.getsize(path)]}
+            )
+        else:
+            os.remove(tmp)
 
     sel = corpus.select(url_col, ts_col, html_col)
     manifest = sel.mapInPandas(sink, schema="path string, n_records long, n_bytes long")
