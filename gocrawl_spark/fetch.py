@@ -81,18 +81,23 @@ def fetch_http(
             _origin = f"{_pb.scheme}://{_pb.netloc}/"
             _prefix = _pb.path.strip("/")
 
-        def unproxy(u: str) -> str:
+        def unproxy(u: str, like: str) -> str:
             """Map a proxied landing URL back to crawl-space for the
             final_url column (inverse of the target rewrite). Redirects
             may land anywhere under the proxy origin, with or without
-            the proxy's own path prefix."""
+            the proxy's own path prefix. The crawl-space scheme is
+            inherited from the ORIGINAL request URL (`like`) — the
+            proxy path carries host+path only, so an http:// crawl URL
+            must not come back rewritten as https:// (ports cannot be
+            recovered either; the rewrite drops them, documented)."""
             if proxy_base is None or not u.startswith(_origin):
                 return u
             rest = u[len(_origin):]
             if _prefix and rest.startswith(_prefix + "/"):
                 rest = rest[len(_prefix) + 1 :]
             host, _, path = rest.partition("/")
-            return f"https://{host}/{path}" if path else f"https://{host}"
+            scheme = urlsplit(like).scheme or "https"
+            return f"{scheme}://{host}/{path}" if path else f"{scheme}://{host}"
 
         last_hit: dict[str, float] = {}
         for pdf in parts:
@@ -128,7 +133,7 @@ def fetch_http(
                         status = int(resp.status)
                         landed = resp.geturl()
                         if landed and landed != target:
-                            final = unproxy(landed)
+                            final = unproxy(landed, url)
                 except urllib.error.HTTPError as e:
                     status = int(e.code)
                 except Exception:
@@ -142,23 +147,31 @@ def fetch_http(
     return batch.repartition("domain").mapInPandas(run, schema=out_schema)
 
 
+# RFC 9309 §2.3.1.4: an UNREACHABLE robots.txt means complete disallow
+UNREACHABLE_RULES = "User-agent: *\nDisallow: /"
+
+
 def fetch_robots(
     hosts: DataFrame,
     user_agent: str = "gocrawl",
     timeout_s: float = 10.0,
     proxy_base: str | None = None,
 ) -> DataFrame:
-    """hosts(host) → robots(host, rules): one GET /robots.txt per
+    """hosts(host) → robots(host, rules, ok): one GET /robots.txt per
     DISTINCT host, the live analogue of the static robots table
     (colly's per-domain robots fetch, reference crawler.go collector
-    setup). RFC 9309 §2.3.1: a 4xx (unavailable) robots file means
-    crawling is unrestricted → empty rules; 5xx/network (unreachable)
-    is treated the same here, with the round loop's retries giving the
-    host another chance next round. The output plugs straight into
-    robots.gate / CrawlRun(robots=...)."""
-    from pyspark.sql.types import StringType, StructField as SF, StructType as ST
+    setup). RFC 9309 §2.3.1: a 4xx (UNAVAILABLE) robots file means
+    crawling is unrestricted → empty rules, ok=True; 5xx/network
+    (UNREACHABLE) MUST be treated as complete disallow → synthesized
+    "Disallow: /" rules with ok=False, which the round loop applies
+    for THIS round but does not persist, so the host is re-fetched
+    next round instead of being unrestricted forever. The output plugs
+    straight into robots.gate / CrawlRun(robots=...)."""
+    from pyspark.sql.types import BooleanType, StringType, StructField as SF, StructType as ST
 
-    out_schema = ST([SF("host", StringType()), SF("rules", StringType())])
+    out_schema = ST([
+        SF("host", StringType()), SF("rules", StringType()), SF("ok", BooleanType())
+    ])
 
     def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import urllib.error
@@ -166,13 +179,14 @@ def fetch_robots(
 
         for pdf in parts:
             rules: list[str] = []
+            oks: list[bool] = []
             for host in pdf["host"]:
                 target = (
                     f"{proxy_base.rstrip('/')}/{host}/robots.txt"
                     if proxy_base is not None
                     else f"https://{host}/robots.txt"
                 )
-                text = ""
+                text, ok = "", True
                 try:
                     req = urllib.request.Request(
                         target, headers={"User-Agent": user_agent}
@@ -180,12 +194,19 @@ def fetch_robots(
                     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                         if int(resp.status) == 200:
                             text = resp.read().decode("utf-8", errors="replace")
+                except urllib.error.HTTPError as e:
+                    if not 400 <= int(e.code) < 500:
+                        text, ok = UNREACHABLE_RULES, False  # 5xx: unreachable
+                    # 4xx: unavailable → unrestricted (text="", ok=True)
                 except Exception:
-                    text = ""  # unavailable/unreachable → unrestricted
+                    text, ok = UNREACHABLE_RULES, False  # DNS/conn/timeout
                 rules.append(text)
-            yield pd.DataFrame({"host": list(pdf["host"]), "rules": rules})
+                oks.append(ok)
+            yield pd.DataFrame(
+                {"host": list(pdf["host"]), "rules": rules, "ok": oks}
+            )
 
     return hosts.select("host").distinct().mapInPandas(run, schema=out_schema)
 
 
-__all__ = ["fetch_http", "fetch_robots"]
+__all__ = ["fetch_http", "fetch_robots", "UNREACHABLE_RULES"]

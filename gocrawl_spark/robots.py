@@ -35,8 +35,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from gocrawl_spark import canonicalize as canon
-
 DEFAULT_UA = "gocrawl"
 
 # ------------------------------------------------------------------ parse
@@ -48,11 +46,15 @@ def _clean_line(line: str) -> str:
 
 
 def parse_robots(text: str, ua: str = DEFAULT_UA) -> list[tuple[bool, str]]:
-    """robots.txt → ordered [(allow, pattern)] for the best-matching group.
+    """robots.txt → ordered [(allow, pattern)] for the best-matching
+    user-agent.
 
     Group selection: longest ``User-agent`` token that is a
     case-insensitive prefix of *ua* wins; ``*`` matches any UA with
-    specificity 0. Returns [] when no group applies.
+    specificity 0. Rules from ALL groups at the winning specificity
+    are COMBINED (RFC 9309 §2.2.1 — real robots.txt files often carry
+    several separate ``User-agent: *`` groups, and each one's rules
+    apply). Returns [] when no group applies.
     """
     ua_l = ua.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
@@ -81,19 +83,24 @@ def parse_robots(text: str, ua: str = DEFAULT_UA) -> list[tuple[bool, str]]:
     if agents or rules:
         groups.append((agents, rules))
 
-    best_rules: list[tuple[bool, str]] | None = None
-    best_spec = -1
-    for agents, rules in groups:
+    def group_spec(agents: list[str]) -> int:
+        spec = -1
         for a in agents:
             if a == "*":
-                spec = 0
+                spec = max(spec, 0)
             elif ua_l.startswith(a):
-                spec = len(a)
-            else:
-                continue
-            if spec > best_spec:
-                best_spec, best_rules = spec, rules
-    return best_rules or []
+                spec = max(spec, len(a))
+        return spec
+
+    specs = [group_spec(agents) for agents, _rules in groups]
+    best_spec = max(specs, default=-1)
+    if best_spec < 0:
+        return []
+    merged: list[tuple[bool, str]] = []
+    for spec, (_agents, rules) in zip(specs, groups):
+        if spec == best_spec:
+            merged.extend(rules)
+    return merged
 
 
 @lru_cache(maxsize=4096)
@@ -222,18 +229,24 @@ def parse_crawl_delay(text: str, ua: str = DEFAULT_UA) -> float | None:
     if agents or in_rules:
         groups.append((agents, delay))
 
+    # same combine-matching-groups rule as parse_robots: among groups
+    # at the winning specificity, the LAST declared delay wins (the
+    # directive's own last-wins convention inside a group)
     best: float | None = None
     best_spec = -1
     for agents, delay in groups:
+        spec = -1
         for a in agents:
             if a == "*":
-                spec = 0
+                spec = max(spec, 0)
             elif ua_l.startswith(a):
-                spec = len(a)
-            else:
-                continue
-            if spec > best_spec:
-                best_spec, best = spec, delay
+                spec = max(spec, len(a))
+        if spec < 0:
+            continue
+        if spec > best_spec:
+            best_spec, best = spec, delay
+        elif spec == best_spec and delay is not None:
+            best = delay
     return best
 
 

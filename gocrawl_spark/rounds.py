@@ -406,17 +406,26 @@ class CrawlRun:
             user_agent=self.cfg.user_agent,
             timeout_s=self.cfg.http_timeout_s,
             proxy_base=self.cfg.http_proxy_base,
-        )
+        ).persist()  # one network pass feeds both the write and the gate
         base = self._robots_dir()
         idx = (
             len([d for d in os.listdir(base) if d.startswith("delta=")])
             if os.path.isdir(base)
             else 0
         )
-        fetched.write.mode("overwrite").parquet(
+        # persist only hosts whose robots state is KNOWN (200 or 4xx —
+        # ok=True): an unreachable host (5xx/network, ok=False) gets
+        # the synthesized disallow-all for THIS round only and, being
+        # absent from the table, is re-fetched by the left_anti next
+        # round — RFC 9309 unreachable ≠ permanently unrestricted
+        fetched.filter(F.col("ok")).drop("ok").write.mode("overwrite").parquet(
             os.path.join(base, f"delta={idx:04d}")
         )
-        self.robots = self._robots_table()
+        unreachable = fetched.filter(~F.col("ok")).drop("ok")
+        table = self._robots_table()
+        self.robots = (
+            table.unionByName(unreachable) if table is not None else unreachable
+        )
         if self.cfg.robots_crawl_delay:
             self._merge_robots_policy()  # newly discovered Crawl-delays
 

@@ -147,12 +147,27 @@ def run_schedule(
             rank_priority=rank_priority,
         )
         history = run.run(resume=True)
+        # a resumed generation's history covers only the post-resume
+        # rounds; the committed metrics table covers EVERY round of the
+        # generation — derive the marker's totals there so
+        # GENERATION.json never understates an interrupted-then-resumed
+        # generation
+        from pyspark.sql import functions as F
+
+        tot = {
+            r["metric"]: int(r["s"])
+            for r in run.metrics()
+            .filter(F.col("metric").isin("fetched", "articles"))
+            .groupBy("metric")
+            .agg(F.sum("value").alias("s"))
+            .collect()
+        }
         summary = {
             "generation": gen,
             "resumed": resumed,
-            "rounds": len(history),
-            "fetched": sum(h["fetched"] for h in history),
-            "articles": sum(h["articles"] for h in history),
+            "rounds": run.metrics().select("round").distinct().count(),
+            "fetched": tot.get("fetched", 0),
+            "articles": tot.get("articles", 0),
         }
         with open(_marker(base_dir, gen), "w") as f:
             json.dump(summary, f)

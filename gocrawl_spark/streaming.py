@@ -152,7 +152,11 @@ def stream_fetch_metrics(
         .groupBy(F.window("fetched_at", window).alias("w"), "host")
         .agg(
             F.count("*").alias("n_fetched"),
-            F.count(F.when(F.col("status") >= 400, 1)).alias("n_errors"),
+            # status 0 is the engine's network/timeout encoding
+            # (fetch.py) — an all-timeouts host must not read as healthy
+            F.count(
+                F.when((F.col("status") >= 400) | (F.col("status") == 0), 1)
+            ).alias("n_errors"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -228,10 +232,10 @@ def stream_dedup_urls(
         urls, hashes = [], []
         for pdf in pdfs:
             for url, h in zip(pdf["url"], pdf["url_hash"]):
+                # _bloom_positions returns exactly BLOOM_K entries by
+                # construction — the membership test needs no length guard
                 pos = _bloom_positions(h, m_bits)
-                if len(pos) == BLOOM_K and all(
-                    buf[p >> 3] & (1 << (p & 7)) for p in pos
-                ):
+                if all(buf[p >> 3] & (1 << (p & 7)) for p in pos):
                     continue  # maybe-seen: suppressed (FP = lost URL)
                 for p in pos:
                     buf[p >> 3] |= 1 << (p & 7)
@@ -336,15 +340,21 @@ def stream_curate(
             .drop("_rn")
         )
         if _os.path.isdir(seen_dir) and any(
-            f.endswith(".parquet") for f in _os.listdir(seen_dir)
+            f.startswith("batch=") for f in _os.listdir(seen_dir)
         ):
             seen = s.read.parquet(seen_dir).select("_h").distinct()
             feat = feat.join(seen, "_h", "left_anti")
         feat.persist()
+        # batch-id-keyed OVERWRITE, not append: foreachBatch replays a
+        # batch after a crash between the two writes with the SAME
+        # batch_id, so each write lands in its own idempotent dir and a
+        # replay overwrites rather than duplicating survivors
         feat.select("doc_id", "pred_lang", "quality", "n_tokens").write.mode(
-            "append"
-        ).parquet(kept_dir)
-        feat.select("_h").write.mode("append").parquet(seen_dir)
+            "overwrite"
+        ).parquet(_os.path.join(kept_dir, f"batch={batch_id:08d}"))
+        feat.select("_h").write.mode("overwrite").parquet(
+            _os.path.join(seen_dir, f"batch={batch_id:08d}")
+        )
         feat.unpersist()
 
     writer = src.writeStream.foreachBatch(absorb).option(

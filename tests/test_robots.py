@@ -224,3 +224,82 @@ def test_gate_join_strategy_dispatch(spark):
     )
     plan = shuffled._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+
+
+def test_parse_combines_matching_groups():
+    """RFC 9309 §2.2.1: rules from ALL groups at the winning UA
+    specificity combine — real robots.txt files often repeat
+    'User-agent: *' groups and each one's rules apply."""
+    text = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\n\n"
+        "User-agent: gocrawl\nDisallow: /g1\n\n"
+        "User-agent: gocrawl\nDisallow: /g2\n"
+    )
+    star = rb.parse_robots(text, ua="otherbot")
+    assert {p for _a, p in star} == {"/a", "/b"}
+    # a more specific UA wins over * AND merges its own groups
+    mine = rb.parse_robots(text, ua="gocrawl")
+    assert {p for _a, p in mine} == {"/g1", "/g2"}
+    assert rb.robots_allowed("/b/x", star) is False
+    # crawl-delay: matching groups combine, last declared delay wins
+    cd = "User-agent: *\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /x\nCrawl-delay: 2\n"
+    assert rb.parse_crawl_delay(cd, ua="anybot") == 2.0
+
+
+def test_unreachable_robots_disallows_without_persisting(spark):
+    """RFC 9309 §2.3.1.4: a 5xx/unreachable robots.txt means complete
+    disallow for the round (ok=False), while 4xx means unrestricted
+    (ok=True) — and the gate enforces the synthesized rules."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from gocrawl_spark import fetch
+
+    codes = {"h500.test": 500, "h404.test": 404, "h200.test": 200}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            host = self.path.strip("/").split("/")[0]
+            code = codes.get(host, 404)
+            if code == 200:
+                body = b"User-agent: *\nDisallow: /private\n"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(code)
+                self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        hosts = spark.createDataFrame([(h,) for h in codes], "host string")
+        rows = {r["host"]: r for r in
+                fetch.fetch_robots(hosts, proxy_base=base).collect()}
+        assert rows["h500.test"]["ok"] is False
+        assert rows["h500.test"]["rules"] == fetch.UNREACHABLE_RULES
+        assert rows["h404.test"]["ok"] is True and rows["h404.test"]["rules"] == ""
+        assert rows["h200.test"]["ok"] is True
+        assert "Disallow: /private" in rows["h200.test"]["rules"]
+
+        # the synthesized rules gate EVERYTHING on the unreachable host
+        cand = spark.createDataFrame(
+            [("https://h500.test/any", "h500.test"),
+             ("https://h404.test/any", "h404.test"),
+             ("https://h200.test/private/x", "h200.test"),
+             ("https://h200.test/ok", "h200.test")],
+            "url string, host string",
+        )
+        robots_df = spark.createDataFrame(
+            [(h, rows[h]["rules"]) for h in codes], "host string, rules string"
+        )
+        kept = {r["url"] for r in rb.gate(cand, robots_df).collect()}
+        assert kept == {"https://h404.test/any", "https://h200.test/ok"}
+    finally:
+        srv.shutdown()

@@ -150,7 +150,9 @@ def test_generation_diff_classifies_changes(spark, corpus, sources, sf_dir, tmp_
 def test_unfinished_generation_resumes_first(spark, corpus, sources, tmp_path):
     base = str(tmp_path / "sched2")
     cfg = CrawlConfig(max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False)
-    scheduler.run_schedule(spark, corpus, sources, base, cfg, ticks=1, sleep=lambda s: None)
+    first = scheduler.run_schedule(
+        spark, corpus, sources, base, cfg, ticks=1, sleep=lambda s: None
+    )[0]
     # simulate a crash after the snapshot commit but before the
     # generation marker: next tick must resume gen 0, not open gen 1
     os.remove(os.path.join(base, "gen=0000", "GENERATION.json"))
@@ -158,6 +160,12 @@ def test_unfinished_generation_resumes_first(spark, corpus, sources, tmp_path):
         spark, corpus, sources, base, cfg, ticks=2, sleep=lambda s: None
     )
     assert results[0]["generation"] == 0 and results[0]["resumed"]
-    assert results[0]["rounds"] <= 1  # nothing left to crawl; marker restored
+    # the restored marker reports the WHOLE generation's committed
+    # totals (derived from the metrics table), not just the post-resume
+    # slice — an interrupted-then-resumed generation must never
+    # understate its rounds/fetched
+    assert results[0]["rounds"] == first["rounds"]
+    assert results[0]["fetched"] == first["fetched"]
+    assert results[0]["articles"] == first["articles"]
     assert results[1]["generation"] == 1 and not results[1]["resumed"]
     assert scheduler.last_finished_generation(base) == 1
