@@ -800,6 +800,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_dup_recall"] = emb_dup_recall
 
+    def semdedup(spark, sf_dir):
+        """SemDeDup (arXiv:2303.09540): cluster-blocked semantic dedup —
+        IVF cells bound the pairwise work; within a cell the outlier
+        (lowest cosine to centroid) survives, near-dups of it are
+        pruned. Greedy pairwise keep rule = one EXISTS join, fully
+        SQL-expressible; see similarity.semdedup."""
+        return similarity.semdedup(
+            _emb(spark, sf_dir), threshold=0.4, n_centroids=16
+        )
+
+    q["semdedup"] = semdedup
+
+    def dsir_select(spark, sf_dir):
+        """DSIR (arXiv:2302.03169): hashed unigram+bigram importance
+        weights of every doc against the English subset as the target
+        domain; top-100 most target-like docs. Ratio table ≤1024 rows
+        broadcast; one doc_id shuffle; distributed top-k."""
+        docs = _docs(spark, sf_dir)
+        return curation.dsir_select(
+            docs, docs.filter(F.col("lang") == "en"), n=100, buckets=1024
+        )
+
+    q["dsir_select"] = dsir_select
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2163,6 +2187,64 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM common)::BIGINT AS n_common,
                round((SELECT c FROM common)::DOUBLE
                      / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
+    """
+
+    # semdedup: same deterministic IVF assignment as ann_ivf, then the
+    # greedy within-cell keep rule (prune x when a lower-centroid-sim
+    # neighbor y in the same cell has cos(x,y) >= t)
+    def _cos2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+        )
+
+    o["semdedup"] = f"""
+        WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        asgn AS (
+          SELECT vec_id, embedding, centroid_id, cs AS centroid_sim FROM (
+            SELECT a.vec_id, a.embedding, b.centroid_id,
+                   {_cos2('a.embedding', 'b.cv')} AS cs,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_cos2('a.embedding', 'b.cv')} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN cents b ON true)
+          WHERE rn = 1),
+        dom AS (
+          SELECT DISTINCT x.vec_id
+          FROM asgn x JOIN asgn y ON x.centroid_id = y.centroid_id
+           AND (y.centroid_sim < x.centroid_sim
+                OR (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
+          WHERE {_cos2('x.embedding', 'y.embedding')} >= 0.4::DOUBLE)
+        SELECT a.vec_id, a.centroid_id, a.centroid_sim,
+               (d.vec_id IS NULL) AS keep
+        FROM asgn a LEFT JOIN dom d ON d.vec_id = a.vec_id
+    """
+
+    # dsir_select: hashed unigram+bigram buckets (shard_col md5 contract),
+    # add-1-smoothed log ratios vs the lang='en' target, top-100
+    o["dsir_select"] = rf"""
+        WITH w AS (SELECT doc_id, lang, {_SQL_WORDS} AS w FROM documents),
+        f AS (SELECT doc_id, lang,
+                     unnest(w || [w[i+1] || ' ' || w[i+2] for i in range(0, len(w)-1)]) AS f
+              FROM w),
+        b AS (SELECT doc_id, lang,
+                     (('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024)::INT AS bucket
+              FROM f),
+        raw AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+        tgt AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
+        tot AS (SELECT (SELECT count(*) FROM b) AS rt,
+                       (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+        ratios AS (
+          SELECT raw.bucket,
+                 round(ln(coalesce(tgt.tc, 0) + 1) - ln(tot.tt + 1024)
+                     - ln(raw.rc + 1) + ln(tot.rt + 1024), 6) AS lr
+          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+        wgt AS (SELECT b.doc_id, round(sum(r.lr), 4) AS weight
+                FROM b JOIN ratios r USING (bucket) GROUP BY b.doc_id),
+        rk AS (SELECT doc_id, weight,
+                      row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+               FROM wgt)
+        SELECT doc_id, weight, rank FROM rk WHERE rank <= 100
     """
 
     _qdot = "list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * k.embedding[i]::DOUBLE))"

@@ -313,9 +313,134 @@ def blocklist_filter(
     return docs.join(bad_hosts, host == F.col("_host"), "left_anti")
 
 
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(text_col, buckets: int = 1024) -> "F.Column":
+    """Hashed unigram+bigram feature stream (DSIR's feature space,
+    Xie et al. 2023, arXiv:2302.03169): every word and every adjacent
+    word pair of norm_words(text), md5-hashed into ``buckets`` via the
+    same first-8-hex-chars→uint32 contract as shard_col, so any engine
+    rebuilds identical features. Returns array<int> with one entry per
+    feature OCCURRENCE (multiplicity preserved — the bag, not the set).
+    """
+    w = textstats.norm_words(text_col)
+    # bind w once (length-1-array trick, see textstats.shingles) so the
+    # regex+split runs once per doc, not once per n-gram
+    feats = F.transform(
+        F.array(w),
+        lambda ww: F.concat(
+            ww,
+            F.when(
+                F.size(ww) >= 2,
+                F.zip_with(
+                    F.slice(ww, 1, F.size(ww) - 1),
+                    F.slice(ww, 2, F.size(ww) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    ).getItem(0)
+    return F.transform(feats, lambda f: shard_col(F.md5(f), buckets))
+
+
+def dsir_log_ratios(
+    corpus: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket log importance ratio log p_target(b) − log p_raw(b)
+    with add-1 smoothing over the ``buckets``-cell hashed n-gram space.
+    Output is ≤ ``buckets`` rows — broadcastable however large the
+    corpus; both count aggregations reduce map-side (groupBy on a
+    low-cardinality int). Ratios round to 6 dp so the weight sums are
+    engine-stable."""
+    raw = (
+        corpus.select(F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rc"))
+    )
+    tgt = (
+        target.select(F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tc"))
+    )
+    rt = corpus.select(
+        F.sum(F.size(hashed_ngram_buckets(text_col, buckets))).alias("rt")
+    )
+    tt = target.select(
+        F.sum(F.size(hashed_ngram_buckets(text_col, buckets))).alias("tt")
+    )
+    return (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            F.round(
+                F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1))
+                - F.log(F.col("tt") + F.lit(buckets))
+                - F.log(F.col("rc") + F.lit(1))
+                + F.log(F.col("rt") + F.lit(buckets)),
+                6,
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, weight): DSIR importance weight per document — the sum
+    of its features' log ratios (≡ Σ_b count_x(b)·log_ratio(b)). The
+    ratio table broadcasts onto the exploded feature stream, so the
+    only wide shuffle keys on doc_id with map-side partial sums.
+    Weights round to 4 dp (each addend has 1e-6 granularity)."""
+    ratios = dsir_log_ratios(corpus, target, buckets, text_col)
+    return (
+        corpus.select(
+            F.col(id_col), F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket")
+        )
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 4).alias("weight"))
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``n`` most target-like documents by DSIR importance weight
+    (weight DESC, id ASC — deterministic at any parallelism). This is
+    the heavy-tail-safe deterministic variant of the paper's Gumbel
+    resampling: rank by the weight itself. Returns
+    (doc_id, weight, rank)."""
+    w = dsir_weights(corpus, target, buckets, id_col, text_col)
+    # distributed top-k (TakeOrderedAndProject — per-partition heads,
+    # driver merge of n rows), NOT a global single-partition window
+    top = w.orderBy(F.desc("weight"), F.asc(id_col)).limit(n)
+    wnd = Window.orderBy(F.desc("weight"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(wnd)).select(
+        id_col, "weight", "rank"
+    )
+
+
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
     "shuffle_key", "shard_col", "shuffle_shards", "write_training_shards",
     "pack_sequences",
     "host_suffixes", "blocklist_filter",
+    "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
 ]

@@ -648,10 +648,94 @@ def ivfpq_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_path: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): prune semantic
+    near-duplicates by clustering embeddings and comparing pairs only
+    WITHIN each cluster — the quadratic pairwise work is bounded by the
+    largest cell, never O(N²) over the corpus.
+
+    1. Assign every vector to its nearest centroid (the IVF assignment;
+       pass ``index_path`` to reuse the persisted centroid_id-
+       partitioned index so this stage is a pruned scan, not a
+       recompute).
+    2. Within a cell, a vector is pruned when some higher-priority
+       vector in the same cell has cosine ≥ ``threshold`` with it.
+       Priority follows the paper: KEEP the item with the LOWEST
+       cosine to its centroid (the cluster outlier carries the most
+       marginal information); ties break on ascending id.
+
+    The keep decision is greedy pairwise (one EXISTS semi-join), not a
+    transitive closure — deterministic at any parallelism, and each
+    cell's work ships as one shuffle partition keyed on centroid_id.
+    For transitive-closure cluster semantics compose the pair output
+    with dedup.connected_components.
+
+    Returns (vec_id, centroid_id, centroid_sim, keep).
+    """
+    if index_path is not None:
+        assigned = corpus.sparkSession.read.parquet(index_path)
+    else:
+        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    scored = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        cosine_rounded(F.col("embedding"), F.col("centroid_vec")).alias("centroid_sim"),
+    )
+    x = scored.select(
+        F.col("centroid_id"),
+        F.col("vec_id"),
+        F.col("embedding").alias("vx"),
+        F.col("centroid_sim").alias("sx"),
+    )
+    y = scored.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("vy"),
+        F.col("centroid_sim").alias("sy"),
+    )
+    # y dominates x: same cell, y farther from the centroid (or tied and
+    # smaller id), and the pair is a semantic dup.
+    dominated = (
+        x.join(y, "centroid_id")
+        .filter(
+            (F.col("sy") < F.col("sx"))
+            | ((F.col("sy") == F.col("sx")) & (F.col("y_id") < F.col("vec_id")))
+        )
+        .filter(cosine_rounded(F.col("vx"), F.col("vy")) >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        scored.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_sim",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 __all__ = [
     "dot", "norm", "cosine", "cosine_rounded",
     "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_write_index",
+    "semdedup",
 ]

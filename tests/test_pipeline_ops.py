@@ -1059,3 +1059,90 @@ def test_sample_stratified_deterministic_pure_function(spark, sf_dir):
         for r in curation.sample_stratified(docs, "lang", frac, seed="other").collect()
     }
     assert s_other != s1
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def test_semdedup_prunes_near_dups_keeps_outlier(spark, vectors):
+    from gocrawl_spark import similarity as sim
+
+    out = sim.semdedup(vectors, threshold=0.999, n_centroids=8)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == set(range(40))  # every vector gets a verdict
+    # same-direction same-(i%3) vectors are near-identical (cos>=0.999):
+    # within each cell exactly one of each dup class survives
+    kept = [v for v, r in rows.items() if r["keep"]]
+    dropped = [v for v, r in rows.items() if not r["keep"]]
+    assert dropped, "threshold 0.999 must prune the exact-direction dups"
+    # every dropped vector has a kept dominator in its cell with
+    # centroid_sim <= its own (the paper's keep-the-outlier rule)
+    for v in dropped:
+        cell = rows[v]["centroid_id"]
+        doms = [
+            r
+            for k, r in rows.items()
+            if r["centroid_id"] == cell
+            and (
+                r["centroid_sim"] < rows[v]["centroid_sim"]
+                or (r["centroid_sim"] == rows[v]["centroid_sim"] and k < v)
+            )
+        ]
+        assert doms, f"dropped {v} has no higher-priority cellmate"
+    # deterministic at any parallelism
+    again = {
+        r["vec_id"]: r["keep"]
+        for r in sim.semdedup(
+            vectors.repartition(7), threshold=0.999, n_centroids=8
+        ).collect()
+    }
+    assert again == {v: r["keep"] for v, r in rows.items()}
+
+
+def test_semdedup_threshold_monotone(spark, vectors):
+    from gocrawl_spark import similarity as sim
+
+    loose = {
+        r["vec_id"] for r in sim.semdedup(vectors, 0.4, 8).filter("keep").collect()
+    }
+    tight = {
+        r["vec_id"] for r in sim.semdedup(vectors, 0.9999, 8).filter("keep").collect()
+    }
+    assert loose <= tight  # lower threshold prunes at least as much
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_favor_target_like_docs(spark, docs):
+    from gocrawl_spark import curation
+
+    corpus = docs.filter(F.col("doc_id") != 7)  # drop the empty doc
+    target = corpus.filter(F.col("lang") == "en")
+    w = {r["doc_id"]: r["weight"] for r in curation.dsir_weights(corpus, target).collect()}
+    # English docs (in-target) outrank the German/French ones
+    assert min(w[1], w[2], w[5], w[6]) > max(w[3], w[4])
+    # exact dup of doc 1 gets the identical weight
+    assert w[1] == w[6]
+    # selection is ranked and deterministic across parallelism
+    sel = curation.dsir_select(corpus, target, n=3).collect()
+    assert [r["rank"] for r in sel] == [1, 2, 3]
+    sel2 = curation.dsir_select(corpus.repartition(5), target, n=3).collect()
+    assert [(r["doc_id"], r["weight"]) for r in sel] == [
+        (r["doc_id"], r["weight"]) for r in sel2
+    ]
+
+
+def test_dsir_hashed_features_bag_semantics(spark):
+    from gocrawl_spark import curation
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id", curation.hashed_ngram_buckets("text", 64).alias("f")
+    ).collect()
+    by_id = {r["doc_id"]: r["f"] for r in out}
+    # doc 1: 3 unigrams + 2 bigrams; doc 2: 2 + 1; doc 3: none
+    assert len(by_id[1]) == 5 and len(by_id[2]) == 3 and by_id[3] == []
+    assert all(0 <= b < 64 for b in by_id[1])
