@@ -1099,6 +1099,25 @@ def test_semdedup_prunes_near_dups_keeps_outlier(spark, vectors):
     assert again == {v: r["keep"] for v, r in rows.items()}
 
 
+def test_semdedup_pairwise_is_cell_equijoin(spark, vectors):
+    """The within-cell pairwise stage (the quadratic risk) must be an
+    equi-join keyed on centroid_id — never a cartesian product over the
+    corpus. (BroadcastNestedLoopJoin against the ≤n_centroids-row
+    centroid table is the intentional IVF assignment pattern and is
+    allowed, same as ann_ivf.)"""
+    from gocrawl_spark import similarity as sim
+
+    out = sim.semdedup(vectors, threshold=0.999, n_centroids=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the x-y pair join carries the priority+cosine predicate and must
+    # key on centroid_id (shuffle or broadcast hash, AQE may pick either)
+    assert any(
+        f"{j} [centroid_id" in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
 def test_semdedup_threshold_monotone(spark, vectors):
     from gocrawl_spark import similarity as sim
 
