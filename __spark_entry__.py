@@ -824,6 +824,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_select"] = dsir_select
 
+    def dsir_sample(spark, sf_dir):
+        """DSIR's Gumbel-top-k resampling: P(pick) ∝ exp(weight/T) with
+        T=1, noise a pure md5 function of (doc_id, seed) — the sampled
+        100-doc subset is engine- and parallelism-deterministic."""
+        docs = _docs(spark, sf_dir)
+        return curation.dsir_sample(
+            docs, docs.filter(F.col("lang") == "en"), n=100, temperature=1.0,
+            buckets=1024,
+        )
+
+    q["dsir_sample"] = dsir_sample
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2246,6 +2258,23 @@ def oracle_sql() -> dict[str, str]:
                FROM wgt)
         SELECT doc_id, weight, rank FROM rk WHERE rank <= 100
     """
+
+    # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise
+    _dsir_wgt_cte = o["dsir_select"][: o["dsir_select"].index("rk AS")]
+    o["dsir_sample"] = (
+        _dsir_wgt_cte
+        + r"""keyed AS (
+          SELECT doc_id, weight,
+                 round(weight / 1.0 - ln(-ln(
+                     ((('0x' || substr(md5(doc_id::VARCHAR || ':' || 'dsir'), 1, 8))::UBIGINT
+                       + 1.0) / 4294967297.0))), 6) AS key
+          FROM wgt),
+        rk AS (SELECT doc_id, weight, key,
+                      row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+               FROM keyed)
+        SELECT doc_id, weight, key, rank FROM rk WHERE rank <= 100
+    """
+    )
 
     _qdot = "list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * k.embedding[i]::DOUBLE))"
     _qnorm = "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))"

@@ -437,10 +437,42 @@ def dsir_select(
     )
 
 
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int,
+    temperature: float = 1.0,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR's actual resampling form: Gumbel-top-k without replacement,
+    P(pick) ∝ exp(weight / temperature). The Gumbel noise is a pure
+    function of (doc_id, seed) — uniform u from the md5 first-8-hex
+    contract, g = −ln(−ln u) — so the sample is identical at any
+    parallelism and in any engine; a new ``seed`` draws an independent
+    sample. temperature → 0 degenerates to dsir_select's argmax-k.
+    Returns (doc_id, weight, key, rank)."""
+    w = dsir_weights(corpus, target, buckets, id_col, text_col)
+    u = (
+        F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = F.round(F.col("weight") / F.lit(temperature) - F.log(-F.log(u)), 6)
+    keyed = w.withColumn("key", key)
+    top = keyed.orderBy(F.desc("key"), F.asc(id_col)).limit(n)
+    wnd = Window.orderBy(F.desc("key"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(wnd)).select(
+        id_col, "weight", "key", "rank"
+    )
+
+
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
     "shuffle_key", "shard_col", "shuffle_shards", "write_training_shards",
     "pack_sequences",
     "host_suffixes", "blocklist_filter",
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
+    "dsir_sample",
 ]

@@ -1165,3 +1165,26 @@ def test_dsir_hashed_features_bag_semantics(spark):
     # doc 1: 3 unigrams + 2 bigrams; doc 2: 2 + 1; doc 3: none
     assert len(by_id[1]) == 5 and len(by_id[2]) == 3 and by_id[3] == []
     assert all(0 <= b < 64 for b in by_id[1])
+
+
+def test_dsir_sample_gumbel_topk(spark, docs):
+    from gocrawl_spark import curation
+
+    corpus = docs.filter(F.col("doc_id") != 7)
+    target = corpus.filter(F.col("lang") == "en")
+    s = curation.dsir_sample(corpus, target, n=4, seed="s1").collect()
+    assert [r["rank"] for r in s] == [1, 2, 3, 4]
+    # key = weight + gumbel(doc_id, seed): replayable bit-for-bit
+    s2 = curation.dsir_sample(corpus.repartition(6), target, n=4, seed="s1").collect()
+    assert [(r["doc_id"], r["key"]) for r in s] == [
+        (r["doc_id"], r["key"]) for r in s2
+    ]
+    # a different seed draws a different noise realization
+    s3 = curation.dsir_sample(corpus, target, n=4, seed="s2").collect()
+    assert [(r["doc_id"], r["key"]) for r in s] != [
+        (r["doc_id"], r["key"]) for r in s3
+    ]
+    # near-zero temperature degenerates to argmax-k = dsir_select order
+    cold = curation.dsir_sample(corpus, target, n=4, temperature=1e-6).collect()
+    sel = curation.dsir_select(corpus, target, n=4).collect()
+    assert [r["doc_id"] for r in cold] == [r["doc_id"] for r in sel]
