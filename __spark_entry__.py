@@ -732,6 +732,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq"] = ann_pq
 
+    def ann_ivf_kmeans(spark, sf_dir):
+        """IVF probe over TRAINED centroids: two deterministic
+        spherical-Lloyd sweeps (similarity.kmeans_centroids — seeded at
+        ids<16, rounded means, empty-cell keep-previous) feed the same
+        cell-probed search as ann_ivf. The oracle replays both sweeps
+        unrolled in SQL."""
+        emb = _emb(spark, sf_dir)
+        cents = similarity.kmeans_centroids(emb, k=16, dim=64, iters=2)
+        return similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16,
+            nprobe=4, centroids=cents,
+        )
+
+    q["ann_ivf_kmeans"] = ann_ivf_kmeans
+
     def ann_ivfpq(spark, sf_dir):
         """IVF-PQ over the PERSISTED index (similarity.ivfpq_topk with
         ivfpq_write_index): coarse cells prune the scan to
@@ -2065,6 +2080,66 @@ def oracle_sql() -> dict[str, str]:
           FROM probes p JOIN asgn v ON v.centroid_id = p.centroid_id AND v.vec_id <> p.query_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
               FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
+    # ann_ivf_kmeans: two spherical-Lloyd sweeps unrolled (seed cells →
+    # assign → rounded per-position means, empty cell keeps previous →
+    # re-assign → means), then the identical probe/rank as ann_ivf
+    def _cosk(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+        )
+
+    def _lloyd_sweep(prev: str, a: str, m: str, nxt: str) -> str:
+        return f"""
+        {a} AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cosk('e.embedding', 'c.cv')} DESC, c.centroid_id) AS rn
+            FROM embeddings e JOIN {prev} c ON true)
+          WHERE rn = 1),
+        {m} AS (
+          SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+            SELECT centroid_id, pos, round(avg(v), 6) AS m FROM (
+              SELECT centroid_id, unnest(embedding) AS v,
+                     unnest(range(1, 65)) AS pos FROM {a})
+            GROUP BY centroid_id, pos)
+          GROUP BY centroid_id),
+        {nxt} AS (
+          SELECT p.centroid_id,
+                 coalesce(mm.cv, CAST(p.cv AS DOUBLE[])) AS cv
+          FROM {prev} p LEFT JOIN {m} mm USING (centroid_id))"""
+
+    o["ann_ivf_kmeans"] = f"""
+        WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cv
+                    FROM embeddings WHERE vec_id < 16),
+        {_lloyd_sweep('c0', 'a1', 'm1', 'c1')},
+        {_lloyd_sweep('c1', 'a2', 'm2', 'c2')},
+        asgn AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cosk('e.embedding', 'c.cv')} DESC, c.centroid_id) AS rn
+            FROM embeddings e JOIN c2 c ON true)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cosk('e.embedding', 'c.cv')} DESC, c.centroid_id) AS rn
+            FROM embeddings e JOIN c2 c ON e.vec_id < 5)
+          WHERE rn <= 4),
+        scored AS (
+          SELECT p.query_id, v.vec_id AS neighbor_id,
+                 {_cosk('p.qv', 'v.embedding')} AS score
+          FROM probes p JOIN asgn v
+            ON v.centroid_id = p.centroid_id AND v.vec_id <> p.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rank FROM scored)
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
     """
 

@@ -157,12 +157,22 @@ def _nearest_cells(
 
 
 def ivf_assign(
-    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, centroid_id): each corpus vector in its
     single nearest cell. At scale this DataFrame is written
-    partitioned by centroid_id so a probe reads only its cells."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    partitioned by centroid_id so a probe reads only its cells.
+    Pass ``centroids`` (e.g. kmeans_centroids output) to assign
+    against a trained codebook instead of the deterministic seed."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     return _nearest_cells(vecs, cents, 1, "vec_id", "embedding")
 
@@ -190,8 +200,13 @@ def _probe_cells(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     return _nearest_cells(q, cents, nprobe, "query_id", "qv")
 
@@ -223,6 +238,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_path: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest cells per query,
     exact cosine within the probed cells. Output as brute_topk.
@@ -231,13 +247,17 @@ def ivf_topk(
     centroid_id-partitioned index (ivf_write_index) and the probe join
     partition-prunes: the tiny probe side broadcasts and dynamic
     partition pruning restricts the parquet scan to the probed cells —
-    the plan a 100 TB corpus needs (verified by a plan-shape test)."""
+    the plan a 100 TB corpus needs (verified by a plan-shape test).
+    ``centroids`` injects a trained codebook (kmeans_centroids) for
+    both assignment and probing."""
     assigned = (
         corpus.sparkSession.read.parquet(index_path)
         if index_path is not None
-        else ivf_assign(corpus, n_centroids, id_col, vec_col)
+        else ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
     )
-    probes = _probe_cells(corpus, queries, n_centroids, nprobe, id_col, vec_col)
+    probes = _probe_cells(
+        corpus, queries, n_centroids, nprobe, id_col, vec_col, centroids
+    )
     if index_path is not None:
         probes = F.broadcast(probes)
     return _rank_probed(probes, assigned, k)
@@ -649,6 +669,65 @@ def ivfpq_topk(
 
 
 # ---------------------------------------------------------------------------
+# Distributed k-means (deterministic spherical Lloyd sweeps)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF/SemDeDup centroids with deterministic spherical-Lloyd
+    sweeps: init = corpus rows with id < k (the ivf_centroids seed), then
+    ``iters`` rounds of [assign every vector to its nearest centroid by
+    rounded cosine] → [new centroid = per-cell elementwise mean].
+
+    Everything is engine-replayable: assignment ties break on
+    centroid_id, means round to 6 dp, and a cell that loses all members
+    keeps its previous centroid. Per sweep the corpus is scanned once;
+    the mean is ``dim`` codegen'd avg aggregates (one shuffle on
+    centroid_id, map-side partial agg — no position explode), and the
+    k×dim centroid matrix is collected to the driver (O(k·dim) bytes,
+    metadata-sized) to keep lineage flat across sweeps.
+
+    Returns (centroid_id, centroid_vec) — drop-in for the centroid
+    table consumed by ivf_assign/ivf_topk/semdedup.
+    """
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, k, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    for _ in range(iters):
+        assigned = _nearest_cells(vecs, cents, 1, "vec_id", "embedding")
+        means = assigned.groupBy("centroid_id").agg(
+            *[
+                F.round(F.avg(F.col("embedding").getItem(i).cast("double")), 6).alias(
+                    f"_m{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        new = cents.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.when(
+                F.col("_m0").isNotNull(),
+                F.array(*[F.col(f"_m{i}") for i in range(dim)]),
+            )
+            .otherwise(F.col("centroid_vec").cast("array<double>"))
+            .alias("centroid_vec"),
+        )
+        rows = new.collect()  # O(k·dim) — metadata, not data scale
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], [float(x) for x in r["centroid_vec"]]) for r in rows],
+            "centroid_id long, centroid_vec array<double>",
+        )
+    return cents
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: cluster-blocked semantic deduplication
 # ---------------------------------------------------------------------------
 
@@ -660,6 +739,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_path: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): prune semantic
     near-duplicates by clustering embeddings and comparing pairs only
@@ -687,8 +767,12 @@ def semdedup(
     if index_path is not None:
         assigned = corpus.sparkSession.read.parquet(index_path)
     else:
-        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     scored = assigned.join(F.broadcast(cents), "centroid_id").select(
         "vec_id",
         "embedding",
@@ -737,5 +821,5 @@ __all__ = [
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_write_index",
-    "semdedup",
+    "semdedup", "kmeans_centroids",
 ]

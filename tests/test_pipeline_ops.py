@@ -1188,3 +1188,47 @@ def test_dsir_sample_gumbel_topk(spark, docs):
     cold = curation.dsir_sample(corpus, target, n=4, temperature=1e-6).collect()
     sel = curation.dsir_select(corpus, target, n=4).collect()
     assert [r["doc_id"] for r in cold] == [r["doc_id"] for r in sel]
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def test_kmeans_centroids_deterministic_and_tighter(spark, vectors):
+    from gocrawl_spark import similarity as sim
+
+    c2 = sim.kmeans_centroids(vectors, k=8, dim=4, iters=2)
+    rows = {r["centroid_id"]: r["centroid_vec"] for r in c2.collect()}
+    assert set(rows) == set(range(8))
+    assert all(len(v) == 4 for v in rows.values())
+    # replayable bit-for-bit at another parallelism
+    again = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in sim.kmeans_centroids(vectors.repartition(7), k=8, dim=4, iters=2).collect()
+    }
+    assert again == rows
+    # training must not hurt the mean assignment similarity vs the seed
+    def mean_sim(cents):
+        a = sim.ivf_assign(vectors, 8, centroids=cents)
+        joined = a.join(
+            cents.withColumnRenamed("centroid_vec", "cv"), "centroid_id"
+        )
+        return joined.select(
+            F.avg(sim.cosine(F.col("embedding"), F.col("cv"))).alias("s")
+        ).collect()[0]["s"]
+
+    seed = sim.ivf_centroids(vectors, 8)
+    assert mean_sim(c2) >= mean_sim(seed) - 1e-9
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    from gocrawl_spark import similarity as sim
+
+    # 4 identical vectors: after assignment every vector lands in cell 0
+    # (ties break on centroid_id), so cells 1-3 go empty and must keep
+    # their (identical) seed centroids instead of producing nulls
+    rows = [(i, [1.0, 0.0]) for i in range(4)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = sim.kmeans_centroids(v, k=4, dim=2, iters=1)
+    got = {r["centroid_id"]: r["centroid_vec"] for r in c.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(v == [1.0, 0.0] for v in got.values())
