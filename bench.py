@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_lm_ppl",
     "train_pack_sequences",
+    "semdedup",
+    "dsir_select",
+    "ann_ivf_kmeans",
 ]
 
 

@@ -117,17 +117,18 @@ def minhash_signature_udf(num_hashes: int = 16, k: int = 5):
 
     from pyspark.sql.types import ArrayType, StringType
 
+    prefixes = [f"{h}#".encode() for h in range(num_hashes)]
+
     @F.pandas_udf(ArrayType(StringType()))
     def sig(text: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
         def one(t: str | None) -> list[str]:
-            shingles = _py_shingles(t, k)
-            out = []
-            for h in range(num_hashes):
-                prefix = f"{h}#".encode()
-                out.append(
-                    min(hashlib.md5(prefix + s.encode("utf-8")).hexdigest() for s in shingles)
-                )
-            return out
+            # encode each shingle once (not once per seed) and take the
+            # min over raw digests — hex is base16 of the digest, so the
+            # order is identical and only the winner pays the hex step
+            enc = [s.encode("utf-8") for s in _py_shingles(t, k)]
+            return [min(md5(p + b).digest() for b in enc).hex() for p in prefixes]
 
         return text.map(one)
 
