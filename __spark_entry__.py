@@ -851,6 +851,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_sample"] = dsir_sample
 
+    def crawl_trap_filter(spark, sf_dir):
+        """Heritrix-style crawl-trap gates (canonicalize.trap_signals /
+        is_trap_expr, the CrawlConfig(drop_traps=True) hygiene filter)
+        over a synthesized URL mix: repeated path segments, 14-deep
+        paths, 9-param faceted queries, session tokens, and clean URLs.
+        Pure codegen'd regex/array expressions — no UDF, no shuffle."""
+        from gocrawl_spark import canonicalize as canon
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        base = F.concat(F.lit("https://h"), (d % 7).cast("string"), F.lit(".example.com"))
+        url = (
+            F.when(d % 5 == 0, F.concat(base, F.lit("/a/a/a/p/"), ds))
+            .when(
+                d % 5 == 1,
+                F.concat(base, F.lit("/p1/p2/p3/p4/p5/p6/p7/p8/p9/pa/pb/pc/pd/x"), ds),
+            )
+            .when(
+                d % 5 == 2,
+                F.concat(base, F.lit("/doc?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i="), ds),
+            )
+            .when(d % 5 == 3, F.concat(base, F.lit("/doc/"), ds, F.lit("?phpsessid=s"), ds))
+            .otherwise(F.concat(base, F.lit("/doc/"), ds))
+        )
+        urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+        s = canon.trap_signals("url")
+        return urls.select(
+            "doc_id",
+            "url",
+            s["n_segments"].alias("n_segments"),
+            s["n_repeats"].alias("n_repeats"),
+            s["n_params"].alias("n_params"),
+            s["has_session"].alias("has_session"),
+            canon.is_trap_expr("url").alias("is_trap"),
+        )
+
+    q["crawl_trap_filter"] = crawl_trap_filter
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2332,6 +2370,39 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
                FROM wgt)
         SELECT doc_id, weight, rank FROM rk WHERE rank <= 100
+    """
+
+    # crawl_trap_filter: same synthesized URL mix, same RE2 trap regexes
+    o["crawl_trap_filter"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://h' || (doc_id % 7)::VARCHAR || '.example.com' ||
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/a/a/a/p/' || doc_id::VARCHAR
+                   WHEN 1 THEN '/p1/p2/p3/p4/p5/p6/p7/p8/p9/pa/pb/pc/pd/x' || doc_id::VARCHAR
+                   WHEN 2 THEN '/doc?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=' || doc_id::VARCHAR
+                   WHEN 3 THEN '/doc/' || doc_id::VARCHAR || '?phpsessid=s' || doc_id::VARCHAR
+                   ELSE '/doc/' || doc_id::VARCHAR
+                 END AS url
+          FROM documents),
+        s AS (
+          SELECT doc_id, url,
+                 list_filter(regexp_split_to_array(
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '/'), x -> x <> '') AS segs,
+                 list_filter(regexp_split_to_array(
+                     regexp_extract(url, '\?([^#]*)', 1), '&'), x -> x <> '') AS params,
+                 regexp_matches(regexp_extract(url, '\?([^#]*)', 1),
+                     '(?i)(^|&)(phpsessid|jsessionid|sessionid|sid|cfid|cftoken)=') AS has_session
+          FROM u)
+        SELECT doc_id, url,
+               len(segs)::INT AS n_segments,
+               (len(segs) - len(list_distinct(segs)))::INT AS n_repeats,
+               len(params)::INT AS n_params,
+               has_session,
+               (len(segs) > 12 OR (len(segs) - len(list_distinct(segs))) > 1
+                OR len(params) > 8 OR has_session) AS is_trap
+        FROM s
     """
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise

@@ -143,3 +143,62 @@ def normalize_url_expr(col):
         query,
     )
     return F.when(scheme.isin("http", "https"), normalized).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection (Heritrix-style URL hygiene)
+# ---------------------------------------------------------------------------
+
+# session-token query params: a crawler that follows these enumerates
+# one page under unbounded aliases (Heritrix's classic trap class)
+SESSION_PARAM_RE = r"(?i)(^|&)(phpsessid|jsessionid|sessionid|sid|cfid|cftoken)="
+
+
+def trap_signals(col) -> dict:
+    """Per-URL crawl-trap signals as pure codegen'd expressions — the
+    hygiene gates an open-web frontier applies before admitting a
+    candidate (Heritrix PathologicalPathDecideRule / TooManyPathSegments
+    / session-id canonicalization, applied here as filters):
+
+    - ``n_segments``: path depth (non-empty / -separated segments)
+    - ``n_repeats``: path-segment repetitions (segments − distinct
+      segments; a calendar or symlink loop repeats one segment)
+    - ``n_params``: query-parameter count (faceted-search explosions)
+    - ``has_session``: a session-token parameter is present
+
+    All regex is RE2-safe so the DuckDB oracle evaluates the identical
+    patterns. Scale shape: evaluated in the candidate scan, no shuffle,
+    no UDF."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    path = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    params = F.filter(F.split(query, "&"), lambda x: x != F.lit(""))
+    return {
+        "n_segments": F.size(segs),
+        "n_repeats": F.size(segs) - F.size(F.array_distinct(segs)),
+        "n_params": F.size(params),
+        "has_session": query.rlike(SESSION_PARAM_RE),
+    }
+
+
+def is_trap_expr(
+    col,
+    max_path_depth: int = 12,
+    max_repeats: int = 1,
+    max_params: int = 8,
+) -> "F.Column":
+    """True when the URL trips any trap gate: path deeper than
+    ``max_path_depth`` segments, more than ``max_repeats`` repeated
+    path segments, more than ``max_params`` query params, or a
+    session-token parameter. Thresholds follow Heritrix defaults
+    scaled to one expression; tune per crawl."""
+    s = trap_signals(col)
+    return (
+        (s["n_segments"] > max_path_depth)
+        | (s["n_repeats"] > max_repeats)
+        | (s["n_params"] > max_params)
+        | s["has_session"]
+    )

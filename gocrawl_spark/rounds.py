@@ -94,6 +94,11 @@ class CrawlConfig:
     # pop budget) in round r+1 — rounds are the backoff clock, so the
     # penalty persists exactly while the host keeps throttling
     adaptive_backoff: bool = False
+    # crawl-trap hygiene (OPT-IN; the reference has no trap logic so
+    # the parity path keeps it off): drop candidate URLs that trip
+    # canonicalize.is_trap_expr (deep/repeating paths, query-param
+    # explosions, session tokens) before the seen filter ever sees them
+    drop_traps: bool = False
     user_agent: str = "gocrawl"
     # F9 retry-with-backoff (link_handler.go:60-107): transient fetch
     # failures re-enqueue with attempt+1 until max_retries; the retry
@@ -238,6 +243,10 @@ def expand_candidates(
     if cfg.allowed_hosts is not None:  # F5
         cand = cand.filter(F.col("host").isin(cfg.allowed_hosts))
     cand = fr.apply_rules(cand, cfg.rules)  # F8
+    if cfg.drop_traps:  # opt-in URL hygiene, ahead of the seen filter
+        from gocrawl_spark import canonicalize as _canon
+
+        cand = cand.filter(~_canon.is_trap_expr(F.col("url")))
     # within-round dedup: keep the earliest discovery per url_hash
     w = Window.partitionBy("url_hash").orderBy("depth", "discovery_seq")
     cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

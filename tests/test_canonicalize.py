@@ -97,3 +97,63 @@ def test_normalize_url_expr(spark):
     got = [r["n"] for r in
            df.select(normalize_url_expr("url").alias("n")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_is_trap_expr_gates(spark):
+    """Each trap class trips exactly its gate; clean URLs pass. The
+    opt-in frontier filter (CrawlConfig(drop_traps=True)) applies this
+    expression to candidates ahead of the seen filter."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark.canonicalize import is_trap_expr, trap_signals
+
+    cases = [
+        ("https://h.com/a/a/a/p/1", True),        # repeated segment ×3
+        ("https://h.com/a/b/a/p/1", False),       # twice only — legitimate
+        ("https://h.com/" + "/".join(f"p{i}" for i in range(13)), True),  # deep
+        ("https://h.com/doc?" + "&".join(f"k{i}={i}" for i in range(9)), True),
+        ("https://h.com/doc/1?phpsessid=abc", True),
+        ("https://h.com/doc/1?JSESSIONID=x", True),
+        ("https://h.com/doc/1?page=2&sort=asc", False),
+        ("https://h.com/a/b/c/d/e/f/g", False),   # deep-ish but under 12
+        ("https://h.com/", False),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["t"]
+        for r in df.select("url", is_trap_expr("url").alias("t")).collect()
+    }
+    for u, want in cases:
+        assert got[u] is want, u
+    s = trap_signals("url")
+    row = (
+        df.filter(F.col("url") == "https://h.com/a/b/a/p/1")
+        .select(s["n_repeats"].alias("r"), s["n_segments"].alias("n"))
+        .collect()[0]
+    )
+    assert (row["r"], row["n"]) == (1, 5)  # a,b,a,p,1 → one repetition
+
+
+def test_drop_traps_filters_candidates(spark):
+    """CrawlConfig(drop_traps=True) drops trap children in
+    expand_candidates; the parity default keeps them."""
+    from gocrawl_spark import rounds, udfs
+    from gocrawl_spark.rounds import CrawlConfig, expand_candidates
+
+    batch = udfs.with_url_identity(
+        spark.createDataFrame(
+            [("https://h.com/start", 0, 5, 0, 0, 0)],
+            "url string, depth int, priority int, discovered_round int,"
+            " discovery_seq long, attempt int",
+        )
+    )
+    extracted = spark.createDataFrame(
+        [("https://h.com/start", ["/ok/page", "/a/a/a/trap", "/d?phpsessid=1"])],
+        "url string, links array<string>",
+    )
+    cfg_off = CrawlConfig(max_depth=2)
+    cfg_on = CrawlConfig(max_depth=2, drop_traps=True)
+    off = {r["url"] for r in expand_candidates(extracted, batch, cfg_off, 0).collect()}
+    on = {r["url"] for r in expand_candidates(extracted, batch, cfg_on, 0).collect()}
+    assert "https://h.com/a/a/a/trap" in off and "https://h.com/d?phpsessid=1" in off
+    assert on == {"https://h.com/ok/page"}
