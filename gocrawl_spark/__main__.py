@@ -226,6 +226,7 @@ def cmd_schedule(args) -> int:
         max_depth=args.max_depth,
         round_wall_s=args.round_wall_s,
         max_rounds=args.max_rounds,
+        reuse_unchanged=args.reuse_unchanged,
     )
     results = scheduler.run_schedule(
         spark,
@@ -347,6 +348,9 @@ def main(argv: list[str] | None = None) -> int:
     # feedback loop: pop each new generation by the previous one's
     # link-rank priorities (graphrank); default = reference ordering
     sc.add_argument("--rank-frontier", action="store_true")
+    # incremental re-crawl: skip the extraction kernel for pages whose
+    # corpus warc_ts is unchanged vs the previous generation
+    sc.add_argument("--reuse-unchanged", action="store_true")
     sc.add_argument("--ticks", type=int, default=1)
     sc.add_argument("--max-depth", type=int, default=3)
     sc.add_argument("--max-rounds", type=int, default=8)

@@ -99,6 +99,13 @@ class CrawlConfig:
     # canonicalize.is_trap_expr (deep/repeating paths, query-param
     # explosions, session tokens) before the seen filter ever sees them
     drop_traps: bool = False
+    # incremental re-crawl extraction (OPT-IN): stamp every extracted
+    # row with the corpus warc_ts as page_ts and, when a prior
+    # generation's extracted table is supplied
+    # (CrawlRun(prior_extracted=...) / schedule --reuse-unchanged),
+    # skip the kernel for pages whose version is unchanged — see
+    # CrawlRun._extract. The parity path keeps the reference schema.
+    reuse_unchanged: bool = False
     user_agent: str = "gocrawl"
     # F9 retry-with-backoff (link_handler.go:60-107): transient fetch
     # failures re-enqueue with attempt+1 until max_retries; the retry
@@ -267,6 +274,7 @@ class CrawlRun:
         host_policy: DataFrame | None = None,
         sources: list | None = None,
         rank_priority: DataFrame | None = None,
+        prior_extracted: "DataFrame | None" = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -303,6 +311,16 @@ class CrawlRun:
         # contract); with it, hub URLs spend the politeness budget
         # first. Applied to seeds and every round's candidates.
         self.rank_priority = rank_priority
+        # incremental re-crawl extraction (OPT-IN, the HTTP-304
+        # analogue for corpus mode): a PRIOR generation's extracted
+        # table (schema of run.extracted() + page_ts). A popped URL
+        # whose corpus warc_ts equals its prior page_ts skips the
+        # extraction kernel and carries the prior row forward — on a
+        # re-crawl where most of the web is unchanged, kernel cost
+        # drops to O(changed), not O(fetched). Requires the corpus to
+        # carry warc_ts; rows extracted under this flag gain a page_ts
+        # column so the NEXT generation can reuse them in turn.
+        self.prior_extracted = prior_extracted
         # F7 exact-backstop index (seen_store="bucketed"): the
         # anti-join's seen side reads pre-bucketed, never shuffles
         self._seen_index = None
@@ -437,6 +455,61 @@ class CrawlRun:
         )
         if self.cfg.robots_crawl_delay:
             self._merge_robots_policy()  # newly discovered Crawl-delays
+
+    _EXTRACTED_COLS = [
+        "url", "content_type", "links", "article_valid", "skip_reason",
+        "article", "page", "crawl_round",
+    ]
+
+    def _extract(self, fetched: DataFrame, can_expand: bool, rnd: int) -> DataFrame:
+        """The round's extraction stage. Parity path: one fused-UDF pass
+        over every fetched page. With cfg.reuse_unchanged (and a corpus
+        that carries warc_ts), extracted rows gain a ``page_ts`` version
+        stamp, and when a prior generation's extracted table was passed
+        (CrawlRun(prior_extracted=...)) any popped URL whose corpus
+        warc_ts still equals its prior page_ts SKIPS the kernel — its
+        prior row carries forward (the HTTP-304 / If-Modified-Since
+        analogue). On a steady-web re-crawl the kernel then costs
+        O(changed pages), not O(fetched); the version check is one
+        batch-sized equi-join on url."""
+        cfg = self.cfg
+        base = lambda df: udfs.extract_pages(  # noqa: E731
+            df, sel_map=self.sel_map, want_links=can_expand, repeat=cfg.extract_repeat
+        )
+        if not cfg.reuse_unchanged or "warc_ts" not in fetched.columns:
+            return base(fetched).withColumn("crawl_round", F.lit(rnd))
+        cols = self._EXTRACTED_COLS + ["page_ts"]
+        carried = None
+        miss = fetched
+        if self.prior_extracted is not None:
+            # latest prior verdict per url (a generation holds many rounds)
+            w = Window.partitionBy("url").orderBy(F.desc("crawl_round"))
+            p = (
+                self.prior_extracted.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "crawl_round")
+            )
+            if can_expand:
+                # a tier that admits children needs links; prior rows
+                # extracted at a depth bound (links null) must re-extract
+                p = p.filter(F.col("links").isNotNull())
+            hits = fetched.select("url", "warc_ts").join(p, "url").filter(
+                F.col("warc_ts") == F.col("page_ts")
+            )
+            links = F.col("links") if can_expand else F.lit(None).cast("array<string>")
+            carried = hits.select(
+                "url", "content_type", links.alias("links"), "article_valid",
+                "skip_reason", "article", "page",
+                F.lit(rnd).alias("crawl_round"), "page_ts",
+            )
+            miss = fetched.join(hits.select("url"), "url", "left_anti")
+        fresh = (
+            base(miss)
+            .join(miss.select("url", F.col("warc_ts").alias("page_ts")), "url")
+            .withColumn("crawl_round", F.lit(rnd))
+            .select(cols)
+        )
+        return fresh if carried is None else carried.select(cols).unionByName(fresh)
 
     def _backoff_domains(self, rnd: int) -> "DataFrame | None":
         """Domains 429-throttled in the PREVIOUS round (adaptive
@@ -623,12 +696,7 @@ class CrawlRun:
         can_expand = batch.filter(F.col("depth") < cfg.max_depth).limit(1).count() > 0
         t0 = time.perf_counter()
         self._write(
-            udfs.extract_pages(
-                fetched,
-                sel_map=self.sel_map,
-                want_links=can_expand,
-                repeat=cfg.extract_repeat,
-            ).withColumn("crawl_round", F.lit(rnd)),
+            self._extract(fetched, can_expand, rnd),
             rnd,
             "extracted",
         )

@@ -123,7 +123,12 @@ def run_schedule(
     ``rank_frontier=True`` turns on the feedback loop: each NEW
     generation pops its frontier with the previous finished
     generation's link-rank priorities (OPT-IN — the default keeps the
-    reference's static priority ordering)."""
+    reference's static priority ordering).
+
+    ``cfg.reuse_unchanged=True`` turns on incremental re-crawl
+    extraction: each generation reads the previous finished
+    generation's extracted table and skips the kernel for pages whose
+    corpus warc_ts is unchanged (CrawlRun._extract)."""
     cfg = cfg or CrawlConfig()
     results: list[dict] = []
     for i in range(ticks):
@@ -132,10 +137,18 @@ def run_schedule(
         gen = min(unfinished) if unfinished else (max(gens) + 1 if gens else 0)
         resumed = gen in gens
         rank_priority = None
-        if rank_frontier:
-            prev = last_finished_generation(base_dir)
-            if prev is not None:
-                rank_priority = generation_rank(spark, base_dir, prev)
+        prev = last_finished_generation(base_dir)
+        if rank_frontier and prev is not None:
+            rank_priority = generation_rank(spark, base_dir, prev)
+        prior_extracted = None
+        if cfg.reuse_unchanged and prev is not None:
+            glob = os.path.join(
+                _gen_dir(base_dir, prev), "rounds", "round=*", "extracted"
+            )
+            prior = spark.read.parquet(glob)
+            # only a generation that was itself stamped can be reused
+            if "page_ts" in prior.columns:
+                prior_extracted = prior
         run = CrawlRun(
             spark,
             corpus,
@@ -145,6 +158,7 @@ def run_schedule(
             robots=robots,
             sources=sources,
             rank_priority=rank_priority,
+            prior_extracted=prior_extracted,
         )
         history = run.run(resume=True)
         # a resumed generation's history covers only the post-resume
