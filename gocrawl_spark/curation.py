@@ -368,12 +368,10 @@ def dsir_log_ratios(
         .groupBy("bucket")
         .agg(F.count("*").alias("tc"))
     )
-    rt = corpus.select(
-        F.sum(F.size(hashed_ngram_buckets(text_col, buckets))).alias("rt")
-    )
-    tt = target.select(
-        F.sum(F.size(hashed_ngram_buckets(text_col, buckets))).alias("tt")
-    )
+    # totals fold from the ≤buckets-row aggregates — the corpus and the
+    # target are each scanned exactly ONCE for the whole ratio table
+    rt = raw.agg(F.sum("rc").alias("rt"))
+    tt = tgt.agg(F.sum("tc").alias("tt"))
     return (
         raw.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(rt))
