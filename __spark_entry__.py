@@ -889,6 +889,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_trap_filter"] = crawl_trap_filter
 
+    def text_tfidf_keywords(spark, sf_dir):
+        """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
+        the corpus-side analogue of the reference's keywords field:
+        stopword-free ≥3-char terms, tf·ln(N/df), deterministic
+        (rounded score, term tie-break)."""
+        return textstats.tfidf_keywords(_docs(spark, sf_dir), top_k=5)
+
+    q["text_tfidf_keywords"] = text_tfidf_keywords
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2370,6 +2379,24 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
                FROM wgt)
         SELECT doc_id, weight, rank FROM rk WHERE rank <= 100
+    """
+
+    # text_tfidf_keywords: same norm_words stream, same stopword list,
+    # tf·ln(N/df) with the same rounding and tie-break
+    _stoplist = ", ".join(f"'{s}'" for s in sorted(textstats.STOPWORDS))
+    o["text_tfidf_keywords"] = rf"""
+        WITH w AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+        f AS (SELECT doc_id, term FROM w
+              WHERE length(term) >= 3 AND term NOT IN ({_stoplist})),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n::DOUBLE / dft.df), 6) AS tfidf
+              FROM tf JOIN dft USING (term) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rank FROM s)
+        SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 5
     """
 
     # crawl_trap_filter: same synthesized URL mix, same RE2 trap regexes

@@ -26,7 +26,7 @@ extracted* text downstream of the crawl.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -565,6 +565,54 @@ def lm_buckets_approx(
     )
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` keywords per document by TF-IDF — the corpus-side
+    analogue of the reference's per-page ``keywords`` field
+    (internal/domain/article.go:12-62 keywords; meta-tag extraction
+    E7): tf = in-doc term count, idf = ln(N / df) over documents
+    containing the term, stopwords and terms shorter than ``min_len``
+    dropped. Scores round to 6 dp, rank ties break on the term, so
+    output is engine- and parallelism-deterministic.
+
+    Scale shape: one explode → (doc, term) count shuffle; the df table
+    aggregates map-side to vocabulary size and joins back on term
+    (high-cardinality balanced key); top-k is a per-doc window over
+    each doc's own terms. Returns (doc_id, term, tfidf, rank)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(norm_words(text_col)).alias("term"),
+    ).filter(
+        (F.length("term") >= min_len) & ~F.col("term").isin(sorted(STOPWORDS))
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
     "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
@@ -575,4 +623,5 @@ __all__ = [
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
     "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
+    "tfidf_keywords",
 ]

@@ -1232,3 +1232,27 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     got = {r["centroid_id"]: r["centroid_vec"] for r in c.collect()}
     assert set(got) == {0, 1, 2, 3}
     assert all(v == [1.0, 0.0] for v in got.values())
+
+
+def test_tfidf_keywords(spark, docs):
+    corpus = docs.filter(F.col("doc_id") != 7)
+    out = textstats.tfidf_keywords(corpus, top_k=3)
+    rows = [r for r in out.collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # ranks are 1..k per doc, scores non-increasing
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["tfidf"] >= b["tfidf"] for a, b in zip(rs, rs[1:]))
+    # a term appearing in every doc has idf 0 → never a keyword;
+    # doc 5's distinctive terms float to the top
+    terms5 = {r["term"] for r in by_doc[5]}
+    assert terms5 & {"spark", "shuffles", "engines", "query", "completely"}
+    # stopwords and short words never appear
+    assert all(len(r["term"]) >= 3 and r["term"] not in textstats.STOPWORDS for r in rows)
+    # deterministic across parallelism
+    again = {(r["doc_id"], r["rank"], r["term"]) for r in
+             textstats.tfidf_keywords(corpus.repartition(5), top_k=3).collect()}
+    assert again == {(r["doc_id"], r["rank"], r["term"]) for r in rows}
