@@ -898,6 +898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tfidf_keywords"] = text_tfidf_keywords
 
+    def text_winnow(spark, sf_dir):
+        """Winnowing fingerprints (Schleimer et al. 2003,
+        textstats.winnow_fingerprints): rightmost-min over every
+        4-window of 5-shingle md5 hashes; distinct (pos, hash) per doc.
+        Guarantees any ≥8-word shared passage shares a fingerprint."""
+        return textstats.winnow_fingerprints(
+            _docs(spark, sf_dir), k=5, window=4
+        )
+
+    q["text_winnow"] = text_winnow
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2397,6 +2408,22 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                   ORDER BY tfidf DESC, term) AS rank FROM s)
         SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 5
+    """
+
+    # text_winnow: same shingle hashes, same rightmost-min window rule
+    o["text_winnow"] = rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        sh AS (SELECT doc_id, w, {_sql_shingles(5)} AS shingles FROM w),
+        h AS (SELECT doc_id, [md5(s) for s in shingles] AS h FROM sh),
+        sel AS (
+          SELECT doc_id,
+                 [{{'pos': list_max([j for j in range(i, i + least(4, len(h)))
+                                     if h[j + 1] = list_min(list_slice(h, i + 1, i + least(4, len(h))))]),
+                    'hash': list_min(list_slice(h, i + 1, i + least(4, len(h))))}}
+                  for i in range(0, len(h) - least(4, len(h)) + 1)] AS fps
+          FROM h),
+        e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+        SELECT DISTINCT doc_id, fp.pos::INT AS pos, fp.hash AS hash FROM e
     """
 
     # crawl_trap_filter: same synthesized URL mix, same RE2 trap regexes

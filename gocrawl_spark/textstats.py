@@ -570,6 +570,57 @@ def lm_buckets_approx(
 # ---------------------------------------------------------------------------
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson, Aiken 2003, SIGMOD): the
+    guarantee-bearing local fingerprint — from the k-shingle hash
+    stream, every window of ``window`` consecutive hashes selects its
+    MINIMUM (rightmost occurrence on ties), and the distinct selected
+    (position, hash) pairs are the document's fingerprints. Any shared
+    substring of ≥ window+k-1 words between two documents is guaranteed
+    to share a fingerprint — the property `fingerprint` (single global
+    min) cannot give.
+
+    Documents shorter than one window keep their single minimum. Pure
+    codegen'd higher-order functions over md5 strings: per-doc work,
+    no shuffle until the final distinct, engine-reproducible
+    bit-for-bit. Returns exploded (doc_id, pos, hash) rows — join two
+    documents' outputs on hash to locate shared passages."""
+    h0 = F.transform(shingles(text_col, k), F.md5)
+
+    def select_fps(hh):
+        n = F.size(hh)
+        we = F.least(F.lit(window), n)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - we),
+                lambda i: F.transform(
+                    F.array(F.array_min(F.slice(hh, i + 1, we))),
+                    lambda m: F.struct(
+                        F.array_max(
+                            F.filter(
+                                F.sequence(i, i + we - 1),
+                                lambda j: F.element_at(hh, j + 1) == m,
+                            )
+                        ).alias("pos"),
+                        m.alias("hash"),
+                    ),
+                ).getItem(0),
+            )
+        )
+
+    fps = F.transform(F.array(h0), select_fps).getItem(0)  # bind h once
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp"))
+        .select("doc_id", F.col("fp.pos").alias("pos"), F.col("fp.hash").alias("hash"))
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     top_k: int = 5,
@@ -623,5 +674,5 @@ __all__ = [
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
     "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
-    "tfidf_keywords",
+    "tfidf_keywords", "winnow_fingerprints",
 ]

@@ -1256,3 +1256,31 @@ def test_tfidf_keywords(spark, docs):
     again = {(r["doc_id"], r["rank"], r["term"]) for r in
              textstats.tfidf_keywords(corpus.repartition(5), top_k=3).collect()}
     assert again == {(r["doc_id"], r["rank"], r["term"]) for r in rows}
+
+
+def test_winnow_guarantee_and_tiebreak(spark):
+    """The winnowing guarantee: two documents sharing a passage of
+    ≥ window+k-1 (= 8) words select at least one common fingerprint
+    hash; a sub-window doc yields its single min; selection is
+    deterministic across parallelism."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} totally different tail words here"),
+        (3, "tiny doc"),  # < k words → single whole-doc shingle
+        (4, "unrelated content about graphs and joins entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.winnow_fingerprints(df, k=5, window=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["hash"])
+    assert fps[1] & fps[2], "shared 8-word passage must share a fingerprint"
+    assert not (fps[4] & fps[1])
+    assert len(fps[3]) == 1  # one window, one min
+    # positions are in-range and the selection replays bit-for-bit
+    again = {
+        (r["doc_id"], r["pos"], r["hash"])
+        for r in textstats.winnow_fingerprints(df.repartition(3), k=5, window=4).collect()
+    }
+    assert again == {(r["doc_id"], r["pos"], r["hash"]) for r in out.collect()}
