@@ -909,6 +909,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_winnow"] = text_winnow
 
+    def dedup_winnow_pairs(spark, sf_dir):
+        """Shared-passage pairs via winnowing (textstats.winnow_pairs)
+        over the near-dup injection: inverted-index join on the
+        fingerprint hash, never doc×doc; pairs sharing ≥5 selected
+        hashes."""
+        return textstats.winnow_pairs(
+            _aug_near(_docs(spark, sf_dir)), min_shared=5, k=5, window=4
+        )
+
+    q["dedup_winnow_pairs"] = dedup_winnow_pairs
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2424,6 +2435,27 @@ def oracle_sql() -> dict[str, str]:
           FROM h),
         e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
         SELECT DISTINCT doc_id, fp.pos::INT AS pos, fp.hash AS hash FROM e
+    """
+
+    # dedup_winnow_pairs: the text_winnow pipeline over the near-dup
+    # injection, then the inverted-index pair join
+    o["dedup_winnow_pairs"] = rf"""
+        WITH aug AS ({_SQL_AUG_NEAR}),
+        w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM aug),
+        sh AS (SELECT doc_id, w, {_sql_shingles(5)} AS shingles FROM w),
+        h AS (SELECT doc_id, [md5(s) for s in shingles] AS h FROM sh),
+        sel AS (
+          SELECT doc_id,
+                 [{{'pos': list_max([j for j in range(i, i + least(4, len(h)))
+                                     if h[j + 1] = list_min(list_slice(h, i + 1, i + least(4, len(h))))]),
+                    'hash': list_min(list_slice(h, i + 1, i + least(4, len(h))))}}
+                  for i in range(0, len(h) - least(4, len(h)) + 1)] AS fps
+          FROM h),
+        e AS (SELECT DISTINCT doc_id, (unnest(fps)).hash AS hash FROM sel),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM e a JOIN e b ON a.hash = b.hash AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, count(*) AS n_shared
+        FROM p GROUP BY id_a, id_b HAVING count(*) >= 5
     """
 
     # crawl_trap_filter: same synthesized URL mix, same RE2 trap regexes

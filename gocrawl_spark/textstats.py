@@ -621,6 +621,35 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    plagiarism/shared-passage detection with the winnowing guarantee
+    (every common run of ≥ window+k-1 words contributes at least one
+    shared hash). The join is an inverted-index equi-join on the hash
+    (id_a < id_b), never doc×doc; hot hashes (boilerplate shared by
+    thousands of docs) are the skew risk — cut them with a df filter
+    upstream if needed. Returns (id_a, id_b, n_shared)."""
+    fp = winnow_fingerprints(docs, k, window, id_col, text_col).select(
+        "doc_id", "hash"
+    ).distinct()
+    a = fp.select(F.col("doc_id").alias("id_a"), "hash")
+    b = fp.select(F.col("doc_id").alias("id_b"), "hash")
+    return (
+        a.join(b, "hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     top_k: int = 5,
@@ -674,5 +703,5 @@ __all__ = [
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
     "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
-    "tfidf_keywords", "winnow_fingerprints",
+    "tfidf_keywords", "winnow_fingerprints", "winnow_pairs",
 ]

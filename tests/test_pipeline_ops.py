@@ -1284,3 +1284,17 @@ def test_winnow_guarantee_and_tiebreak(spark):
         for r in textstats.winnow_fingerprints(df.repartition(3), k=5, window=4).collect()
     }
     assert again == {(r["doc_id"], r["pos"], r["hash"]) for r in out.collect()}
+
+
+def test_winnow_pairs_finds_shared_passages(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"intro words {shared} closing remarks here"),
+        (2, f"{shared} and then something else entirely follows"),
+        (3, "no overlap with anything else in this corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in textstats.winnow_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in k for k in got)
