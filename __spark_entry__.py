@@ -920,6 +920,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_winnow_pairs"] = dedup_winnow_pairs
 
+    def crawl_change_rates(spark, sf_dir):
+        """Cho & Garcia-Molina change-frequency estimation
+        (scheduler.change_rates) over a synthesized 4-generation
+        observation history: doc_id%3==0 pages change every generation,
+        %3==1 change once (at gen 2), the rest are static. Feeds
+        refresh_priorities → the freshness-driven re-crawl order."""
+        from gocrawl_spark import scheduler as sch
+
+        d = F.col("doc_id")
+        hist = (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("generation"))
+            .select(
+                F.concat(F.lit("https://h.example.com/doc/"), d.cast("string")).alias("url"),
+                "generation",
+                F.when(d % 3 == 0, F.col("generation"))
+                .when((d % 3 == 1) & (F.col("generation") >= 2), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("page_ts"),
+            )
+        )
+        return sch.change_rates(hist)
+
+    q["crawl_change_rates"] = crawl_change_rates
+
     def ann_lsh(spark, sf_dir):
         """Sign-LSH top-k with the md5-derived Rademacher projection —
         bucket keys reproducible in the DuckDB oracle."""
@@ -2456,6 +2481,30 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.hash = b.hash AND a.doc_id < b.doc_id)
         SELECT id_a, id_b, count(*) AS n_shared
         FROM p GROUP BY id_a, id_b HAVING count(*) >= 5
+    """
+
+    # crawl_change_rates: same synthesized history, same lag-based
+    # change counting, same Poisson-MLE continuity-corrected estimator
+    o["crawl_change_rates"] = r"""
+        WITH hist AS (
+          SELECT 'https://h.example.com/doc/' || doc_id::VARCHAR AS url,
+                 g AS generation,
+                 CASE WHEN doc_id % 3 = 0 THEN g
+                      WHEN doc_id % 3 = 1 AND g >= 2 THEN 1
+                      ELSE 0 END AS page_ts
+          FROM documents, unnest(range(0, 4)) AS t(g)),
+        obs AS (
+          SELECT url, page_ts,
+                 lag(page_ts) OVER (PARTITION BY url ORDER BY generation) AS prev
+          FROM hist),
+        agg AS (
+          SELECT url, count(*) AS n_obs,
+                 sum(CASE WHEN prev IS NOT NULL AND page_ts <> prev THEN 1 ELSE 0 END)::BIGINT AS n_changes
+          FROM obs GROUP BY url)
+        SELECT url, n_obs, n_changes,
+               round(-ln(((n_obs - 1)::DOUBLE - n_changes::DOUBLE + 0.5)
+                         / ((n_obs - 1)::DOUBLE + 0.5)), 6) + 0.0 AS change_rate
+        FROM agg WHERE n_obs >= 2
     """
 
     # crawl_trap_filter: same synthesized URL mix, same RE2 trap regexes

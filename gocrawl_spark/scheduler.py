@@ -26,6 +26,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gocrawl_spark.rounds import CrawlConfig, CrawlRun
 
@@ -101,6 +102,77 @@ def generation_diff(
         )
 
     return diff_corpus(snap(gen_a), snap(gen_b), key="url", content="content")
+
+
+def change_rates(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "page_ts",
+    gen_col: str = "generation",
+) -> DataFrame:
+    """Per-URL change-frequency estimate from per-generation page
+    version stamps — Cho & Garcia-Molina's estimator (TOIT 2003,
+    "Estimating frequency of change"): with n observation intervals of
+    which X showed a changed version,
+
+        change_rate = −ln((n − X + 0.5) / (n + 0.5))
+
+    (the Poisson MLE with the 0.5 continuity correction, consistent
+    even though multiple changes inside one interval are observed as
+    one). Input rows: one observation per (url, generation) with any
+    comparable version stamp (``page_ts`` from reuse_unchanged
+    generations, a warc_ts, or a content hash). URLs with fewer than
+    two observations are dropped. One url-keyed window + one groupBy —
+    O(history) at any scale. Returns
+    (url, n_obs, n_changes, change_rate)."""
+    from pyspark.sql import Window as W
+
+    obs = history.select(
+        F.col(url_col).alias("url"), F.col(gen_col).alias("gen"), F.col(ts_col).alias("ts")
+    ).withColumn("_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen")))
+    agg = obs.groupBy("url").agg(
+        F.count("*").alias("n_obs"),
+        F.sum(
+            F.when(F.col("_prev").isNotNull() & (F.col("ts") != F.col("_prev")), 1)
+            .otherwise(0)
+        ).alias("n_changes"),
+    )
+    n_int = (F.col("n_obs") - 1).cast("double")
+    x = F.col("n_changes").cast("double")
+    return agg.filter(F.col("n_obs") >= 2).select(
+        "url",
+        "n_obs",
+        "n_changes",
+        # + 0.0 folds IEEE −0.0 (from −ln(1) on never-changing urls)
+        # to +0.0 so the value is engine- and repr-stable
+        (F.round(-F.log((n_int - x + 0.5) / (n_int + 0.5)), 6) + F.lit(0.0)).alias(
+            "change_rate"
+        ),
+    )
+
+
+def refresh_priorities(rates: DataFrame, base: int = 5) -> DataFrame:
+    """(url_hash, priority) overrides for CrawlRun(rank_priority=...):
+    fast-changing pages re-crawl first. Fixed rate thresholds (pure
+    map-side expression, no sort): ≥1.0 changes/interval → base+3,
+    ≥0.5 → base+2, ≥0.2 → base+1; slower pages keep the default and
+    are dropped from the override table. Compose with the scheduler:
+    gen N's rates (from change_rates over gens ≤ N) prioritize gen
+    N+1's frontier — the freshness-driven analogue of the link-rank
+    feedback loop."""
+    from gocrawl_spark import udfs
+
+    r = F.col("change_rate")
+    pri = (
+        F.when(r >= 1.0, base + 3)
+        .when(r >= 0.5, base + 2)
+        .when(r >= 0.2, base + 1)
+        .otherwise(base)
+    )
+    out = rates.select("url", pri.cast("int").alias("priority")).filter(
+        F.col("priority") > base
+    )
+    return udfs.with_url_identity(out).select("url_hash", "priority")
 
 
 def run_schedule(
@@ -193,5 +265,5 @@ def run_schedule(
 
 __all__ = [
     "run_schedule", "generations", "last_finished_generation", "seeds_of",
-    "generation_rank", "generation_diff",
+    "generation_rank", "generation_diff", "change_rates", "refresh_priorities",
 ]

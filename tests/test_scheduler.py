@@ -259,3 +259,33 @@ def test_schedule_reuse_matches_fresh_generation(spark, corpus, sources, tmp_pat
         }
 
     assert snap(1) == snap(0)
+
+
+def test_change_rates_estimator(spark):
+    """Cho & Garcia-Molina estimator: hand-computed rates for
+    always-changing, once-changing, and static observation histories;
+    single-observation urls are dropped."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    rows = []
+    for g in range(4):
+        rows.append(("hot", g, g))          # changes every interval
+        rows.append(("warm", g, 1 if g >= 2 else 0))  # one change
+        rows.append(("cold", g, 7))         # never changes
+    rows.append(("single", 0, 0))           # one observation → dropped
+    hist = spark.createDataFrame(rows, "url string, generation int, page_ts int")
+    got = {r["url"]: r for r in scheduler.change_rates(hist).collect()}
+    assert set(got) == {"hot", "warm", "cold"}
+    assert got["hot"]["n_changes"] == 3
+    assert got["hot"]["change_rate"] == round(-math.log(0.5 / 3.5), 6)
+    assert got["warm"]["change_rate"] == round(-math.log(2.5 / 3.5), 6)
+    assert got["cold"]["change_rate"] == 0.0 and str(got["cold"]["change_rate"])[0] != "-"
+    # priorities: hot pages outrank, static pages drop out of overrides
+    pri = {r["url_hash"]: r["priority"]
+           for r in scheduler.refresh_priorities(scheduler.change_rates(hist)).collect()}
+    import hashlib
+    h = lambda u: hashlib.sha256(u.encode()).hexdigest()
+    assert pri.get(h("hot"), 0) > pri.get(h("warm"), 0) > 0
+    assert h("cold") not in pri
