@@ -238,6 +238,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_line_dedup"] = text_line_dedup
 
+    def text_boilerplate_host(spark, sf_dir):
+        """HOST-scoped boilerplate cut (dedup.line_dedup_host — the
+        CCNet per-shard / RefinedWeb per-site rule): every doc gains
+        its source's footer line (repeats in ≥25% of the SAME host's
+        docs → dropped) and every 50th doc a headline quoted across
+        sources — which the corpus-global line_dedup would cut but the
+        host-scoped rule keeps wherever no single source crosses the
+        25% bar. Boilerplate aggregates on (host, line-hash); per-host
+        totals broadcast."""
+        d = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.lit("\nFooter of "), F.col("source"), F.lit(" site."),
+            F.when(
+                d % 50 == 0,
+                F.lit("\nBreaking: shared headline quoted everywhere."),
+            ).otherwise(F.lit("")),
+            F.lit("\nUnique line for doc "), d.cast("string"),
+        )
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "source", aug.alias("text")
+        )
+        return dedup.line_dedup_host(docs, min_docs=2, min_frac=0.25)
+
+    q["text_boilerplate_host"] = text_boilerplate_host
+
+    def curate_host_stats(spark, sf_dir):
+        """Per-host reputation rollup (curation.host_stats — the
+        RefinedWeb site-level gate) over documents ∪ exact copies of
+        every 50th doc, so mirror-heavy hosts show a real dup_rate:
+        one scan, one map-side-combined groupBy on the host; the
+        text-hash distinct keys on (host, md5) so a giant mirror host
+        spreads instead of hot-spotting one reducer."""
+        return curation.host_stats(_aug_exact(_docs(spark, sf_dir)))
+
+    q["curate_host_stats"] = curate_host_stats
+
+    def text_quality_clf(spark, sf_dir):
+        """fasttext-architecture quality-classifier inference
+        (curation.clf_score, Joulin et al. 2016): hashed
+        unigram+bigram bag → broadcast (bucket, weight) join → one
+        doc_id shuffle with map-side partial sums → codegen'd sigmoid.
+        Weights here are the md5 stand-in (curation.hash_weights);
+        production loads trained weights into the same table shape and
+        the plan is unchanged."""
+        docs = _docs(spark, sf_dir)
+        w = curation.hash_weights(spark, buckets=1024, seed="quality-clf")
+        return curation.clf_score(docs, w, buckets=1024)
+
+    q["text_quality_clf"] = text_quality_clf
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3085,6 +3136,101 @@ def oracle_sql() -> dict[str, str]:
         FROM cand, c
         WHERE (CASE kind WHEN 'all' THEN n WHEN 'art' THEN n_art
                ELSE n_page END / n) >= 0.2
+    """
+
+    # text_boilerplate_host: line_dedup re-derived with the (host, hash)
+    # grouping and the ≥max(min_docs, ceil(frac·n_host)) threshold
+    o["text_boilerplate_host"] = r"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 text || chr(10) || 'Footer of ' || source || ' site.'
+                      || CASE WHEN doc_id % 50 = 0
+                              THEN chr(10) || 'Breaking: shared headline quoted everywhere.'
+                              ELSE '' END
+                      || chr(10) || 'Unique line for doc ' || doc_id::VARCHAR AS text
+          FROM documents),
+        ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM aug),
+        ex AS (SELECT doc_id, source, u.pos, u.line
+               FROM ls, LATERAL (SELECT unnest(l) AS line,
+                                        unnest(range(1, len(l)+1)) AS pos) u),
+        h AS (SELECT doc_id, source, pos, line,
+                     md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS hh
+              FROM ex),
+        ht AS (SELECT source, count(DISTINCT doc_id) AS n_host FROM aug GROUP BY source),
+        boiler AS (SELECT h.source, h.hh
+                   FROM h JOIN ht ON h.source = ht.source
+                   GROUP BY h.source, h.hh, ht.n_host
+                   HAVING count(DISTINCT h.doc_id) >= 2
+                      AND count(DISTINCT h.doc_id) >= ceil(0.25 * ht.n_host)),
+        kept AS (SELECT h.* FROM h LEFT JOIN boiler b
+                   ON h.source = b.source AND h.hh = b.hh
+                 WHERE b.hh IS NULL),
+        reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(l)::INTEGER AS n_lines FROM ls)
+        SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_lines,
+               coalesce(r.n_kept, 0)::INTEGER AS n_kept
+        FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """
+
+    # curate_host_stats: the quality expression is the text_quality
+    # twin verbatim; dup injection is _SQL_AUG_EXACT
+    o["curate_host_stats"] = rf"""
+        WITH aug AS ({_SQL_AUG_EXACT}),
+        t AS (
+          SELECT source AS host, doc_id, lang, md5(text) AS th,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) AS tok,
+                 len(regexp_extract_all(lower(text), '{_stop}', 1)) AS stop_hits,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct_cnt,
+                 length(text)::DOUBLE AS n_chars
+          FROM aug),
+        tq AS (
+          SELECT host, doc_id, lang, th, tok,
+                 round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE,
+                         (CASE WHEN tok > 0 THEN stop_hits / tok::DOUBLE
+                               ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                     + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                         (CASE WHEN n_chars > 0 THEN punct_cnt / n_chars
+                               ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)), 6) AS q
+          FROM t),
+        a AS (
+          SELECT host, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+                 count(DISTINCT lang) AS n_langs,
+                 count(DISTINCT th) AS n_uniq,
+                 round(avg(q), 4) AS mean_quality
+          FROM tq GROUP BY host)
+        SELECT host, n_docs, n_tokens, n_langs,
+               round(1.0 - n_uniq::DOUBLE / n_docs, 6) AS dup_rate,
+               mean_quality,
+               (mean_quality >= 0.5 AND
+                round(1.0 - n_uniq::DOUBLE / n_docs, 6) <= 0.5) AS keep
+        FROM a
+    """
+
+    # text_quality_clf: dsir_select's hashed-bucket feature stream,
+    # md5 stand-in weights, round(sum,6) → sigmoid → round 6
+    o["text_quality_clf"] = rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        f AS (SELECT doc_id,
+                     unnest(w || [w[i+1] || ' ' || w[i+2] for i in range(0, len(w)-1)]) AS f
+              FROM w),
+        b AS (SELECT doc_id,
+                     (('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024)::INT AS bucket
+              FROM f),
+        wt AS (SELECT i::INT AS bucket,
+                      round((('0x' || substr(md5('quality-clf:' || i), 1, 8))::UBIGINT::DOUBLE
+                             / 4294967296.0) * 2 - 1, 6) AS weight
+               FROM range(0, 1024) t(i)),
+        agg AS (SELECT b.doc_id, count(*) AS n_feats, round(sum(wt.weight), 6) AS s
+                FROM b JOIN wt USING (bucket) GROUP BY b.doc_id),
+        sc AS (SELECT d.doc_id,
+                      coalesce(a.n_feats, 0)::INTEGER AS n_feats,
+                      round(1.0 / (1.0 + exp(-(coalesce(a.s, 0.0)
+                          / greatest(coalesce(a.n_feats, 0)::DOUBLE, 1.0)))), 6) AS score
+               FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+        SELECT doc_id, n_feats, score, score >= 0.5 AS keep FROM sc
     """
 
     return o

@@ -466,6 +466,144 @@ def dsir_sample(
     )
 
 
+def host_stats(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_quality: float = 0.5,
+    max_dup_rate: float = 0.5,
+) -> DataFrame:
+    """Per-host reputation rollup (the RefinedWeb/C4 site-level gate:
+    hosts full of duplicated or low-quality pages get cut wholesale,
+    before any per-document work). One row per host:
+
+      (host, n_docs, n_tokens, n_langs, dup_rate, mean_quality, keep)
+
+    dup_rate = 1 − distinct(md5(text))/n_docs within the host (share
+    of pages that are byte-copies of another page on the same host —
+    mirror trees, session-id aliases, soft-404 templates); keep =
+    mean_quality ≥ `min_quality` AND dup_rate ≤ `max_dup_rate`.
+    dup_rate rounds to 6 dp (pure integer ratio); mean_quality to 4 dp
+    (an avg of 6-dp addends — same engine-stability contract as
+    dsir_weights' round(sum, 4)).
+
+    Scale shape (10^10 docs): ONE corpus scan; quality/token counts
+    are codegen'd projections, the rollup is one groupBy on the host
+    with map-side partial aggregation (output ≈ #hosts rows). The
+    exact text-hash distinct uses Spark's two-phase distinct-agg
+    expansion — keyed by (host, md5), so one giant mirror host spreads
+    across the cluster rather than hot-spotting a single reducer. The
+    result is small enough to broadcast back onto the corpus as the
+    keep-filter join.
+    """
+    q6 = F.round(textstats.quality_score(text_col), 6)
+    per_doc = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        textstats.token_count(text_col).alias("_tok"),
+        F.md5(F.col(text_col)).alias("_th"),
+        q6.alias("_q"),
+    )
+    agg = per_doc.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.count_distinct("_lang").alias("n_langs"),
+        F.count_distinct("_th").alias("_n_uniq"),
+        F.round(F.avg("_q"), 4).alias("mean_quality"),
+    )
+    dup_rate = F.round(
+        F.lit(1.0) - F.col("_n_uniq").cast("double") / F.col("n_docs"), 6
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        dup_rate.alias("dup_rate"),
+        "mean_quality",
+        (
+            (F.col("mean_quality") >= F.lit(float(min_quality)))
+            & (dup_rate <= F.lit(float(max_dup_rate)))
+        ).alias("keep"),
+    )
+
+
+def hash_weights(
+    spark, buckets: int = 1024, seed: str = "quality-clf"
+) -> DataFrame:
+    """Deterministic stand-in weight vector for `clf_score`: one row
+    per hashed-feature bucket, weight = md5(seed ':' bucket) first 8
+    hex chars → uint32 → uniform [−1, 1), rounded to 6 dp — the same
+    md5-randomness contract as ann_lsh's Rademacher planes and
+    dsir_sample's Gumbel noise, rebuildable bit-for-bit by any engine.
+    In production you'd load REAL trained weights (fasttext / logreg
+    export) into this same (bucket, weight) shape; every downstream
+    plan is identical.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col("id").cast("string")))
+    u = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    return spark.range(buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.round(u * 2.0 - 1.0, 6).alias("weight"),
+    )
+
+
+def clf_score(
+    corpus: DataFrame,
+    weights: DataFrame,
+    buckets: int = 1024,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear-classifier inference over the hashed unigram+bigram bag
+    (fasttext-architecture quality/topic filtering, Joulin et al. 2016
+    — the model CCNet/LLaMA-style pipelines use for "looks like a
+    reference page" scoring): score = σ(bias + mean weight of the
+    document's feature occurrences), keep = score ≥ `threshold`.
+    `weights` is a (bucket, weight) table — trained weights in
+    production, `hash_weights` in tests. Returns
+    (doc_id, n_feats, score, keep); a featureless document scores
+    σ(bias). The weight sum rounds to 6 dp before the sigmoid — the
+    SAME granularity as the 6-dp weights, so float addition-order
+    noise (~1e-13) can never straddle a rounding boundary — and the
+    score to 6 dp.
+
+    Scale shape (100 TB): the weight table is ≤ `buckets` rows —
+    broadcast however large the corpus — so inference is feature
+    explode → broadcast equi-join → ONE doc_id shuffle with map-side
+    partial sums. No UDF, no driver hop; the sigmoid is a codegen'd
+    scalar on the aggregated row, ~#docs rows.
+    """
+    feats = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"),
+    )
+    agg = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("weight"), 6).alias("_s"),
+        )
+    )
+    base = corpus.select(F.col(id_col).alias("doc_id"))
+    x = F.lit(float(bias)) + F.coalesce(F.col("_s"), F.lit(0.0)) / F.greatest(
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("double"), F.lit(1.0)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6)
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).cast("int").alias("n_feats"),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
     "shuffle_key", "shard_col", "shuffle_shards", "write_training_shards",
@@ -473,4 +611,5 @@ __all__ = [
     "host_suffixes", "blocklist_filter",
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
     "dsir_sample",
+    "host_stats", "hash_weights", "clf_score",
 ]

@@ -503,6 +503,77 @@ def line_dedup(
     )
 
 
+def line_dedup_host(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+    min_docs: int = 2,
+    min_frac: float = 0.25,
+) -> DataFrame:
+    """HOST-scoped boilerplate cut (the CCNet per-shard / RefinedWeb
+    per-site variant of `line_dedup`): a line is boilerplate only when
+    its normalized form appears in ≥ `min_docs` AND ≥
+    ceil(min_frac · n_docs(host)) distinct documents OF THE SAME HOST.
+    A sentence shared by two documents on different hosts (a quoted
+    headline, a common disclaimer phrase) survives — unlike the
+    corpus-global `line_dedup`, which drops it. This is the politer
+    production default: nav bars and footers repeat *within* a site;
+    prose that happens to repeat *across* sites is usually content.
+
+    Returns (doc_id, text, n_lines, n_kept) with surviving lines
+    rejoined in original order, exactly like `line_dedup`.
+
+    Scale shape (10^10 docs): per-host doc totals are one map-side-
+    combined groupBy on the host (output ≈ #hosts rows, broadcastable);
+    the boilerplate table aggregates on (host, line-hash) — higher
+    cardinality and better balanced than the global line hash, since a
+    hot line on one giant host no longer collides with every other
+    host's copy — and only threshold-crossers survive the HAVING, so
+    the anti-join back is broadcast-sized per AQE. Reassembly shuffles
+    (id, pos, line) once on doc_id. No driver hop, no UDF.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("_host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", line_key(F.col("line")))
+    host_totals = docs.groupBy(F.col(host_col).alias("_host")).agg(
+        F.count_distinct(F.col(id_col)).alias("_n_host")
+    )
+    boiler = (
+        lines.groupBy("_host", "_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .join(host_totals, "_host")
+        .filter(
+            (F.col("_nd") >= min_docs)
+            & (F.col("_nd") >= F.ceil(F.lit(float(min_frac)) * F.col("_n_host")))
+        )
+        .select("_host", "_h")
+    )
+    kept = lines.join(boiler, ["_host", "_h"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+    )
+
+
 def substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -718,5 +789,6 @@ __all__ = [
     "ngram_jaccard_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters",
-    "line_key", "line_dedup", "substring_spans", "MinHashIndex",
+    "line_key", "line_dedup", "line_dedup_host", "substring_spans",
+    "MinHashIndex",
 ]

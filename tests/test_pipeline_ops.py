@@ -1298,3 +1298,123 @@ def test_winnow_pairs_finds_shared_passages(spark):
            for r in textstats.winnow_pairs(df, min_shared=2).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 2
     assert not any(3 in k for k in got)
+
+
+# ---------------------------------------------- host-scoped curation ops
+
+
+def test_line_dedup_host_scopes_boilerplate_to_the_host(spark):
+    from gocrawl_spark import curation  # noqa: F401  (shared import style)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "Footer of A\nbody alpha\nshared quote line"),
+            (2, "a.com", "Footer of A\nbody beta"),
+            (3, "a.com", "Footer of A\nbody gamma"),
+            (4, "a.com", "Footer of A\nbody delta"),
+            (5, "b.com", "Footer of B\nbody epsilon\nshared quote line"),
+            (6, "b.com", "Footer of B\nbody zeta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup_host(docs, min_docs=2, min_frac=0.25).collect()
+    }
+    # the per-host footers repeat in 100% of their host's docs -> cut
+    assert got[2]["text"] == "body beta"
+    assert got[6]["text"] == "body zeta"
+    # 'shared quote line' spans two docs but on DIFFERENT hosts: the
+    # host-scoped rule keeps it (1 doc per host each) while the
+    # corpus-global line_dedup drops it
+    assert got[1]["text"] == "body alpha\nshared quote line"
+    assert got[5]["text"] == "body epsilon\nshared quote line"
+    global_got = {r["doc_id"]: r for r in dedup.line_dedup(docs, min_docs=2).collect()}
+    assert global_got[1]["text"] == "body alpha"
+    # n_lines counts the input, n_kept the survivors
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept"] == 2
+
+
+def test_line_dedup_host_min_frac_gate(spark):
+    # 2 of 10 docs share a line: >= min_docs=2 but < ceil(0.25*10)=3,
+    # so the frac gate keeps it; with min_frac=0 it dies
+    rows = [(i, "h.com", f"body {i}" + ("\nrare shared" if i < 2 else ""))
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    frac = {r["doc_id"]: r for r in
+            dedup.line_dedup_host(docs, min_docs=2, min_frac=0.25).collect()}
+    nofrac = {r["doc_id"]: r for r in
+              dedup.line_dedup_host(docs, min_docs=2, min_frac=0.0).collect()}
+    assert frac[0]["text"] == "body 0\nrare shared"
+    assert nofrac[0]["text"] == "body 0"
+
+
+def test_host_stats_rollup_and_keep_gate(spark):
+    from gocrawl_spark import curation
+
+    good = ("This is a perfectly reasonable sentence that has the "
+            "usual mix of stopwords and content for a web page.") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, "mirror.com", good, "en"),
+            (2, "mirror.com", good, "en"),          # byte-copy of 1
+            (3, "mirror.com", good + " extra", "en"),
+            (4, "fine.com", good, "en"),
+            (5, "fine.com", good + " more words", "de"),
+            (6, "junk.com", "$$$ !!! ###", "en"),
+        ],
+        "doc_id long, source string, text string, lang string",
+    )
+    got = {r["host"]: r for r in curation.host_stats(docs).collect()}
+    m = got["mirror.com"]
+    assert m["n_docs"] == 3 and m["n_langs"] == 1
+    assert m["dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    f = got["fine.com"]
+    assert f["dup_rate"] == 0.0 and f["n_langs"] == 2 and f["keep"] is True
+    # junk.com: symbol soup scores low quality -> cut wholesale
+    assert got["junk.com"]["keep"] is False
+    # mirror.com: dup_rate 0.333 <= 0.5 and decent quality -> kept;
+    # tighten the gate and it dies
+    assert m["keep"] is True
+    tight = {r["host"]: r for r in
+             curation.host_stats(docs, max_dup_rate=0.2).collect()}
+    assert tight["mirror.com"]["keep"] is False
+    # token totals are exact integer sums
+    assert f["n_tokens"] == (
+        docs.filter("source = 'fine.com'")
+        .select(F.sum(textstats.token_count("text"))).first()[0]
+    )
+
+
+def test_clf_score_inference_contract(spark):
+    from gocrawl_spark import curation
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world"), (3, "")],
+        "doc_id long, text string",
+    )
+    # all-ones weights: every feature contributes +1, mean = 1,
+    # score = sigmoid(1) for any non-empty doc
+    ones = spark.range(1024).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(1.0).alias("weight")
+    )
+    got = {r["doc_id"]: r for r in
+           curation.clf_score(docs, ones, buckets=1024).collect()}
+    sig1 = round(1 / (1 + __import__("math").exp(-1.0)), 6)
+    assert got[1]["n_feats"] == 1 and got[1]["score"] == pytest.approx(sig1)
+    # 'hello world' -> 2 unigrams + 1 bigram = 3 occurrences, mean 1
+    assert got[2]["n_feats"] == 3 and got[2]["score"] == pytest.approx(sig1)
+    # featureless doc scores sigmoid(bias)=0.5 and keeps at >= 0.5
+    assert got[3]["n_feats"] == 0 and got[3]["score"] == 0.5
+    assert got[3]["keep"] is True
+    # md5 stand-in weights reproduce the hand computation end-to-end
+    w = curation.hash_weights(spark, buckets=1024, seed="quality-clf")
+    got_h = curation.clf_score(docs, w, buckets=1024).collect()
+    bucket = int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 1024
+    wt = round(
+        int(hashlib.md5(f"quality-clf:{bucket}".encode()).hexdigest()[:8], 16)
+        / 2**32 * 2 - 1, 6)
+    import math
+    expect = round(1 / (1 + math.exp(-round(wt, 6))), 6)
+    one = {r["doc_id"]: r for r in got_h}[1]
+    assert one["score"] == pytest.approx(expect, abs=2e-6)
