@@ -289,6 +289,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality_clf"] = text_quality_clf
 
+    def corpus_mixture_select(spark, sf_dir):
+        """Token-budget mixture selection (curation.mixture_select —
+        the "N tokens per language" data-mixing step): docs taken in
+        shuffle_key order per language until the quota, straddler
+        included. Quotas exercise every edge: en/de partial, fr above
+        its total (keep all), es zero (keep none), zh absent (excluded
+        from the output). The bucket-prefix plan windows only the ONE
+        boundary bucket per language; the oracle is the naive global
+        window — equivalence IS the test."""
+        return curation.mixture_select(
+            _docs(spark, sf_dir),
+            {"en": 3000, "de": 1000, "fr": 1_000_000, "es": 0},
+        )
+
+    q["corpus_mixture_select"] = corpus_mixture_select
+
+    def search_fuzzy(spark, sf_dir):
+        """ES match-with-fuzziness (search.fuzzy_topk): the misspelled
+        query "tble scann" expands against the corpus VOCABULARY
+        (distinct terms only — never a corpus scan per candidate) to
+        near-spellings within Levenshtein 1 sharing the first letter,
+        then scores total expansion-term occurrences per doc.
+        Expansion set ≤ 50/term by (distance, term) — ES's
+        max_expansions with a deterministic tie-break."""
+        return search.fuzzy_topk(
+            _docs(spark, sf_dir), "tble scann",
+            text_col="text", id_col="doc_id", k=10,
+            fuzziness=1, prefix_length=1,
+        )
+
+    q["search_fuzzy"] = search_fuzzy
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3231,6 +3263,50 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(coalesce(a.n_feats, 0)::DOUBLE, 1.0)))), 6) AS score
                FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
         SELECT doc_id, n_feats, score, score >= 0.5 AS keep FROM sc
+    """
+
+    # corpus_mixture_select: the naive per-language global ordered
+    # cumsum — the bucket-split engine plan must match it exactly
+    o["corpus_mixture_select"] = r"""
+        WITH q AS (SELECT * FROM (VALUES
+            ('en', 3000), ('de', 1000), ('fr', 1000000), ('es', 0))
+            AS v(lang, quota)),
+        t AS (SELECT doc_id, lang,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     md5(doc_id::VARCHAR || ':gocrawl') AS k
+              FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY k, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+              FROM t)
+        SELECT c.doc_id, c.lang, c.n_tokens::BIGINT AS n_tokens,
+               (c.cb < q.quota) AS keep
+        FROM c JOIN q USING (lang)
+    """
+
+    # search_fuzzy: vocab-expanded Levenshtein-1 match, same analyzer,
+    # same (distance, term) 50-cap, same per-query-term score sum
+    o["search_fuzzy"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents),
+        v AS (SELECT DISTINCT unnest(toks) AS term FROM t),
+        e1 AS (SELECT term FROM (
+                 SELECT term, levenshtein(term, 'tble') AS d FROM v
+                 WHERE abs(length(term) - 4) <= 1 AND substr(term, 1, 1) = 't'
+                   AND levenshtein(term, 'tble') <= 1
+                 ORDER BY d, term LIMIT 50)),
+        e2 AS (SELECT term FROM (
+                 SELECT term, levenshtein(term, 'scann') AS d FROM v
+                 WHERE abs(length(term) - 5) <= 1 AND substr(term, 1, 1) = 's'
+                   AND levenshtein(term, 'scann') <= 1
+                 ORDER BY d, term LIMIT 50)),
+        exp AS (SELECT term FROM e1 UNION ALL SELECT term FROM e2),
+        p AS (SELECT id, unnest(toks) AS term FROM t),
+        sc AS (SELECT p.id, count(*)::DOUBLE AS score
+               FROM p JOIN exp USING (term) GROUP BY p.id)
+        SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10
     """
 
     return o

@@ -604,6 +604,89 @@ def clf_score(
     )
 
 
+def mixture_select(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Token-budget mixture selection (the "2B tokens per language"
+    data-mixing step): within each language, documents are taken in
+    the deterministic `shuffle_key` order until the cumulative token
+    count reaches that language's quota; the document that straddles
+    the boundary is included (keep ⇔ tokens-before-me < quota — the
+    pack_sequences cut convention). Languages absent from `quotas`
+    are excluded from the output. Returns
+    (doc_id, lang, n_tokens, keep) — deterministic at any parallelism,
+    on re-runs, and across engines.
+
+    Scale shape (10^10 docs/language): the naive form is a
+    per-language GLOBAL ordered cumsum — a one-reducer bottleneck.
+    Instead the shuffle key's first 3 hex chars split each language
+    into 4096 ordered buckets (key order ≡ bucket order, since the
+    bucket is a key prefix): one map-side-combined groupBy gives
+    per-(lang, bucket) token sums (≤ langs·4096 counter rows,
+    O(counters) driver fold — the frontier pop_split precedent), the
+    driver's prefix scan classifies every bucket keep-all / drop-all /
+    boundary, and only the ONE boundary bucket per language (~1/4096
+    of that language) pays an ordered window. Everything else is a
+    broadcast-joined constant-time predicate.
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(l, int(v)) for l, v in sorted(quotas.items())],
+        "lang string, _quota long",
+    )
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        textstats.token_count(text_col).alias("n_tokens"),
+        shuffle_key(id_col, seed).alias("_k"),
+    ).withColumn("_b", F.conv(F.substring("_k", 1, 3), 16, 10).cast("int"))
+    scoped = t.join(F.broadcast(qdf), "lang")
+    sums = scoped.groupBy("lang", "_b").agg(F.sum("n_tokens").alias("_s")).collect()
+    per_lang: dict[str, dict[int, int]] = {}
+    for r in sums:
+        per_lang.setdefault(r["lang"], {})[r["_b"]] = r["_s"]
+    # prefix-scan: cut = first bucket whose prefix >= quota (drop-all
+    # from there); bound = the unique bucket the quota lands inside
+    meta_rows = []
+    for lang, buckets in sorted(per_lang.items()):
+        q = int(quotas[lang])
+        cum, cut, bound, prefix = 0, 4096, -1, 0
+        for b in sorted(buckets):
+            s = buckets[b]
+            if cum >= q:
+                cut = min(cut, b)
+            elif q < cum + s:
+                bound, prefix = b, cum
+            cum += s
+        if cut == 4096 and cum >= q and bound >= 0:
+            cut = bound + 1
+        meta_rows.append((lang, cut, bound, prefix))
+    meta = spark.createDataFrame(
+        meta_rows or [("", 4096, -1, 0)],
+        "lang string, _cut int, _bound int, _prefix long",
+    )
+    j = scoped.join(F.broadcast(meta), "lang")
+    plain = j.filter(F.col("_b") != F.col("_bound")).withColumn(
+        "keep", F.col("_b") < F.col("_cut")
+    )
+    w = (
+        Window.partitionBy("lang", "_b")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = j.filter(F.col("_b") == F.col("_bound")).withColumn(
+        "keep",
+        (F.col("_prefix") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        < F.col("_quota"),
+    )
+    return plain.unionByName(boundary).select("doc_id", "lang", "n_tokens", "keep")
+
+
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
     "shuffle_key", "shard_col", "shuffle_shards", "write_training_shards",
@@ -611,5 +694,5 @@ __all__ = [
     "host_suffixes", "blocklist_filter",
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
     "dsir_sample",
-    "host_stats", "hash_weights", "clf_score",
+    "host_stats", "hash_weights", "clf_score", "mixture_select",
 ]

@@ -132,6 +132,94 @@ def match_topk(
     )
 
 
+def fuzzy_expansions(
+    df: DataFrame,
+    term: str,
+    text_col: str = "content",
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Corpus terms within Levenshtein distance `fuzziness` of `term`
+    — the expansion set ES's `fuzzy`/`match{fuzziness}` query builds
+    from its term dictionary. Returns (qterm, term, distance), at most
+    `max_expansions` rows ordered (distance ASC, term ASC) — ES caps
+    expansions the same way; the deterministic tie-break replaces its
+    index-order cap. `prefix_length` is ES's fuzzy prefix_length: the
+    first N characters must match exactly, which prunes the vocab scan
+    before any distance is computed. Plain Levenshtein, not ES's
+    Damerau variant — a transposition counts 2, documented divergence
+    fixed identically in Spark and DuckDB.
+
+    Scale shape: distances are computed on the DISTINCT vocabulary
+    (one partial-agged shuffle, vocab ≪ corpus), prefiltered by prefix
+    and ±fuzziness length bounds; the result is ≤ max_expansions rows.
+    At 100 TB the vocab is a precomputed index table — same plan, no
+    recompute.
+    """
+    t = term.lower()
+    vocab = df.select(
+        F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    cand = vocab.filter(
+        (F.abs(F.length("term") - F.lit(len(t))) <= fuzziness)
+        & (F.substring("term", 1, prefix_length) == F.lit(t[:prefix_length]))
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+        .filter(F.col("distance") <= fuzziness)
+        .select(F.lit(t).alias("qterm"), "term", "distance")
+        .orderBy(F.asc("distance"), F.asc("term"))
+        .limit(max_expansions)
+    )
+
+
+def fuzzy_topk(
+    df: DataFrame,
+    query: str,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES `match` with `fuzziness` (typo-tolerant search): every
+    analyzed query term expands to its near-spellings in the corpus
+    vocabulary (see :func:`fuzzy_expansions`), and a document scores
+    the total occurrences of any expansion of any query term —
+    match_scores' TF convention, summed per query term exactly as ES
+    sums per-clause scores. Output (id, score) ordered
+    (score DESC, id ASC), top-k.
+
+    Scale shape: expansions ≤ terms·max_expansions rows → broadcast
+    onto the exploded postings; one id-keyed count shuffle with
+    map-side partial aggregation. The corpus is never scanned per
+    expansion term.
+    """
+    exp = None
+    for t in _terms(query):
+        e = fuzzy_expansions(
+            df, t, text_col=text_col, fuzziness=fuzziness,
+            prefix_length=prefix_length, max_expansions=max_expansions,
+        )
+        exp = e if exp is None else exp.unionByName(e)
+    if exp is None:
+        return df.select(F.col(id_col).alias("id")).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    postings = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    return (
+        postings.join(F.broadcast(exp.select("term")), "term")
+        .groupBy("id")
+        .agg(F.count("*").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6: multi-match with field boosts
 # ---------------------------------------------------------------------------
@@ -476,7 +564,7 @@ def bool_topk(
 __all__ = [
     "tf", "tokens", "analyze_query", "count_where",
     "match_scores", "match_topk", "multi_match_topk", "match_phrase_topk",
-    "bm25_topk", "bool_topk",
+    "bm25_topk", "bool_topk", "fuzzy_expansions", "fuzzy_topk",
 ]
 
 

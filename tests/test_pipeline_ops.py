@@ -1418,3 +1418,86 @@ def test_clf_score_inference_contract(spark):
     expect = round(1 / (1 + math.exp(-round(wt, 6))), 6)
     one = {r["doc_id"]: r for r in got_h}[1]
     assert one["score"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_mixture_select_matches_naive_window(spark):
+    from pyspark.sql import Window as W
+
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    quotas = {"en": 900, "de": 1, "fr": 10**9, "es": 0}
+    got = curation.mixture_select(docs, quotas)
+    # naive form: per-lang global ordered cumsum over the same key
+    t = docs.select(
+        "doc_id", "lang",
+        textstats.token_count("text").alias("n_tokens"),
+        curation.shuffle_key("doc_id").alias("_k"),
+    )
+    w = (W.partitionBy("lang").orderBy("_k", "doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    quota_expr = F.create_map(
+        *[x for l, v in quotas.items() for x in (F.lit(l), F.lit(v))]
+    )
+    naive = (
+        t.filter(F.col("lang").isin(*quotas))
+        .withColumn("cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select("doc_id", "lang", "n_tokens",
+                (F.col("cb") < quota_expr[F.col("lang")]).alias("keep"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    rows = got.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # es: zero quota keeps nothing; fr: huge quota keeps everything
+    assert not any(r["keep"] for r in by_lang["es"])
+    assert all(r["keep"] for r in by_lang["fr"])
+    # de: quota 1 keeps exactly the straddler (first doc in key order)
+    assert sum(r["keep"] for r in by_lang["de"]) == 1
+    # en: kept tokens stop at the straddler — tokens-before < quota
+    kept_en = sum(r["n_tokens"] for r in by_lang["en"] if r["keep"])
+    assert kept_en >= 900
+    # zh is absent from quotas -> excluded entirely
+    assert "zh" not in by_lang and docs.filter("lang = 'zh'").count() > 0
+
+
+def test_fuzzy_topk_expands_typos(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan table scan"),
+            (2, "the sable was scanned"),
+            (3, "completely unrelated words here"),
+            (4, "tble appears verbatim"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'tble' -> table (ins), tble (exact); NOT sable (prefix 't' gate)
+    exp = search.fuzzy_expansions(
+        docs, "tble", text_col="text", fuzziness=1, prefix_length=1
+    ).collect()
+    terms = {r["term"]: r["distance"] for r in exp}
+    assert terms == {"table": 1, "tble": 0}
+    got = search.fuzzy_topk(
+        docs, "tble scann", text_col="text", id_col="doc_id", k=10,
+        fuzziness=1, prefix_length=1,
+    ).collect()
+    scores = {r["id"]: r["score"] for r in got}
+    # doc1: table x2 + scan x2 = 4; doc4: tble x1; doc2/3: nothing
+    # ('scanned' is distance 3, 'sable' fails the prefix gate)
+    assert scores == {1: 4.0, 4: 1.0}
+    assert [r["id"] for r in got] == [1, 4]
+
+
+def test_fuzzy_expansions_cap_is_deterministic(spark):
+    rows = [(i, f"word w{i:03d}x filler") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = search.fuzzy_expansions(
+        docs, "w000x", text_col="text", fuzziness=1, prefix_length=1,
+        max_expansions=5,
+    ).collect()
+    # many vocab terms at distance 1; the cap keeps the 5 smallest
+    # (distance, term) — w000x itself first, then lexicographic
+    assert [r["term"] for r in exp] == [
+        "w000x", "w001x", "w002x", "w003x", "w004x"
+    ]
