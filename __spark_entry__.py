@@ -321,6 +321,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_fuzzy"] = search_fuzzy
 
+    def search_highlight(spark, sf_dir):
+        """ES highlight analogue (search.highlight_topk): top-10 by
+        match TF with one 80-char snippet of the ORIGINAL text around
+        the earliest query-term occurrence, the span wrapped in
+        <em></em> — all codegen'd scalars in one projection, TakeOrdered
+        top-k, no UDF."""
+        return search.highlight_topk(
+            _docs(spark, sf_dir), "window batch",
+            text_col="text", id_col="doc_id", k=10,
+        )
+
+    q["search_highlight"] = search_highlight
+
+    def dedup_cluster_reps(spark, sf_dir):
+        """Quality-elected cluster survivors
+        (dedup.cluster_representatives): same MinHash-LSH components
+        as dedup_clusters, but each cluster keeps its highest-quality
+        member (ties to the smaller id) instead of the min id — the
+        RefinedWeb keep-the-cleanest-copy rule. One cluster_id window
+        over the (small) dup-evidence set."""
+        docs = _aug_near(_docs(spark, sf_dir))
+        pairs = dedup.minhash_pairs(
+            docs, num_hashes=16, k=5, bands=4, threshold=0.5
+        )
+        clusters = dedup.dup_clusters(pairs)
+        scores = docs.select(
+            "doc_id", F.round(textstats.quality_score("text"), 6).alias("score")
+        )
+        return dedup.cluster_representatives(clusters, scores)
+
+    q["dedup_cluster_reps"] = dedup_cluster_reps
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3307,6 +3339,53 @@ def oracle_sql() -> dict[str, str]:
         sc AS (SELECT p.id, count(*)::DOUBLE AS score
                FROM p JOIN exp USING (term) GROUP BY p.id)
         SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10
+    """
+
+    # search_highlight: same analyzer TF score; snippet = 80-char
+    # window of the ORIGINAL text around the earliest term occurrence
+    # (strpos on lower(text)), position ties to query-term order
+    o["search_highlight"] = f"""
+        WITH t AS (SELECT doc_id AS id, text, {_antoks("text")} AS toks FROM documents),
+        s AS (SELECT id, text,
+                     ({_antf("toks", "window")} + {_antf("toks", "batch")})::DOUBLE AS score,
+                     strpos(lower(text), 'window') AS p1,
+                     strpos(lower(text), 'batch') AS p2
+              FROM t),
+        c AS (SELECT id, text, score,
+                     CASE WHEN p2 > 0 AND (p1 = 0 OR p2 < p1) THEN p2 ELSE p1 END AS pos,
+                     CASE WHEN p2 > 0 AND (p1 = 0 OR p2 < p1) THEN 5 ELSE 6 END AS l
+              FROM s WHERE score > 0)
+        SELECT id, score,
+               substr(text, greatest(1, pos - 30), pos - greatest(1, pos - 30))
+               || '<em>' || substr(text, pos, l) || '</em>'
+               || substr(text, pos + l,
+                         greatest(0, greatest(1, pos - 30) + 80 - (pos + l))) AS snippet
+        FROM c ORDER BY score DESC, id LIMIT 10
+    """
+
+    # dedup_cluster_reps: the dedup_clusters component CTEs verbatim,
+    # plus the text_quality score and the per-cluster election window
+    _cc_cte = o["dedup_clusters"][: o["dedup_clusters"].index("SELECT l.doc_id")]
+    o["dedup_cluster_reps"] = _cc_cte + rf""", q0 AS (
+          SELECT doc_id,
+                 round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE,
+                         (CASE WHEN ntok > 0 THEN sh / ntok ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                     + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                         (CASE WHEN n_chars > 0 THEN pc / n_chars
+                               ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)), 6) AS score
+          FROM (SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '{_stop}', 1))::DOUBLE AS sh,
+                       len(regexp_extract_all(text, '([.,;:!?])', 1))::DOUBLE AS pc,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> x <> ''))::DOUBLE AS ntok,
+                       length(text)::DOUBLE AS n_chars
+                FROM aug)),
+        r AS (SELECT l.doc_id, l.cluster_id, s.cluster_size, q0.score,
+                     row_number() OVER (PARTITION BY l.cluster_id
+                         ORDER BY q0.score DESC, l.doc_id) AS rn
+              FROM lab l JOIN sz s USING (cluster_id) JOIN q0 USING (doc_id))
+        SELECT doc_id, cluster_id, cluster_size, score, rn = 1 AS is_kept FROM r
     """
 
     return o

@@ -57,6 +57,10 @@ HEADLINE = [
     "semdedup",
     "dsir_select",
     "ann_ivf_kmeans",
+    "curate_host_stats",
+    "text_quality_clf",
+    "corpus_mixture_select",
+    "search_fuzzy",
 ]
 
 

@@ -405,6 +405,38 @@ def dup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-elected survivor per near-dup cluster: instead of
+    `dup_clusters`' min-id canonical, keep the member with the highest
+    score (longest/cleanest copy — the RefinedWeb keep rule), ties to
+    the smaller id. Input: `clusters` from :func:`dup_clusters`,
+    `scores` = (id, score) e.g. textstats.quality_score rounded to
+    6 dp. Returns (doc_id, cluster_id, cluster_size, score, is_kept).
+
+    Scale shape: clusters hold only documents carrying dup evidence —
+    a small fraction of the corpus — so the per-cluster window's
+    cluster_id shuffle moves little; the score attach is an id
+    equi-join. Degenerate giant clusters (boilerplate storms) are the
+    skew risk; their rows all share one cluster_id — AQE skew-split
+    applies, and the upstream banding already caps candidate fan-out.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clusters.join(scores, id_col)
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", "cluster_size", score_col, "is_kept")
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -788,7 +820,7 @@ __all__ = [
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
     "ngram_jaccard_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
-    "connected_components", "dup_clusters",
+    "connected_components", "dup_clusters", "cluster_representatives",
     "line_key", "line_dedup", "line_dedup_host", "substring_spans",
     "MinHashIndex",
 ]

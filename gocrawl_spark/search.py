@@ -220,6 +220,72 @@ def fuzzy_topk(
     )
 
 
+def highlight_topk(
+    df: DataFrame,
+    query: str,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    frag_size: int = 80,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """ES `highlight` analogue (number_of_fragments=1): top-k docs by
+    the match TF score, each with ONE snippet — a `frag_size`-char
+    window of the ORIGINAL text around the earliest occurrence of any
+    analyzed query term, the matched span wrapped in `pre`/`post`.
+    Earliest-position wins; position ties break to query-term order.
+    Documented simplification of ES's fragment scorer: first match,
+    fixed window, no sentence snapping. Output
+    (id, score, snippet) ordered (score DESC, id ASC).
+
+    Scale shape: one projection over the scan — the position fold,
+    substring splice and TF score are all codegen'd scalars computed
+    alongside the single tokenization; top-k is TakeOrdered. No
+    shuffle beyond the limit's partial-merge, no UDF.
+    """
+    terms = _terms(query)
+    if not terms:
+        return (
+            df.select(F.col(id_col).alias("id")).limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("snippet", F.lit(""))
+        )
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_txt"),
+        tokens(text_col).alias("_toks"),
+    )
+    score = F.lit(0)
+    for t in terms:
+        score = score + F.size(F.filter("_toks", _eq(F.lit(t))))
+    low = F.lower(F.col("_txt"))
+    best_pos, best_len = F.lit(0), F.lit(0)
+    for t in terms:
+        p = F.locate(t, low)
+        take = (p > 0) & ((best_pos == F.lit(0)) | (p < best_pos))
+        best_len = F.when(take, F.lit(len(t))).otherwise(best_len)
+        best_pos = F.when(take, p).otherwise(best_pos)
+    start = F.greatest(F.lit(1), best_pos - F.lit(30))
+    lead = F.col("_txt").substr(start, best_pos - start)
+    mid = F.col("_txt").substr(best_pos, best_len)
+    tail_len = F.greatest(
+        F.lit(0), start + F.lit(frag_size) - (best_pos + best_len)
+    )
+    tail = F.col("_txt").substr(best_pos + best_len, tail_len)
+    snippet = F.concat(lead, F.lit(pre), mid, F.lit(post), tail)
+    return (
+        toked.select(
+            "id",
+            score.cast("double").alias("score"),
+            snippet.alias("snippet"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6: multi-match with field boosts
 # ---------------------------------------------------------------------------
@@ -565,6 +631,7 @@ __all__ = [
     "tf", "tokens", "analyze_query", "count_where",
     "match_scores", "match_topk", "multi_match_topk", "match_phrase_topk",
     "bm25_topk", "bool_topk", "fuzzy_expansions", "fuzzy_topk",
+    "highlight_topk",
 ]
 
 

@@ -1501,3 +1501,49 @@ def test_fuzzy_expansions_cap_is_deterministic(spark):
     assert [r["term"] for r in exp] == [
         "w000x", "w001x", "w002x", "w003x", "w004x"
     ]
+
+
+def test_highlight_topk_wraps_earliest_match(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Intro words first, then the batch window opens for Batch jobs."),
+            (2, "window " + "x" * 200),
+            (3, "nothing relevant in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in search.highlight_topk(
+        docs, "window batch", text_col="text", id_col="doc_id", k=10
+    ).collect()}
+    # doc3 never matches; doc1 scores 3 (batch x2 + window x1)
+    assert 3 not in got and got[1]["score"] == 3.0
+    # earliest occurrence wins ('batch' at char 28 < 'window' at 34),
+    # original casing preserved, span wrapped
+    assert "<em>batch</em> window" in got[1]["snippet"]
+    # match at the string head: window starts at pos 1, lead is empty
+    assert got[2]["snippet"].startswith("<em>window</em>")
+    # fragment is bounded: lead<=30 chars + pre/post + 80-char window
+    assert len(got[2]["snippet"]) <= 80 + len("<em></em>")
+
+
+def test_cluster_representatives_elect_by_score(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = dedup.dup_clusters(pairs)
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4)],
+        "doc_id long, score double",
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.cluster_representatives(clusters, scores).collect()}
+    # cluster {1,2,3}: 2 and 3 tie on score, smaller id wins -> 2
+    assert got[2]["is_kept"] is True
+    assert got[1]["is_kept"] is False and got[3]["is_kept"] is False
+    # min-id canonical (1) loses to the higher-quality member
+    assert got[1]["cluster_id"] == 1 and got[1]["cluster_size"] == 3
+    # cluster {10,11}: 10 wins on score
+    assert got[10]["is_kept"] is True and got[11]["is_kept"] is False
+    # exactly one survivor per cluster
+    kept = [r for r in got.values() if r["is_kept"]]
+    assert sorted(r["cluster_id"] for r in kept) == [1, 10]

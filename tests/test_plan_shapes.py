@@ -132,3 +132,45 @@ def test_lm_buckets_approx_broadcasts_thresholds(spark, sf_dir):
     )
     plan = _plan(textstats.lm_buckets_approx(docs))
     assert "BroadcastHashJoin" in plan, plan
+
+def test_clf_score_broadcasts_weight_table(spark, sf_dir):
+    """Classifier inference must broadcast the <=buckets-row weight
+    table onto the exploded feature stream — no shuffle of either side
+    for the join; the only wide exchange keys on doc_id."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    w = curation.hash_weights(spark, 1024)
+    plan = _plan(curation.clf_score(docs, w))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_topk_broadcasts_expansions(spark, sf_dir):
+    """Fuzzy search must broadcast the tiny expansion set onto the
+    postings; the vocab distinct and the score agg are the only wide
+    shuffles, and no nested-loop/cartesian join appears anywhere."""
+    from gocrawl_spark import search as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(S.fuzzy_topk(docs, "tble", text_col="text", id_col="doc_id"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # top-k is TakeOrdered, not a global sort of every score
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_select_windows_only_boundary_bucket(spark, sf_dir):
+    """mixture_select: the ordered window may only ever see the ONE
+    boundary bucket per language — the plan's Window sits above a
+    filter pinning _b = _bound, never above the full corpus scan."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.mixture_select(docs, {"en": 1000, "de": 10**9})
+    plan = _plan(out)
+    assert "Window" in plan, plan
+    # the windowed branch filters on the boundary-bucket equality
+    # before sorting; the keep-all/drop-all branch carries no Window
+    win_seg = plan.split("Window")[-1]
+    assert "_bound" in win_seg, plan
