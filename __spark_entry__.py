@@ -353,6 +353,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster_reps"] = dedup_cluster_reps
 
+    def crawl_anchor_index(spark, sf_dir):
+        """Inbound anchor-text index (graphrank.anchor_pairs →
+        anchor_index): one parse pass over the synthetic corpus emits
+        (src, resolved-url, anchor-text) per <a href> — junk schemes
+        cut, relatives absolutized exactly like the crawl's candidate
+        pipeline — then ONE url-keyed shuffle rolls up in-degree,
+        distinct source hosts and the (capped, sorted) anchor
+        vocabulary per target. The oracle rebuilds the whole link
+        layer from the synth closed forms. anchors join to '|'-csv for
+        engine-stable compare."""
+        from gocrawl_spark import graphrank
+
+        corpus = synth.corpus_from_documents(spark, sf_dir)
+        idx = graphrank.anchor_index(graphrank.anchor_pairs(corpus))
+        return idx.select(
+            "url", "in_degree", "n_src_hosts",
+            F.concat_ws("|", "anchors").alias("anchors_csv"),
+        )
+
+    q["crawl_anchor_index"] = crawl_anchor_index
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3386,6 +3407,38 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY q0.score DESC, l.doc_id) AS rn
               FROM lab l JOIN sz s USING (cluster_id) JOIN q0 USING (doc_id))
         SELECT doc_id, cluster_id, cluster_size, score, rn = 1 AS is_kept FROM r
+    """
+
+    # crawl_anchor_index: the synth link layer rebuilt closed-form
+    # (link_targets/url_of/host_of_id), every anchor text is 'link'
+    o["crawl_anchor_index"] = r"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        d AS (SELECT doc_id AS d FROM documents),
+        e AS (SELECT d, unnest(range(0, 3 + (d % 3))) AS j FROM d),
+        t AS (SELECT e.d, ((e.d * 31 + 7 * (e.j + 1) + 1) % nn.n) AS tgt
+              FROM e CROSS JOIN nn),
+        p AS (
+          SELECT CASE WHEN d % 4 = 0 THEN 'site00.example.com'
+                      ELSE 'site' || lpad((1 + (d % 15))::VARCHAR, 2, '0')
+                           || '.example.com' END AS src_host,
+                 'https://' ||
+                 CASE WHEN tgt % 4 = 0 THEN 'site00.example.com'
+                      ELSE 'site' || lpad((1 + (tgt % 15))::VARCHAR, 2, '0')
+                           || '.example.com' END ||
+                 CASE WHEN tgt % 17 = 3 THEN '/category/'
+                      WHEN tgt % 3 <> 0 THEN '/article/'
+                      ELSE '/page/' END || tgt AS url
+          FROM t
+          UNION ALL
+          SELECT CASE WHEN d % 4 = 0 THEN 'site00.example.com'
+                      ELSE 'site' || lpad((1 + (d % 15))::VARCHAR, 2, '0')
+                           || '.example.com' END AS src_host,
+                 'https://external-' || (d % 5) || '.other.com/x/' || d AS url
+          FROM d WHERE d % 6 = 2)
+        SELECT url, count(*) AS in_degree,
+               count(DISTINCT src_host) AS n_src_hosts,
+               'link' AS anchors_csv
+        FROM p GROUP BY url
     """
 
     return o

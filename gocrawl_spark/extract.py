@@ -782,6 +782,21 @@ def extract_links(root: Element) -> list[str]:
     return out
 
 
+def extract_anchor_texts(root: Element) -> list[tuple[str, str]]:
+    """(href, anchor-text) for every a[href] in document order — the
+    inbound-anchor evidence stream (what goquery's
+    ``Selection.Text()`` would give per anchor). Anchor text is the
+    element's subtree text, whitespace-squeezed and trimmed. Separate
+    from :func:`extract_links` so the crawl kernel's output schema is
+    untouched; used by graphrank.anchor_pairs."""
+    out = []
+    for a in find(root, "a[href]"):
+        href = a.attrs.get("href")
+        if href:
+            out.append((href, re.sub(r"\s+", " ", a.text()).strip()))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Fused single-parse pass (the UDF kernel)
 # ---------------------------------------------------------------------------

@@ -142,10 +142,86 @@ def rank_priorities(ranks: DataFrame, base: int = 5) -> DataFrame:
     return out.filter(F.col("priority") != base).select("url_hash", "priority")
 
 
+def anchor_pairs(
+    corpus: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, url, anchor): one row per resolvable <a href> in the
+    corpus — the inbound-anchor evidence stream. The href is
+    canonicalized exactly like the crawl's candidate pipeline
+    (link_handler.go:33-58 semantics: junk-scheme cut → absolutize
+    against the page URL → URL validity), so `url` here equals the
+    frontier's candidate URL for the same link.
+
+    Scale shape: one ``mapInPandas`` pass over the corpus scan —
+    embarrassingly parallel like the extract kernel, no shuffle; the
+    parse is shared per page across all of its anchors.
+    """
+    import pandas as pd
+
+    from gocrawl_spark import canonicalize as canon
+    from gocrawl_spark.extract import extract_anchor_texts
+    from gocrawl_spark.htmlmini import parse
+
+    def gen(batches):
+        for pdf in batches:
+            srcs: list[str] = []
+            urls: list[str] = []
+            anchors: list[str] = []
+            for src, html in zip(pdf[url_col], pdf[html_col]):
+                raw = (
+                    html.decode("utf-8", "replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else html
+                )
+                for href, text in extract_anchor_texts(parse(raw)):
+                    if canon.is_junk_link(href):
+                        continue
+                    absu = canon.absolutize(src, href)
+                    if absu and canon.is_valid_url(absu):
+                        srcs.append(src)
+                        urls.append(absu)
+                        anchors.append(text)
+            yield pd.DataFrame({"src": srcs, "url": urls, "anchor": anchors})
+
+    return corpus.mapInPandas(gen, schema="src string, url string, anchor string")
+
+
+def anchor_index(pairs: DataFrame, max_anchors: int = 16) -> DataFrame:
+    """Inbound anchor-text index per target URL — the classic search /
+    link-spam signal (how the web describes a page):
+
+      (url, in_degree, n_src_hosts, anchors)
+
+    anchors = the first `max_anchors` DISTINCT anchor texts in sorted
+    order (a hot target — a homepage — can collect unbounded distinct
+    anchors; the cap bounds per-row state, and at web scale you'd keep
+    the top-frequency ones via a (url, anchor) pre-count instead).
+
+    Scale shape: ONE url-keyed shuffle; count/count_distinct fold
+    map-side, collect_set is bounded by the cap after sorting. The
+    result joins back to the corpus/frontier as a plain equi-join.
+    """
+    from gocrawl_spark.udfs import host_col
+
+    return (
+        pairs.withColumn("_h", host_col("src"))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("in_degree"),
+            F.count_distinct("_h").alias("n_src_hosts"),
+            F.slice(
+                F.array_sort(F.collect_set("anchor")), 1, max_anchors
+            ).alias("anchors"),
+        )
+    )
+
+
 __all__ = [
     "doc_edges",
     "link_rank",
     "rank_from_extracted",
     "rank_priorities",
+    "anchor_pairs",
+    "anchor_index",
     "ITER_DIGITS",
 ]

@@ -154,3 +154,52 @@ def test_doc_edges_matches_synth_formula(spark):
         (i, t) for i in range(40) for t in synth.link_targets(i, 40)
     )
     assert got == want
+
+
+def test_anchor_pairs_resolve_and_filter(spark):
+    from gocrawl_spark import graphrank
+
+    html = b"""<html><body>
+      <a href="#top">skip</a>
+      <a href="javascript:void(0)">skip</a>
+      <a href="/about/team">Meet  the
+         team</a>
+      <a href="https://other.com/x">Other <b>site</b></a>
+      <a href="contact.html">Contact</a>
+    </body></html>"""
+    corpus = spark.createDataFrame(
+        [("https://a.com/dir/page", html)], "url string, html binary"
+    )
+    got = {(r["url"], r["anchor"]) for r in
+           graphrank.anchor_pairs(corpus).collect()}
+    # junk schemes dropped; relatives resolved against the page URL;
+    # anchor text is squeezed subtree text (nested tags included)
+    assert got == {
+        ("https://a.com/about/team", "Meet the team"),
+        ("https://other.com/x", "Other site"),
+        ("https://a.com/dir/contact.html", "Contact"),
+    }
+
+
+def test_anchor_index_rollup(spark):
+    from gocrawl_spark import graphrank
+
+    pairs = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://t.com/x", "click here"),
+            ("https://a.com/2", "https://t.com/x", "the target"),
+            ("https://b.com/1", "https://t.com/x", "click here"),
+            ("https://b.com/1", "https://t.com/y", "other"),
+        ],
+        "src string, url string, anchor string",
+    )
+    got = {r["url"]: r for r in graphrank.anchor_index(pairs).collect()}
+    x = got["https://t.com/x"]
+    assert x["in_degree"] == 3 and x["n_src_hosts"] == 2
+    # distinct anchors, sorted
+    assert list(x["anchors"]) == ["click here", "the target"]
+    assert got["https://t.com/y"]["in_degree"] == 1
+    # the cap bounds per-row state
+    capped = {r["url"]: r for r in
+              graphrank.anchor_index(pairs, max_anchors=1).collect()}
+    assert list(capped["https://t.com/x"]["anchors"]) == ["click here"]
