@@ -374,6 +374,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_anchor_index"] = crawl_anchor_index
 
+    def train_token_ids(spark, sf_dir):
+        """Hashed-vocab tokenization (curation.tokenize_ids): GPT-2
+        pre-tokenizer pieces → uint32(md5) % 32768 ids, codegen'd in
+        the scan. The full id sequence is pinned by an md5 over the
+        csv form; head_ids makes the first 12 visible. The binary
+        shard export built on the same ids is round-trip-tested in
+        tests/test_pipeline_ops.py."""
+        ids = curation.tokenize_ids(_docs(spark, sf_dir), vocab_size=32768)
+        csv = F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+        return ids.select(
+            "doc_id",
+            F.size("ids").alias("n_ids"),
+            F.concat_ws(
+                ",", F.transform(F.slice("ids", 1, 12), lambda i: i.cast("string"))
+            ).alias("head_ids"),
+            F.md5(csv).alias("ids_md5"),
+        )
+
+    q["train_token_ids"] = train_token_ids
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3439,6 +3459,24 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT src_host) AS n_src_hosts,
                'link' AS anchors_csv
         FROM p GROUP BY url
+    """
+
+    # train_token_ids: same BPE-ish piece regex as text_token_stats,
+    # same first-8-hex→uint32 shard contract for the hashed vocab
+    o["train_token_ids"] = r"""
+        WITH p AS (SELECT doc_id,
+                          regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1) AS pieces
+                   FROM documents),
+        i AS (SELECT doc_id,
+                     list_transform(pieces,
+                         x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % 32768)::INT) AS ids
+              FROM p)
+        SELECT doc_id,
+               len(ids) AS n_ids,
+               array_to_string(list_transform(list_slice(ids, 1, 12),
+                                              x -> x::VARCHAR), ',') AS head_ids,
+               md5(array_to_string(list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5
+        FROM i
     """
 
     return o

@@ -21,6 +21,7 @@ generation pays per-pair cost.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -604,6 +605,78 @@ def clf_score(
     )
 
 
+def tokenize_ids(
+    docs: DataFrame,
+    vocab_size: int = 32768,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ids): hashed-vocab token ids per document — the GPT-2
+    pre-tokenizer piece stream (textstats.BPE_ISH_PATTERN: letter
+    runs, digit runs, single punctuation) with
+    id = uint32(md5(piece)) % vocab_size. The md5 hash is a
+    deterministic stand-in for a learned BPE vocabulary (no trained
+    merges ship here): swap it for a broadcast piece→id merge table
+    and every downstream plan — packing, sharding, export — is
+    unchanged. Pure codegen'd array transform in the scan: no
+    shuffle, no UDF.
+    """
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+    )
+    ids = F.transform(pieces, lambda p: shard_col(F.md5(p), vocab_size))
+    return docs.select(F.col(id_col).alias("doc_id"), ids.alias("ids"))
+
+
+def write_token_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    vocab_size: int = 32768,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "gocrawl",
+) -> None:
+    """Binary training-feed delivery: each document's hashed-vocab ids
+    packed little-endian uint32 into ONE `tokens` blob, written as
+    parquet partitioned by training shard with rows key-sorted inside
+    each file — the loader streams shard=K in file order, concatenates
+    blobs, and sees the same deterministic permutation as
+    `write_training_shards` (same key, same shard contract). The
+    uint32-LE blob is the memmap-style feed format; parquet carries
+    the framing (doc id + n_ids) so no sidecar .idx file is needed.
+
+    Scale shape: tokenization is codegen'd in the scan; the only
+    Python is the Arrow-batched int-array→bytes pack (export boundary,
+    I/O-bound); one exchange (repartition by shard) + in-task sort,
+    exactly the write_training_shards plan.
+    """
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [np.asarray(v, dtype="<u4").tobytes() for v in ids]
+        )
+
+    toks = tokenize_ids(docs, vocab_size, id_col, text_col)
+    (
+        toks.select(
+            "doc_id",
+            F.size("ids").alias("n_ids"),
+            _pack("ids").alias("tokens"),
+        )
+        .withColumn("_key", shuffle_key("doc_id", seed))
+        .withColumn("shard", shard_col(F.col("_key"), n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_key", "doc_id")
+        .drop("_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def mixture_select(
     docs: DataFrame,
     quotas: dict[str, int],
@@ -695,4 +768,5 @@ __all__ = [
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
     "dsir_sample",
     "host_stats", "hash_weights", "clf_score", "mixture_select",
+    "tokenize_ids", "write_token_shards",
 ]

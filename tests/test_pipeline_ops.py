@@ -1547,3 +1547,33 @@ def test_cluster_representatives_elect_by_score(spark):
     # exactly one survivor per cluster
     kept = [r for r in got.values() if r["is_kept"]]
     assert sorted(r["cluster_id"] for r in kept) == [1, 10]
+
+
+def test_write_token_shards_round_trip(spark, tmp_path):
+    import numpy as np
+
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "tok")
+    curation.write_token_shards(docs, out, n_shards=4, vocab_size=32768)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {f.name for f in back.schema.fields} == {
+        "doc_id", "n_ids", "tokens", "shard"
+    }
+    # blob decodes to exactly tokenize_ids' sequence, uint32 LE
+    ids = {r["doc_id"]: list(r["ids"])
+           for r in curation.tokenize_ids(docs, 32768).collect()}
+    for r in back.collect():
+        dec = np.frombuffer(r["tokens"], dtype="<u4").tolist()
+        assert dec == ids[r["doc_id"]]
+        assert r["n_ids"] == len(dec)
+        # every id respects the hashed vocab bound
+        assert all(0 <= i < 32768 for i in dec)
+    # shard assignment matches the shuffle_shards contract: the
+    # loader streaming shard dirs sees the same permutation
+    sh = {r["doc_id"]: r["shard"]
+          for r in curation.shuffle_shards(docs, 4).select("doc_id", "shard").collect()}
+    got_sh = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got_sh == sh
