@@ -394,6 +394,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_token_ids"] = train_token_ids
 
+    def train_split(spark, sf_dir):
+        """Deterministic, membership-stable train/val/test hash split
+        (curation.split_corpus, 75/12.5/12.5 — binary-exact cumulative
+        thresholds so the band compare is bit-identical across
+        engines): one codegen'd projection, no shuffle; adding docs
+        later never moves existing docs between splits."""
+        return curation.split_corpus(
+            _docs(spark, sf_dir).select("doc_id"),
+            {"train": 0.75, "val": 0.125, "test": 0.125},
+        )
+
+    q["train_split"] = train_split
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3477,6 +3490,19 @@ def oracle_sql() -> dict[str, str]:
                                               x -> x::VARCHAR), ',') AS head_ids,
                md5(array_to_string(list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5
         FROM i
+    """
+
+    # train_split: the sample_stratified md5-uniform, cumulative bands
+    o["train_split"] = r"""
+        WITH u AS (SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::UBIGINT::DOUBLE
+              / 4294967296.0 AS u
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN u < 0.75 THEN 'train'
+                    WHEN u < 0.875 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
     """
 
     return o

@@ -605,6 +605,41 @@ def clf_score(
     )
 
 
+def split_corpus(
+    docs: DataFrame,
+    fracs: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic, exclusive train/val/test assignment: the id's
+    md5-uniform u ∈ [0,1) (the sample_stratified randomness contract)
+    lands in cumulative bands in the given dict order; the last band
+    absorbs any rounding slack (fracs should sum to 1). A new `seed`
+    draws an independent split; membership is a pure row function, so
+    any engine, any parallelism, and any later re-run agree — and a
+    document added tomorrow cannot move today's docs between splits
+    (the property hash-splits have over global-count splits). Returns
+    the input columns + `split`.
+
+    Scale shape: one codegen'd projection in the scan — no shuffle,
+    no state. Pair with dedup.contamination to scrub val/test n-grams
+    back out of train.
+    """
+    fracs = fracs or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(fracs)
+    u = F.conv(
+        F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    col = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(fracs[name])
+        cond = u < F.lit(cum)
+        col = F.when(cond, F.lit(name)) if col is None else col.when(cond, F.lit(name))
+    col = F.lit(names[-1]) if col is None else col.otherwise(F.lit(names[-1]))
+    return docs.withColumn("split", col)
+
+
 def tokenize_ids(
     docs: DataFrame,
     vocab_size: int = 32768,
@@ -768,5 +803,5 @@ __all__ = [
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
     "dsir_sample",
     "host_stats", "hash_weights", "clf_score", "mixture_select",
-    "tokenize_ids", "write_token_shards",
+    "tokenize_ids", "write_token_shards", "split_corpus",
 ]

@@ -290,6 +290,8 @@ def stream_curate(
     checkpoint_dir: str,
     langs: tuple = ("en",),
     min_quality: float = 0.5,
+    clf_weights=None,
+    clf_threshold: float = 0.5,
     available_now: bool = True,
 ):
     """Continuous curation: the per-shard training-data pass as a
@@ -304,7 +306,15 @@ def stream_curate(
     hashes to the state table. foreachBatch keeps both writes in one
     batch-scoped unit; re-running a batch after a crash re-derives the
     same deterministic survivor set (appends are idempotent at the
-    row level because hashes dedupe on read)."""
+    row level because hashes dedupe on read).
+
+    ``clf_weights`` (a (bucket, weight) DataFrame — trained weights in
+    production, curation.hash_weights in tests) adds the
+    fasttext-architecture classifier gate (curation.clf_score ≥
+    ``clf_threshold``) to each micro-batch: the weight table is tiny
+    and broadcast per batch, so the gate is one broadcast join + one
+    batch-local doc_id agg — stateless across batches, same plan as
+    the batch pipeline."""
     import os as _os
 
     from pyspark.sql import Window as _W
@@ -332,6 +342,13 @@ def stream_curate(
             F.col("pred_lang").isin(list(langs))
             & (F.col("quality") >= F.lit(min_quality))
         )
+        if clf_weights is not None:
+            from gocrawl_spark.curation import clf_score
+
+            ok = clf_score(
+                batch_df, clf_weights, threshold=clf_threshold
+            ).filter("keep").select("doc_id")
+            feat = feat.join(ok, "doc_id", "left_semi")
         # within-batch canonical: lowest doc_id per content hash
         w = _W.partitionBy("_h").orderBy("doc_id")
         feat = (

@@ -1577,3 +1577,27 @@ def test_write_token_shards_round_trip(spark, tmp_path):
           for r in curation.shuffle_shards(docs, 4).select("doc_id", "shard").collect()}
     got_sh = {r["doc_id"]: r["shard"] for r in back.collect()}
     assert got_sh == sh
+
+
+def test_split_corpus_stable_membership(spark):
+    from gocrawl_spark import curation
+
+    fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+    small = spark.range(200).withColumnRenamed("id", "doc_id")
+    big = spark.range(400).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"]
+          for r in curation.split_corpus(small, fr).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in curation.split_corpus(big, fr).collect()}
+    # hash split: growing the corpus never moves existing docs
+    assert all(s2[d] == s
+               for d, s in s1.items())
+    # all three bands are populated and fractions are roughly honored
+    from collections import Counter
+    c = Counter(s2.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # a different seed draws an independent split
+    s3 = {r["doc_id"]: r["split"]
+          for r in curation.split_corpus(big, fr, seed="other").collect()}
+    assert any(s3[d] != s2[d] for d in s3)

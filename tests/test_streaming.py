@@ -254,3 +254,51 @@ def test_stream_curate_first_arrival_wins(spark, tmp_path):
     drain()
     kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/kept").collect()}
     assert kept2 == {1, 6}
+
+
+def test_stream_curate_clf_gate_matches_batch(spark, tmp_path):
+    """The optional classifier gate drops exactly the docs the batch
+    clf_score would reject — the streaming pass composes the same
+    broadcast-weight inference per micro-batch."""
+    import shutil
+
+    from gocrawl_spark import curation
+
+    base = str(tmp_path / "scc")
+    docs_dir, out_dir, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(docs_dir)
+    en = ("the data pipeline is that a report for it on the table "
+          "with the analysis and the second sentence that is for it " * 3)
+    rows = [(i, en.replace("pipeline", f"topic{i}"), "en", "s", len(en))
+            for i in range(1, 9)]
+    tmp = f"{base}/stage"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(tmp, f), os.path.join(docs_dir, f))
+
+    w = curation.hash_weights(spark, 1024, seed="stream-clf")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    scores = sorted(
+        r["score"] for r in curation.clf_score(docs, w).collect()
+    )
+    # a threshold strictly between the median neighbours guarantees
+    # the gate splits this set
+    thr = (scores[3] + scores[4]) / 2
+    expected = {
+        r["doc_id"]
+        for r in curation.clf_score(docs, w, threshold=thr)
+        .filter("keep").collect()
+    }
+    assert 0 < len(expected) < 8
+
+    q = streaming.stream_curate(
+        spark, docs_dir, out_dir, ckpt, clf_weights=w, clf_threshold=thr
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/kept").collect()}
+    assert kept == expected
