@@ -407,6 +407,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_split"] = train_split
 
+    def train_split_decon(spark, sf_dir):
+        """Split + eval scrub-back (curation.split_decontaminated)
+        over documents ∪ exact copies of every 50th doc: a copy and
+        its original hash to independent splits, so train-side copies
+        of val/test docs exist and get flagged tainted — the leak the
+        scrub-back is for. Heldout shingle index broadcasts; the train
+        side never shuffles on content."""
+        return curation.split_decontaminated(
+            _aug_exact(_docs(spark, sf_dir)).select("doc_id", "text"),
+            {"train": 0.75, "val": 0.125, "test": 0.125},
+        )
+
+    q["train_split_decon"] = train_split_decon
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3503,6 +3517,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN u < 0.875 THEN 'val'
                     ELSE 'test' END AS split
         FROM u
+    """
+
+    # train_split_decon: the train_split bands over the exact-dup aug,
+    # plus the decontaminate shingle join train-vs-heldout
+    o["train_split_decon"] = f"""
+        WITH aug AS ({_SQL_AUG_EXACT}),
+        u AS (SELECT doc_id, text,
+                ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::UBIGINT::DOUBLE
+                  / 4294967296.0 AS u
+              FROM aug),
+        s AS (SELECT doc_id, text,
+                     CASE WHEN u < 0.75 THEN 'train'
+                          WHEN u < 0.875 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM u),
+        w0 AS (SELECT doc_id, split, {_SQL_WORDS} AS w FROM s),
+        tsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g
+                FROM (SELECT doc_id, {_sql_shingles(8)} AS sh
+                      FROM w0 WHERE split = 'train')),
+        hsh AS (SELECT DISTINCT g
+                FROM (SELECT unnest(list_distinct(sh)) AS g
+                      FROM (SELECT {_sql_shingles(8)} AS sh
+                            FROM w0 WHERE split <> 'train'))),
+        hit AS (SELECT DISTINCT doc_id FROM tsh JOIN hsh USING (g))
+        SELECT s.doc_id, s.split, (h.doc_id IS NOT NULL) AS tainted
+        FROM s LEFT JOIN hit h ON s.doc_id = h.doc_id
     """
 
     return o

@@ -640,6 +640,54 @@ def split_corpus(
     return docs.withColumn("split", col)
 
 
+def split_decontaminated(
+    docs: DataFrame,
+    fracs: dict[str, float] | None = None,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "split",
+) -> DataFrame:
+    """Hash split + eval scrub-back in one pass (GPT-3-style
+    decontamination applied at split time): every train document
+    sharing ≥1 verbatim k-gram with ANY val/test document is flagged
+    `tainted` — quarantine or drop it before training, so the eval
+    splits cannot leak into the training feed even via exact or
+    near-boilerplate copies that landed on opposite sides of the hash
+    split. Returns (doc_id, split, tainted); tainted is always False
+    off-train.
+
+    Scale shape: the split is a scan-side projection
+    (:func:`split_corpus`); val/test is a small slice, so its DISTINCT
+    shingle index broadcasts and the train side streams through one
+    shingle equi-join map-side (dedup.contamination's plan) — the
+    corpus never shuffles on content.
+    """
+    from gocrawl_spark import dedup as _dd
+
+    sp = split_corpus(
+        docs.select(F.col(id_col), F.col(text_col)), fracs, id_col, seed
+    )
+    train = sp.filter(F.col("split") == "train")
+    held = sp.filter(F.col("split") != "train").select(
+        F.col(id_col).alias("bench_id"), F.col(text_col).alias("bench_text")
+    )
+    hits = (
+        _dd.contamination(train, held, k=k, id_col=id_col, text_col=text_col)
+        .select("doc_id")
+        .distinct()
+        .withColumn("tainted", F.lit(True))
+    )
+    return (
+        sp.select(F.col(id_col).alias("doc_id"), "split")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "split",
+            F.coalesce("tainted", F.lit(False)).alias("tainted"),
+        )
+    )
+
+
 def tokenize_ids(
     docs: DataFrame,
     vocab_size: int = 32768,
@@ -804,4 +852,5 @@ __all__ = [
     "dsir_sample",
     "host_stats", "hash_weights", "clf_score", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
+    "split_decontaminated",
 ]

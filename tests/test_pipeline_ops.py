@@ -1601,3 +1601,33 @@ def test_split_corpus_stable_membership(spark):
     s3 = {r["doc_id"]: r["split"]
           for r in curation.split_corpus(big, fr, seed="other").collect()}
     assert any(s3[d] != s2[d] for d in s3)
+
+
+def test_split_decontaminated_flags_cross_split_leaks(spark):
+    from gocrawl_spark import curation
+
+    def band(i):
+        u = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:8], 16) / 2**32
+        return "train" if u < 0.75 else ("val" if u < 0.875 else "test")
+
+    ids = list(range(200))
+    train_ids = [i for i in ids if band(i) == "train"]
+    held_ids = [i for i in ids if band(i) != "train"]
+    leak_train, leak_held = train_ids[0], held_ids[0]
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in (leak_train, leak_held):
+        rows.append((i, shared))
+    clean_train = train_ids[1]
+    rows.append((clean_train, "totally different words that never repeat anywhere else at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curation.split_decontaminated(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125}
+    ).collect()}
+    # the engine's split matches the hand md5 bands
+    assert got[leak_train]["split"] == "train"
+    assert got[leak_held]["split"] in ("val", "test")
+    # the train-side copy of a heldout doc is tainted; heldout never is
+    assert got[leak_train]["tainted"] is True
+    assert got[leak_held]["tainted"] is False
+    assert got[clean_train]["tainted"] is False
