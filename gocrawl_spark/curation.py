@@ -760,6 +760,78 @@ def write_token_shards(
     )
 
 
+def pack_token_sequences(
+    docs: DataFrame,
+    seqlen: int = 2048,
+    n_shards: int = 8,
+    vocab_size: int = 32768,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Token-level sequence packing — the actual GPT training feed:
+    concatenate every document's hashed-vocab ids in the deterministic
+    shard order and cut fixed ``seqlen`` windows, documents straddling
+    cuts (pack_sequences' doc-level plan, taken down to tokens).
+    Returns (shard, seq, ids) with `ids` exactly the seqlen-sized
+    window (the final window per shard may be short — mark/drop at
+    the feed boundary).
+
+    Scale shape: NEVER explodes per token. Each doc computes its
+    absolute token offset from ONE per-shard window cumsum (the
+    pack_sequences pattern — no global-order reducer), then emits only
+    its ≤ n/seqlen+1 (sequence, slice) chunks via a codegen'd
+    `sequence()` generator + `slice`; reassembly is one
+    (shard, seq)-keyed shuffle whose rows are already full slices.
+    Work and shuffle bytes are O(corpus tokens), the minimum for this
+    op, and everything is JVM-side.
+    """
+    toks = tokenize_ids(docs, vocab_size, id_col, text_col)
+    key = shuffle_key("doc_id", seed)
+    base = (
+        toks.withColumn("_key", key)
+        .withColumn("shard", shard_col(F.col("_key"), n_shards))
+        .withColumn("_n", F.size("ids").cast("long"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = base.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    ).filter(F.col("_n") > 0)
+    L = F.lit(int(seqlen))
+    s = F.explode(
+        F.sequence(
+            F.floor(F.col("_off") / L),
+            F.floor((F.col("_off") + F.col("_n") - 1) / L),
+        )
+    ).alias("seq")
+    chunks = off.select("shard", "_off", "_n", "ids", s)
+    sa = F.greatest(F.col("_off"), F.col("seq") * L)
+    ea = F.least(F.col("_off") + F.col("_n"), (F.col("seq") + 1) * L)
+    sliced = chunks.select(
+        "shard",
+        "seq",
+        sa.alias("_sa"),
+        F.slice(
+            "ids", (sa - F.col("_off") + 1).cast("int"), (ea - sa).cast("int")
+        ).alias("_part"),
+    )
+    return (
+        sliced.groupBy("shard", "seq")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_sa", "_part"))),
+                    lambda x: x["_part"],
+                )
+            ).alias("ids")
+        )
+    )
+
+
 def mixture_select(
     docs: DataFrame,
     quotas: dict[str, int],
@@ -852,5 +924,5 @@ __all__ = [
     "dsir_sample",
     "host_stats", "hash_weights", "clf_score", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
-    "split_decontaminated",
+    "split_decontaminated", "pack_token_sequences",
 ]

@@ -1631,3 +1631,35 @@ def test_split_decontaminated_flags_cross_split_leaks(spark):
     assert got[leak_train]["tainted"] is True
     assert got[leak_held]["tainted"] is False
     assert got[clean_train]["tainted"] is False
+
+
+def test_pack_token_sequences_replays_concat(spark):
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L, S = 64, 4
+    got = {(r["shard"], r["seq"]): list(r["ids"])
+           for r in curation.pack_token_sequences(
+               docs, seqlen=L, n_shards=S).collect()}
+    # replay: per shard, concat ids in (key, doc_id) order, chunk by L
+    ids_of = {r["doc_id"]: list(r["ids"])
+              for r in curation.tokenize_ids(docs, 32768).collect()}
+    import hashlib as _h
+    by_shard = {}
+    for d in ids_of:
+        key = _h.md5(f"{d}:gocrawl".encode()).hexdigest()
+        sh = int(key[:8], 16) % S
+        by_shard.setdefault(sh, []).append((key, d))
+    expect = {}
+    for sh, docs_k in by_shard.items():
+        stream = []
+        for key, d in sorted(docs_k):
+            stream.extend(ids_of[d])
+        for s in range(0, (len(stream) + L - 1) // L):
+            expect[(sh, s)] = stream[s * L:(s + 1) * L]
+    assert got == expect
+    # every window except each shard's last is exactly L long
+    for sh in by_shard:
+        seqs = sorted(s for (g, s) in got if g == sh)
+        for s in seqs[:-1]:
+            assert len(got[(sh, s)]) == L
