@@ -442,6 +442,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pack_tokens"] = train_pack_tokens
 
+    def train_pack_boundaries(spark, sf_dir):
+        """Packed windows with document-boundary offsets
+        (curation.pack_token_sequences(boundaries=True)): each
+        (shard, seq) window also reports the sorted in-window offsets
+        where a new document starts — the attention-mask reset
+        positions a trainer needs to stop cross-document attention in
+        a packed sequence."""
+        seqs = curation.pack_token_sequences(
+            _docs(spark, sf_dir), seqlen=128, n_shards=8, boundaries=True
+        )
+        csv = F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+        bcsv = F.concat_ws(
+            ",", F.transform("doc_starts", lambda i: i.cast("string"))
+        )
+        return seqs.select(
+            "shard",
+            "seq",
+            F.size("ids").alias("n_ids"),
+            F.md5(csv).alias("ids_md5"),
+            F.size("doc_starts").alias("n_docs"),
+            bcsv.alias("doc_starts_csv"),
+        )
+
+    q["train_pack_boundaries"] = train_pack_boundaries
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3564,6 +3589,47 @@ def oracle_sql() -> dict[str, str]:
         hit AS (SELECT DISTINCT doc_id FROM tsh JOIN hsh USING (g))
         SELECT s.doc_id, s.split, (h.doc_id IS NOT NULL) AS tainted
         FROM s LEFT JOIN hit h ON s.doc_id = h.doc_id
+    """
+
+    # train_pack_boundaries: same chunk arithmetic; a slice starting at
+    # its document's own offset marks a doc boundary inside the window
+    o["train_pack_boundaries"] = r"""
+        WITH p AS (SELECT doc_id,
+                          regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1) AS pieces
+                   FROM documents),
+        i AS (SELECT doc_id,
+                     list_transform(pieces,
+                         x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT % 32768)::INT) AS ids
+              FROM p),
+        k AS (SELECT doc_id, ids,
+                     md5(doc_id::VARCHAR || ':gocrawl') AS key,
+                     (('0x' || substr(md5(doc_id::VARCHAR || ':gocrawl'), 1, 8))::UBIGINT % 8)::INT AS shard
+              FROM i),
+        o1 AS (SELECT *, coalesce(sum(len(ids)) OVER (PARTITION BY shard
+                   ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+               FROM k),
+        c AS (SELECT shard, off, ids,
+                     unnest(range(off // 128, (off + len(ids) - 1) // 128 + 1)) AS seq
+              FROM o1 WHERE len(ids) > 0),
+        sl AS (SELECT shard, seq,
+                      greatest(off, seq * 128) AS sa,
+                      (greatest(off, seq * 128) = off) AS is_start,
+                      list_slice(ids,
+                                 (greatest(off, seq * 128) - off + 1)::INT,
+                                 (least(off + len(ids), (seq + 1) * 128) - off)::INT) AS part
+               FROM c),
+        g AS (SELECT shard, seq,
+                     flatten(list(part ORDER BY sa)) AS ids,
+                     list(sa - seq * 128 ORDER BY sa)
+                         FILTER (WHERE is_start) AS starts
+              FROM sl GROUP BY shard, seq)
+        SELECT shard, seq, len(ids) AS n_ids,
+               md5(array_to_string(list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5,
+               coalesce(len(starts), 0) AS n_docs,
+               coalesce(array_to_string(
+                   list_transform(starts, x -> x::VARCHAR), ','), '') AS doc_starts_csv
+        FROM g
     """
 
     # train_pack_tokens: the same hashed-vocab ids, shard contract and

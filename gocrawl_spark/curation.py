@@ -768,6 +768,7 @@ def pack_token_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "gocrawl",
+    boundaries: bool = False,
 ) -> DataFrame:
     """Token-level sequence packing — the actual GPT training feed:
     concatenate every document's hashed-vocab ids in the deterministic
@@ -776,6 +777,15 @@ def pack_token_sequences(
     Returns (shard, seq, ids) with `ids` exactly the seqlen-sized
     window (the final window per shard may be short — mark/drop at
     the feed boundary).
+
+    ``boundaries=True`` adds a ``doc_starts`` column: the sorted
+    in-window offsets where a NEW document begins — the attention-
+    mask reset positions trainers use to stop cross-document
+    attention inside a packed sequence. A window with no document
+    start (a long doc spanning it whole) gets an empty array; offset
+    0 appears only when a document genuinely starts at the cut.
+    Costs nothing extra: a slice already knows whether its absolute
+    start equals its document's offset.
 
     Scale shape: NEVER explodes per token. Each doc computes its
     absolute token offset from ONE per-shard window cumsum (the
@@ -818,18 +828,21 @@ def pack_token_sequences(
         F.slice(
             "ids", (sa - F.col("_off") + 1).cast("int"), (ea - sa).cast("int")
         ).alias("_part"),
+        (sa == F.col("_off")).alias("_is_start"),
     )
-    return (
-        sliced.groupBy("shard", "seq")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_sa", "_part"))),
-                    lambda x: x["_part"],
-                )
-            ).alias("ids")
+    parts = F.array_sort(
+        F.collect_list(F.struct("_sa", "_part", "_is_start"))
+    )
+    aggs = [F.flatten(F.transform(parts, lambda x: x["_part"])).alias("ids")]
+    if boundaries:
+        starts = F.filter(parts, lambda x: x["_is_start"])
+        aggs.append(
+            F.transform(
+                starts,
+                lambda x: (x["_sa"] - F.col("seq") * L).cast("int"),
+            ).alias("doc_starts")
         )
-    )
+    return sliced.groupBy("shard", "seq").agg(*aggs)
 
 
 def mixture_select(

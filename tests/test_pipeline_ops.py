@@ -1663,3 +1663,38 @@ def test_pack_token_sequences_replays_concat(spark):
         seqs = sorted(s for (g, s) in got if g == sh)
         for s in seqs[:-1]:
             assert len(got[(sh, s)]) == L
+
+
+def test_pack_token_sequences_boundaries(spark):
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L, S = 64, 4
+    rows = curation.pack_token_sequences(
+        docs, seqlen=L, n_shards=S, boundaries=True
+    ).collect()
+    got = {(r["shard"], r["seq"]): (list(r["ids"]), list(r["doc_starts"]))
+           for r in rows}
+    # replay the per-shard concat stream, recording doc-start offsets
+    ids_of = {r["doc_id"]: list(r["ids"])
+              for r in curation.tokenize_ids(docs, 32768).collect()}
+    import hashlib as _h
+    by_shard = {}
+    for d in ids_of:
+        key = _h.md5(f"{d}:gocrawl".encode()).hexdigest()
+        sh = int(key[:8], 16) % S
+        by_shard.setdefault(sh, []).append((key, d))
+    for sh, docs_k in by_shard.items():
+        stream, starts = [], []
+        for key, d in sorted(docs_k):
+            if ids_of[d]:
+                starts.append(len(stream))
+                stream.extend(ids_of[d])
+        for s in range(0, (len(stream) + L - 1) // L):
+            want_ids = stream[s * L:(s + 1) * L]
+            want_st = [x - s * L for x in starts if s * L <= x < (s + 1) * L]
+            assert got[(sh, s)] == (want_ids, want_st)
+    # boundary list is sorted and within-window
+    for (sh, s), (ids, st) in got.items():
+        assert st == sorted(st)
+        assert all(0 <= x < len(ids) for x in st)
