@@ -467,6 +467,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pack_boundaries"] = train_pack_boundaries
 
+    def train_pack_bins(spark, sf_dir):
+        """Truncation-free greedy bin packing
+        (curation.pack_greedy_bins, budget=256, 8 shards): documents
+        placed whole into fixed-budget bins next-fit-decreasing, so
+        no document is cut by a window boundary (the Fewer-Truncations
+        packing family); only docs longer than the budget pre-chunk."""
+        return curation.pack_greedy_bins(
+            _docs(spark, sf_dir), budget=256, n_shards=8
+        )
+
+    q["train_pack_bins"] = train_pack_bins
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3630,6 +3642,46 @@ def oracle_sql() -> dict[str, str]:
                coalesce(array_to_string(
                    list_transform(starts, x -> x::VARCHAR), ','), '') AS doc_starts_csv
         FROM g
+    """
+
+    # train_pack_bins: next-fit-decreasing replayed with a recursive
+    # CTE marching each shard's (tokens DESC, doc_id, chunk) order one
+    # unit per step, carrying the single open-bin state
+    o["train_pack_bins"] = r"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> ''))::BIGINT AS n
+            FROM documents
+        ),
+        s AS (SELECT doc_id, n,
+                     (('0x' || substr(md5(doc_id::VARCHAR || ':gocrawl'), 1, 8))::UBIGINT % 8)::INT AS shard
+              FROM t WHERE n > 0),
+        u AS (SELECT shard, doc_id, n,
+                     ((n + 255) // 256)::BIGINT AS nch,
+                     unnest(range(0, (n + 255) // 256)) AS chunk
+              FROM s),
+        units AS (SELECT shard, doc_id, chunk::INT AS chunk,
+                         CASE WHEN chunk < nch - 1 THEN 256
+                              ELSE n - (nch - 1) * 256 END::BIGINT AS tok
+                  FROM u),
+        ord AS (SELECT *, row_number() OVER (PARTITION BY shard
+                          ORDER BY tok DESC, doc_id, chunk) AS rn
+                FROM units),
+        fill AS (
+            SELECT shard, rn, doc_id, chunk, tok,
+                   0::BIGINT AS bin, 0::BIGINT AS pos
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.doc_id, o.chunk, o.tok,
+                   CASE WHEN f.pos + f.tok + o.tok <= 256 THEN f.bin
+                        ELSE f.bin + 1 END,
+                   CASE WHEN f.pos + f.tok + o.tok <= 256 THEN f.pos + f.tok
+                        ELSE 0::BIGINT END
+            FROM fill f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1
+        )
+        SELECT shard, doc_id, chunk, tok AS n_tokens, bin, pos
+        FROM fill
     """
 
     # train_pack_tokens: the same hashed-vocab ids, shard contract and

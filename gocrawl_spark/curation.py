@@ -845,6 +845,89 @@ def pack_token_sequences(
     return sliced.groupBy("shard", "seq").agg(*aggs)
 
 
+def pack_greedy_bins(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Truncation-free greedy bin packing — the next-fit-decreasing
+    member of the best-fit packing family (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling"): instead of concatenating
+    and cutting (pack_token_sequences), documents are placed WHOLE
+    into fixed-``budget`` bins so no document is split by a window
+    cut. Only documents longer than the budget are pre-chunked into
+    ≤ budget pieces. Per shard, units are ordered by
+    (tokens DESC, doc_id, chunk) and packed next-fit: one open bin;
+    a unit that doesn't fit closes it and opens the next.
+
+    Emits one row per unit: (shard, doc_id, chunk, n_tokens, bin,
+    pos) with `pos` the unit's token offset inside its bin.
+
+    Scale shape: chunking and ordering are JVM-side; the sequential
+    next-fit scan is inherently order-dependent, so it runs as ONE
+    Arrow-batched pass per shard (state = a single open-bin counter)
+    — shards are the parallel unit, so capacity scales by raising
+    n_shards, exactly like the training feed itself. Deterministic:
+    the order key is total, so outputs are bit-equal across
+    parallelism.
+    """
+    B = int(budget)
+    n = textstats.token_count(text_col).cast("long")
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "shard", shard_col(shuffle_key("doc_id", seed), n_shards)
+        )
+    )
+    nch = F.ceil(F.col("_n") / B).cast("long")
+    units = base.select(
+        "shard",
+        "doc_id",
+        "_n",
+        nch.alias("_nch"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nch - 1)).alias("chunk"),
+    )
+    tok = F.when(
+        F.col("chunk") < F.col("_nch") - 1, F.lit(B).cast("long")
+    ).otherwise(F.col("_n") - (F.col("_nch") - 1) * B)
+    units = units.select(
+        "shard",
+        "doc_id",
+        F.col("chunk").cast("int").alias("chunk"),
+        tok.alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id", "chunk"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        bins, poss = [], []
+        b, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            if fill and fill + t > B:
+                b, fill = b + 1, 0
+            bins.append(b)
+            poss.append(fill)
+            fill += int(t)
+        return pdf.assign(
+            bin=pd.Series(bins, index=pdf.index, dtype="int64"),
+            pos=pd.Series(poss, index=pdf.index, dtype="int64"),
+        )
+
+    id_type = units.schema["doc_id"].dataType.simpleString()
+    return units.groupBy("shard").applyInPandas(
+        _pack,
+        f"shard int, doc_id {id_type}, chunk int, n_tokens long, "
+        "bin long, pos long",
+    )
+
+
 def mixture_select(
     docs: DataFrame,
     quotas: dict[str, int],
@@ -937,5 +1020,5 @@ __all__ = [
     "dsir_sample",
     "host_stats", "hash_weights", "clf_score", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
-    "split_decontaminated", "pack_token_sequences",
+    "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
 ]

@@ -1665,6 +1665,64 @@ def test_pack_token_sequences_replays_concat(spark):
             assert len(got[(sh, s)]) == L
 
 
+def test_pack_greedy_bins_invariants_and_replay(spark):
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    B, S = 200, 4
+    rows = curation.pack_greedy_bins(docs, budget=B, n_shards=S).collect()
+    # capacity: per (shard, bin) sum of unit tokens <= budget;
+    # pos is the running offset within the bin
+    bins = {}
+    for r in rows:
+        bins.setdefault((r["shard"], r["bin"]), []).append(
+            (r["pos"], r["n_tokens"], r["doc_id"], r["chunk"])
+        )
+    for units in bins.values():
+        units.sort()
+        fill = 0
+        for pos, t, _, _ in units:
+            assert pos == fill
+            fill += t
+        assert fill <= B
+    # no truncation: a doc with n <= B appears as exactly one chunk-0 unit
+    import hashlib as _h
+    n_of = {r["doc_id"]: r["n"] for r in docs.selectExpr(
+        "doc_id", "size(split(trim(text), '\\\\s+')) as n").collect()
+        if r["n"] > 0}
+    got_chunks = {}
+    for r in rows:
+        got_chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk"], r["n_tokens"]))
+    for d, n in n_of.items():
+        parts = sorted(got_chunks[d])
+        if n <= B:
+            assert parts == [(0, n)]
+        else:
+            assert sum(t for _, t in parts) == n
+            assert all(t == B for _, t in parts[:-1])
+    # full replay of next-fit-decreasing per shard
+    units_by_shard = {}
+    for d, n in n_of.items():
+        sh = int(_h.md5(f"{d}:gocrawl".encode()).hexdigest()[:8], 16) % S
+        nch = (n + B - 1) // B
+        for c in range(nch):
+            t = B if c < nch - 1 else n - (nch - 1) * B
+            units_by_shard.setdefault(sh, []).append((t, d, c))
+    expect = {}
+    for sh, us in units_by_shard.items():
+        us.sort(key=lambda x: (-x[0], x[1], x[2]))
+        b, fill = 0, 0
+        for t, d, c in us:
+            if fill and fill + t > B:
+                b, fill = b + 1, 0
+            expect[(sh, d, c)] = (b, fill, t)
+            fill += t
+    got = {(r["shard"], r["doc_id"], r["chunk"]):
+           (r["bin"], r["pos"], r["n_tokens"]) for r in rows}
+    assert got == expect
+
+
 def test_pack_token_sequences_boundaries(spark):
     from gocrawl_spark import curation
 
