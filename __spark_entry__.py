@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gocrawl_spark import curation, dedup, search, similarity, synth, textstats, udfs
+from gocrawl_spark import bpe, curation, dedup, search, similarity, synth, textstats, udfs
 from gocrawl_spark import multimodal as mm
 
 # ---------------------------------------------------------------------------
@@ -478,6 +478,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["train_pack_bins"] = train_pack_bins
+
+    def bpe_pair_counts(spark, sf_dir):
+        """Initial BPE pair statistics (bpe.word_counts →
+        pair_counts): adjacent character-pair counts weighted by
+        corpus word frequency — iteration 0 of the distributed BPE
+        trainer. Top 30 by (count DESC, lft, rgt)."""
+        words = bpe.init_symbols(bpe.word_counts(_docs(spark, sf_dir)))
+        return (
+            bpe.pair_counts(words)
+            .orderBy(F.desc("c"), "lft", "rgt")
+            .limit(30)
+            .select("lft", "rgt", F.col("c").alias("pair_count"))
+        )
+
+    q["bpe_pair_counts"] = bpe_pair_counts
+
+    def bpe_train_merges(spark, sf_dir):
+        """Distributed BPE tokenizer training (bpe.train, 8 merges):
+        per iteration one pair-count aggregation over the distinct-
+        word table, a TakeOrdered(1) argmax, and a codegen'd greedy
+        array rewrite — no Python in the loop, O(distinct words) per
+        merge regardless of corpus bytes."""
+        return bpe.train(_docs(spark, sf_dir), n_merges=8)
+
+    q["bpe_train_merges"] = bpe_train_merges
 
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
@@ -3643,6 +3668,89 @@ def oracle_sql() -> dict[str, str]:
                    list_transform(starts, x -> x::VARCHAR), ','), '') AS doc_starts_csv
         FROM g
     """
+
+    # bpe_pair_counts: iteration-0 adjacent pair counts over the
+    # word-frequency table
+    _BPE_W0 = r"""
+        w0 AS MATERIALIZED (
+            SELECT word, string_split(word, '') AS syms,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(regexp_extract_all(
+                      text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS word
+                  FROM documents)
+            GROUP BY word
+        )
+    """
+    o["bpe_pair_counts"] = f"""
+        WITH {_BPE_W0},
+        e AS (SELECT word, cnt, unnest(syms) AS sym,
+                     generate_subscripts(syms, 1) AS pos
+              FROM w0),
+        l AS (SELECT cnt, sym,
+                     lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+              FROM e)
+        SELECT sym AS lft, nxt AS rgt, sum(cnt)::BIGINT AS pair_count
+        FROM l WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+        ORDER BY pair_count DESC, lft, rgt
+        LIMIT 30
+    """
+
+    # bpe_train_merges: the full trainer unrolled — each iteration is
+    # pair counts → argmax → greedy islands rewrite (consecutive
+    # candidate runs alternate match-starts, exactly the sequential
+    # left-to-right merge), chained w0 → w8 in one generated SQL
+    def _bpe_iter(i: int) -> str:
+        return f"""
+        e{i} AS MATERIALIZED (SELECT word, cnt, unnest(syms) AS sym,
+                        generate_subscripts(syms, 1) AS pos
+                 FROM w{i}),
+        l{i} AS MATERIALIZED (SELECT word, cnt, sym, pos,
+                        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                 FROM e{i}),
+        p{i} AS MATERIALIZED (SELECT sym AS lft, nxt AS rgt, sum(cnt)::BIGINT AS c
+                 FROM l{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        b{i} AS MATERIALIZED (SELECT lft, rgt, c FROM p{i}
+                 ORDER BY c DESC, lft, rgt LIMIT 1),
+        c{i} AS MATERIALIZED (SELECT word, cnt, sym, pos,
+                        coalesce(sym = (SELECT lft FROM b{i})
+                                 AND nxt = (SELECT rgt FROM b{i}),
+                                 false) AS cand
+                 FROM l{i}),
+        r{i} AS MATERIALIZED (SELECT *, pos - row_number() OVER
+                        (PARTITION BY word, cand ORDER BY pos) AS grp
+                 FROM c{i}),
+        m{i} AS MATERIALIZED (SELECT *, CASE WHEN cand THEN
+                        ((pos - min(pos) OVER
+                          (PARTITION BY word, cand, grp)) % 2 = 0)
+                        ELSE false END AS mst
+                 FROM r{i}),
+        x{i} AS MATERIALIZED (SELECT word, cnt, pos, sym, mst,
+                        coalesce(lag(mst) OVER
+                          (PARTITION BY word ORDER BY pos), false) AS pm
+                 FROM m{i}),
+        w{i + 1} AS MATERIALIZED (SELECT word,
+                        list(CASE WHEN mst THEN
+                                 (SELECT lft || rgt FROM b{i})
+                             ELSE sym END ORDER BY pos)
+                            FILTER (WHERE NOT pm) AS syms,
+                        any_value(cnt) AS cnt
+                     FROM x{i} GROUP BY word)
+        """
+
+    _n_bpe = 8
+    o["bpe_train_merges"] = (
+        "WITH "
+        + _BPE_W0
+        + ","
+        + ",".join(_bpe_iter(i) for i in range(_n_bpe))
+        + " "
+        + " UNION ALL ".join(
+            f'SELECT {i} AS "rank", lft, rgt, c AS pair_count FROM b{i}'
+            for i in range(_n_bpe)
+        )
+        + ' ORDER BY "rank"'
+    )
 
     # train_pack_bins: next-fit-decreasing replayed with a recursive
     # CTE marching each shard's (tokens DESC, doc_id, chunk) order one
