@@ -504,6 +504,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train_merges"] = bpe_train_merges
 
+    def bpe_encode_corpus(spark, sf_dir):
+        """Corpus encode with the trained tokenizer
+        (bpe.encode_corpus): for corpus text BPE encode IS a
+        vocabulary lookup — pieces equi-join the trained symbol table
+        (broadcast-sized by Heaps' law), tokens map to dense vocab
+        ids via a literal map; no merge loop near the data. Emits
+        per-doc token count and an md5 over the id stream."""
+        merges, symbols = bpe.train_state(_docs(spark, sf_dir), n_merges=8)
+        ids = bpe.encode_corpus(_docs(spark, sf_dir), symbols)
+        csv = F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+        return ids.select(
+            "doc_id",
+            F.size("ids").alias("n_tokens"),
+            F.md5(csv).alias("ids_md5"),
+        )
+
+    q["bpe_encode_corpus"] = bpe_encode_corpus
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3750,6 +3768,44 @@ def oracle_sql() -> dict[str, str]:
             for i in range(_n_bpe)
         )
         + ' ORDER BY "rank"'
+    )
+
+    # bpe_encode_corpus: chain the same unrolled trainer to w8, then
+    # encode = per-doc piece lookup in the final symbol table + dense
+    # vocab ids ordered by token string
+    o["bpe_encode_corpus"] = (
+        "WITH "
+        + _BPE_W0
+        + ","
+        + ",".join(_bpe_iter(i) for i in range(_n_bpe))
+        + f""",
+        pieces AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS word,
+                   generate_subscripts(regexp_extract_all(
+                       text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1), 1) AS i
+            FROM documents),
+        tok AS MATERIALIZED (
+            SELECT p.doc_id,
+                   flatten(list(w.syms ORDER BY p.i)) AS toks
+            FROM pieces p JOIN w{_n_bpe} w USING (word)
+            GROUP BY p.doc_id),
+        vocab AS MATERIALIZED (
+            SELECT token,
+                   (row_number() OVER (ORDER BY token) - 1)::INT AS id
+            FROM (SELECT DISTINCT unnest(syms) AS token FROM w{_n_bpe})),
+        e AS (SELECT doc_id, unnest(toks) AS token,
+                     generate_subscripts(toks, 1) AS j
+              FROM tok),
+        ids AS (SELECT doc_id, list(v.id ORDER BY j) AS ids
+                FROM e JOIN vocab v USING (token)
+                GROUP BY doc_id)
+        SELECT doc_id, len(ids) AS n_tokens,
+               md5(array_to_string(
+                   list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5
+        FROM ids
+    """
     )
 
     # train_pack_bins: next-fit-decreasing replayed with a recursive

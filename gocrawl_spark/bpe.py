@@ -119,7 +119,23 @@ def train(
     (rank, lft, rgt, pair_count) in merge order. Ties break
     deterministically by (count DESC, lft, rgt). Only one scalar row
     crosses to the driver per iteration."""
-    spark = docs.sparkSession
+    merges, symbols = train_state(docs, n_merges, id_col, text_col)
+    symbols.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, lft string, rgt string, pair_count long"
+    )
+
+
+def train_state(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the trainer and return (merges, final symbol table).
+    The symbol table (word, syms, cnt) is the corpus vocabulary in its
+    fully-merged state — the lookup table `encode_corpus` joins
+    against."""
     cur = init_symbols(word_counts(docs, id_col, text_col)).persist()
     cur.count()
     merges: list[tuple[int, str, str, int]] = []
@@ -138,10 +154,74 @@ def train(
         nxt.count()
         cur.unpersist()
         cur = nxt
-    cur.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, lft string, rgt string, pair_count long"
+    return merges, cur
+
+
+def vocab_ids(symbols: DataFrame) -> DataFrame:
+    """(token, id): dense deterministic ids over the distinct tokens
+    of a trained symbol table, ordered by token string — the vocab
+    file of the trained tokenizer. Tiny by construction (base chars +
+    one token per merge), so it broadcasts."""
+    from pyspark.sql import Window
+
+    toks = symbols.select(
+        F.explode("syms").alias("token")
+    ).distinct()
+    w = Window.orderBy("token")
+    return toks.select(
+        "token", (F.row_number().over(w) - 1).cast("int").alias("id")
     )
+
+
+def encode_corpus(
+    docs: DataFrame,
+    symbols: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ids): encode the corpus by JOINING each document's
+    pre-tokenizer pieces against the trained symbol table — for
+    corpus text, BPE encode IS a vocabulary lookup (training already
+    rewrote every distinct word to its final segmentation), so the
+    100 TB plan is an equi-join + one per-doc reassembly shuffle, no
+    merge loop anywhere near the data. Out-of-vocabulary text (a
+    serving path, not a corpus pass) is what the pandas-UDF `encode`
+    is for.
+
+    Scale shape: the symbol table is Heaps-law small vs the corpus —
+    Spark's AQE will broadcast it; token→id mapping uses the even
+    smaller vocab as a literal map (chars + merges), keeping the
+    whole plan codegen'd. Documents with zero pieces drop out (inner
+    join), matching the SQL twin."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(pieces).alias("i", "word"),
+    )
+    joined = exploded.join(symbols.select("word", "syms"), "word")
+    toks = joined.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "syms"))),
+                lambda x: x["syms"],
+            )
+        ).alias("tokens")
+    )
+    vocab = {
+        r["token"]: r["id"] for r in vocab_ids(symbols).collect()
+    }
+    vmap = F.map_from_entries(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("k"), F.lit(i).alias("v"))
+                for t, i in sorted(vocab.items())
+            ]
+        )
+    )
+    ids = F.transform("tokens", lambda t: F.element_at(vmap, t))
+    return toks.select("doc_id", ids.alias("ids"))
 
 
 def encode(
@@ -198,5 +278,8 @@ __all__ = [
     "pair_counts",
     "apply_merge",
     "train",
+    "train_state",
+    "vocab_ids",
+    "encode_corpus",
     "encode",
 ]

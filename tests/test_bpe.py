@@ -89,6 +89,23 @@ def test_apply_merge_overlapping_run(spark):
     assert got2["abab"] == ["ab", "ab"]
 
 
+def test_encode_corpus_join_equals_merge_loop(spark, docs):
+    merges_full, symbols = bpe.train_state(docs, n_merges=10)
+    merges = [(a, b) for _, a, b, _ in merges_full]
+    vocab = {r["token"]: r["id"]
+             for r in bpe.vocab_ids(symbols).collect()}
+    got = {r["doc_id"]: list(r["ids"])
+           for r in bpe.encode_corpus(docs, symbols).collect()}
+    loop = {r["doc_id"]: [vocab[t] for t in r["tokens"]]
+            for r in bpe.encode(docs, merges).collect()
+            if r["tokens"]}
+    assert got == loop
+    # vocab ids are dense 0..|V|-1 in token order
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])] \
+        == sorted(vocab)
+
+
 def test_encode_roundtrip_and_merge_respect(spark, docs):
     texts = [r["text"] for r in docs.select("text").collect()]
     merges_full, _ = _py_train(texts, 10)
