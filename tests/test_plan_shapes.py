@@ -174,3 +174,69 @@ def test_mixture_select_windows_only_boundary_bucket(spark, sf_dir):
     # before sorting; the keep-all/drop-all branch carries no Window
     win_seg = plan.split("Window")[-1]
     assert "_bound" in win_seg, plan
+
+
+def test_pack_token_sequences_all_jvm_two_exchanges(spark, sf_dir):
+    """Token packing: the whole plan is JVM-side (no Python eval
+    node anywhere) and moves data at most twice — the per-shard
+    window cumsum and the (shard, seq) reassembly. O(corpus tokens)
+    shuffle bytes, no per-token explode."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curation.pack_token_sequences(docs, seqlen=128,
+                                               boundaries=True))
+    for node in ("BatchEvalPython", "ArrowEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pack_greedy_bins_single_arrow_pass_on_shard(spark, sf_dir):
+    """Bin packing: exactly ONE Arrow stage (the per-shard next-fit
+    scan), keyed on shard alone — the chunking/ordering stays JVM-side
+    below it."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curation.pack_greedy_bins(docs, budget=256))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the only wide exchange routes units to their shard
+    ex = [seg.split("\n")[0] for seg in
+          plan.split("Exchange hashpartitioning")[1:]]
+    assert len(ex) == 1 and "shard" in ex[0], plan
+
+
+def test_bpe_iteration_plan_is_jvm_with_partial_agg(spark, sf_dir):
+    """One BPE iteration: pair counting partial-aggregates map-side
+    before its single exchange, the greedy rewrite is a codegen'd
+    fold — no Python anywhere in the training loop."""
+    from gocrawl_spark import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = bpe.init_symbols(bpe.word_counts(docs))
+    plan = _plan(bpe.pair_counts(bpe.apply_merge(words, "e", "r")))
+    for node in ("BatchEvalPython", "ArrowEvalPython",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_bpe_encode_corpus_broadcasts_symbol_table(spark, sf_dir):
+    """Corpus encode: the Heaps-small symbol table must broadcast
+    onto the exploded piece stream (never a shuffle of the corpus on
+    word), and the token→id map is a literal — no Python eval node,
+    no nested-loop join."""
+    from gocrawl_spark import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    _, symbols = bpe.train_state(docs, n_merges=2)
+    plan = _plan(bpe.encode_corpus(docs, symbols))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
+    symbols.unpersist()
