@@ -522,6 +522,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode_corpus"] = bpe_encode_corpus
 
+    def bpe_fertility(spark, sf_dir):
+        """Tokenizer fertility by language: tokens-per-word and
+        chars-per-token under the trained BPE — the standard
+        tokenizer-quality report. One corpus scan exploding pieces,
+        broadcast join against the Heaps-small symbol table, tiny
+        per-language aggregate."""
+        docs = _docs(spark, sf_dir)
+        _, symbols = bpe.train_state(docs, n_merges=8)
+        pieces = F.regexp_extract_all(
+            F.col("text"), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+        )
+        wl = docs.select("lang", F.explode(pieces).alias("word"))
+        j = wl.join(symbols.select("word", "syms"), "word")
+        return (
+            j.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_words"),
+                F.sum(F.size("syms")).alias("n_tokens"),
+                F.sum(F.length("word")).alias("n_chars"),
+            )
+            .select(
+                "lang",
+                "n_words",
+                "n_tokens",
+                "n_chars",
+                F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                    "fertility"
+                ),
+                F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                    "chars_per_token"
+                ),
+            )
+        )
+
+    q["bpe_fertility"] = bpe_fertility
+
     def dedup_substring_spans(spark, sf_dir):
         """ExactSubstr-style duplicated-span detection
         (dedup.substring_spans, the window-hash form of Lee et al.
@@ -3805,6 +3841,31 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(
                    list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5
         FROM ids
+    """
+    )
+
+    # bpe_fertility: trainer chain to w8, per-language rollup of the
+    # piece stream joined to its final segmentation
+    o["bpe_fertility"] = (
+        "WITH "
+        + _BPE_W0
+        + ","
+        + ",".join(_bpe_iter(i) for i in range(_n_bpe))
+        + f""",
+        wl AS MATERIALIZED (
+            SELECT lang,
+                   unnest(regexp_extract_all(
+                       text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS word
+            FROM documents),
+        j AS (SELECT wl.lang, len(w.syms) AS nt, length(wl.word) AS nc
+              FROM wl JOIN w{_n_bpe} w USING (word))
+        SELECT lang,
+               count(*)::BIGINT AS n_words,
+               sum(nt)::BIGINT AS n_tokens,
+               sum(nc)::BIGINT AS n_chars,
+               round(sum(nt)::DOUBLE / count(*), 6) AS fertility,
+               round(sum(nc)::DOUBLE / sum(nt), 6) AS chars_per_token
+        FROM j GROUP BY lang
     """
     )
 
