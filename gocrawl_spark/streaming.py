@@ -380,3 +380,96 @@ def stream_curate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_pack_tokens(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    seqlen: int = 128,
+    n_shards: int = 8,
+    vocab_size: int = 32768,
+    available_now: bool = True,
+):
+    """Continuous training feed: token-level sequence packing
+    (curation.pack_token_sequences) as a STATEFUL streaming operator —
+    crawl output lands as parquet drops, fixed-``seqlen`` id windows
+    come out, across micro-batches and restarts.
+
+    Per-shard group state is (next_seq, carry): the sequence counter
+    and the <seqlen-token partial window — CONSTANT O(seqlen) bytes
+    per shard regardless of stream length, so state never grows like
+    the exact streaming-dedup set does. Tokenization (hashed-vocab
+    ids) and the shard contract are shared with the batch op via
+    curation.tokenize_ids / shuffle_key / shard_col.
+
+    Ordering semantics: within a micro-batch each shard packs in
+    (shuffle_key, doc_id) order — the batch op's order — and batches
+    append in arrival order, so a single-drop availableNow run is
+    bit-identical to the batch op's full windows (the trailing
+    partial stays in state; a stream has no end to flush at).
+    Restarting against the same checkpoint continues seq numbering
+    exactly where the carry left off."""
+    import pandas as pd
+
+    from gocrawl_spark import curation as _cur
+
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(docs_dir)
+    )
+    toks = _cur.tokenize_ids(src, vocab_size)
+    keyed = (
+        toks.withColumn("_key", _cur.shuffle_key("doc_id"))
+        .withColumn("shard", _cur.shard_col(F.col("_key"), n_shards))
+        .filter(F.size("ids") > 0)
+        .select("shard", "_key", "doc_id", "ids")
+    )
+    L = int(seqlen)
+
+    def pack(key, pdfs, state):
+        if state.exists:
+            next_seq, carry = state.get
+            carry = list(carry)
+        else:
+            next_seq, carry = 0, []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["_key"], pdf["doc_id"], pdf["ids"]))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out_seq, out_ids = [], []
+        for _, _, ids in rows:
+            carry.extend(int(x) for x in ids)
+            while len(carry) >= L:
+                out_seq.append(next_seq)
+                out_ids.append(carry[:L])
+                carry = carry[L:]
+                next_seq += 1
+        state.update((int(next_seq), [int(x) for x in carry]))
+        if out_seq:
+            yield pd.DataFrame(
+                {
+                    "shard": [int(key[0])] * len(out_seq),
+                    "seq": out_seq,
+                    "ids": out_ids,
+                }
+            )
+
+    packed = keyed.groupBy("shard").applyInPandasWithState(
+        pack,
+        outputStructType="shard int, seq long, ids array<int>",
+        stateStructType="next_seq long, carry array<int>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        packed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -302,3 +302,66 @@ def test_stream_curate_clf_gate_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/kept").collect()}
     assert kept == expected
+
+
+def test_stream_pack_tokens_matches_batch_and_survives_restart(spark):
+    """Stateful streaming packing: a single availableNow drop must be
+    bit-identical to the batch op's full windows; a second drop after
+    a restart continues seq numbering from the checkpointed carry."""
+    import hashlib
+
+    from gocrawl_spark import curation
+
+    base = tempfile.mkdtemp(prefix="stream_pack_")
+    docs_dir = os.path.join(base, "docs")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    L, S = 64, 4
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    docs.write.parquet(docs_dir)
+    q = streaming.stream_pack_tokens(
+        spark, docs_dir, out_dir, ckpt, seqlen=L, n_shards=S
+    )
+    q.awaitTermination(120)
+    got = {(r["shard"], r["seq"]): list(r["ids"])
+           for r in spark.read.parquet(out_dir).collect()}
+    batch_full = {(r["shard"], r["seq"]): list(r["ids"])
+                  for r in curation.pack_token_sequences(
+                      docs, seqlen=L, n_shards=S).collect()
+                  if len(r["ids"]) == L}
+    assert got == batch_full
+
+    # restart with a second drop: replay per shard in Python to check
+    # the carry/seq state picked up exactly where drop 1 stopped
+    docs2 = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).orderBy("doc_id").limit(120).subtract(docs)
+    docs2.write.mode("append").parquet(docs_dir)
+    q2 = streaming.stream_pack_tokens(
+        spark, docs_dir, out_dir, ckpt, seqlen=L, n_shards=S
+    )
+    q2.awaitTermination(120)
+    got2 = {(r["shard"], r["seq"]): list(r["ids"])
+            for r in spark.read.parquet(out_dir).collect()}
+
+    ids_of = {r["doc_id"]: list(r["ids"])
+              for r in curation.tokenize_ids(
+                  docs.unionByName(docs2), 32768).collect()}
+    drop1 = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expect = {}
+    for sh in range(S):
+        stream = []
+        for batch_ids in (drop1, set(ids_of) - drop1):
+            members = []
+            for d in batch_ids:
+                key = hashlib.md5(f"{d}:gocrawl".encode()).hexdigest()
+                if int(key[:8], 16) % S == sh:
+                    members.append((key, d))
+            for _, d in sorted(members):
+                stream.extend(ids_of[d])
+        for s in range(len(stream) // L):
+            expect[(sh, s)] = stream[s * L:(s + 1) * L]
+    assert got2 == expect
