@@ -1306,6 +1306,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bm25"] = search_bm25
 
+    def search_significant_terms(spark, sf_dir):
+        """ES significant_terms agg (search.significant_terms): JLH
+        foreground-vs-background term significance for the docs
+        matching 'spark' — one scan, per-doc distinct terms in the
+        projection, one term-keyed conditional aggregation."""
+        return search.significant_terms(
+            _docs(spark, sf_dir), "spark", text_col="text",
+            id_col="doc_id", k=15
+        )
+
+    q["search_significant_terms"] = search_significant_terms
+
     def search_match_analyzed(spark, sf_dir):
         """A5 with the ES-standard-analyzer semantics made visible:
         hyphenated and apostrophized query terms ("Wi-Fi", "O'Brien's",
@@ -3046,6 +3058,34 @@ def oracle_sql() -> dict[str, str]:
         FROM d, s
         WHERE round({_score_terms}, 6) > 0
         ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    # search_significant_terms: JLH over per-doc distinct analyzer
+    # tokens; fg = docs containing any analyzed query term
+    o["search_significant_terms"] = f"""
+        WITH d AS (SELECT doc_id AS id,
+                          list_distinct({_antoks("text")}) AS toks
+                   FROM documents),
+        b AS (SELECT id, toks,
+                     CASE WHEN list_contains(toks, 'spark')
+                          THEN 1 ELSE 0 END AS fg
+              FROM d),
+        s AS (SELECT count(*)::DOUBLE AS n_all, sum(fg)::DOUBLE AS n_fg
+              FROM b),
+        tc AS (SELECT term, count(*)::BIGINT AS bg_count,
+                      sum(fg)::BIGINT AS fg_count
+               FROM (SELECT fg, unnest(toks) AS term FROM b)
+               GROUP BY term),
+        j AS (SELECT term, fg_count, bg_count,
+                     fg_count / s.n_fg AS fgp,
+                     bg_count / s.n_all AS bgp
+              FROM tc, s)
+        SELECT term, fg_count, bg_count,
+               round((fgp - bgp) * (fgp / bgp), 6) AS score
+        FROM j
+        WHERE fgp > bgp AND fg_count >= 3
+              AND round((fgp - bgp) * (fgp / bgp), 6) > 0
+        ORDER BY score DESC, term ASC LIMIT 15
     """
 
     o["search_count_a1"] = """

@@ -695,3 +695,71 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         return df.groupBy(key).agg(*sub_metrics()).orderBy(F.asc("key"))
     # bare metric agg, size:0 style
     return df.agg(_metric(kind, body["field"]).alias(name))
+
+
+def significant_terms(
+    df: DataFrame,
+    query: str,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES `significant_terms` aggregation with the default JLH score:
+    terms unusually frequent in the FOREGROUND (docs matching the
+    analyzed `query`, OR semantics) vs the BACKGROUND (whole index).
+
+      fgPct = fg_count/|fg|,  bgPct = bg_count/|corpus|
+      JLH   = (fgPct - bgPct) * (fgPct / bgPct)   if fgPct > bgPct
+
+    Returns (term, fg_count, bg_count, score) top-k by
+    (score DESC, term ASC), score rounded to 6 dp; terms below
+    `min_doc_count` foreground docs are dropped (the ES default
+    min_doc_count=3 semantics).
+
+    Scale shape: ONE scan — per-doc distinct terms via
+    array_distinct in the projection (no doc-term distinct shuffle),
+    foreground membership is a codegen'd flag, counts are one
+    conditional aggregation keyed on the term (high cardinality,
+    balanced); the two corpus scalars broadcast back as a 1-row
+    cross join. Entirely JVM-side.
+    """
+    terms = _terms(query)
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("_toks"),
+    )
+    is_fg = F.lit(False)
+    for t in terms:
+        is_fg = is_fg | F.array_contains("_toks", F.lit(t))
+    base = toked.withColumn("_fg", is_fg.cast("int"))
+    sizes = base.agg(
+        F.count("*").cast("double").alias("_n_all"),
+        F.sum("_fg").cast("double").alias("_n_fg"),
+    )
+    tc = (
+        base.select("_fg", F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("bg_count"),
+            F.sum("_fg").alias("fg_count"),
+        )
+    )
+    j = tc.crossJoin(F.broadcast(sizes))
+    fgp = F.col("fg_count") / F.col("_n_fg")
+    bgp = F.col("bg_count") / F.col("_n_all")
+    score = F.when(
+        fgp > bgp, F.round((fgp - bgp) * (fgp / bgp), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select("term", "fg_count", "bg_count", score.alias("score"))
+        .filter(
+            (F.col("fg_count") >= F.lit(int(min_doc_count)))
+            & (F.col("score") > 0)
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
+__all__.append("significant_terms")

@@ -423,6 +423,33 @@ def test_rademacher_planes_deterministic():
 # ------------------------------------------------------------------ search
 
 
+def test_significant_terms_jlh(spark):
+    # 10 docs: 4 match 'spark'; 'shuffle' appears in 3 of the 4 fg
+    # docs and 1 bg doc (strongly significant); 'common' in all docs
+    # (fgPct == bgPct → excluded); 'rare' in 2 fg docs only but below
+    # min_doc_count=3
+    rows = [
+        (1, "spark shuffle common rare"),
+        (2, "spark shuffle common rare"),
+        (3, "spark shuffle common"),
+        (4, "spark common"),
+        (5, "shuffle common"),
+    ] + [(i, "common filler") for i in range(6, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in search.significant_terms(
+        df, "spark", text_col="text", id_col="doc_id",
+        k=10, min_doc_count=3).collect()}
+    assert "common" not in out          # no lift → excluded
+    assert "rare" not in out            # min_doc_count gate
+    assert "filler" not in out          # zero fg
+    sh = out["shuffle"]
+    assert (sh["fg_count"], sh["bg_count"]) == (3, 4)
+    fgp, bgp = 3 / 4, 4 / 10
+    assert sh["score"] == round((fgp - bgp) * (fgp / bgp), 6)
+    # the query term itself is maximally significant and ranks first
+    assert max(out.values(), key=lambda r: r["score"])["term"] == "spark"
+
+
 def test_match_topk(spark, docs):
     out = search.match_topk(docs, "fox dog", text_col="text", id_col="doc_id", k=10).collect()
     ids = [r["id"] for r in out]
