@@ -1318,6 +1318,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_significant_terms"] = search_significant_terms
 
+    def emb_project(spark, sf_dir):
+        """JL random projection (similarity.project_embeddings,
+        64→16 dims, md5-Rademacher planes): codegen'd zip_with/
+        aggregate folds over literal plane arrays — strictly
+        sequential IEEE sums, so the values cross-check bit-for-bit
+        against the SQL twin. One row per (vec, component)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        proj = similarity.project_embeddings(emb, out_dim=16)
+        return proj.select(
+            "id", F.posexplode("proj").alias("j", "val")
+        )
+
+    q["emb_project"] = emb_project
+
     def search_match_analyzed(spark, sf_dir):
         """A5 with the ES-standard-analyzer semantics made visible:
         hyphenated and apostrophized query terms ("Wi-Fi", "O'Brien's",
@@ -3058,6 +3072,34 @@ def oracle_sql() -> dict[str, str]:
         FROM d, s
         WHERE round({_score_terms}, 6) > 0
         ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    # emb_project: same literal Rademacher planes, same left-to-right
+    # fold — list_sum(list_transform(...)) is sequential like the
+    # Spark aggregate, so values match bit-for-bit before rounding
+    def _sql_proj_literals():
+        from gocrawl_spark.similarity import rademacher_planes
+
+        planes = rademacher_planes(64, 16)
+        scale = 1.0 / 16.0 ** 0.5
+        cols = []
+        for j in range(16):
+            arr = "[" + ", ".join(
+                f"{planes[i, j]:.1f}" for i in range(64)
+            ) + "]"
+            cols.append(
+                f"round(list_sum(list_transform(range(1, 65), "
+                f"i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i])) "
+                f"* {scale!r}, 6)"
+            )
+        return "[" + ", ".join(cols) + "]"
+
+    o["emb_project"] = f"""
+        WITH p AS (SELECT vec_id AS id, {_sql_proj_literals()} AS proj
+                   FROM embeddings)
+        SELECT id, generate_subscripts(proj, 1) - 1 AS j,
+               unnest(proj) AS val
+        FROM p
     """
 
     # search_significant_terms: JLH over per-doc distinct analyzer

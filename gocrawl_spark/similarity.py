@@ -821,5 +821,41 @@ __all__ = [
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_write_index",
-    "semdedup", "kmeans_centroids",
+    "semdedup", "kmeans_centroids", "project_embeddings",
 ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with the
+    md5-Rademacher projection (rademacher_planes — the same
+    oracle-reproducible scheme the sign-LSH family pins):
+    proj[j] = <vec, plane_j> / sqrt(out_dim), each component rounded
+    to 6 dp. Achlioptas 2003: ±1 projections carry the same JL
+    distance-preservation guarantee as Gaussian ones.
+
+    Returns (id, proj array<double>). The dot products are built as
+    codegen'd zip_with/aggregate folds over LITERAL plane arrays —
+    strictly left-to-right IEEE summation, so any engine folding the
+    same way reproduces the values bit-for-bit (the DuckDB twin
+    inlines the same literals); no UDF, no shuffle, work O(rows ×
+    dim × out_dim) in the scan."""
+    planes = rademacher_planes(dim, out_dim)
+    scale = 1.0 / float(out_dim) ** 0.5
+    vec = F.col(vec_col)
+
+    def dot_j(j: int):
+        plane = F.array(*[F.lit(float(planes[i, j])) for i in range(dim)])
+        prods = F.zip_with(vec, plane, lambda x, w: x.cast("double") * w)
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(s * F.lit(scale), 6)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*[dot_j(j) for j in range(out_dim)]).alias("proj"),
+    )

@@ -423,6 +423,54 @@ def test_rademacher_planes_deterministic():
 # ------------------------------------------------------------------ search
 
 
+def test_project_embeddings_jl_preserves_similarity(spark):
+    """JL contract: 64→16 md5-Rademacher projection keeps pairwise
+    cosine structure (Achlioptas 2003) — loose absolute error on
+    average, strong rank correlation; and the fold is the replayable
+    sequential sum of vec·plane/√k."""
+    import numpy as np
+
+    from gocrawl_spark import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    proj = {r["id"]: np.array(r["proj"], dtype=np.float64)
+            for r in similarity.project_embeddings(emb, out_dim=16).collect()}
+    # replay one row exactly
+    planes = similarity.rademacher_planes(64, 16)
+    vid = sorted(orig)[0]
+    want = []
+    for j in range(16):
+        s = 0.0
+        for i in range(64):
+            s += orig[vid][i] * planes[i, j]
+        want.append(round(s / 4.0, 6))
+    assert proj[vid].tolist() == want
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ids = sorted(orig)[:40]
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:i + 4]]
+    co = np.array([cos(orig[a], orig[b]) for a, b in pairs])
+
+    def err(k):
+        pk = {r["id"]: np.array(r["proj"], dtype=np.float64)
+              for r in similarity.project_embeddings(
+                  emb, out_dim=k).collect()}
+        ck = np.array([cos(pk[a], pk[b]) for a, b in pairs])
+        return float(np.mean(np.abs(co - ck)))
+
+    # JL: distortion shrinks ~1/sqrt(k); near-orthogonal synthetic
+    # vectors sit at the worst case, so bound loosely and pin the
+    # monotone improvement instead
+    e8, e32 = err(8), err(32)
+    assert e32 < e8
+    assert e32 < 0.35
+
+
 def test_significant_terms_jlh(spark):
     # 10 docs: 4 match 'spark'; 'shuffle' appears in 3 of the 4 fg
     # docs and 1 bg doc (strongly significant); 'common' in all docs
