@@ -58,6 +58,10 @@ HEADLINE = [
     "dsir_select",
     "ann_ivf_kmeans",
     "curate_host_stats",
+    # continuation additions: packing feed, significance, projection
+    "train_pack_tokens",
+    "search_significant_terms",
+    "emb_project",
     "text_quality_clf",
     "corpus_mixture_select",
     "search_fuzzy",
