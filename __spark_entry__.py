@@ -1332,6 +1332,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_project"] = emb_project
 
+    def corpus_mixture_temperature(spark, sf_dir):
+        """Temperature-based mixture sampling weights
+        (curation.temperature_weights, τ=0.7, budget 1M tokens): the
+        XLM-R / mT5 p_i ∝ n_i^τ rule — one map-side-combined groupBy
+        on the stratum, normalization over the ≈#strata aggregate."""
+        return curation.temperature_weights(
+            _docs(spark, sf_dir), tau=0.7, by="lang",
+            budget_tokens=1_000_000
+        )
+
+    q["corpus_mixture_temperature"] = corpus_mixture_temperature
+
     def search_match_analyzed(spark, sf_dir):
         """A5 with the ES-standard-analyzer semantics made visible:
         hyphenated and apostrophized query terms ("Wi-Fi", "O'Brien's",
@@ -3072,6 +3084,22 @@ def oracle_sql() -> dict[str, str]:
         FROM d, s
         WHERE round({_score_terms}, 6) > 0
         ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    # corpus_mixture_temperature: p_i ∝ n_i^τ over whitespace-token
+    # totals per language
+    o["corpus_mixture_temperature"] = r"""
+        WITH a AS (
+            SELECT lang AS stratum, count(*)::BIGINT AS n_docs,
+                   sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> x <> '')))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang),
+        w AS (SELECT *, pow(n_tokens::DOUBLE, 0.7) AS pw FROM a)
+        SELECT stratum, n_docs, n_tokens,
+               round(pw / sum(pw) OVER (), 6) AS weight,
+               round(round(pw / sum(pw) OVER (), 6) * 1000000.0
+                     / n_tokens, 6) AS sample_epochs
+        FROM w
     """
 
     # emb_project: same literal Rademacher planes, same left-to-right

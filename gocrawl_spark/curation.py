@@ -928,6 +928,55 @@ def pack_greedy_bins(
     )
 
 
+def temperature_weights(
+    docs: DataFrame,
+    tau: float = 0.7,
+    by: str = "lang",
+    budget_tokens: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture sampling weights — the multilingual
+    pretraining rule (XLM-R / mT5: p_i ∝ n_i^τ): strata with more
+    tokens get more probability, but τ < 1 flattens the head so
+    low-resource strata are up-sampled. Emits per stratum
+    (by, n_docs, n_tokens, weight, sample_epochs?):
+
+      weight        = n_i^τ / Σ_j n_j^τ            (rounded 6 dp)
+      sample_epochs = weight · budget / n_i        (if budget given)
+
+    epochs > 1 means the stratum repeats under the budget — the
+    signal data-mixing reviews look at.
+
+    Scale shape: ONE corpus scan with a map-side-combined groupBy on
+    the stratum (≈ #strata rows out); the normalization constant is a
+    window over that tiny aggregate, nowhere near data scale."""
+    agg = (
+        docs.groupBy(F.col(by).alias("stratum"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(textstats.token_count(text_col)).alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(tau)))
+    out = agg.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(pw / F.sum(pw).over(total), 6).alias("weight"),
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "sample_epochs",
+            F.round(
+                F.col("weight") * F.lit(float(budget_tokens))
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+    return out
+
+
 def mixture_select(
     docs: DataFrame,
     quotas: dict[str, int],
@@ -1021,4 +1070,5 @@ __all__ = [
     "host_stats", "hash_weights", "clf_score", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
+    "temperature_weights",
 ]

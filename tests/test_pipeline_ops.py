@@ -423,6 +423,30 @@ def test_rademacher_planes_deterministic():
 # ------------------------------------------------------------------ search
 
 
+def test_temperature_weights_flattens_head(spark):
+    from gocrawl_spark import curation
+
+    # en: 2 docs x 8 tokens = 16; de: 1 doc x 4 tokens
+    rows = [(1, "a b c d e f g h", "en"), (2, "a b c d e f g h", "en"),
+            (3, "a b c d", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["stratum"]: r for r in curation.temperature_weights(
+        df, tau=0.5, by="lang", budget_tokens=100).collect()}
+    import math
+    pw_en, pw_de = math.sqrt(16.0), math.sqrt(4.0)
+    tot = pw_en + pw_de
+    assert got["en"]["weight"] == round(pw_en / tot, 6)
+    assert got["de"]["weight"] == round(pw_de / tot, 6)
+    assert got["de"]["sample_epochs"] == round(
+        round(pw_de / tot, 6) * 100.0 / 4, 6)
+    # τ<1 up-samples the tail: de's share (1/3) beats its raw token
+    # share (4/20); τ=1 reproduces raw shares
+    assert got["de"]["weight"] > 4 / 20
+    raw = {r["stratum"]: r["weight"] for r in curation.temperature_weights(
+        df, tau=1.0, by="lang").collect()}
+    assert raw["en"] == round(16 / 20, 6) and raw["de"] == round(4 / 20, 6)
+
+
 def test_project_embeddings_jl_preserves_similarity(spark):
     """JL contract: 64→16 md5-Rademacher projection keeps pairwise
     cosine structure (Achlioptas 2003) — loose absolute error on
