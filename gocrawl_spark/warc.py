@@ -67,25 +67,22 @@ def _record_bytes(url: str, ts, html: bytes) -> bytes:
     return head + http + _CRLF + _CRLF
 
 
-def write_warc(
-    corpus: DataFrame,
-    out_dir: str,
-    compress: bool = True,
-    url_col: str = "url",
-    ts_col: str = "warc_ts",
-    html_col: str = "html",
+def _write_archive(
+    sel: DataFrame, out_dir: str, compress: bool, base_ext: str, rec_fn
 ) -> DataFrame:
-    """Archive a corpus as WARC files, one per partition; returns the
-    written manifest (path, n_records, n_bytes) — an ACTION has already
-    run (the write happens eagerly so the manifest is truthful)."""
+    """Shared archive sink: stream `rec_fn(*row)` record bytes into
+    one (gzip) file per partition, atomic-publish, return the
+    manifest. O(record) task memory; mtime=0 keeps compressed output
+    byte-reproducible."""
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if compress else ".warc"
+    ext = base_ext + (".gz" if compress else "")
     # one archive dir = one corpus: drop stale part files from a prior
     # write (a re-run with fewer partitions, or a now-empty partition,
-    # would otherwise leave ghost records that read_warc resurrects)
+    # would otherwise leave ghost records that the reader resurrects)
     for name in os.listdir(out_dir):
-        if name.startswith("part-") and ".warc" in name:
+        if name.startswith("part-") and base_ext in name:
             os.remove(os.path.join(out_dir, name))
+    cols = sel.columns
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -93,18 +90,13 @@ def write_warc(
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         tmp = path + ".inprogress"
-        # stream records straight into the (gzip) file — O(record)
-        # task memory, never the whole partition's archive bytes;
-        # mtime=0 keeps compressed output byte-reproducible
         raw_f = open(tmp, "wb")
         f = gzip.GzipFile(fileobj=raw_f, mode="wb", mtime=0) if compress else raw_f
         n = 0
         try:
             for pdf in batches:
-                for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
-                    f.write(
-                        _record_bytes(url, ts, bytes(html) if html is not None else b"")
-                    )
+                for row in zip(*[pdf[c] for c in cols]):
+                    f.write(rec_fn(*row))
                     n += 1
         finally:
             f.close()
@@ -118,11 +110,114 @@ def write_warc(
         else:
             os.remove(tmp)
 
-    sel = corpus.select(url_col, ts_col, html_col)
     manifest = sel.mapInPandas(sink, schema="path string, n_records long, n_bytes long")
     rows = manifest.collect()  # drive the write; manifest is tiny (1 row/partition)
-    return corpus.sparkSession.createDataFrame(
+    return sel.sparkSession.createDataFrame(
         rows or [], "path string, n_records long, n_bytes long"
+    )
+
+
+def write_warc(
+    corpus: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Archive a corpus as WARC files, one per partition; returns the
+    written manifest (path, n_records, n_bytes) — an ACTION has already
+    run (the write happens eagerly so the manifest is truthful)."""
+    return _write_archive(
+        corpus.select(url_col, ts_col, html_col),
+        out_dir,
+        compress,
+        ".warc",
+        lambda url, ts, html: _record_bytes(
+            url, ts, bytes(html) if html is not None else b""
+        ),
+    )
+
+
+def _wet_record_bytes(url: str, ts, text: str) -> bytes:
+    """One deterministic WET `conversion` record — the Common-Crawl
+    extracted-text delivery format: plain-text payload, refers-to the
+    response record of the same URL (same sha256 URN scheme as
+    _record_bytes, so a WARC+WET pair cross-links)."""
+    body = (text or "").encode("utf-8")
+    when = "1970-01-01T00:00:00Z" if ts is None or pd.isna(ts) else ts.strftime(_WARC_TS)
+    rid = hashlib.sha256(url.encode("utf-8")).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:sha256:wet:" + rid.encode() + b">\r\n"
+        b"WARC-Refers-To: <urn:sha256:" + rid.encode() + b">\r\n"
+        b"WARC-Date: " + when.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    return head + body + _CRLF + _CRLF
+
+
+def write_wet(
+    extracted: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deliver extracted text as WET (`conversion`) archives — the
+    Common-Crawl companion format downstream text pipelines consume
+    without touching the response HTML. Same sink contract as
+    write_warc: one file per partition, atomic publish, manifest
+    returned."""
+    return _write_archive(
+        extracted.select(url_col, ts_col, text_col),
+        out_dir,
+        compress,
+        ".warc.wet",
+        _wet_record_bytes,
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files → (url, warc_ts, text) rows; conversion records only,
+    every other record type skipped."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, whens, texts = [], [], []
+            for content in pdf["content"]:
+                data = _decompress(bytes(content))
+                for headers, payload in _iter_records(data):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    urls.append(headers.get("warc-target-uri", ""))
+                    ts = headers.get("warc-date")
+                    try:
+                        whens.append(
+                            datetime.strptime(ts, _WARC_TS).replace(
+                                tzinfo=timezone.utc
+                            )
+                            if ts
+                            else None
+                        )
+                    except ValueError:
+                        whens.append(None)
+                    texts.append(payload.decode("utf-8", "replace"))
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "warc_ts": pd.Series(whens, dtype="datetime64[ns, UTC]"),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(
+        parse, schema="url string, warc_ts timestamp, text string"
     )
 
 
@@ -196,8 +291,15 @@ def _parse_warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     whens.append(None)
                 htmls.append(body)
                 statuses.append(status)
+        # explicit dtype: an all-skipped batch must still emit a
+        # timestamp-typed column (Arrow rejects empty float64 → ts)
         yield pd.DataFrame(
-            {"url": urls, "warc_ts": whens, "html": htmls, "status": statuses}
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(whens, dtype="datetime64[ns, UTC]"),
+                "html": pd.Series(htmls, dtype="object"),
+                "status": pd.Series(statuses, dtype="int32"),
+            }
         )
 
 
@@ -251,4 +353,5 @@ def warc_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-__all__ = ["write_warc", "read_warc", "read_warc_stream", "warc_corpus"]
+__all__ = ["write_warc", "read_warc", "read_warc_stream", "warc_corpus",
+           "write_wet", "read_wet"]

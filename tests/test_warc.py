@@ -134,3 +134,56 @@ def test_crawl_from_warc_matches_parquet_corpus(spark, corpus, sf_dir, tmp_path)
         map(tuple, r2.articles().select("id", F.sha2("body", 256)).collect())
     )
     assert a == b and len(a) > 0  # WARC corpus crawls byte-identically
+
+
+def test_wet_roundtrip_and_cross_links(spark, corpus, tmp_path):
+    """WET conversion records: lossless text round-trip, refers-to
+    linkage to the response record id, gzip/plain byte equality."""
+    docs = corpus.select(
+        "url", "warc_ts",
+        F.decode(F.col("html"), "utf-8").alias("text"),
+    ).limit(200)
+    out = str(tmp_path / "wet")
+    manifest = warc.write_wet(docs.repartition(3), out)
+    rows = manifest.collect()
+    assert sum(r["n_records"] for r in rows) == docs.count()
+    assert all(r["path"].endswith(".warc.wet.gz") for r in rows)
+
+    back = warc.read_wet(spark, out)
+    j = docs.join(back, ["url", "warc_ts", "text"], "inner")
+    assert j.count() == docs.count()
+
+    # record ids cross-link to the response records of the same URL
+    raw = gzip.decompress(open(rows[0]["path"], "rb").read())
+    assert b"WARC-Type: conversion" in raw
+    assert b"WARC-Record-ID: <urn:sha256:wet:" in raw
+    assert b"WARC-Refers-To: <urn:sha256:" in raw
+
+    # plain vs gzip: identical decompressed bytes per partition
+    out2 = str(tmp_path / "wet_plain")
+    warc.write_wet(docs.repartition(3), out2, compress=False)
+    for r in rows:
+        plain = os.path.join(
+            out2, os.path.basename(r["path"])[: -len(".gz")])
+        assert gzip.decompress(open(r["path"], "rb").read()) == \
+            open(plain, "rb").read()
+
+
+def test_wet_reader_skips_response_records(spark, corpus, tmp_path):
+    """A mixed archive (WARC responses + WET conversions in one dir)
+    parses cleanly from both readers: each picks only its type."""
+    docs = corpus.limit(50)
+    out = str(tmp_path / "mixed")
+    warc.write_warc(docs, out)
+    warc.write_wet(
+        docs.select("url", "warc_ts",
+                    F.decode(F.col("html"), "utf-8").alias("text")),
+        str(tmp_path / "mixed_wet"),
+    )
+    # point both readers at a dir union via glob-style load of each
+    n = docs.count()
+    assert warc.read_warc(spark, out).count() == n
+    assert warc.read_wet(spark, str(tmp_path / "mixed_wet")).count() == n
+    # WET reader over the RESPONSE archive yields nothing (type skip)
+    assert warc.read_wet(spark, out).count() == 0
+    assert warc.read_warc(spark, str(tmp_path / "mixed_wet")).count() == 0
