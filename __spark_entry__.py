@@ -1799,7 +1799,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_datehist_a2"] = search_aggs_datehist_a2
 
-    return q
+    # -- gate ordering ------------------------------------------------------
+    # A budget-limited correctness gate sweeps a PREFIX of this dict, so
+    # least-recently-gate-verified entries lead: first the queries that
+    # have never had (or have the stalest) driver-side green row, then the
+    # rest in registration order. The names below are exactly the entries
+    # the round-3 gate did not reach (it covered the first 50 of 101).
+    gate_first = [
+        "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
+        "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
+        "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
+        "emb_dup_pairs_exact", "emb_dup_recall", "semdedup", "dsir_select",
+        "dsir_sample", "crawl_trap_filter", "text_tfidf_keywords",
+        "text_winnow", "dedup_winnow_pairs", "crawl_change_rates",
+        "ann_lsh", "search_match_topk", "search_multimatch", "search_bm25",
+        "search_significant_terms", "emb_project",
+        "corpus_mixture_temperature", "search_match_analyzed",
+        "search_match_phrase", "search_match_and", "search_bool",
+        "search_bool_nested", "search_count_a1", "agg_events_rollup",
+        "join_segment_revenue", "tpch_q1_lite", "media_features",
+        "media_parse", "media_stats", "crawl_extract_articles",
+        "crawl_frontier_pop", "robots_gate_s3", "parse_date_e10",
+        "prepare_v9", "upsert_articles_s5", "get_document_s8",
+        "discover_selectors_e15", "search_aggs_terms_a2",
+        "search_aggs_minmax_a2", "search_aggs_cardinality_a2",
+        "search_aggs_datehist_a2",
+    ]
+    ordered = {name: q[name] for name in gate_first if name in q}
+    ordered.update({name: fn for name, fn in q.items() if name not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -37,12 +37,11 @@ from pyspark.sql import functions as F
 from gocrawl_spark import textstats
 
 
-def word_counts(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt): pre-tokenizer pieces (textstats.BPE_ISH_PATTERN)
     counted corpus-wide — the Heaps-law compression every distributed
-    BPE trainer starts from."""
+    BPE trainer starts from. Only ``text_col`` is scanned; document
+    identity plays no part in the count contract."""
     pieces = F.regexp_extract_all(
         F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
     )
@@ -112,14 +111,13 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
 def train(
     docs: DataFrame,
     n_merges: int = 8,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Learn `n_merges` BPE merges; returns a DataFrame
     (rank, lft, rgt, pair_count) in merge order. Ties break
     deterministically by (count DESC, lft, rgt). Only one scalar row
     crosses to the driver per iteration."""
-    merges, symbols = train_state(docs, n_merges, id_col, text_col)
+    merges, symbols = train_state(docs, n_merges, text_col)
     symbols.unpersist()
     return docs.sparkSession.createDataFrame(
         merges, "rank int, lft string, rgt string, pair_count long"
@@ -129,14 +127,13 @@ def train(
 def train_state(
     docs: DataFrame,
     n_merges: int = 8,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the trainer and return (merges, final symbol table).
     The symbol table (word, syms, cnt) is the corpus vocabulary in its
     fully-merged state — the lookup table `encode_corpus` joins
     against."""
-    cur = init_symbols(word_counts(docs, id_col, text_col)).persist()
+    cur = init_symbols(word_counts(docs, text_col)).persist()
     cur.count()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(n_merges)):

@@ -355,10 +355,13 @@ def dsir_log_ratios(
 ) -> DataFrame:
     """Per-bucket log importance ratio log p_target(b) − log p_raw(b)
     with add-1 smoothing over the ``buckets``-cell hashed n-gram space.
-    Output is ≤ ``buckets`` rows — broadcastable however large the
-    corpus; both count aggregations reduce map-side (groupBy on a
-    low-cardinality int). Ratios round to 6 dp so the weight sums are
-    engine-stable."""
+    Output is exactly ``buckets`` rows — TOTAL over the feature space
+    (add-1 smoothing defines the ratio for every cell, including
+    buckets seen only in the target or in neither corpus), so the
+    exported table scores out-of-corpus text correctly. Broadcastable
+    however large the corpus; both count aggregations reduce map-side
+    (groupBy on a low-cardinality int). Ratios round to 6 dp so the
+    weight sums are engine-stable."""
     raw = (
         corpus.select(F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"))
         .groupBy("bucket")
@@ -373,8 +376,10 @@ def dsir_log_ratios(
     # target are each scanned exactly ONCE for the whole ratio table
     rt = raw.agg(F.sum("rc").alias("rt"))
     tt = tgt.agg(F.sum("tc").alias("tt"))
+    space = corpus.sparkSession.range(buckets).select(F.col("id").cast("int").alias("bucket"))
     return (
-        raw.join(tgt, "bucket", "left")
+        space.join(raw, "bucket", "left")
+        .join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(rt))
         .crossJoin(F.broadcast(tt))
         .select(
@@ -382,7 +387,7 @@ def dsir_log_ratios(
             F.round(
                 F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1))
                 - F.log(F.col("tt") + F.lit(buckets))
-                - F.log(F.col("rc") + F.lit(1))
+                - F.log(F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1))
                 + F.log(F.col("rt") + F.lit(buckets)),
                 6,
             ).alias("log_ratio"),

@@ -193,26 +193,42 @@ def anchor_index(pairs: DataFrame, max_anchors: int = 16) -> DataFrame:
       (url, in_degree, n_src_hosts, anchors)
 
     anchors = the first `max_anchors` DISTINCT anchor texts in sorted
-    order (a hot target — a homepage — can collect unbounded distinct
-    anchors; the cap bounds per-row state, and at web scale you'd keep
-    the top-frequency ones via a (url, anchor) pre-count instead).
+    order.
 
-    Scale shape: ONE url-keyed shuffle; count/count_distinct fold
-    map-side, collect_set is bounded by the cap after sorting. The
-    result joins back to the corpus/frontier as a plain equi-join.
+    Scale shape: the anchor list is cut to `max_anchors` rows per url
+    BEFORE the rollup (distinct → row_number ≤ cap), so aggregation
+    state for a hot target — a homepage with millions of distinct
+    anchors — is bounded by the cap, not by the in-link count; the
+    row_number itself is a sort-based window (O(1) state per task).
+    Counts fold map-side in a url-keyed shuffle; both aggregates hash
+    on url, so AQE reuses the partitioning for the final equi-join.
     """
+    from pyspark.sql import Window
+
     from gocrawl_spark.udfs import host_col
 
-    return (
+    counts = (
         pairs.withColumn("_h", host_col("src"))
         .groupBy("url")
         .agg(
             F.count("*").alias("in_degree"),
             F.count_distinct("_h").alias("n_src_hosts"),
-            F.slice(
-                F.array_sort(F.collect_set("anchor")), 1, max_anchors
-            ).alias("anchors"),
         )
+    )
+    w = Window.partitionBy("url").orderBy("anchor")
+    capped = (
+        pairs.select("url", "anchor")
+        .filter(F.col("anchor").isNotNull())
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_anchors)
+        .groupBy("url")
+        .agg(F.array_sort(F.collect_list("anchor")).alias("anchors"))
+    )
+    # left join + empty-array fill: a url whose anchors are all NULL
+    # still gets a row (matching the single-agg formulation it replaces)
+    return counts.join(capped, "url", "left").withColumn(
+        "anchors", F.coalesce("anchors", F.array().cast("array<string>"))
     )
 
 

@@ -158,12 +158,17 @@ def fuzzy_expansions(
     recompute.
     """
     t = term.lower()
+    # ES clamps prefix_length at the query-term length: a prefix longer
+    # than the term itself would otherwise compare a longer vocab
+    # term's N-char substring against the shorter t[:N] literal and
+    # exclude every candidate longer than the term.
+    plen = min(prefix_length, len(t))
     vocab = df.select(
         F.explode(tokens(text_col)).alias("term")
     ).distinct()
     cand = vocab.filter(
         (F.abs(F.length("term") - F.lit(len(t))) <= fuzziness)
-        & (F.substring("term", 1, prefix_length) == F.lit(t[:prefix_length]))
+        & (F.substring("term", 1, plen) == F.lit(t[:plen]))
     )
     return (
         cand.withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))

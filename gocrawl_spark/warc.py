@@ -76,11 +76,15 @@ def _write_archive(
     byte-reproducible."""
     os.makedirs(out_dir, exist_ok=True)
     ext = base_ext + (".gz" if compress else "")
-    # one archive dir = one corpus: drop stale part files from a prior
-    # write (a re-run with fewer partitions, or a now-empty partition,
-    # would otherwise leave ghost records that the reader resurrects)
+    # one archive dir = one archive per format: drop stale part files
+    # from a prior write of the SAME format (a re-run with fewer
+    # partitions, or a now-empty partition, would otherwise leave ghost
+    # records that the reader resurrects). Matching is on the exact
+    # extension so a WARC sweep never deletes a companion WET archive
+    # ('.warc.wet' must not match a '.warc' sweep) and vice versa.
     for name in os.listdir(out_dir):
-        if name.startswith("part-") and base_ext in name:
+        stem = name[: -len(".gz")] if name.endswith(".gz") else name
+        if name.startswith("part-") and stem.endswith(base_ext):
             os.remove(os.path.join(out_dir, name))
     cols = sel.columns
 

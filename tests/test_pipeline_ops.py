@@ -1266,6 +1266,38 @@ def test_dsir_hashed_features_bag_semantics(spark):
     assert all(0 <= b < 64 for b in by_id[1])
 
 
+def test_dsir_log_ratios_total_over_feature_space(spark, docs):
+    """The exported ratio table defines a ratio for EVERY hashed bucket
+    (add-1 smoothing is total), so out-of-corpus text scored against it
+    standalone always finds its rows."""
+    from gocrawl_spark import curation
+
+    corpus = docs.filter(F.col("doc_id") != 7)
+    target = corpus.filter(F.col("lang") == "en")
+    ratios = curation.dsir_log_ratios(corpus, target, buckets=64)
+    rows = ratios.collect()
+    assert len(rows) == 64
+    assert {r["bucket"] for r in rows} == set(range(64))
+    assert all(r["log_ratio"] is not None for r in rows)
+    # a bucket absent from BOTH corpora carries the pure smoothing
+    # ratio log(1/(tt+B)) - log(1/(rt+B)) = log((rt+B)/(tt+B))
+    import math
+
+    feats = corpus.select(
+        F.explode(curation.hashed_ngram_buckets("text", 64)).alias("b"))
+    raw_seen = {r["b"] for r in feats.distinct().collect()}
+    tgt_feats = target.select(
+        F.explode(curation.hashed_ngram_buckets("text", 64)).alias("b"))
+    rt = feats.count()
+    tt = tgt_feats.count()
+    empty = set(range(64)) - raw_seen
+    if empty:
+        b = next(iter(empty))
+        expect = round(math.log((rt + 64) / (tt + 64)), 6)
+        got = next(r["log_ratio"] for r in rows if r["bucket"] == b)
+        assert abs(got - expect) < 1e-6
+
+
 def test_dsir_sample_gumbel_topk(spark, docs):
     from gocrawl_spark import curation
 
@@ -1586,6 +1618,24 @@ def test_fuzzy_topk_expands_typos(spark):
     # ('scanned' is distance 3, 'sable' fails the prefix gate)
     assert scores == {1: 4.0, 4: 1.0}
     assert [r["id"] for r in got] == [1, 4]
+
+
+def test_fuzzy_prefix_length_clamps_at_term_length(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat cats coat dog")], "doc_id long, text string"
+    )
+    # prefix_length 10 > len('cat'): ES clamps at the term length, so
+    # longer candidates sharing the full 3-char prefix still expand
+    exp = search.fuzzy_expansions(
+        docs, "cat", text_col="text", fuzziness=1, prefix_length=10
+    ).collect()
+    terms = {r["term"]: r["distance"] for r in exp}
+    assert terms == {"cat": 0, "cats": 1}
+    # and an ordinary in-range prefix still gates as before
+    exp2 = search.fuzzy_expansions(
+        docs, "cat", text_col="text", fuzziness=2, prefix_length=2
+    ).collect()
+    assert {r["term"] for r in exp2} == {"cat", "cats"}  # 'coat' fails 'ca'
 
 
 def test_fuzzy_expansions_cap_is_deterministic(spark):

@@ -187,3 +187,34 @@ def test_wet_reader_skips_response_records(spark, corpus, tmp_path):
     # WET reader over the RESPONSE archive yields nothing (type skip)
     assert warc.read_wet(spark, out).count() == 0
     assert warc.read_warc(spark, str(tmp_path / "mixed_wet")).count() == 0
+
+
+def test_warc_and_wet_coexist_in_one_dir(spark, corpus, tmp_path):
+    """A WARC+WET pair written into the SAME directory (the Common-Crawl
+    layout the cross-linked record ids invite): a re-run of either
+    writer sweeps only its own stale parts, never the companion's."""
+    docs = corpus.limit(40)
+    texts = docs.select(
+        "url", "warc_ts", F.decode(F.col("html"), "utf-8").alias("text"))
+    out = str(tmp_path / "pair")
+    warc.write_warc(docs.repartition(2), out)
+    warc.write_wet(texts.repartition(2), out)
+    n = docs.count()
+    assert warc.read_warc(spark, out).count() == n
+    assert warc.read_wet(spark, out).count() == n
+
+    # re-run the WARC writer with fewer partitions: its own stale part
+    # disappears, the WET parts all survive
+    wet_parts = sorted(glob.glob(os.path.join(out, "*.warc.wet.gz")))
+    assert len(wet_parts) == 2
+    warc.write_warc(docs.repartition(1), out)
+    assert sorted(glob.glob(os.path.join(out, "*.warc.wet.gz"))) == wet_parts
+    assert len(glob.glob(os.path.join(out, "*[0-9].warc.gz"))) == 1
+    assert warc.read_warc(spark, out).count() == n
+    assert warc.read_wet(spark, out).count() == n
+
+    # and the WET writer's sweep leaves the WARC parts alone
+    warc.write_wet(texts.repartition(1), out)
+    assert len(glob.glob(os.path.join(out, "*.warc.wet.gz"))) == 1
+    assert warc.read_warc(spark, out).count() == n
+    assert warc.read_wet(spark, out).count() == n

@@ -10,6 +10,7 @@ order-insensitive stringified value multiset. Usage:
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -61,21 +62,25 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
+        spark_s = time.monotonic() - t0
         if name not in os_:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{spark_s:.1f}s]")
             continue
+        t0 = time.monotonic()
         try:
             odf = con.sql(os_[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: oracle error: {ex}")
             failures += 1
             continue
+        oracle_s = time.monotonic() - t0
         ok = True
         if len(sdf) != len(odf):
             print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
@@ -92,7 +97,7 @@ def main() -> int:
                     print(f"   spark : {a[i]}\n   oracle: {b[i]}")
                 ok = False
         if ok:
-            print(f"ok    {name}: {len(sdf)} rows")
+            print(f"ok    {name}: {len(sdf)} rows [spark {spark_s:.1f}s, oracle {oracle_s:.1f}s]")
         else:
             failures += 1
     return 1 if failures else 0
