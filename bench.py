@@ -217,6 +217,40 @@ def bench_steady_state(spark, sf_dir: str, replicas: int) -> tuple[float, int, f
     return dt, fetched, fetched / dt if dt > 0 else 0.0
 
 
+def bench_bpe_batched(spark, sf_dir: str, n_merges: int = 32) -> dict:
+    """Driver-round-trip evidence for the batched BPE trainer: a
+    32-merge budget costs the sequential trainer 32 sweeps (one
+    pair-count collect + one rewrite each); the batched trainer packs
+    non-interacting merges per sweep. Reports sweeps + wall for both —
+    the VERDICT bar is >=5x fewer round-trips per 32 merges."""
+    from gocrawl_spark import bpe
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .limit(8000)
+    )
+    t0 = time.perf_counter()
+    seq, seq_syms = bpe.train_state(docs, n_merges=n_merges)
+    seq_syms.unpersist()
+    seq_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merges, syms, sweeps = bpe.train_state_batched(
+        docs, n_merges=n_merges, batch=16, overfetch=8
+    )
+    syms.unpersist()
+    bat_s = time.perf_counter() - t0
+    return {
+        "n_merges": n_merges,
+        "sequential_sweeps": len(seq),
+        "batched_sweeps": sweeps,
+        "roundtrip_reduction_x": round(len(seq) / max(sweeps, 1), 2),
+        "sequential_s": round(seq_s, 3),
+        "batched_s": round(bat_s, 3),
+        "speedup_x": round(seq_s / bat_s, 2) if bat_s > 0 else None,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -232,6 +266,9 @@ def main() -> None:
         n = fn(spark, SF_DIR).count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {qtimes[name]}s", file=sys.stderr)
+
+    bpe_stats = bench_bpe_batched(spark, SF_DIR)
+    print(f"# bpe batched: {bpe_stats}", file=sys.stderr)
 
     crawl_s, fetched_bfs, ups_bfs = bench_crawl(spark, SF_DIR)
     qtimes["crawl_loop"] = round(crawl_s, 3)
@@ -264,6 +301,7 @@ def main() -> None:
                 "steady_round_seconds": round(ss_s, 2),
                 "bfs_urls_per_sec": round(ups_bfs, 2),
                 "pinned_replay": replay,
+                "bpe_batched": bpe_stats,
                 "scaling_efficiency_note": "see BENCH/BASELINE.md (N-vs-4N pinned-core evidence)",
             }
         )

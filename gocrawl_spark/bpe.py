@@ -132,9 +132,17 @@ def train_state(
     """Run the trainer and return (merges, final symbol table).
     The symbol table (word, syms, cnt) is the corpus vocabulary in its
     fully-merged state — the lookup table `encode_corpus` joins
-    against."""
-    cur = init_symbols(word_counts(docs, text_col)).persist()
-    cur.count()
+    against.
+
+    Each iteration materializes via ``localCheckpoint`` rather than
+    ``persist``: a persist caches DATA but leaves the logical plan
+    stacking one `aggregate` lambda per merge, and Catalyst's
+    re-optimization of that growing tree turns exponential around
+    depth ~12 (measured: 0.6 s/iter at depth 8, 8 s at depth 13, ~2×
+    per iter after). Checkpointing truncates lineage so iteration
+    cost stays flat in n_merges; superseded checkpoint RDDs are freed
+    by Spark's ContextCleaner when the Python reference drops."""
+    cur = init_symbols(word_counts(docs, text_col)).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(n_merges)):
         best = (
@@ -147,11 +155,149 @@ def train_state(
             break
         a, b, c = best[0]["lft"], best[0]["rgt"], int(best[0]["c"])
         merges.append((rank, a, b, c))
-        nxt = apply_merge(cur, a, b).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        cur = apply_merge(cur, a, b).localCheckpoint()
     return merges, cur
+
+
+# Separator for (lft, rgt) map keys in the batched rewrite. \x00 never
+# survives BPE_ISH_PATTERN pre-tokenization, so no symbol can contain it.
+_PAIR_SEP = "\x00"
+
+
+def select_nonoverlapping(
+    ranked: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedily pick ≤ ``batch`` pairs from a (count DESC, lft, rgt)
+    ranked candidate list such that the picks are mutually
+    NON-INTERACTING: no symbol of one pair appears in another pair,
+    and no pair's merged output token is a symbol of another pair.
+    Under that condition, applying the whole batch in one left-to-right
+    rewrite is exactly the sequential application of the pairs in rank
+    order (neither merge can create, destroy, or consume an adjacency
+    the other matches)."""
+    picked: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for lft, rgt, c in ranked:
+        if len(picked) >= batch:
+            break
+        merged = lft + rgt
+        if lft in used or rgt in used or merged in used:
+            continue
+        # the merged output must not collide with another pick's inputs
+        # in EITHER direction — check prospective conflicts too
+        if any(p[0] == merged or p[1] == merged for p in picked):
+            continue
+        picked.append((lft, rgt, c))
+        used.update((lft, rgt, merged))
+    return picked
+
+
+def apply_merge_batch(
+    words: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """One greedy left-to-right rewrite applying EVERY pair in
+    ``pairs`` simultaneously: the fold's tail-match is a literal-map
+    lookup (lft‖\\x00‖rgt → merged) instead of a single equality, so
+    a whole sweep of non-interacting merges costs one pass over the
+    symbol table — same shuffle-free codegen'd `aggregate` shape as
+    :func:`apply_merge`."""
+    if not pairs:
+        return words
+    vmap = F.map_from_entries(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a + _PAIR_SEP + b).alias("k"),
+                    F.lit(a + b).alias("v"),
+                )
+                for a, b in sorted(set(pairs))
+            ]
+        )
+    )
+
+    def step(acc, x):
+        tail = F.try_element_at(acc, F.lit(-1))
+        merged = F.try_element_at(vmap, F.concat(tail, F.lit(_PAIR_SEP), x))
+        return F.when(
+            (F.size(acc) > 0) & merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    syms = F.aggregate("syms", F.array().cast("array<string>"), step)
+    return words.select("word", syms.alias("syms"), "cnt")
+
+
+def train_state_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    batch: int = 8,
+    text_col: str = "text",
+    overfetch: int = 4,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, int]:
+    """Batched-sweep BPE trainer: each sweep counts pairs ONCE, pulls
+    the top candidates to the driver, greedily selects ≤ ``batch``
+    mutually non-interacting pairs (see :func:`select_nonoverlapping`),
+    and applies them in one rewrite — ~``batch``× fewer driver
+    round-trips and Spark jobs per merge than :func:`train_state`,
+    which is the latency bottleneck of the sequential loop at any
+    corpus size (iteration cost is driver-bound, not data-bound).
+
+    Semantics: identical to the sequential trainer whenever the top-
+    ``batch`` pairs of each sweep are non-interacting (the selection
+    rule guarantees the batch itself is internally consistent; across
+    sweeps the counts are re-computed, so a pair whose count CHANGED
+    due to an earlier in-sweep merge is simply re-ranked next sweep).
+    Recorded pair_count is the sweep-start count. Returns
+    (merges, final symbol table, n_sweeps).
+
+    Sweeps materialize via ``localCheckpoint`` (see :func:`train_state`
+    — lineage truncation keeps per-sweep cost flat; a persist-only
+    loop goes exponential in optimizer time past ~12 stacked
+    rewrites)."""
+    cur = init_symbols(word_counts(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    sweeps = 0
+    while len(merges) < int(n_merges):
+        want = int(n_merges) - len(merges)
+        take = min(int(batch), want)
+        # over-fetch so the non-overlap filter still fills the batch
+        cand = (
+            pair_counts(cur)
+            .orderBy(F.desc("c"), "lft", "rgt")
+            .limit(max(int(overfetch) * take, 16))
+            .collect()
+        )
+        sweeps += 1
+        if not cand:
+            break
+        picked = select_nonoverlapping(
+            [(r["lft"], r["rgt"], int(r["c"])) for r in cand], take
+        )
+        for lft, rgt, c in picked:
+            merges.append((len(merges), lft, rgt, c))
+        cur = apply_merge_batch(
+            cur, [(a, b) for a, b, _ in picked]
+        ).localCheckpoint()
+    return merges, cur, sweeps
+
+
+def train_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    batch: int = 8,
+    text_col: str = "text",
+    overfetch: int = 4,
+) -> DataFrame:
+    """Batched-sweep variant of :func:`train` — same output schema
+    (rank, lft, rgt, pair_count); see :func:`train_state_batched` for
+    the semantics contract."""
+    merges, symbols, _ = train_state_batched(
+        docs, n_merges, batch, text_col, overfetch
+    )
+    symbols.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, lft string, rgt string, pair_count long"
+    )
 
 
 def vocab_ids(symbols: DataFrame) -> DataFrame:
@@ -274,8 +420,12 @@ __all__ = [
     "init_symbols",
     "pair_counts",
     "apply_merge",
+    "apply_merge_batch",
+    "select_nonoverlapping",
     "train",
     "train_state",
+    "train_batched",
+    "train_state_batched",
     "vocab_ids",
     "encode_corpus",
     "encode",

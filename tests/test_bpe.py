@@ -121,3 +121,100 @@ def test_encode_roundtrip_and_merge_respect(spark, docs):
     for toks in enc.values():
         for t in toks:
             assert len(t) == 1 or t in derivable
+
+
+def test_select_nonoverlapping_greedy_rules():
+    ranked = [
+        ("a", "b", 9),   # pick
+        ("b", "c", 8),   # skip: shares 'b'
+        ("c", "d", 7),   # pick
+        ("ab", "x", 6),  # skip: 'ab' is pick 1's merged output
+        ("e", "f", 5),   # pick
+        ("g", "h", 4),   # over the batch cap
+    ]
+    assert bpe.select_nonoverlapping(ranked, 3) == [
+        ("a", "b", 9), ("c", "d", 7), ("e", "f", 5)
+    ]
+    # batch=1 degenerates to plain argmax
+    assert bpe.select_nonoverlapping(ranked, 1) == [("a", "b", 9)]
+    assert bpe.select_nonoverlapping([], 4) == []
+    # a later pair whose merged output equals an earlier INPUT is skipped
+    assert bpe.select_nonoverlapping(
+        [("ab", "c", 9), ("a", "b", 8), ("x", "y", 7)], 3
+    ) == [("ab", "c", 9), ("x", "y", 7)]
+
+
+def test_apply_merge_batch_equals_sequential(spark):
+    rows = [
+        ("abcd", ["a", "b", "c", "d"], 3),  # picks adjacent in one word
+        ("dcba", ["d", "c", "b", "a"], 2),
+        ("aab", ["a", "a", "b"], 5),
+        ("aaa", ["a", "a", "a"], 1),        # overlapping run, a==a pair
+        ("cdcd", ["c", "d", "c", "d"], 4),
+        ("xyz", ["x", "y", "z"], 1),        # untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "word string, syms array<string>, cnt long"
+    )
+    for pairs in ([("a", "b"), ("c", "d")], [("a", "a"), ("c", "d")]):
+        batched = {r["word"]: list(r["syms"])
+                   for r in bpe.apply_merge_batch(df, pairs).collect()}
+        seq = df
+        for a, b in pairs:
+            seq = bpe.apply_merge(seq, a, b)
+        sequential = {r["word"]: list(r["syms"]) for r in seq.collect()}
+        assert batched == sequential, pairs
+        # non-interacting merges commute: reversed order agrees too
+        rev = df
+        for a, b in reversed(pairs):
+            rev = bpe.apply_merge(rev, a, b)
+        assert {r["word"]: list(r["syms"]) for r in rev.collect()} \
+            == sequential
+    assert bpe.apply_merge_batch(df, []) is df
+
+
+def test_train_batched_equals_sequential_disjoint_corpus(spark):
+    # disjoint alphabets per word: no two top pairs can interact, so
+    # one batched sweep must reproduce the sequential merge list
+    # EXACTLY, pair_counts included (non-interacting merges leave each
+    # other's counts invariant).
+    texts = ["ab " * 7 + "cd " * 4 + "ef " * 3, "ab cd ef gh ij"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = [
+        (r["rank"], r["lft"], r["rgt"], r["pair_count"])
+        for r in bpe.train(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    merges, syms, sweeps = bpe.train_state_batched(docs, n_merges=5, batch=5)
+    syms.unpersist()
+    assert merges == want
+    assert sweeps == 1  # 5 merges, ONE pair-count job + ONE rewrite
+
+
+def test_train_batched_batch1_is_sequential_on_real_docs(spark, docs):
+    want_merges, want_syms = bpe.train_state(docs, n_merges=6)
+    got_merges, got_syms, sweeps = bpe.train_state_batched(
+        docs, n_merges=6, batch=1
+    )
+    assert got_merges == want_merges
+    assert sweeps == 6
+    a = {r["word"]: list(r["syms"]) for r in want_syms.collect()}
+    b = {r["word"]: list(r["syms"]) for r in got_syms.collect()}
+    want_syms.unpersist()
+    got_syms.unpersist()
+    assert a == b
+
+
+def test_train_batched_fewer_driver_roundtrips(spark, docs):
+    # the point of batching: >=5x fewer sweeps (driver round-trips)
+    # than sequential for a 32-merge budget on real text
+    merges, syms, sweeps = bpe.train_state_batched(
+        docs, n_merges=32, batch=16, overfetch=8
+    )
+    syms.unpersist()
+    assert len(merges) == 32
+    assert sweeps * 5 <= 32, sweeps
+    # ranks dense, merged tokens well-formed
+    assert [m[0] for m in merges] == list(range(32))
+    assert all(m[3] > 0 for m in merges)
