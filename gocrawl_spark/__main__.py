@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 
@@ -204,11 +205,104 @@ def cmd_index(args) -> int:
 def cmd_sources(args) -> int:
     from gocrawl_spark import sources as src
 
-    for s in src.load_sources(args.sources):
-        print(
-            f"{s.name}\t{s.url}\trate={s.rate_limit_ms}ms depth={s.max_depth} "
-            f"domains={','.join(s.allowed_domains)}"
+    if args.action in ("list", "validate") and not args.sources:
+        print(f"sources {args.action} requires --sources", file=sys.stderr)
+        return 2
+    if args.action in ("validate", "generate") and not args.corpus:
+        print(f"sources {args.action} requires --corpus", file=sys.stderr)
+        return 2
+    if args.action == "list":
+        for s in src.load_sources(args.sources):
+            print(
+                f"{s.name}\t{s.url}\trate={s.rate_limit_ms}ms depth={s.max_depth} "
+                f"domains={','.join(s.allowed_domains)}"
+            )
+        return 0
+    if args.action == "validate":
+        return cmd_sources_validate(args)
+    return cmd_sources_generate(args)
+
+
+def cmd_sources_validate(args) -> int:
+    """cmd/sources/validate.go: test a source's selectors against
+    sample article pages; pages come from --corpus (S2 corpus-join
+    fetch mode) instead of live HTTP."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import generator
+    from gocrawl_spark import sources as src
+
+    if not args.source:
+        print("sources validate requires --source", file=sys.stderr)
+        return 2
+    matches = [
+        s for s in src.load_sources(args.sources)
+        if s.name.lower() == args.source.lower()
+    ]
+    if not matches:
+        print(f"source not found: {args.source}", file=sys.stderr)
+        return 1
+    source = matches[0]
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    if args.urls:
+        pages = corpus.filter(F.col("url").isin(list(args.urls)))
+    else:
+        # batch analogue of discoverArticleURLs (validate.go:249-…):
+        # sample the source's host from the corpus, source URL excluded
+        host = F.lower(F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:]+)", 1))
+        pages = corpus.filter(
+            host.isin([d.lower() for d in source.allowed_domains])
+            & (F.col("url") != source.url)
         )
+        print(
+            f"📋 Sampling up to {args.samples} article page(s) from the corpus"
+        )
+    print(f'🧪 Testing selectors for "{source.name}"...')
+    result = generator.validate_selectors(
+        pages, source.article_selectors, max_samples=args.samples
+    )
+    print(f"📄 Testing {result['total_articles']} article(s)...\n")
+    print(generator.validation_report(result), end="")
+    return 0
+
+
+def cmd_sources_generate(args) -> int:
+    """cmd/sources/generate.go: discover selectors for a new source
+    over its corpus pages and emit a starter YAML block."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import generator
+
+    if not args.url:
+        print("sources generate requires --url", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/:]+)", args.url, re.I)
+    host = (m.group(1) if m else args.url).lower()
+    sample = corpus.filter(
+        F.lower(F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:]+)", 1))
+        == host
+    )
+    if not sample.limit(1).count():
+        sample = corpus  # host absent from corpus: analyze the whole sample
+    print(f"🔍 Analyzing {args.url}...", file=sys.stderr)
+    candidates, exclusions = generator.discover_candidates(
+        sample, sample=args.samples
+    )
+    yaml_text = generator.generate_source_yaml(args.url, candidates, exclusions)
+    missing = [f for f in ("title", "body") if f not in candidates]
+    for f in missing:
+        print(f"⚠️  No selector discovered for critical field: {f}",
+              file=sys.stderr)
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        with open(args.output, "w") as fh:
+            fh.write(yaml_text)
+        print(f"✅ Wrote source config to {args.output}", file=sys.stderr)
+    else:
+        print(yaml_text, end="")
     return 0
 
 
@@ -331,8 +425,15 @@ def main(argv: list[str] | None = None) -> int:
     i.set_defaults(fn=cmd_index)
 
     so = sub.add_parser("sources")
-    so.add_argument("action", choices=["list"])
-    so.add_argument("--sources", required=True)
+    so.add_argument("action", choices=["list", "validate", "generate"])
+    so.add_argument("--sources", help="sources file (list/validate)")
+    so.add_argument("--source", help="source name to validate")
+    so.add_argument("--corpus", help="corpus parquet dir (validate/generate)")
+    so.add_argument("--samples", "-n", type=int, default=5)
+    so.add_argument("--urls", "-u", nargs="*",
+                    help="specific article URLs to test (validate)")
+    so.add_argument("--url", help="source URL to analyze (generate)")
+    so.add_argument("--output", "-o", help="output file (generate; default stdout)")
     so.set_defaults(fn=cmd_sources)
 
     d = sub.add_parser("discover")

@@ -184,7 +184,7 @@ def stream_dedup_urls(
     checkpoint_dir: str,
     n_shards: int = 16,
     available_now: bool = True,
-    state_mode: str = "exact",
+    state_mode: str = "bloom",
     m_bits: int = 1 << 20,
 ):
     """Streaming URL-seen filter (F7 as a stateful streaming operator).
@@ -195,15 +195,17 @@ def stream_dedup_urls(
 
     ``state_mode``:
 
+    - ``"bloom"`` (default) — per-shard Bloom BITSET state (binary
+      column, ``m_bits`` bits, same k=4/sha256-slice scheme as the
+      batch filter in frontier.py) — CONSTANT state size per shard,
+      the 10^10-URL path and therefore the default. Trade: a false
+      positive suppresses a genuinely new URL (rate follows the
+      standard (1-e^{-kn/m})^k curve; size m_bits ≥ ~10 bits per
+      expected distinct URL per shard to keep it <1%).
     - ``"exact"`` — per-shard hash set (array<string> state). Grows
-      with distinct URLs; the assertable semantics baseline.
-    - ``"bloom"`` — per-shard Bloom BITSET state (binary column,
-      ``m_bits`` bits, same k=4/sha256-slice scheme as the batch
-      filter in frontier.py) — CONSTANT state size per shard, the
-      10^10-URL path. Trade: a false positive suppresses a genuinely
-      new URL (rate follows the standard (1-e^{-kn/m})^k curve; size
-      m_bits ≥ ~10 bits per expected distinct URL per shard to keep it
-      <1%). Emission stays at-most-once per URL in both modes.
+      with distinct URLs; the assertable semantics baseline kept as
+      the bloom path's test twin. Emission stays at-most-once per URL
+      in both modes.
     """
     import pandas as pd
 

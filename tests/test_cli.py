@@ -94,3 +94,90 @@ def test_cli_sources_list(demo):
         f.write("sources:\n  - name: S\n    url: https://site01.example.com\n")
     out = _run("sources", "list", "--sources", p)
     assert "site01.example.com" in out
+
+
+def test_cli_sources_validate(demo):
+    """cmd/sources/validate.go parity: per-field hit rates over corpus
+    sample pages, critical-field summary, reference print shape."""
+    base, corpus = demo
+    p = os.path.join(base, "sources_v.yml")
+    with open(p, "w") as f:
+        f.write(
+            "sources:\n"
+            "  - name: Demo\n"
+            "    url: https://site00.example.com/\n"
+            "    selectors:\n"
+            "      article:\n"
+            "        title: h1\n"
+            "        body: article\n"
+            "        author: .author\n"
+            "        published_time: time[datetime]\n"
+        )
+    out = _run(
+        "sources", "validate", "--sources", p, "--source", "Demo",
+        "--corpus", corpus, "-n", "4",
+    )
+    assert 'Testing selectors for "Demo"' in out
+    assert "Total articles tested: 4" in out
+    assert "Articles with all critical fields: 4 (100%)" in out
+    assert "✅ title: 100% (4/4)" in out
+    assert "✅ body: 100% (4/4)" in out
+    assert "✅ published_time: 100% (4/4)" in out
+    assert "Sample 1:" in out
+    assert "✅ All articles have all critical fields!" in out
+
+
+def test_cli_sources_validate_explicit_urls_and_misses(demo, spark):
+    base, corpus = demo
+    p = os.path.join(base, "sources_m.yml")
+    with open(p, "w") as f:
+        f.write(
+            "sources:\n"
+            "  - name: Demo\n"
+            "    url: https://site00.example.com/\n"
+            "    selectors:\n"
+            "      article:\n"
+            "        title: h1\n"
+            "        body: .no-such-container\n"
+        )
+    urls = [
+        r["url"]
+        for r in spark.read.parquet(corpus)
+        .filter("url LIKE 'https://site00.%'")
+        .orderBy("url").limit(2).collect()
+    ]
+    out = _run(
+        "sources", "validate", "--sources", p, "--source", "Demo",
+        "--corpus", corpus, "--urls", *urls,
+    )
+    assert "Total articles tested: 2" in out
+    # body selector misses every page: critical failure + failed URLs
+    assert "❌ body: 0% (0/2)" in out
+    assert f"Failed: {urls[0]}" in out
+    assert "Articles with all critical fields: 0 (0%)" in out
+    assert "⚠️  Some articles are missing critical fields." in out
+
+
+def test_cli_sources_generate(demo):
+    """cmd/sources/generate.go parity: starter YAML with discovered
+    selectors, confidence comments, index names, exclusions."""
+    base, corpus = demo
+    out_file = os.path.join(base, "gen", "new_source.yml")
+    _run(
+        "sources", "generate", "--url", "https://site00.example.com/news",
+        "--corpus", corpus, "-n", "50", "-o", out_file,
+    )
+    text = open(out_file).read()
+    assert '- name: "Example"' in text
+    assert 'url: "https://site00.example.com/news"' in text
+    assert 'article_index: "site00_example_com_articles"' in text
+    assert 'page_index: "site00_example_com_pages"' in text
+    assert 'title: "h1"  # Confidence: 0.90' in text
+    assert 'body: "article"  # Confidence:' in text
+    assert "exclude: [" in text and '"script",' in text
+    # stdout mode prints the same YAML
+    out = _run(
+        "sources", "generate", "--url", "https://site00.example.com/news",
+        "--corpus", corpus, "-n", "50",
+    )
+    assert out == text

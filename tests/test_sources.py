@@ -173,3 +173,38 @@ def test_load_sources_from_rest_api(tmp_path):
         assert sel["news.example.com"][0].title == "h1.headline"
     finally:
         srv.shutdown()
+
+
+def test_generator_name_index_escape_helpers():
+    """yaml.go:120-175 naming + escaping parity."""
+    from gocrawl_spark import generator as g
+
+    assert g.generate_source_name("www.example.com") == "Example"
+    assert g.generate_source_name("news.example.org") == "Example"
+    assert g.generate_source_name("example.ca") == "Example CA"
+    assert g.generate_source_name("localhost") == "Localhost"
+    assert g.generate_index_name("www.mid-north.example.com", "articles") \
+        == "mid_north_example_com_articles"
+    assert g.escape_yaml_string('a "b"\nc\\d') == 'a \\"b\\"\\nc\\\\d'
+
+
+def test_generator_extract_value_modes():
+    """validate.go:203-283: meta content, whitelisted attrs, comma
+    chain first-non-empty text."""
+    from gocrawl_spark import generator as g
+    from gocrawl_spark.htmlmini import Selection, parse
+
+    doc = Selection.root(parse(
+        "<html><head><meta property='og:title' content=' T '></head>"
+        "<body><time datetime='2024-01-02'>x</time>"
+        "<p class='a'></p><p class='b'> hello </p>"
+        "<img src='/i.jpg' onerror='x'></body></html>"
+    ))
+    assert g.extract_value(doc, "meta[property='og:title']") == "T"
+    assert g.extract_value(doc, "time[datetime]") == "2024-01-02"
+    assert g.extract_value(doc, "img[src]") == "/i.jpg"
+    # non-whitelisted attribute never extracts
+    assert g.extract_value(doc, "img[onerror]") == ""
+    assert g.extract_value(doc, ".a, .b") == "hello"
+    assert g.extract_value(doc, ".missing") == ""
+    assert g.extract_value(doc, "") == ""

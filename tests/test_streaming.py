@@ -125,7 +125,8 @@ def test_stream_dedup_urls_stateful(spark):
     """Custom stateful operator (applyInPandasWithState): the URL-seen
     state must survive micro-batches AND stream restarts — a URL from
     drop 1 re-arriving in drop 2 is suppressed by the state store, not
-    by any external table."""
+    by any external table. Drives the DEFAULT path (state_mode=bloom),
+    whose per-shard state must stay constant m_bits/8 bytes."""
     base = tempfile.mkdtemp(prefix="stream_dedup_")
     urls_dir = os.path.join(base, "urls")
     out_dir = os.path.join(base, "out")
@@ -152,6 +153,11 @@ def test_stream_dedup_urls_stateful(spark):
     ]
     # shards route by url_hash prefix, matching the batch bloom sharding
     assert out2.select("shard").distinct().count() >= 1
+    # default mode is bloom: state is a FIXED-SIZE bitset per shard —
+    # constant bytes across restarts regardless of distinct-URL count
+    st = spark.read.format("statestore").load(ckpt)
+    sizes = {len(bytes(r["value"]["groupState"]["bits"])) for r in st.collect()}
+    assert sizes == {(1 << 20) // 8}
 
 
 def test_stream_seeds_dedup(spark):
