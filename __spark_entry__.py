@@ -1135,6 +1135,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_dup_recall"] = emb_dup_recall
 
+    def ann_recall(spark, sf_dir):
+        """Probe-path recall@k of the IVF index vs exact brute-force
+        top-k at the bench's k (nprobe=4 of 16 cells) — the eval that
+        makes the nprobe/n_centroids trade VISIBLE, like
+        emb_dup_recall does for the LSH banding curve. One row:
+        (n_brute, n_ivf, n_common, recall)."""
+        emb = _emb(spark, sf_dir)
+        probes_q = emb.filter(F.col("vec_id") < 5)
+        brute = similarity.brute_topk(emb, probes_q, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        ivf = similarity.ivf_topk(
+            emb, probes_q, k=10, n_centroids=16, nprobe=4
+        ).select("query_id", "neighbor_id")
+        n_brute = brute.agg(F.count("*").alias("n_brute"))
+        n_ivf = ivf.agg(F.count("*").alias("n_ivf"))
+        n_common = brute.join(ivf, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("n_common")
+        )
+        return (
+            n_brute.crossJoin(n_ivf)
+            .crossJoin(n_common)
+            .select(
+                "n_brute",
+                "n_ivf",
+                "n_common",
+                F.round(F.col("n_common") / F.col("n_brute"), 4).alias("recall"),
+            )
+        )
+
+    q["ann_recall"] = ann_recall
+
     def semdedup(spark, sf_dir):
         """SemDeDup (arXiv:2303.09540): cluster-blocked semantic dedup —
         IVF cells bound the pairwise work; within a cell the outlier
@@ -1806,6 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rest in registration order. The names below are exactly the entries
     # the round-3 gate did not reach (it covered the first 50 of 101).
     gate_first = [
+        # round-4 additions lead: no driver row exists for them yet
+        "ann_recall",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -2561,6 +2595,48 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
               FROM scored)
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
+    # ann_recall: the brute CTE is the ann_brute_cosine pipeline, the
+    # ivf CTE is the ann_ivf pipeline; both MATERIALIZED (each is
+    # referenced twice in the count rollup — DuckDB inlines CTEs)
+    o["ann_recall"] = f"""
+        WITH brute AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos} DESC, b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+          WHERE rank <= 10),
+        cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 16),
+        asgn AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT a.vec_id, a.embedding, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN (SELECT centroid_id, embedding FROM cents) b ON true)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT a.vec_id AS query_id, a.embedding AS qv, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {_cos} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN (SELECT centroid_id, embedding FROM cents) b ON a.vec_id < 5)
+          WHERE rn <= 4),
+        scored AS (
+          SELECT p.query_id, v.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, 65), i -> p.qv[i]::DOUBLE * v.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> p.qv[i]::DOUBLE * p.qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))), 6) AS score
+          FROM probes p JOIN asgn v ON v.centroid_id = p.centroid_id AND v.vec_id <> p.query_id),
+        ivf AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= 10)
+        SELECT n_brute, n_ivf, n_common,
+               round(n_common::DOUBLE / n_brute, 4) AS recall
+        FROM (SELECT count(*) AS n_brute FROM brute),
+             (SELECT count(*) AS n_ivf FROM ivf),
+             (SELECT count(*) AS n_common
+              FROM brute JOIN ivf USING (query_id, neighbor_id))
     """
 
     # ann_ivf_kmeans: two spherical-Lloyd sweeps unrolled (seed cells →

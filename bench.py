@@ -65,6 +65,9 @@ HEADLINE = [
     "text_quality_clf",
     "corpus_mixture_select",
     "search_fuzzy",
+    # round-4: probe-path recall eval (train/probe split reported
+    # separately by bench_ann_split)
+    "ann_recall",
 ]
 
 
@@ -217,6 +220,37 @@ def bench_steady_state(spark, sf_dir: str, replicas: int) -> tuple[float, int, f
     return dt, fetched, fetched / dt if dt > 0 else 0.0
 
 
+def bench_ann_split(spark, sf_dir: str) -> dict:
+    """ANN train/probe split: index build (ivf_write_index — the
+    one-time cost a 100 TB corpus amortizes over every query batch)
+    timed separately from the probe path over the PRE-BUILT index
+    (broadcast probes + dynamic partition pruning restricting the scan
+    to probed cells). The headline `ann_ivf` query times both fused;
+    this leg is the serving-latency number."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = tempfile.mkdtemp(prefix="bench_ivf_idx_")
+    t0 = time.perf_counter()
+    similarity.ivf_write_index(emb, idx, n_centroids=16)
+    train_s = time.perf_counter() - t0
+    probes = emb.filter(F.col("vec_id") < 100)
+    t0 = time.perf_counter()
+    n = similarity.ivf_topk(
+        emb, probes, k=10, n_centroids=16, nprobe=4, index_path=idx
+    ).count()
+    probe_s = time.perf_counter() - t0
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "train_s": round(train_s, 3),
+        "probe_s": round(probe_s, 3),
+        "probe_queries": 100,
+        "probe_rows": n,
+    }
+
+
 def bench_bpe_batched(spark, sf_dir: str, n_merges: int = 32) -> dict:
     """Driver-round-trip evidence for the batched BPE trainer: a
     32-merge budget costs the sequential trainer 32 sweeps (one
@@ -270,6 +304,9 @@ def main() -> None:
     bpe_stats = bench_bpe_batched(spark, SF_DIR)
     print(f"# bpe batched: {bpe_stats}", file=sys.stderr)
 
+    ann_stats = bench_ann_split(spark, SF_DIR)
+    print(f"# ann split: {ann_stats}", file=sys.stderr)
+
     crawl_s, fetched_bfs, ups_bfs = bench_crawl(spark, SF_DIR)
     qtimes["crawl_loop"] = round(crawl_s, 3)
     print(f"# crawl bfs: {fetched_bfs} urls in {crawl_s:.1f}s = {ups_bfs:.1f} urls/s", file=sys.stderr)
@@ -302,6 +339,7 @@ def main() -> None:
                 "bfs_urls_per_sec": round(ups_bfs, 2),
                 "pinned_replay": replay,
                 "bpe_batched": bpe_stats,
+                "ann_split": ann_stats,
                 "scaling_efficiency_note": "see BENCH/BASELINE.md (N-vs-4N pinned-core evidence)",
             }
         )
