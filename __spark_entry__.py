@@ -1831,6 +1831,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_datehist_a2"] = search_aggs_datehist_a2
 
+    def search_bool_wildcard(spark, sf_dir):
+        """ES DSL tail (A5 pass-through surface): a `query_string`
+        must clause — Lucene subset with AND/OR/NOT, parens and a
+        negated term, parsed into the SAME clause dicts the bool
+        compiler executes (search.parse_query_string) — under a
+        `wildcard` filter (`?`/`*` on the raw keyword-style source
+        field, constant score, no score contribution from filter
+        context). One scan projection + boolean filter, same as every
+        bool_topk plan."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"query_string": {
+                    "query": "table AND (scan OR merge) AND NOT batch",
+                    "default_field": "text",
+                }}],
+                "filter": [{"wildcard": {"source": "src?3*"}}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_bool_wildcard"] = search_bool_wildcard
+
+    def search_aggs_nested_a2(spark, sf_dir):
+        """Nested bucket agg (A2 tail): terms(lang) with an avg metric
+        AND a terms(source) sub-bucket carrying its own max metric —
+        flattened to one row per (outer, inner) bucket with per-level
+        ES orderings and size limits (inner size via one window over
+        the aggregated buckets, not the raw rows)."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 3},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "by_source": {
+                            "terms": {"field": "source", "size": 2},
+                            "aggs": {
+                                "max_chars": {"max": {"field": "n_chars"}}
+                            },
+                        },
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars"),
+            "by_source_key", "by_source_doc_count", "by_source_max_chars",
+        )
+
+    q["search_aggs_nested_a2"] = search_aggs_nested_a2
+
+    def search_aggs_histogram_a2(spark, sf_dir):
+        """Numeric `histogram` bucket agg (A2 tail): fixed interval
+        over n_chars with an avg sub-metric; empty buckets between the
+        data min and max emit doc_count 0 (ES min_doc_count=0 default)
+        via a 1-row bounds aggregate + sequence explode — no second
+        data scan."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "chars_hist": {
+                    "histogram": {"field": "n_chars", "interval": 50},
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_aggs_histogram_a2"] = search_aggs_histogram_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -1839,7 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-3 gate did not reach (it covered the first 50 of 101).
     gate_first = [
         # round-4 additions lead: no driver row exists for them yet
-        "ann_recall",
+        "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
+        "search_aggs_histogram_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3315,6 +3391,67 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_bool_wildcard: query_string expands to must(table,
+    # scan|merge) + must_not(batch); score = matching TFs summed;
+    # wildcard filter = anchored regex on raw source (no score)
+    o["search_bool_wildcard"] = f"""
+        WITH t AS (SELECT doc_id AS id, source, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, source,
+                     {_antf("toks", "table")} AS tf_table,
+                     {_antf("toks", "scan")} AS tf_scan,
+                     {_antf("toks", "merge")} AS tf_merge,
+                     {_antf("toks", "batch")} AS tf_batch
+              FROM t)
+        SELECT id, round(tf_table + tf_scan + tf_merge, 6)::DOUBLE AS score
+        FROM s
+        WHERE tf_table > 0 AND (tf_scan > 0 OR tf_merge > 0)
+          AND tf_batch = 0
+          AND regexp_matches(source, '^src.3.*$')
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # search_aggs_nested_a2: outer terms(lang) top-3, inner
+    # terms(source) top-2 per lang via a window over the aggregated
+    # buckets, inner max metric namespaced under the sub-agg name
+    o["search_aggs_nested_a2"] = """
+        WITH outer_b AS MATERIALIZED (
+          SELECT lang AS key, count(*) AS doc_count,
+                 round(avg(n_chars), 6) AS avg_chars
+          FROM documents GROUP BY 1
+          ORDER BY doc_count DESC, key ASC LIMIT 3),
+        inner_b AS (
+          SELECT lang AS key, source AS by_source_key,
+                 count(*) AS by_source_doc_count,
+                 max(n_chars) AS by_source_max_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY count(*) DESC, source ASC) AS rk
+          FROM documents GROUP BY 1, 2)
+        SELECT o.key, o.doc_count, o.avg_chars,
+               i.by_source_key, i.by_source_doc_count, i.by_source_max_chars
+        FROM outer_b o LEFT JOIN inner_b i ON i.key = o.key AND i.rk <= 2
+        ORDER BY o.doc_count DESC, o.key ASC,
+                 i.by_source_doc_count DESC, i.by_source_key ASC
+    """
+
+    # search_aggs_histogram_a2: interval buckets over n_chars, empty
+    # buckets between data min and max emitted with doc_count 0
+    o["search_aggs_histogram_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT (floor(n_chars / 50.0) * 50.0)::DOUBLE AS key,
+                 count(*) AS doc_count,
+                 round(avg(n_chars), 6) AS avg_chars
+          FROM documents GROUP BY 1),
+        dom AS (
+          SELECT (unnest(range(
+                   (SELECT floor(min(key) / 50.0)::BIGINT FROM b),
+                   (SELECT floor(max(key) / 50.0)::BIGINT FROM b) + 1))
+                  * 50.0)::DOUBLE AS key)
+        SELECT dom.key, coalesce(b.doc_count, 0) AS doc_count, b.avg_chars
+        FROM dom LEFT JOIN b ON b.key = dom.key
+        ORDER BY dom.key
     """
 
     o["dedup_simhash"] = (

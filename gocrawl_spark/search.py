@@ -428,10 +428,12 @@ def _collect_match_fields(clauses, fields: list[str]) -> None:
         if kind == "bool":
             for ctx in ("must", "should", "must_not", "filter"):
                 _collect_match_fields(body.get(ctx, ()), fields)
-        elif kind in ("match", "match_phrase"):
+        elif kind in ("match", "match_phrase", "token_wildcard"):
             ((field, _qs),) = body.items()
             if field not in fields:
                 fields.append(field)
+        elif kind == "query_string":
+            _collect_match_fields([parse_query_string(body)], fields)
 
 
 def _phrase_count(toks, terms: list[str]):
@@ -452,6 +454,148 @@ def _phrase_count(toks, terms: list[str]):
             )
         ),
     ).otherwise(F.lit(0))
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """ES wildcard pattern → anchored Java regex (`*` any sequence,
+    `?` any single char, everything else literal)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+# --- query_string mini-parser ----------------------------------------------
+# The Lucene query_string subset the reference's pass-through surface
+# sees in practice (storage.go:212-257 forwards arbitrary query maps;
+# ES parses the string server-side): terms, "quoted phrases",
+# field:term scoping, * / ? wildcards, AND / OR / NOT (&& / ||),
+# parentheses. Parsed into the SAME clause dicts the bool compiler
+# already executes, so query_string composes with every other leaf.
+
+_QS_ATOM = None  # compiled lazily (module import stays regex-free)
+
+
+def _qs_tokenize(q: str) -> list[tuple[str, str | None, str | None]]:
+    """(kind, field, value) tokens; kind ∈ ( ( , ) , AND, OR, NOT,
+    phrase, word )."""
+    import re as _re
+
+    global _QS_ATOM
+    if _QS_ATOM is None:
+        _QS_ATOM = _re.compile(
+            r'\(|\)|(?:([\w.]+):)?"([^"]*)"|([^\s()]+)'
+        )
+    out: list[tuple[str, str | None, str | None]] = []
+    for m in _QS_ATOM.finditer(q):
+        tok = m.group(0)
+        if tok in ("(", ")"):
+            out.append((tok, None, None))
+        elif m.group(2) is not None:
+            out.append(("phrase", m.group(1), m.group(2)))
+        elif tok in ("AND", "&&"):
+            out.append(("AND", None, None))
+        elif tok in ("OR", "||"):
+            out.append(("OR", None, None))
+        elif tok in ("NOT", "!"):
+            out.append(("NOT", None, None))
+        else:
+            word = m.group(3)
+            field = None
+            if ":" in word:
+                field, _, rest = word.partition(":")
+                word = rest
+            out.append(("word", field, word))
+    return out
+
+
+def _qs_atom_clause(field: str | None, value: str, default_field: str,
+                    is_phrase: bool) -> dict:
+    f = field or default_field
+    if is_phrase:
+        return {"match_phrase": {f: value}}
+    if "*" in value or "?" in value:
+        return {"token_wildcard": {f: value}}
+    return {"match": {f: value}}
+
+
+def _qs_parse(toks, pos: int, default_field: str, default_op: str,
+              depth: int) -> tuple[dict, int]:
+    """Recursive descent over one paren level. Operands link by an
+    explicit AND/OR or by ``default_op``; consecutive AND-linked
+    operands form one conjunction group, groups combine as should
+    (OR). NOT negates the next operand within its group."""
+    items: list[tuple[str, bool, dict]] = []  # (link, negated, clause)
+    link: str | None = None
+    negate = False
+    while pos < len(toks):
+        kind, field, value = toks[pos]
+        if kind == ")":
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query_string")
+            pos += 1
+            break
+        if kind in ("AND", "OR"):
+            link = kind
+            pos += 1
+            continue
+        if kind == "NOT":
+            negate = not negate
+            pos += 1
+            continue
+        if kind == "(":
+            clause, pos = _qs_parse(
+                toks, pos + 1, default_field, default_op, depth + 1
+            )
+        else:
+            clause = _qs_atom_clause(
+                field, value, default_field, kind == "phrase"
+            )
+            pos += 1
+        items.append((link or default_op, negate, clause))
+        link, negate = None, False
+    if not items:
+        return {"match_all": {}}, pos
+    # fold: OR starts a new conjunction group
+    groups: list[dict] = []
+    for i, (lnk, neg, clause) in enumerate(items):
+        if i == 0 or lnk == "OR":
+            groups.append({"must": [], "must_not": []})
+        groups[-1]["must_not" if neg else "must"].append(clause)
+    bools = []
+    for g in groups:
+        if len(g["must"]) == 1 and not g["must_not"]:
+            bools.append(g["must"][0])
+        else:
+            bools.append({"bool": {k: v for k, v in g.items() if v}})
+    if len(bools) == 1:
+        return bools[0], pos
+    return {"bool": {"should": bools}}, pos
+
+
+def parse_query_string(body) -> dict:
+    """{"query_string": body} → an equivalent clause dict of existing
+    leaves. ``body`` is {"query": ..., "default_field": ...,
+    "default_operator": "OR"|"AND"} or a bare string (then the caller
+    must scope fields explicitly with field: prefixes)."""
+    if isinstance(body, str):
+        body = {"query": body}
+    default_field = body.get("default_field", "content")
+    default_op = str(body.get("default_operator", "OR")).upper()
+    if default_op not in ("AND", "OR"):
+        raise ValueError(f"bad default_operator: {default_op}")
+    toks = _qs_tokenize(body["query"])
+    clause, pos = _qs_parse(toks, 0, default_field, default_op, 0)
+    if pos != len(toks):
+        raise ValueError("unbalanced '(' in query_string")
+    return clause
 
 
 def _compile_clause(clause: dict, tokcol: dict[str, str]):
@@ -535,6 +679,23 @@ def _compile_leaf(clause: dict, tokcol: dict[str, str]):
         return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
     if kind == "match_all":
         return F.lit(True), F.lit(1.0)
+    if kind == "wildcard":
+        # ES wildcard query: raw (keyword-style) field value against
+        # the * / ? pattern, case-sensitive, constant score
+        ((field, spec),) = body.items()
+        pattern = spec["value"] if isinstance(spec, dict) else spec
+        pred = F.col(field).rlike(_wildcard_regex(str(pattern)))
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "token_wildcard":
+        # query_string wildcards apply to ANALYZED terms (ES analyzes
+        # the non-wildcard parts and matches per token); score = count
+        # of matching tokens, mirroring match's TF scoring
+        ((field, pattern),) = body.items()
+        rx = F.lit(_wildcard_regex(str(pattern).lower()))
+        score = F.size(F.filter(tokcol[field], lambda t: F.rlike(t, rx)))
+        return score > 0, score.cast("double")
+    if kind == "query_string":
+        return _compile_leaf(parse_query_string(body), tokcol)
     raise ValueError(f"unsupported bool clause: {kind}")
 
 
@@ -661,45 +822,132 @@ def _metric(kind: str, field: str) -> Column:
         raise ValueError(f"unsupported metric agg: {kind}") from None
 
 
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram")
+
+
+def _bucket_key(kind: str, body: dict) -> Column:
+    if kind == "terms":
+        return F.col(body["field"])
+    if kind == "date_histogram":
+        interval = body.get("calendar_interval", "day")
+        return F.date_trunc(interval, F.col(body["field"]))
+    # histogram: numeric key floor(value/interval)*interval (ES shape)
+    interval = float(body["interval"])
+    return (
+        F.floor(F.col(body["field"]) / F.lit(interval)) * F.lit(interval)
+    ).cast("double")
+
+
+def _split_subaggs(spec: dict) -> tuple[list[tuple[str, str, dict]], list]:
+    """spec["aggs"] → ([(name, bucket_kind, bucket_spec)], [metric
+    Columns]); at most one nested bucket agg (one level, the ES shape
+    the reference surface exercises)."""
+    nested: list[tuple[str, str, dict]] = []
+    metrics: list = []
+    for sub_name, sub in (spec.get("aggs") or {}).items():
+        kind = next(k for k in sub if k != "aggs")
+        if kind in _BUCKET_KINDS:
+            nested.append((sub_name, kind, sub))
+        else:
+            metrics.append(_metric(kind, sub[kind]["field"]).alias(sub_name))
+    if len(nested) > 1:
+        raise ValueError("at most one nested bucket agg supported")
+    return nested, metrics
+
+
+def _fill_histogram(buckets: DataFrame, body: dict) -> DataFrame:
+    """ES histogram default (min_doc_count=0): every interval bucket
+    between the data min and max key appears, empty ones with
+    doc_count 0. One 1-row bounds aggregate + a sequence explode —
+    no extra scan of the data."""
+    interval = float(body["interval"])
+    bounds = buckets.agg(
+        F.floor(F.min("key") / F.lit(interval)).cast("long").alias("_lo"),
+        F.floor(F.max("key") / F.lit(interval)).cast("long").alias("_hi"),
+    )
+    domain = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_i")
+    ).select((F.col("_i") * F.lit(interval)).cast("double").alias("key"))
+    filled = domain.join(buckets, "key", "left")
+    return filled.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+
+
 def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     """ES `aggs` body → DataFrame aggregation (the search manager's
     arbitrary-aggregations passthrough, reference
     internal/storage/storage.go:364-415 / search_manager.go:43-55).
 
     Supported: one top-level bucket agg — ``terms`` (size, ordered by
-    doc_count desc then key asc, ES's default) or ``date_histogram``
-    (calendar_interval, ordered by key) — with optional metric
-    sub-aggs (avg/sum/min/max/value_count/cardinality), or one bare
-    metric agg. Deterministic orderings throughout.
+    doc_count desc then key asc, ES's default), ``date_histogram``
+    (calendar_interval, ordered by key) or ``histogram`` (fixed
+    numeric interval, empty buckets emitted with doc_count 0, ES's
+    min_doc_count=0 default) — with optional metric sub-aggs
+    (avg/sum/min/max/value_count/cardinality) and at most ONE nested
+    bucket sub-agg (one level). A nested bucket flattens to one row
+    per (outer, inner) bucket: columns ``key, doc_count, <outer
+    metrics...>, <name>_key, <name>_doc_count, <name>_<metric>...`` —
+    outer ES ordering first, inner ordering within each outer bucket,
+    per-level ``size`` limits (inner terms size via a per-outer-bucket
+    rank, one window over the already-aggregated buckets). Or one
+    bare metric agg. Deterministic orderings throughout.
     """
     if len(aggs) != 1:
         raise ValueError("exactly one top-level agg expected")
     name, spec = next(iter(aggs.items()))
     kind = next(k for k in spec if k != "aggs")
     body = spec[kind]
+    if kind not in _BUCKET_KINDS:
+        # bare metric agg, size:0 style
+        return df.agg(_metric(kind, body["field"]).alias(name))
 
-    def sub_metrics() -> list[Column]:
-        out = [F.count("*").alias("doc_count")]
-        for sub_name, sub in (spec.get("aggs") or {}).items():
-            (mk, mb), = sub.items()
-            out.append(_metric(mk, mb["field"]).alias(sub_name))
-        return out
+    nested, metrics = _split_subaggs(spec)
+    key = _bucket_key(kind, body).alias("key")
 
+    outer = df.groupBy(key).agg(F.count("*").alias("doc_count"), *metrics)
+    if kind == "histogram":
+        outer = _fill_histogram(outer, body)
     if kind == "terms":
-        key = F.col(body["field"]).alias("key")
-        size = int(body.get("size", 10))
-        return (
-            df.groupBy(key)
-            .agg(*sub_metrics())
-            .orderBy(F.desc("doc_count"), F.asc("key"))
-            .limit(size)
+        outer = outer.orderBy(F.desc("doc_count"), F.asc("key")).limit(
+            int(body.get("size", 10))
         )
-    if kind == "date_histogram":
-        interval = body.get("calendar_interval", "day")
-        key = F.date_trunc(interval, F.col(body["field"])).alias("key")
-        return df.groupBy(key).agg(*sub_metrics()).orderBy(F.asc("key"))
-    # bare metric agg, size:0 style
-    return df.agg(_metric(kind, body["field"]).alias(name))
+
+    if not nested:
+        if kind == "terms":
+            return outer
+        return outer.orderBy(F.asc("key"))
+
+    (iname, ikind, ispec), = nested
+    ibody = ispec[ikind]
+    _inner_nested, imetrics = _split_subaggs(ispec)
+    if _inner_nested:
+        raise ValueError("bucket nesting supported one level deep")
+    ikey = _bucket_key(ikind, ibody).alias(f"{iname}_key")
+    inner = df.groupBy(key, ikey).agg(
+        F.count("*").alias(f"{iname}_doc_count"), *imetrics
+    )
+    # namespace the inner metric aliases under the sub-agg name
+    for m_name in [c for c in inner.columns
+                   if c not in ("key", f"{iname}_key", f"{iname}_doc_count")]:
+        inner = inner.withColumnRenamed(m_name, f"{iname}_{m_name}")
+    if ikind == "terms":
+        w = Window.partitionBy("key").orderBy(
+            F.desc(f"{iname}_doc_count"), F.asc(f"{iname}_key")
+        )
+        inner = (
+            inner.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(ibody.get("size", 10)))
+            .drop("_rk")
+        )
+    joined = outer.join(inner, "key", "left")
+    outer_order = (
+        [F.desc("doc_count"), F.asc("key")] if kind == "terms"
+        else [F.asc("key")]
+    )
+    inner_order = (
+        [F.desc(f"{iname}_doc_count"), F.asc(f"{iname}_key")]
+        if ikind == "terms" else [F.asc(f"{iname}_key")]
+    )
+    return joined.orderBy(*outer_order, *inner_order)
 
 
 def significant_terms(

@@ -1905,3 +1905,112 @@ def test_pack_token_sequences_boundaries(spark):
     for (sh, s), (ids, st) in got.items():
         assert st == sorted(st)
         assert all(0 <= x < len(ids) for x in st)
+
+
+def test_query_string_parser_shapes():
+    """Lucene-subset parse: AND groups, OR splits, NOT, parens,
+    field scoping, phrases, wildcards, default operator."""
+    p = search.parse_query_string
+    assert p({"query": "a AND b", "default_field": "t"}) == {
+        "bool": {"must": [{"match": {"t": "a"}}, {"match": {"t": "b"}}]}
+    }
+    # default operator OR: bare adjacency -> should of matches
+    assert p({"query": "a b", "default_field": "t"}) == {
+        "bool": {"should": [{"match": {"t": "a"}}, {"match": {"t": "b"}}]}
+    }
+    assert p({"query": "a b", "default_field": "t",
+              "default_operator": "AND"}) == {
+        "bool": {"must": [{"match": {"t": "a"}}, {"match": {"t": "b"}}]}
+    }
+    assert p({"query": 'x AND NOT y', "default_field": "t"}) == {
+        "bool": {"must": [{"match": {"t": "x"}}],
+                 "must_not": [{"match": {"t": "y"}}]}
+    }
+    assert p({"query": 'lang:de OR title:"fast merge"',
+              "default_field": "t"}) == {
+        "bool": {"should": [{"match": {"lang": "de"}},
+                            {"match_phrase": {"title": "fast merge"}}]}
+    }
+    assert p({"query": "sca*", "default_field": "t"}) == {
+        "token_wildcard": {"t": "sca*"}
+    }
+    assert p({"query": "a AND (b OR c)", "default_field": "t"}) == {
+        "bool": {"must": [
+            {"match": {"t": "a"}},
+            {"bool": {"should": [{"match": {"t": "b"}},
+                                 {"match": {"t": "c"}}]}},
+        ]}
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        p({"query": "a)", "default_field": "t"})
+
+
+def test_bool_wildcard_and_query_string_leaves(spark):
+    rows = [
+        (1, "alpha beta scanner", "news-a"),
+        (2, "alpha scans scanned", "blog-b"),
+        (3, "beta gamma", "news-b"),
+        (4, "alpha beta", "spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # raw wildcard: case-sensitive, * and ? on the keyword field
+    got = search.bool_topk(
+        df, {"filter": [{"wildcard": {"source": "news-?"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert sorted(r["id"] for r in got) == [1, 3]
+    assert all(r["score"] == 0.0 for r in got)  # filter never scores
+    # token wildcard via query_string: scores count matching tokens
+    got2 = search.bool_topk(
+        df,
+        {"must": [{"query_string": {"query": "alpha AND scan*",
+                                    "default_field": "text"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    scores = {r["id"]: r["score"] for r in got2}
+    # doc1: alpha(1)+scanner(1)=2; doc2: alpha(1)+scans+scanned(2)=3
+    assert scores == {1: 2.0, 2: 3.0}
+    # NOT prunes, phrase matches consecutively
+    got3 = search.bool_topk(
+        df,
+        {"must": [{"query_string": {
+            "query": '"alpha beta" AND NOT gamma', "default_field": "text"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert sorted(r["id"] for r in got3) == [1, 4]
+
+
+def test_es_aggs_histogram_fills_empty_buckets(spark):
+    rows = [(1, 5), (2, 7), (3, 250), (4, 255)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = search.es_aggs(
+        df, {"h": {"histogram": {"field": "v", "interval": 100}}}
+    ).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (0.0, 2), (100.0, 0), (200.0, 2),
+    ]
+
+
+def test_es_aggs_nested_bucket_flatten(spark):
+    rows = [
+        ("en", "a", 10), ("en", "a", 20), ("en", "b", 30), ("en", "c", 1),
+        ("de", "b", 5), ("de", "b", 6), ("de", "c", 7),
+    ]
+    df = spark.createDataFrame(rows, "lang string, src string, n long")
+    out = search.es_aggs(
+        df,
+        {"by_lang": {"terms": {"field": "lang", "size": 2},
+                     "aggs": {"sum_n": {"sum": {"field": "n"}},
+                              "by_src": {"terms": {"field": "src", "size": 2},
+                                         "aggs": {"max_n": {"max": {"field": "n"}}}}}}}
+    ).collect()
+    flat = [(r["key"], r["doc_count"], r["sum_n"], r["by_src_key"],
+             r["by_src_doc_count"], r["by_src_max_n"]) for r in out]
+    # outer: en(4) then de(3); inner top-2 per outer by (count desc, key)
+    assert flat == [
+        ("en", 4, 61, "a", 2, 20),
+        ("en", 4, 61, "b", 1, 30),
+        ("de", 3, 18, "b", 2, 6),
+        ("de", 3, 18, "c", 1, 7),
+    ]
