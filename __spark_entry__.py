@@ -1906,6 +1906,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_histogram_a2"] = search_aggs_histogram_a2
 
+    def search_aggs_range_a2(spark, sf_dir):
+        """ES `range` bucket agg (A2 tail): explicit [from, to)
+        buckets — the third bucket OVERLAPS the second (a doc lands in
+        every matching range) and empty buckets still emit, both
+        semantics a plain groupBy can't express; one conditional-agg
+        scan, unpivoted in declared order."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "chars_ranges": {
+                    "range": {
+                        "field": "n_chars",
+                        "ranges": [
+                            {"to": 150},
+                            {"from": 150, "to": 300},
+                            {"from": 250, "to": 400},
+                            {"from": 400},
+                        ],
+                    },
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_aggs_range_a2"] = search_aggs_range_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -1915,7 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate_first = [
         # round-4 additions lead: no driver row exists for them yet
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
-        "search_aggs_histogram_a2",
+        "search_aggs_histogram_a2", "search_aggs_range_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3391,6 +3420,26 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_range_a2: conditional aggregates per declared range
+    # (overlap + empty-bucket semantics), unpivoted via UNION ALL
+    o["search_aggs_range_a2"] = """
+        WITH s AS MATERIALIZED (
+          SELECT
+            count(CASE WHEN n_chars < 150 THEN 1 END) AS dc0,
+            round(avg(CASE WHEN n_chars < 150 THEN n_chars END), 6) AS a0,
+            count(CASE WHEN n_chars >= 150 AND n_chars < 300 THEN 1 END) AS dc1,
+            round(avg(CASE WHEN n_chars >= 150 AND n_chars < 300 THEN n_chars END), 6) AS a1,
+            count(CASE WHEN n_chars >= 250 AND n_chars < 400 THEN 1 END) AS dc2,
+            round(avg(CASE WHEN n_chars >= 250 AND n_chars < 400 THEN n_chars END), 6) AS a2,
+            count(CASE WHEN n_chars >= 400 THEN 1 END) AS dc3,
+            round(avg(CASE WHEN n_chars >= 400 THEN n_chars END), 6) AS a3
+          FROM documents)
+        SELECT '*-150' AS key, dc0 AS doc_count, a0 AS avg_chars FROM s
+        UNION ALL SELECT '150-300', dc1, a1 FROM s
+        UNION ALL SELECT '250-400', dc2, a2 FROM s
+        UNION ALL SELECT '400-*', dc3, a3 FROM s
     """
 
     # search_bool_wildcard: query_string expands to must(table,

@@ -872,6 +872,55 @@ def _fill_histogram(buckets: DataFrame, body: dict) -> DataFrame:
     return filled.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
 
 
+def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `range` bucket agg: explicit [from, to) buckets, possibly
+    overlapping — a doc lands in EVERY matching range, and every
+    range emits a bucket even when empty (both ES semantics a groupBy
+    can't express). One conditional-aggregation pass: per range a
+    filtered count + filtered metric sub-aggs, unpivoted to one row
+    per range in the declared order. Single scan, 1-row shuffle."""
+    field = body["field"]
+    ranges = body["ranges"]
+    subs = list((spec.get("aggs") or {}).items())
+    agg_cols = []
+    keys = []
+    for i, r in enumerate(ranges):
+        frm, to = r.get("from"), r.get("to")
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (F.col(field) >= F.lit(frm))
+        if to is not None:
+            cond = cond & (F.col(field) < F.lit(to))
+        keys.append(
+            r.get("key")
+            or f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+        )
+        agg_cols.append(F.count(F.when(cond, 1)).alias(f"_dc_{i}"))
+        for sub_name, sub in subs:
+            (mk, mb), = sub.items()
+            agg_cols.append(
+                _METRICS[mk](F.when(cond, F.col(mb["field"]))).alias(
+                    f"_m_{i}_{sub_name}"
+                )
+            )
+    one = df.agg(*agg_cols)
+    rows = [
+        F.struct(
+            F.lit(i).alias("bucket_order"),
+            F.lit(key).alias("key"),
+            F.col(f"_dc_{i}").alias("doc_count"),
+            *[F.col(f"_m_{i}_{sn}").alias(sn) for sn, _ in subs],
+        )
+        for i, key in enumerate(keys)
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("b"))
+        .select("b.*")
+        .orderBy("bucket_order")
+        .drop("bucket_order")
+    )
+
+
 def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     """ES `aggs` body → DataFrame aggregation (the search manager's
     arbitrary-aggregations passthrough, reference
@@ -881,7 +930,10 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     doc_count desc then key asc, ES's default), ``date_histogram``
     (calendar_interval, ordered by key) or ``histogram`` (fixed
     numeric interval, empty buckets emitted with doc_count 0, ES's
-    min_doc_count=0 default) — with optional metric sub-aggs
+    min_doc_count=0 default) or ``range`` (explicit, possibly
+    overlapping [from, to) buckets in declared order, empty buckets
+    kept — see :func:`_range_agg`; metric sub-aggs only) — with
+    optional metric sub-aggs
     (avg/sum/min/max/value_count/cardinality) and at most ONE nested
     bucket sub-agg (one level). A nested bucket flattens to one row
     per (outer, inner) bucket: columns ``key, doc_count, <outer
@@ -896,6 +948,8 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     name, spec = next(iter(aggs.items()))
     kind = next(k for k in spec if k != "aggs")
     body = spec[kind]
+    if kind == "range":
+        return _range_agg(df, body, spec)
     if kind not in _BUCKET_KINDS:
         # bare metric agg, size:0 style
         return df.agg(_metric(kind, body["field"]).alias(name))

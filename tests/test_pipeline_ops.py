@@ -2014,3 +2014,32 @@ def test_es_aggs_nested_bucket_flatten(spark):
         ("de", 3, 18, "b", 2, 6),
         ("de", 3, 18, "c", 1, 7),
     ]
+
+
+def test_es_aggs_range_overlap_and_empty(spark):
+    rows = [(1, 10), (2, 20), (3, 120), (4, 130), (5, 500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    spec = {
+        "r": {
+            "range": {
+                "field": "v",
+                "ranges": [
+                    {"to": 100},
+                    {"from": 100, "to": 200},
+                    {"from": 110, "to": 600},
+                    {"from": 200, "to": 300},
+                ],
+            },
+            "aggs": {"sum_v": {"sum": {"field": "v"}}},
+        }
+    }
+    out = [(r["key"], r["doc_count"], r["sum_v"])
+           for r in search.es_aggs(df, spec).collect()]
+    # declared order; docs 120/130 land in BOTH overlapping ranges;
+    # 200-300 is empty but still emits (sum over no rows is null)
+    assert out == [
+        ("*-100", 2, 30),
+        ("100-200", 2, 250),
+        ("110-600", 3, 750),
+        ("200-300", 0, None),
+    ]
