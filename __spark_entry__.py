@@ -1935,6 +1935,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_range_a2"] = search_aggs_range_a2
 
+    def search_bool_fuzzy(spark, sf_dir):
+        """ES `fuzzy` leaf inside the bool compositor + Lucene `term~`
+        fuzzy suffix via query_string: each fuzzy leaf pre-expands
+        against the corpus vocabulary (search._expand_fuzzy_clauses →
+        fuzzy_expansions) into a should-of-matches sub-bool, so typo
+        tolerance composes with every other context — here a must
+        fuzzy ("tble"), a should query_string fuzzy ("merg~"), and a
+        must_not keyword term."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"fuzzy": {"text": {"value": "tble",
+                                             "fuzziness": 1}}}],
+                "should": [{"query_string": {"query": "merg~",
+                                             "default_field": "text"}}],
+                "must_not": [{"term": {"lang": "de"}}],
+            },
+            id_col="doc_id",
+            k=12,
+        )
+
+    q["search_bool_fuzzy"] = search_bool_fuzzy
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -1945,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions lead: no driver row exists for them yet
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
+        "search_bool_fuzzy",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3944,6 +3968,33 @@ def oracle_sql() -> dict[str, str]:
         sc AS (SELECT p.id, count(*)::DOUBLE AS score
                FROM p JOIN exp USING (term) GROUP BY p.id)
         SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10
+    """
+
+    # search_bool_fuzzy: expansion sets re-derived in SQL (same vocab
+    # prefilter + levenshtein + (distance, term) cap as search_fuzzy);
+    # must-fuzzy gates on any e1 hit, should-fuzzy adds its TF sum,
+    # must_not excludes lang='de'
+    o["search_bool_fuzzy"] = f"""
+        WITH t AS (SELECT doc_id AS id, lang, {_antoks("text")} AS toks
+                   FROM documents),
+        v AS (SELECT DISTINCT unnest(toks) AS term FROM t),
+        e1 AS (SELECT term FROM (
+                 SELECT term, levenshtein(term, 'tble') AS d FROM v
+                 WHERE abs(length(term) - 4) <= 1 AND substr(term, 1, 1) = 't'
+                   AND levenshtein(term, 'tble') <= 1
+                 ORDER BY d, term LIMIT 50)),
+        e2 AS (SELECT term FROM (
+                 SELECT term, levenshtein(term, 'merg') AS d FROM v
+                 WHERE abs(length(term) - 4) <= 1 AND substr(term, 1, 1) = 'm'
+                   AND levenshtein(term, 'merg') <= 1
+                 ORDER BY d, term LIMIT 50)),
+        p AS (SELECT id, unnest(toks) AS term FROM t),
+        s1 AS (SELECT id, count(*)::DOUBLE AS sc FROM p JOIN e1 USING (term) GROUP BY id),
+        s2 AS (SELECT id, count(*)::DOUBLE AS sc FROM p JOIN e2 USING (term) GROUP BY id)
+        SELECT t.id, round(coalesce(s1.sc, 0) + coalesce(s2.sc, 0), 6) AS score
+        FROM t LEFT JOIN s1 ON s1.id = t.id LEFT JOIN s2 ON s2.id = t.id
+        WHERE coalesce(s1.sc, 0) > 0 AND t.lang <> 'de'
+        ORDER BY score DESC, t.id ASC LIMIT 12
     """
 
     # search_highlight: same analyzer TF score; snippet = 80-char

@@ -518,9 +518,17 @@ def _qs_tokenize(q: str) -> list[tuple[str, str | None, str | None]]:
 
 def _qs_atom_clause(field: str | None, value: str, default_field: str,
                     is_phrase: bool) -> dict:
+    import re as _re
+
     f = field or default_field
     if is_phrase:
         return {"match_phrase": {f: value}}
+    m = _re.fullmatch(r"(.+?)~(\d?)", value)
+    if m:  # Lucene fuzzy suffix: term~ (distance 1) or term~N
+        return {"fuzzy": {f: {
+            "value": m.group(1),
+            "fuzziness": int(m.group(2) or 1),
+        }}}
     if "*" in value or "?" in value:
         return {"token_wildcard": {f: value}}
     return {"match": {f: value}}
@@ -595,6 +603,50 @@ def parse_query_string(body) -> dict:
     clause, pos = _qs_parse(toks, 0, default_field, default_op, 0)
     if pos != len(toks):
         raise ValueError("unbalanced '(' in query_string")
+    return clause
+
+
+def _expand_fuzzy_clauses(clause: dict, df: DataFrame) -> dict:
+    """Pre-compile pass replacing every `fuzzy` leaf (and any fuzzy
+    `term~N` inside a query_string) with a should-of-matches over its
+    corpus-vocabulary expansions (:func:`fuzzy_expansions`) — the leaf
+    needs the DataFrame to derive the term dictionary, which the pure
+    column-expression compiler below never sees. A term with no
+    expansions compiles to a never-match (ES: zero expanded terms →
+    no hits). At 100 TB the vocab scan inside fuzzy_expansions is a
+    precomputed index table; the expansion set itself is ≤
+    max_expansions driver-side strings per fuzzy term."""
+    ((kind, body),) = clause.items()
+    if kind == "bool":
+        new: dict = {}
+        for ctx in ("must", "should", "must_not", "filter"):
+            if ctx in body:
+                new[ctx] = [_expand_fuzzy_clauses(c, df) for c in body[ctx]]
+        if "minimum_should_match" in body:
+            new["minimum_should_match"] = body["minimum_should_match"]
+        return {"bool": new}
+    if kind == "query_string":
+        return _expand_fuzzy_clauses(parse_query_string(body), df)
+    if kind == "fuzzy":
+        ((field, spec),) = body.items()
+        if not isinstance(spec, dict):
+            spec = {"value": spec}
+        expansions = [
+            r["term"]
+            for r in fuzzy_expansions(
+                df,
+                str(spec["value"]),
+                text_col=field,
+                fuzziness=int(spec.get("fuzziness", 1)),
+                prefix_length=int(spec.get("prefix_length", 1)),
+                max_expansions=int(spec.get("max_expansions", 50)),
+            ).collect()
+        ]
+        if not expansions:
+            return {"bool": {"must": [{"match_all": {}}],
+                             "must_not": [{"match_all": {}}]}}
+        return {"bool": {"should": [{"match": {field: t}}
+                                    for t in expansions]}}
     return clause
 
 
@@ -770,7 +822,9 @@ def bool_topk(
     clause lambdas — the match_scores rationale); the whole compositor
     is one scan projection + one boolean filter, no joins, no shuffle
     beyond the top-k sort of matches."""
-    # analyze each match-referenced field exactly once (nested too)
+    # resolve fuzzy leaves against the corpus vocab first (needs df),
+    # then analyze each match-referenced field exactly once
+    query = _expand_fuzzy_clauses({"bool": query}, df)["bool"]
     fields: list[str] = []
     _collect_match_fields([{"bool": query}], fields)
     tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}

@@ -2043,3 +2043,41 @@ def test_es_aggs_range_overlap_and_empty(spark):
         ("110-600", 3, 750),
         ("200-300", 0, None),
     ]
+
+
+def test_bool_fuzzy_leaf_and_tilde_syntax(spark):
+    rows = [
+        (1, "the table holds data", "en"),
+        (2, "a tables stack", "en"),
+        (3, "tuble tuble tuble", "en"),   # distance-1 neighbor, 3 hits
+        (4, "nothing relevant here", "en"),
+        (5, "the table again", "de"),     # excluded by must_not
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = search.bool_topk(
+        df,
+        {
+            "must": [{"fuzzy": {"text": {"value": "tble", "fuzziness": 1}}}],
+            "must_not": [{"term": {"lang": "de"}}],
+        },
+        id_col="doc_id", k=10,
+    ).collect()
+    scores = {r["id"]: r["score"] for r in got}
+    # expansions of 'tble' (prefix 't', lev<=1): table, tuble (not
+    # tables: distance 2)
+    assert scores == {1: 1.0, 3: 3.0}
+    # Lucene tilde syntax routes through the same fuzzy leaf
+    assert search.parse_query_string(
+        {"query": "tble~ AND exact", "default_field": "text"}
+    ) == {"bool": {"must": [
+        {"fuzzy": {"text": {"value": "tble", "fuzziness": 1}}},
+        {"match": {"text": "exact"}},
+    ]}}
+    assert search.parse_query_string(
+        {"query": "word~2", "default_field": "t"}
+    ) == {"fuzzy": {"t": {"value": "word", "fuzziness": 2}}}
+    # zero expansions -> never-match, not match-all
+    got2 = search.bool_topk(
+        df, {"must": [{"fuzzy": {"text": "zzzqqq"}}]}, id_col="doc_id", k=10
+    ).collect()
+    assert got2 == []
