@@ -1958,6 +1958,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bool_fuzzy"] = search_bool_fuzzy
 
+    def search_aggs_stats_a2(spark, sf_dir):
+        """Multi-valued metric sub-aggs (A2 tail): ES `stats`
+        (count/min/max/avg/sum columns) + `percentiles` (exact
+        interpolated p50/p95, the deterministic stand-in for ES's
+        t-digest) under a terms bucket — on a bigint field so the sums
+        stay order-independent across engines."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 3},
+                    "aggs": {
+                        "chars": {"stats": {"field": "n_chars"}},
+                        "chars_pct": {"percentiles": {
+                            "field": "n_chars", "percents": [50, 95],
+                        }},
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", "chars_count", "chars_min", "chars_max",
+            F.round("chars_avg", 6).alias("chars_avg"), "chars_sum",
+            F.round("chars_pct_p50", 6).alias("chars_pct_p50"),
+            F.round("chars_pct_p95", 6).alias("chars_pct_p95"),
+        )
+
+    q["search_aggs_stats_a2"] = search_aggs_stats_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -1968,7 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions lead: no driver row exists for them yet
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
-        "search_bool_fuzzy",
+        "search_bool_fuzzy", "search_aggs_stats_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3444,6 +3473,21 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_stats_a2: stats components + quantile_cont (linear
+    # interpolation, same convention as Spark's exact percentile)
+    o["search_aggs_stats_a2"] = """
+        SELECT lang AS key, count(*) AS doc_count,
+               count(n_chars) AS chars_count,
+               min(n_chars) AS chars_min,
+               max(n_chars) AS chars_max,
+               round(avg(n_chars), 6) AS chars_avg,
+               sum(n_chars)::BIGINT AS chars_sum,
+               round(quantile_cont(n_chars, 0.50), 6) AS chars_pct_p50,
+               round(quantile_cont(n_chars, 0.95), 6) AS chars_pct_p95
+        FROM documents GROUP BY 1
+        ORDER BY doc_count DESC, key ASC LIMIT 3
     """
 
     # search_aggs_range_a2: conditional aggregates per declared range

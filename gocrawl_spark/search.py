@@ -869,11 +869,38 @@ _METRICS = {
 }
 
 
-def _metric(kind: str, field: str) -> Column:
-    try:
-        return _METRICS[kind](field)
-    except KeyError:
-        raise ValueError(f"unsupported metric agg: {kind}") from None
+def _metric_cols(
+    kind: str, name: str, body: dict, value: Column | None = None
+) -> list[tuple[str, Column]]:
+    """One metric sub-agg → [(output_name, unaliased aggregate)].
+    Single-valued metrics emit one column under ``name``; the
+    multi-valued ES metrics emit one per component — ``stats`` →
+    name_count/min/max/avg/sum, ``percentiles`` → name_pN per entry of
+    ``percents`` (ES default [1,5,25,50,75,95,99]; exact interpolated
+    percentile, the deterministic stand-in for ES's t-digest).
+    ``value`` overrides the aggregated expression (the range agg's
+    per-bucket conditional)."""
+    v = F.col(body["field"]) if value is None else value
+    if kind in _METRICS:
+        return [(name, _METRICS[kind](v))]
+    if kind == "stats":
+        return [
+            (f"{name}_count", F.count(v)),
+            (f"{name}_min", F.min(v)),
+            (f"{name}_max", F.max(v)),
+            (f"{name}_avg", F.avg(v)),
+            (f"{name}_sum", F.sum(v)),
+        ]
+    if kind == "percentiles":
+        pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return [
+            (
+                f"{name}_p{str(p).replace('.', '_')}",
+                F.percentile(v, F.lit(float(p) / 100.0)),
+            )
+            for p in pcts
+        ]
+    raise ValueError(f"unsupported metric agg: {kind}")
 
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
@@ -903,7 +930,9 @@ def _split_subaggs(spec: dict) -> tuple[list[tuple[str, str, dict]], list]:
         if kind in _BUCKET_KINDS:
             nested.append((sub_name, kind, sub))
         else:
-            metrics.append(_metric(kind, sub[kind]["field"]).alias(sub_name))
+            metrics.extend(
+                c.alias(n) for n, c in _metric_cols(kind, sub_name, sub[kind])
+            )
     if len(nested) > 1:
         raise ValueError("at most one nested bucket agg supported")
     return nested, metrics
@@ -952,18 +981,26 @@ def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
         agg_cols.append(F.count(F.when(cond, 1)).alias(f"_dc_{i}"))
         for sub_name, sub in subs:
             (mk, mb), = sub.items()
-            agg_cols.append(
-                _METRICS[mk](F.when(cond, F.col(mb["field"]))).alias(
-                    f"_m_{i}_{sub_name}"
+            agg_cols.extend(
+                c.alias(f"_m_{i}_{n}")
+                for n, c in _metric_cols(
+                    mk, sub_name, mb, value=F.when(cond, F.col(mb["field"]))
                 )
             )
+    sub_names = [
+        n
+        for sub_name, sub in subs
+        for n, _c in _metric_cols(
+            next(iter(sub)), sub_name, sub[next(iter(sub))]
+        )
+    ]
     one = df.agg(*agg_cols)
     rows = [
         F.struct(
             F.lit(i).alias("bucket_order"),
             F.lit(key).alias("key"),
             F.col(f"_dc_{i}").alias("doc_count"),
-            *[F.col(f"_m_{i}_{sn}").alias(sn) for sn, _ in subs],
+            *[F.col(f"_m_{i}_{sn}").alias(sn) for sn in sub_names],
         )
         for i, key in enumerate(keys)
     ]
@@ -988,8 +1025,10 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     overlapping [from, to) buckets in declared order, empty buckets
     kept — see :func:`_range_agg`; metric sub-aggs only) — with
     optional metric sub-aggs
-    (avg/sum/min/max/value_count/cardinality) and at most ONE nested
-    bucket sub-agg (one level). A nested bucket flattens to one row
+    (avg/sum/min/max/value_count/cardinality, plus the multi-valued
+    `stats` → <name>_count/min/max/avg/sum and `percentiles` →
+    <name>_pN columns — see :func:`_metric_cols`) and at most ONE
+    nested bucket sub-agg (one level). A nested bucket flattens to one row
     per (outer, inner) bucket: columns ``key, doc_count, <outer
     metrics...>, <name>_key, <name>_doc_count, <name>_<metric>...`` —
     outer ES ordering first, inner ordering within each outer bucket,
@@ -1006,7 +1045,9 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         return _range_agg(df, body, spec)
     if kind not in _BUCKET_KINDS:
         # bare metric agg, size:0 style
-        return df.agg(_metric(kind, body["field"]).alias(name))
+        return df.agg(
+            *[c.alias(n) for n, c in _metric_cols(kind, name, body)]
+        )
 
     nested, metrics = _split_subaggs(spec)
     key = _bucket_key(kind, body).alias("key")

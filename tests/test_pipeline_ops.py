@@ -2081,3 +2081,32 @@ def test_bool_fuzzy_leaf_and_tilde_syntax(spark):
         df, {"must": [{"fuzzy": {"text": "zzzqqq"}}]}, id_col="doc_id", k=10
     ).collect()
     assert got2 == []
+
+
+def test_es_aggs_stats_and_percentiles(spark):
+    rows = [("a", 10), ("a", 20), ("a", 30), ("b", 100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["key"]: r for r in search.es_aggs(
+        df,
+        {"by_g": {"terms": {"field": "g", "size": 5},
+                  "aggs": {"s": {"stats": {"field": "v"}},
+                           "p": {"percentiles": {"field": "v",
+                                                 "percents": [50]}}}}}
+    ).collect()}
+    a = out["a"]
+    assert (a["s_count"], a["s_min"], a["s_max"], a["s_avg"], a["s_sum"]) \
+        == (3, 10, 30, 20.0, 60)
+    assert a["p_p50"] == 20.0
+    assert out["b"]["p_p50"] == 100.0
+    # bare multi-valued metric
+    bare = search.es_aggs(df, {"vs": {"stats": {"field": "v"}}}).collect()[0]
+    assert (bare["vs_count"], bare["vs_sum"]) == (4, 160)
+    # range agg carries multi-valued metrics per bucket
+    rng = search.es_aggs(
+        df,
+        {"r": {"range": {"field": "v", "ranges": [{"to": 50}, {"from": 50}]},
+               "aggs": {"s": {"stats": {"field": "v"}}}}}
+    ).collect()
+    assert [(r["key"], r["doc_count"], r["s_sum"]) for r in rng] == [
+        ("*-50", 3, 60), ("50-*", 1, 100),
+    ]
