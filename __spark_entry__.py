@@ -1987,6 +1987,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_stats_a2"] = search_aggs_stats_a2
 
+    def search_aggs_filters_a2(spark, sf_dir):
+        """ES `filters` bucket agg (A2 tail): one bucket per named
+        query clause — here a match (analyzed TF predicate), a range,
+        and a nested bool — with an avg sub-metric; buckets may
+        overlap and emit in declared order even when empty, the
+        semantics a groupBy can't express (one conditional-agg
+        scan)."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "slices": {
+                    "filters": {"filters": {
+                        "mentions_table": {"match": {"text": "table"}},
+                        "long_docs": {"range": {"n_chars": {"gte": 300}}},
+                        "short_en": {"bool": {"must": [
+                            {"term": {"lang": "en"}},
+                            {"range": {"n_chars": {"lt": 200}}},
+                        ]}},
+                    }},
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_aggs_filters_a2"] = search_aggs_filters_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -1998,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
+        "search_aggs_filters_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3473,6 +3503,25 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_filters_a2: one conditional aggregate per named
+    # filter clause (match TF predicate re-derived on analyzed tokens)
+    o["search_aggs_filters_a2"] = f"""
+        WITH t AS (SELECT n_chars, lang, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS MATERIALIZED (
+          SELECT
+            count(CASE WHEN {_antf("toks", "table")} > 0 THEN 1 END) AS dc0,
+            round(avg(CASE WHEN {_antf("toks", "table")} > 0 THEN n_chars END), 6) AS a0,
+            count(CASE WHEN n_chars >= 300 THEN 1 END) AS dc1,
+            round(avg(CASE WHEN n_chars >= 300 THEN n_chars END), 6) AS a1,
+            count(CASE WHEN lang = 'en' AND n_chars < 200 THEN 1 END) AS dc2,
+            round(avg(CASE WHEN lang = 'en' AND n_chars < 200 THEN n_chars END), 6) AS a2
+          FROM t)
+        SELECT 'mentions_table' AS key, dc0 AS doc_count, a0 AS avg_chars FROM s
+        UNION ALL SELECT 'long_docs', dc1, a1 FROM s
+        UNION ALL SELECT 'short_en', dc2, a2 FROM s
     """
 
     # search_aggs_stats_a2: stats components + quantile_cont (linear

@@ -955,29 +955,18 @@ def _fill_histogram(buckets: DataFrame, body: dict) -> DataFrame:
     return filled.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
 
 
-def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
-    """ES `range` bucket agg: explicit [from, to) buckets, possibly
-    overlapping — a doc lands in EVERY matching range, and every
-    range emits a bucket even when empty (both ES semantics a groupBy
-    can't express). One conditional-aggregation pass: per range a
-    filtered count + filtered metric sub-aggs, unpivoted to one row
-    per range in the declared order. Single scan, 1-row shuffle."""
-    field = body["field"]
-    ranges = body["ranges"]
+def _conditional_buckets(
+    df: DataFrame, conds: list[tuple[str, Column]], spec: dict
+) -> DataFrame:
+    """Shared engine for the bucket kinds a groupBy can't express
+    (`range`, `filters`): buckets defined by arbitrary — possibly
+    overlapping — predicates, every bucket emitted even when empty.
+    One conditional-aggregation pass (per bucket a filtered count +
+    filtered metric sub-aggs), unpivoted to one row per bucket in the
+    declared order. Single scan, 1-row shuffle."""
     subs = list((spec.get("aggs") or {}).items())
     agg_cols = []
-    keys = []
-    for i, r in enumerate(ranges):
-        frm, to = r.get("from"), r.get("to")
-        cond = F.lit(True)
-        if frm is not None:
-            cond = cond & (F.col(field) >= F.lit(frm))
-        if to is not None:
-            cond = cond & (F.col(field) < F.lit(to))
-        keys.append(
-            r.get("key")
-            or f"{'*' if frm is None else frm}-{'*' if to is None else to}"
-        )
+    for i, (_key, cond) in enumerate(conds):
         agg_cols.append(F.count(F.when(cond, 1)).alias(f"_dc_{i}"))
         for sub_name, sub in subs:
             (mk, mb), = sub.items()
@@ -1002,7 +991,7 @@ def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
             F.col(f"_dc_{i}").alias("doc_count"),
             *[F.col(f"_m_{i}_{sn}").alias(sn) for sn in sub_names],
         )
-        for i, key in enumerate(keys)
+        for i, (key, _cond) in enumerate(conds)
     ]
     return (
         one.select(F.explode(F.array(*rows)).alias("b"))
@@ -1010,6 +999,52 @@ def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
         .orderBy("bucket_order")
         .drop("bucket_order")
     )
+
+
+def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `range` bucket agg: explicit [from, to) buckets, possibly
+    overlapping — a doc lands in EVERY matching range, and every
+    range emits a bucket even when empty. See
+    :func:`_conditional_buckets` for the plan shape."""
+    field = body["field"]
+    conds = []
+    for r in body["ranges"]:
+        frm, to = r.get("from"), r.get("to")
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (F.col(field) >= F.lit(frm))
+        if to is not None:
+            cond = cond & (F.col(field) < F.lit(to))
+        key = r.get("key") or (
+            f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+        )
+        conds.append((key, cond))
+    return _conditional_buckets(df, conds, spec)
+
+
+def _filters_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `filters` bucket agg (named form): one bucket per named
+    query clause, each clause ANY shape the bool compositor compiles
+    (term/range/match/match_phrase/wildcard/query_string/nested
+    bool/...). Match-referenced fields get their one-shot token
+    columns exactly like bool_topk; buckets emit in declared order,
+    empty included. See :func:`_conditional_buckets`."""
+    named = {
+        name: _expand_fuzzy_clauses(clause, df)
+        for name, clause in body["filters"].items()
+    }
+    clauses = list(named.values())
+    fields: list[str] = []
+    _collect_match_fields(clauses, fields)
+    tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
+    proj = df.select(
+        "*", *[tokens(f).alias(tokcol[f]) for f in fields]
+    )
+    conds = [
+        (name, _compile_clause(clause, tokcol)[0])
+        for name, clause in named.items()
+    ]
+    return _conditional_buckets(proj, conds, spec)
 
 
 def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
@@ -1043,6 +1078,8 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     body = spec[kind]
     if kind == "range":
         return _range_agg(df, body, spec)
+    if kind == "filters":
+        return _filters_agg(df, body, spec)
     if kind not in _BUCKET_KINDS:
         # bare metric agg, size:0 style
         return df.agg(

@@ -2110,3 +2110,27 @@ def test_es_aggs_stats_and_percentiles(spark):
     assert [(r["key"], r["doc_count"], r["s_sum"]) for r in rng] == [
         ("*-50", 3, 60), ("50-*", 1, 100),
     ]
+
+
+def test_es_aggs_filters_buckets(spark):
+    rows = [
+        (1, "alpha beta", "en", 50),
+        (2, "alpha", "de", 500),
+        (3, "gamma", "en", 150),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, lang string, n long")
+    out = [(r["key"], r["doc_count"], r["sum_n"]) for r in search.es_aggs(
+        df,
+        {"f": {"filters": {"filters": {
+                   "has_alpha": {"match": {"text": "alpha"}},
+                   "big": {"range": {"n": {"gte": 100}}},
+                   "none": {"term": {"lang": "fr"}},
+               }},
+               "aggs": {"sum_n": {"sum": {"field": "n"}}}}}
+    ).collect()]
+    # declared order, overlap allowed (doc 2 in both), empty kept
+    assert out == [
+        ("has_alpha", 2, 550),
+        ("big", 2, 650),
+        ("none", 0, None),
+    ]
