@@ -2016,6 +2016,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_filters_a2"] = search_aggs_filters_a2
 
+    def search_bool_misc(spark, sf_dir):
+        """Remaining ES leaf tail in one bool query: `regexp`
+        (anchored Lucene-style whole-value match on the keyword
+        source), `ids` (id-list membership, filter context), `exists`
+        and `prefix` — constant-score leaves around a scoring match."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"match": {"text": "data"}}],
+                "should": [{"regexp": {"source": "src[0-9]"}}],
+                "filter": [
+                    {"ids": {"values": list(range(0, 400, 2))}},
+                    {"exists": {"field": "lang"}},
+                    {"prefix": {"source": "src"}},
+                ],
+            },
+            id_col="doc_id",
+            k=20,
+        )
+
+    q["search_bool_misc"] = search_bool_misc
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -2027,7 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
-        "search_aggs_filters_a2",
+        "search_aggs_filters_a2", "search_bool_misc",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3503,6 +3525,25 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_bool_misc: regexp anchored on source, even ids < 400,
+    # exists(lang), prefix(src); score = match TF + regexp hit
+    o["search_bool_misc"] = f"""
+        WITH t AS (SELECT doc_id AS id, source, lang, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, source, lang, {_antf("toks", "data")} AS tf_data
+              FROM t)
+        SELECT id,
+               round(tf_data
+                     + CASE WHEN regexp_matches(source, '^(?:src[0-9])$')
+                            THEN 1 ELSE 0 END, 6)::DOUBLE AS score
+        FROM s
+        WHERE tf_data > 0
+          AND id % 2 = 0 AND id < 400
+          AND lang IS NOT NULL
+          AND source LIKE 'src%'
+        ORDER BY score DESC, id ASC LIMIT 20
     """
 
     # search_aggs_filters_a2: one conditional aggregate per named

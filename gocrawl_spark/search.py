@@ -748,6 +748,19 @@ def _compile_leaf(clause: dict, tokcol: dict[str, str]):
         return score > 0, score.cast("double")
     if kind == "query_string":
         return _compile_leaf(parse_query_string(body), tokcol)
+    if kind == "regexp":
+        # ES regexp query: anchored match of the whole keyword-style
+        # field value (Lucene regexps are implicitly anchored — the
+        # explicit ^...$ wrap reproduces that on Java regex)
+        ((field, spec),) = body.items()
+        pattern = spec["value"] if isinstance(spec, dict) else spec
+        pred = F.col(field).rlike(f"^(?:{pattern})$")
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "ids":
+        # ES ids query: membership in the given id list ("id" is the
+        # compositor's id alias — bool_topk projects id_col to it)
+        pred = F.col("id").isin(list(body["values"]))
+        return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
     raise ValueError(f"unsupported bool clause: {kind}")
 
 

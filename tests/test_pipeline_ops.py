@@ -2134,3 +2134,24 @@ def test_es_aggs_filters_buckets(spark):
         ("big", 2, 650),
         ("none", 0, None),
     ]
+
+
+def test_bool_regexp_and_ids_leaves(spark):
+    rows = [(1, "x", "src1"), (2, "x", "src22"), (3, "x", "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = search.bool_topk(
+        df, {"filter": [{"regexp": {"source": "src[0-9]+"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    # anchored: matches whole value only (src1, src22; not 'other')
+    assert sorted(r["id"] for r in got) == [1, 2]
+    got2 = search.bool_topk(
+        df, {"filter": [{"ids": {"values": [2, 3]}}]}, id_col="doc_id", k=10
+    ).collect()
+    assert sorted(r["id"] for r in got2) == [2, 3]
+    # regexp is NOT substring-matched
+    got3 = search.bool_topk(
+        df, {"filter": [{"regexp": {"source": "rc[0-9]"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert got3 == []
