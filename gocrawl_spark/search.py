@@ -139,6 +139,7 @@ def fuzzy_expansions(
     fuzziness: int = 1,
     prefix_length: int = 1,
     max_expansions: int = 50,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus terms within Levenshtein distance `fuzziness` of `term`
     — the expansion set ES's `fuzzy`/`match{fuzziness}` query builds
@@ -155,7 +156,8 @@ def fuzzy_expansions(
     (one partial-agged shuffle, vocab ≪ corpus), prefiltered by prefix
     and ±fuzziness length bounds; the result is ≤ max_expansions rows.
     At 100 TB the vocab is a precomputed index table — same plan, no
-    recompute.
+    recompute; multi-term callers pass one shared (persisted)
+    ``vocab`` (term) table so N fuzzy terms cost ONE vocab scan.
     """
     t = term.lower()
     # ES clamps prefix_length at the query-term length: a prefix longer
@@ -163,9 +165,10 @@ def fuzzy_expansions(
     # term's N-char substring against the shorter t[:N] literal and
     # exclude every candidate longer than the term.
     plen = min(prefix_length, len(t))
-    vocab = df.select(
-        F.explode(tokens(text_col)).alias("term")
-    ).distinct()
+    if vocab is None:
+        vocab = df.select(
+            F.explode(tokens(text_col)).alias("term")
+        ).distinct()
     cand = vocab.filter(
         (F.abs(F.length("term") - F.lit(len(t))) <= fuzziness)
         & (F.substring("term", 1, plen) == F.lit(t[:plen]))
@@ -202,22 +205,40 @@ def fuzzy_topk(
     map-side partial aggregation. The corpus is never scanned per
     expansion term.
     """
-    exp = None
-    for t in _terms(query):
-        e = fuzzy_expansions(
+    qterms = _terms(query)
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .distinct()
+        .persist()
+        if len(qterms) > 1
+        else None
+    )
+    # expansions are ≤ max_expansions driver-side rows per term BY
+    # DESIGN — collect them eagerly (one shared vocab scan across
+    # terms, unpersisted right after), keeping duplicates: a term
+    # reached from two query terms counts its postings twice, exactly
+    # like ES's per-clause sum (and the UNION ALL oracle)
+    exp_rows = [
+        (r["term"],)
+        for t in qterms
+        for r in fuzzy_expansions(
             df, t, text_col=text_col, fuzziness=fuzziness,
             prefix_length=prefix_length, max_expansions=max_expansions,
-        )
-        exp = e if exp is None else exp.unionByName(e)
-    if exp is None:
+            vocab=vocab,
+        ).collect()
+    ]
+    if vocab is not None:
+        vocab.unpersist()
+    if not exp_rows:
         return df.select(F.col(id_col).alias("id")).limit(0).withColumn(
             "score", F.lit(0.0)
         )
+    exp = df.sparkSession.createDataFrame(exp_rows, "term string")
     postings = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
     return (
-        postings.join(F.broadcast(exp.select("term")), "term")
+        postings.join(F.broadcast(exp), "term")
         .groupBy("id")
         .agg(F.count("*").cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
@@ -606,7 +627,9 @@ def parse_query_string(body) -> dict:
     return clause
 
 
-def _expand_fuzzy_clauses(clause: dict, df: DataFrame) -> dict:
+def _expand_fuzzy_clauses(
+    clause: dict, df: DataFrame, _vocabs: dict | None = None
+) -> dict:
     """Pre-compile pass replacing every `fuzzy` leaf (and any fuzzy
     `term~N` inside a query_string) with a should-of-matches over its
     corpus-vocabulary expansions (:func:`fuzzy_expansions`) — the leaf
@@ -615,22 +638,37 @@ def _expand_fuzzy_clauses(clause: dict, df: DataFrame) -> dict:
     expansions compiles to a never-match (ES: zero expanded terms →
     no hits). At 100 TB the vocab scan inside fuzzy_expansions is a
     precomputed index table; the expansion set itself is ≤
-    max_expansions driver-side strings per fuzzy term."""
+    max_expansions driver-side strings per fuzzy term. ``_vocabs``
+    memoizes one persisted distinct-term table per field so N fuzzy
+    terms over a field cost ONE vocab scan — the caller unpersists
+    after the walk (expansions are collected eagerly)."""
+    if _vocabs is None:
+        _vocabs = {}
     ((kind, body),) = clause.items()
     if kind == "bool":
         new: dict = {}
         for ctx in ("must", "should", "must_not", "filter"):
             if ctx in body:
-                new[ctx] = [_expand_fuzzy_clauses(c, df) for c in body[ctx]]
+                new[ctx] = [
+                    _expand_fuzzy_clauses(c, df, _vocabs) for c in body[ctx]
+                ]
         if "minimum_should_match" in body:
             new["minimum_should_match"] = body["minimum_should_match"]
         return {"bool": new}
     if kind == "query_string":
-        return _expand_fuzzy_clauses(parse_query_string(body), df)
+        return _expand_fuzzy_clauses(parse_query_string(body), df, _vocabs)
     if kind == "fuzzy":
         ((field, spec),) = body.items()
         if not isinstance(spec, dict):
             spec = {"value": spec}
+        vocab = _vocabs.get(field)
+        if vocab is None:
+            vocab = (
+                df.select(F.explode(tokens(field)).alias("term"))
+                .distinct()
+                .persist()
+            )
+            _vocabs[field] = vocab
         expansions = [
             r["term"]
             for r in fuzzy_expansions(
@@ -640,6 +678,7 @@ def _expand_fuzzy_clauses(clause: dict, df: DataFrame) -> dict:
                 fuzziness=int(spec.get("fuzziness", 1)),
                 prefix_length=int(spec.get("prefix_length", 1)),
                 max_expansions=int(spec.get("max_expansions", 50)),
+                vocab=vocab,
             ).collect()
         ]
         if not expansions:
@@ -837,7 +876,10 @@ def bool_topk(
     beyond the top-k sort of matches."""
     # resolve fuzzy leaves against the corpus vocab first (needs df),
     # then analyze each match-referenced field exactly once
-    query = _expand_fuzzy_clauses({"bool": query}, df)["bool"]
+    vocabs: dict = {}
+    query = _expand_fuzzy_clauses({"bool": query}, df, vocabs)["bool"]
+    for v in vocabs.values():
+        v.unpersist()
     fields: list[str] = []
     _collect_match_fields([{"bool": query}], fields)
     tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
@@ -1042,10 +1084,13 @@ def _filters_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     bool/...). Match-referenced fields get their one-shot token
     columns exactly like bool_topk; buckets emit in declared order,
     empty included. See :func:`_conditional_buckets`."""
+    vocabs: dict = {}
     named = {
-        name: _expand_fuzzy_clauses(clause, df)
+        name: _expand_fuzzy_clauses(clause, df, vocabs)
         for name, clause in body["filters"].items()
     }
+    for v in vocabs.values():
+        v.unpersist()
     clauses = list(named.values())
     fields: list[str] = []
     _collect_match_fields(clauses, fields)
