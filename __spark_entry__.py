@@ -2038,6 +2038,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bool_misc"] = search_bool_misc
 
+    def search_request_aggs(spark, sf_dir):
+        """Full ES _search request body in one call (search.es_search
+        — the exact shape the reference's storage layer forwards
+        verbatim, storage.go:212-257/364-415): a bool query filters
+        the scope, the terms agg + avg sub-metric run over the
+        FILTERED scope like ES; one scan projection + one boolean
+        filter feed hits, total and aggs."""
+        out = search.es_search(
+            _docs(spark, sf_dir),
+            {
+                "query": {"bool": {
+                    "must": [{"match": {"text": "data"}}],
+                    "filter": [{"range": {"n_chars": {"gte": 150}}}],
+                }},
+                "aggs": {"by_lang": {
+                    "terms": {"field": "lang", "size": 4},
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }},
+                "size": 0,
+            },
+            id_col="doc_id",
+        )
+        return out["aggs"].select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_request_aggs"] = search_request_aggs
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -2050,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
         "search_aggs_filters_a2", "search_bool_misc",
+        "search_request_aggs",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3525,6 +3554,17 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_request_aggs: the terms agg over the bool-filtered scope
+    o["search_request_aggs"] = f"""
+        WITH t AS (SELECT lang, n_chars, {_antoks("text")} AS toks
+                   FROM documents WHERE n_chars >= 150),
+        m AS (SELECT lang, n_chars FROM t WHERE {_antf("toks", "data")} > 0)
+        SELECT lang AS key, count(*) AS doc_count,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM m GROUP BY 1
+        ORDER BY doc_count DESC, key ASC LIMIT 4
     """
 
     # search_bool_misc: regexp anchored on source, even ids < 400,

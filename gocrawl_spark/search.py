@@ -902,11 +902,55 @@ def bool_topk(
     )
 
 
+def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
+    """ES ``_search`` REQUEST BODY in one call — the exact shape the
+    reference's storage layer forwards verbatim
+    (internal/storage/storage.go:212-257 Search /
+    :364-415 Aggregate): ``{"query": <clause>, "aggs": {...},
+    "size": N}``. The query compiles through the full bool-leaf
+    surface; the aggregations run over the QUERY-FILTERED scope, as
+    in ES. Returns ``{"hits": DF(id, score), "total": DF(total),
+    "aggs": DF}`` (aggs key only when requested).
+
+    Plan shape: ONE scan projection (match fields analyzed once) +
+    one boolean filter feeds hits, total and aggs — the filter is not
+    recomputed per output."""
+    req_query = body.get("query") or {"match_all": {}}
+    vocabs: dict = {}
+    clause = _expand_fuzzy_clauses(req_query, df, vocabs)
+    for v in vocabs.values():
+        v.unpersist()
+    fields: list[str] = []
+    _collect_match_fields([clause], fields)
+    tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
+    raw = [c for c in df.columns if c != "id"]
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *raw,
+        *[tokens(f).alias(tokcol[f]) for f in fields],
+    )
+    pred, score = _compile_clause(clause, tokcol)
+    matched = toked.filter(pred)
+    size = int(body.get("size", 10))
+    hits = (
+        matched.select("id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(size)
+    )
+    out = {
+        "hits": hits,
+        "total": matched.agg(F.count("*").alias("total")),
+    }
+    if body.get("aggs"):
+        out["aggs"] = es_aggs(matched.select("id", *raw), body["aggs"])
+    return out
+
+
 __all__ = [
     "tf", "tokens", "analyze_query", "count_where",
     "match_scores", "match_topk", "multi_match_topk", "match_phrase_topk",
     "bm25_topk", "bool_topk", "fuzzy_expansions", "fuzzy_topk",
-    "highlight_topk",
+    "highlight_topk", "es_search",
 ]
 
 

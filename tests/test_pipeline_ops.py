@@ -2155,3 +2155,33 @@ def test_bool_regexp_and_ids_leaves(spark):
         id_col="doc_id", k=10,
     ).collect()
     assert got3 == []
+
+
+def test_es_search_request_body(spark):
+    rows = [
+        (1, "alpha beta alpha", "en", 10),
+        (2, "alpha", "de", 100),
+        (3, "beta beta", "en", 100),   # no alpha -> out of scope
+        (4, "alpha beta", "en", 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n long")
+    out = search.es_search(
+        df,
+        {"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
+                            "filter": [{"range": {"n": {"gte": 50}}}]}},
+         "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                              "aggs": {"sum_n": {"sum": {"field": "n"}}}}},
+         "size": 1},
+        id_col="doc_id",
+    )
+    # hits: docs 2 and 4 match (score 1.0 each), size=1 keeps id 2
+    assert [(r["id"], r["score"]) for r in out["hits"].collect()] == [(2, 1.0)]
+    assert out["total"].collect()[0]["total"] == 2
+    # aggs run over the FILTERED scope (docs 2, 4), not the corpus
+    aggs = [(r["key"], r["doc_count"], r["sum_n"])
+            for r in out["aggs"].collect()]
+    assert aggs == [("de", 1, 100), ("en", 1, 100)]
+    # no aggs requested -> no aggs key; default match_all query
+    out2 = search.es_search(df, {"size": 10}, id_col="doc_id")
+    assert "aggs" not in out2
+    assert out2["total"].collect()[0]["total"] == 4
