@@ -657,6 +657,27 @@ def _expand_fuzzy_clauses(
         return {"bool": new}
     if kind == "query_string":
         return _expand_fuzzy_clauses(parse_query_string(body), df, _vocabs)
+    if kind == "match":
+        # ES match with fuzziness: each analyzed term becomes a fuzzy
+        # leaf (expanded below via the shared vocab); terms combine
+        # per the match operator (and → must, or → should)
+        ((field, qs),) = body.items()
+        if isinstance(qs, dict) and "fuzziness" in qs:
+            fz = int(qs["fuzziness"])
+            op = str(qs.get("operator", "or")).lower()
+            leaves = [
+                _expand_fuzzy_clauses(
+                    {"fuzzy": {field: {"value": t, "fuzziness": fz}}},
+                    df, _vocabs,
+                )
+                for t in _terms(qs["query"])
+            ]
+            if not leaves:
+                return {"bool": {"must": [{"match_all": {}}],
+                                 "must_not": [{"match_all": {}}]}}
+            ctx = "must" if op == "and" else "should"
+            return {"bool": {ctx: leaves}}
+        return clause
     if kind == "fuzzy":
         ((field, spec),) = body.items()
         if not isinstance(spec, dict):
@@ -731,10 +752,24 @@ def _compile_leaf(clause: dict, tokcol: dict[str, str]):
         # should clauses matched (ES: only matching clauses score)
         return pred, F.when(pred, score).otherwise(F.lit(0.0))
     if kind == "match":
+        # bare-string form: OR over analyzed terms; dict form adds
+        # ES's match options — {"query": ..., "operator": "and"}
+        # requires EVERY term present (fuzziness is resolved earlier,
+        # in _expand_fuzzy_clauses, since it needs the corpus vocab)
         ((field, qs),) = body.items()
+        operator = "or"
+        if isinstance(qs, dict):
+            operator = str(qs.get("operator", "or")).lower()
+            qs = qs["query"]
         score = F.lit(0)
+        pred = F.lit(True) if operator == "and" else None
         for t in _terms(qs):
-            score = score + F.size(F.filter(tokcol[field], _eq(F.lit(t))))
+            tf_t = F.size(F.filter(tokcol[field], _eq(F.lit(t))))
+            score = score + tf_t
+            if operator == "and":
+                pred = pred & (tf_t > 0)
+        if operator == "and":
+            return pred, score.cast("double")
         return score > 0, score.cast("double")
     if kind == "match_phrase":
         ((field, qs),) = body.items()
@@ -1005,6 +1040,23 @@ def _metric_cols(
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 
 
+def _terms_order(body: dict, prefix: str = "") -> list[Column]:
+    """ES terms-agg ordering: default (doc_count desc, key asc), or an
+    explicit ``order`` entry — ``{"_key": "asc"}``, ``{"_count":
+    "desc"}``, or a single-valued metric sub-agg name. Key asc always
+    breaks ties for determinism."""
+    order = body.get("order")
+    if not order:
+        return [F.desc(f"{prefix}doc_count"), F.asc(f"{prefix}key")]
+    ((target, direction),) = order.items()
+    col = {
+        "_key": f"{prefix}key",
+        "_count": f"{prefix}doc_count",
+    }.get(target, f"{prefix}{target}")
+    d = F.asc if str(direction).lower() == "asc" else F.desc
+    return [d(col), F.asc(f"{prefix}key")]
+
+
 def _bucket_key(kind: str, body: dict) -> Column:
     if kind == "terms":
         return F.col(body["field"])
@@ -1195,7 +1247,7 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     if kind == "histogram":
         outer = _fill_histogram(outer, body)
     if kind == "terms":
-        outer = outer.orderBy(F.desc("doc_count"), F.asc("key")).limit(
+        outer = outer.orderBy(*_terms_order(body)).limit(
             int(body.get("size", 10))
         )
 
@@ -1218,9 +1270,7 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                    if c not in ("key", f"{iname}_key", f"{iname}_doc_count")]:
         inner = inner.withColumnRenamed(m_name, f"{iname}_{m_name}")
     if ikind == "terms":
-        w = Window.partitionBy("key").orderBy(
-            F.desc(f"{iname}_doc_count"), F.asc(f"{iname}_key")
-        )
+        w = Window.partitionBy("key").orderBy(*_terms_order(ibody, f"{iname}_"))
         inner = (
             inner.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= int(ibody.get("size", 10)))
@@ -1228,12 +1278,11 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         )
     joined = outer.join(inner, "key", "left")
     outer_order = (
-        [F.desc("doc_count"), F.asc("key")] if kind == "terms"
-        else [F.asc("key")]
+        _terms_order(body) if kind == "terms" else [F.asc("key")]
     )
     inner_order = (
-        [F.desc(f"{iname}_doc_count"), F.asc(f"{iname}_key")]
-        if ikind == "terms" else [F.asc(f"{iname}_key")]
+        _terms_order(ibody, f"{iname}_") if ikind == "terms"
+        else [F.asc(f"{iname}_key")]
     )
     return joined.orderBy(*outer_order, *inner_order)
 

@@ -2185,3 +2185,43 @@ def test_es_search_request_body(spark):
     out2 = search.es_search(df, {"size": 10}, id_col="doc_id")
     assert "aggs" not in out2
     assert out2["total"].collect()[0]["total"] == 4
+
+
+def test_match_operator_and_and_fuzziness(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha alpha"),
+        (3, "beta"),
+        (4, "alpka beta"),  # typo of alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # operator and: both terms required; score still sums TFs
+    got = search.bool_topk(
+        df,
+        {"must": [{"match": {"text": {"query": "alpha beta",
+                                      "operator": "and"}}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert {r["id"]: r["score"] for r in got} == {1: 2.0}
+    # fuzziness: each term expands against the vocab (alpka ~ alpha)
+    got2 = search.bool_topk(
+        df,
+        {"must": [{"match": {"text": {"query": "alpha", "fuzziness": 1}}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert sorted(r["id"] for r in got2) == [1, 2, 4]
+
+
+def test_terms_agg_order_option(spark):
+    rows = [("a", 1), ("a", 2), ("b", 10), ("c", 5), ("c", 6), ("c", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    spec_key = {"t": {"terms": {"field": "g", "size": 2,
+                                "order": {"_key": "asc"}}}}
+    assert [r["key"] for r in search.es_aggs(df, spec_key).collect()] \
+        == ["a", "b"]
+    spec_metric = {"t": {"terms": {"field": "g", "size": 3,
+                                   "order": {"sum_v": "desc"}},
+                         "aggs": {"sum_v": {"sum": {"field": "v"}}}}}
+    assert [(r["key"], r["sum_v"])
+            for r in search.es_aggs(df, spec_metric).collect()] \
+        == [("c", 18), ("b", 10), ("a", 3)]
