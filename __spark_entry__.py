@@ -2066,6 +2066,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_request_aggs"] = search_request_aggs
 
+    def search_aggs_composite_a2(spark, sf_dir):
+        """ES `composite` bucket agg (A2 tail): (lang, source) bucket
+        tuples streamed in key order with after-keyset pagination —
+        the agg that pages an unbounded bucket space through bounded
+        responses (each page = one groupBy + a struct-comparison
+        keyset filter; no global collect at 100 TB)."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "pages": {
+                    "composite": {
+                        "size": 6,
+                        "sources": [
+                            {"lang": {"terms": {"field": "lang"}}},
+                            {"src": {"terms": {"field": "source"}}},
+                        ],
+                        "after": {"lang": "en", "src": "src12"},
+                    },
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        )
+        return out.select(
+            "lang", "src", "doc_count",
+            F.round("avg_chars", 6).alias("avg_chars"),
+        )
+
+    q["search_aggs_composite_a2"] = search_aggs_composite_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -2078,7 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
         "search_aggs_filters_a2", "search_bool_misc",
-        "search_request_aggs",
+        "search_request_aggs", "search_aggs_composite_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3554,6 +3583,16 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_composite_a2: keyset pagination = row-value compare
+    o["search_aggs_composite_a2"] = """
+        SELECT lang, source AS src, count(*) AS doc_count,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents
+        GROUP BY lang, source
+        HAVING (lang, source) > ('en', 'src12')
+        ORDER BY lang, src LIMIT 6
     """
 
     # search_request_aggs: the terms agg over the bool-filtered scope

@@ -1201,6 +1201,46 @@ def _filters_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     return _conditional_buckets(proj, conds, spec)
 
 
+def _composite_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `composite` bucket agg: multi-source bucket tuples streamed
+    in key order with `after`-keyset pagination — THE agg for paging
+    an unbounded bucket space through bounded responses (the 100 TB
+    shape: each page is one groupBy + a keyset filter, no global
+    collect). ``sources`` is the ES list-of-{name: {terms|histogram|
+    date_histogram: ...}} form; buckets order by the full key tuple
+    ascending; ``after`` (name → value) resumes strictly after that
+    tuple via one struct comparison. Metric sub-aggs per bucket."""
+    sources = body["sources"]
+    keys, names = [], []
+    for srcdef in sources:
+        ((nm, kd),) = srcdef.items()
+        ((kkind, kbody),) = kd.items()
+        keys.append(_bucket_key(kkind, kbody).alias(nm))
+        names.append(nm)
+    metrics = []
+    for sub_name, sub in (spec.get("aggs") or {}).items():
+        kind = next(iter(sub))
+        metrics.extend(
+            c.alias(n) for n, c in _metric_cols(kind, sub_name, sub[kind])
+        )
+    grouped = df.groupBy(*keys).agg(
+        F.count("*").alias("doc_count"), *metrics
+    )
+    after = body.get("after")
+    if after:
+        cur = F.struct(*[F.col(n) for n in names])
+        aft = F.struct(
+            *[
+                F.lit(after[n]).cast(grouped.schema[n].dataType).alias(n)
+                for n in names
+            ]
+        )
+        grouped = grouped.filter(cur > aft)
+    return grouped.orderBy(*[F.asc(n) for n in names]).limit(
+        int(body.get("size", 10))
+    )
+
+
 def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     """ES `aggs` body → DataFrame aggregation (the search manager's
     arbitrary-aggregations passthrough, reference
@@ -1234,6 +1274,8 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         return _range_agg(df, body, spec)
     if kind == "filters":
         return _filters_agg(df, body, spec)
+    if kind == "composite":
+        return _composite_agg(df, body, spec)
     if kind not in _BUCKET_KINDS:
         # bare metric agg, size:0 style
         return df.agg(

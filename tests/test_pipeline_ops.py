@@ -2225,3 +2225,26 @@ def test_terms_agg_order_option(spark):
     assert [(r["key"], r["sum_v"])
             for r in search.es_aggs(df, spec_metric).collect()] \
         == [("c", 18), ("b", 10), ("a", 3)]
+
+
+def test_es_aggs_composite_pagination(spark):
+    rows = [("a", "x", 1), ("a", "y", 2), ("b", "x", 3),
+            ("b", "y", 4), ("c", "x", 5)]
+    df = spark.createDataFrame(rows, "g string, h string, v long")
+    base = {"composite": {"size": 2, "sources": [
+        {"g": {"terms": {"field": "g"}}},
+        {"h": {"terms": {"field": "h"}}},
+    ]}}
+    page1 = search.es_aggs(df, {"c": dict(base)}).collect()
+    assert [(r["g"], r["h"]) for r in page1] == [("a", "x"), ("a", "y")]
+    spec2 = {"c": {"composite": {**base["composite"],
+                                 "after": {"g": "a", "h": "y"}},
+                   "aggs": {"sum_v": {"sum": {"field": "v"}}}}}
+    page2 = search.es_aggs(df, spec2).collect()
+    assert [(r["g"], r["h"], r["sum_v"]) for r in page2] \
+        == [("b", "x", 3), ("b", "y", 4)]
+    # pages tile the bucket space: walking to exhaustion sees all 5
+    spec3 = {"c": {"composite": {**base["composite"],
+                                 "after": {"g": "b", "h": "y"}}}}
+    page3 = search.es_aggs(df, spec3).collect()
+    assert [(r["g"], r["h"]) for r in page3] == [("c", "x")]
