@@ -2095,6 +2095,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_composite_a2"] = search_aggs_composite_a2
 
+    def search_aggs_tophits_a2(spark, sf_dir):
+        """ES `top_hits` sub-agg (A2 tail): the top documents of each
+        terms bucket by an explicit sort — one window over the
+        bucket-keyed rows, flattened to a (bucket, hit) row each, with
+        _source columns as the deterministic tie-break."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 3},
+                    "aggs": {"longest": {"top_hits": {
+                        "size": 2,
+                        "sort": [{"n_chars": "desc"}],
+                        "_source": ["doc_id", "n_chars"],
+                    }}},
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", "longest_rank", "doc_id", "n_chars"
+        )
+
+    q["search_aggs_tophits_a2"] = search_aggs_tophits_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead: first the queries that
@@ -2108,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bool_fuzzy", "search_aggs_stats_a2",
         "search_aggs_filters_a2", "search_bool_misc",
         "search_request_aggs", "search_aggs_composite_a2",
+        "search_aggs_tophits_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3583,6 +3608,23 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_tophits_a2: per-bucket window row_number, _source
+    # tie-break, outer terms ordering then hit rank
+    o["search_aggs_tophits_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT lang AS key, count(*) AS doc_count
+          FROM documents GROUP BY 1
+          ORDER BY doc_count DESC, key ASC LIMIT 3),
+        h AS (
+          SELECT lang AS key, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id, n_chars) AS longest_rank
+          FROM documents)
+        SELECT b.key, b.doc_count, h.longest_rank, h.doc_id, h.n_chars
+        FROM b JOIN h ON h.key = b.key AND h.longest_rank <= 2
+        ORDER BY b.doc_count DESC, b.key ASC, h.longest_rank
     """
 
     # search_aggs_composite_a2: keyset pagination = row-value compare

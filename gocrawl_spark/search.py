@@ -1282,7 +1282,27 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             *[c.alias(n) for n, c in _metric_cols(kind, name, body)]
         )
 
+    # top_hits sub-aggs attach per-bucket documents, not metrics —
+    # split them off before the metric/nested-bucket scan
+    top_hits = {
+        n: sub["top_hits"]
+        for n, sub in (spec.get("aggs") or {}).items()
+        if next(iter(sub)) == "top_hits"
+    }
+    if top_hits:
+        spec = {
+            **spec,
+            "aggs": {
+                n: sub
+                for n, sub in spec["aggs"].items()
+                if next(iter(sub)) != "top_hits"
+            },
+        }
     nested, metrics = _split_subaggs(spec)
+    if top_hits and nested:
+        raise ValueError("top_hits and a nested bucket agg are exclusive")
+    if len(top_hits) > 1:
+        raise ValueError("at most one top_hits sub-agg supported")
     key = _bucket_key(kind, body).alias("key")
 
     outer = df.groupBy(key).agg(F.count("*").alias("doc_count"), *metrics)
@@ -1292,6 +1312,30 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         outer = outer.orderBy(*_terms_order(body)).limit(
             int(body.get("size", 10))
         )
+
+    if top_hits:
+        # ES top_hits: the top documents of each bucket by the given
+        # sort — one window over the bucket-keyed rows (row_number,
+        # _source columns appended as the deterministic tie-break),
+        # flattened to one row per (bucket, hit)
+        (hname, hspec), = top_hits.items()
+        src = list(hspec["_source"])
+        order = [
+            (F.asc if str(d).lower() == "asc" else F.desc)(f)
+            for item in hspec.get("sort", ())
+            for f, d in item.items()
+        ] + [F.asc(c) for c in src]
+        w = Window.partitionBy("key").orderBy(*order)
+        hits = (
+            df.select(key, *src)
+            .withColumn(f"{hname}_rank", F.row_number().over(w))
+            .filter(F.col(f"{hname}_rank") <= int(hspec.get("size", 3)))
+        )
+        joined = outer.join(hits, "key", "left")
+        outer_order = (
+            _terms_order(body) if kind == "terms" else [F.asc("key")]
+        )
+        return joined.orderBy(*outer_order, F.asc(f"{hname}_rank"))
 
     if not nested:
         if kind == "terms":

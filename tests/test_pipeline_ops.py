@@ -2248,3 +2248,29 @@ def test_es_aggs_composite_pagination(spark):
                                  "after": {"g": "b", "h": "y"}}}}
     page3 = search.es_aggs(df, spec3).collect()
     assert [(r["g"], r["h"]) for r in page3] == [("c", "x")]
+
+
+def test_es_aggs_top_hits(spark):
+    rows = [("a", 1, 30), ("a", 2, 20), ("a", 3, 10),
+            ("b", 4, 5), ("b", 5, 50)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = search.es_aggs(
+        df,
+        {"t": {"terms": {"field": "g", "size": 2},
+               "aggs": {"top": {"top_hits": {
+                   "size": 2, "sort": [{"v": "desc"}],
+                   "_source": ["id", "v"]}}}}}
+    ).collect()
+    flat = [(r["key"], r["doc_count"], r["top_rank"], r["id"], r["v"])
+            for r in out]
+    assert flat == [
+        ("a", 3, 1, 1, 30),
+        ("a", 3, 2, 2, 20),
+        ("b", 2, 1, 5, 50),
+        ("b", 2, 2, 4, 5),
+    ]
+    import pytest as _p
+    with _p.raises(ValueError):
+        search.es_aggs(df, {"t": {"terms": {"field": "g"},
+            "aggs": {"h1": {"top_hits": {"_source": ["id"]}},
+                     "h2": {"top_hits": {"_source": ["id"]}}}}})
