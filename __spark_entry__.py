@@ -42,7 +42,7 @@ def _aug_exact(docs: DataFrame) -> DataFrame:
     """documents ∪ exact copies of every 50th doc (id+1000000) — the
     deterministic dup injection used by the exact-dedup checks."""
     dups = docs.filter((F.col("doc_id") % 50) == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
+        "doc_id", F.col("doc_id") + 1300000
     )
     return docs.unionByName(dups)
 
@@ -1582,6 +1582,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_stats"] = media_stats
 
+    def media_phash_pairs(spark, sf_dir):
+        """Media near-dup by banded perceptual hash (mm.phash_pairs):
+        32 digest-MSB bits (the sign bits of the fake-decoded feature
+        stream), 4-band LSH blocking, exact-hamming verify — the
+        SimHash recipe applied to the media table; a real DCT pHash
+        slots in behind the same (media_id, bits) contract once
+        codecs exist."""
+        docs = _docs(spark, sf_dir)
+        # inject re-posted copies (same text, new id; +130000 keeps
+        # doc_id%13 — and so the payload — identical) — the dup shape
+        # a crawl actually sees; every copy must pair with its source
+        dup = docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 130000
+        )
+        media = mm.synth_media(spark, docs.unionByName(dup), "video")
+        feats = mm.extract_features(media)
+        return mm.phash_pairs(feats, bands=4, max_hamming=3)
+
+    q["media_phash_pairs"] = media_phash_pairs
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2132,7 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bool_fuzzy", "search_aggs_stats_a2",
         "search_aggs_filters_a2", "search_bool_misc",
         "search_request_aggs", "search_aggs_composite_a2",
-        "search_aggs_tophits_a2",
+        "search_aggs_tophits_a2", "media_phash_pairs",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4009,6 +4029,43 @@ def oracle_sql() -> dict[str, str]:
                (1000 + doc_id % 9000)::INT AS duration_ms,
                greatest(1, (1000 + doc_id % 9000) // 1000)::INT AS frames_sampled
         FROM documents
+    """
+
+    # media_phash_pairs: closed-form video payload_sha (as in
+    # media_features), bit i = MSB of digest byte i (hex digit 2i >=
+    # 8), 4x8-bit band blocking, exact hamming <= 3
+    o["media_phash_pairs"] = """
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 130000, text FROM documents WHERE doc_id < 50),
+        m AS MATERIALIZED (
+          SELECT doc_id * 10 + 3 AS media_id,
+                 sha256(upper(repeat(md5(text), 4 + doc_id % 13))) AS sha
+          FROM d),
+        h AS MATERIALIZED (
+          SELECT media_id,
+                 list_transform(range(0, 32), i ->
+                   CASE WHEN strpos('89abcdef', substr(sha, 2*i + 1, 1)) > 0
+                        THEN 1 ELSE 0 END) AS bits
+          FROM m),
+        bk AS (
+          SELECT media_id, b.b AS band,
+                 array_to_string(list_transform(range(0, 8),
+                   j -> bits[b.b * 8 + j + 1]::VARCHAR), '') AS key
+          FROM h, (SELECT unnest(range(0, 4)) AS b) b),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+          FROM bk a JOIN bk b USING (band, key)
+          WHERE a.media_id < b.media_id),
+        scored AS (
+          SELECT id_a, id_b,
+                 len(list_filter(range(1, 33),
+                     i -> ha.bits[i] <> hb.bits[i])) AS hamming
+          FROM cand
+          JOIN h ha ON ha.media_id = cand.id_a
+          JOIN h hb ON hb.media_id = cand.id_b)
+        SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
     """
 
     o["media_parse"] = """

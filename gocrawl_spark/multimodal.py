@@ -248,6 +248,83 @@ def extract_features(
     )
 
 
+def phash(features: DataFrame, bits: int = 32) -> DataFrame:
+    """(media_id, bits): perceptual-hash stand-in over the decoded
+    payload — bit i is the MSB of digest byte i of ``payload_sha``
+    (equivalently the sign bit of the fake-decoded feature stream:
+    ``_fake_features`` maps byte window 4i to a float whose sign IS
+    byte 4i's MSB). A real pHash (DCT of downsampled pixels) slots in
+    behind the same (media_id, bits) contract once codecs exist; the
+    bit extraction here is a pure column expression over the hex
+    digest — no UDF, and closed-form for the DuckDB twin."""
+    b = F.transform(
+        F.sequence(F.lit(0), F.lit(int(bits) - 1)),
+        lambda i: (
+            F.conv(F.substring("payload_sha", i * 2 + 1, 1), 16, 10)
+            .cast("int") >= 8
+        ).cast("int"),
+    )
+    return features.select("media_id", b.alias("bits"))
+
+
+def phash_pairs(
+    features: DataFrame, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Media near-dup pairs by banded perceptual-hash blocking —
+    the SimHash recipe applied to the media table: 32 hash bits in
+    ``bands`` bands; a pair is a candidate iff some band matches
+    exactly (hamming ≤ k with k misses spread over >k bands can be
+    missed, the standard LSH trade); candidates verify by exact
+    hamming ≤ ``max_hamming``. Plan: one band-keyed equi-join over
+    the exploded band keys (bucket sizes O(dup-cluster), never O(N)),
+    one distinct, two id-keyed joins to re-attach bits. Returns
+    (id_a, id_b, hamming)."""
+    assert 32 % bands == 0
+    width = 32 // bands
+    hb = phash(features).persist()
+    bandkey = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.slice("bits", b * width + 1, width),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("key"),
+        ),
+    )
+    exploded = hb.select(
+        "media_id", F.explode(bandkey).alias("bk")
+    ).select("media_id", "bk.band", "bk.key")
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "key"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hb.select(F.col("media_id").alias("id_a"), F.col("bits").alias("bits_a"))
+    hbb = hb.select(F.col("media_id").alias("id_b"), F.col("bits").alias("bits_b"))
+    hamming = F.size(
+        F.filter(
+            F.zip_with("bits_a", "bits_b", lambda x, y: x != y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hbb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Per-modality rollup of the extracted features (the metrics-table
     shape a curation run reports)."""
@@ -263,4 +340,5 @@ __all__ = [
     "MEDIA", "FEATURES_SCHEMA", "FEAT_DIM",
     "build_png", "build_wav", "parse_png_header", "parse_wav_header",
     "synth_media", "extract_features", "media_stats",
+    "phash", "phash_pairs",
 ]

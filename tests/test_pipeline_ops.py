@@ -2274,3 +2274,30 @@ def test_es_aggs_top_hits(spark):
         search.es_aggs(df, {"t": {"terms": {"field": "g"},
             "aggs": {"h1": {"top_hits": {"_source": ["id"]}},
                      "h2": {"top_hits": {"_source": ["id"]}}}}})
+
+
+def test_media_phash_pairs(spark):
+    from gocrawl_spark import multimodal as mm
+
+    # reposted copies use ids congruent mod 13 so the synthetic
+    # payload (seed * (4 + doc_id % 13)) is byte-identical
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(20)]
+        + [(i + 13, f"unique text {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    media = mm.synth_media(spark, docs, "video")
+    feats = mm.extract_features(media)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.phash_pairs(feats).collect()}
+    # every repost pairs with its source at hamming 0
+    for i in range(3):
+        assert got[(i * 10 + 3, (i + 13) * 10 + 3)] == 0
+    # phash bits are the digest MSBs (pure column expr, no UDF)
+    bits = {r["media_id"]: list(r["bits"])
+            for r in mm.phash(feats).collect()}
+    import hashlib
+    one = feats.filter("media_id = 3").collect()[0]
+    want = [1 if int(one["payload_sha"][2 * i], 16) >= 8 else 0
+            for i in range(32)]
+    assert bits[3] == want
