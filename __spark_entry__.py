@@ -1602,6 +1602,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs
 
+    def search_aggs_pipeline_a2(spark, sf_dir):
+        """ES pipeline aggs (A2 tail): cumulative_sum + derivative
+        over a numeric-histogram bucket series — one ordered window
+        over the already-aggregated buckets (#buckets rows, never the
+        corpus), buckets_path resolving _count and sibling metrics."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "chars_hist": {
+                    "histogram": {"field": "n_chars", "interval": 100},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "cum_docs": {"cumulative_sum": {
+                            "buckets_path": "_count"}},
+                        "d_docs": {"derivative": {"buckets_path": "_count"}},
+                        "d_avg": {"derivative": {
+                            "buckets_path": "avg_chars"}},
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count",
+            F.round("avg_chars", 6).alias("avg_chars"),
+            "cum_docs", "d_docs",
+            F.round("d_avg", 6).alias("d_avg"),
+        )
+
+    q["search_aggs_pipeline_a2"] = search_aggs_pipeline_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2153,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_filters_a2", "search_bool_misc",
         "search_request_aggs", "search_aggs_composite_a2",
         "search_aggs_tophits_a2", "media_phash_pairs",
+        "search_aggs_pipeline_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3628,6 +3659,31 @@ def oracle_sql() -> dict[str, str]:
     o["search_aggs_datehist_a2"] = """
         SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS key, count(*) AS doc_count
         FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_pipeline_a2: ordered window over the filled bucket
+    # series (same empty-bucket fill as the histogram oracle)
+    o["search_aggs_pipeline_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT (floor(n_chars / 100.0) * 100.0)::DOUBLE AS key,
+                 count(*) AS doc_count,
+                 avg(n_chars) AS avg_raw
+          FROM documents GROUP BY 1),
+        dom AS (
+          SELECT (unnest(range(
+                   (SELECT floor(min(key) / 100.0)::BIGINT FROM b),
+                   (SELECT floor(max(key) / 100.0)::BIGINT FROM b) + 1))
+                  * 100.0)::DOUBLE AS key),
+        f AS (
+          SELECT dom.key, coalesce(b.doc_count, 0) AS doc_count, b.avg_raw
+          FROM dom LEFT JOIN b ON b.key = dom.key)
+        SELECT key, doc_count,
+               round(avg_raw, 6) AS avg_chars,
+               sum(doc_count) OVER (ORDER BY key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_docs,
+               doc_count - lag(doc_count) OVER (ORDER BY key) AS d_docs,
+               round(avg_raw - lag(avg_raw) OVER (ORDER BY key), 6) AS d_avg
+        FROM f ORDER BY key
     """
 
     # search_aggs_tophits_a2: per-bucket window row_number, _source

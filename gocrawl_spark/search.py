@@ -1038,6 +1038,9 @@ def _metric_cols(
 
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
+# ES pipeline aggs: post-process a parent bucket SERIES (sibling
+# metric or _count referenced by buckets_path) with an ordered window
+_PIPELINE_KINDS = ("cumulative_sum", "derivative")
 
 
 def _terms_order(body: dict, prefix: str = "") -> list[Column]:
@@ -1298,6 +1301,26 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 if next(iter(sub)) != "top_hits"
             },
         }
+    # pipeline sub-aggs post-process the bucket series — split them
+    # off too (ES parents them on histogram-family aggs only)
+    pipelines = {
+        n: sub
+        for n, sub in (spec.get("aggs") or {}).items()
+        if next(iter(sub)) in _PIPELINE_KINDS
+    }
+    if pipelines:
+        if kind not in ("histogram", "date_histogram"):
+            raise ValueError(
+                "pipeline aggs require a histogram/date_histogram parent"
+            )
+        spec = {
+            **spec,
+            "aggs": {
+                n: sub
+                for n, sub in spec["aggs"].items()
+                if next(iter(sub)) not in _PIPELINE_KINDS
+            },
+        }
     nested, metrics = _split_subaggs(spec)
     if top_hits and nested:
         raise ValueError("top_hits and a nested bucket agg are exclusive")
@@ -1312,6 +1335,26 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         outer = outer.orderBy(*_terms_order(body)).limit(
             int(body.get("size", 10))
         )
+
+    if pipelines:
+        # one ordered window over the ALREADY-AGGREGATED bucket series
+        # (≈ #buckets rows — driver-scale, not data-scale)
+        w = Window.orderBy("key")
+        for pname, sub in pipelines.items():
+            (pkind, pbody), = sub.items()
+            path = pbody["buckets_path"]
+            src = "doc_count" if path == "_count" else path
+            if pkind == "cumulative_sum":
+                outer = outer.withColumn(
+                    pname,
+                    F.sum(src).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+            else:  # derivative: first bucket has no predecessor → null
+                outer = outer.withColumn(
+                    pname, F.col(src) - F.lag(src).over(w)
+                )
 
     if top_hits:
         # ES top_hits: the top documents of each bucket by the given

@@ -2301,3 +2301,25 @@ def test_media_phash_pairs(spark):
     want = [1 if int(one["payload_sha"][2 * i], 16) >= 8 else 0
             for i in range(32)]
     assert bits[3] == want
+
+
+def test_es_aggs_pipeline_cumsum_derivative(spark):
+    rows = [(1, 5), (2, 7), (3, 250), (4, 255), (5, 260)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = search.es_aggs(
+        df,
+        {"h": {"histogram": {"field": "v", "interval": 100},
+               "aggs": {"cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                        "d": {"derivative": {"buckets_path": "_count"}}}}}
+    ).collect()
+    flat = [(r["key"], r["doc_count"], r["cum"], r["d"]) for r in out]
+    # empty bucket 100 participates in the series (count 0)
+    assert flat == [
+        (0.0, 2, 2, None),
+        (100.0, 0, 2, -2),
+        (200.0, 3, 5, 3),
+    ]
+    import pytest as _p
+    with _p.raises(ValueError):
+        search.es_aggs(df, {"t": {"terms": {"field": "v"},
+            "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}})
