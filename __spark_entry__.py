@@ -1632,6 +1632,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_pipeline_a2"] = search_aggs_pipeline_a2
 
+    def search_aggs_pipeline2_a2(spark, sf_dir):
+        """ES pipeline aggs (A2 tail, part 2): moving_fn window,
+        bucket_script arithmetic over sibling paths, sibling
+        sum_bucket/max_bucket scalars, and a bucket_selector filter —
+        all ordered windows / expressions over the already-aggregated
+        bucket series (#buckets rows); the selector drops empty filled
+        buckets only AFTER the moving window saw them (ES ordering)."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "chars_hist": {
+                    "histogram": {"field": "n_chars", "interval": 25},
+                    "aggs": {
+                        "sum_chars": {"sum": {"field": "n_chars"}},
+                        "mv_docs": {"moving_fn": {
+                            "buckets_path": "_count", "window": 3,
+                            "script": "MovingFunctions.unweightedAvg"}},
+                        "chars_per_doc": {"bucket_script": {
+                            "buckets_path": {"s": "sum_chars",
+                                             "c": "_count"},
+                            "script": "params.s / params.c"}},
+                        "total_docs": {"sum_bucket": {
+                            "buckets_path": "_count"}},
+                        "peak_docs": {"max_bucket": {
+                            "buckets_path": "_count"}},
+                        "nonempty": {"bucket_selector": {
+                            "buckets_path": {"c": "_count"},
+                            "script": "params.c > 0"}},
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count",
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+            F.round("mv_docs", 6).alias("mv_docs"),
+            F.round("chars_per_doc", 6).alias("chars_per_doc"),
+            "total_docs", "peak_docs",
+        )
+
+    q["search_aggs_pipeline2_a2"] = search_aggs_pipeline2_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2183,7 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_filters_a2", "search_bool_misc",
         "search_request_aggs", "search_aggs_composite_a2",
         "search_aggs_tophits_a2", "media_phash_pairs",
-        "search_aggs_pipeline_a2",
+        "search_aggs_pipeline_a2", "search_aggs_pipeline2_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3684,6 +3726,35 @@ def oracle_sql() -> dict[str, str]:
                doc_count - lag(doc_count) OVER (ORDER BY key) AS d_docs,
                round(avg_raw - lag(avg_raw) OVER (ORDER BY key), 6) AS d_avg
         FROM f ORDER BY key
+    """
+
+    # search_aggs_pipeline2_a2: moving/sibling/script windows over the
+    # filled series, selector filter applied last (post-window)
+    o["search_aggs_pipeline2_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT (floor(n_chars / 25.0) * 25.0)::DOUBLE AS key,
+                 count(*) AS doc_count,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM documents GROUP BY 1),
+        dom AS (
+          SELECT (unnest(range(
+                   (SELECT floor(min(key) / 25.0)::BIGINT FROM b),
+                   (SELECT floor(max(key) / 25.0)::BIGINT FROM b) + 1))
+                  * 25.0)::DOUBLE AS key),
+        f AS (
+          SELECT dom.key, coalesce(b.doc_count, 0) AS doc_count, b.sum_chars
+          FROM dom LEFT JOIN b ON b.key = dom.key),
+        p AS (
+          SELECT key, doc_count, sum_chars,
+                 round(avg(doc_count) OVER (ORDER BY key
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS mv_docs,
+                 round(sum_chars / doc_count, 6) AS chars_per_doc,
+                 sum(doc_count) OVER ()::BIGINT AS total_docs,
+                 max(doc_count) OVER ()::BIGINT AS peak_docs
+          FROM f)
+        SELECT key, doc_count, sum_chars, mv_docs, chars_per_doc,
+               total_docs, peak_docs
+        FROM p WHERE doc_count > 0 ORDER BY key
     """
 
     # search_aggs_tophits_a2: per-bucket window row_number, _source

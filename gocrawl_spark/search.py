@@ -24,6 +24,8 @@ plan shape, one join instead of a recompute.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1040,7 +1042,54 @@ def _metric_cols(
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 # ES pipeline aggs: post-process a parent bucket SERIES (sibling
 # metric or _count referenced by buckets_path) with an ordered window
-_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+_PIPELINE_KINDS = (
+    "cumulative_sum",
+    "derivative",
+    "moving_fn",
+    "bucket_script",
+    "bucket_selector",
+    "avg_bucket",
+    "sum_bucket",
+    "min_bucket",
+    "max_bucket",
+)
+# moving_fn scripts the reference surface would pass through to ES
+# (storage.go:212-257 forwards arbitrary DSL) — the stock
+# MovingFunctions library entries that reduce a window to a scalar
+_MOVING_FNS = {
+    "MovingFunctions.unweightedAvg": F.avg,
+    "MovingFunctions.sum": F.sum,
+    "MovingFunctions.max": F.max,
+    "MovingFunctions.min": F.min,
+}
+_SIBLING_FNS = {
+    "avg_bucket": F.avg,
+    "sum_bucket": F.sum,
+    "min_bucket": F.min,
+    "max_bucket": F.max,
+}
+
+_SCRIPT_OK = re.compile(r"^[\w\s.+\-*/()><=!&|%,']*$")
+
+
+def _bucket_script_expr(body: dict, resolve) -> Column:
+    """Compile an ES bucket_script/bucket_selector ``script`` — an
+    arithmetic/boolean expression over ``params.<var>`` references,
+    each var bound by ``buckets_path`` to a sibling series column —
+    into a Spark SQL expression over the aggregated bucket row.
+    Painless's operator subset used in scripts (+-*/%, comparisons,
+    && || !) maps 1:1 onto SQL once params are substituted."""
+    script = body["script"]
+    if not _SCRIPT_OK.match(script):
+        raise ValueError(f"unsupported script syntax: {script!r}")
+    paths = body["buckets_path"]
+    if not isinstance(paths, dict):
+        raise ValueError("bucket_script buckets_path must be a dict")
+    # longest names first so params.ab never matches inside params.abc
+    for var in sorted(paths, key=len, reverse=True):
+        script = script.replace(f"params.{var}", f"`{resolve(paths[var])}`")
+    script = script.replace("&&", " AND ").replace("||", " OR ")
+    return F.expr(script)
 
 
 def _terms_order(body: dict, prefix: str = "") -> list[Column]:
@@ -1338,12 +1387,40 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
 
     if pipelines:
         # one ordered window over the ALREADY-AGGREGATED bucket series
-        # (≈ #buckets rows — driver-scale, not data-scale)
+        # (≈ #buckets rows — driver-scale, not data-scale); selectors
+        # filter LAST so every script/moving column sees the full
+        # series regardless of dict order
         w = Window.orderBy("key")
+        _resolve = lambda p: "doc_count" if p == "_count" else p
+        selectors: list[Column] = []
         for pname, sub in pipelines.items():
             (pkind, pbody), = sub.items()
-            path = pbody["buckets_path"]
-            src = "doc_count" if path == "_count" else path
+            if pkind == "bucket_selector":
+                selectors.append(_bucket_script_expr(pbody, _resolve))
+                continue
+            if pkind == "bucket_script":
+                outer = outer.withColumn(
+                    pname, _bucket_script_expr(pbody, _resolve)
+                )
+                continue
+            if pkind in _SIBLING_FNS:
+                # ES sibling agg: ONE scalar over the whole series
+                # (gap_policy=skip ≡ SQL null-skipping aggregates),
+                # emitted as a constant column on every bucket row —
+                # the flat-table encoding of ES's parent-level value
+                outer = outer.withColumn(
+                    pname,
+                    _SIBLING_FNS[pkind](
+                        _resolve(pbody["buckets_path"])
+                    ).over(
+                        w.rowsBetween(
+                            Window.unboundedPreceding,
+                            Window.unboundedFollowing,
+                        )
+                    ),
+                )
+                continue
+            src = _resolve(pbody["buckets_path"])
             if pkind == "cumulative_sum":
                 outer = outer.withColumn(
                     pname,
@@ -1351,10 +1428,30 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                         w.rowsBetween(Window.unboundedPreceding, 0)
                     ),
                 )
+            elif pkind == "moving_fn":
+                # ES window semantics: shift=0 → the window is the
+                # ``window`` buckets BEFORE the current one; shift
+                # slides it right (shift=1 ends the window at the
+                # current bucket, shift=window//2 centers it)
+                width = int(pbody["window"])
+                shift = int(pbody.get("shift", 0))
+                fn = _MOVING_FNS.get(pbody.get("script"))
+                if fn is None:
+                    raise ValueError(
+                        f"unsupported moving_fn script: {pbody.get('script')!r}"
+                    )
+                outer = outer.withColumn(
+                    pname,
+                    fn(src).over(
+                        w.rowsBetween(-width + shift, -1 + shift)
+                    ),
+                )
             else:  # derivative: first bucket has no predecessor → null
                 outer = outer.withColumn(
                     pname, F.col(src) - F.lag(src).over(w)
                 )
+        for cond in selectors:
+            outer = outer.filter(cond)
 
     if top_hits:
         # ES top_hits: the top documents of each bucket by the given

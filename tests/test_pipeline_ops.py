@@ -2323,3 +2323,53 @@ def test_es_aggs_pipeline_cumsum_derivative(spark):
     with _p.raises(ValueError):
         search.es_aggs(df, {"t": {"terms": {"field": "v"},
             "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}})
+
+
+def test_es_aggs_pipeline_moving_script_sibling_selector(spark):
+    rows = [(1, 5), (2, 7), (3, 250), (4, 255), (5, 260), (6, 510)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = search.es_aggs(df, {"h": {
+        "histogram": {"field": "v", "interval": 100},
+        "aggs": {
+            "avg_v": {"avg": {"field": "v"}},
+            "mv": {"moving_fn": {"buckets_path": "_count", "window": 2,
+                                 "script": "MovingFunctions.unweightedAvg"}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {"c": "_count", "a": "avg_v"},
+                "script": "params.a / (params.c + 1)"}},
+            "total": {"sum_bucket": {"buckets_path": "_count"}},
+            "peak": {"max_bucket": {"buckets_path": "_count"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.c > 0"}},
+        }}})
+    flat = [(r["key"], r["doc_count"], r["mv"], r["ratio"], r["total"],
+             r["peak"]) for r in out.collect()]
+    # selector drops the filled empty buckets (100/300/400) AFTER the
+    # moving window saw them; sibling aggs are series-wide constants
+    assert flat == [
+        (0.0, 2, None, 2.0, 6, 3),
+        (200.0, 3, 1.0, 63.75, 6, 3),
+        (500.0, 1, 0.0, 255.0, 6, 3),
+    ]
+    # shift=1 slides the window right so it ends at the current bucket
+    shifted = search.es_aggs(df, {"h": {
+        "histogram": {"field": "v", "interval": 100},
+        "aggs": {"mv": {"moving_fn": {
+            "buckets_path": "_count", "window": 2, "shift": 1,
+            "script": "MovingFunctions.sum"}}}}})
+    got = {r["key"]: r["mv"] for r in shifted.collect()}
+    assert got[0.0] == 2 and got[100.0] == 2 and got[200.0] == 3
+    import pytest as _p
+    with _p.raises(ValueError):  # script syntax is allowlisted
+        search.es_aggs(df, {"h": {
+            "histogram": {"field": "v", "interval": 100},
+            "aggs": {"x": {"bucket_script": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.c; DROP TABLE docs"}}}}})
+    with _p.raises(ValueError):  # unknown MovingFunctions entry
+        search.es_aggs(df, {"h": {
+            "histogram": {"field": "v", "interval": 100},
+            "aggs": {"x": {"moving_fn": {
+                "buckets_path": "_count", "window": 2,
+                "script": "MovingFunctions.stdDev"}}}}})
