@@ -595,6 +595,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lm_ppl"] = text_lm_ppl
 
+    def text_lm_kn_ppl(spark, sf_dir):
+        """Interpolated Kneser-Ney bigram perplexity
+        (textstats.lm_kn_perplexity): the KenLM-family smoothing CCNet
+        ships, next to the add-α twin — absolute-discount seen mass
+        plus continuation-probability backoff from distinct-type
+        counts, every join vocab-sized, the same position-ordered
+        bit-stable per-doc fold as text_lm_ppl."""
+        return textstats.lm_kn_perplexity(_docs(spark, sf_dir))
+
+    q["text_lm_kn_ppl"] = text_lm_kn_ppl
+
     def text_lm_buckets(spark, sf_dir):
         """CCNet head/middle/tail (textstats.lm_buckets): per-language
         exact tertile split by bigram-LM perplexity, ties broken by
@@ -2226,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_request_aggs", "search_aggs_composite_a2",
         "search_aggs_tophits_a2", "media_phash_pairs",
         "search_aggs_pipeline_a2", "search_aggs_pipeline2_a2",
+        "text_lm_kn_ppl",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -2489,6 +2501,58 @@ def oracle_sql() -> dict[str, str]:
               FROM trans t
               LEFT JOIN bg b ON t.bg = b.bg
               LEFT JOIN uni u ON t.w1 = u.w1),
+        sc AS (SELECT doc_id, count(*) AS n_trans,
+                      list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                  (acc, x) -> acc + x) AS sum_lp
+               FROM j GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_trans, 0)::BIGINT AS n_trans,
+               round(coalesce(s.sum_lp, 0.0), 6)::DOUBLE AS sum_logp,
+               round(CASE WHEN s.n_trans > 0 THEN exp(-s.sum_lp / s.n_trans)
+                          ELSE 0.0 END, 6)::DOUBLE AS ppl
+        FROM documents d LEFT JOIN sc s USING (doc_id)
+    """
+
+    # text_lm_kn_ppl: interpolated Kneser-Ney — context stats (c1 =
+    # Σc2, N1+ forward) and continuation stats (N1+ backward) are
+    # GROUP BYs over the bigram-TYPE table; the seen-mass/backoff
+    # arithmetic is written in the same operation order as the Spark
+    # expression so the doubles match bit-for-bit before rounding
+    o["text_lm_kn_ppl"] = f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        uni AS (SELECT count(DISTINCT u) AS v
+                FROM (SELECT unnest(w) AS u FROM w)),
+        trans AS MATERIALIZED (
+          SELECT doc_id, u.pos AS pos, u.bg AS bg,
+                 string_split(u.bg, ' ')[1] AS w1,
+                 string_split(u.bg, ' ')[2] AS w2
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'bg': array_to_string(list_slice(w, i+1, i+2), ' ')}}
+                               for i in range(0, len(w) - 1)]) AS u
+                FROM w WHERE len(w) >= 2)),
+        bg AS MATERIALIZED (
+          SELECT bg, count(*) AS c2,
+                 string_split(bg, ' ')[1] AS w1,
+                 string_split(bg, ' ')[2] AS w2
+          FROM trans GROUP BY bg),
+        tt AS (SELECT count(*) AS t FROM bg),
+        ctx AS (SELECT w1, sum(c2)::BIGINT AS c1, count(*) AS n1f
+                FROM bg GROUP BY w1),
+        cont AS (SELECT w2, count(*) AS n1b FROM bg GROUP BY w2),
+        j AS (SELECT tr.doc_id, tr.pos,
+                     ln(CASE WHEN cx.c1 IS NOT NULL THEN
+                          greatest(coalesce(b.c2, 0) - 0.75, 0.0) / cx.c1
+                          + (0.75 * cx.n1f) / cx.c1
+                            * ((coalesce(cn.n1b, 0) + 1.0)
+                               / ((SELECT t FROM tt) + (SELECT v FROM uni)))
+                        ELSE (coalesce(cn.n1b, 0) + 1.0)
+                             / ((SELECT t FROM tt) + (SELECT v FROM uni))
+                        END) AS lp
+              FROM trans tr
+              LEFT JOIN bg b ON tr.bg = b.bg
+              LEFT JOIN ctx cx ON tr.w1 = cx.w1
+              LEFT JOIN cont cn ON tr.w2 = cn.w2),
         sc AS (SELECT doc_id, count(*) AS n_trans,
                       list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
                                   (acc, x) -> acc + x) AS sum_lp

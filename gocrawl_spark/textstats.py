@@ -486,6 +486,105 @@ def lm_perplexity(
     )
 
 
+def lm_kn_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity — the KenLM-family
+    smoothing CCNet actually ships (5-gram there, bigram here; same
+    estimator shape), alongside the add-α `lm_perplexity` twin:
+
+        p(w2|w1) = max(c(w1 w2) − D, 0)/c(w1 •)
+                   + (D · N1+(w1 •)/c(w1 •)) · p_cont(w2)
+        p_cont(w2) = (N1+(• w2) + 1) / (T + V)     [add-1 so OOV > 0]
+        unseen context w1 → p(w2|w1) = p_cont(w2)
+
+    where c(w1 •) sums bigram counts for the context (NOT the raw
+    unigram count — the last token of a document is no context),
+    N1+(w1 •)/N1+(• w2) are distinct-continuation/-predecessor type
+    counts, T the number of distinct bigram types, V the unigram
+    vocabulary. Continuation probability ranks words by how many
+    contexts they follow, not how often — the KN insight that demotes
+    burst-frequency words like "Francisco".
+
+    Returns (id, n_trans, sum_logp, ppl) like `lm_perplexity`, with
+    the same position-ordered per-document float fold (bit-stable
+    across engines and parallelism).
+
+    Scale shape: one transitions row per corpus token; every join is
+    against a VOCAB-sized aggregate of the bigram-type table (context
+    stats on w1, continuation stats on w2, c2 on the bigram itself) —
+    AQE broadcasts them when they fit; T and V are O(1) driver
+    scalars. No collect beyond those two counts.
+    """
+    if train is None:
+        train = df
+    d = float(discount)
+    tw = train.select(norm_words(text_col).alias("w"))
+    vocab = tw.select(F.explode("w").alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    ).first()["v"]
+    bigrams = (
+        tw.filter(F.size("w") >= 2)
+        .select(F.explode(shingles_of_words(F.col("w"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .persist()
+    )
+    n_types = bigrams.count()  # T — also materializes the persist
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = bigrams.groupBy("w2").agg(F.count("*").alias("n1b"))
+    denom = float(n_types + vocab)
+
+    docs = df.select(F.col(id_col).alias("id"), norm_words(text_col).alias("w"))
+    trans = docs.filter(F.size("w") >= 2).select(
+        "id",
+        F.posexplode(shingles_of_words(F.col("w"), 2)).alias("pos", "bg"),
+    ).withColumn("w1", F.split("bg", " ").getItem(0)).withColumn(
+        "w2", F.split("bg", " ").getItem(1)
+    )
+    j = (
+        trans.join(bigrams.select("bg", "c2"), "bg", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+    )
+    pc = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1.0)) / F.lit(denom)
+    seen = (
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("c1")
+        + (F.lit(d) * F.col("n1f")) / F.col("c1") * pc
+    )
+    logp = F.log(F.when(F.col("c1").isNotNull(), seen).otherwise(pc))
+    scored = j.groupBy("id").agg(
+        F.count("*").alias("n_trans"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", logp.alias("lp")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("sum_lp"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+        F.round(F.coalesce("sum_lp", F.lit(0.0)), 6).alias("sum_logp"),
+        F.round(
+            F.when(
+                F.col("n_trans") > 0,
+                F.exp(-F.col("sum_lp") / F.col("n_trans")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ppl"),
+    )
+
+
 def lm_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -785,6 +785,47 @@ def test_lm_perplexity_hand_computed(spark):
     assert got_oov["n_trans"] == 1 and got_oov["ppl"] == 2.0  # 1/(0+1·2)
 
 
+def test_lm_kn_perplexity_hand_computed(spark):
+    """Interpolated Kneser-Ney on the same 3-doc corpus: bigram types
+    'a b':3 'b a':1 → T=2, V=2, denom=4; ctx a:(c1=3,n1f=1),
+    b:(c1=1,n1f=1); cont a:1, b:1; D=0.75."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.lm_kn_perplexity(df).collect()}
+    p_ba = 2.25 / 3 + (0.75 * 1 / 3) * (2 / 4)   # p(b|a) = 0.875
+    p_ab = 0.25 / 1 + (0.75 * 1 / 1) * (2 / 4)   # p(a|b) = 0.625
+    assert got[1]["n_trans"] == 3
+    assert got[1]["sum_logp"] == round(
+        math.log(p_ba) + math.log(p_ab) + math.log(p_ba), 6)
+    assert got[2]["ppl"] == round(1 / p_ba, 6)  # 1.142857
+    assert got[3] == {"doc_id": 3, "n_trans": 0, "sum_logp": 0.0, "ppl": 0.0}
+    # KN's point: continuation probability, not raw frequency — and
+    # the discounted seen mass plus backoff always sums below 1
+    assert 0.0 < p_ba < 1.0 and 0.0 < p_ab < 1.0
+    # external reference LM: unseen CONTEXT backs off to pure
+    # continuation probability (x unseen → p = (0+1)/(T+V) = 1/4);
+    # seen context + unseen continuation keeps the λ·p_cont mass
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    oov = spark.createDataFrame(
+        [(9, "x y"), (10, "a z")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["ppl"] for r in
+            textstats.lm_kn_perplexity(oov, train=train).collect()}
+    assert got2[9] == 4.0                      # 1 / 0.25
+    assert got2[10] == round(1 / ((0.75 * 1 / 2) * (1 / 4)), 6)  # 10.666667
+    # repetitive text still scores more predictable than lexical soup
+    big = spark.createDataFrame(
+        [(1, "spam ham " * 30), (2, "q w e r t y u i o p a s d f g h j k l z")],
+        "doc_id long, text string",
+    )
+    ppl = {r["doc_id"]: r["ppl"]
+           for r in textstats.lm_kn_perplexity(big).collect()}
+    assert ppl[1] < ppl[2]
+
+
 def test_shuffle_shards_and_packing(spark, tmp_path):
     """Deterministic training delivery: the (shard, pos) permutation is
     a pure function of (id, seed) — identical across parallelism and
