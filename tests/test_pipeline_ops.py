@@ -1056,10 +1056,15 @@ def test_es_aggs_terms_and_metrics(spark, sf_dir):
     # bare metric agg
     n = search.es_aggs(ev, {"n": {"value_count": {"field": "event_id"}}}).collect()[0]["n"]
     assert n == ev.count()
+    # bare multi-valued metric (percentiles gained support in r4)
+    p = search.es_aggs(
+        ev, {"v_pct": {"percentiles": {"field": "value", "percents": [50]}}}
+    ).collect()[0]
+    assert p["v_pct_p50"] > 0
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        search.es_aggs(ev, {"x": {"percentiles": {"field": "value"}}})
+        search.es_aggs(ev, {"x": {"median_absolute_deviation": {"field": "value"}}})
 
 
 def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
