@@ -1685,6 +1685,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_pipeline2_a2"] = search_aggs_pipeline2_a2
 
+    def search_aggs_extstats_a2(spark, sf_dir):
+        """ES extended_stats metric sub-agg under a terms bucket:
+        stats + sum_of_squares/variance/std_deviation, sums in LONG
+        (exact), the two-division E[x²]−E[x]² op sequence reproduced
+        verbatim in the oracle."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"by_lang": {"terms": {"field": "lang", "size": 10},
+                         "aggs": {"cs": {"extended_stats": {
+                             "field": "n_chars"}}}}},
+        )
+        return out.select(
+            "key", "doc_count", "cs_count", "cs_min", "cs_max",
+            F.round("cs_avg", 6).alias("cs_avg"),
+            "cs_sum", "cs_sum_of_squares",
+            F.round("cs_variance", 6).alias("cs_variance"),
+            F.round("cs_std_deviation", 6).alias("cs_std_deviation"),
+        )
+
+    q["search_aggs_extstats_a2"] = search_aggs_extstats_a2
+
+    def search_aggs_rare_a2(spark, sf_dir):
+        """ES rare_terms bucket agg: the long-tail complement of
+        terms (doc_count ≤ max_doc_count, count-asc ordering) —
+        exact, unlike ES's CuckooFilter approximation; the rarity cut
+        is a HAVING on the aggregated side, one scan."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"rare_len": {"rare_terms": {"field": "n_chars",
+                                         "max_doc_count": 1},
+                          "aggs": {"min_doc": {"min": {
+                              "field": "doc_id"}}}}},
+        )
+        return out.select("key", "doc_count", "min_doc")
+
+    q["search_aggs_rare_a2"] = search_aggs_rare_a2
+
+    def search_aggs_multiterms_a2(spark, sf_dir):
+        """ES multi_terms bucket agg: terms over a (lang, source)
+        tuple — one composite-key groupBy, count-desc-keys-asc
+        ordering, top size buckets, metric sub-aggs."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"pairs": {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "source"}],
+                "size": 8},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+        )
+        return out.select(
+            "lang", "source", "doc_count",
+            F.round("avg_chars", 6).alias("avg_chars"),
+        )
+
+    q["search_aggs_multiterms_a2"] = search_aggs_multiterms_a2
+
+    def search_aggs_daterange_a2(spark, sf_dir):
+        """ES date_range bucket agg over the events stream: [from,to)
+        timestamp buckets in declared order, empty buckets kept —
+        the range agg's conditional-aggregation plan with ISO-string
+        bounds."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = search.es_aggs(
+            ev,
+            {"by_window": {"date_range": {"field": "ts", "ranges": [
+                {"key": "w1", "to": "2024-01-10"},
+                {"key": "w2", "from": "2024-01-10", "to": "2024-01-20"},
+                {"key": "w3", "from": "2024-01-20"},
+                {"key": "empty", "from": "2025-01-01"},
+            ]},
+                "aggs": {"v": {"sum": {"field": "event_id"}}}}},
+        )
+        return out.select("key", "doc_count",
+                          F.col("v").cast("long").alias("v"))
+
+    q["search_aggs_daterange_a2"] = search_aggs_daterange_a2
+
+    def search_aggs_missing_a2(spark, sf_dir):
+        """ES missing bucket agg: one bucket counting null-field docs
+        with metric sub-aggs over that slice (nulls synthesized
+        upstream — the corpus tables are dense)."""
+        docs = _docs(spark, sf_dir).withColumn(
+            "opt_source",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+        out = search.es_aggs(
+            docs,
+            {"no_source": {"missing": {"field": "opt_source"},
+                           "aggs": {"avg_chars": {"avg": {
+                               "field": "n_chars"}}}}},
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_aggs_missing_a2"] = search_aggs_missing_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2237,7 +2335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_request_aggs", "search_aggs_composite_a2",
         "search_aggs_tophits_a2", "media_phash_pairs",
         "search_aggs_pipeline_a2", "search_aggs_pipeline2_a2",
-        "text_lm_kn_ppl",
+        "text_lm_kn_ppl", "search_aggs_extstats_a2",
+        "search_aggs_rare_a2", "search_aggs_multiterms_a2",
+        "search_aggs_daterange_a2", "search_aggs_missing_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3819,6 +3919,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT key, doc_count, sum_chars, mv_docs, chars_per_doc,
                total_docs, peak_docs
         FROM p WHERE doc_count > 0 ORDER BY key
+    """
+
+    # search_aggs_extstats_a2: exact LONG sums, then the identical
+    # two-division op sequence soq/cnt − (s/cnt)·(s/cnt)
+    o["search_aggs_extstats_a2"] = """
+        WITH s AS (
+          SELECT lang AS key, count(*) AS doc_count,
+                 count(n_chars) AS cs_count,
+                 min(n_chars) AS cs_min, max(n_chars) AS cs_max,
+                 sum(n_chars)::BIGINT AS cs_sum,
+                 sum(n_chars * n_chars)::BIGINT AS cs_sum_of_squares
+          FROM documents GROUP BY 1)
+        SELECT key, doc_count, cs_count, cs_min, cs_max,
+               round(cs_sum / cs_count, 6) AS cs_avg,
+               cs_sum, cs_sum_of_squares,
+               round(cs_sum_of_squares / cs_count
+                     - (cs_sum / cs_count) * (cs_sum / cs_count), 6)
+                 AS cs_variance,
+               round(sqrt(cs_sum_of_squares / cs_count
+                     - (cs_sum / cs_count) * (cs_sum / cs_count)), 6)
+                 AS cs_std_deviation
+        FROM s ORDER BY doc_count DESC, key ASC LIMIT 10
+    """
+
+    # search_aggs_rare_a2: HAVING cut on the aggregated side,
+    # count-asc-then-key ordering (exact, no CuckooFilter)
+    o["search_aggs_rare_a2"] = """
+        SELECT n_chars AS key, count(*) AS doc_count,
+               min(doc_id) AS min_doc
+        FROM documents GROUP BY 1 HAVING count(*) <= 1
+        ORDER BY doc_count ASC, key ASC
+    """
+
+    # search_aggs_multiterms_a2: composite-key groupBy, deterministic
+    # count-desc-keys-asc cut
+    o["search_aggs_multiterms_a2"] = """
+        SELECT lang, source, count(*) AS doc_count,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY lang, source
+        ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 8
+    """
+
+    # search_aggs_daterange_a2: conditional aggregates per declared
+    # window, unpivoted in order, empty buckets kept (null sum)
+    o["search_aggs_daterange_a2"] = """
+        WITH s AS MATERIALIZED (
+          SELECT
+            count(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 END) AS dc0,
+            sum(CASE WHEN ts < TIMESTAMP '2024-01-10'
+                     THEN event_id END)::BIGINT AS v0,
+            count(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                        AND ts < TIMESTAMP '2024-01-20' THEN 1 END) AS dc1,
+            sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                      AND ts < TIMESTAMP '2024-01-20'
+                     THEN event_id END)::BIGINT AS v1,
+            count(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 END) AS dc2,
+            sum(CASE WHEN ts >= TIMESTAMP '2024-01-20'
+                     THEN event_id END)::BIGINT AS v2,
+            count(CASE WHEN ts >= TIMESTAMP '2025-01-01' THEN 1 END) AS dc3,
+            sum(CASE WHEN ts >= TIMESTAMP '2025-01-01'
+                     THEN event_id END)::BIGINT AS v3
+          FROM events)
+        SELECT 'w1' AS key, dc0 AS doc_count, v0 AS v FROM s
+        UNION ALL SELECT 'w2', dc1, v1 FROM s
+        UNION ALL SELECT 'w3', dc2, v2 FROM s
+        UNION ALL SELECT 'empty', dc3, v3 FROM s
+    """
+
+    # search_aggs_missing_a2: one null-slice conditional bucket
+    o["search_aggs_missing_a2"] = """
+        SELECT 'no_source' AS key,
+               count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS doc_count,
+               round(avg(CASE WHEN doc_id % 7 = 0 THEN n_chars END), 6)
+                 AS avg_chars
+        FROM documents
     """
 
     # search_aggs_tophits_a2: per-bucket window row_number, _source

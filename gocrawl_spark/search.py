@@ -1027,6 +1027,27 @@ def _metric_cols(
             (f"{name}_avg", F.avg(v)),
             (f"{name}_sum", F.sum(v)),
         ]
+    if kind == "extended_stats":
+        # stats + sum_of_squares/variance/std_deviation (ES population
+        # semantics). Sums run in LONG (exact to 2^63 — the field
+        # contract is integral, like every float-sensitive agg here);
+        # the derived doubles are a fixed two-division op sequence,
+        # E[x²] − E[x]², reproduced verbatim in the oracle SQL.
+        vl = v.cast("long")
+        cnt = F.count(v)
+        s = F.sum(vl)
+        soq = F.sum(vl * vl)
+        var = soq / cnt - (s / cnt) * (s / cnt)
+        return [
+            (f"{name}_count", cnt),
+            (f"{name}_min", F.min(v)),
+            (f"{name}_max", F.max(v)),
+            (f"{name}_avg", s / cnt),
+            (f"{name}_sum", s),
+            (f"{name}_sum_of_squares", soq),
+            (f"{name}_variance", var),
+            (f"{name}_std_deviation", F.sqrt(var)),
+        ]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
         return [
@@ -1225,6 +1246,70 @@ def _range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     return _conditional_buckets(df, conds, spec)
 
 
+def _date_range_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `date_range` bucket agg: [from, to) buckets over a
+    date/timestamp field, bounds given as ISO strings, declared order,
+    empty buckets kept — the `range` agg with timestamp bounds. Same
+    single-scan conditional-aggregation plan."""
+    field = body["field"]
+    conds = []
+    for r in body["ranges"]:
+        frm, to = r.get("from"), r.get("to")
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (F.col(field) >= F.to_timestamp(F.lit(frm)))
+        if to is not None:
+            cond = cond & (F.col(field) < F.to_timestamp(F.lit(to)))
+        key = r.get("key") or (
+            f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+        )
+        conds.append((key, cond))
+    return _conditional_buckets(df, conds, spec)
+
+
+def _rare_terms_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `rare_terms` bucket agg: the long-tail complement of
+    `terms` — buckets whose doc_count is at most ``max_doc_count``
+    (default 1), ascending by count then key (ES's ordering). The
+    plan is the same single groupBy as terms; the rarity cut is a
+    HAVING on the aggregated (≈ #distinct-keys row) side, so no
+    second scan — and unlike ES's CuckooFilter approximation this is
+    exact."""
+    nested, metrics = _split_subaggs(spec)
+    if nested:
+        raise ValueError("rare_terms supports metric sub-aggs only")
+    maxc = int(body.get("max_doc_count", 1))
+    # ES skips docs missing the field — no null bucket
+    out = (
+        df.filter(F.col(body["field"]).isNotNull())
+        .groupBy(F.col(body["field"]).alias("key"))
+        .agg(F.count("*").alias("doc_count"), *metrics)
+    )
+    return out.filter(F.col("doc_count") <= maxc).orderBy(
+        F.asc("doc_count"), F.asc("key")
+    )
+
+
+def _multi_terms_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `multi_terms` bucket agg: terms over a TUPLE of fields —
+    one groupBy on the composite key, doc_count-desc-then-keys-asc
+    ordering, top ``size`` buckets. Emits one column per source field
+    (the flat-table form of ES's key array) plus doc_count and any
+    metric sub-aggs."""
+    nested, metrics = _split_subaggs(spec)
+    if nested:
+        raise ValueError("multi_terms supports metric sub-aggs only")
+    fields = [t["field"] for t in body["terms"]]
+    size = int(body.get("size", 10))
+    # ES skips docs missing ANY of the source fields
+    for f in fields:
+        df = df.filter(F.col(f).isNotNull())
+    out = df.groupBy(*fields).agg(F.count("*").alias("doc_count"), *metrics)
+    return out.orderBy(
+        F.desc("doc_count"), *[F.asc(f) for f in fields]
+    ).limit(size)
+
+
 def _filters_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     """ES `filters` bucket agg (named form): one bucket per named
     query clause, each clause ANY shape the bool compositor compiles
@@ -1302,13 +1387,16 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     doc_count desc then key asc, ES's default), ``date_histogram``
     (calendar_interval, ordered by key) or ``histogram`` (fixed
     numeric interval, empty buckets emitted with doc_count 0, ES's
-    min_doc_count=0 default) or ``range`` (explicit, possibly
-    overlapping [from, to) buckets in declared order, empty buckets
-    kept — see :func:`_range_agg`; metric sub-aggs only) — with
-    optional metric sub-aggs
+    min_doc_count=0 default) or ``range``/``date_range`` (explicit,
+    possibly overlapping [from, to) buckets in declared order, empty
+    buckets kept — see :func:`_range_agg`; metric sub-aggs only) or
+    ``rare_terms``/``multi_terms``/``missing`` (long-tail, composite-
+    key, and null-slice buckets) — with optional metric sub-aggs
     (avg/sum/min/max/value_count/cardinality, plus the multi-valued
-    `stats` → <name>_count/min/max/avg/sum and `percentiles` →
-    <name>_pN columns — see :func:`_metric_cols`) and at most ONE
+    `stats` → <name>_count/min/max/avg/sum, `extended_stats` (adds
+    sum_of_squares/variance/std_deviation over exact LONG sums), and
+    `percentiles` → <name>_pN columns — see :func:`_metric_cols`)
+    and at most ONE
     nested bucket sub-agg (one level). A nested bucket flattens to one row
     per (outer, inner) bucket: columns ``key, doc_count, <outer
     metrics...>, <name>_key, <name>_doc_count, <name>_<metric>...`` —
@@ -1324,10 +1412,23 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     body = spec[kind]
     if kind == "range":
         return _range_agg(df, body, spec)
+    if kind == "date_range":
+        return _date_range_agg(df, body, spec)
     if kind == "filters":
         return _filters_agg(df, body, spec)
     if kind == "composite":
         return _composite_agg(df, body, spec)
+    if kind == "missing":
+        # ES missing agg: ONE bucket counting docs where the field is
+        # null, metric sub-aggs over that slice — a 1-condition
+        # conditional-aggregation pass (same plan as range/filters)
+        return _conditional_buckets(
+            df, [(name, F.col(body["field"]).isNull())], spec
+        )
+    if kind == "rare_terms":
+        return _rare_terms_agg(df, body, spec)
+    if kind == "multi_terms":
+        return _multi_terms_agg(df, body, spec)
     if kind not in _BUCKET_KINDS:
         # bare metric agg, size:0 style
         return df.agg(

@@ -2371,6 +2371,33 @@ def test_es_aggs_pipeline_cumsum_derivative(spark):
             "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}})
 
 
+def test_es_aggs_tail2_kinds(spark):
+    """extended_stats / rare_terms / multi_terms / date_range /
+    missing — hand-checkable on a tiny frame."""
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    es = search.es_aggs(df, {"s": {"extended_stats": {"field": "v"}}}).collect()[0]
+    # n=4: sum 100, soq 3000, avg 25, var = 750 - 625 = 125
+    assert (es["s_count"], es["s_sum"], es["s_sum_of_squares"]) == (4, 100, 3000)
+    assert es["s_avg"] == 25.0 and es["s_variance"] == 125.0
+    rare = search.es_aggs(df, {"r": {"rare_terms": {"field": "g"}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in rare] == [("b", 1)]
+    mt = search.es_aggs(df, {"m": {"multi_terms": {
+        "terms": [{"field": "g"}, {"field": "v"}], "size": 2}}}).collect()
+    assert [(r["g"], r["v"], r["doc_count"]) for r in mt] == [
+        ("a", 10, 1), ("a", 20, 1)]
+    miss = search.es_aggs(df, {"nog": {"missing": {"field": "g"},
+        "aggs": {"mv": {"max": {"field": "v"}}}}}).collect()[0]
+    assert (miss["key"], miss["doc_count"], miss["mv"]) == ("nog", 1, 40)
+    ts = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-01-15 00:00:00")],
+        "id long, t string").selectExpr("id", "timestamp(t) AS ts")
+    dr = search.es_aggs(ts, {"w": {"date_range": {"field": "ts", "ranges": [
+        {"to": "2024-01-10"}, {"from": "2024-01-10"}]}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in dr] == [
+        ("*-2024-01-10", 1), ("2024-01-10-*", 1)]
+
+
 def test_es_aggs_pipeline_moving_script_sibling_selector(spark):
     rows = [(1, 5), (2, 7), (3, 250), (4, 255), (5, 260), (6, 510)]
     df = spark.createDataFrame(rows, "id long, v long")
