@@ -42,7 +42,7 @@ def _aug_exact(docs: DataFrame) -> DataFrame:
     """documents ∪ exact copies of every 50th doc (id+1000000) — the
     deterministic dup injection used by the exact-dedup checks."""
     dups = docs.filter((F.col("doc_id") % 50) == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1300000
+        "doc_id", F.col("doc_id") + 1000000
     )
     return docs.unionByName(dups)
 
