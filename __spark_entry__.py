@@ -1783,6 +1783,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_missing_a2"] = search_aggs_missing_a2
 
+    def search_aggs_terms_opts_a2(spark, sf_dir):
+        """ES terms-agg include/exclude regexes: anchored whole-term
+        matches applied ROW-side, so excluded keys never reach the
+        aggregation shuffle."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"srcs": {"terms": {"field": "source", "include": "src1.*",
+                                "exclude": "src1[23]", "size": 20}}},
+        )
+        return out.select("key", "doc_count")
+
+    q["search_aggs_terms_opts_a2"] = search_aggs_terms_opts_a2
+
+    def search_aggs_terms_mindoc_a2(spark, sf_dir):
+        """ES terms-agg min_doc_count: a HAVING cut on the aggregated
+        side before the size limit, _key-asc ordering."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"lens": {"terms": {"field": "n_chars", "min_doc_count": 3,
+                                "order": {"_key": "asc"}, "size": 12}}},
+        )
+        return out.select("key", "doc_count")
+
+    q["search_aggs_terms_mindoc_a2"] = search_aggs_terms_mindoc_a2
+
+    def search_aggs_adjmatrix_a2(spark, sf_dir):
+        """ES adjacency_matrix: N named filters → N single + N(N−1)/2
+        pairwise-intersection buckets in ONE conditional-aggregation
+        scan (no self-join), empty buckets dropped, metric sub-aggs
+        per cell."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"adj": {"adjacency_matrix": {"filters": {
+                "en": {"term": {"lang": "en"}},
+                "big": {"range": {"n_chars": {"gte": 400}}},
+                "s1": {"wildcard": {"source": "src1*"}},
+            }},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_aggs_adjmatrix_a2"] = search_aggs_adjmatrix_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2338,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_kn_ppl", "search_aggs_extstats_a2",
         "search_aggs_rare_a2", "search_aggs_multiterms_a2",
         "search_aggs_daterange_a2", "search_aggs_missing_a2",
+        "search_aggs_terms_opts_a2", "search_aggs_terms_mindoc_a2",
+        "search_aggs_adjmatrix_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -3994,6 +4041,55 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN doc_id % 7 = 0 THEN n_chars END), 6)
                  AS avg_chars
         FROM documents
+    """
+
+    # search_aggs_terms_opts_a2: anchored include minus exclude
+    o["search_aggs_terms_opts_a2"] = """
+        SELECT source AS key, count(*) AS doc_count
+        FROM documents
+        WHERE regexp_full_match(source, 'src1.*')
+          AND NOT regexp_full_match(source, 'src1[23]')
+        GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 20
+    """
+
+    # search_aggs_terms_mindoc_a2: HAVING before the size cut
+    o["search_aggs_terms_mindoc_a2"] = """
+        SELECT n_chars AS key, count(*) AS doc_count
+        FROM documents GROUP BY 1 HAVING count(*) >= 3
+        ORDER BY key ASC LIMIT 12
+    """
+
+    # search_aggs_adjmatrix_a2: 6 conditional cells in one scan,
+    # empty cells dropped
+    o["search_aggs_adjmatrix_a2"] = """
+        WITH s AS MATERIALIZED (
+          SELECT
+            count(CASE WHEN n_chars >= 400 THEN 1 END) AS dc_big,
+            round(avg(CASE WHEN n_chars >= 400 THEN n_chars END), 6) AS a_big,
+            count(CASE WHEN lang = 'en' THEN 1 END) AS dc_en,
+            round(avg(CASE WHEN lang = 'en' THEN n_chars END), 6) AS a_en,
+            count(CASE WHEN source LIKE 'src1%' THEN 1 END) AS dc_s1,
+            round(avg(CASE WHEN source LIKE 'src1%' THEN n_chars END), 6) AS a_s1,
+            count(CASE WHEN n_chars >= 400 AND lang = 'en' THEN 1 END) AS dc_be,
+            round(avg(CASE WHEN n_chars >= 400 AND lang = 'en'
+                      THEN n_chars END), 6) AS a_be,
+            count(CASE WHEN n_chars >= 400 AND source LIKE 'src1%'
+                       THEN 1 END) AS dc_bs,
+            round(avg(CASE WHEN n_chars >= 400 AND source LIKE 'src1%'
+                      THEN n_chars END), 6) AS a_bs,
+            count(CASE WHEN lang = 'en' AND source LIKE 'src1%'
+                       THEN 1 END) AS dc_es,
+            round(avg(CASE WHEN lang = 'en' AND source LIKE 'src1%'
+                      THEN n_chars END), 6) AS a_es
+          FROM documents)
+        SELECT * FROM (
+          SELECT 'big' AS key, dc_big AS doc_count, a_big AS avg_chars FROM s
+          UNION ALL SELECT 'en', dc_en, a_en FROM s
+          UNION ALL SELECT 's1', dc_s1, a_s1 FROM s
+          UNION ALL SELECT 'big&en', dc_be, a_be FROM s
+          UNION ALL SELECT 'big&s1', dc_bs, a_bs FROM s
+          UNION ALL SELECT 'en&s1', dc_es, a_es FROM s
+        ) WHERE doc_count > 0
     """
 
     # search_aggs_tophits_a2: per-bucket window row_number, _source

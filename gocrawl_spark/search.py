@@ -1130,6 +1130,25 @@ def _terms_order(body: dict, prefix: str = "") -> list[Column]:
     return [d(col), F.asc(f"{prefix}key")]
 
 
+def _terms_include_exclude(df: DataFrame, body: dict) -> DataFrame:
+    """ES terms-agg ``include``/``exclude``: anchored regexes (ES
+    matches the WHOLE term) deciding which keys may bucket. Row-side
+    filter, so excluded keys never reach the aggregation shuffle."""
+    field = body["field"]
+    inc, exc = body.get("include"), body.get("exclude")
+    if inc is not None:
+        if isinstance(inc, (list, tuple)):  # exact-values form
+            df = df.filter(F.col(field).isin(list(inc)))
+        else:
+            df = df.filter(F.col(field).rlike(f"^(?:{inc})$"))
+    if exc is not None:
+        if isinstance(exc, (list, tuple)):
+            df = df.filter(~F.col(field).isin(list(exc)))
+        else:
+            df = df.filter(~F.col(field).rlike(f"^(?:{exc})$"))
+    return df
+
+
 def _bucket_key(kind: str, body: dict) -> Column:
     if kind == "terms":
         return F.col(body["field"])
@@ -1338,6 +1357,44 @@ def _filters_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     return _conditional_buckets(proj, conds, spec)
 
 
+def _adjacency_matrix_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `adjacency_matrix` bucket agg: named filters → one bucket
+    per filter plus one per pairwise INTERSECTION (key "a&b", names
+    sorted, ES's separator default), empty buckets dropped (ES emits
+    doc_count > 0 only). N filters → N + N·(N−1)/2 conditional
+    aggregates in ONE scan — the pair conditions are just ANDs of the
+    compiled single-filter predicates, so no self-join ever happens."""
+    vocabs: dict = {}
+    named = {
+        name: _expand_fuzzy_clauses(clause, df, vocabs)
+        for name, clause in body["filters"].items()
+    }
+    for v in vocabs.values():
+        v.unpersist()
+    clauses = list(named.values())
+    fields: list[str] = []
+    _collect_match_fields(clauses, fields)
+    tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
+    proj = df.select(
+        "*", *[tokens(f).alias(tokcol[f]) for f in fields]
+    )
+    sep = body.get("separator", "&")
+    compiled = {
+        name: _compile_clause(clause, tokcol)[0]
+        for name, clause in named.items()
+    }
+    names = sorted(compiled)
+    conds = [(n, compiled[n]) for n in names]
+    conds += [
+        (f"{a}{sep}{b}", compiled[a] & compiled[b])
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ]
+    return _conditional_buckets(proj, conds, spec).filter(
+        F.col("doc_count") > 0
+    )
+
+
 def _composite_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     """ES `composite` bucket agg: multi-source bucket tuples streamed
     in key order with `after`-keyset pagination — THE agg for paging
@@ -1418,6 +1475,8 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         return _filters_agg(df, body, spec)
     if kind == "composite":
         return _composite_agg(df, body, spec)
+    if kind == "adjacency_matrix":
+        return _adjacency_matrix_agg(df, body, spec)
     if kind == "missing":
         # ES missing agg: ONE bucket counting docs where the field is
         # null, metric sub-aggs over that slice — a 1-condition
@@ -1478,10 +1537,18 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         raise ValueError("at most one top_hits sub-agg supported")
     key = _bucket_key(kind, body).alias("key")
 
+    if kind == "terms":
+        # ES include/exclude: anchored regexes over the TERM — applied
+        # scan-side (filtering rows whose key won't bucket), so the
+        # shuffle only carries admissible keys
+        df = _terms_include_exclude(df, body)
     outer = df.groupBy(key).agg(F.count("*").alias("doc_count"), *metrics)
     if kind == "histogram":
         outer = _fill_histogram(outer, body)
     if kind == "terms":
+        min_dc = int(body.get("min_doc_count", 1))
+        if min_dc > 1:
+            outer = outer.filter(F.col("doc_count") >= min_dc)
         outer = outer.orderBy(*_terms_order(body)).limit(
             int(body.get("size", 10))
         )
@@ -1589,7 +1656,10 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     if _inner_nested:
         raise ValueError("bucket nesting supported one level deep")
     ikey = _bucket_key(ikind, ibody).alias(f"{iname}_key")
-    inner = df.groupBy(key, ikey).agg(
+    inner_df = (
+        _terms_include_exclude(df, ibody) if ikind == "terms" else df
+    )
+    inner = inner_df.groupBy(key, ikey).agg(
         F.count("*").alias(f"{iname}_doc_count"), *imetrics
     )
     # namespace the inner metric aliases under the sub-agg name
@@ -1597,6 +1667,9 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                    if c not in ("key", f"{iname}_key", f"{iname}_doc_count")]:
         inner = inner.withColumnRenamed(m_name, f"{iname}_{m_name}")
     if ikind == "terms":
+        min_dc = int(ibody.get("min_doc_count", 1))
+        if min_dc > 1:
+            inner = inner.filter(F.col(f"{iname}_doc_count") >= min_dc)
         w = Window.partitionBy("key").orderBy(*_terms_order(ibody, f"{iname}_"))
         inner = (
             inner.withColumn("_rk", F.row_number().over(w))

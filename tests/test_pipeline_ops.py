@@ -2398,6 +2398,32 @@ def test_es_aggs_tail2_kinds(spark):
         ("*-2024-01-10", 1), ("2024-01-10-*", 1)]
 
 
+def test_es_aggs_terms_options_and_adjacency(spark):
+    rows = [(1, "x", "red hat"), (2, "x", "red shoe"), (3, "y", "red hat"),
+            (4, "zz", "blue hat"), (5, "zz", "blue hat")]
+    df = spark.createDataFrame(rows, "id long, g string, txt string")
+    # include as exact-values list; exclude regex; min_doc_count
+    t = search.es_aggs(df, {"t": {"terms": {
+        "field": "g", "include": ["x", "y", "zz"], "exclude": "y|q"}}}).collect()
+    assert sorted((r["key"], r["doc_count"]) for r in t) == [("x", 2), ("zz", 2)]
+    t2 = search.es_aggs(df, {"t": {"terms": {
+        "field": "g", "min_doc_count": 2}}}).collect()
+    assert sorted(r["key"] for r in t2) == ["x", "zz"]
+    # inner nested terms honors min_doc_count too
+    n = search.es_aggs(df, {"o": {"terms": {"field": "g"},
+        "aggs": {"i": {"terms": {"field": "txt", "min_doc_count": 2}}}}}).collect()
+    inner = {(r["key"], r["i_key"]): r["i_doc_count"] for r in n}
+    assert inner[("zz", "blue hat")] == 2
+    assert ("x", "red hat") not in inner  # count 1 < min_doc_count
+    # adjacency_matrix with a match leaf (token path) + custom separator
+    adj = search.es_aggs(df, {"adj": {"adjacency_matrix": {
+        "separator": "+",
+        "filters": {"red": {"match": {"txt": "red"}},
+                    "hat": {"match": {"txt": "hat"}}}}}}).collect()
+    got = {r["key"]: r["doc_count"] for r in adj}
+    assert got == {"red": 3, "hat": 4, "hat+red": 2}
+
+
 def test_es_aggs_pipeline_moving_script_sibling_selector(spark):
     rows = [(1, 5), (2, 7), (3, 250), (4, 255), (5, 260), (6, 510)]
     df = spark.createDataFrame(rows, "id long, v long")
