@@ -475,3 +475,85 @@ def stream_pack_tokens(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "20 minutes",
+    available_now: bool = True,
+):
+    """Watermarked event-time tumbling-window rollup — the canonical
+    Structured Streaming aggregation over the events telemetry stream
+    (the A1/A3/A8 counts family as a stream; reference metrics rollup
+    internal/metrics + api.go search counts).
+
+    Semantics (append mode): a (window, event_type) row is emitted
+    EXACTLY ONCE, when the watermark — max event time seen minus
+    ``watermark_delay`` — passes the window end. Events arriving late
+    but within the delay still amend their window's in-flight state;
+    events later than the delay are dropped (the documented loss
+    bound). State per shard is O(open windows × event types): the
+    watermark closes windows monotonically, so state is CONSTANT for
+    a steady stream — this is the bounded-state discipline every
+    stateful op here follows (cf. stream_dedup_urls bloom mode).
+
+    Determinism contract: aggregates are count / exact LONG sum /
+    min / max only — no float accumulation order — so the finalized
+    rows are bit-equal to the batch groupBy over the same (non-late)
+    events at ANY parallelism, which is exactly what the test pins.
+
+    One-shot (``available_now``) runs process the directory's current
+    files and emit every window whose end precedes the final
+    watermark; unfinalized windows stay in checkpointed state and
+    emit on the next run — tests drive two drops to pin the
+    cross-restart continuation.
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(events_dir)
+    )
+    agg = (
+        src.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_event_id",
+            "min_value",
+            "max_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

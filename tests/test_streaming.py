@@ -371,3 +371,60 @@ def test_stream_pack_tokens_matches_batch_and_survives_restart(spark):
         for s in range(len(stream) // L):
             expect[(sh, s)] = stream[s * L:(s + 1) * L]
     assert got2 == expect
+
+
+def test_stream_events_rollup_watermark_late_data(spark, tmp_path):
+    """Watermarked tumbling-window rollup: exactly-once append
+    emission, in-delay late events amend their window, beyond-delay
+    events drop, and finalized rows are bit-equal to the batch
+    groupBy over the surviving events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    ev_dir = str(tmp_path / "events")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    T = lambda m: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+
+    rows1 = [
+        (1, T(1), 10, "a", 1.5, ""), (2, T(5), 11, "a", 2.5, ""),
+        (3, T(7), 12, "b", 0.5, ""), (4, T(12), 13, "a", 3.0, ""),
+        (5, T(35), 14, "b", 9.0, ""),
+    ]
+    spark.createDataFrame(rows1, streaming.EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(ev_dir)
+    streaming.stream_events_rollup(spark, ev_dir, out, ckpt)
+    got1 = {(r["win_start"].minute, r["event_type"]):
+            (r["n_events"], r["sum_event_id"])
+            for r in spark.read.parquet(out).collect()}
+    # watermark = 00:35 − 20m = 00:15 → only [00:00, 00:10) finalized
+    assert got1 == {(0, "a"): (2, 3), (0, "b"): (1, 3)}
+
+    rows2 = [
+        (6, T(12), 15, "a", 4.0, ""),   # late, within delay → amends [10,20)
+        (7, T(3), 16, "a", 8.0, ""),    # beyond delay (wm 00:15) → dropped
+        (8, T(60), 17, "b", 1.0, ""),   # advances watermark to 00:40
+    ]
+    spark.createDataFrame(rows2, streaming.EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(ev_dir)
+    streaming.stream_events_rollup(spark, ev_dir, out, ckpt)
+    m = {(r["win_start"].minute, r["event_type"]):
+         (r["n_events"], r["sum_event_id"])
+         for r in spark.read.parquet(out).collect()}
+    assert m[(10, "a")] == (2, 10)      # event 4 + late event 6
+    assert m[(30, "b")] == (1, 5)
+    assert m[(0, "a")] == (2, 3)        # too-late event 7 never lands
+    assert not [k for k in m if k[0] == 60]  # [60,70) still open in state
+
+    # stream ≡ batch over the surviving (non-dropped) events for every
+    # finalized window — identical aggregates, exactly once
+    batch = (
+        spark.read.parquet(ev_dir).filter("event_id <> 7")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .filter(F.col("w.end") <= F.lit(T(40)))
+    )
+    want = {(r["w"]["start"].minute, r["event_type"]): (r["n"], r["s"])
+            for r in batch.collect()}
+    assert m == want
