@@ -1828,6 +1828,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_adjmatrix_a2"] = search_aggs_adjmatrix_a2
 
+    def search_request_after(spark, sf_dir):
+        """ES search_after keyset pagination: page 2 fetched with the
+        cursor from page 1's last hit — a strict-lexicographic filter
+        that pushes into the scan, so page N costs O(page) at any
+        depth (the from+size deep-paging trap never materializes).
+        The cursor collect is ONE row (driver metadata, not data)."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        body = {"query": {"term": {"lang": "en"}},
+                "sort": [{"n_chars": "desc"}], "size": 5}
+        last = search.es_search(docs, body)["hits"].collect()[-1]
+        page2 = search.es_search(
+            docs, dict(body, search_after=[last["n_chars"], last["id"]])
+        )["hits"]
+        return page2.select("id", "n_chars")
+
+    q["search_request_after"] = search_request_after
+
+    def search_request_postfilter(spark, sf_dir):
+        """ES post_filter: narrows HITS without touching the aggs /
+        total scope (facet counts survive the UI filter). Returned
+        frame = the narrowed hit ids; the scope split is pinned by
+        the unit test, the id set by this oracle."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        out = search.es_search(docs, {
+            "query": {"term": {"lang": "en"}},
+            "post_filter": {"range": {"n_chars": {"gte": 400}}},
+            "size": 1000,
+        })
+        return out["hits"].select("id")
+
+    q["search_request_postfilter"] = search_request_postfilter
+
+    def search_request_global(spark, sf_dir):
+        """ES global agg: sub-aggs over the WHOLE index from inside a
+        filtered request — the query (lang=fr) must not narrow the
+        bucket counts."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        out = search.es_search(docs, {
+            "query": {"term": {"lang": "fr"}},
+            "aggs": {"g": {"global": {}, "aggs": {
+                "langs": {"terms": {"field": "lang"}}}}},
+        })
+        return out["aggs"]
+
+    q["search_request_global"] = search_request_global
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2384,7 +2430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_rare_a2", "search_aggs_multiterms_a2",
         "search_aggs_daterange_a2", "search_aggs_missing_a2",
         "search_aggs_terms_opts_a2", "search_aggs_terms_mindoc_a2",
-        "search_aggs_adjmatrix_a2",
+        "search_aggs_adjmatrix_a2", "search_request_after",
+        "search_request_postfilter", "search_request_global",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4090,6 +4137,29 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'big&s1', dc_bs, a_bs FROM s
           UNION ALL SELECT 'en&s1', dc_es, a_es FROM s
         ) WHERE doc_count > 0
+    """
+
+    # search_request_after: keyset page 2 ≡ offset rows 6-10 on a
+    # static corpus (the Spark side genuinely runs the cursor filter)
+    o["search_request_after"] = """
+        WITH ranked AS (
+          SELECT doc_id AS id, n_chars,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents WHERE lang = 'en')
+        SELECT id, n_chars FROM ranked WHERE rn > 5 AND rn <= 10
+    """
+
+    # search_request_postfilter: hits = query AND post_filter
+    o["search_request_postfilter"] = """
+        SELECT doc_id AS id FROM documents
+        WHERE lang = 'en' AND n_chars >= 400
+    """
+
+    # search_request_global: whole-index terms despite the fr query
+    o["search_request_global"] = """
+        SELECT lang AS key, count(*) AS doc_count
+        FROM documents GROUP BY 1
+        ORDER BY doc_count DESC, key ASC LIMIT 10
     """
 
     # search_aggs_tophits_a2: per-bucket window row_number, _source

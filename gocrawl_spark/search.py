@@ -952,13 +952,23 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
     Plan shape: ONE scan projection (match fields analyzed once) +
     one boolean filter feeds hits, total and aggs — the filter is not
     recomputed per output."""
+    # Extended request surface: "sort" (field/_score entries, auto id
+    # tiebreak), "search_after" (keyset cursor — the deep-paging path
+    # that stays O(page) at any depth), "post_filter" (narrows hits,
+    # NOT aggs/total), and a "global" top-level agg kind (sub-aggs
+    # over the whole index, escaping the query scope).
     req_query = body.get("query") or {"match_all": {}}
     vocabs: dict = {}
     clause = _expand_fuzzy_clauses(req_query, df, vocabs)
+    post = body.get("post_filter")
+    if post is not None:
+        post = _expand_fuzzy_clauses(post, df, vocabs)
     for v in vocabs.values():
         v.unpersist()
     fields: list[str] = []
     _collect_match_fields([clause], fields)
+    if post is not None:
+        _collect_match_fields([post], fields)
     tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
     raw = [c for c in df.columns if c != "id"]
     toked = df.select(
@@ -969,17 +979,72 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
     pred, score = _compile_clause(clause, tokcol)
     matched = toked.filter(pred)
     size = int(body.get("size", 10))
+
+    # hits scope: post_filter narrows HITS ONLY — aggs/total keep the
+    # query scope (ES semantics: facet counts survive the UI filter)
+    hit_src = matched if post is None else matched.filter(
+        _compile_clause(post, tokcol)[0]
+    )
+    hit_src = hit_src.withColumn("_score", F.round(score, 6))
+
+    # sort: field entries ({f: dir} / {f: {"order": dir}}) or
+    # "_score"; a trailing unique "id" tiebreak is appended unless
+    # already present — search_after values must cover the EFFECTIVE
+    # sort (including that id), exactly ES's explicit-tiebreak rule
+    entries: list[tuple[str, bool]] = []
+    for item in body.get("sort") or [{"_score": "desc"}]:
+        if item == "_score":
+            entries.append(("_score", False))
+            continue
+        ((f, d),) = item.items()
+        d = d.get("order", "asc") if isinstance(d, dict) else d
+        entries.append(
+            ("_score" if f == "_score" else f, str(d).lower() == "asc")
+        )
+    if "id" not in [f for f, _ in entries]:
+        entries.append(("id", True))
+
+    after = body.get("search_after")
+    if after is not None:
+        if len(after) != len(entries):
+            raise ValueError(
+                "search_after needs one value per effective sort key "
+                f"({[f for f, _ in entries]})"
+            )
+        # strict lexicographic "beyond the cursor" — a keyset filter
+        # that pushes into the scan, so page N costs the same as page
+        # 1 (ES's search_after vs the from+size deep-paging trap)
+        beyond = F.lit(False)
+        tied = F.lit(True)
+        for (f, asc), v in zip(entries, after):
+            c = F.col(f)
+            beyond = beyond | (tied & ((c > F.lit(v)) if asc else (c < F.lit(v))))
+            tied = tied & (c == F.lit(v))
+        hit_src = hit_src.filter(beyond)
+
+    order = [(F.asc(f) if asc else F.desc(f)) for f, asc in entries]
+    sort_fields = [f for f, _ in entries if f not in ("id", "_score")]
     hits = (
-        matched.select("id", F.round(score, 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("id"))
+        hit_src.orderBy(*order)
         .limit(size)
+        .select(
+            "id", *sort_fields, F.col("_score").alias("score")
+        )
     )
     out = {
         "hits": hits,
         "total": matched.agg(F.count("*").alias("total")),
     }
     if body.get("aggs"):
-        out["aggs"] = es_aggs(matched.select("id", *raw), body["aggs"])
+        (aname, aspec), = body["aggs"].items()
+        akind = next(k for k in aspec if k != "aggs")
+        if akind == "global":
+            # global agg escapes the query scope — whole index
+            out["aggs"] = es_aggs(df.select(
+                F.col(id_col).alias("id"), *raw
+            ), aspec["aggs"])
+        else:
+            out["aggs"] = es_aggs(matched.select("id", *raw), body["aggs"])
     return out
 
 

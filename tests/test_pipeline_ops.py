@@ -2398,6 +2398,42 @@ def test_es_aggs_tail2_kinds(spark):
         ("*-2024-01-10", 1), ("2024-01-10-*", 1)]
 
 
+def test_es_search_after_postfilter_global(spark):
+    rows = [(i, "en" if i % 3 else "fr", i * 10) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "id long, lang string, n long")
+    body = {"query": {"term": {"lang": "en"}},
+            "sort": [{"n": "desc"}], "size": 3}
+    p1 = search.es_search(df, body)["hits"].collect()
+    assert [r["id"] for r in p1] == [11, 10, 8]
+    cur = [p1[-1]["n"], p1[-1]["id"]]
+    p2 = search.es_search(df, dict(body, search_after=cur))["hits"].collect()
+    assert [r["id"] for r in p2] == [7, 5, 4]  # no overlap, continues
+    # cursor ties broken by the auto id tiebreak: equal n, higher id wins next
+    dup = spark.createDataFrame(
+        [(1, "en", 5), (2, "en", 5), (3, "en", 5)], "id long, lang string, n long")
+    q1 = search.es_search(dup, {"sort": [{"n": "desc"}], "size": 1})["hits"].collect()
+    q2 = search.es_search(dup, {"sort": [{"n": "desc"}], "size": 1,
+                                "search_after": [5, q1[0]["id"]]})["hits"].collect()
+    assert (q1[0]["id"], q2[0]["id"]) == (1, 2)
+    import pytest as _p
+    with _p.raises(ValueError):  # cursor arity must match effective sort
+        search.es_search(df, dict(body, search_after=[50]))
+    # post_filter narrows hits, NOT total/aggs
+    r = search.es_search(df, {
+        "query": {"term": {"lang": "en"}},
+        "post_filter": {"range": {"n": {"gte": 100}}},
+        "size": 100,
+        "aggs": {"m": {"max": {"field": "n"}}}})
+    assert r["hits"].count() == 2 and r["total"].collect()[0][0] == 8
+    assert r["aggs"].collect()[0]["m"] == 110  # query scope, not post
+    # global agg escapes the query scope entirely
+    g = search.es_search(df, {
+        "query": {"term": {"lang": "fr"}},
+        "aggs": {"g": {"global": {}, "aggs": {
+            "c": {"value_count": {"field": "id"}}}}}})
+    assert g["aggs"].collect()[0]["c"] == 12
+
+
 def test_es_aggs_terms_options_and_adjacency(spark):
     rows = [(1, "x", "red hat"), (2, "x", "red shoe"), (3, "y", "red hat"),
             (4, "zz", "blue hat"), (5, "zz", "blue hat")]
