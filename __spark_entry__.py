@@ -606,6 +606,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lm_kn_ppl"] = text_lm_kn_ppl
 
+    def text_lm_moore_lewis(spark, sf_dir):
+        """Moore-Lewis cross-entropy-difference selection
+        (textstats.lm_moore_lewis): H_in − H_out under two KN bigram
+        LMs — in-domain = the corpus's en slice, out-of-domain = the
+        whole corpus. Off-slice docs exercise the KN unseen-context
+        backoff cross-engine; two transitions passes + vocab joins +
+        one #docs-row id join."""
+        docs = _docs(spark, sf_dir)
+        return textstats.lm_moore_lewis(
+            docs, docs.filter(F.col("lang") == "en")
+        )
+
+    q["text_lm_moore_lewis"] = text_lm_moore_lewis
+
     def text_lm_buckets(spark, sf_dir):
         """CCNet head/middle/tail (textstats.lm_buckets): per-language
         exact tertile split by bigram-LM perplexity, ties broken by
@@ -2432,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_terms_opts_a2", "search_aggs_terms_mindoc_a2",
         "search_aggs_adjmatrix_a2", "search_request_after",
         "search_request_postfilter", "search_request_global",
+        "text_lm_moore_lewis",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4137,6 +4152,78 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'big&s1', dc_bs, a_bs FROM s
           UNION ALL SELECT 'en&s1', dc_es, a_es FROM s
         ) WHERE doc_count > 0
+    """
+
+    # text_lm_moore_lewis: the KN estimator block instantiated twice
+    # (in-domain en slice / whole corpus) over ONE shared transitions
+    # table; ce and the difference reproduce Spark's op order exactly
+    def _kn_block(sfx: str, train_where: str) -> str:
+        return f"""
+        tw{sfx} AS (SELECT {_SQL_WORDS} AS w FROM documents
+                    WHERE {train_where}),
+        tb{sfx} AS MATERIALIZED (
+          SELECT bg, count(*) AS c2,
+                 string_split(bg, ' ')[1] AS w1,
+                 string_split(bg, ' ')[2] AS w2
+          FROM (SELECT unnest([array_to_string(list_slice(w, i+1, i+2), ' ')
+                               for i in range(0, len(w) - 1)]) AS bg
+                FROM tw{sfx} WHERE len(w) >= 2)
+          GROUP BY bg),
+        uni{sfx} AS (SELECT count(DISTINCT u) AS v
+                     FROM (SELECT unnest(w) AS u FROM tw{sfx})),
+        tt{sfx} AS (SELECT count(*) AS t FROM tb{sfx}),
+        ctx{sfx} AS (SELECT w1, sum(c2)::BIGINT AS c1, count(*) AS n1f
+                     FROM tb{sfx} GROUP BY w1),
+        cont{sfx} AS (SELECT w2, count(*) AS n1b FROM tb{sfx} GROUP BY w2),
+        j{sfx} AS (SELECT tr.doc_id, tr.pos,
+                     ln(CASE WHEN cx.c1 IS NOT NULL THEN
+                          greatest(coalesce(b.c2, 0) - 0.75, 0.0) / cx.c1
+                          + (0.75 * cx.n1f) / cx.c1
+                            * ((coalesce(cn.n1b, 0) + 1.0)
+                               / ((SELECT t FROM tt{sfx})
+                                  + (SELECT v FROM uni{sfx})))
+                        ELSE (coalesce(cn.n1b, 0) + 1.0)
+                             / ((SELECT t FROM tt{sfx})
+                                + (SELECT v FROM uni{sfx}))
+                        END) AS lp
+              FROM trans_all tr
+              LEFT JOIN tb{sfx} b ON tr.bg = b.bg
+              LEFT JOIN ctx{sfx} cx ON tr.w1 = cx.w1
+              LEFT JOIN cont{sfx} cn ON tr.w2 = cn.w2),
+        sc{sfx} AS (SELECT doc_id, count(*) AS n_trans,
+                      round(list_reduce(
+                          list_prepend(0.0, list(lp ORDER BY pos)),
+                          (acc, x) -> acc + x), 6) AS sum_lp
+               FROM j{sfx} GROUP BY doc_id)"""
+
+    o["text_lm_moore_lewis"] = f"""
+        WITH wall AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        trans_all AS MATERIALIZED (
+          SELECT doc_id, u.pos AS pos, u.bg AS bg,
+                 string_split(u.bg, ' ')[1] AS w1,
+                 string_split(u.bg, ' ')[2] AS w2
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'bg': array_to_string(list_slice(w, i+1, i+2), ' ')}}
+                               for i in range(0, len(w) - 1)]) AS u
+                FROM wall WHERE len(w) >= 2)),
+        {_kn_block('i', "lang = 'en'")},
+        {_kn_block('o', "1 = 1")}
+        SELECT d.doc_id,
+               coalesce(si.n_trans, 0)::BIGINT AS n_trans,
+               round(CASE WHEN si.n_trans > 0
+                          THEN -si.sum_lp / si.n_trans
+                          ELSE 0.0 END, 6)::DOUBLE AS ce_in,
+               round(CASE WHEN si.n_trans > 0
+                          THEN -so.sum_lp / si.n_trans
+                          ELSE 0.0 END, 6)::DOUBLE AS ce_out,
+               round(CASE WHEN si.n_trans > 0
+                          THEN (-si.sum_lp / si.n_trans)
+                               - (-so.sum_lp / si.n_trans)
+                          ELSE 0.0 END, 6)::DOUBLE AS ml_score
+        FROM documents d
+        LEFT JOIN sci si USING (doc_id)
+        LEFT JOIN sco so USING (doc_id)
     """
 
     # search_request_after: keyset page 2 ≡ offset rows 6-10 on a

@@ -585,6 +585,61 @@ def lm_kn_perplexity(
     )
 
 
+def lm_moore_lewis(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_train: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010; the ancestor of DSIR): score every document by
+
+        ml_score = H_in(d) − H_out(d)
+
+    where H_in is the per-transition cross-entropy (nats) under a
+    Kneser-Ney bigram LM trained on the IN-DOMAIN ``target`` slice
+    and H_out under one trained on ``out_train`` (default: the corpus
+    itself). Lower = more in-domain-like relative to its general
+    likelihood — thresholding ml_score selects target-like training
+    data without the frequency bias of scoring H_in alone (a doc of
+    globally common words is cheap under BOTH models and cancels).
+
+    Returns (id, n_trans, ce_in, ce_out, ml_score), all rounded to
+    6 dp; documents with no transitions get the 0.0 sentinel triple.
+
+    Scale shape: exactly two :func:`lm_kn_perplexity` pipelines (one
+    corpus-token transitions pass each, vocab-sized joins) plus ONE
+    doc_id equi-join of their two #docs-row outputs. Out-of-domain
+    contexts exercise the KN backoff branch — continuation mass keeps
+    every probability finite, so no OOV clamping is needed.
+    """
+    inn = lm_kn_perplexity(
+        df, id_col, text_col, train=target, discount=discount
+    ).select(
+        F.col(id_col), F.col("n_trans"), F.col("sum_logp").alias("_lp_in")
+    )
+    out = lm_kn_perplexity(
+        df, id_col, text_col,
+        train=out_train if out_train is not None else df,
+        discount=discount,
+    ).select(F.col(id_col), F.col("sum_logp").alias("_lp_out"))
+    j = inn.join(out, id_col)
+    ce_in = -F.col("_lp_in") / F.col("n_trans")
+    ce_out = -F.col("_lp_out") / F.col("n_trans")
+    has = F.col("n_trans") > 0
+    return j.select(
+        F.col(id_col),
+        F.col("n_trans"),
+        F.round(F.when(has, ce_in).otherwise(0.0), 6).alias("ce_in"),
+        F.round(F.when(has, ce_out).otherwise(0.0), 6).alias("ce_out"),
+        F.round(F.when(has, ce_in - ce_out).otherwise(0.0), 6).alias(
+            "ml_score"
+        ),
+    )
+
+
 def lm_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

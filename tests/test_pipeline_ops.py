@@ -826,6 +826,31 @@ def test_lm_kn_perplexity_hand_computed(spark):
     assert ppl[1] < ppl[2]
 
 
+def test_lm_moore_lewis_selection(spark):
+    """Cross-entropy difference: docs resembling the target slice
+    score LOWER than off-domain docs; the common-word doc cancels
+    toward 0; no-transition docs get the sentinel triple."""
+    rows = [
+        (1, "the cat sat on the mat"),       # in-domain
+        (2, "the cat ate on the mat"),       # near-domain
+        (3, "quantum flux torsion manifold spectra"),  # off-domain
+        (4, "the the the the"),              # common words everywhere
+        (5, "single"),                       # no transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id IN (1, 2)")
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.lm_moore_lewis(df, target).collect()}
+    assert got[1]["ml_score"] < got[3]["ml_score"]
+    assert got[2]["ml_score"] < got[3]["ml_score"]
+    # ce consistency: ml = ce_in − ce_out after rounding (±1 ulp@6dp)
+    for d in (1, 2, 3, 4):
+        assert abs(got[d]["ml_score"]
+                   - round(got[d]["ce_in"] - got[d]["ce_out"], 6)) <= 1e-6
+    assert got[5] == {"doc_id": 5, "n_trans": 0, "ce_in": 0.0,
+                      "ce_out": 0.0, "ml_score": 0.0}
+
+
 def test_shuffle_shards_and_packing(spark, tmp_path):
     """Deterministic training delivery: the (shard, pos) permutation is
     a pure function of (id, seed) — identical across parallelism and
