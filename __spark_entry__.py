@@ -1888,6 +1888,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_request_global"] = search_request_global
 
+    def search_aggs_autodatehist_a2(spark, sf_dir):
+        """ES auto_date_histogram: ladder-chosen interval (the
+        month-long events stream at buckets=12 lands on the 7d tier),
+        epoch-floor rollup in one groupBy, interval reported."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = search.es_aggs(
+            ev,
+            {"auto": {"auto_date_histogram": {"field": "ts",
+                                              "buckets": 12},
+                      "aggs": {"n_users": {"cardinality": {
+                          "field": "user_id"}}}}},
+        )
+        return out.select(
+            F.date_format("key", "yyyy-MM-dd HH:mm:ss").alias("key"),
+            "doc_count", "n_users", "interval",
+        )
+
+    q["search_aggs_autodatehist_a2"] = search_aggs_autodatehist_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2446,7 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_terms_opts_a2", "search_aggs_terms_mindoc_a2",
         "search_aggs_adjmatrix_a2", "search_request_after",
         "search_request_postfilter", "search_request_global",
-        "text_lm_moore_lewis",
+        "text_lm_moore_lewis", "search_aggs_autodatehist_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4224,6 +4243,17 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN sci si USING (doc_id)
         LEFT JOIN sco so USING (doc_id)
+    """
+
+    # search_aggs_autodatehist_a2: the 7d tier the ladder picks for a
+    # one-month span at buckets=12 — weekly epoch-floor buckets
+    o["search_aggs_autodatehist_a2"] = """
+        SELECT strftime(to_timestamp((epoch(ts)::BIGINT // 604800)
+                                     * 604800), '%Y-%m-%d %H:%M:%S') AS key,
+               count(*) AS doc_count,
+               count(DISTINCT user_id) AS n_users,
+               '7d' AS interval
+        FROM events GROUP BY 1 ORDER BY key
     """
 
     # search_request_after: keyset page 2 ≡ offset rows 6-10 on a

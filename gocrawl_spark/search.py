@@ -1422,6 +1422,70 @@ def _filters_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     return _conditional_buckets(proj, conds, spec)
 
 
+# ES auto_date_histogram rounding ladder: fixed sub-month intervals
+# (label, seconds), then calendar month/quarter/year tiers
+_ADH_FIXED = [
+    ("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+    ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+    ("1h", 3600), ("3h", 10800), ("12h", 43200),
+    ("1d", 86400), ("7d", 604800),
+]
+
+
+def _auto_date_histogram_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
+    """ES `auto_date_histogram`: picks the smallest ladder interval
+    that fits the data span into at most ``buckets`` buckets, and
+    reports the choice in a constant ``interval`` column (ES returns
+    it in the response). The bounds probe is ONE 1-row aggregate
+    (driver metadata, like the histogram fill); the rollup itself is
+    a single epoch-floor groupBy — no second scan, no interval
+    iteration over data."""
+    field = body["field"]
+    target = int(body.get("buckets", 10))
+    nested, metrics = _split_subaggs(spec)
+    if nested:
+        raise ValueError("auto_date_histogram supports metric sub-aggs only")
+    bounds = df.agg(
+        F.min(F.unix_timestamp(F.col(field))).alias("lo"),
+        F.max(F.unix_timestamp(F.col(field))).alias("hi"),
+        F.min(F.year(F.col(field))).alias("ylo"),
+        F.max(F.year(F.col(field))).alias("yhi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    label, key = "1s", None
+    if lo is not None:
+        for name, iv in _ADH_FIXED:
+            if hi // iv - lo // iv + 1 <= target:
+                label = name
+                key = F.timestamp_seconds(
+                    F.floor(F.unix_timestamp(F.col(field)) / iv)
+                    * F.lit(iv)
+                )
+                break
+        else:
+            for name, trunc in (("1M", "month"), ("3M", "quarter"),
+                                ("1y", "year")):
+                # conservative month-tier fit check via year span
+                years = bounds["yhi"] - bounds["ylo"] + 1
+                per_year = {"1M": 12, "3M": 4, "1y": 1}[name]
+                if years * per_year <= target:
+                    label = name
+                    key = F.date_trunc(trunc, F.col(field))
+                    break
+            else:
+                label = "100y"
+                key = F.make_timestamp(
+                    (F.floor(F.year(F.col(field)) / 100) * 100).cast("int"),
+                    F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+                )
+    if key is None:  # empty input: any key expr yields zero rows
+        key = F.col(field)
+    out = df.groupBy(key.alias("key")).agg(
+        F.count("*").alias("doc_count"), *metrics
+    )
+    return out.withColumn("interval", F.lit(label)).orderBy(F.asc("key"))
+
+
 def _adjacency_matrix_agg(df: DataFrame, body: dict, spec: dict) -> DataFrame:
     """ES `adjacency_matrix` bucket agg: named filters → one bucket
     per filter plus one per pairwise INTERSECTION (key "a&b", names
@@ -1542,6 +1606,8 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         return _composite_agg(df, body, spec)
     if kind == "adjacency_matrix":
         return _adjacency_matrix_agg(df, body, spec)
+    if kind == "auto_date_histogram":
+        return _auto_date_histogram_agg(df, body, spec)
     if kind == "missing":
         # ES missing agg: ONE bucket counting docs where the field is
         # null, metric sub-aggs over that slice — a 1-condition

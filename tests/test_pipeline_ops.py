@@ -2423,6 +2423,27 @@ def test_es_aggs_tail2_kinds(spark):
         ("*-2024-01-10", 1), ("2024-01-10-*", 1)]
 
 
+def test_es_aggs_auto_date_histogram_ladder(spark):
+    import datetime as dt
+    mk = lambda rows: spark.createDataFrame(rows, "id long, ts timestamp")
+    # 6-minute span, buckets=8 → 1m tier (1s..30s tiers overflow)
+    tight = mk([(i, dt.datetime(2024, 1, 1, 0, i // 2, i % 2 * 20))
+                for i in range(12)])
+    o = search.es_aggs(tight, {"h": {"auto_date_histogram": {
+        "field": "ts", "buckets": 8}}}).collect()
+    assert {r["interval"] for r in o} == {"1m"} and len(o) == 6
+    assert all(r["doc_count"] == 2 for r in o)
+    # same data, generous budget → finest tier that fits
+    o2 = search.es_aggs(tight, {"h": {"auto_date_histogram": {
+        "field": "ts", "buckets": 1000}}}).collect()
+    assert {r["interval"] for r in o2} == {"1s"} and len(o2) == 12
+    # multi-year span at small budget → calendar year tier
+    years = mk([(i, dt.datetime(2019 + i, 6, 1)) for i in range(6)])
+    o3 = search.es_aggs(years, {"h": {"auto_date_histogram": {
+        "field": "ts", "buckets": 8}}}).collect()
+    assert {r["interval"] for r in o3} == {"1y"} and len(o3) == 6
+
+
 def test_es_search_after_postfilter_global(spark):
     rows = [(i, "en" if i % 3 else "fr", i * 10) for i in range(1, 13)]
     df = spark.createDataFrame(rows, "id long, lang string, n long")
