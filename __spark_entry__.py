@@ -1907,6 +1907,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_autodatehist_a2"] = search_aggs_autodatehist_a2
 
+    def search_aggs_pipeline3_a2(spark, sf_dir):
+        """ES pipeline tail part 3: serial_diff (seasonal lag-2
+        differencing), stats_bucket and percentiles_bucket sibling
+        scalars — windows over the filled #buckets series only."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"hist": {
+                "histogram": {"field": "n_chars", "interval": 50},
+                "aggs": {
+                    "sd2": {"serial_diff": {"buckets_path": "_count",
+                                            "lag": 2}},
+                    "st": {"stats_bucket": {"buckets_path": "_count"}},
+                    "pb": {"percentiles_bucket": {
+                        "buckets_path": "_count", "percents": [50]}},
+                }}},
+        )
+        return out.select(
+            "key", "doc_count", "sd2",
+            "st_count", "st_min", "st_max",
+            F.round("st_avg", 6).alias("st_avg"), "st_sum",
+            F.round("pb_p50", 6).alias("pb_p50"),
+        )
+
+    q["search_aggs_pipeline3_a2"] = search_aggs_pipeline3_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2466,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_adjmatrix_a2", "search_request_after",
         "search_request_postfilter", "search_request_global",
         "text_lm_moore_lewis", "search_aggs_autodatehist_a2",
+        "search_aggs_pipeline3_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4243,6 +4269,32 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN sci si USING (doc_id)
         LEFT JOIN sco so USING (doc_id)
+    """
+
+    # search_aggs_pipeline3_a2: lag-2 diff + whole-series sibling
+    # stats/median over the filled histogram series
+    o["search_aggs_pipeline3_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT (floor(n_chars / 50.0) * 50.0)::DOUBLE AS key,
+                 count(*) AS doc_count
+          FROM documents GROUP BY 1),
+        dom AS (
+          SELECT (unnest(range(
+                   (SELECT floor(min(key) / 50.0)::BIGINT FROM b),
+                   (SELECT floor(max(key) / 50.0)::BIGINT FROM b) + 1))
+                  * 50.0)::DOUBLE AS key),
+        f AS (
+          SELECT dom.key, coalesce(b.doc_count, 0) AS doc_count
+          FROM dom LEFT JOIN b ON b.key = dom.key)
+        SELECT key, doc_count,
+               doc_count - lag(doc_count, 2) OVER (ORDER BY key) AS sd2,
+               count(doc_count) OVER () AS st_count,
+               min(doc_count) OVER () AS st_min,
+               max(doc_count) OVER () AS st_max,
+               round(avg(doc_count) OVER (), 6) AS st_avg,
+               sum(doc_count) OVER ()::BIGINT AS st_sum,
+               round(quantile_cont(doc_count, 0.5) OVER (), 6) AS pb_p50
+        FROM f ORDER BY key
     """
 
     # search_aggs_autodatehist_a2: the 7d tier the ladder picks for a

@@ -1131,6 +1131,7 @@ _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 _PIPELINE_KINDS = (
     "cumulative_sum",
     "derivative",
+    "serial_diff",
     "moving_fn",
     "bucket_script",
     "bucket_selector",
@@ -1138,6 +1139,8 @@ _PIPELINE_KINDS = (
     "sum_bucket",
     "min_bucket",
     "max_bucket",
+    "stats_bucket",
+    "percentiles_bucket",
 )
 # moving_fn scripts the reference surface would pass through to ES
 # (storage.go:212-257 forwards arbitrary DSL) — the stock
@@ -1702,6 +1705,9 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                     pname, _bucket_script_expr(pbody, _resolve)
                 )
                 continue
+            whole = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
             if pkind in _SIBLING_FNS:
                 # ES sibling agg: ONE scalar over the whole series
                 # (gap_policy=skip ≡ SQL null-skipping aggregates),
@@ -1711,13 +1717,27 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                     pname,
                     _SIBLING_FNS[pkind](
                         _resolve(pbody["buckets_path"])
-                    ).over(
-                        w.rowsBetween(
-                            Window.unboundedPreceding,
-                            Window.unboundedFollowing,
-                        )
-                    ),
+                    ).over(whole),
                 )
+                continue
+            if pkind == "stats_bucket":
+                src = _resolve(pbody["buckets_path"])
+                for comp, fn in (("count", F.count), ("min", F.min),
+                                 ("max", F.max), ("avg", F.avg),
+                                 ("sum", F.sum)):
+                    outer = outer.withColumn(
+                        f"{pname}_{comp}", fn(src).over(whole)
+                    )
+                continue
+            if pkind == "percentiles_bucket":
+                src = _resolve(pbody["buckets_path"])
+                for p in pbody.get("percents", [1, 5, 25, 50, 75, 95, 99]):
+                    outer = outer.withColumn(
+                        f"{pname}_p{str(p).replace('.', '_')}",
+                        F.percentile(src, F.lit(float(p) / 100.0)).over(
+                            whole
+                        ),
+                    )
                 continue
             src = _resolve(pbody["buckets_path"])
             if pkind == "cumulative_sum":
@@ -1744,6 +1764,14 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                     fn(src).over(
                         w.rowsBetween(-width + shift, -1 + shift)
                     ),
+                )
+            elif pkind == "serial_diff":
+                # value minus the value `lag` buckets earlier (ES
+                # seasonal differencing; lag defaults to 1)
+                outer = outer.withColumn(
+                    pname,
+                    F.col(src)
+                    - F.lag(src, int(pbody.get("lag", 1))).over(w),
                 )
             else:  # derivative: first bucket has no predecessor → null
                 outer = outer.withColumn(

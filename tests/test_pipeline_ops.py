@@ -2541,6 +2541,19 @@ def test_es_aggs_pipeline_moving_script_sibling_selector(spark):
             "script": "MovingFunctions.sum"}}}}})
     got = {r["key"]: r["mv"] for r in shifted.collect()}
     assert got[0.0] == 2 and got[100.0] == 2 and got[200.0] == 3
+    # serial_diff lag 2 + sibling stats/percentiles over the series
+    sd = search.es_aggs(df, {"h": {
+        "histogram": {"field": "v", "interval": 100},
+        "aggs": {"d2": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
+                 "st": {"stats_bucket": {"buckets_path": "_count"}},
+                 "pb": {"percentiles_bucket": {"buckets_path": "_count",
+                                               "percents": [50]}}}}}).collect()
+    by = {r["key"]: r for r in sd}
+    # series counts: [2,0,3,0,0,1] → lag-2 diffs from key 200 on
+    assert by[200.0]["d2"] == 1 and by[300.0]["d2"] == 0 and by[0.0]["d2"] is None
+    assert (by[0.0]["st_count"], by[0.0]["st_min"], by[0.0]["st_max"],
+            by[0.0]["st_sum"]) == (6, 0, 3, 6)
+    assert by[0.0]["st_avg"] == 1.0 and by[0.0]["pb_p50"] == 0.5
     import pytest as _p
     with _p.raises(ValueError):  # script syntax is allowlisted
         search.es_aggs(df, {"h": {
