@@ -620,6 +620,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lm_moore_lewis"] = text_lm_moore_lewis
 
+    def text_lm_kn3_ppl(spark, sf_dir):
+        """Trigram interpolated Kneser-Ney perplexity
+        (textstats.lm_kn3_perplexity): the full Chen & Goodman
+        recursion — discounted trigram mass backing off through
+        continuation-count bigram estimates to the add-1 continuation
+        unigram; every join a type-table aggregate, same bit-stable
+        position-ordered fold."""
+        return textstats.lm_kn3_perplexity(_docs(spark, sf_dir))
+
+    q["text_lm_kn3_ppl"] = text_lm_kn3_ppl
+
     def text_lm_buckets(spark, sf_dir):
         """CCNet head/middle/tail (textstats.lm_buckets): per-language
         exact tertile split by bigram-LM perplexity, ties broken by
@@ -2491,7 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_adjmatrix_a2", "search_request_after",
         "search_request_postfilter", "search_request_global",
         "text_lm_moore_lewis", "search_aggs_autodatehist_a2",
-        "search_aggs_pipeline3_a2",
+        "search_aggs_pipeline3_a2", "text_lm_kn3_ppl",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4269,6 +4280,79 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN sci si USING (doc_id)
         LEFT JOIN sco so USING (doc_id)
+    """
+
+    # text_lm_kn3_ppl: the Chen & Goodman trigram recursion — the
+    # p2 continuation estimate appears twice (inside the seen-trigram
+    # interpolation and as the unseen-context fallback) with the
+    # IDENTICAL op sequence, so the doubles match Spark's bit-for-bit
+    _KN3_PC = ("(coalesce(cn.n1b, 0) + 1.0)"
+               " / ((SELECT t FROM t2) + (SELECT v FROM uni))")
+    _KN3_P2 = f"""(CASE WHEN cx2.s_mid IS NOT NULL THEN
+                     greatest(coalesce(m.n_mid, 0) - 0.75, 0.0) / cx2.s_mid
+                     + (0.75 * cx2.k_mid) / cx2.s_mid * ({_KN3_PC})
+                   ELSE {_KN3_PC} END)"""
+    o["text_lm_kn3_ppl"] = f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        uni AS (SELECT count(DISTINCT u) AS v
+                FROM (SELECT unnest(w) AS u FROM w)),
+        bg2 AS MATERIALIZED (
+          SELECT bg, count(*) AS c2, string_split(bg, ' ')[2] AS w3
+          FROM (SELECT unnest([array_to_string(list_slice(w, i+1, i+2), ' ')
+                               for i in range(0, len(w) - 1)]) AS bg
+                FROM w WHERE len(w) >= 2)
+          GROUP BY bg),
+        t2 AS (SELECT count(*) AS t FROM bg2),
+        cont AS (SELECT w3, count(*) AS n1b FROM bg2 GROUP BY w3),
+        trans AS MATERIALIZED (
+          SELECT doc_id, u.pos AS pos, u.tg AS tg,
+                 array_to_string(list_slice(string_split(u.tg, ' '), 1, 2),
+                                 ' ') AS w12,
+                 array_to_string(list_slice(string_split(u.tg, ' '), 2, 3),
+                                 ' ') AS w23,
+                 string_split(u.tg, ' ')[2] AS w2,
+                 string_split(u.tg, ' ')[3] AS w3
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'tg': array_to_string(list_slice(w, i+1, i+3), ' ')}}
+                               for i in range(0, len(w) - 2)]) AS u
+                FROM w WHERE len(w) >= 3)),
+        tb3 AS MATERIALIZED (
+          SELECT tg, count(*) AS c3,
+                 array_to_string(list_slice(string_split(tg, ' '), 1, 2),
+                                 ' ') AS w12,
+                 array_to_string(list_slice(string_split(tg, ' '), 2, 3),
+                                 ' ') AS w23,
+                 string_split(tg, ' ')[2] AS w2
+          FROM trans GROUP BY tg),
+        ctx3 AS (SELECT w12, sum(c3)::BIGINT AS c12, count(*) AS n1f12
+                 FROM tb3 GROUP BY w12),
+        cb AS MATERIALIZED (
+          SELECT w23, count(*) AS n_mid, any_value(w2) AS w2
+          FROM tb3 GROUP BY w23),
+        ctx2 AS (SELECT w2, count(*) AS k_mid, sum(n_mid)::BIGINT AS s_mid
+                 FROM cb GROUP BY w2),
+        j AS (SELECT tr.doc_id, tr.pos,
+                 ln(CASE WHEN cx3.c12 IS NOT NULL THEN
+                      greatest(coalesce(b3.c3, 0) - 0.75, 0.0) / cx3.c12
+                      + (0.75 * cx3.n1f12) / cx3.c12 * {_KN3_P2}
+                    ELSE {_KN3_P2} END) AS lp
+              FROM trans tr
+              LEFT JOIN tb3 b3 ON tr.tg = b3.tg
+              LEFT JOIN ctx3 cx3 ON tr.w12 = cx3.w12
+              LEFT JOIN cb m ON tr.w23 = m.w23
+              LEFT JOIN ctx2 cx2 ON tr.w2 = cx2.w2
+              LEFT JOIN cont cn ON tr.w3 = cn.w3),
+        sc AS (SELECT doc_id, count(*) AS n_trans,
+                      list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                  (acc, x) -> acc + x) AS sum_lp
+               FROM j GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_trans, 0)::BIGINT AS n_trans,
+               round(coalesce(s.sum_lp, 0.0), 6)::DOUBLE AS sum_logp,
+               round(CASE WHEN s.n_trans > 0 THEN exp(-s.sum_lp / s.n_trans)
+                          ELSE 0.0 END, 6)::DOUBLE AS ppl
+        FROM documents d LEFT JOIN sc s USING (doc_id)
     """
 
     # search_aggs_pipeline3_a2: lag-2 diff + whole-series sibling

@@ -585,6 +585,139 @@ def lm_kn_perplexity(
     )
 
 
+def lm_kn3_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Trigram interpolated Kneser-Ney — the full Chen & Goodman
+    recursion KenLM implements (CCNet runs the 5-gram variant; the
+    estimator shape is identical at every order):
+
+      p(w3|w1w2) = max(c(w1w2w3)−D, 0)/c(w1w2•)
+                   + (D·N1+(w1w2•)/c(w1w2•)) · p(w3|w2)
+      p(w3|w2)   = max(N1+(•w2w3)−D, 0)/N1+(•w2•)
+                   + (D·N1+(w2•)ᶜ/N1+(•w2•)) · p_cont(w3)
+      p_cont(w3) = (N1+(•w3) + 1)/(T₂ + V)
+
+    Middle-order counts are CONTINUATION counts (distinct preceding
+    words), not raw frequencies — the KN correction applied at every
+    backoff level. Unseen trigram context → back off to the bigram
+    estimate; unseen bigram context → to p_cont; add-1 continuation
+    keeps OOV finite. Documents with < 3 normalized words get the
+    0-sentinel row (n_trans counts TRIGRAM transitions, len−2).
+
+    Scale shape: one trigram-transitions pass (one row per corpus
+    token); every join is a vocab-/type-table-sized aggregate of the
+    trigram- or bigram-TYPE tables (c3 on the trigram, context stats
+    on (w1,w2), continuation stats on (w2,w3) / w2 / w3); T₂ and V
+    are O(1) driver scalars; same position-ordered bit-stable
+    per-document float fold as the bigram estimators.
+    """
+    if train is None:
+        train = df
+    d = float(discount)
+    tw = train.select(norm_words(text_col).alias("w"))
+    vocab = tw.select(F.explode("w").alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    ).first()["v"]
+    tb2 = (
+        tw.filter(F.size("w") >= 2)
+        .select(F.explode(shingles_of_words(F.col("w"), 2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c2"))
+        .withColumn("w3", F.split("bg", " ").getItem(1))
+    )
+    tb2 = tb2.persist()
+    t2 = tb2.count()
+    cont = tb2.groupBy("w3").agg(F.count("*").alias("n1b"))
+    tb3 = (
+        tw.filter(F.size("w") >= 3)
+        .select(F.explode(shingles_of_words(F.col("w"), 3)).alias("tg"))
+        .groupBy("tg").agg(F.count("*").alias("c3"))
+        .withColumn("_p", F.split("tg", " "))
+        .select(
+            "tg", "c3",
+            F.concat_ws(" ", F.col("_p")[0], F.col("_p")[1]).alias("w12"),
+            F.concat_ws(" ", F.col("_p")[1], F.col("_p")[2]).alias("w23"),
+            F.col("_p")[1].alias("w2"),
+        )
+        .persist()
+    )
+    tb3.count()
+    ctx3 = tb3.groupBy("w12").agg(
+        F.sum("c3").alias("c12"), F.count("*").alias("n1f12")
+    )
+    # continuation-count chain: N1+(•w2w3) per bigram, then per-w2
+    # k_mid = N1+(w2•)ᶜ (distinct continuations) and s_mid =
+    # N1+(•w2•) = Σ_w3 N1+(•w2w3) — both from ONE rollup of cb
+    cb = tb3.groupBy("w23").agg(
+        F.count("*").alias("n_mid"), F.first("w2").alias("w2")
+    ).persist()
+    ctx2 = cb.groupBy("w2").agg(
+        F.count("*").alias("k_mid"), F.sum("n_mid").alias("s_mid")
+    )
+    denom = float(t2 + vocab)
+
+    docs = df.select(F.col(id_col).alias("id"), norm_words(text_col).alias("w"))
+    trans = docs.filter(F.size("w") >= 3).select(
+        "id",
+        F.posexplode(shingles_of_words(F.col("w"), 3)).alias("pos", "tg"),
+    ).withColumn("_p", F.split("tg", " ")).select(
+        "id", "pos", "tg",
+        F.concat_ws(" ", F.col("_p")[0], F.col("_p")[1]).alias("w12"),
+        F.concat_ws(" ", F.col("_p")[1], F.col("_p")[2]).alias("w23"),
+        F.col("_p")[1].alias("w2"),
+        F.col("_p")[2].alias("w3"),
+    )
+    j = (
+        trans.join(tb3.select("tg", "c3"), "tg", "left")
+        .join(ctx3, "w12", "left")
+        .join(cb.select("w23", "n_mid"), "w23", "left")
+        .join(ctx2, "w2", "left")
+        .join(cont, "w3", "left")
+    )
+    pc = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1.0)) / F.lit(denom)
+    p2_seen = (
+        F.greatest(
+            F.coalesce(F.col("n_mid"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("s_mid")
+        + (F.lit(d) * F.col("k_mid")) / F.col("s_mid") * pc
+    )
+    p2 = F.when(F.col("s_mid").isNotNull(), p2_seen).otherwise(pc)
+    p3_seen = (
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("c12")
+        + (F.lit(d) * F.col("n1f12")) / F.col("c12") * p2
+    )
+    logp = F.log(F.when(F.col("c12").isNotNull(), p3_seen).otherwise(p2))
+    scored = j.groupBy("id").agg(
+        F.count("*").alias("n_trans"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", logp.alias("lp")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("sum_lp"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+        F.round(F.coalesce("sum_lp", F.lit(0.0)), 6).alias("sum_logp"),
+        F.round(
+            F.when(
+                F.col("n_trans") > 0,
+                F.exp(-F.col("sum_lp") / F.col("n_trans")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ppl"),
+    )
+
+
 def lm_moore_lewis(
     df: DataFrame,
     target: DataFrame,

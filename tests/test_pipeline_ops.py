@@ -826,6 +826,41 @@ def test_lm_kn_perplexity_hand_computed(spark):
     assert ppl[1] < ppl[2]
 
 
+def test_lm_kn3_perplexity_hand_computed(spark):
+    """Chen & Goodman trigram recursion on a corpus small enough to
+    compute by hand: trigram types abc:2 bca:1 cab:1 abd:1; bigram
+    types ab:3 bc:2 ca:1 bd:1 → T2=4, V=4, denom=8."""
+    import math
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string")
+    pc_c = (1 + 1) / 8                                   # cont(c)=1
+    p2_cb = 0.25 / 2 + (0.75 * 2) / 2 * pc_c             # 0.3125
+    p3 = 1.25 / 3 + (0.75 * 2) / 3 * p2_cb               # seen "a b c"
+    probe = spark.createDataFrame(
+        [(10, "a b c"),     # seen trigram path
+         (11, "x b c"),     # unseen (w1,w2) context → backoff to p2
+         (12, "x y z"),     # unseen w2 too → pure continuation
+         (13, "a b")],      # < 3 words → sentinel
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.lm_kn3_perplexity(probe, train=train).collect()}
+    assert got[10]["sum_logp"] == round(math.log(p3), 6)
+    assert got[11]["sum_logp"] == round(math.log(p2_cb), 6)
+    assert got[12]["ppl"] == 8.0                         # 1/(1/8)
+    assert got[13] == {"doc_id": 13, "n_trans": 0,
+                       "sum_logp": 0.0, "ppl": 0.0}
+    # the trigram order pays exactly where bigram context is
+    # ambiguous but trigram context is deterministic: after "b" the
+    # next word is c or e equally, after "a b" it is always c
+    amb = spark.createDataFrame(
+        [(1, "a b c " * 10), (2, "d b e " * 10)],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    tri = textstats.lm_kn3_perplexity(q, train=amb).collect()[0]["ppl"]
+    bi = textstats.lm_kn_perplexity(q, train=amb).collect()[0]["ppl"]
+    assert tri < bi
+
+
 def test_lm_moore_lewis_selection(spark):
     """Cross-entropy difference: docs resembling the target slice
     score LOWER than off-domain docs; the common-word doc cancels
