@@ -68,6 +68,11 @@ HEADLINE = [
     # round-4: probe-path recall eval (train/probe split reported
     # separately by bench_ann_split)
     "ann_recall",
+    # round-4 continuation: KN-family LM scoring + the ES pipeline/
+    # request tails (one representative each)
+    "text_lm_kn3_ppl",
+    "search_aggs_pipeline2_a2",
+    "search_request_after",
 ]
 
 

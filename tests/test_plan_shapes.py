@@ -240,3 +240,61 @@ def test_bpe_encode_corpus_broadcasts_symbol_table(spark, sf_dir):
                  "FlatMapGroupsInPandas"):
         assert node not in plan, plan
     symbols.unpersist()
+
+
+def test_adjacency_matrix_single_scan_no_join(spark, sf_dir):
+    """adjacency_matrix compiles N single + N(N−1)/2 pair cells into
+    ONE conditional-aggregation pass — the executed plan must contain
+    no join operator of any kind and exactly one file scan."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = search.es_aggs(docs, {"adj": {"adjacency_matrix": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "big": {"range": {"n_chars": {"gte": 400}}},
+        "s1": {"wildcard": {"source": "src1*"}}}}}})
+    plan = _plan(out)
+    for marker in ("SortMergeJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct",
+                   "ShuffledHashJoin"):
+        assert marker not in plan, marker
+    assert plan.count("FileScan") == 1
+
+
+def test_search_after_cursor_pushes_into_scan(spark, sf_dir):
+    """The search_after keyset predicate must reach the parquet scan
+    as a pushed filter — that is WHY page N costs O(page): the cursor
+    prunes at the I/O layer, not after a full sort."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumnRenamed("doc_id", "id")
+    out = search.es_search(docs, {
+        "query": {"range": {"n_chars": {"gte": 0}}},
+        "sort": [{"n_chars": "desc"}], "size": 5,
+        "search_after": [300, 250],
+    })["hits"]
+    plan = _plan(out)
+    scan = plan[plan.index("FileScan"):]
+    pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+    assert "n_chars" in pushed, pushed
+
+
+def test_rare_multi_terms_one_exchange(spark, sf_dir):
+    """rare_terms / multi_terms are ONE groupBy each: a single
+    shuffle (plus AQE reads), never a second aggregation pass over
+    the raw data."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for spec in (
+        {"r": {"rare_terms": {"field": "n_chars", "max_doc_count": 1}}},
+        {"m": {"multi_terms": {"terms": [{"field": "lang"},
+                                         {"field": "source"}]}}},
+    ):
+        plan = _plan(search.es_aggs(docs, spec))
+        n_ex = plan.count("Exchange hashpartitioning")
+        # one hash exchange for the groupBy; multi_terms adds one
+        # rangepartitioning for the global top-N order
+        assert n_ex == 1, f"{spec}: {n_ex} hash exchanges\n{plan}"
+        assert plan.count("FileScan") == 1
