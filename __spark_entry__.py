@@ -1943,6 +1943,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_pipeline3_a2"] = search_aggs_pipeline3_a2
 
+    def search_sig_terms_scoped(spark, sf_dir):
+        """ES significant_terms as a request-scoped agg: sources
+        overrepresented among the query's (lang=en) docs vs the whole
+        index — JLH over a keyword field, fg flag codegen'd, one
+        scan."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        out = search.es_search(docs, {
+            "query": {"term": {"lang": "en"}},
+            "aggs": {"sig_src": {"significant_terms": {
+                "field": "source", "size": 10}}},
+        })
+        return out["aggs"]
+
+    q["search_sig_terms_scoped"] = search_sig_terms_scoped
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2503,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_request_postfilter", "search_request_global",
         "text_lm_moore_lewis", "search_aggs_autodatehist_a2",
         "search_aggs_pipeline3_a2", "text_lm_kn3_ppl",
+        "search_sig_terms_scoped",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4379,6 +4395,29 @@ def oracle_sql() -> dict[str, str]:
                sum(doc_count) OVER ()::BIGINT AS st_sum,
                round(quantile_cont(doc_count, 0.5) OVER (), 6) AS pb_p50
         FROM f ORDER BY key
+    """
+
+    # search_sig_terms_scoped: JLH over a keyword field, fg = the
+    # request query, bg = everything
+    o["search_sig_terms_scoped"] = """
+        WITH b AS (SELECT source,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS fg
+                   FROM documents),
+        s AS (SELECT count(*)::DOUBLE AS n_all, sum(fg)::DOUBLE AS n_fg
+              FROM b),
+        tc AS (SELECT source AS key, count(*)::BIGINT AS bg_count,
+                      sum(fg)::BIGINT AS fg_count
+               FROM b GROUP BY 1),
+        j AS (SELECT key, fg_count, bg_count,
+                     fg_count / s.n_fg AS fgp,
+                     bg_count / s.n_all AS bgp
+              FROM tc, s)
+        SELECT key, fg_count, bg_count,
+               round((fgp - bgp) * (fgp / bgp), 6) AS score
+        FROM j
+        WHERE fgp > bgp AND fg_count >= 3
+              AND round((fgp - bgp) * (fgp / bgp), 6) > 0
+        ORDER BY score DESC, key ASC LIMIT 10
     """
 
     # search_aggs_autodatehist_a2: the 7d tier the ladder picks for a

@@ -1043,9 +1043,49 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
             out["aggs"] = es_aggs(df.select(
                 F.col(id_col).alias("id"), *raw
             ), aspec["aggs"])
+        elif akind == "significant_terms":
+            # needs BOTH scopes at once (fg = query-matched docs,
+            # bg = whole index), which the matched-scope es_aggs
+            # can't see — one pass over the full frame with the
+            # query predicate as a codegen'd flag
+            out["aggs"] = _significant_terms_scoped(
+                toked.withColumn("_fg", pred.cast("int")),
+                aspec["significant_terms"],
+            )
         else:
             out["aggs"] = es_aggs(matched.select("id", *raw), body["aggs"])
     return out
+
+
+def _significant_terms_scoped(base: DataFrame, body: dict) -> DataFrame:
+    """ES `significant_terms` as a request-scoped agg over a KEYWORD
+    field (the free-text twin is :func:`significant_terms`): JLH of
+    field values unusually frequent among query-matched docs vs the
+    whole index. ONE scan — the foreground flag is a codegen'd
+    column, counts are one conditional aggregation on the field, the
+    two corpus scalars broadcast back as a 1-row cross join."""
+    field = body["field"]
+    k = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    sizes = base.agg(
+        F.count("*").cast("double").alias("_n_all"),
+        F.sum("_fg").cast("double").alias("_n_fg"),
+    )
+    tc = base.groupBy(F.col(field).alias("key")).agg(
+        F.count("*").alias("bg_count"), F.sum("_fg").alias("fg_count")
+    )
+    j = tc.crossJoin(F.broadcast(sizes))
+    fgp = F.col("fg_count") / F.col("_n_fg")
+    bgp = F.col("bg_count") / F.col("_n_all")
+    score = F.when(
+        fgp > bgp, F.round((fgp - bgp) * (fgp / bgp), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select("key", "fg_count", "bg_count", score.alias("score"))
+        .filter((F.col("fg_count") >= F.lit(min_dc)) & (F.col("score") > 0))
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(k)
+    )
 
 
 __all__ = [
