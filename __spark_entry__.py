@@ -1958,6 +1958,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_sig_terms_scoped"] = search_sig_terms_scoped
 
+    def agg_events_sessions(spark, sf_dir):
+        """User-activity sessionization (streaming.sessionize_events,
+        batch form of the stream_sessionize stateful op): 30-min-gap
+        session windows, exact-gap event EXTENDS the session (Spark's
+        boundary rule, pinned by the unit test), bounds as epoch-µs
+        longs, count + exact LONG sums only. One user-keyed shuffle."""
+        from gocrawl_spark import streaming as _st
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return _st.sessionize_events(ev)
+
+    q["agg_events_sessions"] = agg_events_sessions
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2518,7 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_request_postfilter", "search_request_global",
         "text_lm_moore_lewis", "search_aggs_autodatehist_a2",
         "search_aggs_pipeline3_a2", "text_lm_kn3_ppl",
-        "search_sig_terms_scoped",
+        "search_sig_terms_scoped", "agg_events_sessions",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4395,6 +4408,30 @@ def oracle_sql() -> dict[str, str]:
                sum(doc_count) OVER ()::BIGINT AS st_sum,
                round(quantile_cont(doc_count, 0.5) OVER (), 6) AS pb_p50
         FROM f ORDER BY key
+    """
+
+    # agg_events_sessions: gaps-and-islands — break strictly when the
+    # gap EXCEEDS 30 min (exact-gap extends, Spark's session_window
+    # boundary), end = last event + gap
+    o["agg_events_sessions"] = """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT user_id, ts, event_id,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) + 1800000000 AS session_end_us,
+               count(*) AS n_events,
+               sum(event_id)::BIGINT AS sum_event_id
+        FROM y GROUP BY user_id, sid
     """
 
     # search_sig_terms_scoped: JLH over a keyword field, fg = the

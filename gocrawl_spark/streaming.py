@@ -557,3 +557,96 @@ def stream_events_rollup(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def sessionize_events(
+    df,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Session windows over the events table (batch form — the
+    assertion twin of :func:`stream_sessionize`): events of one user
+    chain into a session while consecutive gaps stay within ``gap``;
+    session start = first event time, end = last event time + gap
+    (Spark's session_window contract). Aggregates are count + exact
+    LONG sum only, and window bounds are emitted as epoch MICROSECOND
+    longs — no float accumulation, no timestamp-formatting ambiguity,
+    so the output is bit-equal across engines and parallelism.
+
+    Scale shape: ONE shuffle on the user key; per-user session
+    merging is Spark's native session_window aggregation (sorted
+    merge within partition), state bounded by events-per-user."""
+    # parquet may surface TIMESTAMP_NTZ; normalize (UTC session) so
+    # session_window bounds stay unix_micros-able
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(F.col(user_col), w.alias("s"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .select(
+            user_col,
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            "n_events",
+            "sum_event_id",
+        )
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Streaming session windows with late-data handling: the
+    canonical stateful-session op (user activity sessionization) —
+    sessions grow across micro-batches while events keep arriving
+    within ``gap``, merge when a bridging event connects two open
+    sessions, and emit EXACTLY ONCE when the watermark passes the
+    session end (last event + gap). State per shard is O(open
+    sessions) and the watermark retires them monotonically — bounded
+    for a steady stream, same discipline as stream_events_rollup.
+
+    Single-drop one-shot runs emit exactly the batch
+    :func:`sessionize_events` rows whose session end precedes the
+    final watermark — the test pins that equivalence."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(events_dir)
+    )
+    agg = (
+        src.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            "n_events",
+            "sum_event_id",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -428,3 +428,54 @@ def test_stream_events_rollup_watermark_late_data(spark, tmp_path):
     want = {(r["w"]["start"].minute, r["event_type"]): (r["n"], r["s"])
             for r in batch.collect()}
     assert m == want
+
+
+def test_stream_sessionize_matches_batch_and_merges(spark, tmp_path):
+    """Session windows as a stream: sessions emit exactly once when
+    the watermark passes last-event+gap; a later event within the gap
+    MERGES into the open session across micro-batches; single-drop
+    emission equals the batch sessionize rows for finalized sessions.
+    Also pins the boundary rule: an exact-gap event EXTENDS."""
+    import datetime as dt
+
+    ev_dir = str(tmp_path / "events")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+
+    rows1 = [
+        (1, T(0, 0), 10, "a", 0.0, ""), (2, T(0, 10), 10, "a", 0.0, ""),
+        (3, T(0, 5), 11, "a", 0.0, ""),
+        (4, T(0, 35), 11, "a", 0.0, ""),   # exact 30-min gap → extends
+        (5, T(3, 0), 12, "a", 0.0, ""),    # advances watermark to 2:30
+    ]
+    spark.createDataFrame(rows1, streaming.EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(ev_dir)
+    streaming.stream_sessionize(spark, ev_dir, out, ckpt)
+    got1 = {(r["user_id"], r["session_start_us"]):
+            (r["n_events"], r["session_end_us"])
+            for r in spark.read.parquet(out).collect()}
+    batch = {(r["user_id"], r["session_start_us"]):
+             (r["n_events"], r["session_end_us"])
+             for r in streaming.sessionize_events(
+                 spark.createDataFrame(rows1, streaming.EVENTS_SCHEMA)
+             ).collect()
+             if r["user_id"] in (10, 11)}  # finalized before wm 2:30
+    assert got1 == batch and len(got1) == 2
+    us = lambda d: int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    # exact-gap user-11 session spans both events: end = 0:35 + 30m
+    assert got1[(11, us(T(0, 5)))] == (2, us(T(1, 5)))
+
+    rows2 = [
+        (6, T(3, 10), 12, "a", 0.0, ""),   # within gap → merges into 3:00
+        (7, T(6, 0), 13, "a", 0.0, ""),    # watermark → 5:30
+    ]
+    spark.createDataFrame(rows2, streaming.EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(ev_dir)
+    streaming.stream_sessionize(spark, ev_dir, out, ckpt)
+    got2 = {(r["user_id"], r["session_start_us"]):
+            (r["n_events"], r["session_end_us"])
+            for r in spark.read.parquet(out).collect()}
+    # the merged user-12 session emitted ONCE with both events
+    assert got2[(12, us(T(3, 0)))] == (2, us(T(3, 40)))
+    assert len(got2) == 3  # user 13's session still open in state
