@@ -1971,6 +1971,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_events_sessions"] = agg_events_sessions
 
+    def search_aggs_fixedhist_a2(spark, sf_dir):
+        """ES date_histogram fixed_interval (12h epoch-floor buckets,
+        not calendar-truncated) with a weighted_avg metric sub-agg
+        (exact LONG sums, one division)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = search.es_aggs(
+            ev,
+            {"g": {"date_histogram": {"fixed_interval": "12h",
+                                      "field": "ts"},
+                   "aggs": {"wa": {"weighted_avg": {
+                       "value": {"field": "event_id"},
+                       "weight": {"field": "user_id"}}}}}},
+        )
+        return out.select(
+            F.date_format("key", "yyyy-MM-dd HH:mm:ss").alias("key"),
+            "doc_count", F.round("wa", 6).alias("wa"),
+        )
+
+    q["search_aggs_fixedhist_a2"] = search_aggs_fixedhist_a2
+
+    def search_aggs_histopts_a2(spark, sf_dir):
+        """ES histogram offset + extended_bounds: buckets at
+        offset+k·interval, the fill domain widened past the data to
+        the declared bounds (empty edge buckets emitted)."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"h": {"histogram": {
+                "field": "n_chars", "interval": 100, "offset": 25,
+                "extended_bounds": {"min": -150, "max": 750}}}},
+        )
+        return out.select("key", "doc_count")
+
+    q["search_aggs_histopts_a2"] = search_aggs_histopts_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2532,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_moore_lewis", "search_aggs_autodatehist_a2",
         "search_aggs_pipeline3_a2", "text_lm_kn3_ppl",
         "search_sig_terms_scoped", "agg_events_sessions",
+        "search_aggs_fixedhist_a2", "search_aggs_histopts_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4408,6 +4443,37 @@ def oracle_sql() -> dict[str, str]:
                sum(doc_count) OVER ()::BIGINT AS st_sum,
                round(quantile_cont(doc_count, 0.5) OVER (), 6) AS pb_p50
         FROM f ORDER BY key
+    """
+
+    # search_aggs_fixedhist_a2: 12h epoch floor; weighted avg =
+    # Σ(v·w)::BIGINT / Σ(w)::BIGINT, BIGINT float division
+    o["search_aggs_fixedhist_a2"] = """
+        SELECT strftime(to_timestamp((epoch(ts)::BIGINT // 43200)
+                                     * 43200), '%Y-%m-%d %H:%M:%S') AS key,
+               count(*) AS doc_count,
+               round(sum(event_id * user_id)::BIGINT
+                     / sum(user_id)::BIGINT, 6) AS wa
+        FROM events GROUP BY 1 ORDER BY key
+    """
+
+    # search_aggs_histopts_a2: offset grid, domain widened to the
+    # extended bounds
+    o["search_aggs_histopts_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT (floor((n_chars - 25.0) / 100.0) * 100.0 + 25.0)::DOUBLE
+                   AS key,
+                 count(*) AS doc_count
+          FROM documents GROUP BY 1),
+        dom AS (
+          SELECT (unnest(range(
+                   least((SELECT floor((min(key) - 25.0) / 100.0)::BIGINT
+                          FROM b), -2),
+                   greatest((SELECT floor((max(key) - 25.0) / 100.0)::BIGINT
+                             FROM b), 7) + 1))
+                  * 100.0 + 25.0)::DOUBLE AS key)
+        SELECT dom.key AS key, coalesce(b.doc_count, 0) AS doc_count
+        FROM dom LEFT JOIN b ON b.key = dom.key
+        ORDER BY dom.key
     """
 
     # agg_events_sessions: gaps-and-islands — break strictly when the

@@ -1121,6 +1121,13 @@ def _metric_cols(
     percentile, the deterministic stand-in for ES's t-digest).
     ``value`` overrides the aggregated expression (the range agg's
     per-bucket conditional)."""
+    if kind == "weighted_avg":
+        # ES weighted_avg: Σ(value·weight)/Σ(weight) — exact LONG
+        # sums for integral fields (same contract as extended_stats),
+        # one division; body holds value/weight sub-dicts, no "field"
+        val = F.col(body["value"]["field"]).cast("long")
+        wgt = F.col(body["weight"]["field"]).cast("long")
+        return [(name, F.sum(val * wgt) / F.sum(wgt))]
     v = F.col(body["field"]) if value is None else value
     if kind in _METRICS:
         return [(name, _METRICS[kind](v))]
@@ -1257,16 +1264,46 @@ def _terms_include_exclude(df: DataFrame, body: dict) -> DataFrame:
     return df
 
 
+_FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec: str) -> int:
+    """ES fixed_interval strings — "45s", "30m", "3h", "7d"."""
+    unit = spec[-1]
+    if unit not in _FIXED_UNITS:
+        raise ValueError(f"unsupported fixed_interval: {spec!r}")
+    return int(spec[:-1]) * _FIXED_UNITS[unit]
+
+
 def _bucket_key(kind: str, body: dict) -> Column:
     if kind == "terms":
-        return F.col(body["field"])
+        key = F.col(body["field"])
+        if "missing" in body:
+            # ES terms `missing`: null-field docs bucket under the
+            # stand-in value instead of being skipped
+            key = F.coalesce(key, F.lit(body["missing"]))
+        return key
     if kind == "date_histogram":
+        if "fixed_interval" in body:
+            s = _fixed_interval_seconds(body["fixed_interval"])
+            return F.timestamp_seconds(
+                F.floor(
+                    F.unix_timestamp(
+                        F.col(body["field"]).cast("timestamp")
+                    ) / s
+                )
+                * F.lit(s)
+            )
         interval = body.get("calendar_interval", "day")
         return F.date_trunc(interval, F.col(body["field"]))
-    # histogram: numeric key floor(value/interval)*interval (ES shape)
+    # histogram: numeric key floor((value−offset)/interval)*interval
+    # + offset (ES shape; offset defaults to 0)
     interval = float(body["interval"])
+    offset = float(body.get("offset", 0.0))
     return (
-        F.floor(F.col(body["field"]) / F.lit(interval)) * F.lit(interval)
+        F.floor((F.col(body["field"]) - F.lit(offset)) / F.lit(interval))
+        * F.lit(interval)
+        + F.lit(offset)
     ).cast("double")
 
 
@@ -1292,18 +1329,38 @@ def _split_subaggs(spec: dict) -> tuple[list[tuple[str, str, dict]], list]:
 def _fill_histogram(buckets: DataFrame, body: dict) -> DataFrame:
     """ES histogram default (min_doc_count=0): every interval bucket
     between the data min and max key appears, empty ones with
-    doc_count 0. One 1-row bounds aggregate + a sequence explode —
-    no extra scan of the data."""
+    doc_count 0; ``extended_bounds`` {min,max} widens the domain past
+    the data, ``min_doc_count`` > 0 drops sparse buckets after the
+    fill (downstream pipeline aggs then see the SURVIVING series —
+    ES applies min_doc_count at bucket construction too). One 1-row
+    bounds aggregate + a sequence explode — no extra scan of the
+    data."""
     interval = float(body["interval"])
+    offset = float(body.get("offset", 0.0))
+    idx = lambda c: F.floor((c - F.lit(offset)) / F.lit(interval))
+    lo_c, hi_c = idx(F.min("key")), idx(F.max("key"))
+    ext = body.get("extended_bounds")
+    if ext is not None:
+        lo_e = idx(F.lit(float(ext["min"])))
+        hi_e = idx(F.lit(float(ext["max"])))
+        lo_c = F.coalesce(F.least(lo_c, lo_e), lo_e)
+        hi_c = F.coalesce(F.greatest(hi_c, hi_e), hi_e)
     bounds = buckets.agg(
-        F.floor(F.min("key") / F.lit(interval)).cast("long").alias("_lo"),
-        F.floor(F.max("key") / F.lit(interval)).cast("long").alias("_hi"),
+        lo_c.cast("long").alias("_lo"), hi_c.cast("long").alias("_hi")
     )
     domain = bounds.select(
         F.explode(F.sequence("_lo", "_hi")).alias("_i")
-    ).select((F.col("_i") * F.lit(interval)).cast("double").alias("key"))
+    ).select(
+        (F.col("_i") * F.lit(interval) + F.lit(offset))
+        .cast("double")
+        .alias("key")
+    )
     filled = domain.join(buckets, "key", "left")
-    return filled.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+    filled = filled.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+    min_dc = int(body.get("min_doc_count", 0))
+    if min_dc > 0:
+        filled = filled.filter(F.col("doc_count") >= min_dc)
+    return filled
 
 
 def _conditional_buckets(

@@ -2458,6 +2458,39 @@ def test_es_aggs_tail2_kinds(spark):
         ("*-2024-01-10", 1), ("2024-01-10-*", 1)]
 
 
+def test_es_aggs_histogram_and_terms_options(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, 12, "a"), (2, 130, "a"), (3, 130, None)],
+        "id long, v long, g string")
+    # offset grid + extended bounds + min_doc_count interplay
+    h = search.es_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 100, "offset": 25,
+        "extended_bounds": {"min": -100, "max": 300}}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in h] == [
+        (-175.0, 0), (-75.0, 1), (25.0, 0), (125.0, 2), (225.0, 0)]
+    h2 = search.es_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 100, "min_doc_count": 2}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in h2] == [(100.0, 2)]
+    # terms missing param buckets nulls under the stand-in
+    t = search.es_aggs(df, {"t": {"terms": {
+        "field": "g", "missing": "(none)"}}}).collect()
+    assert sorted((r["key"], r["doc_count"]) for r in t) == [
+        ("(none)", 1), ("a", 2)]
+    # fixed_interval epoch floor (not calendar truncation)
+    ts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 13)), (2, dt.datetime(2024, 1, 1, 14))],
+        "id long, ts timestamp")
+    fx = search.es_aggs(ts, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "12h"}}}).collect()
+    assert [(r["key"].hour, r["doc_count"]) for r in fx] == [(12, 2)]
+    # weighted_avg: (12·1 + 130·3)/(1+3) = 100.5
+    wdf = spark.createDataFrame([(12, 1), (130, 3)], "v long, w long")
+    wa = search.es_aggs(wdf, {"wa": {"weighted_avg": {
+        "value": {"field": "v"}, "weight": {"field": "w"}}}}).collect()[0]
+    assert wa["wa"] == 100.5
+
+
 def test_es_aggs_auto_date_histogram_ladder(spark):
     import datetime as dt
     mk = lambda rows: spark.createDataFrame(rows, "id long, ts timestamp")
