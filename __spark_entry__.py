@@ -2005,6 +2005,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_histopts_a2"] = search_aggs_histopts_a2
 
+    def search_aggs_pctranks_a2(spark, sf_dir):
+        """ES percentile_ranks under a terms bucket: exact inverse
+        percentiles (% of values ≤ v), two counts + one division per
+        rank — no t-digest approximation."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {"by_lang": {"terms": {"field": "lang", "size": 10},
+                         "aggs": {"cr": {"percentile_ranks": {
+                             "field": "n_chars",
+                             "values": [200, 400]}}}}},
+        )
+        return out.select(
+            "key", "doc_count",
+            F.round("cr_r200", 6).alias("cr_r200"),
+            F.round("cr_r400", 6).alias("cr_r400"),
+        )
+
+    q["search_aggs_pctranks_a2"] = search_aggs_pctranks_a2
+
     # -- crawl core (rows-only: HTML parsing / iterative driver loop) ------
     def crawl_extract_articles(spark, sf_dir):
         """Flagship fetch→extract slice: the fused single-DOM-pass
@@ -2567,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_pipeline3_a2", "text_lm_kn3_ppl",
         "search_sig_terms_scoped", "agg_events_sessions",
         "search_aggs_fixedhist_a2", "search_aggs_histopts_a2",
+        "search_aggs_pctranks_a2",
         "dedup_minhash_incremental", "dedup_simhash", "dedup_clusters",
         "sample_stratified", "ann_brute_cosine", "ann_ivf", "ann_pq",
         "ann_ivf_kmeans", "ann_ivfpq", "emb_dup_pairs",
@@ -4474,6 +4494,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT dom.key AS key, coalesce(b.doc_count, 0) AS doc_count
         FROM dom LEFT JOIN b ON b.key = dom.key
         ORDER BY dom.key
+    """
+
+    # search_aggs_pctranks_a2: exact inverse percentiles — the same
+    # count/count*100 op order as the Spark expression
+    o["search_aggs_pctranks_a2"] = """
+        SELECT lang AS key, count(*) AS doc_count,
+               round(count(CASE WHEN n_chars <= 200 THEN 1 END)
+                     / count(n_chars) * 100.0, 6) AS cr_r200,
+               round(count(CASE WHEN n_chars <= 400 THEN 1 END)
+                     / count(n_chars) * 100.0, 6) AS cr_r400
+        FROM documents GROUP BY 1
+        ORDER BY doc_count DESC, key ASC LIMIT 10
     """
 
     # agg_events_sessions: gaps-and-islands — break strictly when the

@@ -1160,6 +1160,16 @@ def _metric_cols(
             (f"{name}_variance", var),
             (f"{name}_std_deviation", F.sqrt(var)),
         ]
+    if kind == "percentile_ranks":
+        # ES inverse percentiles: % of observed values ≤ v — exact
+        # (two counts + one division + one multiply), not t-digest
+        return [
+            (
+                f"{name}_r{str(vv).replace('.', '_')}",
+                F.count(F.when(v <= F.lit(vv), 1)) / F.count(v) * F.lit(100.0),
+            )
+            for vv in body["values"]
+        ]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
         return [

@@ -2489,6 +2489,10 @@ def test_es_aggs_histogram_and_terms_options(spark):
     wa = search.es_aggs(wdf, {"wa": {"weighted_avg": {
         "value": {"field": "v"}, "weight": {"field": "w"}}}}).collect()[0]
     assert wa["wa"] == 100.5
+    # percentile_ranks: exact % of values ≤ v
+    pr = search.es_aggs(wdf, {"p": {"percentile_ranks": {
+        "field": "v", "values": [12, 200]}}}).collect()[0]
+    assert (pr["p_r12"], pr["p_r200"]) == (50.0, 100.0)
 
 
 def test_es_aggs_auto_date_histogram_ladder(spark):
