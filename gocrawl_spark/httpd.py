@@ -76,6 +76,25 @@ class SearchBackend:
         )
         return results, total
 
+    def search_dsl(self, index: str, body: dict) -> dict:
+        """Full ES ``_search`` request over a table — the storage
+        layer's arbitrary-DSL passthrough (reference
+        internal/storage/storage.go:212-257) surfaced over HTTP:
+        query (whole bool-leaf surface) + post_filter + sort +
+        search_after keyset paging + aggs (global scope included).
+        Response mirrors ES's shape flattened to row dicts."""
+        if index not in self.tables:
+            raise KeyError(index)
+        df, _text_col = self.tables[index]
+        out = search.es_search(df, body)
+        resp = {
+            "hits": [r.asDict() for r in out["hits"].collect()],
+            "total": out["total"].collect()[0]["total"],
+        }
+        if "aggs" in out:
+            resp["aggregations"] = [r.asDict() for r in out["aggs"].collect()]
+        return resp
+
     @classmethod
     def from_run_dir(cls, spark, run_dir: str) -> "SearchBackend":
         from gocrawl_spark.rounds import CrawlRun
@@ -137,7 +156,8 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
             pass
 
         def _json(self, code: int, payload: dict, secure: bool = True) -> None:
-            body = json.dumps(payload).encode()
+            # default=str: DSL hit rows may carry timestamps/decimals
+            body = json.dumps(payload, default=str).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -186,6 +206,32 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
             return True
 
         def do_POST(self) -> None:
+            if self.path == "/search/dsl":
+                if not self._guard():
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError
+                    index = req.pop("index", "articles")
+                    if not isinstance(index, str):
+                        raise ValueError
+                except (ValueError, TypeError, json.JSONDecodeError):
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                try:
+                    resp = backend.search_dsl(index, req)
+                except KeyError:
+                    self._json(400, {"error": f"unknown index: {index}"},
+                               secure=False)
+                    return
+                except Exception:
+                    self._json(500, {"error": "Search failed"}, secure=False)
+                    return
+                self._json(200, resp)
+                return
             if self.path != "/search":
                 self._json(404, {"error": "not found"}, secure=False)
                 return

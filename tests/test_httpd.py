@@ -151,3 +151,38 @@ def test_rate_limiter_evicts_expired_clients():
     _t.sleep(0.12)
     assert rl.allow("9.9.9.9")  # triggers the sweep
     assert set(rl._hits) == {"9.9.9.9"}
+
+
+def test_search_dsl_endpoint(server):
+    """POST /search/dsl: the storage layer's arbitrary-DSL
+    passthrough over HTTP — bool query, sort + search_after keyset
+    paging, and a global-scope agg in one request."""
+    body = {
+        "index": "articles",
+        "query": {"match": {"body": "spark"}},
+        "sort": [{"id": "asc"}],
+        "size": 2,
+    }
+    code, resp, _ = _post(server, "/search/dsl", body)
+    assert code == 200
+    assert [h["id"] for h in resp["hits"]] == ["a1", "a3"]
+    assert resp["total"] == 3
+    # keyset page 2 continues, no overlap
+    code, page2, _ = _post(server, "/search/dsl",
+                           {**body, "search_after": ["a3"]})
+    assert code == 200 and [h["id"] for h in page2["hits"]] == ["a5"]
+    # aggs ride the same request (global escapes the query scope)
+    code, withagg, _ = _post(server, "/search/dsl", {
+        "index": "articles",
+        "query": {"match": {"body": "politeness"}},
+        "aggs": {"g": {"global": {}, "aggs": {
+            "n": {"value_count": {"field": "id"}}}}},
+    })
+    assert code == 200 and withagg["total"] == 1
+    assert withagg["aggregations"][0]["n"] == 5
+    # error paths
+    code, resp, _ = _post(server, "/search/dsl", {"index": "nope",
+                                                  "query": {"match_all": {}}})
+    assert code == 400 and "unknown index" in resp["error"]
+    code, resp, _ = _post(server, "/search/dsl", b"{not json")
+    assert code == 400
