@@ -2049,6 +2049,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_extract_articles"] = crawl_extract_articles
 
+    def crawl_surt_keys(spark, sf_dir):
+        """SURT canonical keys (canonicalize.surt_key_expr): four
+        archive-equivalent spellings per target page — scheme http vs
+        https, www/www2 host labels, mixed case, default ports,
+        unsorted/empty query params — collapse to ONE sort-friendly
+        key. The oracle states the closed-form expected key from the
+        same doc_id arithmetic, so the whole transform (host reversal,
+        www-strip, port drop, query canon) is hash-checked. One scan
+        projection + one groupBy on the key."""
+        from gocrawl_spark.canonicalize import surt_key_expr
+
+        d = F.col("doc_id")
+        g = (d / 4).cast("long")
+        h = (g % 10).cast("string")
+        gs = g.cast("string")
+        url = (
+            F.when(d % 4 == 0, F.concat(
+                F.lit("https://site"), h, F.lit(".example.com/page/"), gs,
+                F.lit("?a=1&b=2")))
+            .when(d % 4 == 1, F.concat(
+                F.lit("HTTPS://WWW.SITE"), h, F.lit(".EXAMPLE.COM:443/PAGE/"),
+                gs, F.lit("?A=1&B=2")))
+            .when(d % 4 == 2, F.concat(
+                F.lit("https://www2.site"), h, F.lit(".example.com/page/"),
+                gs, F.lit("?b=2&a=1#frag")))
+            .otherwise(F.concat(
+                F.lit("http://u@site"), h, F.lit(".example.com:80/page/"),
+                gs, F.lit("?b=2&&a=1")))
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+        return (
+            docs.select("doc_id", surt_key_expr("url").alias("surt"))
+            .groupBy("surt")
+            .agg(
+                F.count("*").alias("n_aliases"),
+                F.min("doc_id").alias("canonical_doc"),
+            )
+        )
+
+    q["crawl_surt_keys"] = crawl_surt_keys
+
+    def _cdx_captures(spark, sf_dir):
+        """Deterministic capture table: every synthetic page captured
+        1 + doc_id%3 times, one day apart, payload alternating between
+        two versions — the url/ts arithmetic mirrors synth.url_of /
+        synth.pub_date so the oracle re-derives it in pure SQL."""
+        d = F.col("doc_id")
+        hostidx = F.when(d % 4 == 0, F.lit(0)).otherwise(
+            (d % 15 + 1).cast("int")
+        )
+        host = F.concat(
+            F.lit("site"), F.lpad(hostidx.cast("string"), 2, "0"),
+            F.lit(".example.com"),
+        )
+        kind = (
+            F.when(d % 17 == 3, F.lit("category"))
+            .when(d % 3 != 0, F.lit("article"))
+            .otherwise(F.lit("page"))
+        )
+        url = F.concat(
+            F.lit("https://"), host, F.lit("/"), kind, F.lit("/"),
+            d.cast("string"),
+        )
+        base_us = (
+            F.lit(1672531200).cast("long")  # 2023-01-01 (synth._EPOCH)
+            + (d % 365) * 86400 + (d % 24) * 3600 + (d % 60) * 60
+        ) * F.lit(1000000).cast("long")
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id", url.alias("url"), "text", base_us.alias("base_us"))
+            .withColumn(
+                "k", F.explode(F.sequence(F.lit(0), (d % 3).cast("int")))
+            )
+            .select(
+                "url",
+                (F.col("base_us") + F.col("k").cast("long") * 86400000000)
+                .alias("ts_us"),
+                F.concat(F.col("text"), (F.col("k") % 2).cast("string"))
+                .alias("payload"),
+            )
+        )
+
+    def crawl_cdx_index(spark, sf_dir):
+        """CDX capture index (cdx.cdx_index): one record per capture
+        with SURT key, epoch-µs timestamp, sha256 digest, and payload
+        length — the web-archive lookup surface over the input_hint
+        corpus shape. Pure scan projection, zero shuffle."""
+        from gocrawl_spark import cdx
+
+        return cdx.cdx_index(
+            _cdx_captures(spark, sf_dir), payload_col="payload"
+        )
+
+    q["crawl_cdx_index"] = crawl_cdx_index
+
+    def crawl_cdx_lookup(spark, sf_dir):
+        """CDX domain range-scan + latest-capture collapse
+        (cdx.cdx_lookup): all captures under one host prefix, most
+        recent capture elected per key via max_by. Prefix filter on
+        the sort key + one groupBy on the matched slice only."""
+        from gocrawl_spark import cdx
+
+        idx = cdx.cdx_index(_cdx_captures(spark, sf_dir), payload_col="payload")
+        return cdx.cdx_lookup(idx, "com,example,site01)", latest_only=True)
+
+    q["crawl_cdx_lookup"] = crawl_cdx_lookup
+
     def crawl_frontier_pop(spark, sf_dir):
         """Politeness pop (P1-P4) over a frontier synthesized from
         documents: every doc URL at depth 0, budget 5/host."""
@@ -3009,6 +3116,66 @@ def oracle_sql() -> dict[str, str]:
                4::BIGINT AS n_aliases,
                (g * 4)::BIGINT AS canonical_doc
         FROM g
+    """
+
+    # SURT keys: the oracle states the closed-form expected key from
+    # the same doc_id arithmetic — the generic Spark transform (host
+    # reversal, www-strip, port drop, query canon) must land on it
+    o["crawl_surt_keys"] = """
+        WITH g AS (SELECT doc_id, doc_id // 4 AS grp FROM documents)
+        SELECT 'com,example,site' || (grp % 10)::VARCHAR || ')/page/'
+                 || grp::VARCHAR || '?a=1&b=2' AS surt,
+               count(*)::BIGINT AS n_aliases,
+               min(doc_id)::BIGINT AS canonical_doc
+        FROM g GROUP BY surt
+    """
+
+    # CDX capture index: url/ts arithmetic mirrors synth.url_of /
+    # synth.pub_date; the SURT is stated closed-form (host labels
+    # reversed), digest/length re-derived from the same payload concat
+    _CDX_CAPS = """
+        caps AS (
+          SELECT d.doc_id, d.text,
+                 CASE WHEN d.doc_id % 4 = 0 THEN 0
+                      ELSE 1 + (d.doc_id % 15) END AS hostidx,
+                 CASE WHEN d.doc_id % 17 = 3 THEN 'category'
+                      WHEN d.doc_id % 3 <> 0 THEN 'article'
+                      ELSE 'page' END AS kind,
+                 (1672531200 + (d.doc_id % 365)*86400
+                  + (d.doc_id % 24)*3600 + (d.doc_id % 60)*60)
+                   * 1000000 AS base_us,
+                 u.k AS k
+          FROM documents d,
+               LATERAL unnest(generate_series(0, d.doc_id % 3)) AS u(k)
+        ),
+        rec AS (
+          SELECT 'com,example,site' || lpad(hostidx::VARCHAR, 2, '0')
+                   || ')/' || kind || '/' || doc_id::VARCHAR AS surt,
+                 (base_us + k * 86400000000)::BIGINT AS ts_us,
+                 'https://site' || lpad(hostidx::VARCHAR, 2, '0')
+                   || '.example.com/' || kind || '/'
+                   || doc_id::VARCHAR AS url,
+                 'text/html' AS mime,
+                 200::INTEGER AS status,
+                 sha256(text || (k % 2)::VARCHAR) AS digest,
+                 length(text || (k % 2)::VARCHAR)::BIGINT AS length,
+                 hostidx
+          FROM caps
+        )
+    """
+    o["crawl_cdx_index"] = f"""
+        WITH {_CDX_CAPS}
+        SELECT surt, ts_us, url, mime, status, digest, length FROM rec
+    """
+    o["crawl_cdx_lookup"] = f"""
+        WITH {_CDX_CAPS}
+        SELECT surt,
+               count(*)::BIGINT AS n_captures,
+               max(ts_us)::BIGINT AS last_ts_us,
+               arg_max(url, ts_us) AS url,
+               arg_max(digest, ts_us) AS digest,
+               arg_max(length, ts_us)::BIGINT AS length
+        FROM rec WHERE hostidx = 1 GROUP BY surt
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

@@ -145,6 +145,64 @@ def normalize_url_expr(col):
     return F.when(scheme.isin("http", "https"), normalized).otherwise(c)
 
 
+def surt_key_expr(col):
+    """SURT key (Sort-friendly URI Reordering Transform) as ONE
+    codegen'd expression — the canonical key of web-archive CDX
+    indexes (Heritrix/pywb/Common Crawl ``cdx-index``):
+
+    - scheme dropped (http ≡ https under one key)
+    - host lowercased, userinfo stripped, leading ``www`` label
+      (``www.``, ``www2.`` …) stripped, labels REVERSED and joined
+      with "," — so one host's captures sort contiguously and a
+      domain is a key-range prefix scan
+    - default ports dropped (http:80, https:443), other ports kept
+      as ``:port`` before the ")" delimiter
+    - path lowercased, empty path → "/"
+    - query lowercased, params sorted, empty params dropped, "?"
+      dropped when nothing survives; fragment dropped
+
+    ``https://WWW.Example.com/News?b=2&a=1`` →
+    ``com,example)/news?a=1&b=2``. Non-http(s) inputs degrade to
+    ``lower(url)``. Pure regexp/array built-ins — JVM-side, no UDF,
+    costs a projection at 10^10 URLs. The reference has no archive
+    index; this extends its URL identity (articles/extractor.go:
+    172-178 sha256 ids) with the range-scannable archive key."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(
+        F.regexp_extract(auth, r"^([^:]*)", 1), r"^www\d*\.", ""
+    )
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qraw = F.lower(F.regexp_extract(c, r"\?([^#]*)", 1))
+    params = F.array_sort(F.filter(F.split(qraw, "&"), lambda p: p != ""))
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    surt = F.concat(
+        rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        query,
+    )
+    return F.when(scheme.isin("http", "https"), surt).otherwise(F.lower(c))
+
+
 # ---------------------------------------------------------------------------
 # Crawl-trap detection (Heritrix-style URL hygiene)
 # ---------------------------------------------------------------------------

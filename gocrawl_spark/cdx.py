@@ -1,0 +1,91 @@
+"""CDX capture index over a crawl corpus (web-archive lookup surface).
+
+The Common-Crawl / pywb ecosystem exposes crawled captures through a
+CDX(J) index: one record per (SURT key, timestamp) carrying the
+original URL, content digest, MIME, HTTP status, and payload length,
+sorted by key so a host or domain is one contiguous range scan. The
+reference stores documents keyed by sha256(url) in Elasticsearch
+(/root/reference/internal/storage/storage.go:102-108,
+articles/extractor.go:172-178) with no temporal or range dimension;
+this module adds the archive-native index a Common-Crawl-style corpus
+(BASELINE.json input_hint: url, warc_ts, html, text, lang) expects.
+
+Scale shape: building the index is a pure scan projection (the SURT
+key is a codegen'd expression, canonicalize.surt_key_expr — no UDF,
+no shuffle); writing it sorted-by-(surt, ts) is one range-partitioned
+sort, the same layout a 100 TB cluster would bucket by surt prefix.
+Lookups are a prefix filter (pushed to the parquet scan when the
+index is stored sorted/z-ordered on `surt`) plus an optional
+latest-capture collapse — one groupBy on the matched slice only,
+never a global shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .canonicalize import surt_key_expr
+
+CDX_COLUMNS = ("surt", "ts_us", "url", "mime", "status", "digest", "length")
+
+
+def cdx_index(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_us",
+    payload_col: str = "text",
+    mime_col: str | None = None,
+    status_col: str | None = None,
+) -> DataFrame:
+    """One CDX record per capture row: (surt, ts_us, url, mime,
+    status, digest, length). `ts_col` is epoch-µs (long) — the
+    engine-stable timestamp convention; `digest` is sha256 of the
+    payload column, matching the reference's content identity
+    (extractor.go:172-178 uses sha256 for ids)."""
+    mime = F.col(mime_col) if mime_col else F.lit("text/html")
+    status = (
+        F.col(status_col).cast("int") if status_col else F.lit(200)
+    )
+    return captures.select(
+        surt_key_expr(url_col).alias("surt"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        F.col(url_col).alias("url"),
+        mime.alias("mime"),
+        status.alias("status"),
+        F.sha2(F.col(payload_col), 256).alias("digest"),
+        F.length(payload_col).cast("long").alias("length"),
+    )
+
+
+def write_cdx(index: DataFrame, path: str, buckets: int = 32) -> None:
+    """Persist the index sorted by (surt, ts_us) — repartitionByRange
+    on surt keeps each host/domain in few files (range pruning ≈ the
+    flat-file CDX binary search), sortWithinPartitions gives the
+    in-file order pywb expects."""
+    (
+        index.repartitionByRange(buckets, "surt")
+        .sortWithinPartitions("surt", "ts_us")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def cdx_lookup(
+    index: DataFrame, surt_prefix: str, latest_only: bool = False
+) -> DataFrame:
+    """Range lookup: all captures whose SURT starts with
+    `surt_prefix` (a domain is `com,example,` — note the trailing
+    comma; an exact page is its full key). `latest_only` collapses to
+    the most recent capture per key (pywb's default replay pick):
+    max_by over ts_us, one partial-aggregated groupBy on the matched
+    slice."""
+    hit = index.filter(F.col("surt").startswith(surt_prefix))
+    if not latest_only:
+        return hit
+    return hit.groupBy("surt").agg(
+        F.count("*").alias("n_captures"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.max_by("url", "ts_us").alias("url"),
+        F.max_by("digest", "ts_us").alias("digest"),
+        F.max_by("length", "ts_us").alias("length"),
+    )
