@@ -954,6 +954,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_rank_pagerank"] = link_rank_pagerank
 
+    def link_rank_hits(spark, sf_dir):
+        """Hub/authority scores (graphrank.hits, 3 sweeps) over the
+        same corpus link graph — the seed-curation complement to
+        PageRank (hubs = discovery pages to re-crawl, authorities =
+        link-endorsed content). Max-normalized per half-sweep so the
+        fixpoint is order-independent; one shuffle per half-sweep."""
+        from gocrawl_spark import graphrank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        return graphrank.hits(graphrank.doc_edges(docs, n), iters=3).select(
+            F.col("node").alias("doc_id"), "hub", "auth"
+        )
+
+    q["link_rank_hits"] = link_rank_hits
+
     def rank_priorities_p3(spark, sf_dir):
         """Rank → politeness-priority bucketing (the P3 adjunct fed to
         CrawlRun(rank_priority=...)): mean-normalized PageRank bucketed
@@ -3294,6 +3310,46 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
         r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),{",".join(_pr_iters)}
         SELECT node AS doc_id, round(rank, 6) AS rank FROM r3
+    """
+
+    # HITS: same edge CTE, sweeps unrolled; each half-sweep is a
+    # rounded fan-in sum then an exact (order-independent) max-norm —
+    # the *f CTEs are MATERIALIZED because each is read twice (by the
+    # normalizer and by its scalar max)
+    _hits_iters = []
+    for i in range(3):
+        _hits_iters.append(f"""
+        a{i + 1}r AS (SELECT e.dst AS node, round(sum(h.hub), 9) AS a
+                 FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
+        a{i + 1}f AS MATERIALIZED (
+                 SELECT nodes.node, coalesce(a, 0.0::DOUBLE) AS a
+                 FROM nodes LEFT JOIN a{i + 1}r ON a{i + 1}r.node = nodes.node),
+        a{i + 1} AS (SELECT node,
+                   coalesce(round(a / nullif((SELECT max(a) FROM a{i + 1}f), 0), 9),
+                            0.0::DOUBLE) AS auth
+                 FROM a{i + 1}f),
+        h{i + 1}r AS (SELECT e.src AS node, round(sum(a.auth), 9) AS h
+                 FROM e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src),
+        h{i + 1}f AS MATERIALIZED (
+                 SELECT nodes.node, coalesce(h, 0.0::DOUBLE) AS h
+                 FROM nodes LEFT JOIN h{i + 1}r ON h{i + 1}r.node = nodes.node),
+        h{i + 1} AS (SELECT node,
+                   coalesce(round(h / nullif((SELECT max(h) FROM h{i + 1}f), 0), 9),
+                            0.0::DOUBLE) AS hub
+                 FROM h{i + 1}f)""")
+    o["link_rank_hits"] = f"""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        nodes AS MATERIALIZED (
+                  SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes),{",".join(_hits_iters)}
+        SELECT h3.node AS doc_id, round(h3.hub, 6) AS hub,
+               round(a3.auth, 6) AS auth
+        FROM h3 JOIN a3 ON a3.node = h3.node
     """
 
     # rank → priority bucketing: same PageRank CTE chain, then the

@@ -90,6 +90,68 @@ def link_rank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub, auth) after `iters` HITS sweeps (Kleinberg 1999) —
+    the classic hub/authority complement to PageRank for seed-list
+    curation: high-hub pages are directory/feed pages worth
+    re-crawling for discovery, high-authority pages are link-endorsed
+    content worth indexing first.
+
+    a_{t+1}(v) = round(Σ_{u→v} h_t(u), ITER_DIGITS), then
+    MAX-normalized (a / max(a), rounded) — max, unlike the textbook L2
+    norm, is exactly order-independent, so the fixpoint is bit-equal
+    across engines and parallelism; h_{t+1} symmetric over a_{t+1}.
+    One shuffle per half-sweep + a broadcast one-row max; per-sweep
+    localCheckpoint truncates the growing plan like link_rank."""
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(0.0))
+
+    def _norm(scored: DataFrame, col: str) -> DataFrame:
+        m = scored.agg(F.max(col).alias("_m"))
+        return scored.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.when(F.col("_m") == 0.0, F.lit(0.0))
+            .otherwise(F.round(F.col(col) / F.col("_m"), ITER_DIGITS))
+            .alias(col),
+        )
+
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.round(F.sum("hub"), ITER_DIGITS).alias("auth"))
+        )
+        auths = _norm(
+            nodes.join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
+            .withColumn("auth", F.coalesce(F.col("auth"), F.lit(0.0))),
+            "auth",
+        ).localCheckpoint(eager=False)
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.round(F.sum("auth"), ITER_DIGITS).alias("hub"))
+        )
+        hubs = _norm(
+            nodes.join(h_raw.withColumnRenamed("src", "node"), "node", "left")
+            .withColumn("hub", F.coalesce(F.col("hub"), F.lit(0.0))),
+            "hub",
+        ).localCheckpoint(eager=False)
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+    )
+
+
 def rank_from_extracted(
     extracted: DataFrame, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:

@@ -203,3 +203,30 @@ def test_anchor_index_rollup(spark):
     capped = {r["url"]: r for r in
               graphrank.anchor_index(pairs, max_anchors=1).collect()}
     assert list(capped["https://t.com/x"]["anchors"]) == ["click here"]
+
+
+def test_hits_hub_authority_structure(spark):
+    """A directory page linking to every content page is the top hub;
+    the page every hub links to is the top authority."""
+    edges = spark.createDataFrame(
+        [
+            ("dir", "a"), ("dir", "b"), ("dir", "c"),
+            ("x", "a"), ("y", "a"),
+            ("a", "b"),
+        ],
+        "src string, dst string",
+    )
+    got = {r["node"]: r for r in graphrank.hits(edges, iters=3).collect()}
+    # max-normalization: the top hub and top authority score exactly 1
+    assert got["dir"]["hub"] == 1.0
+    assert got["a"]["auth"] == 1.0
+    # directory out-fans dominate single-link hubs
+    assert got["dir"]["hub"] > got["x"]["hub"] > 0
+    # pure-sink c has no out-links: zero hub score
+    assert got["c"]["hub"] == 0.0
+    assert got["a"]["auth"] > got["b"]["auth"] > got["c"]["auth"] >= 0
+
+
+def test_hits_empty_and_parallelism(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert graphrank.hits(edges, iters=2).count() == 0
