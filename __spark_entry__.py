@@ -321,6 +321,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_fuzzy"] = search_fuzzy
 
+    def search_suggest(spark, sf_dir):
+        """ES completion-suggester twin (search.suggest_topk): top-10
+        vocabulary terms with prefix 's' by document frequency (term
+        asc tie-break). Prefix filter runs before the vocab agg, so
+        only matching terms shuffle; at scale it is an index-only
+        prefix scan over the precomputed (term, doc_freq) table."""
+        return search.suggest_topk(
+            _docs(spark, sf_dir), "s", field="text", k=10
+        )
+
+    q["search_suggest"] = search_suggest
+
     def search_highlight(spark, sf_dir):
         """ES highlight analogue (search.highlight_topk): top-10 by
         match TF with one 80-char snippet of the ORIGINAL text around
@@ -969,6 +981,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["link_rank_hits"] = link_rank_hits
+
+    def link_rank_trust(spark, sf_dir):
+        """TrustRank (graphrank.trust_rank, 3 sweeps, d=0.85):
+        personalized PageRank whose teleport mass goes only to a
+        trusted whitelist (every 40th doc) — the anti-spam crawl
+        prioritization signal; link-farm islands unreachable from the
+        whitelist score 0. Broadcast seed join + one shuffle/sweep."""
+        from gocrawl_spark import graphrank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        trusted = docs.filter(F.col("doc_id") % 40 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return graphrank.trust_rank(
+            graphrank.doc_edges(docs, n), trusted, iters=3, damping=0.85
+        ).select(F.col("node").alias("doc_id"), "trust")
+
+    q["link_rank_trust"] = link_rank_trust
+
+    def crawl_host_graph(spark, sf_dir):
+        """Host-level contraction of the URL link graph
+        (graphrank.host_graph): cross-host edges rolled up to
+        (src_host, dst_host, weight, n_src_pages), self-loops dropped
+        — what domain-granularity ranking and crawl-budget allocation
+        run on. One groupBy on the host pair."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+
+        def host(c):
+            hi = F.when(c % 4 == 0, F.lit(0)).otherwise(c % 15 + 1)
+            return F.concat(
+                F.lit("site"), F.lpad(hi.cast("string"), 2, "0"),
+                F.lit(".example.com"),
+            )
+
+        e = graphrank.doc_edges(docs, n).select(
+            "src", "dst",
+            host(F.col("src")).alias("src_host"),
+            host(F.col("dst")).alias("dst_host"),
+        )
+        return graphrank.host_graph(e)
+
+    q["crawl_host_graph"] = crawl_host_graph
+
+    def crawl_budget_alloc(spark, sf_dir):
+        """Proportional-fair per-host round budgets
+        (frontier.allocate_budgets): weight-share of a 200-page round
+        budget, floored at 2, clamped by queued frontier and a
+        politeness cap of 30 — pure integer arithmetic (DIV), so the
+        allocation is bit-equal at any partitioning. One O(hosts) agg
+        + a broadcast one-row join."""
+        from gocrawl_spark import frontier as fr
+
+        d = F.col("doc_id")
+        hi = F.when(d % 4 == 0, F.lit(0)).otherwise(d % 15 + 1)
+        host = F.concat(
+            F.lit("site"), F.lpad(hi.cast("string"), 2, "0"),
+            F.lit(".example.com"),
+        )
+        stats = (
+            _docs(spark, sf_dir)
+            .select(host.alias("host"), d)
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("queued"),
+                F.sum(d % 7 + 1).alias("weight"),
+            )
+        )
+        return fr.allocate_budgets(
+            stats, round_budget=200, politeness_cap=30, floor=2
+        )
+
+    q["crawl_budget_alloc"] = crawl_budget_alloc
 
     def rank_priorities_p3(spark, sf_dir):
         """Rank → politeness-priority bucketing (the P3 adjunct fed to
@@ -3352,6 +3440,81 @@ def oracle_sql() -> dict[str, str]:
         FROM h3 JOIN a3 ON a3.node = h3.node
     """
 
+    # TrustRank: same edge CTE; teleport lands only on the seed
+    # subset, sweeps unrolled with the link_rank rounding scheme
+    _tr_iters = []
+    for i in range(3):
+        _tr_iters.append(f"""
+        tc{i + 1} AS (SELECT e.dst AS node, sum(r.trust / d.outdeg) AS c
+                 FROM e JOIN t{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst),
+        t{i + 1} AS (SELECT nodes.node,
+                   round(CASE WHEN nodes.node % 40 = 0
+                              THEN (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM ns)
+                              ELSE 0.0::DOUBLE END
+                         + 0.85::DOUBLE * coalesce(c, 0.0::DOUBLE), 9) AS trust
+                 FROM nodes LEFT JOIN tc{i + 1} ON tc{i + 1}.node = nodes.node)""")
+    o["link_rank_trust"] = f"""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        nodes AS MATERIALIZED (
+                  SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        ns AS (SELECT count(*)::DOUBLE AS k FROM nodes WHERE node % 40 = 0),
+        deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        t0 AS (SELECT node,
+                      CASE WHEN node % 40 = 0
+                           THEN 1.0::DOUBLE / (SELECT k FROM ns)
+                           ELSE 0.0::DOUBLE END AS trust
+               FROM nodes),{",".join(_tr_iters)}
+        SELECT node AS doc_id, round(trust, 6) AS trust FROM t3
+    """
+
+    o["crawl_host_graph"] = """
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        h AS (SELECT src, dst,
+                'site' || lpad((CASE WHEN src % 4 = 0 THEN 0
+                                     ELSE 1 + src % 15 END)::VARCHAR, 2, '0')
+                       || '.example.com' AS src_host,
+                'site' || lpad((CASE WHEN dst % 4 = 0 THEN 0
+                                     ELSE 1 + dst % 15 END)::VARCHAR, 2, '0')
+                       || '.example.com' AS dst_host
+              FROM e)
+        SELECT src_host, dst_host,
+               count(*)::BIGINT AS weight,
+               count(DISTINCT src)::BIGINT AS n_src_pages
+        FROM h WHERE src_host <> dst_host
+        GROUP BY src_host, dst_host
+    """
+
+    # budget allocation: same host arithmetic; the share is integer
+    # DIV of exact LONG sums, so the oracle is a literal re-statement
+    o["crawl_budget_alloc"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 'site' || lpad((CASE WHEN doc_id % 4 = 0 THEN 0
+                                      ELSE 1 + doc_id % 15 END)::VARCHAR, 2, '0')
+                        || '.example.com' AS host
+          FROM documents),
+        s AS (SELECT host, count(*)::BIGINT AS queued,
+                     sum(doc_id % 7 + 1)::BIGINT AS weight
+              FROM h GROUP BY host),
+        t AS (SELECT sum(weight)::BIGINT AS w_total FROM s)
+        SELECT host,
+               least(queued, 30::BIGINT,
+                     greatest(2::BIGINT,
+                              ((200::BIGINT * weight) // (SELECT w_total FROM t))::BIGINT)
+               )::BIGINT AS quota
+        FROM s WHERE queued > 0
+    """
+
     # rank → priority bucketing: same PageRank CTE chain, then the
     # engine's mean-normalize (round(mean,9), round(x,6)) + fixed
     # thresholds; url_hash = sha256 of the stringified node id
@@ -5462,6 +5625,17 @@ def oracle_sql() -> dict[str, str]:
         sc AS (SELECT p.id, count(*)::DOUBLE AS score
                FROM p JOIN exp USING (term) GROUP BY p.id)
         SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10
+    """
+
+    # suggest: distinct (doc, term) pairs = per-doc array_distinct;
+    # doc_freq over the prefix slice only
+    o["search_suggest"] = f"""
+        WITH t AS (SELECT doc_id, {_antoks("text")} AS toks FROM documents),
+        p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+        SELECT term, count(*)::BIGINT AS doc_freq
+        FROM p WHERE term LIKE 's%'
+        GROUP BY term
+        ORDER BY doc_freq DESC, term LIMIT 10
     """
 
     # search_bool_fuzzy: expansion sets re-derived in SQL (same vocab

@@ -301,6 +301,47 @@ def host_budget(round_wall_s: float, delay_ms: int, parallelism: int) -> int:
     return max(1, math.floor(round_wall_s * 1000 / delay_ms) * max(1, parallelism))
 
 
+def allocate_budgets(
+    host_stats: DataFrame,
+    round_budget: int,
+    politeness_cap: int,
+    floor: int = 1,
+    weight_col: str = "weight",
+    queued_col: str = "queued",
+) -> DataFrame:
+    """(host, quota): proportional-fair per-host page budgets for one
+    crawl round — the global-budget layer above host_budget's
+    per-host politeness ceiling. Each host gets its weight's share of
+    the round budget, floored (so cold hosts keep progressing) and
+    clamped by both its queued frontier and the politeness cap:
+
+        quota = min(queued, politeness_cap,
+                    max(floor, (round_budget * w) // W))
+
+    `weight_col` must be a LONG (queued-URL count, scaled host rank,
+    …): the global sum W is then exact integer arithmetic — the
+    allocation is bit-equal at any partitioning, unlike a float-share
+    scheme. One O(hosts) agg for W (broadcast back as a one-row
+    join), then a pure map-side expression; hosts with nothing queued
+    are dropped."""
+    w = F.col(weight_col).cast("long")
+    tot = host_stats.agg(F.sum(w).alias("_w_total"))
+    # integer DIV, not float division: budget*w can pass 2^53 on a
+    # 10^10-URL frontier, where double rounding would skew quotas
+    share = F.expr("_prod DIV _w_total")
+    quota = F.least(
+        F.col(queued_col).cast("long"),
+        F.lit(int(politeness_cap)).cast("long"),
+        F.greatest(F.lit(int(floor)).cast("long"), share),
+    )
+    return (
+        host_stats.filter(F.col(queued_col) > 0)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_prod", F.lit(int(round_budget)).cast("long") * w)
+        .select("host", quota.alias("quota"))
+    )
+
+
 def _order():
     return [
         F.col("priority").desc(),

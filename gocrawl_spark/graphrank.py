@@ -90,6 +90,98 @@ def link_rank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def trust_rank(
+    edges: DataFrame,
+    trusted: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, trust) after `iters` personalized-PageRank sweeps
+    seeded on a trusted whitelist (TrustRank, Gyöngyi et al. VLDB'04)
+    — the anti-spam complement to link_rank: teleport mass goes ONLY
+    to the `trusted` nodes (one column, `node`), so pages reachable
+    from the whitelist accumulate trust and link-farm islands get
+    none. A frontier can gate admission or demote priority on low
+    trust.
+
+    Same determinism scheme as link_rank: per-sweep rounding to
+    ITER_DIGITS, per-node fan-in sums only, no global float
+    reductions. Dangling mass leaks (documented link_rank choice).
+    One shuffle per sweep + a broadcast of the seed set; the seed
+    table is tiny (a curated whitelist) so the teleport join is a
+    broadcast-hash join at any corpus scale."""
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = F.broadcast(
+        nodes.join(trusted.select("node"), "node").select(
+            "node", F.lit(True).alias("_t")
+        )
+    )
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, trust double"
+        )
+    base = (1.0 - damping) / n_seeds
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seeded = nodes.join(seeds, "node", "left")
+    ranks = seeded.select(
+        "node",
+        F.when(F.col("_t"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("trust"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("trust") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            seeded.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.when(F.col("_t"), F.lit(base)).otherwise(F.lit(0.0))
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    ITER_DIGITS,
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("trust", 6).alias("trust"))
+
+
+def host_graph(
+    edges: DataFrame,
+    src_host: F.Column | str = "src_host",
+    dst_host: F.Column | str = "dst_host",
+) -> DataFrame:
+    """Contract a URL-level link graph to the host level:
+    (src_host, dst_host, weight=#url-edges, n_src_pages=#distinct
+    linking pages), self-loops (intra-host links) dropped — the graph
+    link_rank/trust_rank run on when ranking DOMAINS for crawl budget
+    rather than pages. One groupBy on the host pair; at 10^10 edges
+    the host graph is ~10^4× smaller than the page graph, so every
+    downstream sweep runs on the contraction."""
+    s = F.col(src_host) if isinstance(src_host, str) else src_host
+    d = F.col(dst_host) if isinstance(dst_host, str) else dst_host
+    return (
+        edges.select(s.alias("src_host"), d.alias("dst_host"), "src")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("weight"),
+            F.countDistinct("src").alias("n_src_pages"),
+        )
+    )
+
+
 def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     """(node, hub, auth) after `iters` HITS sweeps (Kleinberg 1999) —
     the classic hub/authority complement to PageRank for seed-list

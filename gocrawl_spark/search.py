@@ -134,6 +134,31 @@ def match_topk(
     )
 
 
+def suggest_topk(
+    df: DataFrame, prefix: str, field: str = "content", k: int = 10
+) -> DataFrame:
+    """ES completion-suggester twin: distinct analyzer terms starting
+    with `prefix`, ranked by document frequency (desc, term asc
+    tie-break), top-k — (term, doc_freq).
+
+    Scale shape: per-doc ``array_distinct`` bounds the explode at the
+    doc's distinct-term count; the prefix filter runs BEFORE the
+    vocabulary aggregation, so only matching terms shuffle (one
+    partial-aggregated groupBy over a tiny slice). At 100 TB the
+    (term, doc_freq) vocabulary is the same precomputed index table
+    fuzzy search scans (:func:`fuzzy_expansions`) and suggest becomes
+    an index-only prefix scan."""
+    terms = df.select(
+        F.explode(F.array_distinct(tokens(field))).alias("term")
+    ).filter(F.col("term").startswith(prefix))
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def fuzzy_expansions(
     df: DataFrame,
     term: str,

@@ -292,3 +292,26 @@ def test_bloom_config_change_rebuilds_not_corrupts(spark, sf_dir, tmp_path):
         os.path.join(run_dir, "bloom_rebuild", f"upto={last:04d}_s8_b{1 << 14}")
     )
     assert all(r["shard"] < 8 for r in run3._bloom_df_upto(last).collect())
+
+
+def test_allocate_budgets(spark):
+    from gocrawl_spark import frontier as fr
+
+    stats = spark.createDataFrame(
+        [
+            ("big.com", 1000, 900),   # would get 90% of budget -> capped
+            ("mid.com", 50, 90),
+            ("tiny.com", 3, 9),       # share floors at 1 -> floor=2 wins
+            ("drained.com", 0, 100),  # nothing queued -> dropped
+            ("thin.com", 1, 1),       # queued clamps below the floor
+        ],
+        "host string, queued long, weight long",
+    )
+    got = {r["host"]: r["quota"] for r in
+           fr.allocate_budgets(stats, round_budget=100, politeness_cap=20,
+                               floor=2).collect()}
+    assert "drained.com" not in got
+    assert got["big.com"] == 20          # politeness cap
+    assert got["mid.com"] == 8           # 100*90 DIV 1100
+    assert got["tiny.com"] == 2          # floor
+    assert got["thin.com"] == 1          # queued clamp beats floor

@@ -230,3 +230,42 @@ def test_hits_hub_authority_structure(spark):
 def test_hits_empty_and_parallelism(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     assert graphrank.hits(edges, iters=2).count() == 0
+
+
+def test_trust_rank_isolates_link_farms(spark):
+    """A link-farm island unreachable from the whitelist gets zero
+    trust; pages linked from seeds accumulate it."""
+    edges = spark.createDataFrame(
+        [
+            ("seed", "good"), ("good", "better"),
+            # island: f1 <-> f2 mutually boost, no inbound trust path
+            ("f1", "f2"), ("f2", "f1"),
+        ],
+        "src string, dst string",
+    )
+    trusted = spark.createDataFrame([("seed",)], "node string")
+    got = {r["node"]: r["trust"] for r in
+           graphrank.trust_rank(edges, trusted, iters=3).collect()}
+    assert got["f1"] == 0.0 and got["f2"] == 0.0
+    assert got["seed"] > 0 and got["good"] > 0 and got["better"] > 0
+    # no trusted seeds -> empty result, not a ZeroDivisionError
+    none = spark.createDataFrame([], "node string")
+    assert graphrank.trust_rank(edges, none, iters=2).count() == 0
+
+
+def test_host_graph_contraction(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a.com/1", "b.com/x", "a.com", "b.com"),
+            ("a.com/1", "b.com/y", "a.com", "b.com"),
+            ("a.com/2", "b.com/x", "a.com", "b.com"),
+            ("a.com/1", "a.com/2", "a.com", "a.com"),  # self-loop: dropped
+            ("b.com/x", "a.com/1", "b.com", "a.com"),
+        ],
+        "src string, dst string, src_host string, dst_host string",
+    )
+    got = {(r["src_host"], r["dst_host"]): r for r in
+           graphrank.host_graph(edges).collect()}
+    assert set(got) == {("a.com", "b.com"), ("b.com", "a.com")}
+    ab = got[("a.com", "b.com")]
+    assert ab["weight"] == 3 and ab["n_src_pages"] == 2

@@ -2639,3 +2639,27 @@ def test_es_aggs_pipeline_moving_script_sibling_selector(spark):
             "aggs": {"x": {"moving_fn": {
                 "buckets_path": "_count", "window": 2,
                 "script": "MovingFunctions.stdDev"}}}}})
+
+
+def test_suggest_topk_prefix_and_ranking(spark):
+    """Completion suggester: prefix slice of the vocab, doc-freq
+    ranking, term tie-break, repeated in-doc terms counted once."""
+    from gocrawl_spark import search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cat cat cat dog"),      # 'cat' ×3 in one doc: df=1
+            (1, "cat castle"),
+            (2, "castle cart dog"),
+            (3, "castle zebra"),
+        ],
+        "doc_id long, content string",
+    )
+    got = search.suggest_topk(docs, "ca", k=10).collect()
+    assert [(r["term"], r["doc_freq"]) for r in got] == [
+        ("castle", 3), ("cat", 2), ("cart", 1),
+    ]
+    # k cuts after ordering; ties broken on term asc
+    got2 = search.suggest_topk(docs, "ca", k=2).collect()
+    assert [r["term"] for r in got2] == ["castle", "cat"]
+    assert search.suggest_topk(docs, "zz", k=5).count() == 0
