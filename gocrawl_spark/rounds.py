@@ -127,6 +127,14 @@ class CrawlConfig:
     # bench-only arithmetic-intensity calibration (BENCH/BASELINE.md):
     # re-runs the extraction kernel per page to sweep compute-per-byte
     extract_repeat: int = 1
+    # proportional-fair global round budget (frontier.allocate_budgets,
+    # OPT-IN): when set AND CrawlRun(budget_weights=...) is supplied,
+    # each host's round budget becomes
+    # min(politeness_budget, max(budget_floor, weight share of
+    # round_budget)) — the crawl-wide fetch-rate governor on top of
+    # the per-host token bucket
+    round_budget: int | None = None
+    budget_floor: int = 1
 
     @property
     def budget(self) -> int:
@@ -275,6 +283,7 @@ class CrawlRun:
         sources: list | None = None,
         rank_priority: DataFrame | None = None,
         prior_extracted: "DataFrame | None" = None,
+        budget_weights: DataFrame | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -321,6 +330,13 @@ class CrawlRun:
         # carry warc_ts; rows extracted under this flag gain a page_ts
         # column so the NEXT generation can reuse them in turn.
         self.prior_extracted = prior_extracted
+        # optional (domain, weight:long) table driving proportional-
+        # fair round budgets (frontier.allocate_budgets) — OPT-IN via
+        # cfg.round_budget: the global budget is split by weight share
+        # (host rank, historical yield, …), then clamped by the
+        # politeness budget, so a high-weight host still never exceeds
+        # its token-bucket rate. Hosts absent from the table weigh 1.
+        self.budget_weights = budget_weights
         # F7 exact-backstop index (seen_store="bucketed"): the
         # anti-join's seen side reads pre-bucketed, never shuffles
         self._seen_index = None
@@ -530,7 +546,9 @@ class CrawlRun:
         cfg = self.cfg
         backoff = self._backoff_domains(rnd)
         if self.host_policy is None and backoff is None:
-            return frontier_df.withColumn("budget", F.lit(cfg.budget))
+            return self._apply_round_budget(
+                frontier_df.withColumn("budget", F.lit(cfg.budget))
+            )
         joined = frontier_df
         drop = []
         if self.host_policy is not None:
@@ -565,7 +583,53 @@ class CrawlRun:
             ),
             F.lit(1),
         )
-        return joined.withColumn("budget", budget.cast("int")).drop(*drop)
+        return self._apply_round_budget(
+            joined.withColumn("budget", budget.cast("int")).drop(*drop)
+        )
+
+    def _apply_round_budget(self, budgeted: DataFrame) -> DataFrame:
+        """Clamp per-host politeness budgets by the proportional-fair
+        share of cfg.round_budget (frontier.allocate_budgets) when a
+        weights table was supplied — the crawl-wide governor layered
+        on the per-host token bucket. One groupBy on domain (the same
+        key the pop shuffles on) + two broadcast joins; no-op unless
+        both knobs are set."""
+        cfg = self.cfg
+        if self.budget_weights is None or not cfg.round_budget:
+            return budgeted
+        stats = (
+            budgeted.groupBy("domain")
+            .agg(F.count("*").alias("queued"))
+            .join(
+                F.broadcast(
+                    self.budget_weights.select("domain", "weight")
+                ),
+                "domain",
+                "left",
+            )
+            .select(
+                F.col("domain").alias("host"),
+                "queued",
+                F.coalesce(F.col("weight"), F.lit(1)).cast("long").alias("weight"),
+            )
+        )
+        quotas = fr.allocate_budgets(
+            stats,
+            round_budget=cfg.round_budget,
+            politeness_cap=2**31 - 1,  # the politeness clamp is below
+            floor=cfg.budget_floor,
+        ).select(F.col("host").alias("domain"), "quota")
+        return (
+            budgeted.join(F.broadcast(quotas), "domain", "left")
+            .withColumn(
+                "budget",
+                F.least(
+                    F.col("budget").cast("long"),
+                    F.coalesce(F.col("quota"), F.col("budget").cast("long")),
+                ).cast("int"),
+            )
+            .drop("quota")
+        )
 
     # ---------------------------------------------------------------- io
     def _write(self, df: DataFrame, rnd: int, name: str) -> None:

@@ -316,3 +316,36 @@ def test_bucketed_seen_store_crawl_equivalent_and_resumes(spark, sf_dir, tmp_pat
         assert len(_table_parquet_files(spark, idx3.table)) == cfg_b.seen_buckets
     finally:
         run_b._seen_index.drop()
+
+
+def test_round_budget_proportional_allocation(spark, tmp_path):
+    """cfg.round_budget + budget_weights: round-0 pops split the
+    global budget by weight share, clamped by the politeness budget;
+    unlisted hosts default to weight 1."""
+    # 30/10/4 seeds on three hosts; no corpus rows needed (pop order
+    # and budgets are decided before the fetch join)
+    seeds = (
+        [f"https://a.com/p{i}" for i in range(30)]
+        + [f"https://b.com/p{i}" for i in range(10)]
+        + [f"https://c.com/p{i}" for i in range(4)]
+    )
+    corpus = synth.corpus_from_documents(spark, "/root/testdata/sf0.001")
+    weights = spark.createDataFrame(
+        [("a.com", 6), ("b.com", 3)], "domain string, weight long"
+    )  # c.com unlisted -> weight 1; W = 10
+    cfg = CrawlConfig(
+        max_depth=0, max_rounds=1, round_wall_s=10.0,  # politeness budget 10
+        round_budget=10, budget_floor=1,
+    )
+    run = CrawlRun(spark, corpus, seeds, str(tmp_path / "rb"), cfg,
+                   budget_weights=weights)
+    run.run()
+    host_of_hash = {sha(u): host_of(u) for u in seeds}
+    popped = [host_of_hash[r["url_hash"]] for r in run.seen_final().collect()]
+    counts = {h: popped.count(h) for h in set(popped)}
+    # quota = min(queued, max(floor, 10 * w DIV 10)) then politeness 10
+    assert counts == {"a.com": 6, "b.com": 3, "c.com": 1}
+    # without the knob the same crawl pops everything (budget 10/host)
+    run2 = CrawlRun(spark, corpus, seeds, str(tmp_path / "rb2"), cfg)
+    run2.run()
+    assert run2.seen_final().count() == 10 + 10 + 4
