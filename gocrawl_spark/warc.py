@@ -67,14 +67,40 @@ def _record_bytes(url: str, ts, html: bytes) -> bytes:
     return head + http + _CRLF + _CRLF
 
 
+def _ts_us(ts) -> int:
+    """pandas Timestamp → epoch µs (0 for null — matches the writers'
+    1970 sentinel)."""
+    return 0 if ts is None or pd.isna(ts) else int(ts.value // 1000)
+
+
 def _write_archive(
-    sel: DataFrame, out_dir: str, compress: bool, base_ext: str, rec_fn
+    sel: DataFrame,
+    out_dir: str,
+    compress: bool,
+    base_ext: str,
+    rec_fn,
+    cdx_dir: str | None = None,
+    cdx_fn=None,
+    cdx_mime: str = "text/html",
 ) -> DataFrame:
     """Shared archive sink: stream `rec_fn(*row)` record bytes into
     one (gzip) file per partition, atomic-publish, return the
     manifest. O(record) task memory; mtime=0 keeps compressed output
-    byte-reproducible."""
+    byte-reproducible.
+
+    With `cdx_dir`, each task also writes a CDX sidecar parquet of
+    (url, ts_us, file, offset, rec_bytes, digest, length, mime,
+    status) — and
+    compressed output switches to ONE GZIP MEMBER PER RECORD (the
+    Common-Crawl WARC layout), so `offset`/`rec_bytes` are physical
+    file coordinates: a random record is one ranged read + gunzip,
+    never a scan. Python's gzip reads the concatenated members
+    transparently, so the archive stays readable by the plain
+    readers. `cdx_fn(url, ts, payload) -> (digest_hex, length)`
+    supplies the content identity per format."""
     os.makedirs(out_dir, exist_ok=True)
+    if cdx_dir:
+        os.makedirs(cdx_dir, exist_ok=True)
     ext = base_ext + (".gz" if compress else "")
     # one archive dir = one archive per format: drop stale part files
     # from a prior write of the SAME format (a re-run with fewer
@@ -86,6 +112,10 @@ def _write_archive(
         stem = name[: -len(".gz")] if name.endswith(".gz") else name
         if name.startswith("part-") and stem.endswith(base_ext):
             os.remove(os.path.join(out_dir, name))
+    if cdx_dir:
+        for name in os.listdir(cdx_dir):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                os.remove(os.path.join(cdx_dir, name))
     cols = sel.columns
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,12 +125,29 @@ def _write_archive(
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         tmp = path + ".inprogress"
         raw_f = open(tmp, "wb")
-        f = gzip.GzipFile(fileobj=raw_f, mode="wb", mtime=0) if compress else raw_f
+        per_member = compress and cdx_dir is not None
+        f = (
+            raw_f
+            if (not compress or per_member)
+            else gzip.GzipFile(fileobj=raw_f, mode="wb", mtime=0)
+        )
         n = 0
+        idx: list[tuple] = []
         try:
             for pdf in batches:
                 for row in zip(*[pdf[c] for c in cols]):
-                    f.write(rec_fn(*row))
+                    rec = rec_fn(*row)
+                    if cdx_dir is not None:
+                        off = raw_f.tell() if per_member else f.tell()
+                        out = gzip.compress(rec, mtime=0) if per_member else rec
+                        f.write(out)
+                        digest, length = cdx_fn(*row)
+                        idx.append(
+                            (row[0], _ts_us(row[1]), path, off, len(out),
+                             digest, length, cdx_mime, 200)
+                        )
+                    else:
+                        f.write(rec)
                     n += 1
         finally:
             f.close()
@@ -108,6 +155,20 @@ def _write_archive(
                 raw_f.close()
         if n:
             os.replace(tmp, path)  # atomic publish (retry-idempotent)
+            if cdx_dir is not None:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                t = pa.table(
+                    dict(zip(
+                        ("url", "ts_us", "file", "offset", "rec_bytes",
+                         "digest", "length", "mime", "status"),
+                        map(list, zip(*idx)),
+                    ))
+                )
+                ipath = os.path.join(cdx_dir, f"part-{pid:05d}.parquet")
+                pq.write_table(t, ipath + ".inprogress")
+                os.replace(ipath + ".inprogress", ipath)
             yield pd.DataFrame(
                 {"path": [path], "n_records": [n], "n_bytes": [os.path.getsize(path)]}
             )
@@ -128,10 +189,17 @@ def write_warc(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     html_col: str = "html",
+    cdx_dir: str | None = None,
 ) -> DataFrame:
     """Archive a corpus as WARC files, one per partition; returns the
     written manifest (path, n_records, n_bytes) — an ACTION has already
-    run (the write happens eagerly so the manifest is truthful)."""
+    run (the write happens eagerly so the manifest is truthful).
+
+    `cdx_dir` additionally writes the CDX sidecar index (see
+    _write_archive): per-record physical (file, offset, rec_bytes) —
+    with compress=True the archive switches to one-gzip-member-per-
+    record, the Common-Crawl layout that makes a CDX hit one ranged
+    read. Load with :func:`read_cdx`."""
     return _write_archive(
         corpus.select(url_col, ts_col, html_col),
         out_dir,
@@ -140,7 +208,41 @@ def write_warc(
         lambda url, ts, html: _record_bytes(
             url, ts, bytes(html) if html is not None else b""
         ),
+        cdx_dir=cdx_dir,
+        cdx_fn=lambda url, ts, html: (
+            hashlib.sha256(bytes(html) if html is not None else b"").hexdigest(),
+            len(html) if html is not None else 0,
+        ),
     )
+
+
+def read_cdx(spark: SparkSession, cdx_dir: str) -> DataFrame:
+    """CDX sidecar → the standard capture-index shape with the SURT
+    sort key attached: (surt, ts_us, url, mime, status, digest,
+    length, file, offset, rec_bytes) — cdx.CDX_COLUMNS plus the
+    physical coordinates. Feed to cdx.cdx_lookup / cdx.write_cdx; a
+    hit resolves to one ranged read via :func:`fetch_record`."""
+    from pyspark.sql import functions as F
+
+    from .canonicalize import surt_key_expr
+
+    df = spark.read.parquet(cdx_dir)
+    return df.select(
+        surt_key_expr("url").alias("surt"),
+        "ts_us", "url", "mime", "status", "digest", "length",
+        "file", "offset", "rec_bytes",
+    )
+
+
+def fetch_record(file: str, offset: int, rec_bytes: int) -> bytes:
+    """Random-access record fetch: ONE ranged read of
+    [offset, offset+rec_bytes), gunzipped if the slice is a gzip
+    member — the replay path a CDX hit drives (pywb's range request
+    against a .warc.gz)."""
+    with open(file, "rb") as fh:
+        fh.seek(offset)
+        raw = fh.read(rec_bytes)
+    return gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
 
 
 def _wet_record_bytes(url: str, ts, text: str) -> bytes:
@@ -171,18 +273,26 @@ def write_wet(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     text_col: str = "text",
+    cdx_dir: str | None = None,
 ) -> DataFrame:
     """Deliver extracted text as WET (`conversion`) archives — the
     Common-Crawl companion format downstream text pipelines consume
     without touching the response HTML. Same sink contract as
     write_warc: one file per partition, atomic publish, manifest
-    returned."""
+    returned; `cdx_dir` writes the sidecar capture index (see
+    write_warc)."""
     return _write_archive(
         extracted.select(url_col, ts_col, text_col),
         out_dir,
         compress,
         ".warc.wet",
         _wet_record_bytes,
+        cdx_dir=cdx_dir,
+        cdx_fn=lambda url, ts, text: (
+            hashlib.sha256((text or "").encode("utf-8")).hexdigest(),
+            len((text or "").encode("utf-8")),
+        ),
+        cdx_mime="text/plain",
     )
 
 

@@ -218,3 +218,54 @@ def test_warc_and_wet_coexist_in_one_dir(spark, corpus, tmp_path):
     assert len(glob.glob(os.path.join(out, "*.warc.wet.gz"))) == 1
     assert warc.read_warc(spark, out).count() == n
     assert warc.read_wet(spark, out).count() == n
+
+
+def test_cdx_sidecar_random_access_gz(spark, corpus, tmp_path):
+    """cdx_dir: per-record gzip members + physical offsets — a CDX hit
+    is ONE ranged read; the archive still round-trips via the normal
+    multi-member reader."""
+    out, cdx_dir = str(tmp_path / "arch"), str(tmp_path / "cdx")
+    warc.write_warc(corpus.repartition(3), out, cdx_dir=cdx_dir)
+    idx = warc.read_cdx(spark, cdx_dir)
+    assert idx.count() == corpus.count()
+    # every record fetchable by (file, offset, rec_bytes) alone
+    for r in idx.orderBy("surt").limit(5).collect():
+        rec = warc.fetch_record(r["file"], r["offset"], r["rec_bytes"])
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert ("WARC-Target-URI: " + r["url"]).encode() in rec
+    # digest = sha256 of the payload html; surt is the sort key
+    one = idx.limit(1).collect()[0]
+    row = corpus.filter(F.col("url") == one["url"]).collect()[0]
+    import hashlib
+    assert one["digest"] == hashlib.sha256(bytes(row["html"])).hexdigest()
+    assert one["length"] == len(bytes(row["html"]))
+    assert one["surt"].startswith("com,example,")
+    # multi-member gzip reads transparently: full round-trip intact
+    back = warc.read_warc(spark, out)
+    assert back.count() == corpus.count()
+    # sidecar composes with the cdx module's lookup
+    from gocrawl_spark import cdx as cdxmod
+    hit = cdxmod.cdx_lookup(idx, one["surt"]).collect()
+    assert len(hit) == 1 and hit[0]["url"] == one["url"]
+
+
+def test_cdx_sidecar_plain_offsets(spark, corpus, tmp_path):
+    out, cdx_dir = str(tmp_path / "plain"), str(tmp_path / "pcdx")
+    warc.write_warc(corpus.repartition(2), out, compress=False,
+                    cdx_dir=cdx_dir)
+    r = warc.read_cdx(spark, cdx_dir).orderBy("offset").limit(3).collect()
+    assert r[0]["offset"] == 0
+    for row in r:
+        rec = warc.fetch_record(row["file"], row["offset"], row["rec_bytes"])
+        assert rec.startswith(b"WARC/1.0\r\n") and rec.endswith(b"\r\n\r\n")
+
+
+def test_cdx_sidecar_wet(spark, corpus, tmp_path):
+    out, cdx_dir = str(tmp_path / "wet"), str(tmp_path / "wcdx")
+    ex = corpus.select("url", "warc_ts", "text")
+    warc.write_wet(ex, out, cdx_dir=cdx_dir)
+    idx = warc.read_cdx(spark, cdx_dir)
+    assert idx.count() == corpus.count()
+    one = idx.limit(1).collect()[0]
+    rec = warc.fetch_record(one["file"], one["offset"], one["rec_bytes"])
+    assert b"WARC-Type: conversion" in rec
