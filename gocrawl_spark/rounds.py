@@ -1374,6 +1374,27 @@ class CrawlRun:
         warehouse.upsert(article_index, self.articles().drop("crawl_round"), key="id")
         warehouse.upsert(page_index, self.pages().drop("crawl_round"), key="id")
 
+    def archive(
+        self, out_dir: str, compress: bool = True, cdx: bool = True
+    ) -> DataFrame:
+        """Export every page the crawl fetched as a WARC archive with
+        a CDX capture index (warc.write_warc + sidecar): the crawl's
+        replayable delivery — `read_warc` re-crawls it, a CDX hit
+        replays one record via a ranged read. Fetch hits are the
+        extracted rows; the raw html comes from one url-equi-join back
+        to the corpus (bucketed-corpus runs keep this shuffle-free on
+        the corpus side). Returns the write manifest."""
+        from gocrawl_spark import warc as _warc
+
+        urls = self.extracted().select("url").distinct()
+        rows = urls.join(self.corpus.select("url", "warc_ts", "html"), "url")
+        return _warc.write_warc(
+            rows,
+            out_dir,
+            compress=compress,
+            cdx_dir=os.path.join(out_dir, "cdx") if cdx else None,
+        )
+
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self.run_dir, "rounds", "round=*", "metrics")

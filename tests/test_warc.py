@@ -269,3 +269,27 @@ def test_cdx_sidecar_wet(spark, corpus, tmp_path):
     one = idx.limit(1).collect()[0]
     rec = warc.fetch_record(one["file"], one["offset"], one["rec_bytes"])
     assert b"WARC-Type: conversion" in rec
+
+
+def test_crawl_archive_export(spark, corpus, tmp_path):
+    """run.archive(): the crawl's fetched pages delivered as WARC+CDX;
+    the archive re-reads to exactly the fetch-hit set and a CDX hit
+    replays one record by ranged read."""
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    n = corpus.count()
+    cfg = CrawlConfig(max_depth=1, max_rounds=2, round_wall_s=10.0)
+    run = CrawlRun(spark, corpus, synth.seed_urls(n, k=6),
+                   str(tmp_path / "run"), cfg)
+    run.run()
+    out = str(tmp_path / "delivery")
+    manifest = run.archive(out)
+    fetched = run.extracted().select("url").distinct().count()
+    assert sum(r["n_records"] for r in manifest.collect()) == fetched
+    back = warc.read_warc(spark, out)
+    assert back.select("url").distinct().count() == fetched
+    idx = warc.read_cdx(spark, os.path.join(out, "cdx"))
+    assert idx.count() == fetched
+    one = idx.limit(1).collect()[0]
+    rec = warc.fetch_record(one["file"], one["offset"], one["rec_bytes"])
+    assert ("WARC-Target-URI: " + one["url"]).encode() in rec
