@@ -380,6 +380,60 @@ def cmd_discover(args) -> int:
     return 0
 
 
+def cmd_archive(args) -> int:
+    """Deliver a finished crawl as WARC + CDX (CrawlRun.archive)."""
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    spark = _spark(args.cpus)
+    corpus = _load_corpus(spark, args.corpus)
+    run = CrawlRun(spark, corpus, [], args.run_dir, CrawlConfig())
+    manifest = run.archive(
+        args.out, compress=not args.plain, cdx=not args.no_cdx
+    ).collect()
+    n = sum(r["n_records"] for r in manifest)
+    print(f"archived {n} records in {len(manifest)} file(s) to {args.out}")
+    if not args.no_cdx:
+        print(f"cdx index: {os.path.join(args.out, 'cdx')}")
+    return 0
+
+
+def cmd_cdx(args) -> int:
+    """Query a CDX capture index (prefix range scan; --latest
+    collapses to the newest capture per key; --fetch replays the
+    first hit's record by ranged read)."""
+    from gocrawl_spark import cdx as cdxmod
+    from gocrawl_spark import warc
+
+    spark = _spark(args.cpus)
+    idx = warc.read_cdx(spark, args.index)
+    hits = cdxmod.cdx_lookup(idx, args.prefix, latest_only=args.latest)
+    if args.latest:
+        rows = hits.orderBy("surt").limit(args.size).collect()
+        for r in rows:
+            print(f"{r['surt']}\t{r['n_captures']}\t{r['last_ts_us']}\t{r['url']}")
+    else:
+        rows = hits.orderBy("surt", "ts_us").limit(args.size).collect()
+        for r in rows:
+            print(f"{r['surt']}\t{r['ts_us']}\t{r['url']}\t{r['length']}")
+    if not rows:
+        print("no captures match", file=sys.stderr)
+        return 1
+    if args.fetch:
+        first = (
+            hits.orderBy("surt", "ts_us")
+            .select("file", "offset", "rec_bytes")
+            .limit(1)
+            .collect()[0]
+        ) if not args.latest else None
+        if first is None:
+            print("--fetch requires a non --latest lookup", file=sys.stderr)
+            return 2
+        rec = warc.fetch_record(first["file"], first["offset"], first["rec_bytes"])
+        head = rec.split(b"\r\n\r\n", 1)[0]
+        print(head.decode("utf-8", "replace"))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gocrawl_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -435,6 +489,24 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--url", help="source URL to analyze (generate)")
     so.add_argument("--output", "-o", help="output file (generate; default stdout)")
     so.set_defaults(fn=cmd_sources)
+
+    ar = sub.add_parser("archive")
+    ar.add_argument("--corpus", required=True)
+    ar.add_argument("--run-dir", required=True)
+    ar.add_argument("--out", required=True)
+    ar.add_argument("--plain", action="store_true",
+                    help="uncompressed .warc instead of per-record gzip")
+    ar.add_argument("--no-cdx", action="store_true")
+    ar.set_defaults(fn=cmd_archive)
+
+    cx = sub.add_parser("cdx")
+    cx.add_argument("--index", required=True, help="cdx sidecar dir")
+    cx.add_argument("--prefix", required=True, help="SURT prefix, e.g. 'com,example,'")
+    cx.add_argument("--latest", action="store_true")
+    cx.add_argument("--size", type=int, default=20)
+    cx.add_argument("--fetch", action="store_true",
+                    help="replay the first hit's WARC headers (ranged read)")
+    cx.set_defaults(fn=cmd_cdx)
 
     d = sub.add_parser("discover")
     d.add_argument("--corpus", required=True)

@@ -181,3 +181,31 @@ def test_cli_sources_generate(demo):
         "--corpus", corpus, "-n", "50",
     )
     assert out == text
+
+
+def test_cli_archive_and_cdx(demo):
+    """archive → cdx lookup → cdx --fetch replay (full delivery flow)."""
+    base, corpus = demo
+    run_dir = os.path.join(base, "arun")
+    _run("crawl", "--corpus", corpus, "--run-dir", run_dir,
+         "--max-rounds", "1", "--max-depth", "0", "--round-wall-s", "10",
+         "--seed-limit", "6")
+    out_dir = os.path.join(base, "delivery")
+    out = _run("archive", "--corpus", corpus, "--run-dir", run_dir,
+               "--out", out_dir)
+    assert "archived" in out and "cdx index:" in out
+
+    out = _run("cdx", "--index", os.path.join(out_dir, "cdx"),
+               "--prefix", "com,example,")
+    lines = [l for l in out.splitlines() if l.startswith("com,example,")]
+    assert len(lines) >= 1
+    surt = lines[0].split("\t")[0]
+
+    out = _run("cdx", "--index", os.path.join(out_dir, "cdx"),
+               "--prefix", surt, "--fetch")
+    assert "WARC/1.0" in out and "WARC-Target-URI:" in out
+
+    out = _run("cdx", "--index", os.path.join(out_dir, "cdx"),
+               "--prefix", "com,example,", "--latest")
+    assert any(l.split("\t")[1] == "1" for l in out.splitlines()
+               if l.startswith("com,example,"))
