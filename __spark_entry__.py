@@ -1058,6 +1058,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_budget_alloc"] = crawl_budget_alloc
 
+    def crawl_opic_sweep(spark, sf_dir):
+        """One OPIC cash-ledger sweep (graphrank.opic_sweep — the
+        arithmetic CrawlRun's cfg.opic online-importance feedback
+        applies per round): every 3rd node popped, its micro-unit cash
+        split by integer DIV over its out-edges; un-popped nodes keep
+        theirs. Exact LONG arithmetic end to end."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        edges = graphrank.doc_edges(docs, n)
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        cash = nodes.select(
+            "node",
+            (F.lit(1_000_000) + F.col("node") % 7).cast("long").alias("cash_u"),
+        )
+        popped = nodes.filter(F.col("node") % 3 == 0)
+        return graphrank.opic_sweep(edges, cash, popped).select(
+            F.col("node").alias("doc_id"), "cash_u"
+        )
+
+    q["crawl_opic_sweep"] = crawl_opic_sweep
+
     def rank_priorities_p3(spark, sf_dir):
         """Rank → politeness-priority bucketing (the P3 adjunct fed to
         CrawlRun(rank_priority=...)): mean-normalized PageRank bucketed
@@ -3513,6 +3540,35 @@ def oracle_sql() -> dict[str, str]:
                               ((200::BIGINT * weight) // (SELECT w_total FROM t))::BIGINT)
                )::BIGINT AS quota
         FROM s WHERE queued > 0
+    """
+
+    # OPIC sweep: same edge CTE; contributions are integer DIV of
+    # LONG micro-units, kept rows pass through, popped rows reset
+    o["crawl_opic_sweep"] = """
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        nodes AS MATERIALIZED (
+                  SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        cash AS (SELECT node, (1000000 + node % 7)::BIGINT AS cash_u FROM nodes),
+        pop AS (SELECT node FROM nodes WHERE node % 3 = 0),
+        k AS (SELECT src, count(*)::BIGINT AS k FROM e GROUP BY src),
+        contrib AS (SELECT e.dst AS node,
+                           sum(c.cash_u // k.k)::BIGINT AS delta_u
+                    FROM e
+                    JOIN cash c ON c.node = e.src
+                    JOIN pop p ON p.node = e.src
+                    JOIN k ON k.src = e.src
+                    GROUP BY e.dst),
+        kept AS (SELECT c.node, c.cash_u AS delta_u
+                 FROM cash c LEFT JOIN pop p ON p.node = c.node
+                 WHERE p.node IS NULL)
+        SELECT node AS doc_id, sum(delta_u)::BIGINT AS cash_u
+        FROM (SELECT * FROM contrib UNION ALL SELECT * FROM kept)
+        GROUP BY node
     """
 
     # rank → priority bucketing: same PageRank CTE chain, then the

@@ -182,6 +182,47 @@ def host_graph(
     )
 
 
+def opic_sweep(
+    edges: DataFrame, cash: DataFrame, popped: DataFrame
+) -> DataFrame:
+    """One OPIC accounting sweep (Abiteboul/Preda/Cobena 2003) as pure
+    DataFrame algebra — the arithmetic CrawlRun's online cash ledger
+    applies per round (rounds._opic_round_delta), exposed standalone
+    so the ledger semantics are oracle-checkable:
+
+    - each `popped` node's cash splits equally (integer DIV of LONG
+      micro-units — dust truncates) over its out-edges and credits the
+      targets; the popped node resets to 0
+    - un-popped nodes keep their cash; popped nodes with no out-edges
+      leak theirs (the link_rank dangling choice)
+
+    Inputs: edges(src, dst); cash(node, cash_u LONG); popped(node).
+    Returns the updated (node, cash_u). All integer arithmetic — the
+    ledger is bit-equal at any partitioning."""
+    pop_cash = cash.join(popped.select("node"), "node").filter(
+        F.col("cash_u") != 0
+    )
+    k = edges.groupBy("src").agg(F.count("*").alias("_k"))
+    contrib = (
+        edges.join(pop_cash.withColumnRenamed("node", "src"), "src")
+        .join(k, "src")
+        .select(
+            F.col("dst").alias("node"),
+            F.expr("cash_u DIV _k").alias("delta_u"),
+        )
+        .groupBy("node")
+        .agg(F.sum("delta_u").alias("delta_u"))
+    )
+    kept = cash.join(popped.select("node"), "node", "left_anti").select(
+        "node", F.col("cash_u").alias("delta_u")
+    )
+    return (
+        contrib.unionByName(kept)
+        .groupBy("node")
+        .agg(F.sum("delta_u").alias("cash_u"))
+    )
+
+
 def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     """(node, hub, auth) after `iters` HITS sweeps (Kleinberg 1999) —
     the classic hub/authority complement to PageRank for seed-list

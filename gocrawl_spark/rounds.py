@@ -127,6 +127,18 @@ class CrawlConfig:
     # bench-only arithmetic-intensity calibration (BENCH/BASELINE.md):
     # re-runs the extraction kernel per page to sweep compute-per-byte
     extract_repeat: int = 1
+    # OPIC online importance (Abiteboul/Preda/Cobena 2003, OPT-IN):
+    # every seed starts with one unit of "cash"; a popped page
+    # distributes its accumulated cash equally over its resolved
+    # out-links and resets to zero, and frontier priority is bucketed
+    # by accumulated cash — importance feedback DURING the crawl, no
+    # between-generations rank pass needed. Cash is integer
+    # micro-units (LONG; contributions by integer DIV — dust truncates)
+    # persisted as per-round SUMMABLE deltas (grant/contribution/reset
+    # rows), so state IO is O(batch-adjacent) per round, cumulative
+    # cash is one groupBy-sum of deltas, and the whole scheme is
+    # bit-deterministic at any parallelism
+    opic: bool = False
     # proportional-fair global round budget (frontier.allocate_budgets,
     # OPT-IN): when set AND CrawlRun(budget_weights=...) is supplied,
     # each host's round budget becomes
@@ -659,6 +671,8 @@ class CrawlRun:
         cfg = self.cfg
         t: dict[str, float] = {}
         t0 = time.perf_counter()
+        if cfg.opic and rnd > 0:
+            frontier_df = self._overlay_opic(frontier_df, rnd)
         budgeted = self._budgeted(frontier_df, rnd)
         # batch and rest come from one cached ranking (no anti-join);
         # batch feeds the fetch join, the seen update and the stats
@@ -864,12 +878,24 @@ class CrawlRun:
                     seen_delta, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits
                 )
             )
+        opic_delta = None
+        if cfg.opic:
+            grants = (
+                frontier_df.select(
+                    "url_hash", F.lit(1_000_000).cast("long").alias("delta_u")
+                )
+                if rnd == 0
+                else None
+            )
+            opic_delta = self._opic_round_delta(batch, extracted, rnd, grants)
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(self._write, frontier_next, rnd, "frontier"),
                 pool.submit(self._write, seen_delta, rnd, "seen"),
                 pool.submit(self._write, host_delta, rnd, "host_state"),
             ]
+            if opic_delta is not None:
+                futs.append(pool.submit(self._write, opic_delta, rnd, "opic"))
             if bloom_delta_df is not None:
                 futs.append(pool.submit(self._write, bloom_delta_df, rnd, "bloom"))
             if resp is not None:
@@ -943,6 +969,108 @@ class CrawlRun:
             return None
         with open(p) as f:
             return json.load(f)
+
+    # ------------------------------------------------------------- opic
+    def _opic_delta_paths(self, rnd: int) -> list[str]:
+        marker = self._compact_marker()
+        base_upto = marker["upto"] if marker else -1
+        parts = []
+        base = os.path.join(self.run_dir, "compact", "opic")
+        if marker is not None and base_upto <= rnd and os.path.exists(base):
+            parts.append(base)
+        for r in range(base_upto + 1, rnd + 1):
+            d = os.path.join(_round_dir(self.run_dir, r), "opic")
+            if os.path.exists(_manifest_path(self.run_dir, r)) and os.path.exists(d):
+                parts.append(d)
+        return parts
+
+    def _opic_cash_upto(self, rnd: int) -> DataFrame:
+        """Cumulative OPIC cash as of committed round `rnd`: one
+        groupBy-sum over the summable per-round deltas (grants +
+        contributions − resets), all exact LONG micro-units."""
+        parts = self._opic_delta_paths(rnd)
+        if not parts:
+            return self.spark.createDataFrame([], "url_hash string, cash_u long")
+        return (
+            self.spark.read.parquet(*parts)
+            .groupBy("url_hash")
+            .agg(F.sum("delta_u").alias("cash_u"))
+        )
+
+    def opic_cash(self) -> DataFrame:
+        """Public view: (url_hash, cash_u) accumulated importance cash
+        (micro-units) as of the last committed round."""
+        last = last_committed_round(self.run_dir)
+        if last is None:
+            return self.spark.createDataFrame([], "url_hash string, cash_u long")
+        return self._opic_cash_upto(last)
+
+    def _overlay_opic(self, frontier_df: DataFrame, rnd: int) -> DataFrame:
+        """Priority overlay from accumulated cash (same mean-normalized
+        fixed thresholds as graphrank.rank_priorities): >=4x mean cash
+        -> 8, >=2x -> 7, >=1.2x -> 6, else untouched (base 5). One
+        O(cash-rows) agg for the mean + one url_hash join."""
+        cash = self._opic_cash_upto(rnd - 1).filter(F.col("cash_u") > 0)
+        stats = cash.agg(F.count("*").alias("n"), F.sum("cash_u").alias("s")).collect()[0]
+        if not stats["n"]:
+            return frontier_df
+        mean = stats["s"] / stats["n"]  # micro-units; ratio below is scale-free
+        x = F.round(F.col("cash_u") / F.lit(mean), 6)
+        pri = F.when(x >= 4.0, 8).when(x >= 2.0, 7).when(x >= 1.2, 6)
+        ov = cash.select("url_hash", pri.alias("_opic_pri")).filter(
+            F.col("_opic_pri").isNotNull()
+        )
+        return (
+            frontier_df.join(ov, "url_hash", "left")
+            .withColumn("priority", F.coalesce("_opic_pri", F.col("priority")))
+            .drop("_opic_pri")
+        )
+
+    def _opic_round_delta(
+        self, batch: DataFrame, extracted: DataFrame, rnd: int,
+        grants: DataFrame | None,
+    ) -> DataFrame:
+        """This round's summable cash delta: (+1 unit per seed at round
+        0) + (popped cash split by integer DIV over resolved out-links,
+        credited to each child) − (each popped page's cash, reset).
+        Pages with no resolved links leak their cash (the link_rank
+        dangling choice). All LONG arithmetic — exact, order-free."""
+        prior = self._opic_cash_upto(rnd - 1)
+        if grants is not None:
+            prior = (
+                prior.unionByName(grants.select("url_hash", F.col("delta_u").alias("cash_u")))
+                .groupBy("url_hash")
+                .agg(F.sum("cash_u").alias("cash_u"))
+            )
+        par = (
+            batch.select("url", "url_hash")
+            .join(prior, "url_hash", "left")
+            .withColumn("cash_u", F.coalesce(F.col("cash_u"), F.lit(0).cast("long")))
+            .filter(F.col("cash_u") != 0)
+        )
+        pairs = (
+            extracted.select("url", "links")
+            .join(par.select("url", "url_hash", "cash_u"), "url")
+            .select(
+                "url_hash", "cash_u",
+                F.explode(udfs.resolve_links_udf("url", "links")).alias("_child"),
+            )
+        )
+        k = pairs.groupBy("url_hash").agg(F.count("*").alias("_k"))
+        contrib = (
+            pairs.join(k, "url_hash")
+            .select(
+                F.sha2("_child", 256).alias("url_hash"),
+                F.expr("cash_u DIV _k").alias("delta_u"),
+            )
+            .groupBy("url_hash")
+            .agg(F.sum("delta_u").alias("delta_u"))
+        )
+        resets = par.select("url_hash", (-F.col("cash_u")).alias("delta_u"))
+        out = contrib.unionByName(resets)
+        if grants is not None:
+            out = out.unionByName(grants)
+        return out.groupBy("url_hash").agg(F.sum("delta_u").alias("delta_u"))
 
     def _seen_upto(self, rnd: int) -> DataFrame:
         """Union of seen deltas of committed rounds ≤ rnd, on top of the
@@ -1116,6 +1244,15 @@ class CrawlRun:
         shutil.rmtree(tmp, ignore_errors=True)
         self._seen_upto(upto).write.parquet(os.path.join(tmp, "seen"))
         self._host_deltas_upto(upto).write.parquet(os.path.join(tmp, "host_state"))
+        # OPIC deltas are summable: fold to one (url_hash, delta_u) base
+        opic_parts = self._opic_delta_paths(upto)
+        if opic_parts:
+            (
+                self.spark.read.parquet(*opic_parts)
+                .groupBy("url_hash")
+                .agg(F.sum("delta_u").alias("delta_u"))
+                .write.parquet(os.path.join(tmp, "opic"))
+            )
         # fold the bloom deltas DISTRIBUTED (one row per shard after the
         # OR) — the whole filter never lands in one address space even
         # during maintenance
@@ -1140,7 +1277,7 @@ class CrawlRun:
         shutil.rmtree(old, ignore_errors=True)
         start = (marker["upto"] + 1) if marker else 0
         for r in range(start, upto + 1):
-            for name in ("frontier", "seen", "host_state", "bloom"):
+            for name in ("frontier", "seen", "host_state", "bloom", "opic"):
                 shutil.rmtree(os.path.join(_round_dir(self.run_dir, r), name), ignore_errors=True)
         # fold the bucketed seen index too (one sorted file per bucket
         # instead of one file set per round) — rebuilt from the

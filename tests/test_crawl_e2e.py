@@ -349,3 +349,87 @@ def test_round_budget_proportional_allocation(spark, tmp_path):
     run2 = CrawlRun(spark, corpus, seeds, str(tmp_path / "rb2"), cfg)
     run2.run()
     assert run2.seen_final().count() == 10 + 10 + 4
+
+
+def test_opic_online_importance(spark, tmp_path):
+    """cfg.opic: seed cash flows to the hub every seed links to; under
+    a 1-pop budget the cash-rich hub is fetched before the
+    lower-discovery-seq leaf that would win the default order. Cash
+    accounting is exact integer micro-units."""
+    from datetime import datetime
+
+    ts = datetime(2023, 1, 1)
+    rows = []
+    for i in range(6):
+        # leaf first => leaf gets the earlier discovery_seq
+        html = (f'<html><body><a href="https://b.com/leaf{i}">l</a>'
+                f'<a href="https://b.com/hub">h</a></body></html>')
+        rows.append((f"https://a.com/s{i}", ts, html.encode(), "seed", "en"))
+    for u in ["hub"] + [f"leaf{i}" for i in range(6)]:
+        rows.append((f"https://b.com/{u}", ts, b"<html><body>x</body></html>",
+                     "child", "en"))
+    corpus = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    policy = spark.createDataFrame(
+        [("b.com", 10000, 1)], "domain string, delay_ms long, parallelism int"
+    )  # budget 1/round on b.com; a.com keeps the default 10
+    seeds = [f"https://a.com/s{i}" for i in range(6)]
+
+    def crawl(opic: bool, d: str):
+        cfg = CrawlConfig(max_depth=1, max_rounds=2, round_wall_s=10.0,
+                          opic=opic)
+        run = CrawlRun(spark, corpus, seeds, str(tmp_path / d), cfg,
+                       host_policy=policy)
+        run.run()
+        return run
+
+    run = crawl(True, "opic")
+    r1 = [r["url"] for r in run.seen_final()
+          .filter("fetched_round = 1").collect()]
+    assert r1 == ["https://b.com/hub"]
+    # exact cash after round 0: hub 6*(1e6 DIV 2), each leaf 1e6 DIV 2,
+    # popped seeds reset to zero-sum (grant - reset)
+    cash = {r["url_hash"]: r["cash_u"]
+            for r in run._opic_cash_upto(0).collect()}
+    assert cash[sha("https://b.com/hub")] == 3_000_000
+    assert cash[sha("https://b.com/leaf0")] == 500_000
+    assert cash[sha("https://a.com/s0")] == 0
+
+    # default order (opic off) pops the earliest-seq leaf instead
+    base = crawl(False, "base")
+    r1b = [r["url"] for r in base.seen_final()
+           .filter("fetched_round = 1").collect()]
+    assert r1b == ["https://b.com/leaf0"]
+
+
+def test_opic_state_survives_resume_and_compact(spark, tmp_path):
+    from datetime import datetime
+
+    ts = datetime(2023, 1, 1)
+    rows = [("https://a.com/s0", ts,
+             b'<html><body><a href="https://b.com/h">h</a></body></html>',
+             "seed", "en"),
+            ("https://b.com/h", ts, b"<html><body>x</body></html>",
+             "child", "en")]
+    corpus = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = CrawlConfig(max_depth=1, max_rounds=1, round_wall_s=10.0, opic=True)
+    d = str(tmp_path / "r")
+    run = CrawlRun(spark, corpus, ["https://a.com/s0"], d, cfg)
+    run.run()
+    before = sorted(map(tuple, run.opic_cash().collect()))
+    assert (sha("https://b.com/h"), 1_000_000) in before  # whole grant flowed
+
+    # resume continues the cash lineage (round 1 pops h, resets it)
+    cfg2 = CrawlConfig(max_depth=1, max_rounds=2, round_wall_s=10.0, opic=True)
+    run2 = CrawlRun(spark, corpus, ["https://a.com/s0"], d, cfg2)
+    run2.run(resume=True)
+    after = {h: c for h, c in map(tuple, run2.opic_cash().collect())}
+    assert after[sha("https://b.com/h")] == 0  # popped, no out-links: leaked
+
+    # compacting folds the deltas without changing the cumulative view
+    assert run2.compact(keep_rounds=0) is not None
+    folded = {h: c for h, c in map(tuple, run2.opic_cash().collect())}
+    assert folded == after
