@@ -62,6 +62,13 @@ def fetch_http(
     the host's previous request instead of the scalar ``delay_ms`` —
     this is how per-source LimitRule overrides (host_policy) are
     enforced against live servers, not just in the pop budget.
+
+    Conditional GET (RFC 9110 §13): when the batch carries a
+    ``_etag`` column, each non-null value is sent as If-None-Match;
+    a 304 Not Modified comes back as status 304 with an empty body —
+    the caller reuses its prior extraction (CrawlRun's validator
+    cache). The response ETag (if any) is always captured into an
+    ``etag`` output column so the next generation can revalidate.
     """
     out_schema = StructType(
         list(batch.schema.fields)
@@ -69,6 +76,7 @@ def fetch_http(
             StructField("html", BinaryType()),
             StructField("status", IntegerType()),
             StructField("final_url", StringType()),
+            StructField("etag", StringType()),
         ]
     )
 
@@ -104,12 +112,16 @@ def fetch_http(
             htmls: list[bytes | None] = []
             statuses: list[int] = []
             finals: list[str] = []
+            etags: list[str | None] = []
             delays = (
                 pdf[delay_col]
                 if delay_col is not None and delay_col in pdf.columns
                 else [delay_ms] * len(pdf)
             )
-            for url, row_delay_ms in zip(pdf["url"], delays):
+            req_etags = (
+                pdf["_etag"] if "_etag" in pdf.columns else [None] * len(pdf)
+            )
+            for url, row_delay_ms, req_etag in zip(pdf["url"], delays, req_etags):
                 host = urlsplit(url).hostname or ""
                 if row_delay_ms and row_delay_ms > 0:
                     prev = last_hit.get(host)
@@ -123,26 +135,35 @@ def fetch_http(
                     target = f"{proxy_base.rstrip('/')}/{parts_.hostname}{parts_.path}"
                     if parts_.query:
                         target += f"?{parts_.query}"
-                body, status, final = b"", 0, url
+                body, status, final, resp_etag = b"", 0, url, None
                 try:
-                    req = urllib.request.Request(
-                        target, headers={"User-Agent": user_agent}
-                    )
+                    headers = {"User-Agent": user_agent}
+                    if req_etag is not None and not pd.isna(req_etag):
+                        headers["If-None-Match"] = str(req_etag)
+                    req = urllib.request.Request(target, headers=headers)
                     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                         body = resp.read()
                         status = int(resp.status)
+                        resp_etag = resp.headers.get("ETag")
                         landed = resp.geturl()
                         if landed and landed != target:
                             final = unproxy(landed, url)
                 except urllib.error.HTTPError as e:
                     status = int(e.code)
+                    # urllib raises on 304; it IS the success path of a
+                    # conditional GET — capture any ETag the server sent
+                    if status == 304:
+                        resp_etag = e.headers.get("ETag") if e.headers else None
                 except Exception:
                     status = 0  # DNS/conn/timeout: transient
                 last_hit[host] = time.monotonic()
                 htmls.append(body)
                 statuses.append(status)
                 finals.append(final)
-            yield pdf.assign(html=htmls, status=statuses, final_url=finals)
+                etags.append(resp_etag)
+            yield pdf.assign(
+                html=htmls, status=statuses, final_url=finals, etag=etags
+            )
 
     return batch.repartition("domain").mapInPandas(run, schema=out_schema)
 

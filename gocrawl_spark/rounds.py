@@ -296,6 +296,7 @@ class CrawlRun:
         rank_priority: DataFrame | None = None,
         prior_extracted: "DataFrame | None" = None,
         budget_weights: DataFrame | None = None,
+        validators: DataFrame | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -342,6 +343,13 @@ class CrawlRun:
         # carry warc_ts; rows extracted under this flag gain a page_ts
         # column so the NEXT generation can reuse them in turn.
         self.prior_extracted = prior_extracted
+        # optional (url, etag) validator cache from a prior generation
+        # (run.validators()) — http fetch mode sends If-None-Match per
+        # popped URL and a 304 carries the prior extraction forward
+        # (the live-web twin of reuse_unchanged). Requires
+        # prior_extracted: a 304 has no body to extract, so validators
+        # are only sent for URLs whose prior row can be carried.
+        self.validator_cache = validators
         # optional (domain, weight:long) table driving proportional-
         # fair round budgets (frontier.allocate_budgets) — OPT-IN via
         # cfg.round_budget: the global budget is split by weight share
@@ -685,6 +693,7 @@ class CrawlRun:
 
         retry = None
         resp = None
+        carry304 = None
         if cfg.fetch_mode == "http":
             # S2 real-fetch: live GETs, paced per host inside
             # domain-partitioned tasks; transient statuses re-enqueue
@@ -695,6 +704,18 @@ class CrawlRun:
             # per-domain delay as a column and let the pacer read it
             paced = batch
             delay_col = None
+            if self.validator_cache is not None and self.prior_extracted is not None:
+                # only ask for 304s we can act on: prior row must exist
+                # and carry links (carryable at any tier)
+                carryable = (
+                    self.prior_extracted.filter(F.col("links").isNotNull())
+                    .select("url").distinct()
+                )
+                v = (
+                    self.validator_cache.select("url", F.col("etag").alias("_etag"))
+                    .join(carryable, "url")
+                )
+                paced = paced.join(v, "url", "left")
             if self.host_policy is not None:
                 pol = self.host_policy.select(
                     "domain", F.col("delay_ms").alias("_pace_ms")
@@ -713,6 +734,7 @@ class CrawlRun:
             )
             if delay_col is not None:
                 resp_live = resp_live.drop(delay_col)
+            resp_live = resp_live.drop("_etag")
             # snapshot the responses BEFORE fan-out: retry counting,
             # extraction and redirect recording must all see one
             # consistent response set — a persist() evicted under
@@ -720,7 +742,23 @@ class CrawlRun:
             # a possibly-changed live server mid-round
             self._write(resp_live, rnd, "responses")
             resp = self._read(rnd, "responses")
-            fetched = resp.filter(F.col("status") == 200).drop("status", "final_url")
+            fetched = resp.filter(F.col("status") == 200).drop(
+                "status", "final_url", "etag", "_etag"
+            )
+            if self.prior_extracted is not None:
+                unchanged = resp.filter(F.col("status") == 304).select("url")
+                w304 = Window.partitionBy("url").orderBy(F.desc("crawl_round"))
+                prior = (
+                    self.prior_extracted.filter(F.col("links").isNotNull())
+                    .withColumn("_rn", F.row_number().over(w304))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                carry304 = (
+                    unchanged.join(prior, "url")
+                    .withColumn("crawl_round", F.lit(rnd))
+                    .select(self._EXTRACTED_COLS)
+                )
             if cfg.adaptive_backoff:
                 # adaptive-politeness state: domains the host throttled
                 # this round fetch at double delay next round
@@ -773,11 +811,10 @@ class CrawlRun:
         # bytes) and the whole candidate chain below is bypassed
         can_expand = batch.filter(F.col("depth") < cfg.max_depth).limit(1).count() > 0
         t0 = time.perf_counter()
-        self._write(
-            self._extract(fetched, can_expand, rnd),
-            rnd,
-            "extracted",
-        )
+        extracted_out = self._extract(fetched, can_expand, rnd)
+        if carry304 is not None:
+            extracted_out = extracted_out.unionByName(carry304)
+        self._write(extracted_out, rnd, "extracted")
         extracted = self._read(rnd, "extracted")
         n_fetched = extracted.count()
         t["fetch_extract"] = time.perf_counter() - t0
@@ -1535,6 +1572,25 @@ class CrawlRun:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self.run_dir, "rounds", "round=*", "metrics")
+        )
+
+    def validators(self) -> DataFrame:
+        """(url, etag): latest response validator per URL across this
+        run's committed rounds (http mode) — feed to the NEXT
+        generation's CrawlRun(validators=...) for conditional GETs. A
+        304 refreshes the validity without changing the etag, so both
+        200 and 304 rows count as "latest"."""
+        resp = self.spark.read.option("basePath", self.run_dir).parquet(
+            os.path.join(self.run_dir, "rounds", "round=*", "responses")
+        )
+        w = Window.partitionBy("url").orderBy(F.desc("round"))
+        return (
+            resp.filter(
+                F.col("etag").isNotNull() & F.col("status").isin(200, 304)
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "etag")
         )
 
     def redirects(self) -> DataFrame:

@@ -213,6 +213,7 @@ def run_schedule(
         if rank_frontier and prev is not None:
             rank_priority = generation_rank(spark, base_dir, prev)
         prior_extracted = None
+        validators = None
         if cfg.reuse_unchanged and prev is not None:
             glob = os.path.join(
                 _gen_dir(base_dir, prev), "rounds", "round=*", "extracted"
@@ -221,6 +222,15 @@ def run_schedule(
             # only a generation that was itself stamped can be reused
             if "page_ts" in prior.columns:
                 prior_extracted = prior
+            if cfg.fetch_mode == "http":
+                # live re-crawl: conditional GETs against the previous
+                # generation's validator cache (ETag -> 304 -> carry)
+                prev_run = CrawlRun(spark, None, [], _gen_dir(base_dir, prev))
+                try:
+                    validators = prev_run.validators()
+                    prior_extracted = prior  # 304 carry needs the rows
+                except Exception:
+                    validators = None  # prior gen ran corpus-mode
         run = CrawlRun(
             spark,
             corpus,
@@ -231,6 +241,7 @@ def run_schedule(
             sources=sources,
             rank_priority=rank_priority,
             prior_extracted=prior_extracted,
+            validators=validators,
         )
         history = run.run(resume=True)
         # a resumed generation's history covers only the post-resume

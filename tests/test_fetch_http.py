@@ -68,9 +68,20 @@ def web(spark, sf_dir):
                 self.send_response(404)
                 self.end_headers()
                 return
+            # strong validator (RFC 9110): content-addressed ETag,
+            # honored for If-None-Match conditional GETs
+            import hashlib as _hl
+
+            etag = '"' + _hl.sha256(body).hexdigest()[:16] + '"'
+            if self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("ETag", etag)
             self.end_headers()
             self.wfile.write(body)
 
@@ -423,3 +434,42 @@ def test_robots_discovery_is_distributed(spark, web, tmp_path, monkeypatch):
     assert len(_os.listdir(run3._robots_dir())) == 1
     folded = {r["host"] for r in run3._robots_table().collect()}
     assert len(folded) == 21 and "ghost00.example.com" in folded
+
+
+def test_conditional_recrawl_304(spark, web, tmp_path):
+    """Generation 2 with gen-1's validator cache: every carryable page
+    revalidates as 304 (no body shipped, no kernel run) and the
+    extracted output still matches gen 1 exactly."""
+    base, corpus, _ = web
+    n = 500
+    cfg = CrawlConfig(
+        max_depth=1, round_wall_s=10.0, max_rounds=3, use_bloom=False,
+        fetch_mode="http", http_proxy_base=base, delay_ms=0,
+    )
+    g1 = CrawlRun(spark, None, synth.seed_urls(n, k=8),
+                  str(tmp_path / "g1"), cfg)
+    g1.run(resume=False)
+    v = g1.validators()
+    assert v.count() > 10  # every 200 left a validator
+
+    g2 = CrawlRun(spark, None, synth.seed_urls(n, k=8),
+                  str(tmp_path / "g2"), cfg,
+                  prior_extracted=g1.extracted(), validators=v)
+    g2.run(resume=False)
+    resp2 = spark.read.option("basePath", str(tmp_path / "g2")).parquet(
+        str(tmp_path / "g2") + "/rounds/round=*/responses")
+    n304 = resp2.filter("status = 304").count()
+    n200 = resp2.filter("status = 200").count()
+    # carryable pages (prior links non-null) revalidate; final-tier
+    # pages (links null in gen 1) must refetch unconditionally
+    carryable = g1.extracted().filter("links is not null") \
+        .select("url").distinct()
+    n_carryable_fetched = resp2.join(carryable, "url").count()
+    assert n304 == n_carryable_fetched and n304 > 10
+    # no carryable page pays a full 200 re-download
+    assert resp2.filter("status = 200").join(carryable, "url").count() == 0
+    assert n200 + n304 <= resp2.count()
+    # same crawl product: identical article ids + bodies
+    a1 = sorted((r["id"], r["body"]) for r in g1.articles().collect())
+    a2 = sorted((r["id"], r["body"]) for r in g2.articles().collect())
+    assert a1 == a2 and len(a1) > 0
