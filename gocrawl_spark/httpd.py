@@ -31,6 +31,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gocrawl_spark import search
 
@@ -46,14 +47,33 @@ _SECURITY_HEADERS = {
 }
 
 
+def _plain(v):
+    """JSON-encodable copy: timestamps/dates/bytes → str, containers
+    recursed (response rows may carry arrays, structs, datetimes)."""
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
 class SearchBackend:
     """index name → (DataFrame, text column). The reference's
     SearchManager.Search runs an ES ``match{content}`` query and
     Count the same query (api.go:114-141); here that is match_topk +
     a score>0 count over the same TF expression."""
 
-    def __init__(self, tables: "dict[str, tuple[DataFrame, str]]"):
+    def __init__(
+        self,
+        tables: "dict[str, tuple[DataFrame, str]]",
+        cdx: "DataFrame | None" = None,
+    ):
         self.tables = tables
+        self.cdx = cdx
 
     def search(self, index: str, query: str, size: int) -> tuple[list[dict], int]:
         if index not in self.tables:
@@ -95,13 +115,50 @@ class SearchBackend:
             resp["aggregations"] = [r.asDict() for r in out["aggs"].collect()]
         return resp
 
+    def mget(self, index: str, ids: list) -> list[dict]:
+        """ES ``_mget``: one filtered scan for the whole id batch
+        (never one query per id), per-id found/missing in request
+        order — the bulk twin of the reference's GetDocument
+        (storage.go:139-158)."""
+        if index not in self.tables:
+            raise KeyError(index)
+        df, _ = self.tables[index]
+        rows = df.filter(F.col("id").isin(list(ids))).collect()
+        found = {r["id"]: _plain(r.asDict(recursive=True)) for r in rows}
+        return [
+            {"id": i, "found": i in found, **({"doc": found[i]} if i in found else {})}
+            for i in ids
+        ]
+
+    def cdx_hits(self, prefix: str, latest: bool, size: int) -> list[dict]:
+        """CDX capture lookup over the backend's attached index —
+        the pywb-style query surface (GET /cdx). Prefix range scan,
+        optional latest-capture collapse, deterministic order."""
+        if self.cdx is None:
+            raise KeyError("cdx")
+        from gocrawl_spark import cdx as cdxmod
+
+        hits = cdxmod.cdx_lookup(self.cdx, prefix, latest_only=latest)
+        order = ["surt"] if latest else ["surt", "ts_us"]
+        return [
+            _plain(r.asDict()) for r in hits.orderBy(*order).limit(size).collect()
+        ]
+
     @classmethod
-    def from_run_dir(cls, spark, run_dir: str) -> "SearchBackend":
+    def from_run_dir(
+        cls, spark, run_dir: str, cdx_dir: str | None = None
+    ) -> "SearchBackend":
         from gocrawl_spark.rounds import CrawlRun
 
         crawl = CrawlRun(spark, None, [], run_dir)
+        cdx = None
+        if cdx_dir is not None:
+            from gocrawl_spark import warc
+
+            cdx = warc.read_cdx(spark, cdx_dir)
         return cls(
-            {"articles": (crawl.articles(), "body"), "pages": (crawl.pages(), "content")}
+            {"articles": (crawl.articles(), "body"), "pages": (crawl.pages(), "content")},
+            cdx=cdx,
         )
 
     @classmethod
@@ -188,8 +245,37 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
         def do_GET(self) -> None:
             if self.path == "/health":
                 self._json(200, {"status": "ok"}, secure=False)
-            else:
-                self._json(404, {"error": "not found"}, secure=False)
+                return
+            from urllib.parse import parse_qs, urlsplit
+
+            u = urlsplit(self.path)
+            if u.path == "/cdx":
+                if not self._guard():
+                    return
+                q = parse_qs(u.query)
+                prefix = (q.get("prefix") or [""])[0]
+                if not prefix:
+                    self._json(400, {"error": "prefix required"}, secure=False)
+                    return
+                latest = (q.get("latest") or ["0"])[0] in ("1", "true")
+                try:
+                    size = min(int((q.get("size") or ["100"])[0]), 1000)
+                except ValueError:
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                try:
+                    hits = backend.cdx_hits(prefix, latest, size)
+                except KeyError:
+                    self._json(404, {"error": "no cdx index attached"},
+                               secure=False)
+                    return
+                except Exception:
+                    self._json(500, {"error": "Search failed"}, secure=False)
+                    return
+                self._json(200, {"captures": hits, "count": len(hits)})
+                return
+            self._json(404, {"error": "not found"}, secure=False)
 
         def _guard(self) -> bool:
             if api_key is not None:
@@ -231,6 +317,31 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
                     self._json(500, {"error": "Search failed"}, secure=False)
                     return
                 self._json(200, resp)
+                return
+            if self.path == "/mget":
+                if not self._guard():
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    index = req.get("index", "articles")
+                    ids = req.get("ids")
+                    if not isinstance(index, str) or not isinstance(ids, list):
+                        raise ValueError
+                except (ValueError, TypeError, json.JSONDecodeError, AttributeError):
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                try:
+                    docs = backend.mget(index, ids)
+                except KeyError:
+                    self._json(400, {"error": f"unknown index: {index}"},
+                               secure=False)
+                    return
+                except Exception:
+                    self._json(500, {"error": "Search failed"}, secure=False)
+                    return
+                self._json(200, {"docs": docs})
                 return
             if self.path != "/search":
                 self._json(404, {"error": "not found"}, secure=False)

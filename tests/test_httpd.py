@@ -186,3 +186,62 @@ def test_search_dsl_endpoint(server):
     assert code == 400 and "unknown index" in resp["error"]
     code, resp, _ = _post(server, "/search/dsl", b"{not json")
     assert code == 400
+
+
+def _get(base, path):
+    try:
+        with urllib.request.urlopen(base + path) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_mget_endpoint(server):
+    code, body, _ = _post(server, "/mget",
+                          {"index": "articles", "ids": ["a1", "nope", "a4"]})
+    assert code == 200
+    docs = body["docs"]
+    assert [d["id"] for d in docs] == ["a1", "nope", "a4"]  # request order
+    assert docs[0]["found"] and "doc" in docs[0]
+    assert docs[1] == {"id": "nope", "found": False}
+    assert docs[2]["doc"]["body"].startswith("bloom filters")
+    # bad payloads
+    assert _post(server, "/mget", {"ids": "a1"})[0] == 400
+    assert _post(server, "/mget", {"index": "zz", "ids": []})[0] == 400
+
+
+def test_cdx_endpoint(spark, corpus_df, tmp_path):
+    """GET /cdx over a WARC sidecar index attached to the backend."""
+    from gocrawl_spark import warc
+    from datetime import datetime
+
+    rows = [(f"https://ex.com/p{i}", datetime(2023, 1, 1 + i),
+             f"<html>{i}</html>".encode()) for i in range(4)]
+    corpus = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    warc.write_warc(corpus, str(tmp_path / "a"), cdx_dir=str(tmp_path / "c"))
+    backend = httpd.SearchBackend(
+        {"articles": (corpus_df, "body")},
+        cdx=warc.read_cdx(spark, str(tmp_path / "c")))
+    srv = httpd.serve(backend, port=0)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(base, "/cdx?prefix=com,ex)")
+        assert code == 200 and body["count"] == 4
+        assert body["captures"][0]["surt"] == "com,ex)/p0"
+        assert body["captures"][0]["length"] == len("<html>0</html>")
+        code, body = _get(base, "/cdx?prefix=com,ex)&latest=1")
+        assert code == 200 and body["count"] == 4
+        assert all("n_captures" in c for c in body["captures"])
+        assert _get(base, "/cdx")[0] == 400
+        assert _get(base, "/cdx?prefix=zz")[1]["count"] == 0
+    finally:
+        srv.shutdown()
+    # a backend without an index answers 404
+    b2 = httpd.SearchBackend({"articles": (corpus_df, "body")})
+    srv2 = httpd.serve(b2, port=0)
+    try:
+        assert _get(f"http://127.0.0.1:{srv2.server_address[1]}",
+                    "/cdx?prefix=x")[0] == 404
+    finally:
+        srv2.shutdown()
