@@ -127,6 +127,12 @@ class CrawlConfig:
     # bench-only arithmetic-intensity calibration (BENCH/BASELINE.md):
     # re-runs the extraction kernel per page to sweep compute-per-byte
     extract_repeat: int = 1
+    # live-robots cache TTL (http mode, OPT-IN; RFC 9309 §2.4 allows
+    # caching up to 24h): a host's cached robots.txt older than this
+    # many rounds is re-fetched and the fresh rules supersede
+    # (latest-wins per host) — rounds are the clock, as everywhere.
+    # None = cache forever (the pre-TTL behavior).
+    robots_ttl_rounds: int | None = None
     # OPIC online importance (Abiteboul/Preda/Cobena 2003, OPT-IN):
     # every seed starts with one unit of "cash"; a popped page
     # distributes its accumulated cash equally over its resolved
@@ -418,13 +424,14 @@ class CrawlRun:
             .select(cols)
         )
 
-    def _gate_robots(self, df: DataFrame) -> DataFrame:
+    def _gate_robots(self, df: DataFrame, rnd: int = 0) -> DataFrame:
         if not self.cfg.respect_robots:
             return df
         if self._live_robots:
             # http mode with no static table: discover per-host robots
-            # for any hosts this gate hasn't seen yet (every round)
-            self._discover_robots(df)
+            # for any hosts this gate hasn't seen yet (every round),
+            # plus TTL-expired hosts when robots_ttl_rounds is set
+            self._discover_robots(df, rnd)
         if self.robots is None:
             return df  # no table, no live endpoint: nothing to gate on
         from gocrawl_spark import robots as rb
@@ -434,10 +441,14 @@ class CrawlRun:
     def _robots_dir(self) -> str:
         return os.path.join(self.run_dir, "robots")
 
-    def _robots_table(self) -> "DataFrame | None":
-        """Union of the persisted robots deltas, or None before any
-        host has been discovered. Survives restarts like every other
-        piece of crawl state (the deltas are plain snapshot tables)."""
+    def _robots_table(self, with_round: bool = False) -> "DataFrame | None":
+        """Latest robots row per host across the persisted deltas, or
+        None before any host has been discovered. Survives restarts
+        like every other piece of crawl state. Pre-TTL runs wrote
+        deltas with disjoint hosts and no fetched_round column
+        (mergeSchema surfaces nulls → treated as round -1); with
+        robots_ttl_rounds a host may appear in several deltas and the
+        freshest row wins."""
         base = self._robots_dir()
         if not os.path.isdir(base):
             return None
@@ -446,21 +457,43 @@ class CrawlRun:
         )
         if not deltas:
             return None
-        return self.spark.read.parquet(*deltas)
+        t = self.spark.read.option("mergeSchema", "true").parquet(*deltas)
+        if "fetched_round" not in t.columns:
+            t = t.withColumn("fetched_round", F.lit(-1))
+        t = t.withColumn(
+            "fetched_round", F.coalesce("fetched_round", F.lit(-1))
+        )
+        w = Window.partitionBy("host").orderBy(F.desc("fetched_round"))
+        t = (
+            t.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return t if with_round else t.drop("fetched_round")
 
-    def _discover_robots(self, candidates: DataFrame) -> None:
+    def _discover_robots(self, candidates: DataFrame, rnd: int = 0) -> None:
         """Live S3: fetch robots.txt once per newly-seen host (the
         reference fetches robots per collector domain). Fully
         distributed — new hosts come from a left_anti join against the
         persisted robots table and each round's fetches land as a
         parquet delta; no host list or rules text ever accumulates on
-        the driver (at open-web scale that's millions of hosts)."""
+        the driver (at open-web scale that's millions of hosts). With
+        cfg.robots_ttl_rounds, hosts whose cached rules are older than
+        the TTL re-fetch too and the fresh delta supersedes
+        (latest-wins in _robots_table) — RFC 9309 §2.4 cache expiry
+        with rounds as the clock."""
         from gocrawl_spark import fetch as fh
 
         hosts = candidates.select("host").distinct()
-        known = self._robots_table()
+        known = self._robots_table(with_round=True)
         if known is not None:
-            hosts = hosts.join(known.select("host"), "host", "left_anti")
+            fresh = known
+            if self.cfg.robots_ttl_rounds is not None:
+                fresh = known.filter(
+                    F.col("fetched_round") > rnd - self.cfg.robots_ttl_rounds
+                )
+            hosts = hosts.join(fresh.select("host"), "host", "left_anti")
+            known = known.drop("fetched_round")
         if hosts.limit(1).count() == 0:
             self.robots = known
             return  # no new hosts → merged policy already current
@@ -481,9 +514,9 @@ class CrawlRun:
         # the synthesized disallow-all for THIS round only and, being
         # absent from the table, is re-fetched by the left_anti next
         # round — RFC 9309 unreachable ≠ permanently unrestricted
-        fetched.filter(F.col("ok")).drop("ok").write.mode("overwrite").parquet(
-            os.path.join(base, f"delta={idx:04d}")
-        )
+        fetched.filter(F.col("ok")).drop("ok").withColumn(
+            "fetched_round", F.lit(rnd)
+        ).write.mode("overwrite").parquet(os.path.join(base, f"delta={idx:04d}"))
         unreachable = fetched.filter(~F.col("ok")).drop("ok")
         table = self._robots_table()
         self.robots = (
@@ -827,7 +860,7 @@ class CrawlRun:
         cand = None
         if can_expand:
             cand = self._apply_rank_priority(
-                self._gate_robots(expand_candidates(extracted, batch, cfg, rnd))
+                self._gate_robots(expand_candidates(extracted, batch, cfg, rnd), rnd)
             ).persist()
             cand.count()
         t["expand"] = time.perf_counter() - t0
@@ -1329,16 +1362,27 @@ class CrawlRun:
                 # (the resumed round re-appends its delta either way)
                 wm = min(wm, last)
                 self._seen_index.compact(self._seen_upto(wm), wm)
-        # fold the live-robots deltas into one (hosts are DISJOINT
-        # across deltas — only newly-seen hosts are ever fetched — so
-        # the fold is a plain rewrite, no dedup needed); an open-web
-        # crawl otherwise accumulates one delta dir per round forever
+        # fold the live-robots deltas into one. Pre-TTL, hosts are
+        # disjoint across deltas; with robots_ttl_rounds a host may
+        # recur, so the fold keeps the freshest row per host (the same
+        # latest-wins rule _robots_table reads by); an open-web crawl
+        # otherwise accumulates one delta dir per round forever
         rb_dir = self._robots_dir()
         if os.path.isdir(rb_dir):
             deltas = sorted(d for d in os.listdir(rb_dir) if d.startswith("delta="))
             if len(deltas) > 1:
-                folded = self.spark.read.parquet(
+                folded = self.spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(rb_dir, d) for d in deltas]
+                )
+                if "fetched_round" not in folded.columns:
+                    folded = folded.withColumn("fetched_round", F.lit(-1))
+                wrb = Window.partitionBy("host").orderBy(
+                    F.desc(F.coalesce("fetched_round", F.lit(-1)))
+                )
+                folded = (
+                    folded.withColumn("_rn", F.row_number().over(wrb))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
                 )
                 tmp_rb = rb_dir + "._tmp"
                 shutil.rmtree(tmp_rb, ignore_errors=True)

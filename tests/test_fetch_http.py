@@ -473,3 +473,43 @@ def test_conditional_recrawl_304(spark, web, tmp_path):
     a1 = sorted((r["id"], r["body"]) for r in g1.articles().collect())
     a2 = sorted((r["id"], r["body"]) for r in g2.articles().collect())
     assert a1 == a2 and len(a1) > 0
+
+
+def test_robots_ttl_refetch(spark, web, tmp_path):
+    """robots_ttl_rounds: cached robots.txt re-fetches once stale;
+    cache-forever (default) fetches each host once."""
+    base, corpus, hits = web
+
+    def robots_hits():
+        return {p: n for p, n in hits.items() if p.endswith("/robots.txt")}
+
+    def crawl(ttl, d):
+        cfg = CrawlConfig(
+            max_depth=2, round_wall_s=10.0, max_rounds=3, use_bloom=False,
+            fetch_mode="http", http_proxy_base=base, delay_ms=0,
+            respect_robots=True, robots_ttl_rounds=ttl,
+        )
+        run = CrawlRun(spark, None, synth.seed_urls(500, k=8),
+                       str(tmp_path / d), cfg)
+        run.run(resume=False)
+        return run
+
+    before = robots_hits()
+    run_forever = crawl(None, "forever")
+    mid = robots_hits()
+    once = {p: mid.get(p, 0) - before.get(p, 0) for p in mid}
+    # default: each discovered host fetched exactly once
+    assert once and all(n == 1 for p, n in once.items() if n > 0)
+
+    run_ttl = crawl(1, "ttl")
+    after = robots_hits()
+    ttl_counts = [after.get(p, 0) - mid.get(p, 0) for p in after]
+    # ttl=1: hosts present across rounds re-fetch at least twice
+    assert max(ttl_counts) >= 2
+    # latest-wins table stays one row per host
+    t = run_ttl._robots_table()
+    assert t.count() == t.select("host").distinct().count()
+    # both crawls produce the same seen set (rules are static here)
+    a = sorted(r["url"] for r in run_forever.seen_final().collect())
+    b = sorted(r["url"] for r in run_ttl.seen_final().collect())
+    assert a == b
