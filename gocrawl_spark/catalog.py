@@ -20,6 +20,7 @@ implementation touches nothing else).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -122,6 +123,60 @@ class Warehouse:
             if os.path.isdir(os.path.join(self.root, d)):
                 out.append((d, self.table(d).count()))
         return out
+
+    # ------------------------------------------------------------ aliases
+    _ALIASES_FILE = ".aliases.json"
+
+    def aliases(self) -> dict:
+        """alias → member index list (ES _aliases view). Stored as a
+        dot-file in the warehouse root (table names may not start with
+        '.', so no collision)."""
+        p = os.path.join(self.root, self._ALIASES_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_aliases(self, a: dict) -> None:
+        p = os.path.join(self.root, self._ALIASES_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(a, f, sort_keys=True)
+        os.replace(tmp, p)
+
+    def put_alias(self, alias: str, index: str) -> None:
+        """ES PUT _alias: point `alias` at `index` (additive — an
+        alias over several indices reads as their union, like ES
+        multi-index search)."""
+        if not alias or alias.startswith(".") or "/" in alias:
+            raise ValueError(f"bad alias name: {alias!r}")
+        if self.table_exists(alias):
+            raise ValueError(f"alias collides with index: {alias}")
+        if not self.table_exists(index):
+            raise KeyError(index)
+        a = self.aliases()
+        members = a.setdefault(alias, [])
+        if index not in members:
+            members.append(index)
+        self._save_aliases(a)
+
+    def delete_alias(self, alias: str, index: "str | None" = None) -> None:
+        """ES DELETE _alias: drop one member, or the whole alias."""
+        a = self.aliases()
+        if alias not in a:
+            raise KeyError(alias)
+        if index is None:
+            del a[alias]
+        else:
+            a[alias] = [m for m in a[alias] if m != index]
+            if not a[alias]:
+                del a[alias]
+        self._save_aliases(a)
+
+    def resolve(self, name: str) -> list[str]:
+        """alias → member indices; a concrete index resolves to
+        itself."""
+        return list(self.aliases().get(name, [name]))
 
     def get_index_health(self, name: str) -> str:
         """A4 health (GetIndexHealth, storage.go:600-630): green =
@@ -260,12 +315,29 @@ class Warehouse:
 
     # ------------------------------------------------------------ rows (S5)
     def table(self, name: str) -> DataFrame:
+        members = self.aliases().get(name)
+        if members:
+            # multi-index alias reads as the union (ES multi-index
+            # search); schemas may differ per index — missing columns
+            # null-fill like ES's sparse doc fields
+            dfs = [self.spark.read.parquet(self._path(m)) for m in members]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
         return self.spark.read.parquet(self._path(name))
 
     def upsert(self, name: str, df: DataFrame, key: str = "id") -> None:
         """Doc-id upsert: incoming rows overwrite same-key rows,
         read-your-writes (the refresh=true contract). MERGE INTO
         analogue: keep-latest-per-key with incoming preferred."""
+        members = self.aliases().get(name)
+        if members is not None:
+            if len(members) != 1:
+                raise ValueError(
+                    f"cannot write through multi-index alias: {name}"
+                )
+            name = members[0]  # ES single-member write alias
         p = self._path(name)
         current = self.table(name) if os.path.isdir(p) else None
         incoming = df.withColumn("_gen", F.lit(1))
@@ -292,6 +364,13 @@ class Warehouse:
 
     def delete(self, name: str, doc_id: str, key: str = "id") -> None:
         """S8 row-level delete (Iceberg `DELETE FROM` analogue)."""
+        members = self.aliases().get(name)
+        if members is not None:
+            if len(members) != 1:
+                raise ValueError(
+                    f"cannot write through multi-index alias: {name}"
+                )
+            name = members[0]
         p = self._path(name)
         out = self.table(name).filter(F.col(key) != doc_id)
         tmp = p + "._tmp"

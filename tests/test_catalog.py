@@ -169,3 +169,42 @@ def test_create_index_default_mapping(spark):
     assert wh.table("tiny").schema.fieldNames() == ["k"]
     with pytest.raises(ValueError):
         wh.create_index("bad", {"properties": {"x": {"type": "geo_shape"}}})
+
+
+def test_index_aliases(spark, tmp_path):
+    """ES alias semantics: reads union members (null-filled sparse
+    fields), writes route through single-member aliases only."""
+    from gocrawl_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    a = spark.createDataFrame([("a1", "x")], "id string, body string")
+    b = spark.createDataFrame([("b1", "y", 3)],
+                              "id string, body string, extra int")
+    wh.upsert("news", a)
+    wh.upsert("blogs", b)
+
+    wh.put_alias("content", "news")
+    wh.put_alias("content", "blogs")
+    assert wh.resolve("content") == ["news", "blogs"]
+    assert wh.resolve("news") == ["news"]
+    rows = {r["id"]: r for r in wh.table("content").collect()}
+    assert set(rows) == {"a1", "b1"}
+    assert rows["a1"]["extra"] is None  # sparse field null-fills
+    assert wh.count("content") == 2
+    assert wh.get("content", "b1")["body"] == "y"
+
+    # writes: multi-member alias rejected; single-member routes through
+    with pytest.raises(ValueError):
+        wh.upsert("content", a)
+    wh.delete_alias("content", "blogs")
+    wh.upsert("content", spark.createDataFrame(
+        [("a2", "z")], "id string, body string"))
+    assert wh.count("news") == 2  # landed in the member index
+
+    # hygiene: alias can't shadow a table; members must exist
+    with pytest.raises(ValueError):
+        wh.put_alias("news", "blogs")
+    with pytest.raises(KeyError):
+        wh.put_alias("x", "missing")
+    wh.delete_alias("content")
+    assert wh.resolve("content") == ["content"]
