@@ -676,6 +676,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pack_sequences"] = train_pack_sequences
 
+    def train_fim(spark, sf_dir):
+        """Fill-in-the-middle transform (curation.fim_transform,
+        Bavarian et al. 2022): every 2nd doc reordered to
+        PSM/SPM with sentinel tokens, split points from deterministic
+        id arithmetic — one codegen'd projection, zero shuffle."""
+        return curation.fim_transform(_docs(spark, sf_dir))
+
+    q["train_fim"] = train_fim
+
     def curate_blocklist(spark, sf_dir):
         """UT1-style domain blocklist (curation.blocklist_filter, the
         RefinedWeb adult/malware cut): synthetic per-doc URLs, a
@@ -3190,6 +3199,39 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # deterministic shard shuffle: same md5 key, same high-32-bit mod
+    # FIM: same integer-DIV split arithmetic, same PSM/SPM layouts
+    o["train_fim"] = """
+        WITH s AS (
+          SELECT doc_id, text, length(text)::BIGINT AS n,
+                 least(length(text)::BIGINT,
+                       (length(text) // 3) + doc_id % 5) AS p1,
+                 least(length(text)::BIGINT,
+                       ((2 * length(text)) // 3) + doc_id % 3) AS p2
+          FROM documents),
+        sp AS (
+          SELECT doc_id, text, n,
+                 least(p1, p2) AS lo, greatest(p1, p2) AS hi
+          FROM s),
+        parts AS (
+          SELECT doc_id, text,
+                 substr(text, 1, lo::INT) AS prefix,
+                 substr(text, (lo + 1)::INT, (hi - lo)::INT) AS middle,
+                 substr(text, (hi + 1)::INT, (n - hi)::INT) AS suffix,
+                 CASE WHEN doc_id % 2 <> 0 THEN 'plain'
+                      WHEN doc_id % 4 = 0 THEN 'spm'
+                      ELSE 'psm' END AS fim_mode
+          FROM sp)
+        SELECT doc_id, fim_mode,
+               CASE fim_mode
+                 WHEN 'plain' THEN text
+                 WHEN 'spm' THEN '<fim_prefix><fim_suffix>' || suffix
+                                  || '<fim_middle>' || prefix || middle
+                 ELSE '<fim_prefix>' || prefix || '<fim_suffix>' || suffix
+                      || '<fim_middle>' || middle
+               END AS fim_text
+        FROM parts
+    """
+
     o["train_shuffle_shards"] = """
         WITH k AS (
           SELECT doc_id,

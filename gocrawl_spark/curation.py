@@ -1077,3 +1077,61 @@ __all__ = [
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
     "temperature_weights",
 ]
+
+
+def fim_transform(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_mod: int = 2,
+    spm_mod: int = 4,
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    selected documents split into (prefix, middle, suffix) and reorder
+    with sentinel tokens —
+
+    - PSM: ``<fim_prefix>P<fim_suffix>S<fim_middle>M``
+    - SPM: ``<fim_prefix><fim_suffix>S<fim_middle>PM`` (the joined
+      variant the paper recommends for inference-matching)
+
+    Deterministic stand-in for the paper's random choices (engines and
+    re-runs must agree bit-for-bit): a doc is transformed when
+    ``id % rate_mod == 0`` (paper: 50% FIM rate at rate_mod=2),
+    takes SPM when ``id % spm_mod == 0``, and the two split points are
+    ``len/3 + id%5`` and ``2*len/3 + id%3`` (clamped) — id-dependent
+    so splits vary across the corpus. Pure codegen'd substring
+    arithmetic: one projection, zero shuffle, FIM at 100 TB costs a
+    scan."""
+    d, t = F.col(id_col), F.col(text_col)
+    n = F.length(t).cast("long")
+    # integer DIV, not float-divide-then-cast: engines must agree on
+    # the split byte exactly (text_col must be a plain column name)
+    p1 = F.least(n, F.expr(f"length({text_col}) DIV 3") + d % 5)
+    p2 = F.least(n, F.expr(f"(2 * length({text_col})) DIV 3") + d % 3)
+    lo = F.least(p1, p2)
+    hi = F.greatest(p1, p2)
+    prefix = F.substring(t, F.lit(1), lo)
+    middle = F.substring(t, lo + 1, hi - lo)
+    suffix = F.substring(t, hi + 1, n - hi)
+    psm = F.concat(
+        F.lit("<fim_prefix>"), prefix, F.lit("<fim_suffix>"), suffix,
+        F.lit("<fim_middle>"), middle,
+    )
+    spm = F.concat(
+        F.lit("<fim_prefix><fim_suffix>"), suffix,
+        F.lit("<fim_middle>"), prefix, middle,
+    )
+    mode = (
+        F.when(d % rate_mod != 0, F.lit("plain"))
+        .when(d % spm_mod == 0, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+    )
+    out = (
+        F.when(mode == "plain", t)
+        .when(mode == "spm", spm)
+        .otherwise(psm)
+    )
+    return docs.select(
+        d.alias("doc_id"), mode.alias("fim_mode"), out.alias("fim_text")
+    )

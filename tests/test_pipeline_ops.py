@@ -2663,3 +2663,29 @@ def test_suggest_topk_prefix_and_ranking(spark):
     got2 = search.suggest_topk(docs, "ca", k=2).collect()
     assert [r["term"] for r in got2] == ["castle", "cat"]
     assert search.suggest_topk(docs, "zz", k=5).count() == 0
+
+
+def test_fim_transform_layouts(spark):
+    """FIM reorder is lossless: PSM/SPM carry every original byte once,
+    sentinels in the documented order; plain docs pass through."""
+    from gocrawl_spark import curation
+
+    docs = spark.createDataFrame(
+        [(2, "abcdefghijkl"), (4, "abcdefghijkl"), (1, "abcdefghijkl"),
+         (0, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in curation.fim_transform(docs).collect()}
+    assert got[1]["fim_mode"] == "plain" and got[1]["fim_text"] == "abcdefghijkl"
+    # doc 2: n=12, lo=min(12, 4+2)=6, hi=min(12, 8+2)=10 -> P=a..f M=g..j S=kl
+    assert got[2]["fim_mode"] == "psm"
+    assert got[2]["fim_text"] == "<fim_prefix>abcdef<fim_suffix>kl<fim_middle>ghij"
+    # doc 4: lo=min(12,4+4)=8, hi=min(12,8+1)=9 -> P=a..h M=i S=jkl
+    assert got[4]["fim_mode"] == "spm"
+    assert got[4]["fim_text"] == "<fim_prefix><fim_suffix>jkl<fim_middle>abcdefghi"
+    # reconstruction: stripping sentinels recovers a permutation that
+    # contains every original char exactly once
+    import re
+    body = re.sub(r"<fim_(prefix|suffix|middle)>", "", got[2]["fim_text"])
+    assert sorted(body) == sorted("abcdefghijkl")
+    assert got[0]["fim_text"].startswith("<fim_prefix>")  # empty doc safe
