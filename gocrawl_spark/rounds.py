@@ -519,6 +519,14 @@ class CrawlRun:
         ).write.mode("overwrite").parquet(os.path.join(base, f"delta={idx:04d}"))
         unreachable = fetched.filter(~F.col("ok")).drop("ok")
         table = self._robots_table()
+        if table is not None:
+            # a TTL re-fetch that failed keeps the CACHED rules (RFC
+            # 9309 §2.4 allows the cached copy on unreachability) —
+            # without this anti-join the synthesized disallow-all row
+            # would duplicate the host in the gate table
+            unreachable = unreachable.join(
+                table.select("host"), "host", "left_anti"
+            )
         self.robots = (
             table.unionByName(unreachable) if table is not None else unreachable
         )
@@ -957,7 +965,10 @@ class CrawlRun:
                 if rnd == 0
                 else None
             )
-            opic_delta = self._opic_round_delta(batch, extracted, rnd, grants)
+            # retried (transient-failure) pops keep their cash: they
+            # distributed nothing this round and will pop again — the
+            # same popped-minus-retry rule the seen delta applies
+            opic_delta = self._opic_round_delta(seen_src, extracted, rnd, grants)
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(self._write, frontier_next, rnd, "frontier"),

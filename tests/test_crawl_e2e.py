@@ -433,3 +433,26 @@ def test_opic_state_survives_resume_and_compact(spark, tmp_path):
     assert run2.compact(keep_rounds=0) is not None
     folded = {h: c for h, c in map(tuple, run2.opic_cash().collect())}
     assert folded == after
+
+
+def test_opic_retried_pop_keeps_cash(spark, tmp_path):
+    """A transiently-failed pop distributed nothing — its cash must
+    survive for the retry round (popped-minus-retry, like seen)."""
+    from datetime import datetime
+
+    ts = datetime(2023, 1, 1)
+    corpus = spark.createDataFrame(
+        [("https://a.com/s0", ts, b"<html><body>x</body></html>",
+          "seed", "en", 2)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, fail_attempts int",
+    )
+    cfg = CrawlConfig(max_depth=1, max_rounds=1, round_wall_s=10.0,
+                      opic=True, max_retries=3)
+    run = CrawlRun(spark, corpus, ["https://a.com/s0"], str(tmp_path / "r"),
+                   cfg)
+    run.run()
+    cash = {r["url_hash"]: r["cash_u"]
+            for r in run._opic_cash_upto(0).collect()}
+    # attempt 0 < fail_attempts=2 -> transient -> retried -> cash kept
+    assert cash[sha("https://a.com/s0")] == 1_000_000

@@ -303,3 +303,46 @@ def test_unreachable_robots_disallows_without_persisting(spark):
         assert kept == {"https://h404.test/any", "https://h200.test/ok"}
     finally:
         srv.shutdown()
+
+
+def test_ttl_refetch_unreachable_keeps_cached_rules(spark, tmp_path, monkeypatch):
+    """A TTL re-fetch that fails (5xx/network) keeps the CACHED rules
+    (RFC 9309 §2.4) — and never duplicates the host in the gate
+    table."""
+    from gocrawl_spark import fetch as fh
+    from gocrawl_spark.rounds import CrawlConfig, CrawlRun
+
+    cfg = CrawlConfig(
+        respect_robots=True, fetch_mode="http", robots_ttl_rounds=1,
+    )
+    run = CrawlRun(spark, None, [], str(tmp_path / "r"), cfg)
+    cand = spark.createDataFrame([("a.com",), ("b.com",)], "host string")
+
+    def fake_ok(hosts, **kw):
+        return spark.createDataFrame(
+            [(r["host"], "User-agent: *\nDisallow: /private", True)
+             for r in hosts.collect()],
+            "host string, rules string, ok boolean",
+        )
+
+    monkeypatch.setattr(fh, "fetch_robots", fake_ok)
+    run._discover_robots(cand, rnd=0)
+    assert run.robots.count() == 2
+
+    def fake_down(hosts, **kw):
+        from gocrawl_spark.fetch import UNREACHABLE_RULES
+        return spark.createDataFrame(
+            [(r["host"], UNREACHABLE_RULES, False) for r in hosts.collect()],
+            "host string, rules string, ok boolean",
+        )
+
+    monkeypatch.setattr(fh, "fetch_robots", fake_down)
+    run._discover_robots(cand, rnd=5)  # TTL expired -> re-fetch fails
+    rows = run.robots.collect()
+    assert len(rows) == 2  # one row per host, no duplicate
+    assert all("Disallow: /private" in r["rules"] for r in rows)  # cached wins
+    # a NEVER-seen host that is unreachable still gets disallow-all
+    cand3 = spark.createDataFrame([("c.com",)], "host string")
+    run._discover_robots(cand3, rnd=5)
+    got = {r["host"]: r["rules"] for r in run.robots.collect()}
+    assert "Disallow: /" in got["c.com"] and len(got) == 3
