@@ -333,6 +333,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_suggest"] = search_suggest
 
+    def search_mlt(spark, sf_dir):
+        """ES more_like_this (search.mlt_topk): representative terms
+        of doc 7 (tf·idf-ranked, Lucene idf, deterministic tie-break,
+        cap 10) drive an OR match with a 30% minimum_should_match;
+        score folded in sorted term order so the float sum is
+        bit-stable. One postings shuffle + broadcast term set."""
+        return search.mlt_topk(
+            _docs(spark, sf_dir), 7, text_col="text", id_col="doc_id",
+            k=10, max_query_terms=10, min_term_freq=1, min_doc_freq=2,
+            min_should_match_pct=30,
+        )
+
+    q["search_mlt"] = search_mlt
+
     def search_highlight(spark, sf_dir):
         """ES highlight analogue (search.highlight_topk): top-10 by
         match TF with one 80-char snippet of the ORIGINAL text around
@@ -5734,6 +5748,38 @@ def oracle_sql() -> dict[str, str]:
         FROM p WHERE term LIKE 's%'
         GROUP BY term
         ORDER BY doc_freq DESC, term LIMIT 10
+    """
+
+    # more_like_this: same postings/df/selection pipeline; the score
+    # fold is the canonical order-pinned list_reduce twin
+    o["search_mlt"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents),
+        p AS MATERIALIZED (
+          SELECT id, term, count(*)::BIGINT AS tf
+          FROM (SELECT id, unnest(toks) AS term FROM t) GROUP BY id, term),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        sel AS MATERIALIZED (
+          SELECT term,
+                 ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5)/(df + 0.5)) AS idf,
+                 round(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5)/(df + 0.5))
+                       * tf, 9) AS s
+          FROM p JOIN dfreq USING (term)
+          WHERE id = 7 AND tf >= 1 AND df >= 2
+          ORDER BY s DESC, term LIMIT 10),
+        ns AS (SELECT count(*)::BIGINT AS n_sel FROM sel),
+        contrib AS (SELECT p.id, p.term, sel.idf * p.tf AS c
+                    FROM p JOIN sel USING (term) WHERE p.id <> 7),
+        folded AS (SELECT id,
+                          list_reduce(list_prepend(0.0::DOUBLE,
+                                                   list(c ORDER BY term)),
+                                      (a, b) -> a + b) AS score,
+                          count(*)::BIGINT AS n_matched
+                   FROM contrib GROUP BY id)
+        SELECT id, round(score, 6) AS score
+        FROM folded
+        WHERE n_matched >= ((SELECT n_sel FROM ns) * 30 + 99) // 100
+        ORDER BY score DESC, id LIMIT 10
     """
 
     # search_bool_fuzzy: expansion sets re-derived in SQL (same vocab

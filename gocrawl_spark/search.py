@@ -463,6 +463,82 @@ def bm25_topk(
     )
 
 
+def mlt_topk(
+    df: DataFrame,
+    like_id,
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+    min_should_match_pct: int = 30,
+) -> DataFrame:
+    """ES ``more_like_this``: find documents similar to one document.
+
+    1. Representative-term selection from the `like` doc: terms with
+       tf ≥ min_term_freq and corpus df ≥ min_doc_freq, ranked by
+       round(idf·tf, 9) with Lucene idf = ln(1+(N−df+0.5)/(df+0.5)),
+       (score DESC, term ASC) deterministic order, capped at
+       max_query_terms — exactly ES's interestingTerms pipeline with
+       a pinned tie-break.
+    2. Scoring: Σ idf·tf over the selected terms per candidate doc,
+       folded in SORTED term order (collect_list→array_sort→aggregate)
+       so the float sum is bit-equal at any partitioning; a doc must
+       contain ≥ ceil(min_should_match_pct% of the selected terms)
+       distinct selected terms (integer ceil — (n·pct+99) DIV 100);
+       the like doc itself is excluded.
+
+    Scale shape: one (id, term) postings shuffle; term stats are
+    vocabulary-sized; the selected-term set (≤ max_query_terms rows)
+    broadcasts. Output (id, score) by (round(score,6) DESC, id ASC),
+    limit k."""
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count("*").alias("n_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sel = (
+        postings.filter(
+            (F.col("id") == F.lit(like_id)) & (F.col("tf") >= min_term_freq)
+        )
+        .join(dfreq, "term")
+        .filter(F.col("df") >= min_doc_freq)
+        .crossJoin(F.broadcast(n))
+        .select("term", idf.alias("idf"), F.round(idf * F.col("tf"), 9).alias("_sel"))
+        .orderBy(F.desc("_sel"), F.asc("term"))
+        .limit(max_query_terms)
+    )
+    nsel = sel.agg(F.count("*").alias("n_sel"))
+    contrib = (
+        postings.filter(F.col("id") != F.lit(like_id))
+        .join(F.broadcast(sel.select("term", "idf")), "term")
+        .select("id", "term", (F.col("idf") * F.col("tf")).alias("c"))
+    )
+    folded = contrib.groupBy("id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    required = F.expr("(n_sel * {p} + 99) DIV 100".format(p=int(min_should_match_pct)))
+    return (
+        folded.crossJoin(F.broadcast(nsel))
+        .filter(F.col("n_matched") >= required)
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # ES `bool` query compositor (must / should / must_not / filter)
 # ---------------------------------------------------------------------------

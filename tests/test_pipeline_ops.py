@@ -2689,3 +2689,31 @@ def test_fim_transform_layouts(spark):
     body = re.sub(r"<fim_(prefix|suffix|middle)>", "", got[2]["fim_text"])
     assert sorted(body) == sorted("abcdefghijkl")
     assert got[0]["fim_text"].startswith("<fim_prefix>")  # empty doc safe
+
+
+def test_mlt_topk_semantics(spark):
+    """more_like_this: the like-doc's rare terms drive similarity;
+    common terms (high df, low idf) matter less; the like doc itself
+    never appears; min_should_match gates thin overlaps."""
+    from gocrawl_spark import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum entanglement spooky physics physics"),
+            (2, "quantum entanglement experiments in physics"),
+            (3, "spooky stories about entanglement"),
+            (4, "cooking pasta with tomato sauce"),
+            (5, "physics of cooking"),
+        ],
+        "doc_id long, content string",
+    )
+    got = search.mlt_topk(docs, 1, id_col="doc_id", k=10,
+                          min_doc_freq=2, min_should_match_pct=50)
+    rows = got.collect()
+    ids = [r["id"] for r in rows]
+    assert 1 not in ids            # like doc excluded
+    assert ids[0] == 2             # shares quantum+entanglement+physics
+    assert 4 not in ids            # no overlap at all
+    # 50% gate: doc 5 shares only 'physics' (1 of >=3 selected terms)
+    assert 5 not in ids
+    assert all(r["score"] > 0 for r in rows)
