@@ -298,3 +298,61 @@ def test_rare_multi_terms_one_exchange(spark, sf_dir):
         # rangepartitioning for the global top-N order
         assert n_ex == 1, f"{spec}: {n_ex} hash exchanges\n{plan}"
         assert plan.count("FileScan") == 1
+
+
+def test_suggest_prefix_filter_precedes_vocab_agg(spark, sf_dir):
+    """suggest_topk: the prefix filter must sit BELOW the aggregate
+    exchange — only matching terms shuffle, the vocabulary never
+    does."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(search.suggest_topk(docs, "s", field="text"))
+    agg_at = plan.find("HashAggregate")
+    filt_at = plan.rfind("StartsWith")
+    assert agg_at >= 0 and filt_at >= 0
+    # the StartsWith predicate appears deeper in the plan (printed
+    # later) than the first aggregate that consumes it
+    assert filt_at > agg_at, plan
+
+
+def test_mlt_broadcasts_selected_terms(spark, sf_dir):
+    """mlt_topk: the ≤max_query_terms selected-term set must join the
+    postings by BROADCAST — the corpus-side postings never reshuffle
+    on the tiny side."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(search.mlt_topk(docs, 7, text_col="text", id_col="doc_id"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_allocator_broadcasts_total(spark):
+    """allocate_budgets: the one-row weight-total joins by broadcast;
+    host rows stay map-side (no exchange between scan and quota)."""
+    from gocrawl_spark import frontier as fr
+
+    stats = spark.createDataFrame(
+        [("a.com", 10, 5), ("b.com", 3, 1)],
+        "host string, queued long, weight long",
+    )
+    plan = _plan(fr.allocate_budgets(stats, 100, 20))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdx_index_is_scan_projection(spark, sf_dir):
+    """cdx_index: building the capture index adds NO exchange — it is
+    a pure projection over the capture scan (SURT + digest are
+    codegen'd expressions)."""
+    from gocrawl_spark import cdx
+
+    caps = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("concat('https://h/', doc_id) AS url",
+                    "doc_id AS ts_us", "text")
+    )
+    plan = _plan(cdx.cdx_index(caps))
+    assert "Exchange" not in plan, plan
+    assert "BatchScan" in plan or "FileScan" in plan
