@@ -347,6 +347,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_mlt"] = search_mlt
 
+    def search_bool_mlt(spark, sf_dir):
+        """more_like_this as a bool-DSL leaf (expanded pre-compile to
+        interesting-term matches + integer minimum_should_match, like
+        doc excluded via must_not ids — the /search/dsl form; TF-sum
+        scoring, the documented DSL simplification of the standalone
+        idf-weighted search_mlt)."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {"must": [{"more_like_this": {
+                "fields": ["text"], "like": {"_id": 7},
+                "max_query_terms": 10, "min_doc_freq": 2,
+                "minimum_should_match": "30%", "id_col": "doc_id",
+            }}]},
+            id_col="doc_id",
+            k=10,
+        )
+
+    q["search_bool_mlt"] = search_bool_mlt
+
     def search_highlight(spark, sf_dir):
         """ES highlight analogue (search.highlight_topk): top-10 by
         match TF with one 80-char snippet of the ORIGINAL text around
@@ -5779,6 +5798,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, round(score, 6) AS score
         FROM folded
         WHERE n_matched >= ((SELECT n_sel FROM ns) * 30 + 99) // 100
+        ORDER BY score DESC, id LIMIT 10
+    """
+
+    # DSL MLT: same selection CTE; scoring is the TF sum over the
+    # selected terms (exact integer agg) with the integer-ceil msm
+    # gate and the like doc excluded
+    o["search_bool_mlt"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents),
+        p AS MATERIALIZED (
+          SELECT id, term, count(*)::BIGINT AS tf
+          FROM (SELECT id, unnest(toks) AS term FROM t) GROUP BY id, term),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        sel AS MATERIALIZED (
+          SELECT term,
+                 round(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5)/(df + 0.5))
+                       * tf, 9) AS s
+          FROM p JOIN dfreq USING (term)
+          WHERE id = 7 AND tf >= 1 AND df >= 2
+          ORDER BY s DESC, term LIMIT 10),
+        ns AS (SELECT count(*)::BIGINT AS n_sel FROM sel),
+        sc AS (SELECT p.id, sum(p.tf)::DOUBLE AS score,
+                      count(*)::BIGINT AS m
+               FROM p JOIN sel USING (term) GROUP BY p.id)
+        SELECT id, round(score, 6) AS score
+        FROM sc
+        WHERE m >= greatest(1, ((SELECT n_sel FROM ns) * 30 + 99) // 100)
+          AND id <> 7
         ORDER BY score DESC, id LIMIT 10
     """
 

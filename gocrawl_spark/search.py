@@ -473,6 +473,7 @@ def mlt_topk(
     min_term_freq: int = 1,
     min_doc_freq: int = 2,
     min_should_match_pct: int = 30,
+    _terms_only: bool = False,
 ) -> DataFrame:
     """ES ``more_like_this``: find documents similar to one document.
 
@@ -515,6 +516,10 @@ def mlt_topk(
         .orderBy(F.desc("_sel"), F.asc("term"))
         .limit(max_query_terms)
     )
+    if _terms_only:
+        # the interestingTerms view (the DSL leaf consumes just the
+        # selected terms, in selection order)
+        return sel.select("term")
     nsel = sel.agg(F.count("*").alias("n_sel"))
     contrib = (
         postings.filter(F.col("id") != F.lit(like_id))
@@ -810,6 +815,47 @@ def _expand_fuzzy_clauses(
                              "must_not": [{"match_all": {}}]}}
         return {"bool": {"should": [{"match": {field: t}}
                                     for t in expansions]}}
+    if kind == "more_like_this":
+        # {"more_like_this": {"fields": [f], "like": {"_id": id} |
+        #  "text", "max_query_terms": N, "min_term_freq": n,
+        #  "min_doc_freq": n, "minimum_should_match": "30%"}}
+        # → interesting terms via the mlt_topk selection pipeline,
+        # compiled to a should-of-matches with
+        # minimum_should_match — DSL MLT scores by TF over the
+        # selected terms (the standalone mlt_topk keeps the exact
+        # idf-weighted ranking; documented simplification)
+        fields = body.get("fields") or ["content"]
+        field = fields[0]
+        like = body.get("like")
+        msm = str(body.get("minimum_should_match", "30%")).rstrip("%")
+        if isinstance(like, dict) and "_id" in like:
+            sel = mlt_topk(
+                df, like["_id"], text_col=field,
+                id_col=str(body.get("id_col", "id")),
+                max_query_terms=int(body.get("max_query_terms", 25)),
+                min_term_freq=int(body.get("min_term_freq", 1)),
+                min_doc_freq=int(body.get("min_doc_freq", 2)),
+                min_should_match_pct=0,
+                _terms_only=True,
+            )
+            terms_sel = [r["term"] for r in sel.collect()]
+        else:
+            terms_sel = _terms(str(like or ""))[
+                : int(body.get("max_query_terms", 25))
+            ]
+        if not terms_sel:
+            return {"bool": {"must": [{"match_all": {}}],
+                             "must_not": [{"match_all": {}}]}}
+        out: dict = {
+            "should": [{"match": {field: t}} for t in terms_sel],
+            "minimum_should_match": max(
+                1, -(-len(terms_sel) * int(msm) // 100)
+            ),
+        }
+        if isinstance(like, dict) and "_id" in like:
+            # ES excludes the like document(s) from the results
+            out["must_not"] = [{"ids": {"values": [like["_id"]]}}]
+        return {"bool": out}
     return clause
 
 

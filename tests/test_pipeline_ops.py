@@ -2717,3 +2717,35 @@ def test_mlt_topk_semantics(spark):
     # 50% gate: doc 5 shares only 'physics' (1 of >=3 selected terms)
     assert 5 not in ids
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_mlt_dsl_leaf(spark):
+    """more_like_this as a bool-DSL leaf: expands to interesting-term
+    matches with an integer minimum_should_match; works by like-id and
+    by like-text; flows through es_search."""
+    from gocrawl_spark import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum entanglement spooky physics physics"),
+            (2, "quantum entanglement experiments in physics"),
+            (3, "spooky stories about entanglement"),
+            (4, "cooking pasta with tomato sauce"),
+        ],
+        "id long, content string",
+    )
+    body = {"query": {"more_like_this": {
+        "fields": ["content"], "like": {"_id": 1},
+        "min_doc_freq": 2, "minimum_should_match": "50%",
+    }}, "size": 10}
+    out = search.es_search(docs, body)
+    ids = [r["id"] for r in out["hits"].collect()]
+    assert 2 in ids and 4 not in ids
+    assert 1 not in ids  # the like doc is excluded, as in ES
+    # like-text form needs no corpus stats
+    body2 = {"query": {"more_like_this": {
+        "fields": ["content"], "like": "spooky entanglement",
+        "minimum_should_match": "100%",
+    }}, "size": 10}
+    ids2 = [r["id"] for r in search.es_search(docs, body2)["hits"].collect()]
+    assert 3 in ids2 and 4 not in ids2
