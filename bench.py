@@ -73,6 +73,13 @@ HEADLINE = [
     "text_lm_kn3_ppl",
     "search_aggs_pipeline2_a2",
     "search_request_after",
+    # round-4 session 2: archive/graph/curation additions (one
+    # representative each family)
+    "crawl_cdx_index",
+    "link_rank_trust",
+    "crawl_opic_sweep",
+    "search_mlt",
+    "train_fim",
 ]
 
 
