@@ -1127,6 +1127,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_opic_sweep"] = crawl_opic_sweep
 
+    def crawl_focused_priorities(spark, sf_dir):
+        """Focused-crawl priorities (graphrank.focused_priorities):
+        candidates ranked by inbound anchor-text relevance to a topic
+        term set — deterministic synthetic anchors (word-ring
+        arithmetic), exact LONG relevance sums, rank_priorities
+        bucketing; (url, relevance carried for visibility)."""
+        from gocrawl_spark import graphrank
+
+        d = F.col("doc_id")
+        w = ["spark", "table", "scan", "merge", "batch", "join",
+             "query", "index"]
+        word = lambda e: F.element_at(  # noqa: E731
+            F.array(*[F.lit(x) for x in w]), (e % 8 + 1).cast("int")
+        )
+        anchor = F.concat_ws(
+            " ", word(d), word(d * 3 + 1), word(d * 7 + 2)
+        )
+        url = F.concat(
+            F.lit("https://t.example.com/p/"), (d % 50).cast("string")
+        )
+        pairs = _docs(spark, sf_dir).select(
+            url.alias("url"), anchor.alias("anchor")
+        )
+        pri = graphrank.focused_priorities(pairs, ["spark", "scan"])
+        # join relevance back for a richer checked surface
+        toks = F.split(F.lower(F.col("anchor")), " ")
+        rel = (
+            pairs.select(
+                "url",
+                (
+                    F.size(F.filter(toks, lambda x: x == F.lit("spark")))
+                    + F.size(F.filter(toks, lambda x: x == F.lit("scan")))
+                ).alias("_h"),
+            )
+            .groupBy("url")
+            .agg(F.sum("_h").cast("long").alias("relevance"))
+            .withColumn("url_hash", F.sha2("url", 256))
+        )
+        return pri.join(rel, "url_hash").select(
+            "url", "relevance", "priority"
+        )
+
+    q["crawl_focused_priorities"] = crawl_focused_priorities
+
     def rank_priorities_p3(spark, sf_dir):
         """Rank → politeness-priority bucketing (the P3 adjunct fed to
         CrawlRun(rank_priority=...)): mean-normalized PageRank bucketed
@@ -3644,6 +3688,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, sum(delta_u)::BIGINT AS cash_u
         FROM (SELECT * FROM contrib UNION ALL SELECT * FROM kept)
         GROUP BY node
+    """
+
+    # focused priorities: the word-ring anchors reduce to closed-form
+    # hit arithmetic ('spark' = ring slot 0, 'scan' = slot 2); same
+    # mean-normalized bucketing as rank_priorities
+    o["crawl_focused_priorities"] = """
+        WITH h AS (
+          SELECT doc_id % 50 AS t,
+                 (CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN (doc_id * 3 + 1) % 8 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN (doc_id * 7 + 2) % 8 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN (doc_id * 3 + 1) % 8 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN (doc_id * 7 + 2) % 8 = 2 THEN 1 ELSE 0 END
+                 )::BIGINT AS hit
+          FROM documents),
+        rel AS MATERIALIZED (
+          SELECT 'https://t.example.com/p/' || t::VARCHAR AS url,
+                 sum(hit)::BIGINT AS relevance
+          FROM h GROUP BY t),
+        st AS (SELECT round(sum(relevance)::DOUBLE / count(*), 9) AS mean
+               FROM rel),
+        x AS (SELECT url, relevance,
+                     round(relevance / (SELECT mean FROM st), 6) AS x
+              FROM rel)
+        SELECT url, relevance,
+               CASE WHEN x >= 4.0 THEN 8 WHEN x >= 2.0 THEN 7
+                    WHEN x >= 1.2 THEN 6 ELSE 5 END AS priority
+        FROM x
+        WHERE x >= 1.2
     """
 
     # rank → priority bucketing: same PageRank CTE chain, then the

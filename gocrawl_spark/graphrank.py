@@ -182,6 +182,62 @@ def host_graph(
     )
 
 
+def focused_priorities(
+    pairs: DataFrame,
+    topic_terms: list[str],
+    base: int = 5,
+    url_col: str = "url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Focused-crawl frontier priorities (Shark-Search lineage,
+    Hersovici et al. 1998): a candidate URL whose INBOUND anchor texts
+    mention the topic is crawled first — the classic topical-crawl
+    signal, computed from the same (src, url, anchor) stream
+    anchor_index rolls up.
+
+    relevance(url) = Σ over inbound anchors of topic-term occurrences
+    (whitespace tokens, exact LONG sum — order-free), then the
+    rank_priorities mean-normalized fixed-threshold bucketing into
+    the reference's int priority scale; rows at `base` drop (the
+    default already is base). Output (url_hash, priority) plugs into
+    CrawlRun(rank_priority=...). One url-keyed shuffle + one O(urls)
+    agg for the mean."""
+    from gocrawl_spark import udfs
+
+    toks = F.split(F.lower(F.col(anchor_col)), " ")
+    hit = None
+    for t in topic_terms:
+        n_t = F.size(F.filter(toks, _eq_lit(t)))
+        hit = n_t if hit is None else hit + n_t
+    rel = (
+        pairs.select(F.col(url_col).alias("url"), hit.alias("_h"))
+        .groupBy("url")
+        .agg(F.sum("_h").cast("long").alias("relevance"))
+    )
+    stats = rel.agg(
+        F.count("*").alias("n"), F.sum("relevance").alias("s")
+    ).collect()[0]
+    if not stats["n"] or not stats["s"]:
+        return rel.sparkSession.createDataFrame(
+            [], "url_hash string, priority int"
+        )
+    mean = round(stats["s"] / stats["n"], ITER_DIGITS)
+    x = F.round(F.col("relevance") / F.lit(mean), 6)
+    pri = (
+        F.when(x >= 4.0, base + 3)
+        .when(x >= 2.0, base + 2)
+        .when(x >= 1.2, base + 1)
+        .otherwise(base)
+    )
+    out = udfs.with_url_identity(rel.select("url", pri.alias("priority")))
+    return out.filter(F.col("priority") != base).select("url_hash", "priority")
+
+
+def _eq_lit(t: str):
+    lit = F.lit(t)
+    return lambda x: x == lit
+
+
 def opic_sweep(
     edges: DataFrame, cash: DataFrame, popped: DataFrame
 ) -> DataFrame:

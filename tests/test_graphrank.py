@@ -269,3 +269,28 @@ def test_host_graph_contraction(spark):
     assert set(got) == {("a.com", "b.com"), ("b.com", "a.com")}
     ab = got[("a.com", "b.com")]
     assert ab["weight"] == 3 and ab["n_src_pages"] == 2
+
+
+def test_focused_priorities_topic_relevance(spark):
+    """Inbound anchors about the topic promote a candidate; unrelated
+    candidates keep the base priority (dropped from overrides)."""
+    import hashlib
+
+    pairs = spark.createDataFrame(
+        [
+            ("s1", "https://t.com/ml", "machine learning tutorial"),
+            ("s2", "https://t.com/ml", "learning machine learning"),
+            ("s3", "https://t.com/cook", "pasta recipe"),
+            ("s4", "https://t.com/mix", "learning to cook"),
+        ],
+        "src string, url string, anchor string",
+    )
+    got = {r["url_hash"]: r["priority"] for r in
+           graphrank.focused_priorities(pairs, ["machine", "learning"])
+           .collect()}
+    sha = lambda u: hashlib.sha256(u.encode()).hexdigest()  # noqa: E731
+    # relevance: ml=5, mix=1, cook=0; mean=2 -> ml x=2.5 -> 7
+    assert got[sha("https://t.com/ml")] == 7
+    assert sha("https://t.com/cook") not in got
+    # no topic hits anywhere -> empty override table
+    assert graphrank.focused_priorities(pairs, ["zzz"]).count() == 0
