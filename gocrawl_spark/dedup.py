@@ -388,6 +388,112 @@ def connected_components(
     return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round variant for ADVERSARIAL component
+    diameters, where min-label propagation
+    (:func:`connected_components`) needs O(diameter) sweeps. Same
+    contract: (id, cluster_id = min node id of the component).
+
+    Each round:
+      large-star: every node u links its LARGER neighbors to
+        m = min(Γ(u) ∪ {u}) — long chains contract exponentially;
+      small-star: every node u links its smaller-or-self closure to
+        its local min — stars flatten onto the component min.
+    Edges are re-canonicalized to (min, max) pairs between halves;
+    convergence = the canonical edge set reaches a fixpoint (checked
+    with two anti-joins, no collect). Each half-round is one
+    node-keyed shuffle; min is order-free so the labels are
+    deterministic at any parallelism. Use when pair evidence can
+    chain (e.g. ExactSubstr span links across a corpus); near-dup
+    clusters are near-cliques where the simple propagation wins on
+    constants."""
+    canon = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+
+    def _sym(c: DataFrame) -> DataFrame:
+        return c.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            c.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        e = _sym(canon)
+        mins = e.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("_mn", F.col("u")).alias("_m"))
+        large = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias(a_col), F.col("_m").alias(b_col))
+        )
+        c1 = (
+            large.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e1 = _sym(c1)
+        mins_le = (
+            e1.filter(F.col("v") < F.col("u"))
+            .groupBy("u")
+            .agg(F.min("v").alias("_m"))
+        )
+        small = (
+            e1.filter(F.col("v") < F.col("u"))
+            .join(mins_le, "u")
+            .select(F.col("v").alias(a_col), F.col("_m").alias(b_col))
+            .unionByName(
+                mins_le.select(F.col("u").alias(a_col), F.col("_m").alias(b_col))
+            )
+        )
+        nxt = (
+            small.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            nxt.join(canon, ["a", "b"], "left_anti").limit(1).count() == 0
+            and canon.join(nxt, ["a", "b"], "left_anti").limit(1).count() == 0
+        )
+        canon.unpersist()
+        canon = nxt.persist()
+        if unchanged:
+            break
+    e = _sym(canon)
+    labels = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    # nodes that appeared in the input but lost every edge to
+    # contraction (they became component mins) label themselves
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("u"))
+        .unionByName(pairs.select(F.col(b_col).alias("u")))
+        .distinct()
+    )
+    out = (
+        all_nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("id"),
+            F.coalesce("label", F.col("u")).alias("cluster_id"),
+        )
+    )
+    canon.unpersist()
+    return out
+
+
 def dup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, cluster_id, cluster_size, is_canonical) for every
     document carrying near-dup evidence. cluster_id = min doc_id of

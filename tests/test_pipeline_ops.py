@@ -2749,3 +2749,31 @@ def test_mlt_dsl_leaf(spark):
     }}, "size": 10}
     ids2 = [r["id"] for r in search.es_search(docs, body2)["hits"].collect()]
     assert 3 in ids2 and 4 not in ids2
+
+
+def test_star_components_equal_min_label(spark):
+    """Large-star/small-star CC ≡ min-label propagation on shapes that
+    stress both: cliques, a diameter-200 path (the adversarial case
+    the star variant exists for), crossing chains, singleton pairs."""
+    from gocrawl_spark import dedup
+
+    edges = []
+    # two cliques (id ranges disjoint from the path)
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((1100 + i, 1100 + j))
+            edges.append((1200 + i, 1200 + j))
+    # long path 0-1-2-...-200
+    edges += [(i, i + 1) for i in range(200)]
+    # chain crossing into a clique
+    edges += [(1104, 1300), (1300, 1301)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    star = {r["id"]: r["cluster_id"]
+            for r in dedup.connected_components_star(pairs).collect()}
+    prop = {r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs, max_iter=250).collect()}
+    assert star == prop
+    assert star[200] == 0            # far end of the path reaches the min
+    assert star[1301] == 1100        # crossing chain folds into clique min
+    assert star[1204] == 1200
