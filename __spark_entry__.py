@@ -34,6 +34,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# rated search requests for the `_rank_eval` twin queries — shared by
+# queries()['search_rank_eval'] and its oracle so both engines evaluate
+# the identical request set
+_RANK_EVAL_REQUESTS = [
+    ("q_spark", "spark"),
+    ("q_window_batch", "window batch"),
+    ("q_data_pipeline", "data pipeline"),
+    ("q_nomatch", "zzzqqq"),
+]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1591,6 +1602,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bm25"] = search_bm25
 
+    def search_rank_eval(spark, sf_dir):
+        """ES `_rank_eval` endpoint (rankeval.rank_eval): all four
+        rated requests scored in ONE corpus pass (shared tf/df
+        tables, broadcast request list) — precision@10 / recall@10 /
+        MRR / nDCG@10 per request against the deterministic md5
+        judgment pool, position-ordered folds for every float sum."""
+        from gocrawl_spark import rankeval
+
+        return rankeval.rank_eval(
+            _docs(spark, sf_dir),
+            _RANK_EVAL_REQUESTS,
+            text_col="text",
+            id_col="doc_id",
+            k=10,
+        )
+
+    q["search_rank_eval"] = search_rank_eval
+
     def search_significant_terms(spark, sf_dir):
         """ES significant_terms agg (search.significant_terms): JLH
         foreground-vs-background term significance for the docs
@@ -2893,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-3 gate did not reach (it covered the first 50 of 101).
     gate_first = [
         # round-4 additions lead: no driver row exists for them yet
+        "search_rank_eval",
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
@@ -4578,6 +4608,106 @@ def oracle_sql() -> dict[str, str]:
         FROM d, s
         WHERE round({_score_terms}, 6) > 0
         ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    # search_rank_eval: same one-pass BM25 (generic (id, term, tf)
+    # shape instead of per-term columns), same md5 judgment pool, same
+    # position-ordered folds for score / DCG / ideal-DCG sums — every
+    # float op sequence mirrors rankeval.rank_eval exactly
+    from gocrawl_spark.search import analyze_query as _rq_analyze
+
+    _rq_rows = ", ".join(
+        f"('{rid}', {pos}, '{term}')"
+        for rid, query in _RANK_EVAL_REQUESTS
+        for pos, term in enumerate(_rq_analyze(query))
+    )
+    _rq_ids = ", ".join(f"('{rid}')" for rid, _ in _RANK_EVAL_REQUESTS)
+    _rq_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for _, qq in _RANK_EVAL_REQUESTS for t in _rq_analyze(qq)})
+    )
+    o["search_rank_eval"] = f"""
+        WITH reqs(request_id, pos, term) AS (VALUES {_rq_rows}),
+        rids(request_id) AS (VALUES {_rq_ids}),
+        d0 AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents),
+        tf AS (
+          SELECT id, dl, term, count(*)::BIGINT AS tf
+          FROM (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM d0)
+          WHERE term IN ({_rq_terms})
+          GROUP BY id, dl, term),
+        s AS (SELECT count(*)::DOUBLE AS n_docs,
+                     avg(len(toks))::DOUBLE AS avgdl
+              FROM d0),
+        dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        lp AS (
+          SELECT r.request_id, t.id, r.pos,
+                 ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+                 * t.tf::DOUBLE
+                 / (t.tf::DOUBLE + 1.2::DOUBLE
+                    * (1.0::DOUBLE - 0.75::DOUBLE
+                       + 0.75::DOUBLE * t.dl::DOUBLE / s.avgdl)) AS lp
+          FROM tf t JOIN reqs r USING (term) JOIN dfq f USING (term), s),
+        sc AS (
+          SELECT request_id, id,
+                 round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                   (acc, x) -> acc + x), 6) AS score
+          FROM lp GROUP BY request_id, id),
+        topk AS (
+          SELECT request_id, id, score,
+                 row_number() OVER (PARTITION BY request_id
+                                    ORDER BY score DESC, id ASC) AS rank
+          FROM sc WHERE score > 0
+          QUALIFY rank <= 10),
+        pool AS (SELECT DISTINCT request_id, id FROM lp),
+        rat AS (
+          SELECT request_id, id,
+                 CASE WHEN h % 10 < 6 THEN ((h // 10) % 3 + 1)::INT
+                      ELSE 0 END AS rating
+          FROM (SELECT request_id, id,
+                       ('0x' || substr(md5(request_id || ':' || id::VARCHAR
+                                           || ':' || 'rank-eval'), 1, 8))::UBIGINT AS h
+                FROM pool)),
+        rt AS (
+          SELECT t.request_id, t.rank, coalesce(r.rating, 0) AS rating
+          FROM topk t LEFT JOIN rat r USING (request_id, id)),
+        pr AS (
+          SELECT request_id, count(*)::BIGINT AS retrieved,
+                 sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+                 min(CASE WHEN rating >= 1 THEN rank END) AS first_rel,
+                 list_reduce(
+                   list_prepend(0.0,
+                     list((pow(2.0::DOUBLE, rating::DOUBLE) - 1.0::DOUBLE)
+                          / (ln(rank::DOUBLE + 1.0::DOUBLE) / ln(2.0::DOUBLE))
+                          ORDER BY rank)),
+                   (acc, x) -> acc + x) AS dcg
+          FROM rt GROUP BY request_id),
+        idl0 AS (
+          SELECT request_id,
+                 sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rel_all,
+                 list_slice(list_reverse_sort(list(rating::DOUBLE)), 1, 10) AS top_r
+          FROM rat WHERE rating > 0 GROUP BY request_id),
+        idl AS (
+          SELECT request_id, n_rel_all,
+                 list_reduce(
+                   list_prepend(0.0,
+                     list_transform(range(1, len(top_r) + 1),
+                       i -> (pow(2.0::DOUBLE, top_r[i]) - 1.0::DOUBLE)
+                            / (ln(i::DOUBLE + 1.0::DOUBLE) / ln(2.0::DOUBLE)))),
+                   (acc, x) -> acc + x) AS idcg
+          FROM idl0)
+        SELECT r.request_id,
+               coalesce(p.retrieved, 0)::INT AS retrieved,
+               round(coalesce(p.n_rel_ret::DOUBLE / p.retrieved, 0.0), 6) AS precision_k,
+               round(CASE WHEN coalesce(i.n_rel_all, 0) > 0
+                          THEN coalesce(p.n_rel_ret, 0)::DOUBLE / i.n_rel_all
+                          ELSE 0.0 END, 6) AS recall_k,
+               round(coalesce(1.0::DOUBLE / p.first_rel, 0.0), 6) AS mrr,
+               round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                          THEN coalesce(p.dcg, 0.0) / i.idcg
+                          ELSE 0.0 END, 6) AS ndcg_k
+        FROM rids r
+        LEFT JOIN pr p USING (request_id)
+        LEFT JOIN idl i USING (request_id)
     """
 
     # corpus_mixture_temperature: p_i ∝ n_i^τ over whitespace-token

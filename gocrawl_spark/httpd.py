@@ -115,6 +115,69 @@ class SearchBackend:
             resp["aggregations"] = [r.asDict() for r in out["aggs"].collect()]
         return resp
 
+    def rank_eval(self, index: str, body: dict) -> dict:
+        """ES ``_rank_eval``: rated search requests → one quality
+        metric per request plus the mean (the endpoint the reference's
+        ES passthrough exposes for search evaluation). All requests
+        are scored in ONE corpus pass (rankeval.rank_eval); ratings
+        come from the request body, or fall back to the deterministic
+        md5 judgment pool when omitted."""
+        if index not in self.tables:
+            raise KeyError(index)
+        df, text_col = self.tables[index]
+        from gocrawl_spark import rankeval as rq
+
+        reqs: list[tuple[str, str]] = []
+        rating_rows: list[tuple[str, int, int]] = []
+        for r in body.get("requests", []) or []:
+            rid = str(r["id"])
+            match = (r.get("request") or {}).get("query", {}).get("match", {})
+            reqs.append((rid, " ".join(str(v) for v in match.values())))
+            for rt in r.get("ratings") or []:
+                rating_rows.append((rid, rt["_id"], int(rt["rating"])))
+        metric = body.get("metric") or {"ndcg": {}}
+        mname, mspec = next(iter(metric.items()))
+        k = int(mspec.get("k", DEFAULT_SEARCH_SIZE))
+        thr = int(mspec.get("relevant_rating_threshold", 1))
+        ratings = None
+        if rating_rows:
+            # the rating's doc id takes the table's own id type (string
+            # article ids and numeric doc ids both appear in practice)
+            from pyspark.sql.types import (
+                IntegerType, StringType, StructField, StructType,
+            )
+
+            schema = StructType([
+                StructField("request_id", StringType()),
+                StructField("id", df.schema["id"].dataType),
+                StructField("rating", IntegerType()),
+            ])
+            ratings = df.sparkSession.createDataFrame(rating_rows, schema)
+        rows = rq.rank_eval(
+            df, reqs, text_col=text_col, id_col="id", k=k,
+            relevant_at=thr, ratings=ratings,
+        ).collect()
+        col = {
+            "precision": "precision_k",
+            "recall": "recall_k",
+            "mean_reciprocal_rank": "mrr",
+            "dcg": "ndcg_k",
+            "ndcg": "ndcg_k",
+        }.get(mname, "ndcg_k")
+        details = {
+            r["request_id"]: {
+                "metric_score": r[col],
+                "precision_k": r["precision_k"],
+                "recall_k": r["recall_k"],
+                "mrr": r["mrr"],
+                "ndcg_k": r["ndcg_k"],
+                "retrieved": r["retrieved"],
+            }
+            for r in rows
+        }
+        score = round(sum(r[col] for r in rows) / len(rows), 6) if rows else 0.0
+        return {"metric_score": score, "details": details}
+
     def mget(self, index: str, ids: list) -> list[dict]:
         """ES ``_mget``: one filtered scan for the whole id batch
         (never one query per id), per-id found/missing in request
@@ -309,6 +372,32 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
                     return
                 try:
                     resp = backend.search_dsl(index, req)
+                except KeyError:
+                    self._json(400, {"error": f"unknown index: {index}"},
+                               secure=False)
+                    return
+                except Exception:
+                    self._json(500, {"error": "Search failed"}, secure=False)
+                    return
+                self._json(200, resp)
+                return
+            if self.path == "/search/rank_eval":
+                if not self._guard():
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError
+                    index = req.pop("index", "articles")
+                    if not isinstance(index, str):
+                        raise ValueError
+                except (ValueError, TypeError, json.JSONDecodeError):
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                try:
+                    resp = backend.rank_eval(index, req)
                 except KeyError:
                     self._json(400, {"error": f"unknown index: {index}"},
                                secure=False)
