@@ -1620,6 +1620,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_rank_eval"] = search_rank_eval
 
+    # -- corpus-level statistical audits (corpusstats.py) -------------------
+
+    def corpus_zipf(spark, sf_dir):
+        """Zipf's-law fit over the top-1000 word frequencies
+        (corpusstats.zipf_fit): ln-ln least squares with every
+        regression sum folded left-to-right over the rank-sorted
+        point list."""
+        from gocrawl_spark import corpusstats
+
+        return corpusstats.zipf_fit(_docs(spark, sf_dir), top_n=1000)
+
+    q["corpus_zipf"] = corpus_zipf
+
+    def corpus_heaps(spark, sf_dir):
+        """Heaps'-law vocabulary-growth curve at 10 doc-id checkpoints
+        (corpusstats.heaps_curve): integer-only — per-word MIN(id),
+        ceil-division bucketing, 10-row running sum."""
+        from gocrawl_spark import corpusstats
+
+        return corpusstats.heaps_curve(_docs(spark, sf_dir))
+
+    q["corpus_heaps"] = corpus_heaps
+
+    def text_distinct_ngrams(spark, sf_dir):
+        """Per-document distinct-1/2/3 diversity ratios
+        (corpusstats.distinct_ngrams) — the intra-document
+        repetitiveness audit, pure codegen'd array expressions."""
+        from gocrawl_spark import corpusstats
+
+        return corpusstats.distinct_ngrams(_docs(spark, sf_dir))
+
+    q["text_distinct_ngrams"] = text_distinct_ngrams
+
+    def corpus_key_skew(spark, sf_dir):
+        """Shuffle-skew audit of `lang` as a partition key
+        (corpusstats.key_skew_audit): exact rank-selected order
+        statistics over the key-frequency table — the number read
+        before keying a join on a column at 100 TB."""
+        from gocrawl_spark import corpusstats
+
+        return corpusstats.key_skew_audit(_docs(spark, sf_dir), "lang")
+
+    q["corpus_key_skew"] = corpus_key_skew
+
     def search_significant_terms(spark, sf_dir):
         """ES significant_terms agg (search.significant_terms): JLH
         foreground-vs-background term significance for the docs
@@ -2922,7 +2966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-3 gate did not reach (it covered the first 50 of 101).
     gate_first = [
         # round-4 additions lead: no driver row exists for them yet
-        "search_rank_eval",
+        "search_rank_eval", "corpus_zipf", "corpus_heaps",
+        "text_distinct_ngrams", "corpus_key_skew",
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
@@ -4708,6 +4753,116 @@ def oracle_sql() -> dict[str, str]:
         FROM rids r
         LEFT JOIN pr p USING (request_id)
         LEFT JOIN idl i USING (request_id)
+    """
+
+    # corpus_zipf: same norm_words stream, same (cnt DESC, word) rank,
+    # same five left-to-right regression folds and formula op order
+    o["corpus_zipf"] = f"""
+        WITH w AS (SELECT {_SQL_WORDS} AS w FROM documents),
+        cnt AS (SELECT u AS word, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest(w) AS u FROM w) GROUP BY u),
+        tot AS (SELECT count(*)::BIGINT AS n_types, sum(cnt)::BIGINT AS n_tokens
+                FROM cnt),
+        r AS (SELECT word, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+              FROM cnt),
+        p AS (SELECT rank, ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+              FROM r WHERE rank <= 1000),
+        s AS (SELECT count(*)::BIGINT AS fit_n,
+                 list_reduce(list_prepend(0.0, list(x ORDER BY rank)),
+                             (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(0.0, list(y ORDER BY rank)),
+                             (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)),
+                             (a, b) -> a + b) AS sxy,
+                 list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)),
+                             (a, b) -> a + b) AS sxx,
+                 list_reduce(list_prepend(0.0, list(y * y ORDER BY rank)),
+                             (a, b) -> a + b) AS syy
+              FROM p)
+        SELECT t.n_types, t.n_tokens, s.fit_n,
+               round((s.fit_n::DOUBLE * s.sxy - s.sx * s.sy)
+                     / (s.fit_n::DOUBLE * s.sxx - s.sx * s.sx), 6) AS zipf_slope,
+               round((s.sy - (s.fit_n::DOUBLE * s.sxy - s.sx * s.sy)
+                             / (s.fit_n::DOUBLE * s.sxx - s.sx * s.sx)
+                             * s.sx) / s.fit_n::DOUBLE, 6) AS zipf_intercept,
+               round(CASE WHEN (s.fit_n::DOUBLE * s.syy - s.sy * s.sy) > 0
+                          THEN (s.fit_n::DOUBLE * s.sxy - s.sx * s.sy)
+                               * (s.fit_n::DOUBLE * s.sxy - s.sx * s.sy)
+                               / ((s.fit_n::DOUBLE * s.sxx - s.sx * s.sx)
+                                  * (s.fit_n::DOUBLE * s.syy - s.sy * s.sy))
+                          ELSE 0.0 END, 6) AS zipf_r2
+        FROM tot t, s
+    """
+
+    # corpus_heaps: integer-only — identical ceil-division bucketing
+    o["corpus_heaps"] = f"""
+        WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM documents),
+        mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+        grid AS (SELECT i::INT AS checkpoint, (i * mx) // 10 AS id_bound
+                 FROM range(1, 11) t(i), mx),
+        fw AS (SELECT u AS word, min(id) AS first_id
+               FROM (SELECT id, unnest(w) AS u FROM w) GROUP BY u),
+        tp AS (SELECT greatest(1, (first_id * 10 + mx - 1) // mx) AS checkpoint,
+                      count(*)::BIGINT AS new_types
+               FROM fw, mx GROUP BY 1),
+        dp AS (SELECT greatest(1, (id * 10 + mx - 1) // mx) AS checkpoint,
+                      count(*)::BIGINT AS new_docs,
+                      sum(len(w))::BIGINT AS new_tokens
+               FROM w, mx GROUP BY 1)
+        SELECT g.checkpoint, g.id_bound,
+               (sum(coalesce(d.new_docs, 0)) OVER (ORDER BY g.checkpoint))::BIGINT AS cum_docs,
+               (sum(coalesce(d.new_tokens, 0)) OVER (ORDER BY g.checkpoint))::BIGINT AS cum_tokens,
+               (sum(coalesce(t.new_types, 0)) OVER (ORDER BY g.checkpoint))::BIGINT AS cum_types
+        FROM grid g
+        LEFT JOIN tp t USING (checkpoint)
+        LEFT JOIN dp d USING (checkpoint)
+        ORDER BY g.checkpoint
+    """
+
+    # text_distinct_ngrams: same norm_words / shingle fragments
+    o["text_distinct_ngrams"] = f"""
+        WITH w0 AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM documents),
+        g AS (SELECT id, w,
+                     {_sql_shingles(2)} AS g2,
+                     {_sql_shingles(3)} AS g3
+              FROM w0)
+        SELECT id,
+               len(w)::INT AS n1_total,
+               round(CASE WHEN len(w) > 0
+                          THEN len(list_distinct(w))::DOUBLE / len(w)
+                          ELSE 0.0 END, 6) AS distinct_1,
+               len(g2)::INT AS n2_total,
+               round(CASE WHEN len(g2) > 0
+                          THEN len(list_distinct(g2))::DOUBLE / len(g2)
+                          ELSE 0.0 END, 6) AS distinct_2,
+               len(g3)::INT AS n3_total,
+               round(CASE WHEN len(g3) > 0
+                          THEN len(list_distinct(g3))::DOUBLE / len(g3)
+                          ELSE 0.0 END, 6) AS distinct_3
+        FROM g
+    """
+
+    # corpus_key_skew: rank-selected order statistics, no interpolation
+    o["corpus_key_skew"] = """
+        WITH freq AS (SELECT lang AS k, count(*)::BIGINT AS cnt
+                      FROM documents GROUP BY lang),
+        r AS (SELECT k, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, k ASC) AS r
+              FROM freq),
+        base AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+                        max(cnt)::BIGINT AS max_cnt
+                 FROM freq),
+        picks AS (SELECT
+                    max(CASE WHEN r.r = b.n_keys - ceil(b.n_keys * 0.5) + 1
+                             THEN cnt END)::BIGINT AS p50_cnt,
+                    max(CASE WHEN r.r = b.n_keys - ceil(b.n_keys * 0.99) + 1
+                             THEN cnt END)::BIGINT AS p99_cnt
+                  FROM r, base b)
+        SELECT b.n_keys, b.n_rows, b.max_cnt, p.p50_cnt, p.p99_cnt,
+               round(b.max_cnt::DOUBLE / b.n_rows, 6) AS top_share,
+               round(b.max_cnt::DOUBLE / p.p50_cnt, 6) AS skew_ratio
+        FROM base b, picks p
     """
 
     # corpus_mixture_temperature: p_i ∝ n_i^τ over whitespace-token

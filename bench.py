@@ -80,6 +80,10 @@ HEADLINE = [
     "crawl_opic_sweep",
     "search_mlt",
     "train_fim",
+    # round-4 session 3: search-quality eval + corpus audits (one
+    # representative each)
+    "search_rank_eval",
+    "corpus_zipf",
 ]
 
 

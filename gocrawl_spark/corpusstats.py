@@ -1,0 +1,273 @@
+"""Corpus-level statistical audits for web-text pipelines.
+
+A crawl corpus headed for LLM training gets audited before it gets
+trained on: does the token distribution look like natural language
+(Zipf), is the vocabulary still growing or has the crawl started
+re-reading itself (Heaps), how internally repetitive are individual
+documents (distinct-n), and — operationally — is any partition key hot
+enough to wreck a shuffle (skew audit). The reference ships the crawl
+and indexing machinery these audits run on (its metrics surface,
+internal/metrics/metrics.go, stops at fetch/parse counters); the
+corpus-statistics layer itself is part of this repo's
+training-data-pipeline extension.
+
+Everything here is built for the 100 TB shape:
+
+* word/n-gram counting is a map-side-combining groupBy on the token —
+  the only shuffle is keyed on the (bounded-vocabulary) token itself;
+* Zipf regression folds over the TOP-N frequencies only (a TakeOrdered
+  of N rows — never a global sort of the vocabulary);
+* the Heaps curve needs one small aggregate per WORD (its first
+  document), then a 10-row cumulative sum — integer-only, so the
+  result is trivially engine-stable;
+* the skew audit reduces the key-frequency table to rank-selected
+  order statistics (integer ranks, not interpolated quantiles), so
+  max/median/p99 are exact and deterministic at any parallelism.
+
+Float discipline (cross-engine oracle contract): regression sums fold
+left-to-right over rank-sorted arrays (F.aggregate ≡ DuckDB
+list_reduce), every reported float rounds to 6 dp, and ratios divide
+exactly once in the same operand order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gocrawl_spark.textstats import norm_words, shingles_of_words
+
+__all__ = ["zipf_fit", "heaps_curve", "distinct_ngrams", "key_skew_audit"]
+
+
+def _fold(arr: Column) -> Column:
+    """Left-to-right IEEE sum (DuckDB: list_reduce(list_prepend(0.0,…)))."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def word_freq_ranks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, rank) over the norm_words stream, rank by
+    (cnt DESC, word ASC) — the Zipf table. The groupBy combines
+    map-side; ranking is consumed via TakeOrdered-style limits by the
+    callers, never a full-vocabulary sort."""
+    return (
+        docs.select(F.explode(norm_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word"))),
+        )
+    )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFrame:
+    """Least-squares fit of ln(freq) on ln(rank) over the ``top_n``
+    most frequent words — the Zipf's-law audit (slope ≈ −1 for natural
+    language; a corpus of boilerplate or spam drifts off).
+
+    Returns ONE row: (n_types, n_tokens, fit_n, zipf_slope,
+    zipf_intercept, zipf_r2), floats rounded to 6 dp.
+
+    The five regression sums (Σx, Σy, Σxy, Σx², Σy²) each fold
+    left-to-right over the rank-sorted point list, so the fit is
+    bit-reproducible at any parallelism and in the DuckDB oracle.
+    The single-partition window behind the rank only ever sees
+    ``top_n`` survivors' worth of competition per partition boundary —
+    vocabulary counting itself stays fully distributed.
+    """
+    wf = word_freq_ranks(docs, text_col)
+    totals = wf.agg(
+        F.count("*").alias("n_types"), F.sum("cnt").alias("n_tokens")
+    )
+    pts = (
+        wf.filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+        .agg(
+            F.count("*").alias("fit_n"),
+            F.array_sort(F.collect_list(F.struct("rank", "x", "y"))).alias("p")
+        )
+        .select(
+            "fit_n",
+            _fold(F.transform("p", lambda s: s["x"])).alias("sx"),
+            _fold(F.transform("p", lambda s: s["y"])).alias("sy"),
+            _fold(F.transform("p", lambda s: s["x"] * s["y"])).alias("sxy"),
+            _fold(F.transform("p", lambda s: s["x"] * s["x"])).alias("sxx"),
+            _fold(F.transform("p", lambda s: s["y"] * s["y"])).alias("syy"),
+        )
+    )
+    n = F.col("fit_n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return totals.crossJoin(F.broadcast(pts)).select(
+        "n_types",
+        "n_tokens",
+        "fit_n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("zipf_intercept"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(F.lit(0.0)), 6
+        ).alias("zipf_r2"),
+    )
+
+
+def heaps_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth curve V(n): cumulative distinct word types at
+    ``checkpoints`` evenly spaced id thresholds — the Heaps'-law audit
+    (types ≈ K·tokensᵝ; a flattening curve means the crawl is
+    re-reading content it already has).
+
+    Returns (checkpoint, id_bound, cum_docs, cum_tokens, cum_types) —
+    all integers, engine-stable by construction. Per-word state is one
+    MIN(id) aggregate (map-side combining); each word/doc then lands in
+    its first covering checkpoint by pure integer math (bucket =
+    ⌈id·checkpoints/max_id⌉ — the smallest k with id ≤ ⌊k·max_id/cp⌋),
+    so there is NO non-equi join and no vocabulary broadcast; the
+    cumulative step is a running sum over ``checkpoints`` rows only.
+    """
+    spark = docs.sparkSession
+    cp = int(checkpoints)
+    max_id = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    grid = (
+        spark.range(1, cp + 1)
+        .select(F.col("id").cast("int").alias("checkpoint"))
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "checkpoint",
+            F.expr(f"checkpoint * mx DIV {cp}").alias("id_bound"),
+        )
+    )
+
+    def bucket(id_expr: str) -> Column:
+        # ceil(id*cp/mx) in integer math, clamped to ≥ 1 for id = 0
+        return F.greatest(
+            F.lit(1), F.expr(f"({id_expr} * {cp} + mx - 1) DIV mx")
+        ).alias("checkpoint")
+
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(norm_words(text_col)).alias("word")
+    )
+    first = words.groupBy("word").agg(F.min("id").alias("first_id"))
+    types_per = (
+        first.crossJoin(F.broadcast(max_id))
+        .groupBy(bucket("first_id"))
+        .agg(F.count("*").alias("new_types"))
+    )
+    docs_per = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.size(norm_words(text_col)).alias("n_toks"),
+        )
+        .crossJoin(F.broadcast(max_id))
+        .groupBy(bucket("did"))
+        .agg(F.count("*").alias("new_docs"), F.sum("n_toks").alias("new_tokens"))
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(types_per, "checkpoint", "left")
+        .join(docs_per, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "id_bound",
+            F.sum(F.coalesce("new_docs", F.lit(0))).over(w).alias("cum_docs"),
+            F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_types"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def distinct_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-document distinct-n diversity: distinct n-grams / total
+    n-grams for each n — the standard intra-document repetitiveness
+    audit (low distinct-2/3 flags template spam and generation loops).
+    Pure codegen'd array expressions over one tokenization; ratios
+    round to 6 dp."""
+    w = norm_words(text_col)
+    cols = [F.col(id_col).alias("id")]
+    for n in ns:
+        grams = w if n == 1 else shingles_of_words(w, n)
+        total = F.size(grams)
+        cols.append(total.alias(f"n{n}_total"))
+        cols.append(
+            F.round(
+                F.when(
+                    total > 0,
+                    F.size(F.array_distinct(grams)).cast("double") / total,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(f"distinct_{n}")
+        )
+    return docs.select(*cols)
+
+
+def key_skew_audit(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle-skew audit of a would-be partition key: ONE row of
+    exact order statistics over the key-frequency table —
+
+      (n_keys, n_rows, max_cnt, p50_cnt, p99_cnt, top_share,
+       skew_ratio)
+
+    p50/p99 are rank-selected counts (rank ceil(q·n) in count-DESC
+    order — integers, no interpolation, so any engine agrees),
+    top_share = max_cnt/n_rows and skew_ratio = max_cnt/p50_cnt round
+    to 6 dp. skew_ratio is the number to watch before keying a join or
+    aggregation on ``key``: the hot key's task runs ~that many times
+    longer than the median task unless it's salted or AQE-split.
+
+    The frequency table is one map-side-combining groupBy; the order
+    statistics reduce it with a rank window whose single-partition
+    stage only carries (key, cnt) pairs — n_keys rows, not n_rows.
+    """
+    freq = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("k")))
+    )
+    base = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    # rank of the q-quantile in DESC order: the element at ASC rank
+    # ceil(q·n) sits at DESC rank n − ceil(q·n) + 1
+    picks = ranked.crossJoin(F.broadcast(base.select("n_keys"))).select(
+        F.when(
+            F.col("r") == F.col("n_keys") - F.ceil(F.col("n_keys") * 0.5) + 1,
+            F.col("cnt"),
+        ).alias("p50"),
+        F.when(
+            F.col("r") == F.col("n_keys") - F.ceil(F.col("n_keys") * 0.99) + 1,
+            F.col("cnt"),
+        ).alias("p99"),
+    ).agg(F.max("p50").alias("p50_cnt"), F.max("p99").alias("p99_cnt"))
+    return base.crossJoin(F.broadcast(picks)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+            "top_share"
+        ),
+        F.round(F.col("max_cnt").cast("double") / F.col("p50_cnt"), 6).alias(
+            "skew_ratio"
+        ),
+    )

@@ -1,0 +1,90 @@
+"""Corpus-level statistical audits (corpusstats.py): Zipf regression
+math, Heaps bucketing edges, distinct-n ratios, and the rank-selected
+skew audit — all against hand-computed expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from gocrawl_spark import corpusstats as cs
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "alpha alpha alpha alpha beta beta"),
+        (1, "alpha alpha beta gamma"),
+        (2, "alpha alpha gamma delta"),
+        (3, "delta epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_zipf_fit_hand_computed(tiny):
+    row = cs.zipf_fit(tiny, top_n=10).collect()[0]
+    # counts: alpha 8, beta 3, gamma 2, delta 2, epsilon 1
+    assert row["n_types"] == 5
+    assert row["n_tokens"] == 16
+    assert row["fit_n"] == 5
+    # same least-squares formula in pure python, rank order
+    # (cnt DESC, word ASC): alpha,beta,delta,gamma,epsilon
+    cnts = [8, 3, 2, 2, 1]
+    xs = [math.log(r) for r in range(1, 6)]
+    ys = [math.log(c) for c in cnts]
+    n = 5.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["zipf_intercept"] == pytest.approx((sy - slope * sx) / n, abs=1e-6)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert row["zipf_r2"] == pytest.approx(r2, abs=1e-6)
+    assert slope < 0  # frequencies decay with rank
+
+
+def test_heaps_curve_growth_and_buckets(tiny):
+    rows = {r["checkpoint"]: r for r in cs.heaps_curve(tiny, checkpoints=3).collect()}
+    # max_id=3 → bounds: 1, 2, 3; buckets: ceil(id*3/3) = id (id 0 → 1)
+    assert [rows[k]["id_bound"] for k in (1, 2, 3)] == [1, 2, 3]
+    # docs 0,1 in cp1; doc 2 in cp2; doc 3 in cp3
+    assert [rows[k]["cum_docs"] for k in (1, 2, 3)] == [2, 3, 4]
+    assert [rows[k]["cum_tokens"] for k in (1, 2, 3)] == [10, 14, 16]
+    # first ids: alpha/beta 0, gamma 1, delta 2, epsilon 3
+    assert [rows[k]["cum_types"] for k in (1, 2, 3)] == [3, 4, 5]
+    # vocabulary growth is monotone by construction
+    assert rows[1]["cum_types"] <= rows[2]["cum_types"] <= rows[3]["cum_types"]
+
+
+def test_distinct_ngrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in cs.distinct_ngrams(df).collect()}
+    r1 = out[1]
+    assert (r1["n1_total"], r1["distinct_1"]) == (3, round(2 / 3, 6))
+    # bigrams: "a a", "a b" → 2 distinct of 2
+    assert (r1["n2_total"], r1["distinct_2"]) == (2, 1.0)
+    # trigram of a 3-word doc: one shingle
+    assert (r1["n3_total"], r1["distinct_3"]) == (1, 1.0)
+    assert out[2]["distinct_1"] == 1.0
+    # empty text: zero unigrams, ratio 0
+    assert (out[3]["n1_total"], out[3]["distinct_1"]) == (0, 0.0)
+
+
+def test_key_skew_audit(spark):
+    rows = [(i, "hot" if i < 6 else ("warm" if i < 8 else "cold")) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    r = cs.key_skew_audit(df, "k").collect()[0]
+    # counts: hot 6, warm 2, cold 2 → ranks (desc): hot, cold, warm
+    assert (r["n_keys"], r["n_rows"], r["max_cnt"]) == (3, 10, 6)
+    # p50: asc-rank ceil(0.5·3)=2 → desc rank 2 → cnt 2
+    assert r["p50_cnt"] == 2
+    # p99: asc-rank ceil(0.99·3)=3 → desc rank 1 → max
+    assert r["p99_cnt"] == 6
+    assert r["top_share"] == 0.6
+    assert r["skew_ratio"] == 3.0
