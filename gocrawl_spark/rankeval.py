@@ -10,10 +10,13 @@ request (precision@k / recall@k / MRR / (n)DCG@k).
 
 This module re-expresses that endpoint Spark-first, and fixes the one
 thing that does NOT survive 100 TB: ES evaluates the N requests as N
-independent searches over the whole index.  Here all N requests are
-scored in ONE corpus pass:
+independent searches over the whole index.  Here the corpus work is
+INDEPENDENT of the request count — a constant number of
+column-pruned scans (the tokenized tf/dl pass plus the corpus-stats
+aggregate), however many rated requests arrive (the plan contract in
+tests/test_plan_shapes.py pins this):
 
-  * one scan tokenizes every document (dl + per-query-term tf rows —
+  * the scan tokenizes every document (dl + per-query-term tf rows —
     only terms that appear in some request survive the explode, so the
     tf table is O(docs × matched terms), not O(docs × vocab));
   * corpus statistics (N, avgdl) and per-term document frequencies are
@@ -21,6 +24,10 @@ scored in ONE corpus pass:
   * the request table (request id, term position, term) is broadcast —
     scoring all requests is a map-side join against the shared tf
     table, so adding a request adds zero corpus scans.
+
+(At a real deployment the tokenized (id, dl, term, tf) table is the
+materialized inverted-index scan these constant passes hit, so "per
+request" cost is purely the broadcast-join width.)
 
 Scoring is the same Lucene-form BM25 as :func:`search.bm25_topk`
 (idf = ln(1+(N-df+0.5)/(df+0.5)), tf saturation k1/b), and per-document

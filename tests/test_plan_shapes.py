@@ -356,3 +356,77 @@ def test_cdx_index_is_scan_projection(spark, sf_dir):
     plan = _plan(cdx.cdx_index(caps))
     assert "Exchange" not in plan, plan
     assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_rank_eval_corpus_scans_independent_of_request_count(spark, sf_dir):
+    """rank_eval: corpus scan count must NOT grow with the number of
+    rated requests (the whole point vs ES's search-per-request), and
+    the request/df/stats sides all join by broadcast — the tf table
+    never reshuffles for them."""
+    from gocrawl_spark.rankeval import rank_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    few = [("q0", "spark"), ("q1", "window batch")]
+    many = few + [(f"q{i}", t) for i, t in enumerate(
+        ["data", "cluster table", "merge", "scan", "join", "filter"], start=2)]
+    p_few = _plan(rank_eval(docs, few, text_col="text", id_col="doc_id"))
+    p_many = _plan(rank_eval(docs, many, text_col="text", id_col="doc_id"))
+    assert p_few.count("FileScan") == p_many.count("FileScan")
+    assert "BroadcastHashJoin" in p_many
+    assert "CartesianProduct" not in p_many
+
+
+def test_zipf_fit_prunes_to_text_and_combines_map_side(spark, sf_dir):
+    """zipf_fit: the scan reads ONLY the text column, and the
+    vocabulary count partial-aggregates before its exchange (map-side
+    combine on the token key)."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cs.zipf_fit(docs))
+    scan = plan[plan.index("FileScan"):]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    read = head.split("ReadSchema")[-1]
+    assert "text" in read and "doc_id" not in read and "lang" not in read
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_heaps_curve_no_vocab_broadcast_no_cartesian(spark, sf_dir):
+    """heaps_curve: checkpoint assignment is integer math against the
+    broadcast ONE-ROW max-id — no non-equi join of the vocabulary, no
+    cartesian product, no sort-merge join anywhere."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cs.heaps_curve(docs))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_distinct_ngrams_pure_projection(spark, sf_dir):
+    """distinct_ngrams: per-document ratios are codegen'd array
+    expressions — the plan has NO exchange at all."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cs.distinct_ngrams(docs))
+    assert "Exchange" not in plan, plan
+    # one Project straight over the scan (higher-order array lambdas
+    # run interpreted but stay JVM-side — no Python, no shuffle)
+    assert "Project" in plan and "FileScan" in plan
+    assert "Python" not in plan
+
+
+def test_key_skew_audit_reduces_before_rank(spark, sf_dir):
+    """key_skew_audit: the key-frequency table partial-aggregates
+    map-side; the single-partition rank stage only ever carries
+    (key, cnt) pairs, never raw rows."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cs.key_skew_audit(docs, "lang"))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    scan = plan[plan.index("FileScan"):]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    read = head.split("ReadSchema")[-1]
+    assert "lang" in read and "text" not in read
