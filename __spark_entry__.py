@@ -1664,6 +1664,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_key_skew"] = corpus_key_skew
 
+    def corpus_length_hist(spark, sf_dir):
+        """Log2-bucketed length histogram per lang
+        (corpusstats.length_histogram): bucket = binary-string length
+        of n_chars — integer-only, one map-side-combining groupBy."""
+        from gocrawl_spark import corpusstats
+
+        return corpusstats.length_histogram(_docs(spark, sf_dir))
+
+    q["corpus_length_hist"] = corpus_length_hist
+
     def search_significant_terms(spark, sf_dir):
         """ES significant_terms agg (search.significant_terms): JLH
         foreground-vs-background term significance for the docs
@@ -2967,7 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate_first = [
         # round-4 additions lead: no driver row exists for them yet
         "search_rank_eval", "corpus_zipf", "corpus_heaps",
-        "text_distinct_ngrams", "corpus_key_skew",
+        "text_distinct_ngrams", "corpus_key_skew", "corpus_length_hist",
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
@@ -4841,6 +4851,20 @@ def oracle_sql() -> dict[str, str]:
                           THEN len(list_distinct(g3))::DOUBLE / len(g3)
                           ELSE 0.0 END, 6) AS distinct_3
         FROM g
+    """
+
+    # corpus_length_hist: bucket = bin-string length (identical int
+    # semantics in both engines; no float log at 2^k boundaries)
+    o["corpus_length_hist"] = """
+        SELECT lang AS grp,
+               length(bin(n_chars::BIGINT))::INT AS log2_bucket,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars::BIGINT)::BIGINT AS total_len,
+               min(n_chars::BIGINT)::BIGINT AS min_len,
+               max(n_chars::BIGINT)::BIGINT AS max_len
+        FROM documents
+        GROUP BY grp, log2_bucket
+        ORDER BY grp, log2_bucket
     """
 
     # corpus_key_skew: rank-selected order statistics, no interpolation

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 
 from gocrawl_spark.textstats import norm_words, shingles_of_words
 
-__all__ = ["zipf_fit", "heaps_curve", "distinct_ngrams", "key_skew_audit"]
+__all__ = [
+    "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
+    "key_skew_audit",
+]
 
 
 def _fold(arr: Column) -> Column:
@@ -217,6 +220,29 @@ def distinct_ngrams(
             ).alias(f"distinct_{n}")
         )
     return docs.select(*cols)
+
+
+def length_histogram(
+    docs: DataFrame, by: str = "lang", len_col: str = "n_chars"
+) -> DataFrame:
+    """Log2-bucketed document-length histogram per ``by`` group — the
+    dataset-card length audit (truncation risk at the long tail,
+    fragment noise at the short one). bucket = ⌊log2 len⌋+1 computed as
+    the BINARY-STRING length of the integer (``bin()`` in both Spark
+    and DuckDB) — pure integer math, no float log edge cases at the
+    power-of-two boundaries. One map-side-combining groupBy on a
+    (group, bucket) key whose cardinality is |groups|·64 at most."""
+    b = F.length(F.bin(F.col(len_col).cast("long"))).alias("log2_bucket")
+    return (
+        docs.groupBy(F.col(by).alias("grp"), b)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(len_col).cast("long")).alias("total_len"),
+            F.min(F.col(len_col).cast("long")).alias("min_len"),
+            F.max(F.col(len_col).cast("long")).alias("max_len"),
+        )
+        .orderBy("grp", "log2_bucket")
+    )
 
 
 def key_skew_audit(df: DataFrame, key: str) -> DataFrame:

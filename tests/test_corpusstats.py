@@ -88,3 +88,21 @@ def test_key_skew_audit(spark):
     assert r["p99_cnt"] == 6
     assert r["top_share"] == 0.6
     assert r["skew_ratio"] == 3.0
+
+
+def test_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 1), (2, "en", 2), (3, "en", 3), (4, "en", 4),
+         (5, "de", 1023), (6, "de", 1024)],
+        "doc_id long, lang string, n_chars int",
+    )
+    out = {(r["grp"], r["log2_bucket"]): r
+           for r in cs.length_histogram(df).collect()}
+    # bin lengths: 1→1, 2/3→2, 4→3, 1023→10, 1024→11 (power-of-two
+    # boundary lands in the NEXT bucket — no float log ambiguity)
+    assert out[("en", 1)]["n_docs"] == 1
+    assert out[("en", 2)]["n_docs"] == 2
+    assert out[("en", 3)]["n_docs"] == 1
+    assert out[("de", 10)]["max_len"] == 1023
+    assert out[("de", 11)]["min_len"] == 1024
+    assert out[("en", 2)]["total_len"] == 5
