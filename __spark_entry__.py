@@ -2185,6 +2185,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_request_postfilter"] = search_request_postfilter
 
+    def search_request_collapse(spark, sf_dir):
+        """ES field collapsing: one hit per distinct `lang` — the best
+        hit under (_score desc, id) via a collapse-key-partitioned
+        row_number, then global top-k over one survivor per key."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        return search.es_search(docs, {
+            "query": {"match": {"text": "spark"}},
+            "collapse": {"field": "lang"},
+            "size": 10,
+        })["hits"]
+
+    q["search_request_collapse"] = search_request_collapse
+
+    def search_request_rescore(spark, sf_dir):
+        """ES rescore: the top-20 `match` hits re-ranked by a phrase
+        boost (final = 1·score + 2·phrase_count for window docs
+        matching the rescore query) — only the window pays the
+        secondary scoring."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        return search.es_search(docs, {
+            "query": {"match": {"text": "spark"}},
+            "rescore": {"window_size": 20, "query": {
+                "rescore_query": {"match_phrase": {"text": "window batch"}},
+                "query_weight": 1.0,
+                "rescore_query_weight": 2.0,
+            }},
+            "size": 10,
+        })["hits"]
+
+    q["search_request_rescore"] = search_request_rescore
+
     def search_request_global(spark, sf_dir):
         """ES global agg: sub-aggs over the WHOLE index from inside a
         filtered request — the query (lang=fr) must not narrow the
@@ -2978,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions lead: no driver row exists for them yet
         "search_rank_eval", "corpus_zipf", "corpus_heaps",
         "text_distinct_ngrams", "corpus_key_skew", "corpus_length_hist",
+        "search_request_collapse", "search_request_rescore",
         "ann_recall", "search_bool_wildcard", "search_aggs_nested_a2",
         "search_aggs_histogram_a2", "search_aggs_range_a2",
         "search_bool_fuzzy", "search_aggs_stats_a2",
@@ -5480,6 +5512,44 @@ def oracle_sql() -> dict[str, str]:
     o["search_request_postfilter"] = """
         SELECT doc_id AS id FROM documents
         WHERE lang = 'en' AND n_chars >= 400
+    """
+
+    # search_request_collapse: best hit per lang, then global top-k
+    o["search_request_collapse"] = f"""
+        WITH t AS (SELECT doc_id AS id, lang, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, lang,
+                     len(list_filter(toks, x -> x = 'spark'))::DOUBLE AS score
+              FROM t),
+        c AS (SELECT id, lang, score,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, id ASC) AS rn
+              FROM s WHERE score > 0)
+        SELECT id, lang, score FROM c WHERE rn = 1
+        ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+    # search_request_rescore: same window cut, same combine op order
+    # (score·qw + CASE matched THEN round(pc,6) ELSE 0 END·rqw, round 6)
+    o["search_request_rescore"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, toks,
+                     len(list_filter(toks, x -> x = 'spark'))::DOUBLE AS score
+              FROM t WHERE len(list_filter(toks, x -> x = 'spark')) > 0),
+        w AS (SELECT id, toks, score,
+                     row_number() OVER (ORDER BY score DESC, id ASC) AS rn
+              FROM s QUALIFY rn <= 20),
+        r AS (SELECT id,
+                     round(score * 1.0
+                           + CASE WHEN len(toks) >= 2 AND
+                                       len([i for i in range(1, len(toks))
+                                            if toks[i:i+1] = ['window', 'batch']]) > 0
+                                  THEN round(len([i for i in range(1, len(toks))
+                                                  if toks[i:i+1] = ['window', 'batch']])::DOUBLE, 6)
+                                  ELSE 0.0 END * 2.0, 6) AS score
+              FROM w)
+        SELECT id, score FROM r ORDER BY score DESC, id ASC LIMIT 10
     """
 
     # search_request_global: whole-index terms despite the fr query

@@ -1110,12 +1110,22 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
     post = body.get("post_filter")
     if post is not None:
         post = _expand_fuzzy_clauses(post, df, vocabs)
+    resc = body.get("rescore")
+    rq = None
+    if resc is not None:
+        if body.get("sort"):
+            raise ValueError("rescore requires the default _score sort")
+        if body.get("collapse"):
+            raise ValueError("rescore cannot combine with collapse")
+        rq = _expand_fuzzy_clauses(resc["query"]["rescore_query"], df, vocabs)
     for v in vocabs.values():
         v.unpersist()
     fields: list[str] = []
     _collect_match_fields([clause], fields)
     if post is not None:
         _collect_match_fields([post], fields)
+    if rq is not None:
+        _collect_match_fields([rq], fields)
     tokcol = {f: f"_toks_{i}" for i, f in enumerate(fields)}
     raw = [c for c in df.columns if c != "id"]
     toked = df.select(
@@ -1171,6 +1181,45 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
 
     order = [(F.asc(f) if asc else F.desc(f)) for f, asc in entries]
     sort_fields = [f for f, _ in entries if f not in ("id", "_score")]
+
+    # collapse: one hit per distinct collapse-field value — the BEST
+    # hit under the effective sort (row_number over a field-keyed
+    # window; ES's field collapsing). The window shuffles on the
+    # collapse key only; the global top-k then runs over one survivor
+    # per key.
+    collapse = body.get("collapse")
+    if collapse is not None:
+        cfield = collapse["field"]
+        cw = Window.partitionBy(cfield).orderBy(*order)
+        hit_src = (
+            hit_src.withColumn("_rn", F.row_number().over(cw))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if cfield not in sort_fields:
+            sort_fields = sort_fields + [cfield]
+
+    # rescore: re-rank the top window_size hits with a (usually more
+    # expensive) secondary query — final score = query_weight·score +
+    # rescore_query_weight·rescore_score for window docs matching the
+    # rescore query (ES semantics; docs outside the window keep their
+    # rank order and never pay the secondary scoring). Only the
+    # window's rows evaluate the rescore expressions.
+    if rq is not None:
+        spec = resc["query"]
+        qw = float(spec.get("query_weight", 1.0))
+        rqw = float(spec.get("rescore_query_weight", 1.0))
+        wsize = int(resc.get("window_size", size))
+        rpred, rscore = _compile_clause(rq, tokcol)
+        hit_src = hit_src.orderBy(*order).limit(wsize).withColumn(
+            "_score",
+            F.round(
+                F.col("_score") * qw
+                + F.when(rpred, F.round(rscore, 6)).otherwise(F.lit(0.0)) * rqw,
+                6,
+            ),
+        )
+
     hits = (
         hit_src.orderBy(*order)
         .limit(size)

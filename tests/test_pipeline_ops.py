@@ -2777,3 +2777,44 @@ def test_star_components_equal_min_label(spark):
     assert star[200] == 0            # far end of the path reaches the min
     assert star[1301] == 1100        # crossing chain folds into clique min
     assert star[1204] == 1200
+
+
+def test_es_search_collapse_and_rescore(spark):
+    rows = [
+        (1, "en", "spark spark spark"),
+        (2, "en", "spark spark"),
+        (3, "fr", "spark window batch"),
+        (4, "fr", "spark"),
+        (5, "de", "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    # collapse: best hit per lang under (_score desc, id asc), then
+    # global top-k over the survivors
+    c = search.es_search(df, {
+        "query": {"match": {"text": "spark"}},
+        "collapse": {"field": "lang"}, "size": 10})["hits"].collect()
+    assert [(r["id"], r["lang"], r["score"]) for r in c] == [
+        (1, "en", 3.0), (3, "fr", 1.0)]
+    # rescore: phrase boost re-ranks inside the window only
+    r = search.es_search(df, {
+        "query": {"match": {"text": "spark"}},
+        "rescore": {"window_size": 4, "query": {
+            "rescore_query": {"match_phrase": {"text": "window batch"}},
+            "query_weight": 1.0, "rescore_query_weight": 5.0}},
+        "size": 3})["hits"].collect()
+    assert [(x["id"], x["score"]) for x in r] == [(3, 6.0), (1, 3.0), (2, 2.0)]
+    # a window smaller than the boosted doc's primary rank leaves it out
+    r2 = search.es_search(df, {
+        "query": {"match": {"text": "spark"}},
+        "rescore": {"window_size": 2, "query": {
+            "rescore_query": {"match_phrase": {"text": "window batch"}},
+            "rescore_query_weight": 5.0}},
+        "size": 3})["hits"].collect()
+    assert [x["id"] for x in r2] == [1, 2]
+    import pytest as _p
+    with _p.raises(ValueError):
+        search.es_search(df, {"sort": [{"lang": "asc"}],
+                              "rescore": {"query": {"rescore_query": {}}}})
+    with _p.raises(ValueError):
+        search.es_search(df, {"collapse": {"field": "lang"},
+                              "rescore": {"query": {"rescore_query": {}}}})
