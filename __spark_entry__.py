@@ -45,6 +45,19 @@ _RANK_EVAL_REQUESTS = [
 ]
 
 
+# registered percolator queries — shared by queries()['search_percolate']
+# and its oracle so both engines evaluate the identical registry
+_PERCOLATE_QUERIES = [
+    ("p_spark_or", "spark streaming", "or"),
+    ("p_window_and", "window batch", "and"),
+    ("p_pipeline_or", "data pipeline quality", "or"),
+    ("p_nomatch_and", "zzzqqq", "and"),
+]
+
+# docs requested from the `_termvectors` twin queries
+_TERMVECTOR_DOC_IDS = [1, 2, 42]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1620,6 +1633,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_rank_eval"] = search_rank_eval
 
+    def search_percolate(spark, sf_dir):
+        """ES percolator (search.percolate): registered match queries
+        evaluated against every document in one corpus pass —
+        broadcast query-term table onto distinct (doc, term) pairs,
+        one map-side-combined groupBy applies the and/or gate."""
+        return search.percolate(
+            _docs(spark, sf_dir),
+            _PERCOLATE_QUERIES,
+            text_col="text",
+            id_col="doc_id",
+        )
+
+    q["search_percolate"] = search_percolate
+
+    def search_termvectors(spark, sf_dir):
+        """ES `_termvectors` with term_statistics (search.termvectors):
+        per-term in-doc frequency plus corpus doc_freq/ttf for three
+        requested docs — two map-side-combined aggregations build the
+        index stats, the requested docs broadcast onto them."""
+        return search.termvectors(
+            _docs(spark, sf_dir),
+            _TERMVECTOR_DOC_IDS,
+            text_col="text",
+            id_col="doc_id",
+        )
+
+    q["search_termvectors"] = search_termvectors
+
     # -- corpus-level statistical audits (corpusstats.py) -------------------
 
     def corpus_zipf(spark, sf_dir):
@@ -2486,6 +2527,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdx.cdx_lookup(idx, "com,example,site01)", latest_only=True)
 
     q["crawl_cdx_lookup"] = crawl_cdx_lookup
+
+    def crawl_warc_revisit(spark, sf_dir):
+        """WARC revisit-record election (cdx.revisit_records): the
+        earliest capture of each payload digest stays a full response,
+        later captures become revisit pointers (WARC/1.1 §6.7.2 — the
+        Common-Crawl/Heritrix history-dedup mechanism). One map-side-
+        combined min(struct) groupBy elects originals, one digest
+        equi-join classifies — no per-digest window sort, so a hot
+        digest (the empty page at 10^10 captures) cannot serialize
+        onto one task."""
+        from gocrawl_spark import cdx
+
+        return cdx.revisit_records(
+            _cdx_captures(spark, sf_dir), payload_col="payload"
+        )
+
+    q["crawl_warc_revisit"] = crawl_warc_revisit
 
     def crawl_frontier_pop(spark, sf_dir):
         """Politeness pop (P1-P4) over a frontier synthesized from
@@ -3543,6 +3601,30 @@ def oracle_sql() -> dict[str, str]:
                arg_max(digest, ts_us) AS digest,
                arg_max(length, ts_us)::BIGINT AS length
         FROM rec WHERE hostidx = 1 GROUP BY surt
+    """
+
+    # WARC revisit election: first capture per digest by (ts, url) —
+    # the window's (ts_us, url) order is exactly Spark's
+    # min(struct(ts_us, url)) tie-break
+    o["crawl_warc_revisit"] = f"""
+        WITH {_CDX_CAPS},
+        f AS (
+          SELECT url, ts_us, digest, length,
+                 first_value(url) OVER w AS f_url,
+                 first_value(ts_us) OVER w AS f_ts
+          FROM rec
+          WINDOW w AS (PARTITION BY digest ORDER BY ts_us, url)
+        )
+        SELECT url, ts_us, digest,
+               CASE WHEN ts_us = f_ts AND url = f_url
+                    THEN 'response' ELSE 'revisit' END AS record_type,
+               CASE WHEN NOT (ts_us = f_ts AND url = f_url)
+                    THEN f_url END AS refers_to_url,
+               (CASE WHEN NOT (ts_us = f_ts AND url = f_url)
+                     THEN f_ts END)::BIGINT AS refers_to_ts_us,
+               (CASE WHEN NOT (ts_us = f_ts AND url = f_url)
+                     THEN length ELSE 0 END)::BIGINT AS saved_bytes
+        FROM f
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the
@@ -4795,6 +4877,44 @@ def oracle_sql() -> dict[str, str]:
         FROM rids r
         LEFT JOIN pr p USING (request_id)
         LEFT JOIN idl i USING (request_id)
+    """
+
+    # percolator: identical registered-query table (VALUES), identical
+    # analyzer, identical distinct-(doc, term) inverted formulation
+    _perc_rows = ", ".join(
+        f"('{qid}', '{t}', {len(terms)}, '{op}')"
+        for qid, qs, op in _PERCOLATE_QUERIES
+        for terms in [sorted(set(search.analyze_query(qs)))]
+        for t in terms
+    )
+    o["search_percolate"] = f"""
+        WITH qt(query_id, term, n_terms, operator) AS (VALUES {_perc_rows}),
+        pairs AS (
+          SELECT doc_id AS id, unnest(list_distinct({_antoks("text")})) AS term
+          FROM documents),
+        m AS (
+          SELECT query_id, id, n_terms, operator,
+                 count(*)::BIGINT AS n_matched
+          FROM pairs JOIN qt USING (term)
+          GROUP BY query_id, id, n_terms, operator)
+        SELECT query_id, id, n_matched
+        FROM m WHERE operator = 'or' OR n_matched = n_terms
+    """
+
+    _tv_ids = ", ".join(str(i) for i in _TERMVECTOR_DOC_IDS)
+    o["search_termvectors"] = f"""
+        WITH per AS (
+          SELECT id, term, count(*)::BIGINT AS term_freq
+          FROM (SELECT doc_id AS id, unnest({_antoks("text")}) AS term
+                FROM documents)
+          GROUP BY id, term),
+        stats AS (
+          SELECT term, sum(term_freq)::BIGINT AS ttf,
+                 count(*)::BIGINT AS doc_freq
+          FROM per GROUP BY term)
+        SELECT id, term, term_freq, doc_freq, ttf
+        FROM per JOIN stats USING (term)
+        WHERE id IN ({_tv_ids})
     """
 
     # corpus_zipf: same norm_words stream, same (cnt DESC, word) rank,

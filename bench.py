@@ -84,6 +84,10 @@ HEADLINE = [
     # representative each)
     "search_rank_eval",
     "corpus_zipf",
+    # round-4 session 4: archive revisit dedup + percolator (one
+    # representative each)
+    "crawl_warc_revisit",
+    "search_percolate",
 ]
 
 

@@ -70,6 +70,66 @@ def write_cdx(index: DataFrame, path: str, buckets: int = 32) -> None:
     )
 
 
+def revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_us",
+    payload_col: str = "text",
+    digest_col: str | None = None,
+) -> DataFrame:
+    """WARC revisit-record election (digest-based capture dedup).
+
+    Web archives store a payload once: the earliest capture of each
+    content digest is a full ``response`` record; every later capture
+    of the same digest becomes a ``revisit`` record that carries only
+    a pointer at the original (WARC/1.1 §6.7.2 `revisit` with
+    WARC-Refers-To-Target-URI / WARC-Refers-To-Date — the mechanism
+    Common Crawl and Heritrix use for URL-agnostic history dedup).
+    The digest is sha256 of the payload, the reference's content
+    identity (/root/reference/internal/articles/extractor.go:172-178).
+
+    Output, one row per capture: (url, ts_us, digest, record_type,
+    refers_to_url, refers_to_ts_us, saved_bytes) where the refers_to
+    columns are NULL on ``response`` rows and ``saved_bytes`` is the
+    payload length a revisit avoids re-storing (0 for responses).
+
+    Scale shape: the original capture per digest is elected with ONE
+    partially-aggregated groupBy — min(struct(ts, url)) combines
+    map-side, so a pathological digest (the empty page, a boilerplate
+    404 captured billions of times) reduces to one row per map task
+    before the shuffle — then joined back on digest (equi-join, AQE
+    skew-split applies). No window sort over the digest partition:
+    a per-digest window would serialize the hot digest onto one task.
+    """
+    d = F.sha2(F.col(payload_col), 256) if digest_col is None else F.col(digest_col)
+    rec = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        d.alias("digest"),
+        F.length(payload_col).cast("long").alias("length"),
+    )
+    firsts = rec.groupBy("digest").agg(
+        F.min(F.struct("ts_us", "url")).alias("_first")
+    )
+    joined = rec.join(firsts, "digest")
+    is_orig = (F.col("ts_us") == F.col("_first.ts_us")) & (
+        F.col("url") == F.col("_first.url")
+    )
+    return joined.select(
+        "url",
+        "ts_us",
+        "digest",
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(~is_orig, F.col("_first.url")).alias("refers_to_url"),
+        F.when(~is_orig, F.col("_first.ts_us")).alias("refers_to_ts_us"),
+        F.when(~is_orig, F.col("length")).otherwise(F.lit(0)).cast("long").alias(
+            "saved_bytes"
+        ),
+    )
+
+
 def cdx_lookup(
     index: DataFrame, surt_prefix: str, latest_only: bool = False
 ) -> DataFrame:

@@ -193,6 +193,60 @@ class SearchBackend:
             for i in ids
         ]
 
+    def percolate_docs(self, index: str, body: dict) -> dict:
+        """ES percolator surface: registered match queries from the
+        request body evaluated against every document of the table in
+        ONE corpus pass (search.percolate). Body: {"queries": [{"id",
+        "query", "operator"?}], "size"?}."""
+        if index not in self.tables:
+            raise KeyError(index)
+        df, text_col = self.tables[index]
+        qs = [
+            (str(q["id"]), str(q["query"]), str(q.get("operator", "or")))
+            for q in body.get("queries") or []
+        ]
+        size = max(int(body.get("size") or 0), 0) or DEFAULT_SEARCH_SIZE
+        rows = (
+            search.percolate(df, qs, text_col=text_col, id_col="id")
+            .orderBy("query_id", "id")
+            .limit(size)
+            .collect()
+        )
+        return {
+            "matches": [
+                {"query_id": r["query_id"], "id": _plain(r["id"]),
+                 "n_matched": r["n_matched"]}
+                for r in rows
+            ]
+        }
+
+    def termvectors(self, index: str, ids: list) -> dict:
+        """ES ``_termvectors`` with term_statistics: per-term in-doc
+        frequency plus corpus doc_freq/ttf for the requested ids, all
+        ids served from one pass (search.termvectors)."""
+        if index not in self.tables:
+            raise KeyError(index)
+        df, text_col = self.tables[index]
+        rows = (
+            search.termvectors(df, list(ids), text_col=text_col, id_col="id")
+            .orderBy("id", "term")
+            .collect()
+        )
+        terms: dict = {}
+        for r in rows:
+            terms.setdefault(r["id"], {})[r["term"]] = {
+                "term_freq": r["term_freq"],
+                "doc_freq": r["doc_freq"],
+                "ttf": r["ttf"],
+            }
+        return {
+            "docs": [
+                {"id": _plain(i), "found": i in terms,
+                 "term_vectors": {"terms": terms.get(i, {})}}
+                for i in ids
+            ]
+        }
+
     def cdx_hits(self, prefix: str, latest: bool, size: int) -> list[dict]:
         """CDX capture lookup over the backend's attached index —
         the pywb-style query surface (GET /cdx). Prefix range scan,
@@ -431,6 +485,64 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
                     self._json(500, {"error": "Search failed"}, secure=False)
                     return
                 self._json(200, {"docs": docs})
+                return
+            if self.path == "/percolate":
+                if not self._guard():
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError
+                    index = req.pop("index", "articles")
+                    if not isinstance(index, str) or not isinstance(
+                        req.get("queries"), list
+                    ):
+                        raise ValueError
+                    for q_ in req["queries"]:
+                        if not isinstance(q_, dict) or "id" not in q_ \
+                                or "query" not in q_ \
+                                or q_.get("operator", "or") not in ("or", "and"):
+                            raise ValueError
+                except (ValueError, TypeError, json.JSONDecodeError):
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                try:
+                    resp = backend.percolate_docs(index, req)
+                except KeyError:
+                    self._json(400, {"error": f"unknown index: {index}"},
+                               secure=False)
+                    return
+                except Exception:
+                    self._json(500, {"error": "Search failed"}, secure=False)
+                    return
+                self._json(200, resp)
+                return
+            if self.path == "/termvectors":
+                if not self._guard():
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    index = req.get("index", "articles")
+                    ids = req.get("ids")
+                    if not isinstance(index, str) or not isinstance(ids, list):
+                        raise ValueError
+                except (ValueError, TypeError, json.JSONDecodeError, AttributeError):
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                try:
+                    resp = backend.termvectors(index, ids)
+                except KeyError:
+                    self._json(400, {"error": f"unknown index: {index}"},
+                               secure=False)
+                    return
+                except Exception:
+                    self._json(500, {"error": "Search failed"}, secure=False)
+                    return
+                self._json(200, resp)
                 return
             if self.path != "/search":
                 self._json(404, {"error": "not found"}, secure=False)

@@ -2215,3 +2215,107 @@ def significant_terms(
 
 
 __all__.append("significant_terms")
+
+
+def percolate(
+    df: DataFrame,
+    queries: list[tuple],
+    text_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """ES percolator: match DOCUMENTS against REGISTERED QUERIES.
+
+    ES stores `percolator`-typed queries in an index and `percolate`
+    runs each incoming document through all of them (the alerting /
+    saved-search primitive). The reference's search surface is plain
+    `match` queries (/root/reference/internal/api/api.go — the only
+    query shape it emits), so registered queries are (query_id,
+    query_string, operator) triples with ES `match` semantics:
+    operator "or" matches when ANY analyzed term occurs, "and" when
+    EVERY term occurs.
+
+    Returns (query_id, id, n_matched) — one row per (registered
+    query, matching document), n_matched = how many of the query's
+    distinct analyzed terms the document contains.
+
+    Scale shape: the classic inverted formulation, scaling with BOTH
+    corpus size and registry size (ES percolator indexes thousands of
+    queries): documents are tokenized once and exploded to DISTINCT
+    (doc, term) pairs; the query-term table (Σ|terms| rows) broadcasts
+    onto that stream; one (id, query_id) groupBy with map-side partial
+    counts applies the and/or gate. No per-query corpus scan — adding
+    a registered query costs broadcast rows, not a pass.
+    """
+    spark = df.sparkSession
+    rows = []
+    for entry in queries:
+        qid, qs = entry[0], entry[1]
+        op = entry[2] if len(entry) > 2 else "or"
+        if op not in ("or", "and"):
+            raise ValueError(f"operator must be or|and, got {op!r}")
+        terms = sorted(set(_terms(qs)))
+        for t in terms:
+            rows.append((qid, t, len(terms), op))
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, n_terms int, operator string"
+    )
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    return (
+        pairs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "id", "n_terms", "operator")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(
+            (F.col("operator") == "or")
+            | (F.col("n_matched") == F.col("n_terms"))
+        )
+        .select("query_id", "id", "n_matched")
+    )
+
+
+__all__.append("percolate")
+
+
+def termvectors(
+    df: DataFrame,
+    doc_ids: list,
+    text_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """ES `_termvectors` (term_statistics=true): for each requested
+    document, every analyzed term with its in-doc frequency plus the
+    corpus-wide statistics ES reports — doc_freq (documents containing
+    the term) and ttf (total term frequency across the index).
+
+    Returns (id, term, term_freq, doc_freq, ttf), one row per
+    (requested doc, distinct term).
+
+    Scale shape: one corpus scan → (id, term) counts with map-side
+    combine; term-level stats fold from that (vocab-row output, second
+    map-side-combined groupBy). The requested docs' rows (a handful)
+    broadcast onto the stats table, so the per-request cost after the
+    two index-build aggregations is a broadcast-hash join over
+    vocab-sized input — exactly the shape of serving `_termvectors`
+    from a prebuilt index at 100 TB.
+    """
+    per = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    stats = per.groupBy("term").agg(
+        F.sum("term_freq").alias("ttf"),
+        F.count("*").alias("doc_freq"),
+    )
+    sel = per.filter(F.col("id").isin(list(doc_ids)))
+    return F.broadcast(sel).join(stats, "term").select(
+        "id", "term", "term_freq", "doc_freq", "ttf"
+    )
+
+
+__all__.append("termvectors")

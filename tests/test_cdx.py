@@ -113,3 +113,28 @@ def test_cdx_write_layout_and_pushdown(spark, tmp_path):
         t = pq.read_table(os.path.join(out, name), columns=["surt", "ts_us"])
         keys = list(zip(t["surt"].to_pylist(), t["ts_us"].to_pylist()))
         assert keys == sorted(keys)
+
+
+def test_revisit_records_election(spark):
+    rows = [
+        ("https://a.com/1", 1000, "same"),
+        ("https://b.com/2", 2000, "same"),
+        ("https://c.com/3", 1000, "same"),  # ts tie with a.com/1 → url breaks it
+        ("https://d.com/4", 500, "uniq"),
+    ]
+    caps = spark.createDataFrame(rows, "url string, ts_us long, text string")
+    got = {r["url"]: r for r in cdx.revisit_records(caps).collect()}
+    assert got["https://a.com/1"]["record_type"] == "response"
+    assert got["https://d.com/4"]["record_type"] == "response"
+    for u in ("https://a.com/1", "https://d.com/4"):
+        assert got[u]["refers_to_url"] is None
+        assert got[u]["refers_to_ts_us"] is None
+        assert got[u]["saved_bytes"] == 0
+    for u in ("https://b.com/2", "https://c.com/3"):
+        assert got[u]["record_type"] == "revisit"
+        assert got[u]["refers_to_url"] == "https://a.com/1"
+        assert got[u]["refers_to_ts_us"] == 1000
+        assert got[u]["saved_bytes"] == len("same")
+    # digest column is the sha256 payload identity
+    assert got["https://b.com/2"]["digest"] == got["https://a.com/1"]["digest"]
+    assert got["https://d.com/4"]["digest"] != got["https://a.com/1"]["digest"]

@@ -245,3 +245,50 @@ def test_cdx_endpoint(spark, corpus_df, tmp_path):
                     "/cdx?prefix=x")[0] == 404
     finally:
         srv2.shutdown()
+
+
+def test_percolate_endpoint(server):
+    code, body, _ = _post(server, "/percolate", {
+        "index": "articles",
+        "queries": [
+            {"id": "q_and", "query": "spark data", "operator": "and"},
+            {"id": "q_or", "query": "politeness catalyst"},
+        ],
+    })
+    assert code == 200
+    got = {(m["query_id"], m["id"]): m["n_matched"] for m in body["matches"]}
+    # AND: both terms — a1 ("spark ... data") and a5 ("spark ... data")
+    assert sorted(k[1] for k in got if k[0] == "q_and") == ["a1", "a5"]
+    assert got[("q_and", "a1")] == 2
+    # OR (default operator): either term — a2 (politeness), a3 (catalyst)
+    assert sorted(k[1] for k in got if k[0] == "q_or") == ["a2", "a3"]
+    # malformed registrations are a 400, not a 500
+    for bad in (
+        {"queries": [{"query": "x"}]},               # missing id
+        {"queries": [{"id": "q", "query": "x", "operator": "not"}]},
+        {"queries": "x"},
+    ):
+        code, body, _ = _post(server, "/percolate", {"index": "articles", **bad})
+        assert code == 400
+    code, _, _ = _post(server, "/percolate", {"index": "nope", "queries": []})
+    assert code == 400
+
+
+def test_termvectors_endpoint(server):
+    code, body, _ = _post(server, "/termvectors", {
+        "index": "articles", "ids": ["a4", "missing"],
+    })
+    assert code == 200
+    docs = {d["id"]: d for d in body["docs"]}
+    assert list(docs) == ["a4", "missing"]
+    assert docs["missing"]["found"] is False
+    a4 = docs["a4"]
+    assert a4["found"] is True
+    terms = a4["term_vectors"]["terms"]
+    # "bloom filters answer maybe or definitely not"
+    assert terms["bloom"]["term_freq"] == 1 and terms["bloom"]["doc_freq"] == 1
+    # corpus-wide stats: "spark" absent from a4, "or" appears once here
+    assert "spark" not in terms
+    assert terms["or"] == {"term_freq": 1, "doc_freq": 1, "ttf": 1}
+    code, _, _ = _post(server, "/termvectors", {"index": "articles", "ids": "a4"})
+    assert code == 400

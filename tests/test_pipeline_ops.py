@@ -2818,3 +2818,57 @@ def test_es_search_collapse_and_rescore(spark):
     with _p.raises(ValueError):
         search.es_search(df, {"collapse": {"field": "lang"},
                               "rescore": {"query": {"rescore_query": {}}}})
+
+
+def test_percolate_and_or_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark window batch jobs"),
+            (2, "the window frame"),
+            (3, "batch only text"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [
+        ("q_and", "window batch", "and"),
+        ("q_or", "window batch", "or"),
+        ("q_one", "spark", "or"),
+    ]
+    got = {
+        (r["query_id"], r["id"]): r["n_matched"]
+        for r in search.percolate(df, queries, text_col="text", id_col="doc_id").collect()
+    }
+    # AND: both terms required — doc 1 only
+    assert [k for k in got if k[0] == "q_and"] == [("q_and", 1)]
+    assert got[("q_and", 1)] == 2
+    # OR: any term — docs 1, 2, 3; n_matched counts distinct terms hit
+    assert sorted(k[1] for k in got if k[0] == "q_or") == [1, 2, 3]
+    assert got[("q_or", 1)] == 2 and got[("q_or", 2)] == 1
+    assert sorted(k[1] for k in got if k[0] == "q_one") == [1]
+    # repeated occurrences in a doc count once (distinct-term gate)
+    df2 = spark.createDataFrame([(9, "window window window")], "doc_id long, text string")
+    g2 = search.percolate(df2, [("q_and", "window batch", "and")], "text", "doc_id").collect()
+    assert g2 == []
+    with pytest.raises(ValueError):
+        search.percolate(df, [("q", "x", "not")], "text", "doc_id")
+
+
+def test_termvectors_statistics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark window"),
+            (2, "window batch"),
+            (3, "spark elsewhere"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = search.termvectors(df, [1, 2], text_col="text", id_col="doc_id").collect()
+    got = {(r["id"], r["term"]): (r["term_freq"], r["doc_freq"], r["ttf"]) for r in rows}
+    # only requested docs appear; stats are corpus-wide (doc 3 counts)
+    assert set(r["id"] for r in rows) == {1, 2}
+    assert got[(1, "spark")] == (2, 2, 3)
+    assert got[(1, "window")] == (1, 2, 2)
+    assert got[(2, "window")] == (1, 2, 2)
+    assert got[(2, "batch")] == (1, 1, 1)
+    assert (2, "spark") not in got

@@ -430,3 +430,60 @@ def test_key_skew_audit_reduces_before_rank(spark, sf_dir):
     head = scan[: scan.index("\n")] if "\n" in scan else scan
     read = head.split("ReadSchema")[-1]
     assert "lang" in read and "text" not in read
+
+
+def test_revisit_records_no_per_digest_window(spark, sf_dir):
+    """revisit_records: original election is a map-side-combined
+    min(struct) groupBy + digest equi-join — NO window sort over the
+    digest partition (a hot digest must not serialize onto one task)
+    and no cartesian/broadcast-nested-loop anywhere."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import cdx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    caps = docs.select(
+        F.concat(F.lit("https://x.com/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") * 1000).cast("long").alias("ts_us"),
+        F.col("text"),
+    )
+    plan = _plan(cdx.revisit_records(caps))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_percolate_broadcasts_query_registry(spark, sf_dir):
+    """percolate: the registered-query term table joins as a
+    BROADCAST side onto the exploded (doc, term) stream — never a
+    sort-merge shuffle of the corpus on term — and the and/or gate
+    count partial-aggregates map-side."""
+    from gocrawl_spark import search as se
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = se.percolate(
+        docs, [("q1", "spark window", "and"), ("q2", "batch", "or")],
+        text_col="text", id_col="doc_id",
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_termvectors_requested_docs_broadcast(spark, sf_dir):
+    """termvectors: after the two index aggregations, the requested
+    docs' rows (a handful) broadcast onto the vocab-sized stats table
+    — the serve-path join is broadcast-hash, never a corpus shuffle,
+    and the scan prunes to (id, text)."""
+    from gocrawl_spark import search as se
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(se.termvectors(docs, [1, 2], text_col="text", id_col="doc_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    scan = plan[plan.index("FileScan"):]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    read = head.split("ReadSchema")[-1]
+    assert "text" in read and "lang" not in read
