@@ -57,6 +57,9 @@ _PERCOLATE_QUERIES = [
 # docs requested from the `_termvectors` twin queries
 _TERMVECTOR_DOC_IDS = [1, 2, 42]
 
+# politeness floor asserted by crawl_politeness_audit and its oracle
+_POLITENESS_MIN_DELAY_US = 30 * 60 * 1_000_000
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2545,6 +2548,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_warc_revisit"] = crawl_warc_revisit
 
+    def crawl_host_dup_rate(spark, sf_dir):
+        """Per-host duplication audit (cdx.host_dup_rate): what share
+        of each host's captures are byte-duplicates (basis points,
+        integer DIV) and how many payload bytes the revisit mechanism
+        saves — the Common-Crawl per-crawl dedup rollup. The digest
+        election shuffles once, then everything folds map-side to
+        #hosts rows."""
+        from gocrawl_spark import cdx
+
+        return cdx.host_dup_rate(
+            _cdx_captures(spark, sf_dir), payload_col="payload"
+        )
+
+    q["crawl_host_dup_rate"] = crawl_host_dup_rate
+
+    def crawl_sitemap_coverage(spark, sf_dir):
+        """Sitemap-vs-crawl coverage audit (sitemap.coverage_audit):
+        per host, how many sitemap-declared URLs the crawl fetched
+        (coverage in basis points), and the declared-only /
+        crawled-only remainders. Declared set: every even doc URL
+        plus a phantom /extra/ URL for doc_id%7==0 (never crawled);
+        crawled set: every capture URL. One url-keyed full-outer
+        equi-join, then a host-keyed partial-agg rollup."""
+        from gocrawl_spark import sitemap
+
+        d = F.col("doc_id")
+        hostidx = F.when(d % 4 == 0, F.lit(0)).otherwise(
+            (d % 15 + 1).cast("int")
+        )
+        host = F.concat(
+            F.lit("site"), F.lpad(hostidx.cast("string"), 2, "0"),
+            F.lit(".example.com"),
+        )
+        kind = (
+            F.when(d % 17 == 3, F.lit("category"))
+            .when(d % 3 != 0, F.lit("article"))
+            .otherwise(F.lit("page"))
+        )
+        url = F.concat(
+            F.lit("https://"), host, F.lit("/"), kind, F.lit("/"),
+            d.cast("string"),
+        )
+        docs = _docs(spark, sf_dir)
+        crawled = docs.select(url.alias("url"))
+        declared = docs.filter(d % 2 == 0).select(url.alias("url")).unionAll(
+            docs.filter(d % 7 == 0).select(
+                F.concat(
+                    F.lit("https://"), host, F.lit("/extra/"),
+                    d.cast("string"),
+                ).alias("url")
+            )
+        )
+        return sitemap.coverage_audit(declared, crawled)
+
+    q["crawl_sitemap_coverage"] = crawl_sitemap_coverage
+
+    def crawl_politeness_audit(spark, sf_dir):
+        """Politeness-compliance audit (frontier.politeness_audit):
+        per host, consecutive same-host fetch gaps in (ts, url) order
+        — min gap and the count of gaps under the 30-minute floor.
+        One lag window per host partition (O(1) state per row), then
+        a host-keyed partial-agg groupBy."""
+        from gocrawl_spark import frontier
+
+        caps = _cdx_captures(spark, sf_dir)
+        log = caps.select(
+            F.split(F.col("url"), "/").getItem(2).alias("host"),
+            "ts_us",
+            "url",
+        )
+        return frontier.politeness_audit(log, _POLITENESS_MIN_DELAY_US)
+
+    q["crawl_politeness_audit"] = crawl_politeness_audit
+
     def crawl_frontier_pop(spark, sf_dir):
         """Politeness pop (P1-P4) over a frontier synthesized from
         documents: every doc URL at depth 0, budget 5/host."""
@@ -3625,6 +3702,100 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN NOT (ts_us = f_ts AND url = f_url)
                      THEN length ELSE 0 END)::BIGINT AS saved_bytes
         FROM f
+    """
+
+    # host dup rate: the same (ts, url)-first revisit election folded
+    # to a host rollup — integer basis points via //
+    o["crawl_host_dup_rate"] = f"""
+        WITH {_CDX_CAPS},
+        f AS (
+          SELECT url, ts_us, digest, length,
+                 first_value(url) OVER w AS f_url,
+                 first_value(ts_us) OVER w AS f_ts
+          FROM rec
+          WINDOW w AS (PARTITION BY digest ORDER BY ts_us, url)
+        ),
+        r AS (
+          SELECT split_part(url, '/', 3) AS host,
+                 CASE WHEN ts_us = f_ts AND url = f_url THEN 0 ELSE 1 END AS is_rev,
+                 CASE WHEN ts_us = f_ts AND url = f_url THEN 0 ELSE length END AS saved
+          FROM f
+        )
+        SELECT host, count(*)::BIGINT AS n_captures,
+               sum(1 - is_rev)::BIGINT AS n_responses,
+               sum(is_rev)::BIGINT AS n_revisits,
+               (sum(is_rev)::BIGINT * 10000) // count(*)::BIGINT AS dup_bp,
+               sum(saved)::BIGINT AS bytes_saved
+        FROM r GROUP BY host
+    """
+
+    # sitemap coverage: same url arithmetic as the Spark twin —
+    # declared = even docs + /extra/ phantoms for doc_id%7==0
+    o["crawl_sitemap_coverage"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'site' || lpad((CASE WHEN doc_id % 4 = 0 THEN 0
+                                 ELSE 1 + (doc_id % 15) END)::VARCHAR, 2, '0')
+                   || '.example.com' AS host,
+                 CASE WHEN doc_id % 17 = 3 THEN 'category'
+                      WHEN doc_id % 3 <> 0 THEN 'article'
+                      ELSE 'page' END AS kind
+          FROM documents
+        ),
+        crawled AS (
+          SELECT DISTINCT 'https://' || host || '/' || kind || '/'
+                 || doc_id::VARCHAR AS url FROM u
+        ),
+        declared0 AS (
+          SELECT 'https://' || host || '/' || kind || '/'
+                 || doc_id::VARCHAR AS url FROM u WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'https://' || host || '/extra/' || doc_id::VARCHAR
+          FROM u WHERE doc_id % 7 = 0
+        ),
+        dd AS (SELECT DISTINCT url, 1 AS _d FROM declared0),
+        cc AS (SELECT url, 1 AS _c FROM crawled),
+        j AS (
+          SELECT split_part(coalesce(dd.url, cc.url), '/', 3) AS host,
+                 _d, _c
+          FROM dd FULL OUTER JOIN cc ON dd.url = cc.url
+        ),
+        g AS (
+          SELECT host,
+                 sum(CASE WHEN _d IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_declared,
+                 sum(CASE WHEN _c IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_crawled,
+                 sum(CASE WHEN _d IS NOT NULL AND _c IS NOT NULL
+                          THEN 1 ELSE 0 END)::BIGINT AS n_both,
+                 sum(CASE WHEN _d IS NOT NULL AND _c IS NULL
+                          THEN 1 ELSE 0 END)::BIGINT AS n_declared_only,
+                 sum(CASE WHEN _c IS NOT NULL AND _d IS NULL
+                          THEN 1 ELSE 0 END)::BIGINT AS n_crawled_only
+          FROM j GROUP BY host
+        )
+        SELECT host, n_declared, n_crawled, n_both, n_declared_only,
+               n_crawled_only,
+               (CASE WHEN n_declared > 0
+                     THEN (n_both * 10000) // n_declared
+                     ELSE 0 END)::BIGINT AS coverage_bp
+        FROM g
+    """
+
+    # politeness audit: identical (ts, url)-ordered lag window per
+    # host, identical 30-minute floor
+    o["crawl_politeness_audit"] = f"""
+        WITH {_CDX_CAPS},
+        l AS (
+          SELECT split_part(url, '/', 3) AS host, ts_us, url,
+                 ts_us - lag(ts_us) OVER (
+                   PARTITION BY split_part(url, '/', 3)
+                   ORDER BY ts_us, url) AS gap
+          FROM rec
+        )
+        SELECT host, count(*)::BIGINT AS n_fetches,
+               min(gap)::BIGINT AS min_gap_us,
+               sum(CASE WHEN gap < {_POLITENESS_MIN_DELAY_US}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        FROM l GROUP BY host
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

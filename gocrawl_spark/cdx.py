@@ -149,3 +149,53 @@ def cdx_lookup(
         F.max_by("digest", "ts_us").alias("digest"),
         F.max_by("length", "ts_us").alias("length"),
     )
+
+
+def host_dup_rate(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_us",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Per-host duplication audit over the revisit election — the
+    archive-side dashboard number crawl operators watch (what fraction
+    of a host's captures are byte-duplicates, and how many bytes the
+    revisit mechanism saves). Common Crawl publishes exactly this
+    rollup per crawl in its dedup statistics.
+
+    Output, one row per host: (host, n_captures, n_responses,
+    n_revisits, dup_bp, bytes_total, bytes_saved) where ``dup_bp`` is
+    the duplicate share in basis points (n_revisits * 10000 DIV
+    n_captures — integer arithmetic, no float) and ``bytes_saved`` is
+    the payload bytes revisit pointers avoided re-storing.
+
+    Scale shape: revisit_records' digest election (map-side-combined
+    min(struct) groupBy + digest equi-join) followed by ONE host-keyed
+    groupBy with partial aggregation — conditional counts fold
+    map-side, so a 10^10-capture crawl reduces to #hosts rows. Host is
+    the authority component of the URL (``split(url,'/')[2]``), a
+    codegen'd expression, no UDF.
+    """
+    rec = revisit_records(
+        captures, url_col=url_col, ts_col=ts_col, payload_col=payload_col
+    )
+    host = F.split(F.col("url"), "/").getItem(2)
+    is_rev = F.col("record_type") == "revisit"
+    return (
+        rec.withColumn("host", host)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.sum(F.when(~is_rev, 1).otherwise(0)).cast("long").alias("n_responses"),
+            F.sum(F.when(is_rev, 1).otherwise(0)).cast("long").alias("n_revisits"),
+            F.sum("saved_bytes").cast("long").alias("bytes_saved"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr("n_revisits * 10000 DIV n_captures").cast("long"),
+        )
+        .select(
+            "host", "n_captures", "n_responses", "n_revisits",
+            "dup_bp", "bytes_saved",
+        )
+    )

@@ -465,3 +465,45 @@ def apply_rules(frontier: DataFrame, rules: list[dict] | None) -> DataFrame:
     return frontier.withColumn("_verdict", F.coalesce(verdict, F.lit("allow"))).filter(
         F.col("_verdict") == "allow"
     ).drop("_verdict")
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    min_delay_us: int,
+    host_col: str = "host",
+    ts_col: str = "ts_us",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-compliance audit over a fetch log — did the crawl
+    actually honor the per-host delay it promised? The reference
+    enforces its rate limit inside the collector
+    (/root/reference/internal/crawler/crawler.go — colly RandomDelay /
+    Parallelism); this is the *post-hoc* verification a crawl operator
+    runs over the emitted fetch log before publishing a crawl.
+
+    Output, one row per host: (host, n_fetches, min_gap_us,
+    n_violations) where gaps are consecutive same-host fetch
+    intervals in the (ts, url) order — deterministic under ts ties —
+    min_gap_us is NULL for single-fetch hosts, and a violation is a
+    gap strictly below ``min_delay_us``.
+
+    Scale shape: ONE lag window per host partition (sort-based, O(1)
+    state per row — never a per-host collect), then a host-keyed
+    partial-agg groupBy. Per-host partition size is bounded by the
+    crawl's own politeness budget (cfg.host_budget × rounds), the same
+    invariant the audit verifies, so the window sort cannot see an
+    unbounded hot key on a log the crawler itself produced.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col, url_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    return (
+        fetch_log.withColumn("_gap", gap)
+        .groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min("_gap").alias("min_gap_us"),
+            F.sum(
+                F.when(F.col("_gap") < F.lit(int(min_delay_us)), 1).otherwise(0)
+            ).cast("long").alias("n_violations"),
+        )
+    )

@@ -270,7 +270,61 @@ def seed_priorities(seeds: DataFrame, base: int = 5) -> DataFrame:
     return out.filter(F.col("priority").isNotNull()).select("url_hash", "priority")
 
 
+def coverage_audit(
+    declared: DataFrame, crawled: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit, one row per host — the crawl
+    completeness report a site-level operator reads: of the URLs a
+    host DECLARES in its sitemaps, how many did the crawl actually
+    fetch, and how much did the crawl fetch that the sitemaps never
+    mentioned (discovery-only URLs — or crawl-trap noise).
+
+    Output: (host, n_declared, n_crawled, n_both, n_declared_only,
+    n_crawled_only, coverage_bp) where ``coverage_bp`` =
+    n_both * 10000 DIV n_declared in basis points (integer
+    arithmetic; 0 when the host declares nothing).
+
+    Scale shape: both inputs dedupe to distinct URLs (map-side
+    combined), meet in ONE url-keyed full-outer equi-join — the two
+    biggest tables co-shuffle on the same key, broadcast never needed
+    — then fold to #hosts rows in a host-keyed partial-agg groupBy.
+    Host is the URL authority (``split(url,'/')[2]``), codegen'd.
+    """
+    d = declared.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_d", F.lit(1)
+    )
+    c = crawled.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_c", F.lit(1)
+    )
+    both = d.join(c, "url", "full_outer")
+    in_d = F.col("_d").isNotNull()
+    in_c = F.col("_c").isNotNull()
+    return (
+        both.withColumn("host", F.split(F.col("url"), "/").getItem(2))
+        .groupBy("host")
+        .agg(
+            F.sum(F.when(in_d, 1).otherwise(0)).cast("long").alias("n_declared"),
+            F.sum(F.when(in_c, 1).otherwise(0)).cast("long").alias("n_crawled"),
+            F.sum(F.when(in_d & in_c, 1).otherwise(0)).cast("long").alias("n_both"),
+            F.sum(F.when(in_d & ~in_c, 1).otherwise(0)).cast("long").alias(
+                "n_declared_only"
+            ),
+            F.sum(F.when(in_c & ~in_d, 1).otherwise(0)).cast("long").alias(
+                "n_crawled_only"
+            ),
+        )
+        .withColumn(
+            "coverage_bp",
+            F.when(
+                F.col("n_declared") > 0,
+                F.expr("n_both * 10000 DIV n_declared"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
 __all__ = [
     "parse_sitemap", "sitemaps_from_robots", "sitemap_entries",
     "fetch_sitemaps", "discover_seeds", "seed_priorities",
+    "coverage_audit",
 ]

@@ -138,3 +138,19 @@ def test_revisit_records_election(spark):
     # digest column is the sha256 payload identity
     assert got["https://b.com/2"]["digest"] == got["https://a.com/1"]["digest"]
     assert got["https://d.com/4"]["digest"] != got["https://a.com/1"]["digest"]
+
+
+def test_host_dup_rate_rollup(spark):
+    rows = [
+        ("https://a.com/1", 1000, "same"),   # response (earliest of digest)
+        ("https://a.com/2", 2000, "same"),   # revisit on a.com
+        ("https://b.com/3", 3000, "same"),   # revisit on b.com
+        ("https://b.com/4", 500, "uniq"),    # response
+    ]
+    caps = spark.createDataFrame(rows, "url string, ts_us long, text string")
+    got = {r["host"]: r for r in cdx.host_dup_rate(caps).collect()}
+    a, b = got["a.com"], got["b.com"]
+    assert (a["n_captures"], a["n_responses"], a["n_revisits"]) == (2, 1, 1)
+    assert a["dup_bp"] == 5000 and a["bytes_saved"] == len("same")
+    assert (b["n_captures"], b["n_responses"], b["n_revisits"]) == (2, 1, 1)
+    assert b["dup_bp"] == 5000 and b["bytes_saved"] == len("same")

@@ -315,3 +315,25 @@ def test_allocate_budgets(spark):
     assert got["mid.com"] == 8           # 100*90 DIV 1100
     assert got["tiny.com"] == 2          # floor
     assert got["thin.com"] == 1          # queued clamp beats floor
+
+
+def test_politeness_audit_gaps_and_violations(spark):
+    log = spark.createDataFrame(
+        [
+            ("a.com", 0, "https://a.com/1"),
+            ("a.com", 50, "https://a.com/2"),      # gap 50 → violation
+            ("a.com", 1000, "https://a.com/3"),    # gap 950 → ok
+            ("b.com", 7, "https://b.com/only"),    # single fetch: no gap
+            ("c.com", 5, "https://c.com/zz"),
+            ("c.com", 5, "https://c.com/aa"),      # ts tie → url order, gap 0
+        ],
+        "host string, ts_us long, url string",
+    )
+    got = {r["host"]: r for r in fr.politeness_audit(log, 100).collect()}
+    a = got["a.com"]
+    assert (a["n_fetches"], a["min_gap_us"], a["n_violations"]) == (3, 50, 1)
+    b = got["b.com"]
+    assert b["n_fetches"] == 1 and b["min_gap_us"] is None
+    assert b["n_violations"] == 0
+    c = got["c.com"]
+    assert (c["min_gap_us"], c["n_violations"]) == (0, 1)

@@ -487,3 +487,63 @@ def test_termvectors_requested_docs_broadcast(spark, sf_dir):
     head = scan[: scan.index("\n")] if "\n" in scan else scan
     read = head.split("ReadSchema")[-1]
     assert "text" in read and "lang" not in read
+
+
+def test_host_dup_rate_folds_map_side(spark, sf_dir):
+    """host_dup_rate: revisit election stays window-free (min-struct
+    groupBy + digest equi-join) and the host rollup partial-aggregates
+    map-side — no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import cdx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    caps = docs.select(
+        F.concat(F.lit("https://x.com/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") * 1000).cast("long").alias("ts_us"),
+        F.col("text"),
+    )
+    plan = _plan(cdx.host_dup_rate(caps))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+
+def test_coverage_audit_url_equijoin(spark, sf_dir):
+    """coverage_audit: declared and crawled meet in a url-keyed
+    EQUI-join (co-shuffle, no broadcast of a corpus-sized side, no
+    nested loop), then fold to #hosts rows with partial aggregation."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import sitemap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = F.concat(F.lit("https://x.com/"), F.col("doc_id")).alias("url")
+    plan = _plan(
+        sitemap.coverage_audit(docs.select(u), docs.limit(100).select(u))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan, plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+
+def test_politeness_audit_single_host_exchange(spark, sf_dir):
+    """politeness_audit: the lag window and the rollup both key on
+    host, so the whole audit is ONE host-keyed Exchange — the groupBy
+    reuses the window's partitioning rather than reshuffling."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    log = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        (F.col("doc_id") * 977).cast("long").alias("ts_us"),
+        F.concat(F.lit("https://h/"), F.col("doc_id")).alias("url"),
+    )
+    plan = _plan(frontier.politeness_audit(log, 1000))
+    assert "CartesianProduct" not in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan

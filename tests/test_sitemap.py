@@ -198,3 +198,29 @@ def test_seeds_drive_a_crawl(spark, sf_dir, tmp_path):
     run.run()
     got = sorted(r["url"] for r in run.extracted().select("url").collect())
     assert got == want
+
+
+def test_coverage_audit(spark):
+    from gocrawl_spark import sitemap
+
+    declared = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/2",),
+         ("https://b.com/x",)],
+        "url string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/3",), ("https://c.com/z",)],
+        "url string",
+    )
+    got = {r["host"]: r for r in
+           sitemap.coverage_audit(declared, crawled).collect()}
+    a = got["a.com"]
+    # declared {1,2} (dup collapses), crawled {1,3} → both=1
+    assert (a["n_declared"], a["n_crawled"], a["n_both"]) == (2, 2, 1)
+    assert (a["n_declared_only"], a["n_crawled_only"]) == (1, 1)
+    assert a["coverage_bp"] == 5000
+    b = got["b.com"]
+    assert (b["n_declared"], b["n_crawled"], b["coverage_bp"]) == (1, 0, 0)
+    c = got["c.com"]
+    # nothing declared → coverage_bp pinned to 0, not a division error
+    assert (c["n_declared"], c["n_crawled_only"], c["coverage_bp"]) == (0, 1, 0)
