@@ -2622,6 +2622,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_politeness_audit"] = crawl_politeness_audit
 
+    def corpus_lang_drift(spark, sf_dir):
+        """Language-mix drift between two crawl snapshots
+        (corpusstats.dist_drift): per-lang counts and integer-ppm
+        shares for the current corpus vs a re-crawl that lost every
+        doc_id%3==0 page, with |delta| ppm per lang. Two map-side-
+        combined rollups to #langs rows; totals broadcast."""
+        from gocrawl_spark import corpusstats
+
+        docs = _docs(spark, sf_dir)
+        return corpusstats.dist_drift(
+            docs, docs.filter(F.col("doc_id") % 3 != 0), "lang"
+        )
+
+    q["corpus_lang_drift"] = corpus_lang_drift
+
     def crawl_frontier_pop(spark, sf_dir):
         """Politeness pop (P1-P4) over a frontier synthesized from
         documents: every doc URL at depth 0, budget 5/host."""
@@ -3796,6 +3811,34 @@ def oracle_sql() -> dict[str, str]:
                sum(CASE WHEN gap < {_POLITENESS_MIN_DELAY_US}
                         THEN 1 ELSE 0 END)::BIGINT AS n_violations
         FROM l GROUP BY host
+    """
+
+    # lang drift: same integer-ppm DIV arithmetic, same B-snapshot
+    # predicate (doc_id % 3 <> 0)
+    o["corpus_lang_drift"] = """
+        WITH ca AS (
+          SELECT lang AS key, count(*)::BIGINT AS n_a
+          FROM documents GROUP BY lang),
+        cb AS (
+          SELECT lang AS key, count(*)::BIGINT AS n_b
+          FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang),
+        ta AS (SELECT sum(n_a)::BIGINT AS t_a FROM ca),
+        tb AS (SELECT sum(n_b)::BIGINT AS t_b FROM cb),
+        j AS (
+          SELECT coalesce(ca.key, cb.key) AS key,
+                 coalesce(n_a, 0)::BIGINT AS n_a,
+                 coalesce(n_b, 0)::BIGINT AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.key = cb.key),
+        p AS (
+          SELECT key, n_a, n_b,
+                 (CASE WHEN t_a > 0 THEN (n_a * 1000000) // t_a
+                       ELSE 0 END)::BIGINT AS ppm_a,
+                 (CASE WHEN t_b > 0 THEN (n_b * 1000000) // t_b
+                       ELSE 0 END)::BIGINT AS ppm_b
+          FROM j, ta, tb)
+        SELECT key, n_a, n_b, ppm_a, ppm_b,
+               abs(ppm_a - ppm_b)::BIGINT AS delta_ppm
+        FROM p
     """
 
     # sitemap parse: the oracle never sees XML — it reconstructs the

@@ -297,3 +297,50 @@ def key_skew_audit(df: DataFrame, key: str) -> DataFrame:
             "skew_ratio"
         ),
     )
+
+
+def dist_drift(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Categorical-distribution drift between two corpus snapshots —
+    the dataset-card audit run before shipping a re-crawl: did the
+    language (or source / content-type) mix move, and by how much per
+    key? Total-variation distance is ``sum(delta_ppm) / 2`` over the
+    output.
+
+    Output, one row per key present in either snapshot: (key, n_a,
+    n_b, ppm_a, ppm_b, delta_ppm) — shares in parts-per-million via
+    integer DIV (n * 1e6 DIV total), so the numbers are exact and
+    engine-independent; delta_ppm = |ppm_a - ppm_b|.
+
+    Scale shape: each snapshot folds to #keys rows in ONE map-side-
+    combined groupBy (the 100 TB corpus never shuffles on anything
+    but the key); the two 1-row totals broadcast; the key-level
+    full-outer join is #keys × #keys-sized. Empty snapshots yield
+    ppm 0 rather than a division error.
+    """
+    def counted(df: DataFrame, n_col: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("key")).agg(
+            F.count("*").alias(n_col)
+        )
+
+    ca, cb = counted(a, "n_a"), counted(b, "n_b")
+    ta = ca.agg(F.sum("n_a").alias("t_a"))
+    tb = cb.agg(F.sum("n_b").alias("t_b"))
+    ppm = lambda n, t: F.when(  # noqa: E731 — local alias
+        F.col(t) > 0, F.expr(f"{n} * 1000000 DIV {t}")
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        ca.join(cb, "key", "full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .withColumn("ppm_a", ppm("n_a", "t_a"))
+        .withColumn("ppm_b", ppm("n_b", "t_b"))
+        .select(
+            "key",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "ppm_a",
+            "ppm_b",
+            F.abs(F.col("ppm_a") - F.col("ppm_b")).cast("long").alias("delta_ppm"),
+        )
+    )

@@ -409,6 +409,51 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
             return True
 
         def do_POST(self) -> None:
+            if self.path == "/msearch":
+                # ES `_msearch`: NDJSON header/body line pairs, one
+                # response per pair; per-item failures are isolated in
+                # the item (status 500 inline) exactly as ES does —
+                # the batch itself still returns 200.
+                if not self._guard():
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    lines = [
+                        ln for ln in
+                        (self.rfile.read(n) or b"").decode().splitlines()
+                        if ln.strip()
+                    ]
+                    if len(lines) % 2:
+                        raise ValueError
+                    pairs = []
+                    for i in range(0, len(lines), 2):
+                        head = json.loads(lines[i])
+                        body = json.loads(lines[i + 1])
+                        if not isinstance(head, dict) or not isinstance(body, dict):
+                            raise ValueError
+                        idx = head.get("index", "articles")
+                        if not isinstance(idx, str):
+                            raise ValueError
+                        pairs.append((idx, body))
+                except (ValueError, TypeError, json.JSONDecodeError,
+                        UnicodeDecodeError):
+                    self._json(400, {"error": "Invalid request payload"},
+                               secure=False)
+                    return
+                responses = []
+                for idx, body in pairs:
+                    try:
+                        responses.append(backend.search_dsl(idx, body))
+                    except KeyError:
+                        responses.append(
+                            {"error": f"unknown index: {idx}", "status": 400}
+                        )
+                    except Exception:
+                        responses.append(
+                            {"error": "Search failed", "status": 500}
+                        )
+                self._json(200, {"responses": responses})
+                return
             if self.path == "/search/dsl":
                 if not self._guard():
                     return

@@ -106,3 +106,23 @@ def test_length_histogram_buckets(spark):
     assert out[("de", 10)]["max_len"] == 1023
     assert out[("de", 11)]["min_len"] == 1024
     assert out[("en", 2)]["total_len"] == 5
+
+
+def test_dist_drift(spark):
+    a = spark.createDataFrame(
+        [("en",)] * 3 + [("de",)] * 1, "k string")
+    b = spark.createDataFrame(
+        [("en",)] * 1 + [("fr",)] * 1, "k string")
+    got = {r["key"]: r for r in cs.dist_drift(a, b, "k").collect()}
+    en = got["en"]
+    assert (en["n_a"], en["n_b"]) == (3, 1)
+    assert (en["ppm_a"], en["ppm_b"]) == (750000, 500000)
+    assert en["delta_ppm"] == 250000
+    de = got["de"]
+    assert (de["n_a"], de["n_b"], de["ppm_b"], de["delta_ppm"]) == (1, 0, 0, 250000)
+    fr = got["fr"]
+    assert (fr["n_a"], fr["ppm_a"], fr["ppm_b"]) == (0, 0, 500000)
+    # empty snapshot: ppm pinned to 0, no division error
+    empty = spark.createDataFrame([], "k string")
+    g2 = {r["key"]: r for r in cs.dist_drift(a, empty, "k").collect()}
+    assert g2["en"]["ppm_b"] == 0 and g2["en"]["delta_ppm"] == 750000

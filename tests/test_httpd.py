@@ -292,3 +292,26 @@ def test_termvectors_endpoint(server):
     assert terms["or"] == {"term_freq": 1, "doc_freq": 1, "ttf": 1}
     code, _, _ = _post(server, "/termvectors", {"index": "articles", "ids": "a4"})
     assert code == 400
+
+
+def test_msearch_endpoint(server):
+    nd = "\n".join([
+        json.dumps({"index": "articles"}),
+        json.dumps({"query": {"match": {"body": "spark"}}, "size": 2}),
+        json.dumps({}),  # default index
+        json.dumps({"query": {"match": {"body": "politeness"}}}),
+        json.dumps({"index": "nope"}),
+        json.dumps({"query": {"match_all": {}}}),
+    ]) + "\n"
+    code, body, _ = _post(server, "/msearch", nd.encode())
+    assert code == 200
+    rs = body["responses"]
+    assert len(rs) == 3
+    assert rs[0]["total"] >= 1
+    assert len(rs[0]["hits"]) <= 2
+    assert rs[1]["total"] >= 1
+    # per-item failure is isolated, batch still 200 (ES semantics)
+    assert rs[2]["status"] == 400 and "unknown index" in rs[2]["error"]
+    # odd line count → 400 for the whole batch
+    code, _, _ = _post(server, "/msearch", b'{"index": "articles"}\n')
+    assert code == 400

@@ -547,3 +547,23 @@ def test_politeness_audit_single_host_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_dist_drift_folds_before_join(spark, sf_dir):
+    """dist_drift: each snapshot folds to #keys rows map-side BEFORE
+    any join; the only joins are the key-level full-outer and two
+    broadcast 1-row totals — the corpus never shuffles on content."""
+    from gocrawl_spark import corpusstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpusstats.dist_drift(
+        docs, docs.filter("doc_id % 3 != 0"), "lang"))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+    # totals arrive via broadcast, not shuffle
+    assert "BroadcastExchange" in plan
+    # the scan prunes to the key column only
+    scan = plan[plan.index("FileScan"):]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    read = head.split("ReadSchema")[-1]
+    assert "lang" in read and "text" not in read
