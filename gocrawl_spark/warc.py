@@ -467,5 +467,182 @@ def warc_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _revisit_record_bytes(
+    url: str, ts, refers_url: str, refers_ts, digest_hex: str
+) -> bytes:
+    """One deterministic WARC `revisit` record (WARC/1.1 §6.7.2,
+    identical-payload-digest profile): no payload block — only the
+    pointer headers at the original capture. This is the record
+    Heritrix/Common Crawl emit instead of re-storing a byte-duplicate
+    response."""
+    when = "1970-01-01T00:00:00Z" if ts is None or pd.isna(ts) else ts.strftime(_WARC_TS)
+    rwhen = (
+        "1970-01-01T00:00:00Z"
+        if refers_ts is None or pd.isna(refers_ts)
+        else refers_ts.strftime(_WARC_TS)
+    )
+    rid = hashlib.sha256(url.encode("utf-8")).hexdigest()
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+        b"identical-payload-digest\r\n"
+        b"WARC-Record-ID: <urn:sha256:rv:" + rid.encode() + b">\r\n"
+        b"WARC-Date: " + when.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"WARC-Refers-To-Target-URI: " + (refers_url or "").encode("utf-8") + b"\r\n"
+        b"WARC-Refers-To-Date: " + rwhen.encode() + b"\r\n"
+        b"WARC-Payload-Digest: sha-256:" + (digest_hex or "").encode() + b"\r\n"
+        b"Content-Length: 0\r\n\r\n"
+    ) + _CRLF + _CRLF
+
+
+def write_warc_deduped(
+    corpus: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """write_warc with digest-based payload dedup: the earliest capture
+    of each sha256(html) is stored as a full `response` record, every
+    later capture of the same bytes becomes a zero-payload `revisit`
+    record pointing at it — the Common-Crawl/Heritrix storage layout.
+    :func:`read_warc` on the output sees only the stored responses
+    (revisits are not `response` records); :func:`read_warc_deduped`
+    reconstructs the FULL capture set by digest join.
+
+    Scale shape: the election is cdx.revisit_records (map-side-combined
+    min(struct) groupBy + digest equi-join — a hot digest never
+    serializes onto one task); the classification joins back to the
+    corpus on (url, ts) — an equi-join co-shuffled on the same key —
+    and revisit rows drop their payload BEFORE the sink, so duplicate
+    bytes never travel to the writer. Response records carry
+    WARC-Payload-Digest too, so the rehydrating reader joins on a
+    header, not a recomputed hash.
+    """
+    from . import cdx as cdxmod
+
+    src = corpus.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(html_col).alias("html"),
+    ).withColumn("ts_us", F.unix_micros("warc_ts"))
+    rec = cdxmod.revisit_records(
+        src, url_col="url", ts_col="ts_us", payload_col="html"
+    )
+    is_resp = F.col("record_type") == "response"
+    sel = (
+        src.join(rec, ["url", "ts_us"])
+        .select(
+            "url",
+            "warc_ts",
+            F.when(is_resp, F.col("html")).alias("html"),
+            "record_type",
+            "refers_to_url",
+            F.timestamp_micros(F.col("refers_to_ts_us")).alias("refers_to_ts"),
+            "digest",
+        )
+    )
+
+    def rec_fn(url, ts, html, rtype, r_url, r_ts, digest):
+        if rtype == "response":
+            body = bytes(html) if html is not None else b""
+            full = _record_bytes(url, ts, body)
+            # splice the payload digest into the header block so the
+            # rehydrating reader never re-hashes stored bytes
+            head, sep, rest = full.partition(b"\r\nContent-Type: application/http")
+            return (
+                head
+                + b"\r\nWARC-Payload-Digest: sha-256:" + digest.encode()
+                + sep + rest
+            )
+        return _revisit_record_bytes(url, ts, r_url, r_ts, digest)
+
+    return _write_archive(sel, out_dir, compress, ".warc", rec_fn)
+
+
+def _parse_warc_dedup_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Like _parse_warc_batches but keeps `revisit` records and the
+    WARC-Payload-Digest header so the reader can rehydrate."""
+    for pdf in batches:
+        urls, whens, htmls, statuses, types, digests = [], [], [], [], [], []
+        for content in pdf["content"]:
+            data = _decompress(bytes(content))
+            for headers, payload in _iter_records(data):
+                rtype = headers.get("warc-type")
+                if rtype not in ("response", "revisit"):
+                    continue
+                if rtype == "response":
+                    status, body = _parse_http(payload)
+                else:
+                    status, body = 0, None
+                urls.append(headers.get("warc-target-uri", ""))
+                ts = headers.get("warc-date")
+                try:
+                    whens.append(
+                        datetime.strptime(ts, _WARC_TS).replace(tzinfo=timezone.utc)
+                        if ts
+                        else None
+                    )
+                except ValueError:
+                    whens.append(None)
+                htmls.append(body)
+                statuses.append(status)
+                types.append(rtype)
+                digests.append(
+                    headers.get("warc-payload-digest", "").removeprefix("sha-256:")
+                )
+        yield pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(whens, dtype="datetime64[ns, UTC]"),
+                "html": pd.Series(htmls, dtype="object"),
+                "status": pd.Series(statuses, dtype="int32"),
+                "record_type": pd.Series(types, dtype="object"),
+                "digest": pd.Series(digests, dtype="object"),
+            }
+        )
+
+
+def read_warc_deduped(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`write_warc_deduped` archive back to the FULL
+    capture set: (url, warc_ts, html, status, was_revisit). Revisit
+    rows get their payload (and HTTP status) from the stored response
+    with the same WARC-Payload-Digest — one digest-keyed equi-join;
+    stored payload bytes travel once, never per-revisit-file."""
+    parsed = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            _parse_warc_dedup_batches,
+            schema=(
+                "url string, warc_ts timestamp, html binary, status int,"
+                " record_type string, digest string"
+            ),
+        )
+    )
+    originals = parsed.filter(F.col("record_type") == "response").select(
+        F.col("digest").alias("digest"),
+        F.col("html").alias("_o_html"),
+        F.col("status").alias("_o_status"),
+    )
+    return (
+        parsed.join(originals, "digest", "left")
+        .select(
+            "url",
+            "warc_ts",
+            F.coalesce("html", "_o_html").alias("html"),
+            F.when(F.col("record_type") == "response", F.col("status"))
+            .otherwise(F.col("_o_status"))
+            .cast("int")
+            .alias("status"),
+            (F.col("record_type") == "revisit").alias("was_revisit"),
+        )
+    )
+
+
 __all__ = ["write_warc", "read_warc", "read_warc_stream", "warc_corpus",
-           "write_wet", "read_wet"]
+           "write_wet", "read_wet", "write_warc_deduped", "read_warc_deduped"]

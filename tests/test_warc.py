@@ -293,3 +293,40 @@ def test_crawl_archive_export(spark, corpus, tmp_path):
     one = idx.limit(1).collect()[0]
     rec = warc.fetch_record(one["file"], one["offset"], one["rec_bytes"])
     assert ("WARC-Target-URI: " + one["url"]).encode() in rec
+
+
+def test_deduped_write_and_rehydrate(spark, corpus, tmp_path):
+    # duplicate every payload under a second URL, one day later — the
+    # second capture of each digest must become a revisit record
+    base = corpus.limit(30).select("url", "warc_ts", "html")
+    dup = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        "html",
+    )
+    caps = base.unionAll(dup)
+    out = str(tmp_path / "dedup")
+    manifest = warc.write_warc_deduped(caps.repartition(4), out)
+    assert sum(r["n_records"] for r in manifest.collect()) == 60
+
+    # the plain reader sees only the stored responses — one per digest
+    stored = warc.read_warc(spark, out)
+    assert stored.count() == 30
+    assert stored.filter(F.col("url").startswith("https://mirror.")).count() == 0
+
+    # the rehydrating reader reconstructs the FULL capture set
+    back = warc.read_warc_deduped(spark, out)
+    assert back.count() == 60
+    assert back.filter("was_revisit").count() == 30
+    assert back.filter("status != 200").count() == 0
+    a = caps.select("url", F.sha2("html", 256).alias("h"))
+    b = back.select("url", F.sha2("html", 256).alias("h"))
+    assert a.join(b, ["url", "h"]).count() == 60
+
+    # dedup actually saves bytes vs the plain archive
+    plain = str(tmp_path / "plain")
+    warc.write_warc(caps.repartition(4), plain)
+    size = lambda d: sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(d, "part-*"))
+    )
+    assert size(out) < size(plain)
