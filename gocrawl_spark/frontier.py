@@ -271,6 +271,10 @@ def filter_unseen(
     if isinstance(bloom, DataFrame):
         if bloom.isEmpty():
             return candidates.join(seen.select(hash_col), hash_col, "left_anti")
+        if "table" in bloom.columns:  # cuckoo (shard, m_buckets, table, stash)
+            return filter_unseen_cuckoo(
+                candidates, seen, bloom, hash_col=hash_col, n_shards=n_shards
+            )
         return filter_unseen_sharded(
             candidates, seen, bloom, hash_col=hash_col, n_shards=n_shards
         )
@@ -507,3 +511,299 @@ def politeness_audit(
             ).cast("long").alias("n_violations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo seen-filter (deletion-capable alternative to the Bloom shards)
+# ---------------------------------------------------------------------------
+#
+# Same sharded layout and application shape as the Bloom filter above
+# (shard-routed build via applyInPandas, cogrouped O(1-shard) probes),
+# with the one capability Bloom structurally lacks: DELETION. A purge
+# (blocklisted host, takedown, forced re-crawl) removes URLs from the
+# seen filter in one shard-local pass instead of rebuilding the whole
+# 10^10-URL filter. Design follows Fan et al., "Cuckoo Filter:
+# Practically Better Than Bloom" (CoNEXT 2014): b-slot buckets of
+# f-bit fingerprints, partner bucket i2 = i1 XOR h(fp) (symmetric, so
+# either index recovers the pair). Two engineering choices keep the
+# seen-filter contract exact:
+#   * duplicate (bucket, fp) copies are STORED, not coalesced — so
+#     deleting URL A can never un-see a colliding URL B;
+#   * inserts that still fail after MAX_KICKS deterministic evictions
+#     go to a per-shard STASH — a cuckoo filter's insert failure would
+#     otherwise become a FALSE NEGATIVE (a re-fetched URL), which the
+#     crawl's seen-set contract cannot tolerate.
+# Build order and eviction choices are fully deterministic (sorted
+# input, rotation kick slot), so the table bytes are bit-equal across
+# parallelism levels like every other snapshot artifact.
+
+CUCKOO_B = 4  # slots per bucket
+_CUCKOO_MAX_KICKS = 500
+
+
+def _cuckoo_fp(h: str) -> int:
+    """16-bit fingerprint from an untouched slice of the sha256 hex
+    (chars 32:36 — disjoint from the shard router and bucket index),
+    0 remapped to 1 so 0 can mean 'empty slot'."""
+    return int(h[32:36], 16) or 1
+
+
+def _cuckoo_i1(h: str, m_buckets: int) -> int:
+    return int(h[8:16], 16) & (m_buckets - 1)
+
+
+def _cuckoo_partner(i: int, fp: int, m_buckets: int) -> int:
+    # splittable odd-constant hash of the fingerprint; & (m-1) needs
+    # m_buckets to be a power of two (asserted at build)
+    return i ^ ((fp * 0x9E3779B1 >> 8) & (m_buckets - 1))
+
+
+def _cuckoo_insert(tbl, stash: list, i1: int, fp: int, m_buckets: int) -> None:
+    """Deterministic insert with rotation eviction; overflow → stash.
+    `tbl` is an (m_buckets, CUCKOO_B) uint16 ndarray."""
+    import numpy as np  # noqa: F401 — tbl is ndarray
+
+    i2 = _cuckoo_partner(i1, fp, m_buckets)
+    for i in (i1, i2):
+        row = tbl[i]
+        for s in range(CUCKOO_B):
+            if row[s] == 0:
+                row[s] = fp
+                return
+    # evict: start from i1, rotate the kicked slot deterministically
+    i, cur = i1, fp
+    for kick in range(_CUCKOO_MAX_KICKS):
+        s = kick % CUCKOO_B
+        cur, tbl[i][s] = int(tbl[i][s]), cur
+        i = _cuckoo_partner(i, cur, m_buckets)
+        row = tbl[i]
+        for s2 in range(CUCKOO_B):
+            if row[s2] == 0:
+                row[s2] = cur
+                return
+    # table saturated around this orbit — stash the displaced entry
+    # (key is (bucket-at-stash-time, fp): the partner XOR is symmetric,
+    # so membership from the true hash still finds it)
+    stash.append((i << 16) | cur)
+
+
+def _cuckoo_lookup_many(hashes, tbl, stash_arr, m_buckets: int):
+    """Vectorized membership for a list of url_hash hex strings against
+    one shard's (table, stash)."""
+    import numpy as np
+
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    fp = np.array([_cuckoo_fp(h) for h in hashes], dtype=np.uint16)
+    i1 = np.array([_cuckoo_i1(h, m_buckets) for h in hashes], dtype=np.int64)
+    i2 = i1 ^ (((fp.astype(np.int64) * 0x9E3779B1) >> 8) & (m_buckets - 1))
+    hit = (tbl[i1] == fp[:, None]).any(axis=1) | (tbl[i2] == fp[:, None]).any(axis=1)
+    if stash_arr.size:
+        k1 = (i1 << 16) | fp
+        k2 = (i2 << 16) | fp
+        hit |= np.isin(k1, stash_arr) | np.isin(k2, stash_arr)
+    return hit
+
+
+def build_cuckoo_df(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    m_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Distributed cuckoo build: shard-route → per-shard (table, stash)
+    via applyInPandas → (shard, m_buckets, table, stash) rows. Mirrors
+    :func:`build_bloom_df`; nothing touches the driver. Table bytes are
+    m_buckets × CUCKOO_B × 2 (16 MB per shard at 2^21 buckets — the
+    10^10-URL sizing, same per-task ceiling as the Bloom shards)."""
+    if m_buckets & (m_buckets - 1):
+        raise ValueError(f"m_buckets must be a power of two, got {m_buckets}")
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tbl = np.zeros((m_buckets, CUCKOO_B), dtype=np.uint16)
+        stash: list[int] = []
+        for h in sorted(pdf[hash_col]):
+            _cuckoo_insert(tbl, stash, _cuckoo_i1(h, m_buckets), _cuckoo_fp(h), m_buckets)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["_shard"].iloc[0])],
+                "m_buckets": [m_buckets],
+                "table": [tbl.tobytes()],
+                "stash": [np.array(sorted(stash), dtype=np.uint32).tobytes()],
+            }
+        )
+
+    return (
+        df.select(hash_col)
+        .withColumn("_shard", _shard_expr(hash_col, n_shards))
+        .groupBy("_shard")
+        .applyInPandas(
+            build_shard,
+            schema="shard int, m_buckets int, table binary, stash binary",
+        )
+    )
+
+
+def _cuckoo_entries(tbl, stash_arr, m_buckets: int):
+    """(bucket, fp) multiset of one shard — the fold/delete currency.
+    A table entry's bucket is i1 or i2; the partner XOR is symmetric,
+    so re-inserting with the stored bucket as 'i1' preserves exactly
+    the original {i1, i2} candidate pair."""
+    import numpy as np
+
+    b, s = np.nonzero(tbl)
+    keys = (b.astype(np.int64) << 16) | tbl[b, s].astype(np.int64)
+    return np.concatenate([keys, stash_arr.astype(np.int64)])
+
+
+def fold_cuckoo_df(cuckoo_df: DataFrame) -> DataFrame:
+    """Merge per-round cuckoo deltas into ONE (table, stash) per shard:
+    extract every delta's (bucket, fp) entries and re-insert into a
+    fresh table, shard-local (the analogue of fold_bloom_df — cuckoo
+    tables don't OR, but their entry multisets union losslessly)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mbs = set(int(m) for m in pdf["m_buckets"])
+        if len(mbs) > 1:
+            raise ValueError(
+                f"mixed m_buckets in one shard: {sorted(mbs)} — rebuild"
+            )
+        m_buckets = mbs.pop()
+        keys: list[int] = []
+        for t, st in zip(pdf["table"], pdf["stash"]):
+            tbl = np.frombuffer(bytes(t), dtype=np.uint16).reshape(m_buckets, CUCKOO_B)
+            keys.extend(
+                _cuckoo_entries(tbl, np.frombuffer(bytes(st), dtype=np.uint32), m_buckets)
+            )
+        tbl = np.zeros((m_buckets, CUCKOO_B), dtype=np.uint16)
+        stash: list[int] = []
+        for k in sorted(keys):
+            _cuckoo_insert(tbl, stash, int(k) >> 16, int(k) & 0xFFFF, m_buckets)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "m_buckets": [m_buckets],
+                "table": [tbl.tobytes()],
+                "stash": [np.array(sorted(stash), dtype=np.uint32).tobytes()],
+            }
+        )
+
+    return cuckoo_df.groupBy("shard").applyInPandas(
+        fold, schema="shard int, m_buckets int, table binary, stash binary"
+    )
+
+
+def cuckoo_delete_df(
+    cuckoo_df: DataFrame,
+    deletes: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Remove URLs from the filter — the operation Bloom cannot do.
+    Deletes cogroup to their shard; each task folds that shard's deltas
+    and removes ONE stored copy per deleted hash (duplicate copies from
+    colliding URLs survive, so no other URL is ever un-seen). Hashes
+    never inserted are a shard-local no-op. Returns the updated
+    (shard, m_buckets, table, stash) rows."""
+
+    def apply_deletes(cu_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(cu_pdf) == 0:
+            return pd.DataFrame(
+                {"shard": [], "m_buckets": [], "table": [], "stash": []}
+            ).astype({"shard": "int32", "m_buckets": "int32"})
+        folded = cu_pdf
+        m_buckets = int(folded["m_buckets"].iloc[0])
+        keys: list[int] = []
+        for t, st in zip(folded["table"], folded["stash"]):
+            tbl = np.frombuffer(bytes(t), dtype=np.uint16).reshape(m_buckets, CUCKOO_B)
+            keys.extend(
+                _cuckoo_entries(tbl, np.frombuffer(bytes(st), dtype=np.uint32), m_buckets)
+            )
+        remaining = sorted(int(k) for k in keys)
+        for h in sorted(del_pdf[hash_col].dropna()):
+            fp = _cuckoo_fp(h)
+            i1 = _cuckoo_i1(h, m_buckets)
+            i2 = _cuckoo_partner(i1, fp, m_buckets)
+            for key in ((i1 << 16) | fp, (i2 << 16) | fp):
+                try:
+                    remaining.remove(key)
+                    break
+                except ValueError:
+                    continue
+        tbl = np.zeros((m_buckets, CUCKOO_B), dtype=np.uint16)
+        stash: list[int] = []
+        for k in remaining:
+            _cuckoo_insert(tbl, stash, k >> 16, k & 0xFFFF, m_buckets)
+        return pd.DataFrame(
+            {
+                "shard": [int(folded["shard"].iloc[0])],
+                "m_buckets": [m_buckets],
+                "table": [tbl.tobytes()],
+                "stash": [np.array(sorted(stash), dtype=np.uint32).tobytes()],
+            }
+        )
+
+    dels = deletes.select(hash_col).withColumn("_shard", _shard_expr(hash_col, n_shards))
+    return (
+        cuckoo_df.groupBy(F.col("shard").cast("int").alias("shard"))
+        .cogroup(dels.groupBy("_shard"))
+        .applyInPandas(
+            apply_deletes,
+            schema="shard int, m_buckets int, table binary, stash binary",
+        )
+    )
+
+
+def filter_unseen_cuckoo(
+    candidates: DataFrame,
+    seen: DataFrame,
+    cuckoo_df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    probe_acc=None,
+) -> DataFrame:
+    """Sharded cuckoo application — identical contract and plan shape
+    to :func:`filter_unseen_sharded`: candidates cogroup against ONLY
+    their shard's (table, stash) rows (per-round deltas checked
+    delta-by-delta, no pre-fold needed — membership in any delta is
+    membership), definite-new rows skip the exact anti-join, maybe-seen
+    rows pay it. Peak per-task filter bytes = one shard's tables
+    (``probe_acc`` instruments that, as in the Bloom twin)."""
+    cand = candidates.withColumn("_shard", _shard_expr(hash_col, n_shards))
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("_maybe_seen", BooleanType())]
+    )
+
+    def check(cand_pdf: pd.DataFrame, cu_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = cand_pdf.drop(columns=["_shard"])
+        if len(out) == 0:
+            return out.assign(_maybe_seen=pd.Series([], dtype=bool))
+        if len(cu_pdf) == 0:
+            return out.assign(_maybe_seen=False)
+        hashes = list(out[hash_col])
+        hit = np.zeros(len(hashes), dtype=bool)
+        for _, row in cu_pdf.iterrows():
+            m_buckets = int(row["m_buckets"])
+            tbl = np.frombuffer(bytes(row["table"]), dtype=np.uint16).reshape(
+                m_buckets, CUCKOO_B
+            )
+            if probe_acc is not None:
+                probe_acc.add(int(tbl.nbytes))
+            stash_arr = np.frombuffer(bytes(row["stash"]), dtype=np.uint32)
+            hit |= _cuckoo_lookup_many(hashes, tbl, stash_arr, m_buckets)
+        return out.assign(_maybe_seen=hit)
+
+    tagged = (
+        cand.groupBy("_shard")
+        .cogroup(cuckoo_df.groupBy(F.col("shard").cast("int").alias("shard")))
+        .applyInPandas(check, schema=out_schema)
+    )
+    return _split_on_bloom(tagged, seen, hash_col)

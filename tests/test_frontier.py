@@ -337,3 +337,123 @@ def test_politeness_audit_gaps_and_violations(spark):
     assert b["n_violations"] == 0
     c = got["c.com"]
     assert (c["min_gap_us"], c["n_violations"]) == (0, 1)
+
+
+def _cuckoo_hashes(n, tag=""):
+    return [hashlib.sha256(f"cuckoo{tag}{i}".encode()).hexdigest() for i in range(n)]
+
+
+def test_cuckoo_filter_no_false_negatives(spark):
+    """Output must equal the exact anti-join even with a deliberately
+    undersized table (64 buckets × 4 slots per shard for ~375 inserts
+    per shard) — overflow goes to the stash, never to a false negative
+    (a lost URL)."""
+    seen_h = _cuckoo_hashes(3000)
+    new_h = _cuckoo_hashes(1000, tag="new")
+    seen = spark.createDataFrame([(h,) for h in seen_h], "url_hash string")
+    cand = spark.createDataFrame(
+        [(h,) for h in seen_h[::2] + new_h], "url_hash string"
+    )
+    cu = fr.build_cuckoo_df(seen, n_shards=8, m_buckets=64)
+    # stash actually engaged (the capacity is ~256/shard for ~375)
+    assert any(len(r["stash"]) > 0 for r in cu.collect())
+    got = {
+        r["url_hash"]
+        for r in fr.filter_unseen_cuckoo(cand, seen, cu, n_shards=8).collect()
+    }
+    exact = {
+        r["url_hash"]
+        for r in cand.join(seen, "url_hash", "left_anti").collect()
+    }
+    assert got == exact == set(new_h)
+
+
+def test_cuckoo_fold_and_delta_equivalence(spark):
+    """Per-round deltas checked delta-by-delta ≡ folded single table ≡
+    exact — the same contract the Bloom shards pin."""
+    a, b = _cuckoo_hashes(800), _cuckoo_hashes(800, tag="b")
+    da = spark.createDataFrame([(h,) for h in a], "url_hash string")
+    db = spark.createDataFrame([(h,) for h in b], "url_hash string")
+    seen = da.unionAll(db)
+    deltas = fr.build_cuckoo_df(da, n_shards=4, m_buckets=256).unionAll(
+        fr.build_cuckoo_df(db, n_shards=4, m_buckets=256)
+    )
+    folded = fr.fold_cuckoo_df(deltas)
+    assert folded.count() <= 4  # one row per shard after the fold
+    cand = spark.createDataFrame(
+        [(h,) for h in a[:100] + _cuckoo_hashes(100, tag="x")], "url_hash string"
+    )
+    exact = {r["url_hash"] for r in cand.join(seen, "url_hash", "left_anti").collect()}
+    for filt in (deltas, folded):
+        got = {
+            r["url_hash"]
+            for r in fr.filter_unseen_cuckoo(cand, seen, filt, n_shards=4).collect()
+        }
+        assert got == exact
+
+
+def test_cuckoo_delete_and_copy_survival(spark):
+    """Deleting URLs un-sees them (the Bloom-impossible operation);
+    a colliding URL that shares (bucket, fingerprint) keeps its own
+    stored copy and stays seen."""
+    # two hand-crafted hashes: same shard ([:8]), same bucket ([8:16]),
+    # same fingerprint ([32:36]) — distinct URLs colliding in the filter
+    h1 = "00000000" + "000000ff" + "0" * 16 + "abcd" + "1" * 28
+    h2 = "00000000" + "000000ff" + "0" * 16 + "abcd" + "2" * 28
+    rest = _cuckoo_hashes(500)
+    seen_all = spark.createDataFrame(
+        [(h,) for h in [h1, h2] + rest], "url_hash string"
+    )
+    cu = fr.build_cuckoo_df(seen_all, n_shards=4, m_buckets=128)
+
+    dels = [h1] + rest[:200]
+    cu2 = fr.cuckoo_delete_df(
+        cu, spark.createDataFrame([(h,) for h in dels], "url_hash string"),
+        n_shards=4,
+    )
+    seen2 = seen_all.join(
+        spark.createDataFrame([(h,) for h in dels], "url_hash string"),
+        "url_hash", "left_anti",
+    )
+    # deleted URLs now pass through as new; kept URLs stay filtered;
+    # h2 (the collider) must STILL be seen — its copy survived h1's delete
+    cand = spark.createDataFrame(
+        [(h,) for h in dels + [h2] + rest[200:300]], "url_hash string"
+    )
+    got = {
+        r["url_hash"]
+        for r in fr.filter_unseen_cuckoo(cand, seen2, cu2, n_shards=4).collect()
+    }
+    assert got == set(dels)
+    assert h2 not in got
+
+
+def test_cuckoo_build_deterministic_across_partitioning(spark):
+    """Table and stash bytes are bit-equal regardless of input
+    partitioning — snapshot-grade determinism, like the Bloom shards."""
+    seen = spark.createDataFrame(
+        [(h,) for h in _cuckoo_hashes(2000)], "url_hash string"
+    )
+    def snap(df):
+        return {
+            r["shard"]: (bytes(r["table"]), bytes(r["stash"]))
+            for r in fr.build_cuckoo_df(df, n_shards=8, m_buckets=128).collect()
+        }
+    assert snap(seen.repartition(3)) == snap(seen.repartition(11))
+
+
+def test_filter_unseen_dispatches_cuckoo_df(spark):
+    """filter_unseen routes a (shard, m_buckets, table, stash) frame to
+    the cuckoo path — the drop-in swap for the Bloom shards."""
+    seen_h = _cuckoo_hashes(400)
+    seen = spark.createDataFrame([(h,) for h in seen_h], "url_hash string")
+    cand = spark.createDataFrame(
+        [(h,) for h in seen_h[:50] + _cuckoo_hashes(50, tag="n")],
+        "url_hash string",
+    )
+    cu = fr.build_cuckoo_df(seen, n_shards=4, m_buckets=256)
+    got = {
+        r["url_hash"]
+        for r in fr.filter_unseen(cand, seen, cu, spark, n_shards=4).collect()
+    }
+    assert got == {h for h in _cuckoo_hashes(50, tag="n")}
