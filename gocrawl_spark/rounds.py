@@ -72,6 +72,14 @@ class CrawlConfig:
     # the configured filter exceeds bloom_broadcast_max_bytes.
     bloom_apply: str = "auto"
     bloom_broadcast_max_bytes: int = 64 << 20
+    # F7 filter family: "bloom" (OR-foldable bitsets, no deletion) or
+    # "cuckoo" (fingerprint table + stash — same sharded layout and
+    # O(1-shard) probes, plus DELETION via fr.cuckoo_delete_df: purge a
+    # blocklisted host from the seen filter without a rebuild). Cuckoo
+    # always applies sharded (there is no broadcast driver object);
+    # bloom_shards routes both families.
+    seen_filter: str = "bloom"
+    cuckoo_buckets: int = 1 << 16
     # F7/J3 exact-backstop storage: "deltas" anti-joins the union of
     # per-round snapshot deltas (both join sides shuffle — fine while
     # seen is small); "bucketed" ALSO maintains a hash-bucketed catalog
@@ -183,6 +191,14 @@ class CrawlConfig:
         if self.bloom_apply not in ("auto", "broadcast", "sharded"):
             problems.append(
                 f"bloom_apply must be auto|broadcast|sharded, got {self.bloom_apply!r}"
+            )
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            problems.append(
+                f"seen_filter must be bloom|cuckoo, got {self.seen_filter!r}"
+            )
+        if self.cuckoo_buckets < 2 or self.cuckoo_buckets & (self.cuckoo_buckets - 1):
+            problems.append(
+                f"cuckoo_buckets must be a power of two >= 2, got {self.cuckoo_buckets}"
             )
         if self.seen_store not in ("deltas", "bucketed"):
             problems.append(
@@ -943,7 +959,22 @@ class CrawlRun:
         # OR deltas together; OR(per-round blooms) is bitwise identical
         # to a bloom of the unioned seen set.
         bloom_delta_df = None
-        if cfg.use_bloom:
+        filter_table = "bloom"
+        if cfg.use_bloom and cfg.seen_filter == "cuckoo":
+            # cuckoo family: the delta is a (shard, m_buckets, table,
+            # stash) fingerprint table for this round's seen rows;
+            # readers check deltas delta-by-delta (membership in any
+            # delta is membership), compaction folds via
+            # fr.fold_cuckoo_df. Same config-tag contract as bloom.
+            filter_table = "cuckoo"
+            bloom_delta_df = self._tag_cuckoo(
+                fr.build_cuckoo_df(
+                    seen_delta,
+                    n_shards=cfg.bloom_shards,
+                    m_buckets=cfg.cuckoo_buckets,
+                )
+            )
+        elif cfg.use_bloom:
             # tagged with the build config so readers can verify the
             # delta matches the CURRENT routing config — an untagged or
             # mismatched delta (bloom_shards/bloom_bits changed across
@@ -978,7 +1009,9 @@ class CrawlRun:
             if opic_delta is not None:
                 futs.append(pool.submit(self._write, opic_delta, rnd, "opic"))
             if bloom_delta_df is not None:
-                futs.append(pool.submit(self._write, bloom_delta_df, rnd, "bloom"))
+                futs.append(
+                    pool.submit(self._write, bloom_delta_df, rnd, filter_table)
+                )
             if resp is not None:
                 # F10: record followed redirects (request → landing URL)
                 redirects = resp.filter(
@@ -1304,6 +1337,84 @@ class CrawlRun:
             ).write.mode("overwrite").parquet(p)
         return self.spark.read.parquet(p)
 
+    # ---- cuckoo seen-filter persistence (seen_filter="cuckoo") ----
+
+    def _tag_cuckoo(self, cuckoo_df: DataFrame) -> DataFrame:
+        """Stamp (shard, m_buckets, table, stash) rows with the routing
+        config — same compatibility contract as _tag_bloom."""
+        return cuckoo_df.select(
+            "shard", "m_buckets", "table", "stash",
+            F.lit(self.cfg.bloom_shards).alias("n_shards"),
+        )
+
+    def _cuckoo_rows_compatible(self, df: DataFrame) -> bool:
+        """Every persisted cuckoo delta row must match the CURRENT
+        (bloom_shards, cuckoo_buckets) config — a mismatched row would
+        route candidates to the wrong shard or index the wrong bucket
+        space, both of which produce FALSE NEGATIVES (re-admitted seen
+        URLs), exactly the bloom failure mode the tag gate exists for."""
+        cfg = self.cfg
+        bad = (F.col("m_buckets") != cfg.cuckoo_buckets) | (
+            F.col("shard") >= cfg.bloom_shards
+        )
+        if "n_shards" in df.columns:
+            bad = bad | (
+                F.col("n_shards").isNotNull()
+                & (F.col("n_shards") != cfg.bloom_shards)
+            )
+        return df.filter(bad).limit(1).isEmpty()
+
+    def _cuckoo_delta_paths(self, rnd: int) -> "list[str] | None":
+        """Parquet dirs of the committed cuckoo deltas ≤ rnd (compacted
+        base first); None = some committed round lacks one."""
+        marker = self._compact_marker()
+        base_upto = marker["upto"] if marker else -1
+        parts = []
+        if marker is not None and base_upto <= rnd:
+            base = os.path.join(self.run_dir, "compact", "cuckoo")
+            if not os.path.isdir(base):
+                return None
+            parts.append(base)
+        for r in range(base_upto + 1, rnd + 1):
+            if not os.path.exists(_manifest_path(self.run_dir, r)):
+                continue
+            d = os.path.join(_round_dir(self.run_dir, r), "cuckoo")
+            if not os.path.isdir(d):
+                return None
+            parts.append(d)
+        return parts
+
+    def _cuckoo_df_upto(self, rnd: int) -> DataFrame:
+        """Cumulative cuckoo filter as the DISTRIBUTED union of the
+        per-round delta tables — filter_unseen_cuckoo checks a shard's
+        deltas inside its own task (membership in any delta is
+        membership), so nothing folds on the driver. A pre-delta
+        snapshot or config change triggers one distributed rebuild
+        persisted under cuckoo_rebuild/, keyed by the build config."""
+        cfg = self.cfg
+        parts = self._cuckoo_delta_paths(rnd)
+        if parts is not None and parts:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*parts)
+            if self._cuckoo_rows_compatible(df):
+                return df.select("shard", "m_buckets", "table", "stash")
+            parts = None  # config changed: rebuild
+        if parts is not None:
+            return self.spark.createDataFrame(
+                [], "shard int, m_buckets int, table binary, stash binary"
+            )
+        p = os.path.join(
+            self.run_dir,
+            "cuckoo_rebuild",
+            f"upto={rnd:04d}_s{cfg.bloom_shards}_m{cfg.cuckoo_buckets}",
+        )
+        if not os.path.isdir(p):
+            fr.build_cuckoo_df(
+                self._seen_upto(rnd),
+                n_shards=cfg.bloom_shards,
+                m_buckets=cfg.cuckoo_buckets,
+            ).write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p)
+
     def compact(self, keep_rounds: int = 2) -> int | None:
         """P7 maintenance (Iceberg snapshot-expiration analogue;
         reference cleanup ticker crawler.go:377-393): fold the seen and
@@ -1348,6 +1459,15 @@ class CrawlRun:
             # _bloom_delta_paths returns None and readers take the
             # rebuild path, exactly like a pre-delta snapshot; mixing
             # configs in one OR would corrupt the filter
+        # cuckoo deltas fold the same way (entry-multiset union,
+        # shard-local re-insert — fr.fold_cuckoo_df)
+        cuckoo_parts = self._cuckoo_delta_paths(upto)
+        if cuckoo_parts:
+            cdf = self.spark.read.option("mergeSchema", "true").parquet(*cuckoo_parts)
+            if self._cuckoo_rows_compatible(cdf):
+                self._tag_cuckoo(fr.fold_cuckoo_df(cdf)).write.parquet(
+                    os.path.join(tmp, "cuckoo")
+                )
         with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
             json.dump({"upto": upto}, f)
         old = cdir + "._old"
@@ -1358,7 +1478,7 @@ class CrawlRun:
         shutil.rmtree(old, ignore_errors=True)
         start = (marker["upto"] + 1) if marker else 0
         for r in range(start, upto + 1):
-            for name in ("frontier", "seen", "host_state", "bloom", "opic"):
+            for name in ("frontier", "seen", "host_state", "bloom", "cuckoo", "opic"):
                 shutil.rmtree(os.path.join(_round_dir(self.run_dir, r), name), ignore_errors=True)
         # fold the bucketed seen index too (one sorted file per bucket
         # instead of one file set per round) — rebuilt from the
@@ -1477,7 +1597,8 @@ class CrawlRun:
             )
         start = 0
         bloom: "fr.BloomFilter | DataFrame | None" = None
-        sharded = self.cfg.use_bloom and self._bloom_sharded
+        cuckoo = self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo"
+        sharded = self.cfg.use_bloom and not cuckoo and self._bloom_sharded
         last = last_committed_round(self.run_dir) if resume else None
         if self._seen_index is not None:
             self._sync_seen_index(last)
@@ -1485,7 +1606,9 @@ class CrawlRun:
             frontier_df = self._read(last, "frontier")
             seen = self._seen_for_filter(last)
             start = last + 1
-            if sharded:
+            if cuckoo:
+                bloom = self._cuckoo_df_upto(last)
+            elif sharded:
                 bloom = self._bloom_df_upto(last)
             elif self.cfg.use_bloom:
                 bloom = self._bloom_upto(last)
@@ -1506,7 +1629,11 @@ class CrawlRun:
             # same URL set as the reference's check-at-request-time
             frontier_df = self._apply_rank_priority(self._gate_robots(frontier_df))
             seen = self._empty_seen()
-            if sharded:
+            if cuckoo:
+                bloom = self.spark.createDataFrame(
+                    [], "shard int, m_buckets int, table binary, stash binary"
+                )
+            elif sharded:
                 bloom = self.spark.createDataFrame([], "shard int, bits binary")
             elif self.cfg.use_bloom:
                 bloom = fr.BloomFilter.empty(self.cfg.bloom_shards, self.cfg.bloom_bits)
@@ -1523,7 +1650,9 @@ class CrawlRun:
             # the next round reads exactly the committed state
             frontier_df = self._read(rnd, "frontier")
             seen = self._seen_for_filter(rnd)
-            if sharded:
+            if cuckoo:
+                bloom = self._cuckoo_df_upto(rnd)
+            elif sharded:
                 # the delta union just grows by one lazy parquet path —
                 # the driver never touches a bitset byte
                 bloom = self._bloom_df_upto(rnd)

@@ -456,3 +456,59 @@ def test_opic_retried_pop_keeps_cash(spark, tmp_path):
             for r in run._opic_cash_upto(0).collect()}
     # attempt 0 < fail_attempts=2 -> transient -> retried -> cash kept
     assert cash[sha("https://a.com/s0")] == 1_000_000
+
+
+def test_cuckoo_seen_filter_crawl_equivalent_and_resumes(spark, sf_dir, tmp_path):
+    """seen_filter='cuckoo' must change ONLY the F7 prefilter family:
+    identical seen set and popped rounds to the bloom run, per-round
+    cuckoo deltas accumulate under the snapshots, resume continues on
+    the delta union, and compaction folds the deltas to one row per
+    shard while the crawl state stays intact."""
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seeds = synth.seed_urls(n, k=8)
+    base = dict(max_depth=2, round_wall_s=10.0, max_rounds=4,
+                bloom_shards=8, bloom_min_seen=0)
+    run_b = CrawlRun(
+        spark, corpus, seeds, str(tmp_path / "bloom"),
+        CrawlConfig(**base, bloom_bits=1 << 16),
+    )
+    run_b.run(resume=False)
+
+    cfg_c = CrawlConfig(**base, seen_filter="cuckoo", cuckoo_buckets=1 << 10)
+    run_c = CrawlRun(spark, corpus, seeds, str(tmp_path / "cuckoo"), cfg_c)
+    run_c.run(resume=False)
+    sb = sorted((r["url_hash"], r["fetched_round"]) for r in run_b.seen_final().collect())
+    sc = sorted((r["url_hash"], r["fetched_round"]) for r in run_c.seen_final().collect())
+    assert sb == sc and len(sc) > 50
+
+    # per-round cuckoo deltas exist (and no bloom dirs were written)
+    import os
+    last = last_committed_round(str(tmp_path / "cuckoo"))
+    for r in range(last + 1):
+        rd = os.path.join(str(tmp_path / "cuckoo"), "rounds", f"round={r:04d}")
+        assert os.path.isdir(os.path.join(rd, "cuckoo"))
+        assert not os.path.isdir(os.path.join(rd, "bloom"))
+
+    # resume continues the run on the cuckoo delta union
+    cfg_c2 = CrawlConfig(**{**base, "max_rounds": 6}, seen_filter="cuckoo",
+                         cuckoo_buckets=1 << 10)
+    run_c2 = CrawlRun(spark, corpus, seeds, str(tmp_path / "cuckoo"), cfg_c2)
+    run_c2.run(resume=True)
+    cfg_b2 = CrawlConfig(**{**base, "max_rounds": 6}, bloom_bits=1 << 16)
+    run_b2 = CrawlRun(spark, corpus, seeds, str(tmp_path / "bloom"), cfg_b2)
+    run_b2.run(resume=True)
+    sb2 = sorted(r["url_hash"] for r in run_b2.seen_final().collect())
+    sc2 = sorted(r["url_hash"] for r in run_c2.seen_final().collect())
+    assert sb2 == sc2 and len(sc2) >= len(sc)
+
+    # compaction folds cuckoo deltas (≤ one row per shard) and the
+    # crawl state is unchanged
+    run_c2.compact(keep_rounds=1)
+    folded = spark.read.parquet(
+        os.path.join(str(tmp_path / "cuckoo"), "compact", "cuckoo")
+    )
+    assert folded.count() <= 8
+    assert folded.groupBy("shard").count().filter("count > 1").count() == 0
+    sc3 = sorted(r["url_hash"] for r in run_c2.seen_final().collect())
+    assert sc3 == sc2
