@@ -466,6 +466,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_token_ids"] = train_token_ids
 
+    def rag_chunk_windows(spark, sf_dir):
+        """Overlapping sliding-window chunking (curation.chunk_windows)
+        — the retrieval/RAG feed: 64-piece windows at stride 48
+        (overlap 16) over the GPT-2 pre-tokenizer piece stream, final
+        fully-contained tails suppressed, chunk text = pieces joined
+        by single spaces. Pure scan projection (explode of an integer
+        sequence + slice), zero shuffle. chunk_text pinned by md5 +
+        a 40-char head."""
+        ch = curation.chunk_windows(
+            _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+        )
+        return ch.select(
+            "doc_id", "chunk", "start_tok", "n_tokens",
+            F.substring("chunk_text", 1, 40).alias("head"),
+            F.md5("chunk_text").alias("text_md5"),
+        )
+
+    q["rag_chunk_windows"] = rag_chunk_windows
+
     def train_split(spark, sf_dir):
         """Deterministic, membership-stable train/val/test hash split
         (curation.split_corpus, 75/12.5/12.5 — binary-exact cumulative
@@ -1301,6 +1320,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
     q["ann_brute_cosine"] = ann_brute_cosine
+
+    def ann_sq_codes(spark, sf_dir):
+        """Uniform int8 scalar quantization (similarity.sq_encode,
+        FAISS ScalarQuantizer QT_8bit): per-dim (min,max) trained in
+        one tiny agg, code = clamp(floor((x-vmin)*255/(vmax-vmin)+.5)).
+        Codes are integers — the quantized index is bit-exact across
+        engines; pinned by md5 over the csv form + first 12 visible."""
+        emb = _emb(spark, sf_dir)
+        stats = similarity.sq_stats(emb)
+        codes = similarity.sq_encode(emb, stats)
+        csv = F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
+        return codes.select(
+            "vec_id",
+            F.size("codes").alias("n_codes"),
+            F.concat_ws(
+                ",", F.transform(F.slice("codes", 1, 12), lambda c: c.cast("string"))
+            ).alias("head_codes"),
+            F.md5(csv).alias("codes_md5"),
+        )
+
+    q["ann_sq_codes"] = ann_sq_codes
+
+    def ann_sq(spark, sf_dir):
+        """Asymmetric scalar-quantized top-k (similarity.sq_topk):
+        float queries scored by cosine against int8-RECONSTRUCTED
+        corpus vectors — 4x smaller index bytes, query side never
+        quantizes. Same broadcast-queries plan as ann_brute_cosine."""
+        emb = _emb(spark, sf_dir)
+        stats = similarity.sq_stats(emb)
+        codes = similarity.sq_encode(emb, stats)
+        return similarity.sq_topk(
+            codes, stats, emb.filter(F.col("vec_id") < 5), k=10
+        )
+
+    q["ann_sq"] = ann_sq
 
     def ann_ivf(spark, sf_dir):
         """IVF probe over the PERSISTED centroid_id-partitioned index
@@ -4375,6 +4429,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
     """
 
+    # scalar quantization: per-dim (min,max) over the corpus, the same
+    # pinned float grid ((x-mn)*255/(mx-mn)+.5 on DOUBLE-cast floats,
+    # floor, clamp) — codes are integers so the encode oracle is exact;
+    # the topk oracle reconstructs mn + c*(mx-mn)/255 and reuses the
+    # in-order cosine fold
+    _SQ_CODES = r"""
+        st AS MATERIALIZED (
+          SELECT pos, min(x) AS vmin, max(x) AS vmax
+          FROM (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY pos),
+        sl AS MATERIALIZED (
+          SELECT list(vmin ORDER BY pos) AS mn, list(vmax ORDER BY pos) AS mx
+          FROM st),
+        codes AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   CASE WHEN mx[i] = mn[i] THEN 0
+                        ELSE least(255, greatest(0,
+                          floor((embedding[i]::DOUBLE - mn[i]::DOUBLE) * 255.0
+                                / (mx[i]::DOUBLE - mn[i]::DOUBLE) + 0.5)))::INT
+                   END) AS codes
+          FROM embeddings, sl)
+    """
+
+    o["ann_sq_codes"] = f"""
+        WITH {_SQ_CODES}
+        SELECT vec_id,
+               len(codes) AS n_codes,
+               array_to_string(list_transform(list_slice(codes, 1, 12),
+                                              x -> x::VARCHAR), ',') AS head_codes,
+               md5(array_to_string(list_transform(codes, x -> x::VARCHAR), ',')) AS codes_md5
+        FROM codes
+    """
+
+    o["ann_sq"] = f"""
+        WITH {_SQ_CODES},
+        recon AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   mn[i]::DOUBLE + codes[i]::DOUBLE
+                     * (mx[i]::DOUBLE - mn[i]::DOUBLE) / 255.0) AS rv
+          FROM codes, sl),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round(
+                   list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * b.rv[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                      * sqrt(list_sum(list_transform(range(1, 65),
+                          i -> b.rv[i] * b.rv[i])))), 6) AS score
+          FROM embeddings a JOIN recon b
+            ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+    """
+
     o["ann_ivf"] = f"""
         WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 16),
         asgn AS (
@@ -6738,6 +6853,35 @@ def oracle_sql() -> dict[str, str]:
                                               x -> x::VARCHAR), ',') AS head_ids,
                md5(array_to_string(list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5
         FROM i
+    """
+
+    # rag_chunk_windows: the same piece stream cut into 64-token
+    # windows at stride 48; integer // grid, fully-contained-tail
+    # suppression via the CASE nch formula (identical in Spark)
+    o["rag_chunk_windows"] = r"""
+        WITH p AS (SELECT doc_id,
+                          regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1) AS pieces
+                   FROM documents),
+        n AS (SELECT doc_id, pieces, len(pieces)::BIGINT AS n FROM p),
+        c AS (SELECT doc_id, pieces, n,
+                     CASE WHEN n <= 0 THEN 0
+                          WHEN n <= 64 THEN 1
+                          ELSE 1 + ((n - 64 + 47) // 48) END AS nch
+              FROM n),
+        g AS (SELECT doc_id, pieces, n, unnest(range(nch)) AS chunk
+              FROM c WHERE nch > 0),
+        s AS (SELECT doc_id, chunk::INT AS chunk,
+                     (chunk * 48)::BIGINT AS start_tok,
+                     least(64, n - chunk * 48)::BIGINT AS n_tokens,
+                     array_to_string(
+                         list_slice(pieces, chunk * 48 + 1,
+                                    chunk * 48 + least(64, n - chunk * 48)),
+                         ' ') AS chunk_text
+              FROM g)
+        SELECT doc_id, chunk, start_tok, n_tokens,
+               substr(chunk_text, 1, 40) AS head,
+               md5(chunk_text) AS text_md5
+        FROM s
     """
 
     # train_split: the sample_stratified md5-uniform, cumulative bands

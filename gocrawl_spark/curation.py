@@ -933,6 +933,71 @@ def pack_greedy_bins(
     )
 
 
+def chunk_windows(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunks per document — the retrieval
+    (RAG) feed twin of :func:`pack_token_sequences` (which packs for
+    TRAINING and never crosses a window back). Windows cover pieces
+    [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; a document emits
+
+        1                                   if 0 < n <= chunk_tokens
+        1 + ceil((n - chunk_tokens)/stride) otherwise
+
+    windows, so the final short window is emitted only when it adds
+    tokens the previous window does not already cover (a fully
+    contained tail is suppressed), and an empty document emits no row.
+    Chunk text is the window's pieces joined with single spaces — the
+    whitespace-normalized form every embedding pipeline feeds anyway;
+    byte-offset fidelity stays with the stored document.
+
+    Returns (doc_id, chunk, start_tok, n_tokens, chunk_text), chunk
+    numbering 0-based in token order.
+
+    Scale shape: pure codegen'd scan projection — tokenize once,
+    explode exactly n_chunks rows per doc (each row one `slice` of the
+    already-materialized piece array), no shuffle, no UDF, no window.
+    Work is O(corpus tokens × (1 + overlap/stride)), the replication
+    inherent to overlapping chunks. Integer math only (`DIV`), so the
+    chunk grid is bit-stable across engines and parallelism.
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), pieces.alias("_p")
+    ).withColumn("_n", F.size("_p").cast("long"))
+    C, S = F.lit(int(chunk_tokens)), F.lit(int(stride))
+    nch = (
+        F.when(F.col("_n") <= 0, F.lit(0))
+        .when(F.col("_n") <= C, F.lit(1))
+        .otherwise(F.lit(1) + F.expr(f"(_n - {chunk_tokens} + {stride - 1}) DIV {stride}"))
+    )
+    rows = base.withColumn("_nch", nch).filter(F.col("_nch") > 0)
+    i = F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nch") - 1)).alias("chunk")
+    start = F.col("chunk") * S
+    ntok = F.least(C.cast("long"), F.col("_n") - start)
+    return rows.select("doc_id", "_p", "_n", i).select(
+        "doc_id",
+        F.col("chunk").cast("int").alias("chunk"),
+        start.cast("long").alias("start_tok"),
+        ntok.alias("n_tokens"),
+        F.array_join(
+            F.slice("_p", (start + 1).cast("int"), ntok.cast("int")), " "
+        ).alias("chunk_text"),
+    )
+
+
 def temperature_weights(
     docs: DataFrame,
     tau: float = 0.7,
@@ -1075,7 +1140,7 @@ __all__ = [
     "host_stats", "hash_weights", "clf_score", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
-    "temperature_weights",
+    "chunk_windows", "temperature_weights",
 ]
 
 

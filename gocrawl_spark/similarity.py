@@ -822,6 +822,7 @@ __all__ = [
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_write_index",
     "semdedup", "kmeans_centroids", "project_embeddings",
+    "sq_stats", "sq_encode", "sq_reconstruct", "sq_topk",
 ]
 
 
@@ -858,4 +859,132 @@ def project_embeddings(
     return df.select(
         F.col(id_col).alias("id"),
         F.array(*[dot_j(j) for j in range(out_dim)]).alias("proj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 codes — the memory-bound compression between
+# full floats and PQ: 4x smaller than float32, one code per dimension)
+# ---------------------------------------------------------------------------
+
+
+def sq_stats(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> "list[tuple[float, float]]":
+    """Per-dimension (vmin, vmax) training statistics for uniform
+    scalar quantization (FAISS ScalarQuantizer QT_8bit's train step).
+    Returns a 0-based python list — dim-sized METADATA (the one
+    driver collect this family makes, same O(dim) budget as the
+    k-means centroid collect); the scan folds map-side to
+    partitions×dim rows before the single tiny shuffle."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .collect()
+    )
+    out = [None] * len(rows)
+    for r in rows:
+        out[r["pos"]] = (float(r["vmin"]), float(r["vmax"]))
+    return out
+
+
+def _sq_lits(stats):
+    mn = F.array(*[F.lit(a) for a, _ in stats])
+    mx = F.array(*[F.lit(b) for _, b in stats])
+    return mn, mx
+
+
+def sq_encode(
+    corpus: DataFrame,
+    stats,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): uniform int8 quantization
+    code_i = clamp(floor((x - vmin_i) * 255 / (vmax_i - vmin_i) + .5),
+    0, 255); a degenerate dimension (vmax = vmin) codes to 0. The
+    clamp makes encode total over OUT-OF-RANGE inputs (queries from a
+    different distribution), not just the training corpus.
+
+    Codes are integers, so the quantized index is engine/partitioning
+    bit-exact; the float grid arithmetic is pinned left-to-right
+    (sub, mul, div, add-0.5) so both engines floor the same double.
+    Pure codegen'd transform in the scan — no shuffle, no UDF; 4x
+    smaller index bytes is the point at 100 TB."""
+    mn, mx = _sq_lits(stats)
+    vec = F.col(vec_col)
+    codes = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.element_at(mx, i + 1) == F.element_at(mn, i + 1), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x.cast("double") - F.element_at(mn, i + 1))
+                        * F.lit(255.0)
+                        / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return corpus.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def sq_reconstruct(codes_col, stats):
+    """x̂_i = vmin_i + code_i * (vmax_i - vmin_i) / 255 — the
+    asymmetric-distance decode (query stays float)."""
+    mn, mx = _sq_lits(stats)
+    return F.transform(
+        codes_col,
+        lambda c, i: F.element_at(mn, i + 1)
+        + c.cast("double")
+        * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+        / F.lit(255.0),
+    )
+
+
+def sq_topk(
+    codes: DataFrame,
+    stats,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ top-k (FAISS SQ search): float queries scored by
+    cosine against RECONSTRUCTED corpus vectors — the standard
+    accuracy/memory trade (codes are 1/4 the bytes; the query never
+    quantizes, so only the corpus side pays quantization error).
+
+    Output (query_id, neighbor_id, score, rank) — brute_topk's shape,
+    same broadcast-queries / corpus-never-shuffles plan; score is the
+    6-dp-rounded cosine of the reconstruction, and rank ties break on
+    neighbor_id so the list is deterministic."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sq_reconstruct(F.col("codes"), stats).alias("rv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_rounded(F.col("qv"), F.col("rv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
     )

@@ -2872,3 +2872,71 @@ def test_termvectors_statistics(spark):
     assert got[(2, "window")] == (1, 2, 2)
     assert got[(2, "batch")] == (1, 1, 1)
     assert (2, "spark") not in got
+
+
+def test_chunk_windows_grid_and_tail_suppression(spark):
+    from gocrawl_spark import curation
+
+    # 10 single-letter pieces -> with chunk=4, overlap=2 (stride 2):
+    # windows at 0,2,4,6 (4..8,6..10 full); offset 8 window [8,10) is
+    # NOT fully contained in [6,10)? it IS contained -> suppressed.
+    # nch = 1 + ceil((10-4)/2) = 4
+    txt = " ".join("abcdefghij")
+    df = spark.createDataFrame([(1, txt), (2, "a b c"), (3, "")],
+                               "doc_id long, text string")
+    out = curation.chunk_windows(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk"]): r for r in out.collect()}
+    assert sorted(k for k in rows) == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)]
+    assert rows[(1, 0)]["chunk_text"] == "a b c d"
+    assert rows[(1, 1)]["chunk_text"] == "c d e f"
+    assert rows[(1, 3)]["chunk_text"] == "g h i j"
+    assert rows[(1, 3)]["start_tok"] == 6 and rows[(1, 3)]["n_tokens"] == 4
+    # short doc: one window, short
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_tokens"] == 3
+    # empty doc emits nothing (doc 3 absent above)
+
+    # short TAIL emitted only when it adds tokens: 9 pieces, chunk=4,
+    # stride=2 -> nch = 1+ceil(5/2)=4; last window [6,9) len 3
+    df9 = spark.createDataFrame([(9, " ".join("abcdefghi"))], "doc_id long, text string")
+    r9 = {r["chunk"]: r for r in curation.chunk_windows(df9, 4, 2).collect()}
+    assert len(r9) == 4 and r9[3]["chunk_text"] == "g h i" and r9[3]["n_tokens"] == 3
+
+    # overlap=0 degenerates to disjoint fixed windows
+    r0 = {r["chunk"]: r["chunk_text"]
+          for r in curation.chunk_windows(df9, 4, 0).collect()}
+    assert r0 == {0: "a b c d", 1: "e f g h", 2: "i"}
+
+    with pytest.raises(ValueError):
+        curation.chunk_windows(df9, 4, 4)
+
+
+def test_sq_quantization_clamp_degenerate_and_recall(spark):
+    rows = [
+        (0, [0.0, 1.0, 5.0]),
+        (1, [1.0, 1.0, 0.0]),
+        (2, [0.5, 1.0, 2.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = similarity.sq_stats(emb)
+    # dim0 spans [0,1], dim1 degenerate [1,1], dim2 [0,5]
+    assert stats == [(0.0, 1.0), (1.0, 1.0), (0.0, 5.0)]
+    codes = {r["vec_id"]: r["codes"] for r in similarity.sq_encode(emb, stats).collect()}
+    assert codes[0] == [0, 0, 255]      # degenerate dim -> 0
+    assert codes[1] == [255, 0, 0]
+    assert codes[2] == [128, 0, 128]    # 0.5*255+0.5 floors to 128
+    # out-of-range input clamps, never wraps
+    oob = spark.createDataFrame([(9, [-1.0, 1.0, 9.0])],
+                                "vec_id long, embedding array<double>")
+    assert similarity.sq_encode(oob, stats).collect()[0]["codes"] == [0, 0, 255]
+
+    # recall sanity on the real embeddings table: SQ top-10 recovers
+    # most of the exact top-10 (64-dim, 500 vecs, int8 grid)
+    real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    st = similarity.sq_stats(real)
+    cd = similarity.sq_encode(real, st)
+    q = real.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_topk(real, q, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.sq_topk(cd, st, q, k=10).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
