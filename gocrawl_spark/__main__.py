@@ -388,12 +388,14 @@ def cmd_archive(args) -> int:
     corpus = _load_corpus(spark, args.corpus)
     run = CrawlRun(spark, corpus, [], args.run_dir, CrawlConfig())
     manifest = run.archive(
-        args.out, compress=not args.plain, cdx=not args.no_cdx
+        args.out, compress=not args.plain, cdx=not args.no_cdx, wat=args.wat
     ).collect()
     n = sum(r["n_records"] for r in manifest)
     print(f"archived {n} records in {len(manifest)} file(s) to {args.out}")
     if not args.no_cdx:
         print(f"cdx index: {os.path.join(args.out, 'cdx')}")
+    if args.wat:
+        print(f"wat companion written alongside (*.warc.wat{'' if args.plain else '.gz'})")
     return 0
 
 
@@ -497,6 +499,8 @@ def main(argv: list[str] | None = None) -> int:
     ar.add_argument("--plain", action="store_true",
                     help="uncompressed .warc instead of per-record gzip")
     ar.add_argument("--no-cdx", action="store_true")
+    ar.add_argument("--wat", action="store_true",
+                    help="also write the WAT metadata companion")
     ar.set_defaults(fn=cmd_archive)
 
     cx = sub.add_parser("cdx")

@@ -1733,7 +1733,8 @@ class CrawlRun:
         warehouse.upsert(page_index, self.pages().drop("crawl_round"), key="id")
 
     def archive(
-        self, out_dir: str, compress: bool = True, cdx: bool = True
+        self, out_dir: str, compress: bool = True, cdx: bool = True,
+        wat: bool = False,
     ) -> DataFrame:
         """Export every page the crawl fetched as a WARC archive with
         a CDX capture index (warc.write_warc + sidecar): the crawl's
@@ -1741,17 +1742,23 @@ class CrawlRun:
         replays one record via a ranged read. Fetch hits are the
         extracted rows; the raw html comes from one url-equi-join back
         to the corpus (bucketed-corpus runs keep this shuffle-free on
-        the corpus side). Returns the write manifest."""
+        the corpus side). ``wat=True`` also writes the WAT metadata
+        companion (title + raw outgoing links per page) into the same
+        directory — the Common-Crawl pairing; each writer sweeps only
+        its own parts. Returns the WARC write manifest."""
         from gocrawl_spark import warc as _warc
 
         urls = self.extracted().select("url").distinct()
         rows = urls.join(self.corpus.select("url", "warc_ts", "html"), "url")
-        return _warc.write_warc(
+        manifest = _warc.write_warc(
             rows,
             out_dir,
             compress=compress,
             cdx_dir=os.path.join(out_dir, "cdx") if cdx else None,
         )
+        if wat:
+            _warc.write_wat(_warc.wat_metadata(rows), out_dir, compress=compress)
+        return manifest
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(

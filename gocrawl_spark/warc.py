@@ -645,4 +645,181 @@ def read_warc_deduped(spark: SparkSession, path: str) -> DataFrame:
 
 
 __all__ = ["write_warc", "read_warc", "read_warc_stream", "warc_corpus",
-           "write_wet", "read_wet", "write_warc_deduped", "read_warc_deduped"]
+           "write_wet", "read_wet", "write_warc_deduped", "read_warc_deduped",
+           "wat_metadata", "write_wat", "read_wat"]
+
+
+# ---------------------------------------------------------------------------
+# WAT — Common Crawl's metadata companion (WARC-Type: metadata records
+# whose payload is a JSON "Envelope" describing the response: head
+# title + outgoing links). Completes the WARC/WAT/WET delivery trio.
+# ---------------------------------------------------------------------------
+
+
+def _wat_record_bytes(url: str, ts, title: str, links) -> bytes:
+    """One deterministic WAT `metadata` record: JSON Envelope payload
+    (sorted keys, no whitespace — byte-reproducible), refers-to the
+    response record of the same URL (the shared sha256 URN scheme)."""
+    import json
+
+    when = "1970-01-01T00:00:00Z" if ts is None or pd.isna(ts) else ts.strftime(_WARC_TS)
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Date": when,
+                "WARC-Target-URI": url,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": title or ""},
+                        "Links": [
+                            {"path": "A@/href", "url": str(l)}
+                            for l in (links if links is not None else [])
+                        ],
+                    }
+                }
+            },
+        }
+    }
+    body = json.dumps(env, sort_keys=True, separators=(",", ":")).encode("utf-8")
+    rid = hashlib.sha256(url.encode("utf-8")).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:sha256:wat:" + rid.encode() + b">\r\n"
+        b"WARC-Refers-To: <urn:sha256:" + rid.encode() + b">\r\n"
+        b"WARC-Date: " + when.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    return head + body + _CRLF + _CRLF
+
+
+def wat_metadata(
+    corpus: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, warc_ts, title, links) per page — the WAT extraction pass:
+    <title> text plus every a[href] in document order (the UNFILTERED
+    raw-page link stream, deliberately upstream of the crawl kernel's
+    exclude-selectors: WAT describes the page as served). One
+    Arrow-batched parse per page inside the task that scanned it;
+    payload bytes never shuffle."""
+    from gocrawl_spark.extract import extract_links
+    from gocrawl_spark.htmlmini.css import find
+    from gocrawl_spark.htmlmini.dom import parse
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            titles, links = [], []
+            for raw in pdf[html_col]:
+                html = (
+                    bytes(raw).decode("utf-8", "replace")
+                    if isinstance(raw, (bytes, bytearray, memoryview))
+                    else (raw or "")
+                )
+                root = parse(html)
+                t = find(root, "title")
+                titles.append(t[0].text().strip() if t else "")
+                links.append(extract_links(root))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].astype("object"),
+                    "warc_ts": pdf[ts_col],
+                    "title": pd.Series(titles, dtype="object"),
+                    "links": pd.Series(links, dtype="object"),
+                }
+            )
+
+    return corpus.select(url_col, ts_col, html_col).mapInPandas(
+        gen, schema="url string, warc_ts timestamp, title string, links array<string>"
+    )
+
+
+def write_wat(
+    meta: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    title_col: str = "title",
+    links_col: str = "links",
+    cdx_dir: str | None = None,
+) -> DataFrame:
+    """Archive page metadata as WAT files (one per partition, atomic
+    publish, manifest returned — write_warc's sink contract). Input is
+    :func:`wat_metadata`'s shape; `cdx_dir` writes the capture-index
+    sidecar keyed by the JSON payload digest."""
+    import json as _json
+
+    def _digest(url, ts, title, links):
+        body = _wat_record_bytes(url, ts, title, links)
+        # digest the JSON payload only (after the blank line), matching
+        # the other formats' payload-identity convention
+        payload = body.split(b"\r\n\r\n", 1)[1][: -len(_CRLF * 2)]
+        return hashlib.sha256(payload).hexdigest(), len(payload)
+
+    return _write_archive(
+        meta.select(url_col, ts_col, title_col, links_col),
+        out_dir,
+        compress,
+        ".warc.wat",
+        _wat_record_bytes,
+        cdx_dir=cdx_dir,
+        cdx_fn=_digest,
+        cdx_mime="application/json",
+    )
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT files → (url, warc_ts, title, links) rows; `metadata`
+    records only, envelope fields read back from the JSON payload."""
+    import json
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, whens, titles, links = [], [], [], []
+            for content in pdf["content"]:
+                data = _decompress(bytes(content))
+                for headers, payload in _iter_records(data):
+                    if headers.get("warc-type") != "metadata":
+                        continue
+                    urls.append(headers.get("warc-target-uri", ""))
+                    ts = headers.get("warc-date")
+                    try:
+                        whens.append(
+                            datetime.strptime(ts, _WARC_TS).replace(tzinfo=timezone.utc)
+                            if ts
+                            else None
+                        )
+                    except ValueError:
+                        whens.append(None)
+                    try:
+                        env = json.loads(payload.decode("utf-8", "replace"))
+                        hm = env["Envelope"]["Payload-Metadata"][
+                            "HTTP-Response-Metadata"
+                        ]["HTML-Metadata"]
+                        titles.append(hm.get("Head", {}).get("Title", ""))
+                        links.append([l["url"] for l in hm.get("Links", [])])
+                    except (ValueError, KeyError, TypeError):
+                        titles.append("")
+                        links.append([])
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "warc_ts": pd.Series(whens, dtype="datetime64[ns, UTC]"),
+                    "title": pd.Series(titles, dtype="object"),
+                    "links": pd.Series(links, dtype="object"),
+                }
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(
+        parse_files,
+        schema="url string, warc_ts timestamp, title string, links array<string>",
+    )

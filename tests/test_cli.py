@@ -192,8 +192,11 @@ def test_cli_archive_and_cdx(demo):
          "--seed-limit", "6")
     out_dir = os.path.join(base, "delivery")
     out = _run("archive", "--corpus", corpus, "--run-dir", run_dir,
-               "--out", out_dir)
+               "--out", out_dir, "--wat")
     assert "archived" in out and "cdx index:" in out
+    assert "wat companion" in out
+    import glob as _glob
+    assert len(_glob.glob(os.path.join(out_dir, "*.warc.wat.gz"))) >= 1
 
     out = _run("cdx", "--index", os.path.join(out_dir, "cdx"),
                "--prefix", "com,example,")

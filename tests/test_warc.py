@@ -330,3 +330,68 @@ def test_deduped_write_and_rehydrate(spark, corpus, tmp_path):
         os.path.getsize(p) for p in glob.glob(os.path.join(d, "part-*"))
     )
     assert size(out) < size(plain)
+
+
+def test_wat_roundtrip_and_envelope(spark, corpus, tmp_path):
+    """WAT metadata records: title+links extraction, lossless JSON
+    envelope round-trip, refers-to linkage, deterministic bytes."""
+    docs = corpus.limit(120)
+    meta = warc.wat_metadata(docs)
+    out = str(tmp_path / "wat")
+    manifest = warc.write_wat(meta.repartition(3), out)
+    rows = manifest.collect()
+    assert sum(r["n_records"] for r in rows) == docs.count()
+    assert all(r["path"].endswith(".warc.wat.gz") for r in rows)
+
+    back = warc.read_wat(spark, out)
+    a = meta.select("url", "warc_ts", "title",
+                    F.concat_ws("|", "links").alias("lk"))
+    b = back.select("url", "warc_ts", "title",
+                    F.concat_ws("|", "links").alias("lk"))
+    assert a.join(b, ["url", "warc_ts", "title", "lk"]).count() == docs.count()
+    # the extraction pass found real titles and links
+    assert meta.filter(F.length("title") > 0).count() == docs.count()
+    assert meta.filter(F.size("links") > 0).count() > 0
+
+    raw = gzip.decompress(open(rows[0]["path"], "rb").read())
+    assert b"WARC-Type: metadata" in raw
+    assert b"WARC-Record-ID: <urn:sha256:wat:" in raw
+    assert b"WARC-Refers-To: <urn:sha256:" in raw
+    assert b'"HTML-Metadata"' in raw and b'"Links"' in raw
+
+    # plain vs gzip byte equality (mtime=0 determinism contract)
+    out2 = str(tmp_path / "wat_plain")
+    warc.write_wat(meta.repartition(3), out2, compress=False)
+    for r in rows:
+        plain = os.path.join(out2, os.path.basename(r["path"])[: -len(".gz")])
+        assert gzip.decompress(open(r["path"], "rb").read()) == \
+            open(plain, "rb").read()
+
+
+def test_warc_wat_wet_trio_one_dir(spark, corpus, tmp_path):
+    """The full Common-Crawl trio in ONE directory: each writer sweeps
+    only its own stale parts; each reader picks only its type."""
+    docs = corpus.limit(30)
+    out = str(tmp_path / "trio")
+    warc.write_warc(docs.repartition(2), out)
+    warc.write_wet(
+        docs.select("url", "warc_ts",
+                    F.decode(F.col("html"), "utf-8").alias("text")).repartition(2),
+        out)
+    warc.write_wat(warc.wat_metadata(docs).repartition(2), out)
+    n = docs.count()
+    assert warc.read_warc(spark, out).count() == n
+    assert warc.read_wet(spark, out).count() == n
+    assert warc.read_wat(spark, out).count() == n
+
+    # re-run the WAT writer with fewer partitions: WARC and WET parts
+    # untouched, stale WAT part swept
+    warc_parts = sorted(glob.glob(os.path.join(out, "*[0-9].warc.gz")))
+    wet_parts = sorted(glob.glob(os.path.join(out, "*.warc.wet.gz")))
+    warc.write_wat(warc.wat_metadata(docs).repartition(1), out)
+    assert sorted(glob.glob(os.path.join(out, "*[0-9].warc.gz"))) == warc_parts
+    assert sorted(glob.glob(os.path.join(out, "*.warc.wet.gz"))) == wet_parts
+    assert len(glob.glob(os.path.join(out, "*.warc.wat.gz"))) == 1
+    assert warc.read_wat(spark, out).count() == n
+    # WAT reader over response/conversion records yields nothing extra:
+    # metadata type-skip keeps the trio separable in one dir
