@@ -1116,6 +1116,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_host_graph"] = crawl_host_graph
 
+    def crawl_host_communities(spark, sf_dir):
+        """Weighted label-propagation communities over the host graph
+        (graphrank.label_propagation, Raghavan et al. 2007): 3
+        synchronous sweeps, votes summed in exact LONGs, argmax ties
+        broken by label — deterministic at any parallelism. Surfaces
+        link farms / mirror networks as domain communities."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+
+        def host(c):
+            hi = F.when(c % 4 == 0, F.lit(0)).otherwise(c % 15 + 1)
+            return F.concat(
+                F.lit("site"), F.lpad(hi.cast("string"), 2, "0"),
+                F.lit(".example.com"),
+            )
+
+        e = graphrank.doc_edges(docs, n).select(
+            "src", "dst",
+            host(F.col("src")).alias("src_host"),
+            host(F.col("dst")).alias("dst_host"),
+        )
+        return graphrank.label_propagation(graphrank.host_graph(e), iters=3)
+
+    q["crawl_host_communities"] = crawl_host_communities
+
     def crawl_budget_alloc(spark, sf_dir):
         """Proportional-fair per-host round budgets
         (frontier.allocate_budgets): weight-share of a 200-page round
@@ -4105,6 +4132,52 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT src)::BIGINT AS n_src_pages
         FROM h WHERE src_host <> dst_host
         GROUP BY src_host, dst_host
+    """
+
+    # label propagation: same host-graph CTEs, the 3 sweeps unrolled —
+    # votes are exact BIGINT sums so there is no float order anywhere;
+    # argmax = row_number over (sum DESC, label ASC), literally the
+    # Spark window
+    _lpa_sweeps = []
+    for _i in range(1, 4):
+        _lpa_sweeps.append(f"""
+        v{_i} AS MATERIALIZED (
+          SELECT s.u, l.label, sum(s.w)::BIGINT AS sc
+          FROM sym s JOIN l{_i - 1} l ON s.v = l.u
+          GROUP BY s.u, l.label),
+        n{_i} AS (SELECT u, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY sc DESC, label) AS rn
+            FROM v{_i}) WHERE rn = 1),
+        l{_i} AS MATERIALIZED (
+          SELECT nodes.u, coalesce(n{_i}.label, nodes.u) AS label
+          FROM nodes LEFT JOIN n{_i} ON nodes.u = n{_i}.u)""")
+
+    o["crawl_host_communities"] = f"""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        h AS (SELECT src, dst,
+                'site' || lpad((CASE WHEN src % 4 = 0 THEN 0
+                                     ELSE 1 + src % 15 END)::VARCHAR, 2, '0')
+                       || '.example.com' AS src_host,
+                'site' || lpad((CASE WHEN dst % 4 = 0 THEN 0
+                                     ELSE 1 + dst % 15 END)::VARCHAR, 2, '0')
+                       || '.example.com' AS dst_host
+              FROM e),
+        g AS (SELECT src_host, dst_host, count(*)::BIGINT AS w
+              FROM h WHERE src_host <> dst_host
+              GROUP BY src_host, dst_host),
+        sym AS MATERIALIZED (
+          SELECT src_host AS u, dst_host AS v, w FROM g
+          UNION ALL
+          SELECT dst_host AS u, src_host AS v, w FROM g),
+        nodes AS MATERIALIZED (SELECT DISTINCT u FROM sym),
+        l0 AS (SELECT u, u AS label FROM nodes),{",".join(_lpa_sweeps)}
+        SELECT u AS node, label AS community FROM l3
     """
 
     # budget allocation: same host arithmetic; the share is integer

