@@ -1143,6 +1143,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_host_communities"] = crawl_host_communities
 
+    def crawl_robots_meta(spark, sf_dir):
+        """Page-level robots directives (robots.meta_directives):
+        <meta name="robots"> token parse (none implies both, case/
+        whitespace-insensitive) + rel="nofollow" link census via the
+        real htmlmini parse. Pages constructed deterministically from
+        doc_id so the oracle recomputes the expected flags from the
+        construction arithmetic — a parser-vs-spec differential."""
+        from gocrawl_spark import robots as _r
+
+        d = F.col("doc_id")
+        meta = (
+            F.when(d % 5 == 0, F.lit("noindex,nofollow"))
+            .when(d % 5 == 1, F.lit("noindex"))
+            .when(d % 5 == 2, F.lit(" NOFOLLOW "))
+            .when(d % 5 == 3, F.lit("none"))
+            .otherwise(F.lit("index, follow"))
+        )
+        a1 = F.when(
+            d % 3 == 0, F.lit('<a href="https://x.com/a" rel="nofollow">x</a>')
+        ).otherwise(F.lit(""))
+        a3 = F.when(
+            d % 2 == 0, F.lit('<a href="https://x.com/c" rel="ugc nofollow">z</a>')
+        ).otherwise(F.lit(""))
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://x.com/p/"), d.cast("string")).alias("url"),
+            F.concat(
+                F.lit('<html><head><meta name="robots" content="'), meta,
+                F.lit('"></head><body>'), a1,
+                F.lit('<a href="https://x.com/b">y</a>'), a3,
+                F.lit("</body></html>"),
+            ).alias("html"),
+        )
+        return _r.meta_directives(pages)
+
+    q["crawl_robots_meta"] = crawl_robots_meta
+
     def crawl_budget_alloc(spark, sf_dir):
         """Proportional-fair per-host round budgets
         (frontier.allocate_budgets): weight-share of a 200-page round
@@ -4132,6 +4168,20 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT src)::BIGINT AS n_src_pages
         FROM h WHERE src_host <> dst_host
         GROUP BY src_host, dst_host
+    """
+
+    # robots meta: the expected flags recomputed from the page
+    # CONSTRUCTION arithmetic (doc_id mods) — the Spark side must
+    # recover exactly these through the real HTML parse
+    o["crawl_robots_meta"] = """
+        SELECT 'https://x.com/p/' || doc_id::VARCHAR AS url,
+               (doc_id % 5 IN (0, 1, 3)) AS noindex,
+               (doc_id % 5 IN (0, 2, 3)) AS nofollow,
+               (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_links,
+               (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_nofollow_links
+        FROM documents
     """
 
     # label propagation: same host-graph CTEs, the 3 sweeps unrolled —

@@ -808,20 +808,55 @@ def process_html(
     article_sel: ArticleSelectors,
     page_sel: PageSelectors,
     want_links: bool = True,
+    meta_robots: bool = False,
 ) -> dict:
     """One parse per document, mirroring ProcessHTML (crawler.go:900-951):
     detect type → run the matching extractor (mutating the tree) → then
     discover links from the mutated tree. Returns
-    ``{"content_type", "article"|None, "page"|None, "links"}``.
+    ``{"content_type", "article"|None, "page"|None, "links", "noindex"}``.
     want_links=False skips link discovery — rounds at the crawl's depth
     bound can admit no children, so their (typically largest) tier
-    neither computes nor ships the hrefs."""
+    neither computes nor ships the hrefs.
+
+    ``meta_robots=True`` honors the page-level robots contract
+    (robots.meta_directives is the standalone audit twin): the
+    <meta name="robots"> tokens are read BEFORE the extractors mutate
+    the tree (``none`` implies noindex+nofollow), a page-level
+    nofollow discovers NO links, and rel="nofollow" anchors are
+    skipped at discovery. Off (the default) the reference-parity
+    behavior is byte-identical."""
     root = parse(html)
+    noindex = nofollow_page = False
+    if meta_robots:
+        toks: set[str] = set()
+        for m in find(root, "meta[name='robots']"):
+            toks |= {
+                t.strip().lower()
+                for t in m.attrs.get("content", "").split(",")
+            }
+        noindex = "noindex" in toks or "none" in toks
+        nofollow_page = "nofollow" in toks or "none" in toks
     ctype = detect_content_type(root, article_sel)
     article = page = None
     if ctype == "article":
         article = extract_article(root, article_sel, source_url)
     else:
         page = extract_page(root, page_sel, source_url)
-    links = extract_links(root) if want_links else []
-    return {"content_type": ctype, "article": article, "page": page, "links": links}
+    if not want_links or (meta_robots and nofollow_page):
+        links = []
+    elif meta_robots:
+        links = [
+            a.attrs.get("href")
+            for a in find(root, "a[href]")
+            if a.attrs.get("href")
+            and "nofollow" not in a.attrs.get("rel", "").lower().split()
+        ]
+    else:
+        links = extract_links(root)
+    return {
+        "content_type": ctype,
+        "article": article,
+        "page": page,
+        "links": links,
+        "noindex": noindex,
+    }

@@ -300,3 +300,75 @@ def synth_robots(spark, hosts: list[str] | None = None) -> DataFrame:
             lines += ["Disallow: /"]
         rows.append((h, "\n".join(lines) + "\n"))
     return spark.createDataFrame(rows, "host string, rules string")
+
+
+# ------------------------------------------------------- page-level robots
+# robots.txt governs FETCHING; <meta name="robots"> and rel="nofollow"
+# govern INDEXING and LINK DISCOVERY per page (the Google/Bing contract
+# the reference's colly stack leaves to the caller). Exposed as a
+# page-audit operator: feed the flags to publish filters (noindex) and
+# frontier expansion (nofollow) without touching the extraction kernel.
+
+
+def meta_directives(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, noindex, nofollow, n_links, n_nofollow_links) per page.
+
+    - ``noindex``/``nofollow``: tokens of the <meta name="robots">
+      content attribute (comma-separated, case-insensitive, whitespace
+      trimmed); ``none`` implies BOTH, per the Google robots-meta
+      spec. No tag ⇒ both false (index,follow is the default).
+    - ``n_nofollow_links``: a[href] anchors whose rel attribute
+      contains the ``nofollow`` token (space-separated rel list —
+      ``rel="ugc nofollow"`` counts); n_links counts all a[href].
+
+    One Arrow-batched htmlmini parse per page inside the scanning
+    task (the WAT/anchor_pairs pattern) — payload bytes never
+    shuffle, output is 5 scalar columns per page."""
+    from collections.abc import Iterator as _It
+
+    from gocrawl_spark.htmlmini.css import find
+    from gocrawl_spark.htmlmini.dom import parse
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            noidx, nofol, nl, nnl = [], [], [], []
+            for raw in pdf[html_col]:
+                html = (
+                    bytes(raw).decode("utf-8", "replace")
+                    if isinstance(raw, (bytes, bytearray, memoryview))
+                    else (raw or "")
+                )
+                root = parse(html)
+                toks: set[str] = set()
+                for m in find(root, "meta[name='robots']"):
+                    content = m.attrs.get("content", "")
+                    toks |= {t.strip().lower() for t in content.split(",")}
+                ni = "noindex" in toks or "none" in toks
+                nf = "nofollow" in toks or "none" in toks
+                links = [a for a in find(root, "a[href]") if a.attrs.get("href")]
+                nnl_count = sum(
+                    1
+                    for a in links
+                    if "nofollow" in (a.attrs.get("rel", "").lower().split())
+                )
+                noidx.append(ni)
+                nofol.append(nf)
+                nl.append(len(links))
+                nnl.append(nnl_count)
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].astype("object"),
+                    "noindex": pd.Series(noidx, dtype="bool"),
+                    "nofollow": pd.Series(nofol, dtype="bool"),
+                    "n_links": pd.Series(nl, dtype="int64"),
+                    "n_nofollow_links": pd.Series(nnl, dtype="int64"),
+                }
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(
+        gen,
+        schema="url string, noindex boolean, nofollow boolean, "
+        "n_links long, n_nofollow_links long",
+    )

@@ -93,6 +93,13 @@ class CrawlConfig:
     # the collectors pass colly.IgnoreRobotsTxt() (crawler.go:201), so
     # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
     respect_robots: bool = False
+    # page-level robots (OPT-IN, beyond-reference): honor
+    # <meta name="robots"> and rel="nofollow" inside the extraction
+    # kernel — noindex articles gate as article_valid=False with
+    # skip_reason="noindex" (crawled, never published), nofollow pages
+    # and rel="nofollow" anchors discover no links. Audit twin:
+    # robots.meta_directives.
+    respect_meta_robots: bool = False
     # S3→P1 bridge (OPT-IN; the reference, like colly, ignores the
     # directive): derive per-host delay_ms from robots.txt Crawl-delay
     # and merge into host_policy — explicit source policy still wins
@@ -567,7 +574,8 @@ class CrawlRun:
         batch-sized equi-join on url."""
         cfg = self.cfg
         base = lambda df: udfs.extract_pages(  # noqa: E731
-            df, sel_map=self.sel_map, want_links=can_expand, repeat=cfg.extract_repeat
+            df, sel_map=self.sel_map, want_links=can_expand,
+            repeat=cfg.extract_repeat, meta_robots=cfg.respect_meta_robots,
         )
         if not cfg.reuse_unchanged or "warc_ts" not in fetched.columns:
             return base(fetched).withColumn("crawl_round", F.lit(rnd))

@@ -142,6 +142,7 @@ def make_extract_fn(
     sel_map: dict | None = None,
     want_links: bool = True,
     repeat: int = 1,
+    meta_robots: bool = False,
 ):
     """Returns the mapInPandas function: (url, html binary) batches →
     EXTRACT_SCHEMA batches. Selectors are captured in the closure and
@@ -179,7 +180,10 @@ def make_extract_fn(
             for url, html in zip(pdf["url"], pdf["html"]):
                 h = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
                 a_sel, p_sel = pick(url)
-                res = process_html(h, url, a_sel, p_sel, want_links=want_links)
+                res = process_html(
+                    h, url, a_sel, p_sel,
+                    want_links=want_links, meta_robots=meta_robots,
+                )
                 # calibration-only (bench arithmetic-intensity sweep):
                 # re-run the kernel to raise compute-per-byte without
                 # changing inputs, outputs, or shuffle volume
@@ -189,6 +193,12 @@ def make_extract_fn(
                 valid, reason = (True, "")
                 if art is not None:
                     valid, reason = v.validate_article(art)
+                    if meta_robots and res.get("noindex"):
+                        # page-level noindex gates publication like a
+                        # failed V-gate: still crawled (links/seen keep
+                        # their semantics), never indexed; the directive
+                        # outranks any quality verdict
+                        valid, reason = False, "noindex"
                     art = _article_row(art)
                 rows["url"].append(url)
                 rows["content_type"].append(res["content_type"])
@@ -217,6 +227,7 @@ def extract_pages(
     sel_map: dict | None = None,
     want_links: bool = True,
     repeat: int = 1,
+    meta_robots: bool = False,
 ) -> DataFrame:
     """(url, html, …) → one row per page with content_type, article/page
     structs (byte-identical text inside), validation verdict, links.
@@ -226,7 +237,8 @@ def extract_pages(
     article_sel = article_sel or ArticleSelectors.default()
     page_sel = page_sel or PageSelectors.default()
     fn = make_extract_fn(
-        article_sel, page_sel, sel_map=sel_map, want_links=want_links, repeat=repeat
+        article_sel, page_sel, sel_map=sel_map, want_links=want_links,
+        repeat=repeat, meta_robots=meta_robots,
     )
     flat = fetched.select("url", "html").mapInPandas(fn, schema=_FLAT_SCHEMA)
     # re-assemble the nullable structs JVM-side (one codegen projection)

@@ -512,3 +512,69 @@ def test_cuckoo_seen_filter_crawl_equivalent_and_resumes(spark, sf_dir, tmp_path
     assert folded.groupBy("shard").count().filter("count > 1").count() == 0
     sc3 = sorted(r["url_hash"] for r in run_c2.seen_final().collect())
     assert sc3 == sc2
+
+
+def test_meta_robots_gates_publish_and_discovery(spark, sf_dir, tmp_path):
+    """respect_meta_robots=True: noindex pages stay crawled but gate
+    out of articles() with skip_reason='noindex'; page-level nofollow
+    discovers no links (seen shrinks to a subset); flag OFF on the
+    same corpus is unaffected by the injected tags."""
+    from pyspark.sql import functions as F
+
+    corpus = synth.corpus_from_documents(spark, sf_dir)
+    did = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    meta = (
+        F.when(did % 5 == 1,
+               F.lit('<head><meta name="robots" content="noindex">'))
+        .when(did % 5 == 2,
+              F.lit('<head><meta name="robots" content="nofollow">'))
+        .otherwise(F.lit("<head>"))
+    )
+    inj = corpus.select(
+        "url", "warc_ts",
+        F.encode(F.regexp_replace(F.decode("html", "utf-8"), "<head>", meta),
+                 "utf-8").alias("html"),
+        "text", "lang",
+    )
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    seeds = synth.seed_urls(n, k=8)
+    # run BOTH crawls to frontier exhaustion (depth-2 closure): only
+    # then is seen_on a true subset — at a fixed round cutoff the
+    # budgeted pop ordering differs and seen sets aren't comparable
+    base = dict(max_depth=2, round_wall_s=10.0, max_rounds=10, bloom_min_seen=0)
+
+    run_off = CrawlRun(spark, inj, seeds, str(tmp_path / "off"), CrawlConfig(**base))
+    run_off.run(resume=False)
+    run_on = CrawlRun(
+        spark, inj, seeds, str(tmp_path / "on"),
+        CrawlConfig(**base, respect_meta_robots=True),
+    )
+    run_on.run(resume=False)
+
+    s_off = {r["url_hash"] for r in run_off.seen_final().collect()}
+    s_on = {r["url_hash"] for r in run_on.seen_final().collect()}
+    assert s_on <= s_off and len(s_on) > 20
+
+    ex_on = run_on.extracted().withColumn(
+        "_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long"))
+    noidx = ex_on.filter((F.col("_id") % 5 == 1)
+                         & (F.col("content_type") == "article"))
+    assert noidx.count() > 0
+    assert noidx.filter(F.col("skip_reason") != "noindex").count() == 0
+    assert noidx.filter(F.col("article_valid")).count() == 0
+    # nofollow pages never contribute links
+    nofol = ex_on.filter(F.col("_id") % 5 == 2)
+    assert nofol.count() > 0
+    assert nofol.filter(F.size("links") > 0).count() == 0
+
+    # the same noindex urls publish fine with the flag OFF
+    ex_off = run_off.extracted().withColumn(
+        "_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long"))
+    pub_off = ex_off.filter(
+        (F.col("_id") % 5 == 1) & (F.col("content_type") == "article")
+        & F.col("article_valid"))
+    assert pub_off.count() > 0
+    # and articles() drops exactly the noindex gate's rows on the ON run
+    art_on = {r["source"] for r in run_on.articles().select("source").collect()}
+    assert not any(
+        r["url"] in art_on for r in noidx.select("url").collect())

@@ -332,3 +332,34 @@ def test_process_html_article_keeps_nav_links():
     res = process_html(html, "https://e.com/a", ArticleSelectors.default(), PageSelectors.default())
     assert res["content_type"] == "article"
     assert res["links"] == ["/next"]
+
+
+def test_process_html_meta_robots_tokens_and_rel():
+    from gocrawl_spark.extract import (ArticleSelectors, PageSelectors,
+                                       process_html)
+
+    a_sel, p_sel = ArticleSelectors.default(), PageSelectors.default()
+    html = (
+        '<html><head><meta name="robots" content=" NOINDEX , nofollow ">'
+        "</head><body>"
+        '<a href="https://x.com/a" rel="nofollow">a</a>'
+        '<a href="https://x.com/b">b</a></body></html>'
+    )
+    res = process_html(html, "https://x.com/", a_sel, p_sel, meta_robots=True)
+    assert res["noindex"] is True and res["links"] == []  # page nofollow
+
+    html2 = html.replace(' content=" NOINDEX , nofollow "', ' content="noindex"')
+    res2 = process_html(html2, "https://x.com/", a_sel, p_sel, meta_robots=True)
+    assert res2["noindex"] is True
+    # rel="nofollow" anchor dropped, plain anchor kept
+    assert res2["links"] == ["https://x.com/b"]
+
+    # none implies both
+    html3 = html.replace(' content=" NOINDEX , nofollow "', ' content="none"')
+    res3 = process_html(html3, "https://x.com/", a_sel, p_sel, meta_robots=True)
+    assert res3["noindex"] is True and res3["links"] == []
+
+    # flag OFF: reference parity — directives ignored, all links kept
+    res4 = process_html(html, "https://x.com/", a_sel, p_sel)
+    assert res4["noindex"] is False
+    assert res4["links"] == ["https://x.com/a", "https://x.com/b"]
