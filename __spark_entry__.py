@@ -1324,6 +1324,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_containment(spark, sf_dir):
+        """Asymmetric containment (dedup.containment_pairs): every
+        20th doc gains a HALF-PREFIX copy (+2000000) — contained in
+        its original with c ≈ 1 while Jaccard ≈ 0.5, the aggregator/
+        quotation case the symmetric scores miss. Same single
+        inverted-index plan as ngram_jaccard; both directions fall out
+        of one counted pair row."""
+        docs = _docs(spark, sf_dir)
+        w = F.split(F.col("text"), r"\s+")
+        half = F.floor((F.size(w) + F.lit(1)) / F.lit(2)).cast("int")
+        prefix = docs.filter((F.col("doc_id") % 20) == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice(w, F.lit(1), half), " ").alias("text"),
+            "lang", "source", "n_chars",
+        )
+        return dedup.containment_pairs(
+            docs.unionByName(prefix), k=3, threshold=0.7
+        )
+
+    q["dedup_containment"] = dedup_containment
+
     def dedup_minhash_incremental(spark, sf_dir):
         """Incremental near-dup index (dedup.MinHashIndex): the corpus
         arrives as TWO generations (even doc_ids, then odd); each
@@ -4536,6 +4557,39 @@ def oracle_sql() -> dict[str, str]:
         FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
         WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.3::DOUBLE
+    """
+
+    # containment: half-prefix aug (same (len+1)//2 word grid as the
+    # Spark query — raw \s+ split, single-space join), then both
+    # directions of the shared-gram pair set scored |A∩B|/|A|
+    o["dedup_containment"] = rf"""
+        WITH pre AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(
+                   list_slice(regexp_split_to_array(text, '\s+'), 1,
+                              (len(regexp_split_to_array(text, '\s+')) + 1) // 2),
+                   ' ') AS text,
+                 lang, source, n_chars
+          FROM documents WHERE doc_id % 20 = 0),
+        aug AS (SELECT * FROM documents UNION ALL SELECT * FROM pre),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM aug),
+        s AS MATERIALIZED (SELECT id, list_distinct({_sql_shingles(3)}) AS sh FROM w),
+        inv AS (SELECT id, unnest(sh) AS g FROM s),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id),
+        pairs AS MATERIALIZED (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(sa.sh, sb.sh))::BIGINT AS inter,
+                 len(sa.sh)::BIGINT AS n_a, len(sb.sh)::BIGINT AS n_b
+          FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b),
+        dirs AS (
+          SELECT id_a AS contained_id, id_b AS container_id,
+                 inter::DOUBLE / n_a::DOUBLE AS containment FROM pairs
+          UNION ALL
+          SELECT id_b AS contained_id, id_a AS container_id,
+                 inter::DOUBLE / n_b::DOUBLE AS containment FROM pairs)
+        SELECT contained_id, container_id, containment
+        FROM dirs WHERE containment >= 0.7::DOUBLE
     """
 
     _dot = "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"

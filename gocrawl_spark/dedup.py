@@ -253,6 +253,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment (Broder 1997's containment score):
+
+        c(A ⊆ B) = |sh(A) ∩ sh(B)| / |sh(A)|
+
+    over distinct k-gram shingle sets — the aggregator/quotation case
+    symmetric Jaccard misses: a short document wholly quoted inside a
+    long one has c ≈ 1 while J ≈ |A|/|B| ≈ 0. Returns
+    (contained_id, container_id, containment) for every ORDERED pair
+    at or above the threshold (both directions of a pair can appear —
+    two same-length near-dups contain each other).
+
+    Scale shape: identical to ngram_jaccard_pairs — ONE inverted-index
+    self-join produces |A ∩ B| as a pair count with both set sizes
+    riding along; both directions then fall out of the same counted
+    row, so asymmetry costs zero extra shuffles. ``max_df`` is the
+    same stop-shingle cut against hot-gram blowup (a documented
+    undercount when applied)."""
+    sets = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, k)).alias("sh")
+    )
+    inv = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    if max_df is not None:
+        keep = (
+            inv.groupBy("g").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+        )
+        inv = inv.join(keep.select("g"), "g")
+    inter = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    d1 = inter.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    d2 = inter.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return d1.unionByName(d2).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -924,7 +988,7 @@ class MinHashIndex:
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
-    "ngram_jaccard_pairs", "contamination",
+    "ngram_jaccard_pairs", "containment_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters", "cluster_representatives",
     "line_key", "line_dedup", "line_dedup_host", "substring_spans",

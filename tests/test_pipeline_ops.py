@@ -2940,3 +2940,22 @@ def test_sq_quantization_clamp_degenerate_and_recall(spark):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in similarity.sq_topk(cd, st, q, k=10).collect()}
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    short = "alpha beta gamma delta epsilon zeta"  # 6-word prefix
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "totally unrelated words here")],
+        "doc_id long, text string")
+    got = {(r["contained_id"], r["container_id"]): r["containment"]
+           for r in dedup.containment_pairs(df, k=3, threshold=0.9).collect()}
+    # short's 4 shingles all inside long -> containment 1.0 one way only
+    assert got == {(2, 1): 1.0}
+    # symmetric jaccard misses it at the same bar
+    assert dedup.ngram_jaccard_pairs(df, k=3, threshold=0.9).count() == 0
+    # the reverse direction appears once the threshold admits 4/18
+    lo = {(r["contained_id"], r["container_id"])
+          for r in dedup.containment_pairs(df, k=3, threshold=0.2).collect()}
+    assert (1, 2) in lo and (2, 1) in lo and (3, 1) not in lo
