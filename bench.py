@@ -88,6 +88,13 @@ HEADLINE = [
     # representative each)
     "crawl_warc_revisit",
     "search_percolate",
+    # round-4 session 5: RAG chunking, int8 SQ search, host
+    # communities, containment dedup, page-level robots (one each)
+    "rag_chunk_windows",
+    "ann_sq",
+    "crawl_host_communities",
+    "dedup_containment",
+    "crawl_robots_meta",
 ]
 
 

@@ -381,7 +381,12 @@ def label_propagation(
     )
     nodes = sym.select("u").distinct()
     labels = nodes.select("u", F.col("u").alias("label"))
-    for _ in range(iters):
+    for _i in range(iters):
+        if _i:
+            # truncate lineage BETWEEN sweeps (not after the last one:
+            # the returned plan keeps the final sweep inspectable for
+            # the plan contract, and one checkpoint is saved)
+            labels = labels.localCheckpoint(eager=False)
         votes = (
             sym.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"
@@ -395,10 +400,8 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("u", "label")
         )
-        labels = (
-            nodes.join(new, "u", "left")
-            .select("u", F.coalesce("label", F.col("u")).alias("label"))
-            .localCheckpoint(eager=False)
+        labels = nodes.join(new, "u", "left").select(
+            "u", F.coalesce("label", F.col("u")).alias("label")
         )
     return labels.select(
         F.col("u").alias("node"), F.col("label").alias("community")

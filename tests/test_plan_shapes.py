@@ -567,3 +567,63 @@ def test_dist_drift_folds_before_join(spark, sf_dir):
     head = scan[: scan.index("\n")] if "\n" in scan else scan
     read = head.split("ReadSchema")[-1]
     assert "lang" in read and "text" not in read
+
+
+def test_chunk_windows_zero_shuffle_scan(spark, sf_dir):
+    """chunk_windows is a pure scan projection: tokenize + explode +
+    slice with NO Exchange anywhere and the scan pruned to (doc_id,
+    text)."""
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curation.chunk_windows(docs, chunk_tokens=64, overlap=16))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    scan = plan[plan.index("FileScan"):]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    read = head.split("ReadSchema")[-1]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_sq_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
+    """sq_topk keeps brute_topk's plan shape: the query side arrives
+    via BroadcastExchange (corpus codes never shuffle for the join),
+    and there is no CartesianProduct — the join is the broadcast
+    nested-loop over the tiny query side only."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats = similarity.sq_stats(emb)
+    codes = similarity.sq_encode(emb, stats)
+    plan = _plan(similarity.sq_topk(
+        codes, stats, emb.filter(F.col("vec_id") < 5), k=10))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_single_inverted_index_join(spark, sf_dir):
+    """containment_pairs reuses the ngram inverted-index plan: the two
+    directions come from ONE counted pair aggregate (plan contains
+    exactly one gram-keyed SortMergeJoin/ShuffledHashJoin between the
+    inv aliases, reused under the union), never a cartesian."""
+    from gocrawl_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    plan = _plan(dedup.containment_pairs(docs, k=3, threshold=0.7))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_no_cartesian_exact_sums(spark):
+    """label_propagation sweeps are label-keyed equi-joins + exact
+    LONG-sum aggregates — no cartesian, no float in the vote."""
+    from gocrawl_spark import graphrank
+
+    g = spark.createDataFrame(
+        [("a.com", "b.com", 3), ("b.com", "c.com", 2)],
+        "src_host string, dst_host string, weight long")
+    plan = _plan(graphrank.label_propagation(g, iters=2))
+    assert "CartesianProduct" not in plan
+    assert "sum" in plan.lower()
