@@ -613,6 +613,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode_corpus"] = bpe_encode_corpus
 
+    def wp_pair_scores(spark, sf_dir):
+        """WordPiece likelihood scores over the base symbol table
+        (wordpiece.pair_scores): score = pair_count/(c_lft*c_rgt) —
+        exact BIGINT counts, one engine-identical double division.
+        Top-30 by (score DESC, lft, rgt)."""
+        from gocrawl_spark import wordpiece as wp
+
+        words = bpe.init_symbols(bpe.word_counts(_docs(spark, sf_dir)))
+        return (
+            wp.pair_scores(words)
+            .orderBy(F.desc("score"), "lft", "rgt")
+            .limit(30)
+            .select("lft", "rgt", "pair_count", F.round("score", 9).alias("score"))
+        )
+
+    q["wp_pair_scores"] = wp_pair_scores
+
+    def wp_train_merges(spark, sf_dir):
+        """Distributed WordPiece training (wordpiece.train, 6 merges):
+        the BPE trainer's plan (one aggregation + one codegen'd
+        rewrite per merge) with the argmax swapped to the likelihood
+        score — rare-but-predictive pairs merge first. Oracle unrolls
+        all 6 iterations in SQL."""
+        from gocrawl_spark import wordpiece as wp
+
+        return wp.train(_docs(spark, sf_dir), n_merges=6)
+
+    q["wp_train_merges"] = wp_train_merges
+
+    def wp_encode_greedy(spark, sf_dir):
+        """BERT WordPiece inference (wordpiece.encode_greedy): greedy
+        longest-match-first over the trained vocab (base chars + one
+        piece per merge), ## continuation prefixes, [UNK] collapse.
+        Matcher runs once per DISTINCT word; docs reassemble by
+        equi-join. Oracle follows a precomputed longest-match jump
+        table through a recursive CTE."""
+        from gocrawl_spark import wordpiece as wp
+
+        docs = _docs(spark, sf_dir)
+        merges, _ = wp.train_state(docs, n_merges=6)
+        toks = wp.encode_greedy(docs, wp.vocab_pieces(docs, merges))
+        return toks.select(
+            "doc_id",
+            F.size("tokens").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("tokens", 1, 10)).alias("head_toks"),
+            F.md5(F.concat_ws(",", "tokens")).alias("toks_md5"),
+        )
+
+    q["wp_encode_greedy"] = wp_encode_greedy
+
     def bpe_fertility(spark, sf_dir):
         """Tokenizer fertility by language: tokens-per-word and
         chars-per-token under the trained BPE — the standard
@@ -7284,6 +7334,139 @@ def oracle_sql() -> dict[str, str]:
                round(sum(nt)::DOUBLE / count(*), 6) AS fertility,
                round(sum(nc)::DOUBLE / sum(nt), 6) AS chars_per_token
         FROM j GROUP BY lang
+    """
+    )
+
+    # WordPiece: the BPE unroll with the argmax swapped to the
+    # likelihood score c/(c_lft*c_rgt) — u{i} adds the unary symbol
+    # counts; the double division of exact BIGINTs (< 2^53) is
+    # engine-identical, ties break (lft, rgt). Rewrite CTEs are the
+    # proven BPE greedy-islands machinery verbatim.
+    def _wp_iter(i: int) -> str:
+        return f"""
+        e{i} AS MATERIALIZED (SELECT word, cnt, unnest(syms) AS sym,
+                        generate_subscripts(syms, 1) AS pos
+                 FROM w{i}),
+        u{i} AS MATERIALIZED (SELECT sym, sum(cnt)::BIGINT AS c
+                 FROM e{i} GROUP BY sym),
+        l{i} AS MATERIALIZED (SELECT word, cnt, sym, pos,
+                        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                 FROM e{i}),
+        p{i} AS MATERIALIZED (SELECT sym AS lft, nxt AS rgt, sum(cnt)::BIGINT AS c
+                 FROM l{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        b{i} AS MATERIALIZED (
+            SELECT p.lft, p.rgt, p.c,
+                   p.c::DOUBLE / (ul.c * ur.c)::DOUBLE AS score
+            FROM p{i} p
+            JOIN u{i} ul ON ul.sym = p.lft
+            JOIN u{i} ur ON ur.sym = p.rgt
+            ORDER BY score DESC, p.lft, p.rgt LIMIT 1),
+        c{i} AS MATERIALIZED (SELECT word, cnt, sym, pos,
+                        coalesce(sym = (SELECT lft FROM b{i})
+                                 AND nxt = (SELECT rgt FROM b{i}),
+                                 false) AS cand
+                 FROM l{i}),
+        r{i} AS MATERIALIZED (SELECT *, pos - row_number() OVER
+                        (PARTITION BY word, cand ORDER BY pos) AS grp
+                 FROM c{i}),
+        m{i} AS MATERIALIZED (SELECT *, CASE WHEN cand THEN
+                        ((pos - min(pos) OVER
+                          (PARTITION BY word, cand, grp)) % 2 = 0)
+                        ELSE false END AS mst
+                 FROM r{i}),
+        x{i} AS MATERIALIZED (SELECT word, cnt, pos, sym, mst,
+                        coalesce(lag(mst) OVER
+                          (PARTITION BY word ORDER BY pos), false) AS pm
+                 FROM m{i}),
+        w{i + 1} AS MATERIALIZED (SELECT word,
+                        list(CASE WHEN mst THEN
+                                 (SELECT lft || rgt FROM b{i})
+                             ELSE sym END ORDER BY pos)
+                            FILTER (WHERE NOT pm) AS syms,
+                        any_value(cnt) AS cnt
+                     FROM x{i} GROUP BY word)
+        """
+
+    o["wp_pair_scores"] = f"""
+        WITH {_BPE_W0},
+        e AS (SELECT word, cnt, unnest(syms) AS sym,
+                     generate_subscripts(syms, 1) AS pos
+              FROM w0),
+        u AS (SELECT sym, sum(cnt)::BIGINT AS c FROM e GROUP BY sym),
+        l AS (SELECT cnt, sym,
+                     lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+              FROM e),
+        p AS (SELECT sym AS lft, nxt AS rgt, sum(cnt)::BIGINT AS c
+              FROM l WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+        SELECT p.lft, p.rgt, p.c AS pair_count,
+               round(p.c::DOUBLE / (ul.c * ur.c)::DOUBLE, 9) AS score
+        FROM p JOIN u ul ON ul.sym = p.lft JOIN u ur ON ur.sym = p.rgt
+        ORDER BY p.c::DOUBLE / (ul.c * ur.c)::DOUBLE DESC, p.lft, p.rgt
+        LIMIT 30
+    """
+
+    _n_wp = 6
+    o["wp_train_merges"] = (
+        "WITH "
+        + _BPE_W0
+        + ","
+        + ",".join(_wp_iter(i) for i in range(_n_wp))
+        + " "
+        + " UNION ALL ".join(
+            f'SELECT {i} AS "rank", lft, rgt, c AS pair_count, '
+            f"round(score, 9) AS score FROM b{i}"
+            for i in range(_n_wp)
+        )
+        + ' ORDER BY "rank"'
+    )
+
+    # greedy encode: vocab = base chars ∪ one piece per merge; a
+    # precomputed longest-match jump table per (word, pos) drives a
+    # recursive CTE — one deterministic path per word
+    o["wp_encode_greedy"] = (
+        "WITH RECURSIVE "
+        + _BPE_W0
+        + ","
+        + ",".join(_wp_iter(i) for i in range(_n_wp))
+        + f""",
+        vocab AS MATERIALIZED (
+            SELECT DISTINCT sym AS piece FROM e0
+            {"".join(f" UNION SELECT lft || rgt FROM b{i}" for i in range(_n_wp))}),
+        wl AS MATERIALIZED (SELECT DISTINCT word FROM w0),
+        pos0 AS (SELECT word, unnest(range(0, length(word))) AS pos FROM wl),
+        jmp AS MATERIALIZED (
+            SELECT word, pos, piece FROM (
+              SELECT p.word, p.pos, v.piece,
+                     row_number() OVER (PARTITION BY p.word, p.pos
+                                        ORDER BY length(v.piece) DESC) AS rn
+              FROM pos0 p JOIN vocab v
+                ON substr(p.word, p.pos + 1, length(v.piece)) = v.piece)
+            WHERE rn = 1),
+        seg AS (
+            SELECT word, 0::BIGINT AS pos, []::VARCHAR[] AS toks FROM wl
+            UNION ALL
+            SELECT s.word, s.pos + length(j.piece),
+                   list_append(s.toks,
+                     CASE WHEN s.pos = 0 THEN j.piece
+                          ELSE '##' || j.piece END)
+            FROM seg s JOIN jmp j ON j.word = s.word AND j.pos = s.pos
+            WHERE s.pos < length(s.word)),
+        fin AS MATERIALIZED (
+            SELECT word, toks FROM seg WHERE pos = length(word)),
+        pieces AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS word,
+                   generate_subscripts(regexp_extract_all(
+                       text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1), 1) AS i
+            FROM documents),
+        tok AS (SELECT p.doc_id, flatten(list(f.toks ORDER BY p.i)) AS toks
+                FROM pieces p JOIN fin f USING (word)
+                GROUP BY p.doc_id)
+        SELECT doc_id, len(toks) AS n_tokens,
+               array_to_string(list_slice(toks, 1, 10), ' ') AS head_toks,
+               md5(array_to_string(toks, ',')) AS toks_md5
+        FROM tok
     """
     )
 

@@ -95,6 +95,7 @@ HEADLINE = [
     "crawl_host_communities",
     "dedup_containment",
     "crawl_robots_meta",
+    "wp_encode_greedy",
 ]
 
 

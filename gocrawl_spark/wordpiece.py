@@ -1,0 +1,229 @@
+"""WordPiece tokenizer — likelihood-scored merges + BERT greedy encode.
+
+The second of the two dominant subword families (Schuster & Nakajima
+2012; Wu et al. 2016; the BERT tokenizer), next to bpe.py's
+frequency-scored trainer. Two differences, both implemented exactly:
+
+- TRAINING picks the adjacent pair maximizing the corpus-likelihood
+  gain ``score(a,b) = count(ab) / (count(a) * count(b))`` rather than
+  the raw pair count — rare-but-predictive pairs merge before frequent
+  incidental ones. The rewrite step is byte-identical to BPE's
+  (bpe.apply_merge), so the whole trainer reuses that machinery.
+- ENCODING is greedy longest-match-first over the final piece vocab
+  (BERT's WordPiece inference): repeatedly take the longest vocab
+  piece prefixing the remainder; continuation pieces display with the
+  ``##`` prefix; a word containing any unmatchable character encodes
+  to ``[UNK]`` whole. This is deliberately NOT the training
+  segmentation replay — greedy inference over the vocab is the
+  algorithm BERT ships, and the two can differ.
+
+Determinism: the score is a single IEEE division of exact BIGINTs
+(both factors < 2^53, so the double is engine-identical); argmax ties
+break on (score DESC, lft, rgt). The greedy matcher is a pure function
+of (word, vocab). The DuckDB twins unroll the trainer exactly like the
+BPE oracle and follow a precomputed longest-match jump table through a
+recursive CTE.
+
+Scale shape: identical to bpe.py — training state is O(distinct
+words), one pair-count aggregation + one codegen'd rewrite per merge,
+driver traffic is one scalar row per merge; greedy encode runs once
+per DISTINCT word (Arrow-batched, vocab broadcast as a closure set)
+and documents reassemble by an equi-join, so the 100 TB corpus pays a
+lookup join, not a per-token Python loop.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gocrawl_spark import bpe, textstats
+
+UNK = "[UNK]"
+
+
+def unary_counts(words: DataFrame) -> DataFrame:
+    """(sym, c): corpus-wide occurrence count of each live symbol,
+    weighted by word count — the denominator terms of the WordPiece
+    score. One low-cardinality groupBy, folds map-side."""
+    return (
+        words.select(F.explode("syms").alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def pair_scores(words: DataFrame) -> DataFrame:
+    """(lft, rgt, pair_count, score): every adjacent pair with its
+    likelihood gain score = pair_count / (c_lft * c_rgt). The product
+    stays exact in BIGINT and below 2^53, so the one double division
+    is bit-identical across engines. Two joins against the tiny unary
+    table (broadcast by AQE)."""
+    pc = bpe.pair_counts(words)
+    uc = unary_counts(words)
+    return (
+        pc.join(uc.select(F.col("sym").alias("lft"), F.col("c").alias("_cl")), "lft")
+        .join(uc.select(F.col("sym").alias("rgt"), F.col("c").alias("_cr")), "rgt")
+        .select(
+            "lft",
+            "rgt",
+            F.col("c").alias("pair_count"),
+            (
+                F.col("c").cast("double")
+                / (F.col("_cl") * F.col("_cr")).cast("double")
+            ).alias("score"),
+        )
+    )
+
+
+def train_state(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, int, float]], DataFrame]:
+    """Run the WordPiece trainer; returns (merges, final symbol table).
+    merges = [(rank, lft, rgt, pair_count, score)] in merge order,
+    argmax by (score DESC, lft, rgt). Same per-iteration plan as
+    bpe.train_state (one aggregation + one codegen'd rewrite +
+    localCheckpoint); only the ranking expression differs."""
+    cur = bpe.init_symbols(bpe.word_counts(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int, float]] = []
+    for rank in range(int(n_merges)):
+        best = (
+            pair_scores(cur)
+            .orderBy(F.desc("score"), "lft", "rgt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["lft"], best[0]["rgt"]
+        merges.append(
+            (rank, a, b, int(best[0]["pair_count"]), float(best[0]["score"]))
+        )
+        cur = bpe.apply_merge(cur, a, b).localCheckpoint()
+    return merges, cur
+
+
+def train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(rank, lft, rgt, pair_count, score) merge list as a DataFrame;
+    score rounded to 9 dp for cross-engine display stability (ranking
+    happened on the raw double)."""
+    merges, symbols = train_state(docs, n_merges, text_col)
+    symbols.unpersist()
+    df = docs.sparkSession.createDataFrame(
+        merges, "rank int, lft string, rgt string, pair_count long, score double"
+    )
+    return df.select(
+        "rank", "lft", "rgt", "pair_count", F.round("score", 9).alias("score")
+    )
+
+
+def vocab_pieces(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+) -> list[str]:
+    """The encode vocabulary: every single character occurring in the
+    corpus piece stream, plus one merged token per training step —
+    chars stay in the vocab even when training merged them away
+    everywhere (BERT vocabs keep all base units). Driver-side list:
+    Heaps-law small (chars + n_merges entries)."""
+    chars = (
+        bpe.init_symbols(bpe.word_counts(docs, text_col))
+        .select(F.explode("syms").alias("s"))
+        .distinct()
+        .collect()
+    )
+    out = sorted({r["s"] for r in chars} | {m[1] + m[2] for m in merges})
+    return out
+
+
+def segment_word(word: str, vocab: set, max_len: int) -> list[str]:
+    """BERT greedy longest-match-first for one word: at each position
+    take the LONGEST vocab piece prefixing the remainder; continuation
+    pieces get the ``##`` display prefix; any unmatchable position
+    collapses the whole word to [UNK]."""
+    out: list[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        end = min(n, pos + max_len)
+        hit = None
+        for e in range(end, pos, -1):
+            cand = word[pos:e]
+            if cand in vocab:
+                hit = cand
+                break
+        if hit is None:
+            return [UNK]
+        out.append(hit if pos == 0 else "##" + hit)
+        pos += len(hit)
+    return out
+
+
+def encode_greedy(
+    docs: DataFrame,
+    pieces: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, tokens array<string>): greedy WordPiece encode of every
+    document. The matcher runs once per DISTINCT word (Arrow-batched
+    pandas UDF, vocab broadcast as a closure set), documents reassemble
+    via an equi-join + one per-doc ordered flatten — bpe.encode_corpus'
+    plan with the segmentation swapped for the greedy matcher."""
+    vocab = set(pieces)
+    max_len = max((len(p) for p in pieces), default=1)
+
+    pre = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(pre).alias("i", "word")
+    )
+    words = exploded.select("word").distinct()
+
+    @F.pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for w in ws:
+            got = cache.get(w)
+            if got is None:
+                got = segment_word(w, vocab, max_len)
+                cache[w] = got
+            out.append(got)
+        return pd.Series(out)
+
+    table = words.select("word", seg(F.col("word")).alias("toks"))
+    return (
+        exploded.join(table, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "toks"))),
+                    lambda x: x["toks"],
+                )
+            ).alias("tokens")
+        )
+    )
+
+
+_PAT = re.compile(textstats.BPE_ISH_PATTERN)
+
+__all__ = [
+    "unary_counts",
+    "pair_scores",
+    "train",
+    "train_state",
+    "vocab_pieces",
+    "segment_word",
+    "encode_greedy",
+    "UNK",
+]

@@ -218,3 +218,95 @@ def test_train_batched_fewer_driver_roundtrips(spark, docs):
     # ranks dense, merged tokens well-formed
     assert [m[0] for m in merges] == list(range(32))
     assert all(m[3] > 0 for m in merges)
+
+
+# ---------------------------------------------------------------- wordpiece
+
+
+def _py_wp_train(texts, n_merges):
+    """Pure-Python WordPiece replay: likelihood argmax, same rewrite."""
+    words = Counter()
+    for t in texts:
+        words.update(PAT.findall(t or ""))
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pairs, unary = Counter(), Counter()
+        for w, syms in vocab.items():
+            c = words[w]
+            for s in syms:
+                unary[s] += c
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(),
+            key=lambda kv: (
+                -(kv[1] / (unary[kv[0][0]] * unary[kv[0][1]])),
+                kv[0][0], kv[0][1],
+            ),
+        )
+        merges.append((rank, a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_wp_train_matches_python_replay(spark, docs):
+    from gocrawl_spark import wordpiece as wp
+
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expect = _py_wp_train(texts, 6)
+    got = [(r["rank"], r["lft"], r["rgt"], r["pair_count"])
+           for r in wp.train(docs, 6).collect()]
+    assert got == expect
+
+
+def test_wp_likelihood_beats_frequency(spark):
+    """(q,u) is the rarest pair but q and u occur ONLY together ->
+    score = 1/(1*1) = 1 beats the frequent-but-promiscuous (a,b)
+    (3/25); plain BPE picks (a,b) by raw count."""
+    from gocrawl_spark import wordpiece as wp
+
+    rows = [(1, "aba bab ab ba qu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wp_first = wp.train(df, 1).collect()[0]
+    assert (wp_first["lft"], wp_first["rgt"]) == ("q", "u")
+    assert wp_first["score"] == 1.0
+    bpe_first = bpe.train(df, 1).collect()[0]
+    assert (bpe_first["lft"], bpe_first["rgt"]) == ("a", "b")
+
+
+def test_wp_greedy_encode_prefix_unk_and_divergence(spark):
+    from gocrawl_spark import wordpiece as wp
+
+    # vocab crafted so greedy inference DIFFERS from any merge replay:
+    # 'abc' matched whole even though training merged nothing
+    pieces = ["a", "b", "c", "ab", "abc", "bc"]
+    assert wp.segment_word("abcbc", set(pieces), 3) == ["abc", "##bc"]
+    assert wp.segment_word("abab", set(pieces), 3) == ["ab", "##ab"]
+    assert wp.segment_word("axb", set(pieces), 3) == [wp.UNK]
+
+    docs = spark.createDataFrame(
+        [(1, "abcbc axb"), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"]
+           for r in wp.encode_greedy(docs, pieces).collect()}
+    assert got == {1: ["abc", "##bc", wp.UNK]}  # empty doc drops
+
+    # determinism across parallelism
+    big = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(80)
+    merges, _ = wp.train_state(big, 4)
+    vv = wp.vocab_pieces(big, merges)
+    a = sorted(map(tuple, wp.encode_greedy(big.repartition(1), vv).collect()))
+    b = sorted(map(tuple, wp.encode_greedy(big.repartition(8), vv).collect()))
+    assert a == b
