@@ -1709,6 +1709,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_trap_filter"] = crawl_trap_filter
 
+    def crawl_redirect_resolve(spark, sf_dir):
+        """Round-level redirect-map resolution
+        (graphrank.resolve_redirects): pointer doubling over a
+        synthesized redirect map — 3-hop chains onto u_{4k} terminals,
+        4-cycles seeded at every 20th doc, plus a 29-deep chain whose
+        tail exceeds max_hops=16 — so chains, cycles, and over-long
+        chains all appear. k=4 equi-join sweeps cover 2^4 hops;
+        O(log max_hops) shuffles at any frontier size."""
+        from gocrawl_spark import graphrank
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        docs = _docs(spark, sf_dir).select("doc_id")
+        chain = docs.filter(d % 4 != 0).select(
+            F.concat(F.lit("u"), ds).alias("src"),
+            F.concat(F.lit("u"), (d - 1).cast("string")).alias("dst"),
+        )
+        cyc = docs.filter((d % 20 == 0) & (d > 0)).select(
+            F.concat(F.lit("u"), ds).alias("src"),
+            F.concat(F.lit("u"), (d + 3).cast("string")).alias("dst"),
+        )
+        lc = docs.filter((d >= 1) & (d < 30)).select(
+            F.concat(F.lit("lc"), ds).alias("src"),
+            F.concat(F.lit("lc"), (d - 1).cast("string")).alias("dst"),
+        )
+        edges = chain.unionByName(cyc).unionByName(lc)
+        return graphrank.resolve_redirects(edges, max_hops=16)
+
+    q["crawl_redirect_resolve"] = crawl_redirect_resolve
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5145,6 +5175,41 @@ def oracle_sql() -> dict[str, str]:
                (len(segs) > 12 OR (len(segs) - len(list_distinct(segs))) > 1
                 OR len(params) > 8 OR has_session) AS is_trap
         FROM s
+    """
+
+    # crawl_redirect_resolve: same synthetic redirect map; the oracle
+    # walks chains step-by-step with a recursive CTE (hop-capped), which
+    # must agree with Spark's pointer-doubling resolution exactly
+    o["crawl_redirect_resolve"] = r"""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT 'u' || doc_id::VARCHAR AS src,
+                 'u' || (doc_id - 1)::VARCHAR AS dst
+          FROM documents WHERE doc_id % 4 <> 0
+          UNION ALL
+          SELECT 'u' || doc_id::VARCHAR, 'u' || (doc_id + 3)::VARCHAR
+          FROM documents WHERE doc_id % 20 = 0 AND doc_id > 0
+          UNION ALL
+          SELECT 'lc' || doc_id::VARCHAR, 'lc' || (doc_id - 1)::VARCHAR
+          FROM documents WHERE doc_id >= 1 AND doc_id < 30
+        ),
+        srcs AS MATERIALIZED (SELECT DISTINCT src FROM edges),
+        walk AS (
+          SELECT src AS url, dst AS cur, 1 AS hops FROM edges
+          UNION ALL
+          SELECT w.url, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON e.src = w.cur
+          WHERE w.hops <= 16
+        ),
+        fin AS (
+          SELECT w.url, w.cur AS final_url, w.hops
+          FROM walk w LEFT JOIN srcs s ON w.cur = s.src
+          WHERE s.src IS NULL AND w.hops <= 16
+        )
+        SELECT s.src AS url,
+               COALESCE(f.final_url, '') AS final_url,
+               COALESCE(f.hops, -1)::BIGINT AS hops,
+               f.final_url IS NOT NULL AS resolved
+        FROM srcs s LEFT JOIN fin f ON s.src = f.url
     """
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise

@@ -550,9 +550,63 @@ def anchor_index(pairs: DataFrame, max_anchors: int = 16) -> DataFrame:
     )
 
 
+def resolve_redirects(edges: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Batch redirect-map resolution: (url, final_url, hops, resolved)
+    for every redirect source in `edges` (src, dst; ≤1 out-edge per
+    src — a redirect map, not a link graph).
+
+    gocrawl follows redirect chains inline per request (colly's
+    http.Client transport, /root/reference/internal/crawler/
+    crawler.go:223-228 passes through net/http's 10-hop default); a
+    batch crawler instead resolves the whole round's redirect map at
+    once so the frontier can dedup and schedule on TERMINAL urls.
+
+    Plan: pointer doubling (path halving) — each sweep left-joins the
+    state to itself on ptr=url, replacing every pointer with the
+    pointer of its pointer and summing the hop distances, so k sweeps
+    cover 2**k hops in k equi-join shuffles. At a 10^10-URL frontier
+    that is O(log max_hops) shuffle rounds total, vs O(chain length)
+    for a step-by-step walk; no driver-side state.
+
+    Contract: a source is `resolved` iff its terminal lies within
+    `max_hops` hops, where max_hops is rounded UP to the next power of
+    two by the sweep count; unresolved rows (cycles, longer chains)
+    carry final_url='' and hops=-1. Deterministic at every parallelism
+    level (pure function of the edge set).
+    """
+    import math
+
+    edges = edges.select("src", "dst")
+    state = edges.select(
+        F.col("src").alias("url"),
+        F.col("dst").alias("ptr"),
+        F.lit(1).cast("long").alias("dist"),
+    )
+    sweeps = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(sweeps):
+        nxt = state.select(
+            F.col("url").alias("_u"), F.col("ptr").alias("_p"),
+            F.col("dist").alias("_d"),
+        )
+        state = state.join(nxt, state["ptr"] == nxt["_u"], "left").select(
+            "url",
+            F.coalesce("_p", "ptr").alias("ptr"),
+            (F.col("dist") + F.coalesce("_d", F.lit(0))).alias("dist"),
+        )
+    srcs = edges.select(F.col("src").alias("_s")).distinct()
+    ok = F.col("_s").isNull() & (F.col("dist") <= max_hops)
+    return state.join(srcs, state["ptr"] == F.col("_s"), "left").select(
+        "url",
+        F.when(ok, F.col("ptr")).otherwise(F.lit("")).alias("final_url"),
+        F.when(ok, F.col("dist")).otherwise(F.lit(-1)).cast("long").alias("hops"),
+        ok.alias("resolved"),
+    )
+
+
 __all__ = [
     "doc_edges",
     "link_rank",
+    "resolve_redirects",
     "rank_from_extracted",
     "rank_priorities",
     "anchor_pairs",

@@ -334,3 +334,35 @@ def test_label_propagation_two_communities_and_ties(spark):
     r1 = sorted(map(tuple, graphrank.label_propagation(g.repartition(1), iters=4).collect()))
     r8 = sorted(map(tuple, graphrank.label_propagation(g.repartition(8), iters=4).collect()))
     assert r1 == r8
+
+
+# --- resolve_redirects (pointer doubling) ----------------------------------
+
+
+def test_resolve_redirects_chain_cycle_and_cap(spark):
+    # chain a->b->c->T; 2-cycle x<->y; 20-deep chain d19->...->d0 with
+    # max_hops=16 so d17..d19 are past the cap
+    rows = (
+        [("a", "b"), ("b", "c"), ("c", "T"), ("x", "y"), ("y", "x")]
+        + [(f"d{i}", f"d{i-1}") for i in range(1, 20)]
+    )
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["url"]: r for r in graphrank.resolve_redirects(edges, max_hops=16).collect()}
+    assert len(out) == 24
+    assert (out["a"]["final_url"], out["a"]["hops"], out["a"]["resolved"]) == ("T", 3, True)
+    assert (out["c"]["final_url"], out["c"]["hops"]) == ("T", 1)
+    assert out["x"]["resolved"] is False and out["x"]["final_url"] == "" and out["x"]["hops"] == -1
+    assert out["y"]["resolved"] is False
+    assert (out["d16"]["final_url"], out["d16"]["hops"], out["d16"]["resolved"]) == ("d0", 16, True)
+    assert out["d17"]["resolved"] is False  # distance 17 > max_hops
+    assert out["d19"]["resolved"] is False
+
+
+def test_resolve_redirects_deterministic_across_partitioning(spark):
+    rows = [(f"s{i}", f"s{i-1}") for i in range(1, 40) if i % 5 != 0]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, graphrank.resolve_redirects(edges).collect()))
+    b = sorted(
+        map(tuple, graphrank.resolve_redirects(edges.repartition(11, "dst")).collect())
+    )
+    assert a == b
