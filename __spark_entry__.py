@@ -1739,6 +1739,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_redirect_resolve"] = crawl_redirect_resolve
 
+    def crawl_mirror_hosts(spark, sf_dir):
+        """Cross-host mirror detection (dedup.mirror_hosts, Bharat &
+        Broder WWW'99) over a synthesized 24-host corpus: hosts in
+        triples share a per-slot page fingerprint, every 5th slot is
+        host-unique noise — so within-triple Jaccard lands ~0.6 and
+        cross-triple at 0. Inverted-index self-join on fingerprint;
+        hosts-row output."""
+        d = F.col("doc_id")
+        c = F.expr("doc_id DIV 24")
+        tri = F.expr("(doc_id % 24) DIV 3")
+        fp = F.when(
+            (c % 5) == 0, F.md5(F.concat(F.lit("uniq:"), d.cast("string")))
+        ).otherwise(
+            F.md5(F.concat(F.lit("pg:"), (c * 8 + tri).cast("string")))
+        )
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), (d % 24).cast("string"), F.lit(".com")).alias("host"),
+            fp.alias("fp"),
+        )
+        return dedup.mirror_hosts(pages, threshold=0.5, max_fp_hosts=16)
+
+    q["crawl_mirror_hosts"] = crawl_mirror_hosts
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5210,6 +5233,32 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(f.hops, -1)::BIGINT AS hops,
                f.final_url IS NOT NULL AS resolved
         FROM srcs s LEFT JOIN fin f ON s.src = f.url
+    """
+
+    # crawl_mirror_hosts: same 24-host fingerprint synthesis; Jaccard as
+    # a single exact int division (IEEE-identical across engines)
+    o["crawl_mirror_hosts"] = r"""
+        WITH pg AS MATERIALIZED (
+          SELECT DISTINCT
+                 'h' || (doc_id % 24)::VARCHAR || '.com' AS h,
+                 CASE WHEN (doc_id // 24) % 5 = 0
+                      THEN md5('uniq:' || doc_id::VARCHAR)
+                      ELSE md5('pg:' || ((doc_id // 24) * 8
+                                         + (doc_id % 24) // 3)::VARCHAR)
+                 END AS g
+          FROM documents),
+        sizes AS MATERIALIZED (SELECT h, count(*) AS n FROM pg GROUP BY h),
+        inv AS MATERIALIZED (
+          SELECT pg.h, pg.g, s.n FROM pg JOIN sizes s ON pg.h = s.h),
+        inter AS (
+          SELECT a.h AS host_a, b.h AS host_b, a.n AS n_a, b.n AS n_b,
+                 count(*) AS shared
+          FROM inv a JOIN inv b ON a.g = b.g AND a.h < b.h
+          GROUP BY 1, 2, 3, 4)
+        SELECT host_a, host_b, shared, n_a, n_b,
+               shared::DOUBLE / (n_a + n_b - shared) AS jaccard
+        FROM inter
+        WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.5
     """
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise

@@ -985,6 +985,64 @@ class MinHashIndex:
         return pairs
 
 
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    threshold: float = 0.5,
+    max_fp_hosts: int | None = 64,
+) -> DataFrame:
+    """Cross-host mirror detection (Bharat & Broder, "Mirror, mirror on
+    the web", WWW 1999): host pairs whose content-fingerprint sets
+    overlap — (host_a, host_b, shared, n_a, n_b, jaccard) with
+    host_a < host_b and jaccard ≥ threshold. A crawler that detects
+    mirrors skips re-fetching the replica and folds its link mass into
+    the canonical host; gocrawl has no host-level dedup at all (its
+    seen-filter is URL-exact), so this is the corpus-scale complement.
+
+    Plan shape: exactly the doc-level inverted-index Jaccard
+    (ngram_jaccard_pairs) lifted to host granularity — distinct
+    (host, fp) pairs, a df cut dropping fingerprints shared by more
+    than `max_fp_hosts` hosts (boilerplate/empty-page digests are the
+    quadratic blowup at corpus scale; set sizes are post-cut, so the
+    reported jaccard is over the informative-fingerprint universe),
+    then one fp-keyed self-join whose pair count IS |A ∩ B|. Hosts-row
+    output; no doc×doc or host×host cartesian anywhere.
+    """
+    hfp = pages.select(
+        F.col(host_col).alias("h"), F.col(fp_col).alias("g")
+    ).distinct()
+    if max_fp_hosts is not None:
+        keep = (
+            hfp.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_hosts)
+        )
+        hfp = hfp.join(keep.select("g"), "g")
+    sizes = hfp.groupBy("h").agg(F.count("*").alias("n"))
+    inv = hfp.join(sizes, "h")
+    inter = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .filter(F.col("a.h") < F.col("b.h"))
+        .groupBy(
+            F.col("a.h").alias("host_a"),
+            F.col("b.h").alias("host_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("host_a", "host_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
 __all__ = [
     "text_key", "exact_dup_groups", "exact_dedup",
     "minhash_signature", "minhash_signature_udf", "band_keys", "minhash_pairs",
@@ -992,5 +1050,5 @@ __all__ = [
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters", "cluster_representatives",
     "line_key", "line_dedup", "line_dedup_host", "substring_spans",
-    "MinHashIndex",
+    "MinHashIndex", "mirror_hosts",
 ]

@@ -2959,3 +2959,41 @@ def test_containment_asymmetric_vs_jaccard(spark):
     lo = {(r["contained_id"], r["container_id"])
           for r in dedup.containment_pairs(df, k=3, threshold=0.2).collect()}
     assert (1, 2) in lo and (2, 1) in lo and (3, 1) not in lo
+
+
+# --- mirror_hosts (cross-host mirror detection) -----------------------------
+
+
+def test_mirror_hosts_detects_replica_and_df_cut(spark):
+    # m1/m2 mirror each other (4 shared + 1 unique each → J=4/6);
+    # solo shares nothing; every host carries the same boilerplate
+    # fingerprint "bp", which the max_fp_hosts=2 cut must drop —
+    # without the cut solo would pair with both mirrors
+    rows = (
+        [("m1", f"pg{i}") for i in range(4)]
+        + [("m2", f"pg{i}") for i in range(4)]
+        + [("m1", "only1"), ("m2", "only2"), ("solo", "alone")]
+        + [(h, "bp") for h in ("m1", "m2", "solo")]
+    )
+    pages = spark.createDataFrame(rows, "host string, fp string")
+    out = dedup.mirror_hosts(pages, threshold=0.3, max_fp_hosts=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["host_a"], r["host_b"], r["shared"], r["n_a"], r["n_b"]) == (
+        "m1", "m2", 4, 5, 5,
+    )
+    assert r["jaccard"] == pytest.approx(4 / 6)
+    # no cut → the boilerplate digest links solo to both mirrors
+    assert dedup.mirror_hosts(pages, threshold=0.0, max_fp_hosts=None).count() == 3
+
+
+def test_mirror_hosts_deterministic_across_partitioning(spark):
+    rows = [(f"h{i % 6}", f"pg{(i * 7) % 40}") for i in range(200)]
+    pages = spark.createDataFrame(rows, "host string, fp string")
+    a = sorted(map(tuple, dedup.mirror_hosts(pages, threshold=0.0).collect()))
+    b = sorted(
+        map(tuple, dedup.mirror_hosts(pages.repartition(13, "fp"), threshold=0.0).collect())
+    )
+    # (i*7)%40 stepping 6 splits the 6 hosts into two parity classes of
+    # 3 that share all 20 fingerprints within-class, none across
+    assert a == b and len(a) == 6
