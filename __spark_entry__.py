@@ -1762,6 +1762,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_mirror_hosts"] = crawl_mirror_hosts
 
+    def crawl_soft404(spark, sf_dir):
+        """Soft-404 classification (fetch.soft404_expr) over a
+        synthesized fetch batch covering every branch: a real 404
+        (status≠200 → not soft), a 404-titled 200, a body-phrase hit,
+        a tiny error body, a benign short page, and healthy pages.
+        Pure scan-projection expressions; zero shuffles."""
+        from gocrawl_spark import fetch as fmod
+
+        d = F.col("doc_id")
+        m = d % 7
+        status = F.when(m == 0, 404).otherwise(200)
+        title = (
+            F.when(m == 0, F.lit("404 Not Found"))
+            .when(m == 1, F.lit("Error 404 - Page Not Found"))
+            .when(m == 2, F.lit("Widgets"))
+            .when(m == 3, F.lit("Oops"))
+            .when(m == 4, F.lit("Contact"))
+            .otherwise(F.concat(F.lit("Article "), d.cast("string")))
+        )
+        body = (
+            F.when(m == 0, F.lit("not found"))
+            .when(m == 1, F.substring("text", 1, 200))
+            .when(
+                m == 2,
+                F.concat(
+                    F.lit("The page you requested was not found on this server. "),
+                    F.substring("text", 1, 100),
+                ),
+            )
+            .when(m == 3, F.lit("Sorry, an error occurred."))
+            .when(m == 4, F.lit("Call our office for widget pricing."))
+            .otherwise(F.col("text"))
+        )
+        batch = _docs(spark, sf_dir).select(
+            "doc_id", status.alias("status"), title.alias("title"), body.alias("body")
+        )
+        s = fmod.soft404_signals("title", "body")
+        return batch.select(
+            "doc_id",
+            "status",
+            s["title_hit"].alias("title_hit"),
+            s["phrase_hit"].alias("phrase_hit"),
+            s["tiny_hit"].alias("tiny_hit"),
+            fmod.soft404_expr("status", "title", "body").alias("soft404"),
+        )
+
+    q["crawl_soft404"] = crawl_soft404
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5259,6 +5307,47 @@ def oracle_sql() -> dict[str, str]:
                shared::DOUBLE / (n_a + n_b - shared) AS jaccard
         FROM inter
         WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.5
+    """
+
+    # crawl_soft404: same synthesized batch, same RE2∩Java regexes over
+    # lowercased input, same whitespace word count as word_count_v6
+    o["crawl_soft404"] = r"""
+        WITH b AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+                 CASE doc_id % 7
+                   WHEN 0 THEN '404 Not Found'
+                   WHEN 1 THEN 'Error 404 - Page Not Found'
+                   WHEN 2 THEN 'Widgets'
+                   WHEN 3 THEN 'Oops'
+                   WHEN 4 THEN 'Contact'
+                   ELSE 'Article ' || doc_id::VARCHAR
+                 END AS title,
+                 CASE doc_id % 7
+                   WHEN 0 THEN 'not found'
+                   WHEN 1 THEN substr(text, 1, 200)
+                   WHEN 2 THEN 'The page you requested was not found on this server. '
+                               || substr(text, 1, 100)
+                   WHEN 3 THEN 'Sorry, an error occurred.'
+                   WHEN 4 THEN 'Call our office for widget pricing.'
+                   ELSE text
+                 END AS body
+          FROM documents),
+        s AS (
+          SELECT doc_id, status,
+                 regexp_matches(lower(title),
+                     '\b(404|page not found|not found|error)\b') AS title_hit,
+                 regexp_matches(lower(body),
+                     '(page (you requested )?((was|could) )?not (be )?found|no longer (exists|available)|does not exist|has been (removed|deleted))')
+                     AS phrase_hit,
+                 (len(list_filter(regexp_split_to_array(trim(lower(body)),
+                      '[\t\n\f\r ]+'), x -> x <> '')) < 20
+                  AND regexp_matches(lower(body),
+                      '\b(error|not found|oops|sorry)\b')) AS tiny_hit
+          FROM b)
+        SELECT doc_id, status, title_hit, phrase_hit, tiny_hit,
+               (status = 200 AND (title_hit OR phrase_hit OR tiny_hit)) AS soft404
+        FROM s
     """
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise

@@ -230,4 +230,55 @@ def fetch_robots(
     return hosts.select("host").distinct().mapInPandas(run, schema=out_schema)
 
 
-__all__ = ["fetch_http", "fetch_robots", "UNREACHABLE_RULES"]
+# --- soft-404 detection ------------------------------------------------------
+#
+# Servers that answer missing pages with HTTP 200 ("soft 404s",
+# Bar-Yossef et al. WWW'04) poison a crawl twice: the junk page enters
+# the index, and its (dead) out-links keep the frontier busy. gocrawl
+# trusts the status code alone (colly OnResponse, crawler.go:300-317);
+# at corpus scale the standard complement is a content-side classifier
+# over the fetched batch. Pure codegen'd expressions — no UDF, no
+# shuffle; runs in the fetch round's scan projection.
+
+_SOFT404_TITLE_RE = r"\b(404|page not found|not found|error)\b"
+_SOFT404_PHRASE_RE = (
+    r"(page (you requested )?((was|could) )?not (be )?found"
+    r"|no longer (exists|available)|does not exist"
+    r"|has been (removed|deleted))"
+)
+_SOFT404_TINY_RE = r"\b(error|not found|oops|sorry)\b"
+
+
+def soft404_signals(title_col, text_col, min_words: int = 20) -> dict:
+    """The three content signals as named Columns: a 404-ish title, a
+    not-found phrase in the body, and a tiny body that still carries an
+    error marker. Regexes are RE2∩Java so the DuckDB oracle runs the
+    identical patterns on lowercased input."""
+    from pyspark.sql import functions as F
+
+    title = F.lower(F.col(title_col) if isinstance(title_col, str) else title_col)
+    text = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    wc = F.size(
+        F.filter(F.split(F.trim(text), r"[\t\n\f\r ]+"), lambda x: x != F.lit(""))
+    )
+    return {
+        "title_hit": title.rlike(_SOFT404_TITLE_RE),
+        "phrase_hit": text.rlike(_SOFT404_PHRASE_RE),
+        "tiny_hit": (wc < min_words) & text.rlike(_SOFT404_TINY_RE),
+    }
+
+
+def soft404_expr(status_col, title_col, text_col, min_words: int = 20):
+    """True iff the response claims success (status 200) but the content
+    says "not found" by any of the soft404_signals."""
+    from pyspark.sql import functions as F
+
+    s = soft404_signals(title_col, text_col, min_words)
+    status = F.col(status_col) if isinstance(status_col, str) else status_col
+    return (status == 200) & (s["title_hit"] | s["phrase_hit"] | s["tiny_hit"])
+
+
+__all__ = [
+    "fetch_http", "fetch_robots", "UNREACHABLE_RULES",
+    "soft404_signals", "soft404_expr",
+]

@@ -179,3 +179,28 @@ def test_prepare_for_indexing():
     assert p["tags"] == ["a", "b"]
     assert p["keywords"] is None
     assert p["byline_name"] == "B" and p["section"] == "S"
+
+
+# --- soft-404 detection (fetch.soft404_expr) --------------------------------
+
+
+def test_soft404_branches(spark):
+    from gocrawl_spark import fetch
+
+    rows = [
+        (1, 404, "404 Not Found", "not found"),                     # hard 404
+        (2, 200, "Error 404", "long healthy body " * 10),           # title hit
+        (3, 200, "Widgets", "The page you requested was not found."),  # phrase
+        (4, 200, "Oops", "sorry, an error occurred"),               # tiny+marker
+        (5, 200, "Contact", "call our office for widget pricing"),  # tiny, benign
+        (6, 200, "Article", "perfectly fine content " * 20),        # healthy
+        (7, 200, "News", "this page has been removed by the editor"),  # phrase
+    ]
+    df = spark.createDataFrame(rows, "id int, status int, title string, body string")
+    out = {
+        r["id"]: r["soft404"]
+        for r in df.select(
+            "id", fetch.soft404_expr("status", "title", "body").alias("soft404")
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: True, 4: True, 5: False, 6: False, 7: True}
