@@ -1810,6 +1810,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_soft404"] = crawl_soft404
 
+    def crawl_dust_rules(spark, sf_dir):
+        """DUST rule mining (canonicalize.dust_rules, Bar-Yossef et al.
+        WWW'07) over a synthesized crawl where every page was fetched
+        both with and without a session parameter: hosts 0-6 serve
+        identical content either way (rule (host, sid) validated with
+        ~30 supports), host 7 keys content ON sid (rule violated);
+        stripping the real 'a' parameter never lands on a crawled URL
+        so it produces no rule row. Explode → equi-join → rollup."""
+        from gocrawl_spark import canonicalize as canon
+
+        d = F.col("doc_id")
+        p = F.expr("doc_id DIV 2")
+        h = p % 8
+        page = F.expr("(doc_id DIV 2) DIV 8")
+        base = F.concat(
+            F.lit("https://h"), h.cast("string"), F.lit(".com/p/"),
+            page.cast("string"),
+        )
+        a_val = (p % 7).cast("string")
+        url = F.when(
+            d % 2 == 0,
+            F.concat(base, F.lit("?a="), a_val, F.lit("&sid="), d.cast("string")),
+        ).otherwise(F.concat(base, F.lit("?a="), a_val))
+        sid_part = F.when(d % 2 == 0, d.cast("string")).otherwise(F.lit(""))
+        digest = F.md5(
+            F.concat(
+                base, F.lit("|a="), a_val,
+                F.when(h == 7, F.concat(F.lit("|sid="), sid_part)).otherwise(F.lit("")),
+            )
+        )
+        pages = _docs(spark, sf_dir).select(url.alias("url"), digest.alias("digest"))
+        return canon.dust_rules(pages, min_support=3)
+
+    q["crawl_dust_rules"] = crawl_dust_rules
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5348,6 +5383,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, status, title_hit, phrase_hit, tiny_hit,
                (status = 200 AND (title_hit OR phrase_hit OR tiny_hit)) AS soft404
         FROM s
+    """
+
+    # crawl_dust_rules: same synthesized sid/no-sid crawl; generic DUST
+    # logic re-expressed (explode params → strip one → self-join on the
+    # crawled URL map → (host, param) rollup). 1-based pos in DuckDB's
+    # lambda matches 1-based generate_subscripts, mirroring Spark's
+    # 0-based posexplode/filter pair.
+    o["crawl_dust_rules"] = r"""
+        WITH pg AS MATERIALIZED (
+          SELECT 'https://h' || ((doc_id // 2) % 8)::VARCHAR || '.com/p/'
+                 || ((doc_id // 2) // 8)::VARCHAR
+                 || '?a=' || ((doc_id // 2) % 7)::VARCHAR
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN '&sid=' || doc_id::VARCHAR ELSE '' END AS url,
+                 md5('https://h' || ((doc_id // 2) % 8)::VARCHAR || '.com/p/'
+                     || ((doc_id // 2) // 8)::VARCHAR
+                     || '|a=' || ((doc_id // 2) % 7)::VARCHAR
+                     || CASE WHEN (doc_id // 2) % 8 = 7
+                             THEN '|sid=' || CASE WHEN doc_id % 2 = 0
+                                                  THEN doc_id::VARCHAR
+                                                  ELSE '' END
+                             ELSE '' END) AS digest
+          FROM documents),
+        parsed AS MATERIALIZED (
+          SELECT url, digest,
+                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                 str_split(url, '?')[1] AS base,
+                 str_split(str_split(url, '?')[2], '&') AS params
+          FROM pg
+          WHERE str_split(url, '?')[2] IS NOT NULL
+            AND len(str_split(str_split(url, '?')[2], '&')) > 0),
+        ex AS (
+          SELECT digest, host, base, params,
+                 unnest(params) AS param_kv,
+                 generate_subscripts(params, 1) AS pos
+          FROM parsed),
+        cand AS (
+          SELECT digest, host,
+                 str_split(param_kv, '=')[1] AS param,
+                 CASE WHEN len(params) = 1 THEN base
+                      ELSE base || '?' || array_to_string(
+                          list_filter(params, (x, i) -> i <> pos), '&')
+                 END AS stripped
+          FROM ex),
+        hits AS (
+          SELECT c.host, c.param,
+                 CASE WHEN c.digest = p2.digest THEN 1 ELSE 0 END AS agreed
+          FROM cand c JOIN pg p2 ON c.stripped = p2.url),
+        rules AS (
+          SELECT host, param,
+                 sum(agreed)::BIGINT AS support,
+                 sum(1 - agreed)::BIGINT AS violations
+          FROM hits GROUP BY host, param)
+        SELECT host, param, support, violations,
+               (support >= 3 AND violations = 0) AS rule_ok
+        FROM rules
     """
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise

@@ -260,3 +260,75 @@ def is_trap_expr(
         | (s["n_params"] > max_params)
         | s["has_session"]
     )
+
+
+def dust_rules(
+    pages,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_support: int = 3,
+):
+    """DUST rule mining (Bar-Yossef, Keidar & Schonfeld, WWW 2007 "Do
+    not crawl in the DUST"): learn per-host query-parameter strip rules
+    from the crawl's own evidence. A rule (host, param) is supported by
+    a URL when removing `param` from its query string yields ANOTHER
+    crawled URL whose content digest is identical, and violated when
+    the alias exists but its digest differs. Output:
+
+      (host, param, support, violations, rule_ok)
+
+    rule_ok = support ≥ min_support AND violations = 0 — the rules a
+    frontier canonicalizer can apply to collapse session-id/tracking
+    parameters BEFORE fetching, the scale lever the static
+    normalize_url_expr strip-list cannot learn per site.
+
+    Plan shape: one posexplode (×#params, bounded by query length), an
+    equi-join of stripped candidates against the crawled (url, digest)
+    map, and a (host, param) rollup — hosts×params result rows, no
+    pairwise URL comparison anywhere. All codegen'd expressions.
+    """
+    from pyspark.sql import functions as F
+
+    split_q = F.split(F.col(url_col), r"\?")
+    parsed = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(digest_col).alias("digest"),
+        F.regexp_extract(url_col, r"^https?://([^/?#]+)", 1).alias("host"),
+        split_q.getItem(0).alias("base"),
+        F.split(F.get(split_q, 1), "&").alias("params"),
+    ).filter(F.col("params").isNotNull() & (F.size("params") > 0))
+    ex = parsed.select(
+        "digest", "host", "base", "params",
+        F.posexplode("params").alias("pos", "param"),
+    )
+    stripped = F.when(F.size("params") == 1, F.col("base")).otherwise(
+        F.concat(
+            F.col("base"),
+            F.lit("?"),
+            F.array_join(
+                F.filter("params", lambda x, i: i != F.col("pos")), "&"
+            ),
+        )
+    )
+    cand = ex.select(
+        "digest",
+        "host",
+        F.split("param", "=").getItem(0).alias("param"),
+        stripped.alias("stripped"),
+    )
+    digests = pages.select(
+        F.col(url_col).alias("_alias_url"), F.col(digest_col).alias("_alias_digest")
+    )
+    hits = cand.join(digests, cand["stripped"] == digests["_alias_url"])
+    agreed = F.when(F.col("digest") == F.col("_alias_digest"), 1).otherwise(0)
+    rules = (
+        hits.groupBy("host", "param")
+        .agg(
+            F.sum(agreed).cast("long").alias("support"),
+            F.sum(1 - agreed).cast("long").alias("violations"),
+        )
+    )
+    return rules.select(
+        "host", "param", "support", "violations",
+        ((F.col("support") >= min_support) & (F.col("violations") == 0)).alias("rule_ok"),
+    )

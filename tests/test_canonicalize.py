@@ -157,3 +157,37 @@ def test_drop_traps_filters_candidates(spark):
     on = {r["url"] for r in expand_candidates(extracted, batch, cfg_on, 0).collect()}
     assert "https://h.com/a/a/a/trap" in off and "https://h.com/d?phpsessid=1" in off
     assert on == {"https://h.com/ok/page"}
+
+
+def test_dust_rules(spark):
+    """dust_rules learns a strip rule only when the stripped alias was
+    crawled AND its digest agrees, with min_support enforcement and a
+    violation killing the rule (Bar-Yossef et al. WWW'07 semantics)."""
+    from gocrawl_spark.canonicalize import dust_rules
+
+    rows = []
+    # h1.com: ?sid= is pure noise on 3 pages -> validated rule
+    for i in range(3):
+        rows.append((f"https://h1.com/p/{i}?a=1&sid={i}", f"d1-{i}"))
+        rows.append((f"https://h1.com/p/{i}?a=1", f"d1-{i}"))
+    # h2.com: sid changes content on two of 3 pages -> violated
+    for i in range(3):
+        rows.append((f"https://h2.com/p/{i}?a=1&sid={i}", f"d2-{i}-sid"))
+        rows.append((f"https://h2.com/p/{i}?a=1", f"d2-{i}" if i else "d2-0-sid"))
+    # h3.com: only 2 supports -> below min_support=3
+    for i in range(2):
+        rows.append((f"https://h3.com/p/{i}?sid={i}", f"d3-{i}"))
+        rows.append((f"https://h3.com/p/{i}", f"d3-{i}"))
+    # h4.com: stripping 'a' never lands on a crawled URL -> no row
+    rows.append(("https://h4.com/p/0?a=1", "d4"))
+    pages = spark.createDataFrame(rows, "url string, digest string")
+    got = {
+        (r["host"], r["param"]): (r["support"], r["violations"], r["rule_ok"])
+        for r in dust_rules(pages, min_support=3).collect()
+    }
+    assert got[("h1.com", "sid")] == (3, 0, True)
+    assert got[("h2.com", "sid")] == (1, 2, False)
+    assert got[("h3.com", "sid")] == (2, 0, False)
+    assert ("h4.com", "a") not in got
+    # the a= strip on h1/h2 never matches a crawled URL either
+    assert ("h1.com", "a") not in got

@@ -627,3 +627,21 @@ def test_label_propagation_no_cartesian_exact_sums(spark):
     plan = _plan(graphrank.label_propagation(g, iters=2))
     assert "CartesianProduct" not in plan
     assert "sum" in plan.lower()
+
+
+def test_dust_rules_equijoin_no_cartesian(spark, sf_dir):
+    """dust_rules joins stripped candidates against the crawled URL map
+    on url equality — an equi-join (hosts×params output), never a
+    pairwise URL comparison — and the rollup is a plain hash aggregate."""
+    from gocrawl_spark import canonicalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    pages = docs.selectExpr(
+        "concat('https://h', cast(doc_id % 4 as string), '.com/p/',"
+        " cast(doc_id as string), '?sid=', cast(doc_id as string)) AS url",
+        "md5(cast(doc_id as string)) AS digest",
+    )
+    plan = _plan(canonicalize.dust_rules(pages))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "stripped" in plan  # the equi-join key is the stripped URL
