@@ -1810,16 +1810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_soft404"] = crawl_soft404
 
-    def crawl_dust_rules(spark, sf_dir):
-        """DUST rule mining (canonicalize.dust_rules, Bar-Yossef et al.
-        WWW'07) over a synthesized crawl where every page was fetched
-        both with and without a session parameter: hosts 0-6 serve
-        identical content either way (rule (host, sid) validated with
-        ~30 supports), host 7 keys content ON sid (rule violated);
-        stripping the real 'a' parameter never lands on a crawled URL
-        so it produces no rule row. Explode → equi-join → rollup."""
-        from gocrawl_spark import canonicalize as canon
-
+    def _dust_pages(spark, sf_dir):
+        """Synthesized crawl where every page was fetched both with and
+        without a session parameter: hosts 0-6 serve identical content
+        either way, host 7 keys content ON sid."""
         d = F.col("doc_id")
         p = F.expr("doc_id DIV 2")
         h = p % 8
@@ -1840,10 +1834,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.when(h == 7, F.concat(F.lit("|sid="), sid_part)).otherwise(F.lit("")),
             )
         )
-        pages = _docs(spark, sf_dir).select(url.alias("url"), digest.alias("digest"))
-        return canon.dust_rules(pages, min_support=3)
+        return _docs(spark, sf_dir).select(url.alias("url"), digest.alias("digest"))
+
+    def crawl_dust_rules(spark, sf_dir):
+        """DUST rule mining (canonicalize.dust_rules, Bar-Yossef et al.
+        WWW'07) over the sid/no-sid crawl: hosts 0-6 validate the
+        (host, sid) strip rule with ~30 supports each, host 7 violates
+        it; stripping the real 'a' parameter never lands on a crawled
+        URL so it produces no rule row. Explode → equi-join → rollup."""
+        from gocrawl_spark import canonicalize as canon
+
+        return canon.dust_rules(_dust_pages(spark, sf_dir), min_support=3)
 
     q["crawl_dust_rules"] = crawl_dust_rules
+
+    def crawl_dust_apply(spark, sf_dir):
+        """Frontier canonicalization with LEARNED rules
+        (canonicalize.apply_dust_rules): the validated (host, sid)
+        strips collapse every hosts-0-6 sid alias onto its crawled
+        no-sid twin, while host 7 (rule violated) and the unstripped
+        'a' param pass through. Broadcast hosts×params strip-sets; the
+        URL table never shuffles."""
+        from gocrawl_spark import canonicalize as canon
+
+        pages = _dust_pages(spark, sf_dir)
+        rules = canon.dust_rules(pages, min_support=3)
+        return canon.apply_dust_rules(pages.select("url"), rules).select(
+            "url", "canonical_url"
+        )
+
+    q["crawl_dust_apply"] = crawl_dust_apply
 
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
@@ -3475,10 +3495,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
-    # least-recently-gate-verified entries lead: first the queries that
-    # have never had (or have the stalest) driver-side green row, then the
-    # rest in registration order. The names below are exactly the entries
-    # the round-3 gate did not reach (it covered the first 50 of 101).
+    # least-recently-gate-verified entries lead. Computed dynamically from
+    # the driver's own CORRECTNESS_r*.json artifacts: entries with no
+    # driver row ever lead (newest registration first — each session's
+    # additions are the least-verified), then the stalest-round rows, then
+    # the freshest. Falls back to the static round-3 list if the artifacts
+    # are absent.
+    import json as _json
+    import os as _os
+
+    _here = _os.path.dirname(_os.path.abspath(__file__))
+    _checked: dict[str, int] = {}
+    for _rnd, _fname in sorted(
+        (int(m.group(1)), f)
+        for f in _os.listdir(_here)
+        if (m := __import__("re").match(r"CORRECTNESS_r0*(\d+)\.json$", f))
+    ):
+        try:
+            with open(_os.path.join(_here, _fname)) as _fh:
+                for _name, _row in _json.load(_fh).items():
+                    if isinstance(_row, dict) and not _row.get("err"):
+                        _checked[_name] = _rnd
+        except (OSError, ValueError):
+            pass
+    if _checked:
+        _names = list(q)
+        _never = [n for n in reversed(_names) if n not in _checked]
+        _stale = sorted(
+            (n for n in _names if n in _checked),
+            key=lambda n: _checked[n],
+        )
+        return {n: q[n] for n in _never + _stale}
+
     gate_first = [
         # round-4 additions lead: no driver row exists for them yet
         "search_rank_eval", "corpus_zipf", "corpus_heaps",
@@ -5440,6 +5488,36 @@ def oracle_sql() -> dict[str, str]:
                (support >= 3 AND violations = 0) AS rule_ok
         FROM rules
     """
+
+    # crawl_dust_apply: reuse the rule-mining CTE chain, aggregate the
+    # validated rules to per-host strip-sets, rewrite every crawled URL
+    _dust_cte = o["crawl_dust_rules"][: o["crawl_dust_rules"].rindex("SELECT host")]
+    o["crawl_dust_apply"] = (
+        _dust_cte
+        + r""", ok AS (
+          SELECT host, list(param) AS strips
+          FROM rules WHERE support >= 3 AND violations = 0 GROUP BY host),
+        app AS (
+          SELECT p.url,
+                 regexp_extract(p.url, '^https?://([^/?#]+)', 1) AS host,
+                 str_split(p.url, '?')[1] AS base,
+                 str_split(str_split(p.url, '?')[2], '&') AS params
+          FROM pg p),
+        j AS (
+          SELECT a.url, a.base,
+                 list_filter(a.params,
+                     x -> NOT list_contains(o.strips, str_split(x, '=')[1]))
+                     AS kept,
+                 a.params IS NULL OR o.strips IS NULL AS passthru
+          FROM app a LEFT JOIN ok o ON a.host = o.host)
+        SELECT url,
+               CASE WHEN passthru THEN url
+                    WHEN len(kept) = 0 THEN base
+                    ELSE base || '?' || array_to_string(kept, '&')
+               END AS canonical_url
+        FROM j
+    """
+    )
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise
     _dsir_wgt_cte = o["dsir_select"][: o["dsir_select"].index("rk AS")]

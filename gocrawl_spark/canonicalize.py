@@ -332,3 +332,60 @@ def dust_rules(
         "host", "param", "support", "violations",
         ((F.col("support") >= min_support) & (F.col("violations") == 0)).alias("rule_ok"),
     )
+
+
+def apply_dust_rules(
+    df,
+    rules,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+):
+    """Apply validated :func:`dust_rules` to a URL column: strip every
+    query parameter whose ``(host, param)`` rule has ``rule_ok`` —
+    collapsing session-id/tracking aliases BEFORE they enter the
+    frontier (the fetch-avoidance payoff of DUST mining; the static
+    twin is ``normalize_url_expr``'s fixed strip-list).
+
+    Adds ``out_col``: the URL with stripped params removed in original
+    order; ``?`` dropped when nothing survives; URLs without a query or
+    on hosts without rules pass through unchanged.
+
+    Plan shape: the rules table aggregates to one strip-set row per
+    host (hosts×params is metadata-sized even at 10^10 URLs) and
+    broadcast-joins on host — the URL table never shuffles, and the
+    rewrite is one codegen'd expression pass.
+    """
+    from pyspark.sql import functions as F
+
+    strip_sets = (
+        rules.filter(F.col("rule_ok"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("_strip_params"))
+    )
+    split_q = F.split(F.col(url_col), r"\?")
+    with_host = df.withColumn(
+        "_dust_host", F.regexp_extract(url_col, r"^https?://([^/?#]+)", 1)
+    )
+    joined = with_host.join(
+        F.broadcast(strip_sets),
+        with_host["_dust_host"] == strip_sets["host"],
+        "left",
+    ).drop("host")
+    base = split_q.getItem(0)
+    query = F.get(split_q, 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~F.array_contains(
+            F.col("_strip_params"), F.split(p, "=").getItem(0)
+        ),
+    )
+    rewritten = F.when(
+        query.isNull() | F.col("_strip_params").isNull(), F.col(url_col)
+    ).otherwise(
+        F.when(F.size(kept) == 0, base).otherwise(
+            F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )
+    return joined.withColumn(out_col, rewritten).drop(
+        "_dust_host", "_strip_params"
+    )

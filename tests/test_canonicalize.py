@@ -191,3 +191,35 @@ def test_dust_rules(spark):
     assert ("h4.com", "a") not in got
     # the a= strip on h1/h2 never matches a crawled URL either
     assert ("h1.com", "a") not in got
+
+
+def test_apply_dust_rules(spark):
+    """apply_dust_rules strips only validated (host, param) rules:
+    rule-hosts lose the param, no-rule hosts and query-less URLs pass
+    through, and a fully-stripped query drops its '?'."""
+    from gocrawl_spark.canonicalize import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("h1.com", "sid", 3, 0, True), ("h2.com", "sid", 1, 2, False)],
+        "host string, param string, support long, violations long,"
+        " rule_ok boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h1.com/p?a=1&sid=9",),
+            ("https://h1.com/p?sid=9",),
+            ("https://h1.com/plain",),
+            ("https://h2.com/p?a=1&sid=9",),
+            ("https://h3.com/p?sid=9",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["canonical_url"]
+        for r in apply_dust_rules(urls, rules).collect()
+    }
+    assert got["https://h1.com/p?a=1&sid=9"] == "https://h1.com/p?a=1"
+    assert got["https://h1.com/p?sid=9"] == "https://h1.com/p"
+    assert got["https://h1.com/plain"] == "https://h1.com/plain"
+    assert got["https://h2.com/p?a=1&sid=9"] == "https://h2.com/p?a=1&sid=9"
+    assert got["https://h3.com/p?sid=9"] == "https://h3.com/p?sid=9"
