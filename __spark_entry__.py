@@ -1874,6 +1874,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tfidf_keywords"] = text_tfidf_keywords
 
+    def text_readability(spark, sf_dir):
+        """Flesch reading ease + FK grade (textstats.readability_stats)
+        with the deterministic vowel-group syllable heuristic — one
+        codegen'd projection pass, no shuffle."""
+        s = textstats.readability_stats("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id", *(s[k].alias(k) for k in
+                        ("n_words", "n_sentences", "n_syllables",
+                         "flesch", "fk_grade"))
+        )
+
+    q["text_readability"] = text_readability
+
+    def text_mojibake(spark, sf_dir):
+        """Encoding-damage gate (textstats.mojibake_stats) over text
+        with deterministically injected damage: doc_id%5==0 double-UTF8
+        ('Ã©'), ==1 cp1252 quotes ('â€œ'), ==2 a C0 control byte, the
+        rest clean — integer-ppm rate, bit-equal gate."""
+        d = F.col("doc_id")
+        damaged = F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit(" Ã©tÃ© café"))
+            .when(d % 5 == 1, F.lit(" â€œquotedâ€"))
+            .when(d % 5 == 2, F.lit(" bad\x07ctl"))
+            .when(d % 5 == 3, F.lit(" ok clean text."))
+            .otherwise(F.lit("")),
+        )
+        s = textstats.mojibake_stats(damaged)
+        return _docs(spark, sf_dir).select(
+            "doc_id", *(s[k].alias(k) for k in
+                        ("n_chars", "n_mojibake", "n_ctrl",
+                         "mojibake_ppm", "is_clean"))
+        )
+
+    q["text_mojibake"] = text_mojibake
+
     def text_winnow(spark, sf_dir):
         """Winnowing fingerprints (Schleimer et al. 2003,
         textstats.winnow_fingerprints): rightmost-min over every
@@ -5518,6 +5554,61 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
     )
+
+    # text_readability: same splitter as word_count_v6, same vowel-group
+    # syllable heuristic, identical float op order (two subtractions
+    # left to right), round 6
+    o["text_readability"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text),
+                     '[\t\n\f\r ]+'), x -> x <> '') AS wds,
+                 greatest(1, len(regexp_extract_all(text, '([.!?]+)', 1)))::BIGINT
+                     AS n_sentences
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_sentences,
+                 greatest(1, len(wds))::BIGINT AS n_words,
+                 coalesce(list_sum(list_transform(wds,
+                     x -> greatest(1, len(regexp_extract_all(lower(x),
+                                          '([aeiouy]+)', 1))))), 0)::BIGINT
+                     AS n_syllables
+          FROM w)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                     - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+                   AS flesch,
+               round(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                     + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                     - 15.59, 6) AS fk_grade
+        FROM s
+    """
+
+    # text_mojibake: same injected damage, same marker-codepoint class,
+    # integer // ppm
+    o["text_mojibake"] = r"""
+        WITH dmg AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 5
+                   WHEN 0 THEN ' Ã©tÃ© café'
+                   WHEN 1 THEN ' â€œquotedâ€'
+                   WHEN 2 THEN ' bad' || chr(7) || 'ctl'
+                   WHEN 3 THEN ' ok clean text.'
+                   ELSE ''
+                 END AS t
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 greatest(1, len(t))::BIGINT AS n_chars,
+                 len(regexp_extract_all(t, '([ÃÂ€�])', 1))::BIGINT AS n_mojibake,
+                 len(regexp_extract_all(t,
+                     '([\x00-\x08\x0b\x0c\x0e-\x1f])', 1))::BIGINT AS n_ctrl
+          FROM dmg)
+        SELECT doc_id, n_chars, n_mojibake, n_ctrl,
+               ((n_mojibake + n_ctrl) * 1000000) // n_chars AS mojibake_ppm,
+               ((n_mojibake + n_ctrl) * 1000000) // n_chars <= 500 AS is_clean
+        FROM s
+    """
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise
     _dsir_wgt_cte = o["dsir_select"][: o["dsir_select"].index("rk AS")]

@@ -992,3 +992,87 @@ __all__ = [
     "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
     "tfidf_keywords", "winnow_fingerprints", "winnow_pairs",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch) and encoding-damage (mojibake) scoring — web-corpus
+# quality gates alongside quality_score/gopher_stats. The reference's
+# validation layer gates on length/word-count only (validator.go:365-402);
+# these extend it with the standard curation-pipeline signals.
+# ---------------------------------------------------------------------------
+
+
+def readability_stats(col: Column | str) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade level with a
+    deterministic vowel-group syllable heuristic: syllables(word) =
+    max(1, #runs of [aeiouy] in the lowercased word). Sentences =
+    max(1, #runs of [.!?]); words = whitespace tokens (strings.Fields
+    semantics, same splitter as word_count_v6).
+
+    All-codegen expressions over one scan — a projection at 10^10 docs,
+    no shuffle, no UDF. Float op order is fixed (two subtractions left
+    to right) so results are bit-equal across engines and parallelism.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = tokens(c)
+    n_words = F.greatest(F.lit(1), F.size(w)).cast("long")
+    n_sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(c, F.lit(r"([.!?]+)"), 1))
+    ).cast("long")
+    n_syll = F.aggregate(
+        F.transform(
+            w,
+            lambda x: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(F.lower(x), F.lit("([aeiouy]+)"), 1)),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sents,
+        "n_syllables": n_syll,
+        "flesch": F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ),
+        "fk_grade": F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ),
+    }
+
+
+# single codepoints that are near-certain UTF-8-as-latin1/cp1252 damage
+# in web text: the lead bytes of double-encoded sequences (Ã, Â, â€…)
+# and the replacement character
+MOJIBAKE_CHAR_RE = "([ÃÂ€�])"
+CTRL_CHAR_RE = "([\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f])"
+
+
+def mojibake_stats(
+    col: Column | str, ppm_threshold: int = 500
+) -> dict[str, Column]:
+    """Encoding-damage signals: counts of mojibake marker codepoints
+    (UTF-8 read as latin-1/cp1252 leaves Ã/Â/€ lead bytes; decoder
+    failures leave U+FFFD) and of stray C0 control characters, plus an
+    integer parts-per-million rate and a keep/flag gate. Integer DIV
+    ppm so the gate is bit-equal across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.greatest(F.lit(1), F.length(c)).cast("long")
+    n_marks = F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_CHAR_RE), 1)).cast("long")
+    n_ctrl = F.size(F.regexp_extract_all(c, F.lit(CTRL_CHAR_RE), 1)).cast("long")
+    # exact long floor-division (num - num % den is exactly divisible, so
+    # the double divide is exact below 2^53): ≡ DuckDB `//` on BIGINTs
+    num = (n_marks + n_ctrl) * F.lit(1000000).cast("long")
+    ppm = ((num - num % n_chars) / n_chars).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_mojibake": n_marks,
+        "n_ctrl": n_ctrl,
+        "mojibake_ppm": ppm,
+        "is_clean": ppm <= F.lit(ppm_threshold),
+    }

@@ -2997,3 +2997,42 @@ def test_mirror_hosts_deterministic_across_partitioning(spark):
     # (i*7)%40 stepping 6 splits the 6 hosts into two parity classes of
     # 3 that share all 20 fingerprints within-class, none across
     assert a == b and len(a) == 6
+
+
+def test_readability_stats(spark):
+    """Flesch/FK on a hand-computed sentence: 'The cat sat. It ran.'
+    = 5 whitespace words, 2 sentences, 5 one-syllable words."""
+    df = spark.createDataFrame([("The cat sat. It ran.",)], "text string")
+    s = textstats.readability_stats("text")
+    row = df.select(
+        *(s[k].alias(k) for k in
+          ("n_words", "n_sentences", "n_syllables", "flesch", "fk_grade"))
+    ).collect()[0]
+    assert (row["n_words"], row["n_sentences"], row["n_syllables"]) == (5, 2, 5)
+    # 206.835 - 1.015*2.5 - 84.6*1 = 119.6975; 0.39*2.5 + 11.8 - 15.59 = -2.815
+    assert abs(row["flesch"] - 119.6975) < 1e-6
+    assert abs(row["fk_grade"] - (-2.815)) < 1e-6
+    # 'beautiful' = eau+i+u? vowel groups: eau, i, u -> 3 syllables
+    row2 = spark.createDataFrame([("beautiful",)], "text string").select(
+        s["n_syllables"].alias("sy")).collect()[0]
+    assert row2["sy"] == 3
+
+
+def test_mojibake_stats_gate(spark):
+    """Marker codepoints and C0 controls are counted; clean text passes
+    the ppm gate, damaged short text fails it."""
+    df = spark.createDataFrame(
+        [("clean text with accents café naïve",),
+         ("damaged Ã©tÃ© â€œquoteâ€ here",),
+         ("ctl \x07\x01 bytes",)],
+        "text string",
+    )
+    s = textstats.mojibake_stats("text")
+    rows = df.select(
+        "text", *(s[k].alias(k) for k in
+                  ("n_mojibake", "n_ctrl", "mojibake_ppm", "is_clean"))
+    ).collect()
+    by = {r["text"][:5]: r for r in rows}
+    assert by["clean"]["n_mojibake"] == 0 and by["clean"]["is_clean"]
+    assert by["damag"]["n_mojibake"] == 4 and not by["damag"]["is_clean"]
+    assert by["ctl \x07"]["n_ctrl"] == 2 and not by["ctl \x07"]["is_clean"]
