@@ -1865,6 +1865,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_dust_apply"] = crawl_dust_apply
 
+    def _hreflang_pages(spark, sf_dir):
+        """Synthesized multilingual site: doc groups of 3 language
+        variants (de/en/fr) declaring each other via <link
+        rel=alternate hreflang> tags incl. self; every 5th group's fr
+        page omits its return link to the en page."""
+        g = F.expr("doc_id DIV 3")
+        v = F.col("doc_id") % 3
+        gs = g.cast("string")
+
+        def uof(lv):
+            return F.concat(
+                F.lit("https://h"), (g % 8).cast("string"),
+                F.lit(".com/" + lv + "/"), gs,
+            )
+
+        def tag(lv, u):
+            return F.concat(
+                F.lit('<link rel="alternate" hreflang="' + lv + '" href="'),
+                u, F.lit('">'),
+            )
+
+        u_de, u_en, u_fr = uof("de"), uof("en"), uof("fr")
+        html = F.concat(
+            tag("de", u_de),
+            F.when((g % 5 == 0) & (v == 2), F.lit("")).otherwise(
+                tag("en", u_en)
+            ),
+            tag("fr", u_fr),
+        )
+        url = F.when(v == 0, u_de).when(v == 1, u_en).otherwise(u_fr)
+        return _docs(spark, sf_dir).select(
+            url.alias("url"), html.alias("html")
+        )
+
+    def crawl_hreflang_clusters(spark, sf_dir):
+        """Language-variant clustering (graphrank.hreflang_clusters
+        over hreflang_alternates): regex tag extraction → one
+        groupBy(url) rollup keyed by the least member URL; the fr pages
+        missing their en return link still agree on the cluster id."""
+        from gocrawl_spark import graphrank
+
+        alts = graphrank.hreflang_alternates(_hreflang_pages(spark, sf_dir))
+        return graphrank.hreflang_clusters(alts)
+
+    q["crawl_hreflang_clusters"] = crawl_hreflang_clusters
+
+    def crawl_hreflang_audit(spark, sf_dir):
+        """Missing-return-link audit (graphrank.hreflang_audit): pairs
+        (src, dst) where dst never declares src back — the omitted
+        fr→en links plus declarations pointing at never-crawled pages
+        in the final partial group. One left_anti self-join."""
+        from gocrawl_spark import graphrank
+
+        alts = graphrank.hreflang_alternates(_hreflang_pages(spark, sf_dir))
+        return graphrank.hreflang_audit(alts)
+
+    q["crawl_hreflang_audit"] = crawl_hreflang_audit
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5552,6 +5610,56 @@ def oracle_sql() -> dict[str, str]:
                     ELSE base || '?' || array_to_string(kept, '&')
                END AS canonical_url
         FROM j
+    """
+    )
+
+    # crawl_hreflang_*: same synthesized multilingual groups, same regex
+    # tag extraction, same one-rollup cluster key / left_anti audit
+    _hreflang_cte = r"""
+        WITH d AS (
+          SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v FROM documents),
+        m AS (
+          SELECT doc_id, g, v,
+                 'https://h' || (g % 8)::VARCHAR || '.com/de/' || g::VARCHAR AS u_de,
+                 'https://h' || (g % 8)::VARCHAR || '.com/en/' || g::VARCHAR AS u_en,
+                 'https://h' || (g % 8)::VARCHAR || '.com/fr/' || g::VARCHAR AS u_fr
+          FROM d),
+        pages AS (
+          SELECT CASE v WHEN 0 THEN u_de WHEN 1 THEN u_en ELSE u_fr END AS url,
+                 '<link rel="alternate" hreflang="de" href="' || u_de || '">'
+                 || CASE WHEN g % 5 = 0 AND v = 2 THEN ''
+                         ELSE '<link rel="alternate" hreflang="en" href="'
+                              || u_en || '">' END
+                 || '<link rel="alternate" hreflang="fr" href="' || u_fr || '">'
+                     AS html
+          FROM m),
+        tags AS (
+          SELECT url, unnest(regexp_extract_all(html,
+                     '(<link[^>]*rel="alternate"[^>]*>)', 1)) AS tag
+          FROM pages),
+        alts AS MATERIALIZED (
+          SELECT url,
+                 regexp_extract(tag, 'hreflang="([^"]*)"', 1) AS lang,
+                 regexp_extract(tag, 'href="([^"]*)"', 1) AS href
+          FROM tags
+          WHERE regexp_extract(tag, 'hreflang="([^"]*)"', 1) <> ''
+            AND regexp_extract(tag, 'href="([^"]*)"', 1) <> ''),
+    """
+    o["crawl_hreflang_clusters"] = (
+        _hreflang_cte
+        + r"""fin AS (
+          SELECT least(min(href), url) AS cluster_id, url,
+                 coalesce(max(CASE WHEN href = url THEN lang END), '') AS lang
+          FROM alts GROUP BY url)
+        SELECT cluster_id, url, lang FROM fin
+    """
+    )
+    o["crawl_hreflang_audit"] = (
+        _hreflang_cte
+        + r"""fwd AS (SELECT url AS src, href AS dst FROM alts WHERE href <> url)
+        SELECT f.src, f.dst
+        FROM fwd f LEFT JOIN fwd r ON r.src = f.dst AND r.dst = f.src
+        WHERE r.src IS NULL
     """
     )
 

@@ -614,3 +614,81 @@ __all__ = [
     "label_propagation",
     "ITER_DIGITS",
 ]
+
+
+# ---------------------------------------------------------------------------
+# hreflang language-variant clustering + return-link audit
+# ---------------------------------------------------------------------------
+
+
+def hreflang_alternates(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, lang, href) rows from ``<link rel="alternate"
+    hreflang=…>`` tags — the multilingual-variant declarations a crawl
+    uses to avoid re-fetching translations as independent discoveries
+    and to group language editions for corpus balancing.
+
+    Codegen regexp extraction (attribute order-independent: hreflang
+    and href matched within the tag separately); rows with either
+    attribute missing are dropped. One projection pass, no UDF — the
+    htmlmini-kernel path extracts the same tags when full DOM parsing
+    is wanted; this is the expression twin the oracle can mirror.
+    """
+    c = F.col(html_col)
+    tags = F.regexp_extract_all(
+        c, F.lit(r'(<link[^>]*rel="alternate"[^>]*>)'), 1
+    )
+    ex = pages.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("tag")
+    )
+    return (
+        ex.select(
+            "url",
+            F.regexp_extract("tag", r'hreflang="([^"]*)"', 1).alias("lang"),
+            F.regexp_extract("tag", r'href="([^"]*)"', 1).alias("href"),
+        )
+        .filter((F.col("lang") != "") & (F.col("href") != ""))
+    )
+
+
+def hreflang_clusters(alternates: DataFrame) -> DataFrame:
+    """Group language variants into clusters keyed by the
+    lexicographically-least member URL. Correct under the hreflang
+    contract that every member declares the full set including itself
+    (Google rejects sets without return links, and
+    :func:`hreflang_audit` surfaces the violations); under partial
+    declarations the cluster id stays consistent as long as members
+    agree on the least URL they can see. Output: (cluster_id, url,
+    lang) — lang from the page's self-referencing declaration ('' when
+    it declares no self link).
+
+    One groupBy(url) aggregate — no iteration, no driver state; at
+    10^10 URLs this is a single shuffle on url.
+    """
+    self_lang = F.max(
+        F.when(F.col("href") == F.col("url"), F.col("lang"))
+    )
+    return (
+        alternates.groupBy("url")
+        .agg(
+            F.least(F.min("href"), F.first("url")).alias("cluster_id"),
+            F.coalesce(self_lang, F.lit("")).alias("lang"),
+        )
+        .select("cluster_id", "url", "lang")
+    )
+
+
+def hreflang_audit(alternates: DataFrame) -> DataFrame:
+    """Missing-return-link audit: (src, dst) pairs where src declares
+    dst as an alternate but dst does not declare src back — the
+    validation search consoles run, and the precondition check for
+    trusting :func:`hreflang_clusters` groupings. Self-references are
+    exempt. One left_anti equi-join on the reversed edge."""
+    fwd = alternates.filter(F.col("href") != F.col("url")).select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    )
+    rev = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.join(rev, ["src", "dst"], "left_anti").select("src", "dst")

@@ -366,3 +366,37 @@ def test_resolve_redirects_deterministic_across_partitioning(spark):
         map(tuple, graphrank.resolve_redirects(edges.repartition(11, "dst")).collect())
     )
     assert a == b
+
+
+def test_hreflang_cluster_and_audit(spark):
+    """hreflang_alternates parses tags attribute-order-independently;
+    clusters key on the least member URL with self-declared lang; the
+    audit reports exactly the declared-but-unreturned pairs."""
+    from gocrawl_spark.graphrank import (
+        hreflang_alternates,
+        hreflang_audit,
+        hreflang_clusters,
+    )
+
+    a, b, c = "https://x.com/de/1", "https://x.com/en/1", "https://y.com/solo"
+    pages = [
+        # a declares self + b (href-first attribute order on one tag)
+        (a, f'<link rel="alternate" hreflang="de" href="{a}">'
+            f'<link href="{b}" rel="alternate" hreflang="en">'),
+        # b declares self only -> missing return for (a, b)
+        (b, f'<link rel="alternate" hreflang="en" href="{b}">'),
+        # c has no hreflang tags at all
+        (c, '<link rel="stylesheet" href="/s.css"><p>hi</p>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    alts = hreflang_alternates(df)
+    got = {(r["url"], r["lang"], r["href"]) for r in alts.collect()}
+    assert got == {(a, "de", a), (a, "en", b), (b, "en", b)}
+    clusters = {
+        r["url"]: (r["cluster_id"], r["lang"])
+        for r in hreflang_clusters(alts).collect()
+    }
+    assert clusters[a] == (a, "de")  # least of {a, b} with self-lang de
+    assert clusters[b] == (b, "en")  # b sees only itself
+    audit = {(r["src"], r["dst"]) for r in hreflang_audit(alts).collect()}
+    assert audit == {(a, b)}
