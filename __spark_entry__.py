@@ -1923,6 +1923,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_hreflang_audit"] = crawl_hreflang_audit
 
+    def crawl_ip_politeness(spark, sf_dir):
+        """Server-level politeness (frontier.colocated_budgets): 40
+        vanity hosts resolve into 10 /24 blocks (4 hosts each); a
+        server_cap of 20 pages/round splits across each block's hosts
+        proportionally to queued depth, exact integer arithmetic."""
+        from gocrawl_spark import frontier
+
+        h = F.col("doc_id") % 40
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), h.cast("string"), F.lit(".com")).alias("host")
+        )
+        host_stats = docs.groupBy("host").agg(
+            F.count("*").cast("long").alias("queued")
+        )
+        hh = F.regexp_extract("host", r"h(\d+)\.com", 1).cast("long")
+        resolutions = host_stats.select(
+            "host",
+            F.concat(
+                F.lit("10.0."), (hh % 10).cast("string"), F.lit("."),
+                F.expr(
+                    "cast(cast(regexp_extract(host, 'h(\\\\d+)\\\\.com', 1)"
+                    " as long) DIV 10 as string)"
+                ),
+            ).alias("ip"),
+        )
+        return frontier.colocated_budgets(host_stats, resolutions, server_cap=20)
+
+    q["crawl_ip_politeness"] = crawl_ip_politeness
+
+    def crawl_staleness(spark, sf_dir):
+        """Sitemap-lastmod conditional recrawl (sitemap.
+        stale_candidates): every third page's declared lastmod is
+        doc_id%7 days (+1s) past its capture time — stale, with
+        priority escalating per stale day; the rest are fresh."""
+        from gocrawl_spark import sitemap as sm
+
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (d % 8).cast("string"), F.lit(".com/p/"),
+            d.cast("string"),
+        )
+        fetch_us = F.lit(1700000000000000).cast("long") + d * 1000000
+        lastmod = F.when(
+            d % 3 == 0,
+            fetch_us + (d % 7) * F.lit(86400000000).cast("long") + 1000000,
+        ).otherwise(fetch_us - 1000000)
+        crawled = _docs(spark, sf_dir).select(
+            url.alias("url"), fetch_us.alias("fetch_ts_us")
+        )
+        declared = _docs(spark, sf_dir).select(
+            url.alias("url"), lastmod.cast("long").alias("lastmod_us")
+        )
+        return sm.stale_candidates(crawled, declared)
+
+    q["crawl_staleness"] = crawl_staleness
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5662,6 +5718,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE r.src IS NULL
     """
     )
+
+    # crawl_ip_politeness: same 40-host/10-block synthesis, same exact
+    # integer split
+    o["crawl_ip_politeness"] = r"""
+        WITH hosts AS MATERIALIZED (
+          SELECT 'h' || (doc_id % 40)::VARCHAR || '.com' AS host,
+                 count(*)::BIGINT AS queued
+          FROM documents GROUP BY 1),
+        res AS (
+          SELECT host, queued,
+                 '10.0.' || (regexp_extract(host, 'h(\d+)\.com', 1)::BIGINT % 10)::VARCHAR
+                     AS ip_block
+          FROM hosts),
+        blocks AS MATERIALIZED (
+          SELECT ip_block, sum(queued)::BIGINT AS block_queued
+          FROM res GROUP BY ip_block)
+        SELECT r.host, r.ip_block, r.queued,
+               least(r.queued,
+                     greatest(1::BIGINT,
+                              (20 * r.queued) // b.block_queued)) AS quota
+        FROM res r JOIN blocks b ON r.ip_block = b.ip_block
+    """
+
+    # crawl_staleness: same epoch-µs synthesis, integer-day escalation
+    o["crawl_staleness"] = r"""
+        WITH c AS MATERIALIZED (
+          SELECT 'https://h' || (doc_id % 8)::VARCHAR || '.com/p/'
+                     || doc_id::VARCHAR AS url,
+                 (1700000000000000 + doc_id * 1000000)::BIGINT AS fetch_ts_us,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 1700000000000000 + doc_id * 1000000
+                           + (doc_id % 7) * 86400000000 + 1000000
+                      ELSE 1700000000000000 + doc_id * 1000000 - 1000000
+                 END::BIGINT AS lastmod_us
+          FROM documents)
+        SELECT url, fetch_ts_us, lastmod_us,
+               (lastmod_us - fetch_ts_us)::BIGINT AS staleness_us,
+               least(10::BIGINT,
+                     5 + (lastmod_us - fetch_ts_us) // 86400000000)
+                   AS refresh_priority
+        FROM c WHERE lastmod_us > fetch_ts_us
+    """
 
     # text_readability: same splitter as word_count_v6, same vowel-group
     # syllable heuristic, identical float op order (two subtractions

@@ -807,3 +807,70 @@ def filter_unseen_cuckoo(
         .applyInPandas(check, schema=out_schema)
     )
     return _split_on_bloom(tagged, seen, hash_col)
+
+
+# ---------------------------------------------------------------------------
+# IP-colocation politeness (server-level budgets)
+# ---------------------------------------------------------------------------
+
+
+def ip_block_expr(ip_col, prefix_octets: int = 3):
+    """Dotted-IPv4 → block key: the first `prefix_octets` octets (3 →
+    /24). Codegen split/slice/join, no UDF."""
+    c = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    return F.array_join(
+        F.slice(F.split(c, r"\."), 1, prefix_octets), "."
+    )
+
+
+def colocated_budgets(
+    host_stats: DataFrame,
+    resolutions: DataFrame,
+    server_cap: int,
+    prefix_octets: int = 3,
+    floor: int = 1,
+    queued_col: str = "queued",
+) -> DataFrame:
+    """Server-level politeness: hosts whose DNS resolutions land in one
+    /24 block share ONE fetch budget — the defense against vanity-
+    domain farms (thousands of hostnames, one physical server) that
+    per-HOST token buckets cannot see. Each block's `server_cap` is
+    split across its hosts proportionally to queued depth:
+
+        quota = min(queued, max(floor, (server_cap*queued) DIV block_queued))
+
+    Output: (host, ip_block, queued, quota). Hosts absent from
+    `resolutions` fall back to a per-host block (no sharing), so an
+    incomplete DNS table degrades to plain host politeness.
+
+    Scale shape: `resolutions` is #hosts rows; both joins are host-/
+    block-keyed equi-joins (AQE picks broadcast when the table is
+    small), the block rollup is ≤#hosts rows, and the split is exact
+    integer arithmetic — bit-equal at any partitioning, like
+    allocate_budgets.
+    """
+    res = resolutions.select(
+        "host", ip_block_expr("ip", prefix_octets).alias("ip_block")
+    )
+    j = (
+        host_stats.select("host", F.col(queued_col).cast("long").alias("queued"))
+        .join(res, "host", "left")
+        .withColumn(
+            "ip_block",
+            F.coalesce(F.col("ip_block"), F.concat(F.lit("host:"), F.col("host"))),
+        )
+    )
+    blocks = j.groupBy("ip_block").agg(
+        F.sum("queued").alias("block_queued")
+    )
+    quota = F.least(
+        F.col("queued"),
+        F.greatest(
+            F.lit(int(floor)).cast("long"), F.expr("_prod DIV block_queued")
+        ),
+    )
+    return (
+        j.join(blocks, "ip_block")
+        .withColumn("_prod", F.lit(int(server_cap)).cast("long") * F.col("queued"))
+        .select("host", "ip_block", "queued", quota.alias("quota"))
+    )

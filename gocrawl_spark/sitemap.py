@@ -326,5 +326,52 @@ def coverage_audit(
 __all__ = [
     "parse_sitemap", "sitemaps_from_robots", "sitemap_entries",
     "fetch_sitemaps", "discover_seeds", "seed_priorities",
-    "coverage_audit",
+    "coverage_audit", "stale_candidates",
 ]
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def stale_candidates(
+    crawled: DataFrame,
+    declared: DataFrame,
+    url_col: str = "url",
+    fetched_us_col: str = "fetch_ts_us",
+    lastmod_us_col: str = "lastmod_us",
+    base_priority: int = 5,
+    max_priority: int = 10,
+) -> DataFrame:
+    """Lastmod-driven conditional recrawl: URLs whose newest declared
+    sitemap ``lastmod`` is strictly newer than the stored capture —
+    the sitemap-side freshness layer beside the ETag validators
+    (rounds.py) and the observed change-rate scheduler
+    (scheduler.change_rates). Output (url, fetch_ts_us, lastmod_us,
+    staleness_us, refresh_priority) where priority escalates one level
+    per stale DAY from `base_priority`, clamped at `max_priority`, so
+    long-stale pages jump the frontier queue (epoch-µs longs, integer
+    DIV — bit-equal across engines).
+
+    Scale shape: declared side dedupes to max(lastmod) per loc
+    (map-side combined), then ONE url-keyed equi-join against the
+    capture table; output is only the stale subset.
+    """
+    d = (
+        declared.groupBy(F.col(url_col).alias("url"))
+        .agg(F.max(F.col(lastmod_us_col).cast("long")).alias("lastmod_us"))
+    )
+    c = crawled.select(
+        F.col(url_col).alias("url"),
+        F.col(fetched_us_col).cast("long").alias("fetch_ts_us"),
+    )
+    j = c.join(d, "url").filter(F.col("lastmod_us") > F.col("fetch_ts_us"))
+    stale = (F.col("lastmod_us") - F.col("fetch_ts_us")).alias("staleness_us")
+    prio = F.least(
+        F.lit(int(max_priority)).cast("long"),
+        F.lit(int(base_priority)).cast("long")
+        + F.expr(f"(lastmod_us - fetch_ts_us) DIV {US_PER_DAY}"),
+    )
+    return j.select(
+        "url", "fetch_ts_us", "lastmod_us", stale,
+        prio.alias("refresh_priority"),
+    )

@@ -457,3 +457,30 @@ def test_filter_unseen_dispatches_cuckoo_df(spark):
         for r in fr.filter_unseen(cand, seen, cu, spark, n_shards=4).collect()
     }
     assert got == {h for h in _cuckoo_hashes(50, tag="n")}
+
+
+def test_colocated_budgets_shares_server_cap(spark):
+    """Hosts in one /24 block split server_cap proportionally to
+    queued depth (integer DIV, floored); unresolved hosts degrade to a
+    private per-host block and keep their full (capped) quota."""
+    from gocrawl_spark.frontier import colocated_budgets
+
+    stats = spark.createDataFrame(
+        [("a.com", 30), ("b.com", 10), ("c.com", 5), ("d.com", 100)],
+        "host string, queued long",
+    )
+    res = spark.createDataFrame(
+        [("a.com", "10.0.1.7"), ("b.com", "10.0.1.9"), ("c.com", "10.0.2.1")],
+        "host string, ip string",
+    )
+    got = {
+        r["host"]: (r["ip_block"], r["quota"])
+        for r in colocated_budgets(stats, res, server_cap=20).collect()
+    }
+    # block 10.0.1: queued 40 -> a gets 20*30//40=15, b gets 20*10//40=5
+    assert got["a.com"] == ("10.0.1", 15)
+    assert got["b.com"] == ("10.0.1", 5)
+    # alone in its block: min(queued, cap)
+    assert got["c.com"] == ("10.0.2", 5)
+    # unresolved: private block, full cap
+    assert got["d.com"] == ("host:d.com", 20)

@@ -224,3 +224,31 @@ def test_coverage_audit(spark):
     c = got["c.com"]
     # nothing declared → coverage_bp pinned to 0, not a division error
     assert (c["n_declared"], c["n_crawled_only"], c["coverage_bp"]) == (0, 1, 0)
+
+
+def test_stale_candidates(spark):
+    """Only URLs with a declared lastmod strictly newer than the
+    capture surface; the newest declaration wins; priority escalates
+    one level per stale day, clamped at max."""
+    from gocrawl_spark.sitemap import US_PER_DAY, stale_candidates
+
+    crawled = spark.createDataFrame(
+        [("u1", 1000), ("u2", 1000), ("u3", 1000)],
+        "url string, fetch_ts_us long",
+    )
+    declared = spark.createDataFrame(
+        [
+            ("u1", 500),                      # older -> fresh
+            ("u1", 1000 + 2 * US_PER_DAY),    # newest wins: 2 days stale
+            ("u2", 1000 + 30 * US_PER_DAY),   # clamped at max_priority
+            ("u4", 99999),                    # never crawled -> ignored
+        ],
+        "url string, lastmod_us long",
+    )
+    got = {
+        r["url"]: (r["staleness_us"], r["refresh_priority"])
+        for r in stale_candidates(crawled, declared).collect()
+    }
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"] == (2 * US_PER_DAY, 7)
+    assert got["u2"] == (30 * US_PER_DAY, 10)
