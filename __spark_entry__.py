@@ -1979,6 +1979,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_staleness"] = crawl_staleness
 
+    def crawl_url_templates(spark, sf_dir):
+        """URL pattern census (canonicalize.url_templates): article
+        pages /p/N, calendar pages /cal/N/N/N, and a static /about per
+        host — digit-masked templates rolled up with member counts,
+        the enumerable-space report behind crawl-budget throttling."""
+        from gocrawl_spark import canonicalize as canon
+
+        d = F.col("doc_id")
+        host = F.concat(F.lit("https://h"), (d % 6).cast("string"), F.lit(".com"))
+        url = F.when(
+            d % 5 == 0, F.concat(host, F.lit("/about"))
+        ).when(
+            d % 5 == 1,
+            F.concat(
+                host, F.lit("/cal/2024/"), (d % 12).cast("string"),
+                F.lit("/"), (d % 28).cast("string"),
+            ),
+        ).otherwise(F.concat(host, F.lit("/p/"), d.cast("string")))
+        pages = _docs(spark, sf_dir).select(url.alias("url"))
+        return canon.url_templates(pages, min_count=2)
+
+    q["crawl_url_templates"] = crawl_url_templates
+
+    def crawl_link_reciprocity(spark, sf_dir):
+        """Nepotistic-linking census (graphrank.link_reciprocity) over
+        a synthesized 12-host graph where hosts 0-3 form a mutual-
+        admiration clique (every edge reciprocated) and the rest link
+        forward-only — basis-point reciprocity as exact integer DIV."""
+        from gocrawl_spark import graphrank
+
+        d = F.col("doc_id")
+        a = (d % 12).cast("long")
+        b = (F.expr("doc_id DIV 12") % 12).cast("long")
+        # clique among 0-3: emit both directions; others: forward only
+        fwd = _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), a.cast("string"), F.lit(".com")).alias("src_host"),
+            F.concat(F.lit("h"), b.cast("string"), F.lit(".com")).alias("dst_host"),
+        )
+        back = (
+            _docs(spark, sf_dir)
+            .filter((a < 4) & (b < 4))
+            .select(
+                F.concat(F.lit("h"), b.cast("string"), F.lit(".com")).alias(
+                    "src_host"
+                ),
+                F.concat(F.lit("h"), a.cast("string"), F.lit(".com")).alias(
+                    "dst_host"
+                ),
+            )
+        )
+        return graphrank.link_reciprocity(fwd.unionByName(back))
+
+    q["crawl_link_reciprocity"] = crawl_link_reciprocity
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5759,6 +5813,59 @@ def oracle_sql() -> dict[str, str]:
                      5 + (lastmod_us - fetch_ts_us) // 86400000000)
                    AS refresh_priority
         FROM c WHERE lastmod_us > fetch_ts_us
+    """
+
+    # crawl_url_templates: same synthesis, same digit masking + rollup
+    o["crawl_url_templates"] = r"""
+        WITH pages AS (
+          SELECT CASE
+                   WHEN doc_id % 5 = 0
+                     THEN 'https://h' || (doc_id % 6)::VARCHAR || '.com/about'
+                   WHEN doc_id % 5 = 1
+                     THEN 'https://h' || (doc_id % 6)::VARCHAR || '.com/cal/2024/'
+                          || (doc_id % 12)::VARCHAR || '/' || (doc_id % 28)::VARCHAR
+                   ELSE 'https://h' || (doc_id % 6)::VARCHAR || '.com/p/'
+                        || doc_id::VARCHAR
+                 END AS url
+          FROM documents),
+        t AS (
+          SELECT url,
+                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                 regexp_replace(
+                     CASE WHEN regexp_extract(url,
+                              '^https?://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+                          ELSE regexp_extract(url,
+                              '^https?://[^/?#]*([^?#]*)', 1) END,
+                     '[0-9]+', 'N', 'g') AS template
+          FROM pages)
+        SELECT host, template, count(*)::BIGINT AS n_urls,
+               min(url) AS example_url
+        FROM t GROUP BY host, template
+        HAVING count(*) >= 2
+    """
+
+    # crawl_link_reciprocity: same 12-host graph with the 0-3 clique
+    o["crawl_link_reciprocity"] = r"""
+        WITH raw AS (
+          SELECT 'h' || (doc_id % 12)::VARCHAR || '.com' AS src,
+                 'h' || ((doc_id // 12) % 12)::VARCHAR || '.com' AS dst
+          FROM documents
+          UNION ALL
+          SELECT 'h' || ((doc_id // 12) % 12)::VARCHAR || '.com',
+                 'h' || (doc_id % 12)::VARCHAR || '.com'
+          FROM documents
+          WHERE doc_id % 12 < 4 AND (doc_id // 12) % 12 < 4),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        agg AS (
+          SELECT e.src AS host, count(*)::BIGINT AS n_out,
+                 sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_recip
+          FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+          GROUP BY e.src)
+        SELECT host, n_out, n_recip,
+               (n_recip * 10000) // n_out AS reciprocity_bp
+        FROM agg
     """
 
     # text_readability: same splitter as word_count_v6, same vowel-group

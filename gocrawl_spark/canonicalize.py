@@ -389,3 +389,40 @@ def apply_dust_rules(
     return joined.withColumn(out_col, rewritten).drop(
         "_dust_host", "_strip_params"
     )
+
+
+def url_templates(
+    pages,
+    url_col: str = "url",
+    min_count: int = 2,
+):
+    """URL pattern mining: mask digit runs in the path to ``N`` and
+    roll up to (host, template, n_urls, example_url) — the census of a
+    site's enumerable URL spaces (``/p/N``, ``/cal/N/N/N``) that drives
+    crawl-budget decisions: a template with millions of members and low
+    content yield is a listing/calendar space to throttle, the
+    complement of the per-URL :func:`is_trap_expr` gate.
+
+    `example_url` is the lexicographic min member (deterministic).
+    Templates under `min_count` members are dropped. One codegen'd
+    projection + one (host, template) rollup — hosts×templates output
+    rows, no joins, at 10^10 URLs a single shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col)
+    host = F.regexp_extract(c, r"^https?://([^/?#]+)", 1)
+    path = F.regexp_extract(c, r"^https?://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    template = F.regexp_replace(path, r"[0-9]+", "N")
+    return (
+        pages.select(
+            host.alias("host"), template.alias("template"), c.alias("url")
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= min_count)
+    )

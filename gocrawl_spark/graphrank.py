@@ -692,3 +692,38 @@ def hreflang_audit(alternates: DataFrame) -> DataFrame:
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     return fwd.join(rev, ["src", "dst"], "left_anti").select("src", "dst")
+
+
+def link_reciprocity(host_edges: DataFrame) -> DataFrame:
+    """Per-host nepotistic-linking signals over the host graph: of a
+    host's distinct out-neighbors, how many link straight back?
+    Organic hosts reciprocate a little; link farms reciprocate almost
+    everything (the TrustRank-era mutual-admiration signature this
+    feeds into trust_rank seed selection as a cheap pre-filter).
+
+    Input: (src_host, dst_host) edges (duplicates fine). Output:
+    (host, n_out, n_recip, reciprocity_bp) with basis points as exact
+    integer DIV. Self-loops are ignored. One distinct + one left_semi
+    equi-join on the reversed edge + one host rollup — no pairwise
+    host comparison, #hosts output rows.
+    """
+    e = (
+        host_edges.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").groupBy("src").agg(
+        F.count("*").cast("long").alias("n_recip")
+    )
+    out = e.groupBy("src").agg(F.count("*").cast("long").alias("n_out"))
+    return (
+        out.join(recip, "src", "left")
+        .withColumn("n_recip", F.coalesce(F.col("n_recip"), F.lit(0).cast("long")))
+        .select(
+            F.col("src").alias("host"), "n_out", "n_recip",
+            F.expr("n_recip * 10000 DIV n_out").alias("reciprocity_bp"),
+        )
+    )

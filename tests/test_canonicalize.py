@@ -223,3 +223,25 @@ def test_apply_dust_rules(spark):
     assert got["https://h1.com/plain"] == "https://h1.com/plain"
     assert got["https://h2.com/p?a=1&sid=9"] == "https://h2.com/p?a=1&sid=9"
     assert got["https://h3.com/p?sid=9"] == "https://h3.com/p?sid=9"
+
+
+def test_url_templates(spark):
+    """Digit runs mask to N; min_count filters singletons; example is
+    the lexicographic min member."""
+    from gocrawl_spark.canonicalize import url_templates
+
+    urls = [
+        "https://h.com/p/1", "https://h.com/p/22", "https://h.com/p/9",
+        "https://h.com/cal/2024/3/14", "https://h.com/cal/2023/1/2",
+        "https://h.com/about",
+        "https://other.com/p/5",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["example_url"])
+        for r in url_templates(df, min_count=2).collect()
+    }
+    assert got[("h.com", "/p/N")] == (3, "https://h.com/p/1")
+    assert got[("h.com", "/cal/N/N/N")] == (2, "https://h.com/cal/2023/1/2")
+    assert ("h.com", "/about") not in got       # singleton dropped
+    assert ("other.com", "/p/N") not in got     # singleton dropped

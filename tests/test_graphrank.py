@@ -400,3 +400,28 @@ def test_hreflang_cluster_and_audit(spark):
     assert clusters[b] == (b, "en")  # b sees only itself
     audit = {(r["src"], r["dst"]) for r in hreflang_audit(alts).collect()}
     assert audit == {(a, b)}
+
+
+def test_link_reciprocity(spark):
+    """Mutual edges count as reciprocated; duplicates and self-loops
+    are ignored; hosts with zero reciprocation report 0 bp."""
+    from gocrawl_spark.graphrank import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a.com", "b.com"), ("b.com", "a.com"),   # mutual
+            ("a.com", "c.com"),                        # one-way
+            ("a.com", "c.com"),                        # duplicate
+            ("c.com", "c.com"),                        # self-loop
+            ("d.com", "a.com"),                        # one-way in
+        ],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r["host"]: (r["n_out"], r["n_recip"], r["reciprocity_bp"])
+        for r in link_reciprocity(edges).collect()
+    }
+    assert got["a.com"] == (2, 1, 5000)
+    assert got["b.com"] == (1, 1, 10000)
+    assert got["d.com"] == (1, 0, 0)
+    assert "c.com" not in got  # only a self-loop -> no out-edges
