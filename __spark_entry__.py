@@ -1603,6 +1603,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_dup_recall"] = emb_dup_recall
 
+    def emb_bitext_margin(spark, sf_dir):
+        """Ratio-margin bitext mining (similarity.mine_bitext, the
+        LASER/CCMatrix recipe) between the even-id and odd-id halves
+        of the embedding table standing in for two languages: mutual
+        top-1 pairs whose cosine beats the average of each side's
+        4-NN neighborhood (sorted IEEE fold, round 6)."""
+        emb = _emb(spark, sf_dir)
+        return similarity.mine_bitext(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            k=4,
+            margin_threshold=1.0,
+        )
+
+    q["emb_bitext_margin"] = emb_bitext_margin
+
     def ann_recall(spark, sf_dir):
         """Probe-path recall@k of the IVF index vs exact brute-force
         top-k at the bench's k (nprobe=4 of 16 cells) — the eval that
@@ -5943,6 +5959,52 @@ def oracle_sql() -> dict[str, str]:
     _qdot = "list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * k.embedding[i]::DOUBLE))"
     _qnorm = "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))"
     _knorm = "sqrt(list_sum(list_transform(range(1, 65), i -> k.embedding[i]::DOUBLE * k.embedding[i]::DOUBLE)))"
+    # emb_bitext_margin: same even/odd split, same brute 4-NN, same
+    # sorted-fold averages and ratio margin
+    _bitext_avg = (
+        "round(list_reduce(list_prepend(0.0, list(score ORDER BY score)),"
+        " (x, y) -> x + y) / 4.0, 6)"
+    )
+    o["emb_bitext_margin"] = f"""
+        WITH ev AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        od AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        fwd AS MATERIALIZED (
+          SELECT q.query_id, k.vec_id AS neighbor_id,
+                 round({_qdot} / ({_qnorm} * {_knorm}), 6) AS score
+          FROM (SELECT vec_id AS query_id, embedding AS qv FROM ev) q, od k),
+        fr AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                     AS rnk
+          FROM fwd),
+        bwd AS MATERIALIZED (
+          SELECT q.query_id, k.vec_id AS neighbor_id,
+                 round({_qdot} / ({_qnorm} * {_knorm}), 6) AS score
+          FROM (SELECT vec_id AS query_id, embedding AS qv FROM od) q, ev k),
+        br AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                     AS rnk
+          FROM bwd),
+        favg AS (SELECT query_id, {_bitext_avg} AS avg_f
+                 FROM fr WHERE rnk <= 4 GROUP BY query_id),
+        bavg AS (SELECT query_id, {_bitext_avg} AS avg_b
+                 FROM br WHERE rnk <= 4 GROUP BY query_id),
+        f1 AS (SELECT query_id AS src_id, neighbor_id AS tgt_id, score
+               FROM fr WHERE rnk = 1),
+        b1 AS (SELECT neighbor_id AS src_id, query_id AS tgt_id
+               FROM br WHERE rnk = 1),
+        mut AS (SELECT f1.* FROM f1 JOIN b1 USING (src_id, tgt_id)),
+        fin AS (
+          SELECT m.src_id, m.tgt_id, m.score,
+                 round(m.score / ((fa.avg_f + ba.avg_b) / 2.0), 6) AS margin
+          FROM mut m JOIN favg fa ON fa.query_id = m.src_id
+                     JOIN bavg ba ON ba.query_id = m.tgt_id)
+        SELECT src_id, tgt_id, score, margin FROM fin WHERE margin >= 1.0
+    """
+
     o["ann_lsh"] = f"""
         WITH keys AS (
           SELECT vec_id, embedding, {_sql_band_key(list(range(8)))} AS key FROM embeddings),

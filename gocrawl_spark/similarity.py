@@ -988,3 +988,84 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (cross-lingual parallel-pair discovery)
+# ---------------------------------------------------------------------------
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin bitext mining (Artetxe & Schwenk, ACL'19 — the
+    LASER/CCMatrix recipe): a (src, tgt) sentence/doc pair is accepted
+    when the two embeddings are MUTUAL nearest neighbors and their
+    cosine stands out against each side's local neighborhood density:
+
+        margin(x, y) = cos(x, y) / ((avg_kNN(x→tgt) + avg_kNN(y→src)) / 2)
+
+    This is the standard mining step that turns a multilingual crawl
+    (e.g. the hreflang-clustered page variants) into parallel training
+    corpus, robust to hubness in a way raw-cosine thresholds are not.
+
+    Output: (src_id, tgt_id, score, margin), mutual-top-1 pairs with
+    margin ≥ threshold. Determinism: cosines rounded to 6; the k-NN
+    average folds a SORTED score list sequentially (IEEE order fixed
+    across engines/parallelism) then rounds to 6.
+
+    Scale shape: built on brute_topk (query side broadcast, corpus
+    never shuffles) — the exact twin; at 10^8+ rows per side swap in
+    the IVF/LSH probes (ann_ivf/ann_lsh) for candidate generation and
+    keep this scoring tail. Top-1/avg-k are per-query window/rollup
+    over k·|queries| rows, no all-pairs materialization.
+    """
+    fwd = brute_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = brute_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+
+    def _avg(nn: DataFrame, out: str) -> DataFrame:
+        fold = F.aggregate(
+            F.array_sort(F.collect_list("score")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return nn.groupBy("query_id").agg(
+            F.round(fold / F.lit(float(k)), 6).alias(out)
+        )
+
+    f1 = fwd.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "score",
+    )
+    b1 = bwd.filter(F.col("rank") == 1).select(
+        F.col("neighbor_id").alias("src_id"),
+        F.col("query_id").alias("tgt_id"),
+    )
+    mutual = f1.join(b1, ["src_id", "tgt_id"], "left_semi")
+    scored = (
+        mutual.join(
+            _avg(fwd, "avg_f").withColumnRenamed("query_id", "src_id"),
+            "src_id",
+        )
+        .join(
+            _avg(bwd, "avg_b").withColumnRenamed("query_id", "tgt_id"),
+            "tgt_id",
+        )
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("score")
+                / ((F.col("avg_f") + F.col("avg_b")) / F.lit(2.0)),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("margin") >= F.lit(margin_threshold)).select(
+        "src_id", "tgt_id", "score", "margin"
+    )

@@ -3036,3 +3036,35 @@ def test_mojibake_stats_gate(spark):
     assert by["clean"]["n_mojibake"] == 0 and by["clean"]["is_clean"]
     assert by["damag"]["n_mojibake"] == 4 and not by["damag"]["is_clean"]
     assert by["ctl \x07"]["n_ctrl"] == 2 and not by["ctl \x07"]["is_clean"]
+
+
+def test_mine_bitext_mutual_margin(spark):
+    """A true translation pair (near-identical vectors) is mined with a
+    high margin; a one-directional attraction to a hub vector fails the
+    mutual-top-1 requirement."""
+    from gocrawl_spark import similarity
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0]),
+         (4, [0.5, 0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [0.99, 0.01, 0.0, 0.0]),   # pair of 0
+         (3, [0.01, 0.99, 0.0, 0.0]),   # pair of 2
+         (5, [0.5, 0.5, 0.49, 0.51]),   # pair of 4
+         (7, [0.6, 0.45, 0.35, 0.25])],  # hub near 4 but not its top-1
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in similarity.mine_bitext(
+            src, tgt, k=2, margin_threshold=1.0
+        ).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3), (4, 5)}
+    assert all(m >= 1.0 for m in got.values())
+    # the crisp pairs stand out more against their neighborhoods than
+    # the hub-adjacent one
+    assert got[(0, 1)] > got[(4, 5)] and got[(2, 3)] > got[(4, 5)]
