@@ -663,6 +663,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wp_encode_greedy"] = wp_encode_greedy
 
+    def _unigram_docs(spark, sf_dir):
+        """Small-alphabet corpus for the unigram trio: words built
+        from ab/cd repeats and a sliding 3-gram of 'abcdabcd', so
+        substrings collide meaningfully and Viterbi has real
+        segmentation choices."""
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                "concat(repeat('ab', int(1 + doc_id % 3)), ' ',"
+                " repeat('cd', int(1 + (doc_id DIV 3) % 2)), 'x ',"
+                " substring('abcdabcd', int(1 + doc_id % 4), 3))"
+            ).alias("text"),
+        )
+
+    def unigram_seed_vocab(spark, sf_dir):
+        """SentencePiece-unigram seed vocabulary (unigram.seed_vocab):
+        overlap-counted substrings ≤4 chars, all singles kept for
+        coverage, top multis by (count, piece), scores round(ln(c/C),6)
+        — pure codegen, one groupBy."""
+        from gocrawl_spark import unigram as ug
+
+        return ug.seed_vocab(
+            _unigram_docs(spark, sf_dir), vocab_size=12, max_piece_len=4
+        )
+
+    q["unigram_seed_vocab"] = unigram_seed_vocab
+
+    def unigram_encode_viterbi(spark, sf_dir):
+        """Unigram Viterbi encode (unigram.encode_viterbi): max-score
+        segmentation per DISTINCT word under the seed scores, ties to
+        the longer final piece; docs reassemble by equi-join. Oracle
+        enumerates every segmentation through a recursive CTE and
+        arg-maxes (score, reversed-length-sequence) — the exact
+        enumeration twin of the DP."""
+        from gocrawl_spark import unigram as ug
+
+        docs = _unigram_docs(spark, sf_dir)
+        toks = ug.encode_viterbi(
+            docs, ug.seed_vocab(docs, vocab_size=12, max_piece_len=4)
+        )
+        return toks.select(
+            "doc_id",
+            F.size("tokens").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("tokens", 1, 10)).alias("head_toks"),
+            F.md5(F.concat_ws(",", "tokens")).alias("toks_md5"),
+        )
+
+    q["unigram_encode_viterbi"] = unigram_encode_viterbi
+
+    def unigram_em_step(spark, sf_dir):
+        """One hard-EM round (unigram.em_step): Viterbi usage counts
+        under the seed vocab, re-scored; pieces the Viterbi never
+        picks drop out — the pruning dynamic of the full trainer in
+        one auditable sweep."""
+        from gocrawl_spark import unigram as ug
+
+        docs = _unigram_docs(spark, sf_dir)
+        return ug.em_step(
+            docs, ug.seed_vocab(docs, vocab_size=12, max_piece_len=4)
+        )
+
+    q["unigram_em_step"] = unigram_em_step
+
     def bpe_fertility(spark, sf_dir):
         """Tokenizer fertility by language: tokens-per-word and
         chars-per-token under the trained BPE — the standard
@@ -5938,6 +6001,101 @@ def oracle_sql() -> dict[str, str]:
                ((n_mojibake + n_ctrl) * 1000000) // n_chars <= 500 AS is_clean
         FROM s
     """
+
+    # unigram_*: same small-alphabet fixture; seed vocab by substring
+    # enumeration; the encode twin enumerates every segmentation via a
+    # recursive CTE and arg-maxes (score DESC, reversed-lens DESC) —
+    # exactly the DP's optimum with its longer-final-piece tie-break
+    _ug_cte = r"""
+        WITH RECURSIVE docs2 AS MATERIALIZED (
+          SELECT doc_id,
+                 repeat('ab', (1 + doc_id % 3)::INT) || ' '
+                 || repeat('cd', (1 + (doc_id // 3) % 2)::INT) || 'x '
+                 || substr('abcdabcd', (1 + doc_id % 4)::INT, 3) AS text
+          FROM documents),
+        w AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(regexp_extract_all(text,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS word
+            FROM docs2) GROUP BY word),
+        sub AS MATERIALIZED (
+          SELECT substr(word, i::INT, l::INT) AS piece, sum(cnt)::BIGINT AS c
+          FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i
+                FROM w),
+               unnest([1, 2, 3, 4]) AS t(l)
+          WHERE i + l - 1 <= length(word)
+          GROUP BY 1),
+        singles AS MATERIALIZED (
+          SELECT piece, c FROM sub WHERE length(piece) = 1),
+        multi AS (
+          SELECT piece, c FROM (
+            SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+            FROM sub WHERE length(piece) > 1)
+          WHERE rk <= 12 - (SELECT count(*) FROM singles)),
+        sel AS MATERIALIZED (
+          SELECT * FROM singles UNION ALL SELECT * FROM multi),
+        voc AS MATERIALIZED (
+          SELECT piece, c,
+                 round(ln(c::DOUBLE / (SELECT sum(c) FROM sel)::DOUBLE), 6)
+                     AS score
+          FROM sel),
+    """
+    _ug_seg = r"""
+        wl AS MATERIALIZED (SELECT DISTINCT word FROM w),
+        seg AS (
+          SELECT word, 0::BIGINT AS pos, 0.0::DOUBLE AS score,
+                 []::BIGINT[] AS lens, []::VARCHAR[] AS toks
+          FROM wl
+          UNION ALL
+          SELECT s.word, s.pos + length(v.piece), s.score + v.score,
+                 list_prepend(length(v.piece)::BIGINT, s.lens),
+                 list_append(s.toks, v.piece)
+          FROM seg s JOIN voc v
+            ON substr(s.word, (s.pos + 1)::INT, length(v.piece)) = v.piece
+          WHERE s.pos < length(s.word)),
+        best AS MATERIALIZED (
+          SELECT word, toks FROM (
+            SELECT word, toks, row_number() OVER (
+                     PARTITION BY word ORDER BY score DESC, lens DESC) AS rk
+            FROM seg WHERE pos = length(word))
+          WHERE rk = 1),
+    """
+    o["unigram_seed_vocab"] = (
+        _ug_cte + r"""fin AS (SELECT piece, c, score FROM voc)
+        SELECT piece, c, score FROM fin
+    """
+    )
+    o["unigram_encode_viterbi"] = (
+        _ug_cte + _ug_seg
+        + r"""pieces AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text,
+                     '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS word,
+                 generate_subscripts(regexp_extract_all(text,
+                     '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1), 1) AS i
+          FROM docs2),
+        tok AS (SELECT p.doc_id, flatten(list(b.toks ORDER BY p.i)) AS toks
+                FROM pieces p JOIN best b USING (word)
+                GROUP BY p.doc_id)
+        SELECT doc_id, len(toks) AS n_tokens,
+               array_to_string(list_slice(toks, 1, 10), ' ') AS head_toks,
+               md5(array_to_string(toks, ',')) AS toks_md5
+        FROM tok
+    """
+    )
+    o["unigram_em_step"] = (
+        _ug_cte + _ug_seg
+        + r"""usage AS MATERIALIZED (
+          SELECT piece, sum(c)::BIGINT AS c FROM (
+            SELECT w.cnt AS c, unnest(b.toks) AS piece
+            FROM w JOIN best b USING (word))
+          GROUP BY piece)
+        SELECT piece, c,
+               round(ln(c::DOUBLE / (SELECT sum(c) FROM usage)::DOUBLE), 6)
+                   AS score
+        FROM usage
+    """
+    )
 
     # dsir_sample: same weights, Gumbel-top-k with md5-seeded noise
     _dsir_wgt_cte = o["dsir_select"][: o["dsir_select"].index("rk AS")]

@@ -310,3 +310,47 @@ def test_wp_greedy_encode_prefix_unk_and_divergence(spark):
     a = sorted(map(tuple, wp.encode_greedy(big.repartition(1), vv).collect()))
     b = sorted(map(tuple, wp.encode_greedy(big.repartition(8), vv).collect()))
     assert a == b
+
+
+def test_unigram_viterbi_word_semantics():
+    """Max-score segmentation wins; exact ties prefer the longer FINAL
+    piece; uncoverable words return None."""
+    from gocrawl_spark.unigram import viterbi_word
+
+    scores = {"a": -2.0, "b": -2.0, "ab": -1.5, "abab": -3.0}
+    # 'abab': ab+ab = -3.0 equals abab = -3.0 -> tie; a+b+ab etc. worse.
+    # longer final piece wins the tie: the single piece 'abab'
+    assert viterbi_word("abab", scores, 4) == ["abab"]
+    # clear max-score case: ab+ab (-3.0) beats a+b+a+b (-8.0)
+    assert viterbi_word("ab", scores, 4) == ["ab"]
+    # tie inside a longer word: 'ababab' -> ab+abab vs abab+ab vs ab*3
+    # (-4.5): ab+abab and abab+ab tie at -4.5 w/ ab*3; longest final
+    # piece wins -> ab + abab
+    assert viterbi_word("ababab", scores, 4) == ["ab", "abab"]
+    # unknown character -> None (caller emits [UNK])
+    assert viterbi_word("abz", scores, 4) is None
+
+
+def test_unigram_seed_and_em(spark):
+    """Seed vocab keeps every single char, cuts multis at vocab_size;
+    one EM step drops never-used pieces and re-normalizes scores."""
+    import math
+
+    from gocrawl_spark import unigram as ug
+
+    docs = spark.createDataFrame(
+        [(0, "abab ab cdx"), (1, "ababab cdcdx abc"), (2, "ab abab cdx bcd")],
+        "doc_id long, text string",
+    )
+    vocab = ug.seed_vocab(docs, vocab_size=12, max_piece_len=4)
+    rows = {r["piece"]: (r["c"], r["score"]) for r in vocab.collect()}
+    assert len(rows) == 12
+    for ch in "abcdx":
+        assert ch in rows
+    total = sum(c for c, _ in rows.values())
+    c_ab = rows["ab"][0]
+    assert abs(rows["ab"][1] - round(math.log(c_ab / total), 6)) < 1e-9
+    em = {r["piece"]: r["c"] for r in ug.em_step(docs, vocab).collect()}
+    # Viterbi never emits single 'a' or 'd' under these scores
+    assert "a" not in em and "d" not in em
+    assert em["ab"] > 0 and em["cdx"] > 0
