@@ -2112,6 +2112,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_link_reciprocity"] = crawl_link_reciprocity
 
+    def _card_pages(spark, sf_dir):
+        d = F.col("doc_id")
+        return _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), (d % 10).cast("string"), F.lit(".com")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("https://h"), (d % 10).cast("string"), F.lit(".com/p/"),
+                (F.expr("doc_id DIV 10") % 37).cast("string"),
+            ).alias("url"),
+        )
+
+    def corpus_host_cardinality(spark, sf_dir):
+        """From-scratch deterministic HyperLogLog (corpusstats.
+        hll_registers/hll_estimate, p=8): distinct-URL estimate per
+        host on a ≤37-distinct fixture — the linear-counting regime —
+        joined against the exact distinct for the report. md5-derived
+        registers and an exact DECIMAL harmonic sum make the estimate
+        bit-equal across engines and parallelism, unlike
+        approx_count_distinct."""
+        from gocrawl_spark import corpusstats as cs
+
+        pages = _card_pages(spark, sf_dir)
+        est = cs.hll_estimate(
+            cs.hll_registers(pages, "url", ["host"], p=8), ["host"], p=8
+        )
+        exact = pages.groupBy("host").agg(
+            F.countDistinct("url").cast("long").alias("exact_distinct")
+        )
+        return est.join(exact, "host")
+
+    q["corpus_host_cardinality"] = corpus_host_cardinality
+
+    def corpus_url_cardinality(spark, sf_dir):
+        """The same HLL at p=4 (m=16) over every distinct doc URL —
+        500 distinct ≫ 2.5m, exercising the raw harmonic-mean branch
+        of the estimator."""
+        from gocrawl_spark import corpusstats as cs
+
+        d = F.col("doc_id")
+        pages = _docs(spark, sf_dir).select(
+            F.concat(
+                F.lit("https://h"), (d % 10).cast("string"), F.lit(".com/p/"),
+                d.cast("string"),
+            ).alias("url")
+        )
+        est = cs.hll_estimate(cs.hll_registers(pages, "url", [], p=4), [], p=4)
+        exact = pages.agg(
+            F.countDistinct("url").cast("long").alias("exact_distinct")
+        )
+        return est.crossJoin(exact)
+
+    q["corpus_url_cardinality"] = corpus_url_cardinality
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -5946,6 +6000,77 @@ def oracle_sql() -> dict[str, str]:
                (n_recip * 10000) // n_out AS reciprocity_bp
         FROM agg
     """
+
+    # corpus_*_cardinality: the from-scratch HLL re-derived — same md5
+    # register layout, exact integer harmonic sum (HUGEINT ≡ Spark's
+    # DECIMAL(38,0)), same literals, same branch order
+    def _hll_sql(pages_cte: str, grp: str, p: int, exact_join: str) -> str:
+        m = 1 << p
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        fac = repr(alpha * m * m)
+        shard = 1 << (p - 4) if p >= 4 else 1
+        width = 64 - p
+        g = grp + ", " if grp else ""
+        gb = f"GROUP BY {grp}" if grp else ""
+        gbb = f"{grp}, " if grp else ""
+        raw = f"({fac} * 4611686018427387904.0 / tot::DOUBLE)"
+        return f"""
+        WITH pages AS MATERIALIZED ({pages_cte}),
+        h AS (
+          SELECT {g}('0x' || substr(md5(url), 1, 15))::UBIGINT::BIGINT AS h_hi,
+                 ('0x' || substr(md5(url), 16, 1))::UBIGINT::BIGINT AS h_lo
+          FROM pages),
+        r AS (
+          SELECT {g}(h_hi % {shard}) * 16 + h_lo AS bucket,
+                 least(CASE WHEN h_hi // {shard} > 0
+                            THEN {width} - length(bin(h_hi // {shard})) + 1
+                            ELSE {width} + 1 END, 62)::BIGINT AS rho
+          FROM h),
+        regs AS (
+          SELECT {g}bucket, max(rho) AS rho
+          FROM r GROUP BY {gbb}bucket),
+        agg AS (
+          SELECT {g}count(*)::BIGINT AS n_buckets,
+                 sum(1::BIGINT << (62 - rho)::INT) AS occ
+          FROM regs {gb}),
+        est AS (
+          SELECT {g}n_buckets, ({m} - n_buckets)::BIGINT AS v,
+                 occ + (({m} - n_buckets)::HUGEINT
+                        * (1::BIGINT << 62)::HUGEINT) AS tot
+          FROM agg),
+        fin AS (
+          SELECT {g}n_buckets,
+                 round(CASE WHEN {raw} <= {2.5 * m!r} AND v > 0
+                            THEN {float(m)!r} * ln({float(m)!r} / v::DOUBLE)
+                            ELSE {raw} END, 6) AS estimate
+          FROM est)
+        {exact_join}
+        """
+
+    _card_pages_cte = (
+        "SELECT 'h' || (doc_id % 10)::VARCHAR || '.com' AS host,"
+        " 'https://h' || (doc_id % 10)::VARCHAR || '.com/p/'"
+        " || ((doc_id // 10) % 37)::VARCHAR AS url FROM documents"
+    )
+    o["corpus_host_cardinality"] = _hll_sql(
+        _card_pages_cte,
+        "host",
+        8,
+        """SELECT f.host, f.n_buckets, f.estimate, e.exact_distinct
+        FROM fin f JOIN (
+          SELECT host, count(DISTINCT url)::BIGINT AS exact_distinct
+          FROM pages GROUP BY host) e ON e.host = f.host""",
+    )
+    o["corpus_url_cardinality"] = _hll_sql(
+        "SELECT 'https://h' || (doc_id % 10)::VARCHAR || '.com/p/'"
+        " || doc_id::VARCHAR AS url FROM documents",
+        "",
+        4,
+        """SELECT f.n_buckets, f.estimate, e.exact_distinct
+        FROM fin f, (
+          SELECT count(DISTINCT url)::BIGINT AS exact_distinct
+          FROM pages) e""",
+    )
 
     # text_readability: same splitter as word_count_v6, same vowel-group
     # syllable heuristic, identical float op order (two subtractions

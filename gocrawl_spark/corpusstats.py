@@ -344,3 +344,108 @@ def dist_drift(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
             F.abs(F.col("ppm_a") - F.col("ppm_b")).cast("long").alias("delta_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007) — a from-scratch,
+# engine-stable sketch. Spark's approx_count_distinct and DuckDB's
+# approx sketches use different hash/register layouts, so they can
+# never cross-verify; this one fixes the hash (first 16 md5 hex chars
+# → uint64), the register layout, and the float op order, so the
+# SAME estimate falls out of both engines bit-for-bit and at any
+# parallelism. Use it where the exact distinct groupBy is the
+# bottleneck: distinct URLs per host at 10^10-frontier scale is a
+# shuffle of every URL; the sketch shuffles only m=2^p registers per
+# group.
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """(group..., bucket, rho): HLL register table. bucket = low p bits
+    of the md5-derived 64-bit hash; rho = 1 + leading-zero count of
+    the remaining 64-p bits (capped at 62 so the 2^(62-rho) fold below
+    stays in exact LONG range). Map-side-combining groupBy max —
+    registers fold without ever collecting values."""
+    g = list(group_cols or [])
+    # uint64 from the first 16 md5 hex chars, split to keep everything
+    # in non-negative LONG arithmetic: hi = first 15 hex chars (60
+    # bits), lo = last char (4 bits)
+    h_hi = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    h_lo = F.conv(F.substring(F.md5(F.col(value_col)), 16, 1), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(*g, h_hi.alias("h_hi"), h_lo.alias("h_lo"))
+    bucket = (
+        (F.col("h_hi") % F.lit(1 << (p - 4)).cast("long")) * 16 + F.col("h_lo")
+    ).alias("bucket")
+    # rho over the TOP 64-p bits of hi: shift right by (p-4) low bits
+    rest = F.expr(f"h_hi DIV {1 << (p - 4)}")
+    width = 64 - p
+    # leading zeros of `rest` within `width` bits: width - bit_length;
+    # bit_length via the base-2 string (exact integer op — float log2
+    # at power-of-two boundaries is an engine-dependent ulp hazard)
+    bitlen = F.when(
+        rest > 0, F.length(F.conv(rest.cast("string"), 10, 2)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    rho = F.least(
+        (F.lit(width) - bitlen + 1).cast("long"), F.lit(62).cast("long")
+    )
+    prep = hashed.select(*g, bucket, rho.alias("rho"))
+    return prep.groupBy(*g, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """(group..., n_buckets, estimate): the HLL-with-small-range-
+    correction estimate from a register table. The 2^-rho harmonic sum
+    is EXACT arithmetic — 2^(62-rho) LONG terms summed as
+    DECIMAL(38,0) (one per occupied bucket, 2^62 per empty bucket;
+    DuckDB's BIGINT sum widens to HUGEINT the same way) — so no
+    float-order drift exists; the single double division and the ln()
+    of the linear-counting branch round to 6.
+
+    Exact bit-length on LONGs, exact sums, one division: the whole
+    estimator is reproducible across Spark, DuckDB, and any partition
+    count."""
+    g = list(group_cols or [])
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), cast(62 - rho as int))"
+                " as decimal(38,0))"
+            )
+        ).alias("_occ_sum"),
+    )
+    empty = (F.lit(m).cast("long") - F.col("n_buckets")).alias("_v")
+    total = (
+        F.col("_occ_sum")
+        + empty.cast("decimal(38,0)") * F.lit(1 << 62).cast("decimal(38,0)")
+    ).alias("_sum62")
+    withs = agg.select(*g, "n_buckets", empty, total)
+    raw = (
+        F.lit(alpha * m * m)
+        * F.lit(float(1 << 62))
+        / F.col("_sum62").cast("double")
+    )
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("_v").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_v") > 0), linear
+    ).otherwise(raw)
+    return withs.select(
+        *g, "n_buckets", F.round(est, 6).alias("estimate")
+    )

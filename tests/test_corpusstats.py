@@ -126,3 +126,34 @@ def test_dist_drift(spark):
     empty = spark.createDataFrame([], "k string")
     g2 = {r["key"]: r for r in cs.dist_drift(a, empty, "k").collect()}
     assert g2["en"]["ppm_b"] == 0 and g2["en"]["delta_ppm"] == 750000
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """The deterministic HLL lands within the ~1.04/sqrt(m) error band
+    on both regimes (linear counting and raw), and registers merge by
+    bucket-max — union-then-register equals register-then-max-merge,
+    the property that lets partial register tables combine across
+    partitions/snapshots without re-reading values."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark.corpusstats import hll_estimate, hll_registers
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("u"), (F.col("id") % 2000).cast("string")).alias("v")
+    )
+    est = hll_estimate(hll_registers(df, "v", [], p=8), [], p=8).collect()[0]
+    assert abs(est["estimate"] - 2000) / 2000 < 0.2  # 3σ at p=8 is ~20%
+    small = spark.range(40).select(F.col("id").cast("string").alias("v"))
+    est2 = hll_estimate(hll_registers(small, "v", [], p=8), [], p=8).collect()[0]
+    assert abs(est2["estimate"] - 40) < 5
+    # mergeability: split the input, register each half, max-merge
+    a = hll_registers(df.filter(F.col("v") < "u5"), "v", [], p=8)
+    b = hll_registers(df.filter(F.col("v") >= "u5"), "v", [], p=8)
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    one_shot = hll_registers(df, "v", [], p=8)
+    assert (
+        merged.exceptAll(one_shot).count() == 0
+        and one_shot.exceptAll(merged).count() == 0
+    )
