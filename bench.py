@@ -96,6 +96,13 @@ HEADLINE = [
     "dedup_containment",
     "crawl_robots_meta",
     "wp_encode_greedy",
+    # round-4 session 6: DUST canonicalization, bitext mining, unigram
+    # tokenizer, deterministic HLL, readability gate (one each)
+    "crawl_dust_rules",
+    "emb_bitext_margin",
+    "unigram_encode_viterbi",
+    "corpus_host_cardinality",
+    "text_readability",
 ]
 
 

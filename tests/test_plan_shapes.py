@@ -645,3 +645,67 @@ def test_dust_rules_equijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "stripped" in plan  # the equi-join key is the stripped URL
+
+
+def test_hll_single_shuffle_no_join(spark, sf_dir):
+    """The HLL register path is ONE aggregation chain — no join
+    anywhere, register rollup keyed on (group, bucket) folds map-side;
+    the estimate stage reduces m rows per group."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "cast(doc_id % 7 as string) AS g", "cast(doc_id as string) AS v"
+    )
+    plan = _plan(cs.hll_estimate(cs.hll_registers(docs, "v", ["g"]), ["g"]))
+    assert "Join" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_bitext_broadcasts_query_side(spark, sf_dir):
+    """mine_bitext's candidate stage inherits brute_topk's shape: the
+    query side broadcasts, the corpus side never shuffles on content;
+    no shuffle exchange keyed on the embedding."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    out = similarity.mine_bitext(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=2,
+    )
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan
+
+
+def test_colocated_budgets_equijoins_only(spark):
+    """Server-level budgets: host- and block-keyed equi-joins, never a
+    cartesian; the split is integer arithmetic in the plan."""
+    from gocrawl_spark.frontier import colocated_budgets
+
+    stats = spark.createDataFrame(
+        [("a.com", 30), ("b.com", 10)], "host string, queued long"
+    )
+    res = spark.createDataFrame(
+        [("a.com", "10.0.1.7")], "host string, ip string"
+    )
+    plan = _plan(colocated_budgets(stats, res, server_cap=20))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stale_candidates_single_equijoin(spark):
+    """Lastmod recrawl: declared side pre-aggregates to max(lastmod)
+    per URL before ONE url-keyed equi-join."""
+    from gocrawl_spark.sitemap import stale_candidates
+
+    crawled = spark.createDataFrame(
+        [("u1", 1000)], "url string, fetch_ts_us long"
+    )
+    declared = spark.createDataFrame(
+        [("u1", 2000)], "url string, lastmod_us long"
+    )
+    plan = _plan(stale_candidates(crawled, declared))
+    assert plan.count("Join") <= 2  # one logical join (+AQE aliasing)
+    assert "CartesianProduct" not in plan
