@@ -2166,6 +2166,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_url_cardinality"] = corpus_url_cardinality
 
+    def _cdc_docs(spark, sf_dir):
+        """Paragraph-pool fixture: each doc is three 32-char paragraphs
+        drawn from a 20-paragraph pool, so chunk boundaries align
+        inside shared paragraphs and CDC finds cross-doc overlap."""
+        d = F.col("doc_id")
+        para = lambda k: F.md5(F.concat(F.lit("para:"), k.cast("string")))
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                para(d % 20), para((d * 7 + 3) % 20),
+                para(F.expr("doc_id DIV 4") % 20),
+            ).alias("text"),
+        )
+
+    def corpus_cdc_chunks(spark, sf_dir):
+        """Content-defined chunking (dedup.cdc_chunks): md5-window
+        boundary rule (P=1/16), insert-shift-stable chunk table —
+        the partial-overlap extension of the WARC digest-dedup
+        storage. Pure codegen boundary scan."""
+        return dedup.cdc_chunks(_cdc_docs(spark, sf_dir))
+
+    q["corpus_cdc_chunks"] = corpus_cdc_chunks
+
+    def corpus_cdc_stats(spark, sf_dir):
+        """The one-row archive dedup report (dedup.cdc_dedup_stats):
+        chunk-addressed storage ratio in basis points over the shared-
+        paragraph fixture."""
+        return dedup.cdc_dedup_stats(dedup.cdc_chunks(_cdc_docs(spark, sf_dir)))
+
+    q["corpus_cdc_stats"] = corpus_cdc_stats
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -6070,6 +6101,56 @@ def oracle_sql() -> dict[str, str]:
         FROM fin f, (
           SELECT count(DISTINCT url)::BIGINT AS exact_distinct
           FROM pages) e""",
+    )
+
+    # corpus_cdc_*: same paragraph pool, same md5-window boundary rule
+    _cdc_cte = r"""
+        WITH docs2 AS MATERIALIZED (
+          SELECT doc_id,
+                 md5('para:' || (doc_id % 20)::VARCHAR)
+                 || md5('para:' || ((doc_id * 7 + 3) % 20)::VARCHAR)
+                 || md5('para:' || ((doc_id // 4) % 20)::VARCHAR) AS text
+          FROM documents),
+        b AS MATERIALIZED (
+          SELECT doc_id, text, length(text)::BIGINT AS n,
+                 list_filter(range(8, length(text) + 1),
+                     i -> substr(md5(substr(text, (i - 7)::INT, 8)), 32, 1)
+                          = '0') AS bnds
+          FROM docs2),
+        e AS (
+          SELECT doc_id, text, n, bnds,
+                 unnest(list_prepend(0::BIGINT, bnds)) AS prev,
+                 generate_subscripts(list_prepend(0::BIGINT, bnds), 1) AS j
+          FROM b),
+        ch AS MATERIALIZED (
+          SELECT doc_id, (j - 1)::BIGINT AS chunk_idx,
+                 (prev + 1)::BIGINT AS start,
+                 (coalesce(bnds[j::INT], n) - prev)::BIGINT AS length,
+                 md5(substr(text, (prev + 1)::INT,
+                     (coalesce(bnds[j::INT], n) - prev)::INT)) AS chunk_md5
+          FROM e
+          WHERE coalesce(bnds[j::INT], n) - prev > 0),
+    """
+    o["corpus_cdc_chunks"] = (
+        _cdc_cte
+        + r"""fin AS (SELECT * FROM ch)
+        SELECT doc_id, chunk_idx, start, length, chunk_md5 FROM fin
+    """
+    )
+    o["corpus_cdc_stats"] = (
+        _cdc_cte
+        + r"""per AS (
+          SELECT chunk_md5, count(*)::BIGINT AS refs,
+                 max(length)::BIGINT AS length
+          FROM ch GROUP BY chunk_md5)
+        SELECT sum(refs)::BIGINT AS n_chunks,
+               count(*)::BIGINT AS n_distinct,
+               sum(refs * length)::BIGINT AS total_bytes,
+               sum(length)::BIGINT AS unique_bytes,
+               ((sum(length) * 10000) // sum(refs * length))::BIGINT
+                   AS dedup_bp
+        FROM per
+    """
     )
 
     # text_readability: same splitter as word_count_v6, same vowel-group

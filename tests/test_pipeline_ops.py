@@ -3068,3 +3068,40 @@ def test_mine_bitext_mutual_margin(spark):
     # the crisp pairs stand out more against their neighborhoods than
     # the hub-adjacent one
     assert got[(0, 1)] > got[(4, 5)] and got[(2, 3)] > got[(4, 5)]
+
+
+def test_cdc_chunks_shift_stable(spark):
+    """The defining CDC property: prepending text to a document shifts
+    byte offsets but the chunk digests after the first content-defined
+    boundary are IDENTICAL — fixed-size blocks would all change. Also:
+    chunks tile the text exactly."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import dedup
+
+    base = "".join(f"{i % 10}abcdefgh" for i in range(40))  # 360 chars
+    docs = spark.createDataFrame(
+        [(0, base), (1, "INSERTED-PREFIX-" + base)],
+        "doc_id long, text string",
+    )
+    ch = dedup.cdc_chunks(docs)
+    rows = ch.collect()
+    a = [r for r in rows if r["doc_id"] == 0]
+    b = [r for r in rows if r["doc_id"] == 1]
+    # tiling: lengths sum to the text length, starts are contiguous
+    assert sum(r["length"] for r in a) == len(base)
+    assert sum(r["length"] for r in b) == len(base) + 16
+    # shift stability: the digest SEQUENCES share everything after the
+    # first content-defined boundary — a common suffix of all but the
+    # leading chunk(s)
+    da = [r["chunk_md5"] for r in sorted(a, key=lambda r: r["chunk_idx"])]
+    db = [r["chunk_md5"] for r in sorted(b, key=lambda r: r["chunk_idx"])]
+    suffix = 0
+    while (
+        suffix < min(len(da), len(db)) and da[-1 - suffix] == db[-1 - suffix]
+    ):
+        suffix += 1
+    assert suffix >= len(da) - 2
+    stats = dedup.cdc_dedup_stats(ch).collect()[0]
+    assert stats["n_chunks"] == len(da) + len(db)
+    assert stats["dedup_bp"] < 7000  # most bytes stored once
