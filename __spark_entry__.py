@@ -2197,6 +2197,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_cdc_stats"] = corpus_cdc_stats
 
+    def crawl_shard_rebalance(spark, sf_dir):
+        """Rendezvous-vs-modulo resize stability (frontier.
+        rendezvous_shard): growing the seen-store from 8 to 9 shards
+        moves ~1/9 of URLs under HRW but ~8/9 under hash%n — the
+        report that justifies the HRW layout for 10^10-URL frontier
+        resizes. Exact integer basis points, one scan, no shuffle."""
+        from gocrawl_spark import frontier
+
+        d = F.col("doc_id")
+        urls = _docs(spark, sf_dir).select(
+            F.concat(
+                F.lit("https://h"), (d % 10).cast("string"), F.lit(".com/p/"),
+                d.cast("string"),
+            ).alias("url")
+        )
+        df = frontier.rendezvous_shard(
+            frontier.rendezvous_shard(urls, "url", 8, "s8"), "url", 9, "s9"
+        )
+        h = F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long")
+        df = df.withColumn("m8", h % 8).withColumn("m9", h % 9)
+        agg = df.agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+            .cast("long")
+            .alias("hrw_moved"),
+            F.sum(F.when(F.col("m8") != F.col("m9"), 1).otherwise(0))
+            .cast("long")
+            .alias("mod_moved"),
+        )
+        return agg.select(
+            "n_urls", "hrw_moved", "mod_moved",
+            F.expr("hrw_moved * 10000 DIV n_urls").alias("hrw_moved_bp"),
+            F.expr("mod_moved * 10000 DIV n_urls").alias("mod_moved_bp"),
+        )
+
+    q["crawl_shard_rebalance"] = crawl_shard_rebalance
+
     def text_tfidf_keywords(spark, sf_dir):
         """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords) —
         the corpus-side analogue of the reference's keywords field:
@@ -6152,6 +6189,35 @@ def oracle_sql() -> dict[str, str]:
         FROM per
     """
     )
+
+    # crawl_shard_rebalance: same md5 HRW argmax (struct compare =
+    # Spark array_max on (w, s)), same modulo strawman
+    o["crawl_shard_rebalance"] = r"""
+        WITH u AS MATERIALIZED (
+          SELECT 'https://h' || (doc_id % 10)::VARCHAR || '.com/p/'
+                 || doc_id::VARCHAR AS url
+          FROM documents),
+        s AS (
+          SELECT url,
+                 struct_extract(list_max(list_transform(range(0, 8),
+                     s -> struct_pack(w := md5(url || ':' || s::VARCHAR),
+                                      s := s))), 's') AS s8,
+                 struct_extract(list_max(list_transform(range(0, 9),
+                     s -> struct_pack(w := md5(url || ':' || s::VARCHAR),
+                                      s := s))), 's') AS s9,
+                 ('0x' || substr(md5(url), 1, 15))::UBIGINT::BIGINT % 8 AS m8,
+                 ('0x' || substr(md5(url), 1, 15))::UBIGINT::BIGINT % 9 AS m9
+          FROM u),
+        agg AS (
+          SELECT count(*)::BIGINT AS n_urls,
+                 sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)::BIGINT AS hrw_moved,
+                 sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END)::BIGINT AS mod_moved
+          FROM s)
+        SELECT n_urls, hrw_moved, mod_moved,
+               (hrw_moved * 10000) // n_urls AS hrw_moved_bp,
+               (mod_moved * 10000) // n_urls AS mod_moved_bp
+        FROM agg
+    """
 
     # text_readability: same splitter as word_count_v6, same vowel-group
     # syllable heuristic, identical float op order (two subtractions

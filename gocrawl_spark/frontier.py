@@ -874,3 +874,28 @@ def colocated_budgets(
         .withColumn("_prod", F.lit(int(server_cap)).cast("long") * F.col("queued"))
         .select("host", "ip_block", "queued", quota.alias("quota"))
     )
+
+
+def rendezvous_shard(df, key_col: str, n_shards: int, out_col: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment: key k goes
+    to argmax_s md5(k || ':' || s) — when the shard count changes,
+    only ~1/(n+1) of keys move (vs (n-1)/n for `hash % n`), so a
+    frontier/seen-store resize re-shuffles a sliver of 10^10 URLs
+    instead of nearly all of them. Deterministic: the md5 weight is a
+    pure function of (key, shard), ties impossible in practice and
+    broken by lower shard id.
+
+    One codegen'd expression (an array fold over n_shards md5 calls) —
+    no shuffle, no UDF; n_shards is config-sized."""
+    from pyspark.sql import functions as F
+
+    c = F.col(key_col)
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda s: F.struct(
+            F.md5(F.concat(c, F.lit(":"), s.cast("string"))).alias("w"),
+            s.cast("long").alias("s"),
+        ),
+    )
+    best = F.array_max(weights)
+    return df.withColumn(out_col, best["s"])

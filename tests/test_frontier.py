@@ -484,3 +484,31 @@ def test_colocated_budgets_shares_server_cap(spark):
     assert got["c.com"] == ("10.0.2", 5)
     # unresolved: private block, full cap
     assert got["d.com"] == ("host:d.com", 20)
+
+
+def test_rendezvous_shard_stability(spark):
+    """HRW assignment is uniform-ish and resize-stable: going 8→9
+    shards moves roughly 1/9 of keys (well under 30%), while hash%n
+    moves the vast majority; assignments are deterministic."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark.frontier import rendezvous_shard
+
+    urls = spark.range(2000).select(
+        F.concat(F.lit("https://h.com/p/"), F.col("id").cast("string")).alias(
+            "url"
+        )
+    )
+    df = rendezvous_shard(rendezvous_shard(urls, "url", 8, "s8"), "url", 9, "s9")
+    rows = df.collect()
+    moved = sum(1 for r in rows if r["s8"] != r["s9"])
+    assert moved / len(rows) < 0.3
+    # every key lands in range, every shard is populated
+    assert {r["s8"] for r in rows} == set(range(8))
+    assert {r["s9"] for r in rows} == set(range(9))
+    # determinism: recompute matches
+    again = {
+        r["url"]: r["s8"]
+        for r in rendezvous_shard(urls, "url", 8, "s8").collect()
+    }
+    assert all(again[r["url"]] == r["s8"] for r in rows)
