@@ -1437,6 +1437,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_prefix_jaccard(spark, sf_dir):
+        """AllPairs/PPJoin prefix filtering (dedup.prefix_filter_pairs)
+        on the same fixture and threshold as dedup_ngram_jaccard: only
+        the |d|-⌈t|d|⌉+1 rarest grams of each doc are indexed, so the
+        candidate join touches a sliver of the full inverted index —
+        losslessly (the oracle is the SAME SQL as the full join; the
+        candidate-count reduction is test-pinned)."""
+        return dedup.prefix_filter_pairs(
+            _aug_near(_docs(spark, sf_dir)), k=3, threshold=0.3
+        )
+
+    q["dedup_prefix_jaccard"] = dedup_prefix_jaccard
+
     def dedup_containment(spark, sf_dir):
         """Asymmetric containment (dedup.containment_pairs): every
         20th doc gains a HALF-PREFIX copy (+2000000) — contained in
@@ -5197,6 +5210,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.3::DOUBLE
     """
+
+    # dedup_prefix_jaccard: prefix filtering is LOSSLESS candidate
+    # pruning of the same exact-Jaccard join, so its oracle IS the full
+    # inverted-index SQL — equality against it proves no pair was lost
+    o["dedup_prefix_jaccard"] = o["dedup_ngram_jaccard"]
 
     # containment: half-prefix aug (same (len+1)//2 word grid as the
     # Spark query — raw \s+ split, single-space join), then both

@@ -30,7 +30,7 @@ before the join — the standard inverted-index stopword cut.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -1132,3 +1132,75 @@ def cdc_dedup_stats(chunks) -> "DataFrame":
         "n_chunks", "n_distinct", "total_bytes", "unique_bytes",
         F.expr("unique_bytes * 10000 DIV total_bytes").alias("dedup_bp"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07; Xiao et
+    al. WWW'08) for the exact-Jaccard similarity join: documents are
+    indexed on only the FIRST p = |d| - ⌈t·|d|⌉ + 1 grams in a global
+    rare-first order (df ASC, gram ASC) — any pair with J ≥ t provably
+    shares a prefix gram, so the candidate set shrinks from
+    "every co-occurring gram" (ngram_jaccard_pairs' full inverted
+    index) to the rare-prefix collisions, typically orders of
+    magnitude fewer pairs on boilerplate-heavy web text. Candidates
+    verify with one exact array_intersect. Same output contract as
+    ngram_jaccard_pairs: (id_a, id_b, jaccard), id_a < id_b — the
+    equivalence is test-pinned.
+
+    ⌈t·|d|⌉ is computed in EXACT integer arithmetic (t as
+    round(t·1000)/1000, ceil = (tn·n + 999) DIV 1000), so the prefix
+    bound is engine-identical — a float ceil at representation
+    boundaries (0.7·10) silently shortens the prefix and drops pairs.
+
+    Scale shape: one df rollup (gram-keyed, map-side combined), one
+    row_number window per doc (sort-based, O(1) state), a prefix-only
+    self-join, and a verify join that touches candidate pairs only.
+    """
+    tn = round(float(threshold) * 1000)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(text_col, k)).alias("sh"),
+    )
+    ex = sets.select(
+        "id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("g"))
+    ranked = (
+        ex.join(dfreq, "g")
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "_p", F.col("n") - F.expr(f"({tn} * n + 999) DIV 1000") + 1
+        )
+    )
+    pref = ranked.filter(F.col("_r") <= F.col("_p")).select("id", "g")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+    vb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("_sha") + F.size("_shb") - F.col("_inter")).cast(
+                "double"
+            ),
+        )
+    )
+    return verified.filter(
+        F.col("jaccard") >= F.lit(float(threshold))
+    ).select("id_a", "id_b", "jaccard")

@@ -3105,3 +3105,34 @@ def test_cdc_chunks_shift_stable(spark):
     stats = dedup.cdc_dedup_stats(ch).collect()[0]
     assert stats["n_chunks"] == len(da) + len(db)
     assert stats["dedup_bp"] < 7000  # most bytes stored once
+
+
+def test_prefix_filter_equals_full_join_with_fewer_candidates(spark, docs):
+    """Prefix filtering returns EXACTLY the full inverted-index join's
+    pairs (lossless pruning) while generating strictly fewer join-side
+    index rows."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import dedup
+    from gocrawl_spark.textstats import shingles as _sh
+
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.4).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.prefix_filter_pairs(docs, k=2, threshold=0.4).collect()
+    }
+    assert pref == full and len(full) > 0
+    # the index the self-join runs on is a strict subset of the grams
+    sets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_sh("text", 2)).alias("sh"),
+    )
+    n_full = sets.select(F.explode("sh")).count()
+    n_prefix = sets.select(
+        F.size("sh").alias("n"),
+        (F.col("n") - F.expr("(400 * n + 999) DIV 1000") + 1).alias("p"),
+    ).agg(F.sum("p")).collect()[0][0]
+    assert n_prefix < n_full * 0.7
