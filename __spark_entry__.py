@@ -2696,12 +2696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_parse(spark, sf_dir):
         """Header metadata parsed from the RAW payload bytes (PNG IHDR /
-        WAV header) — asserts parse(serialize(meta)) == meta against the
-        oracle's closed-form expectations. NULLs coalesced to -1 for
-        engine-stable hashing."""
+        JPEG SOF0 marker walk / WAV header) — asserts
+        parse(serialize(meta)) == meta against the oracle's closed-form
+        expectations. NULLs coalesced to -1 for engine-stable
+        hashing."""
         docs = _docs(spark, sf_dir)
-        media = mm.synth_media(spark, docs, "image").unionByName(
-            mm.synth_media(spark, docs, "audio")
+        media = (
+            mm.synth_media(spark, docs, "image")
+            .unionByName(mm.synth_media(spark, docs, "jpeg"))
+            .unionByName(mm.synth_media(spark, docs, "audio"))
         )
         feats = mm.extract_features(media)
         return feats.select(
@@ -7965,6 +7968,13 @@ def oracle_sql() -> dict[str, str]:
                (64 + (doc_id % 5) * 32)::INT AS height,
                (-1)::INT AS duration_ms,
                (57 + 16 * (4 + doc_id % 13))::BIGINT AS n_bytes
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 10 + 4, 'jpeg',
+               (64 + (doc_id % 8) * 32)::INT,
+               (64 + (doc_id % 5) * 32)::INT,
+               (-1)::INT,
+               (55 + 16 * (4 + doc_id % 13))::BIGINT
         FROM documents
         UNION ALL
         SELECT doc_id * 10 + 2, 'audio', -1, -1,

@@ -78,7 +78,7 @@ FEATURES_SCHEMA = (
 
 FEAT_DIM = 8
 
-_MODALITY_CODE = {"image": 1, "audio": 2, "video": 3}
+_MODALITY_CODE = {"image": 1, "audio": 2, "video": 3, "jpeg": 4}
 
 # ---------------------------------------------------------------------------
 # Container headers: build + parse (pure struct layout, no codecs)
@@ -123,6 +123,57 @@ def parse_png_header(b: bytes) -> tuple[int, int] | None:
     return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
 
 
+JPEG_SOI = b"\xff\xd8"
+
+
+def build_jpeg(width: int, height: int, body: bytes) -> bytes:
+    """Minimal structurally-valid JPEG: SOI + APP0(JFIF) + SOF0
+    carrying the dimensions + SOS stub + entropy body + EOI. Huffman/
+    quant tables are omitted (no pixel decode in this container) — the
+    SEGMENT GRAMMAR is real, so a marker-walking parser reads it like
+    any camera JPEG."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\x08"  # precision
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 components
+    )
+    sos = b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return b"\xff" + bytes([marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    return (
+        JPEG_SOI + seg(0xE0, app0) + seg(0xC0, sof0) + seg(0xDA, sos)
+        + body + b"\xff\xd9"
+    )
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOF0/1/2 segment of a JPEG byte
+    stream via the marker walk, or None — the real JFIF grammar
+    (length-prefixed segments between SOI and SOS)."""
+    if len(b) < 4 or b[:2] != JPEG_SOI:
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            if i + 9 > len(b):
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return w, h
+        if marker == 0xDA:  # start of scan: entropy data follows
+            return None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+    return None
+
+
 def parse_wav_header(b: bytes) -> int | None:
     """duration_ms of a canonical-layout PCM WAV, or None."""
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[12:16] != b"fmt ":
@@ -158,6 +209,9 @@ def synth_media(spark, documents: DataFrame, modality: str = "image") -> DataFra
                 if modality == "image":
                     width, height = 64 + (did % 8) * 32, 64 + (did % 5) * 32
                     payload = build_png(width, height, seed * reps)
+                elif modality == "jpeg":
+                    width, height = 64 + (did % 8) * 32, 64 + (did % 5) * 32
+                    payload = build_jpeg(width, height, seed * reps)
                 elif modality == "audio":
                     payload = build_wav(seed * (125 * reps))
                     duration = 125 * reps  # 2000·reps bytes / 16000 B/s
@@ -169,7 +223,7 @@ def synth_media(spark, documents: DataFrame, modality: str = "image") -> DataFra
                 rows["doc_id"].append(did)
                 rows["modality"].append(modality)
                 rows["payload"].append(payload)
-                rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality])
+                rows["mime"].append({"image": "image/png", "jpeg": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[modality])
                 rows["width"].append(width)
                 rows["height"].append(height)
                 rows["duration_ms"].append(duration)
@@ -220,7 +274,7 @@ def extract_features(
                             "use fake_decode=True for the deterministic test path"
                         )
                     raise NotImplementedError("real decode path not wired in this sandbox")
-                wh = parse_png_header(payload)
+                wh = parse_png_header(payload) or parse_jpeg_header(payload)
                 parsed_dur = parse_wav_header(payload)
                 duration = (
                     parsed_dur

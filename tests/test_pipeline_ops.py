@@ -1073,11 +1073,18 @@ def test_png_wav_header_roundtrip():
     wav = multimodal.build_wav(b"\x00" * 32000)  # 2 s @ 16 kB/s
     assert multimodal.parse_wav_header(wav) == 2000
     assert len(wav) == 44 + 32000
+    jpg = multimodal.build_jpeg(320, 200, body)
+    assert multimodal.parse_jpeg_header(jpg) == (320, 200)
+    assert len(jpg) == 55 + len(body)
     # non-container bytes parse to None, never raise
     assert multimodal.parse_png_header(b"junk") is None
     assert multimodal.parse_wav_header(b"junk") is None
     assert multimodal.parse_png_header(wav) is None
     assert multimodal.parse_wav_header(png) is None
+    assert multimodal.parse_jpeg_header(png) is None
+    assert multimodal.parse_jpeg_header(b"\xff\xd8\xff\xd9") is None
+    # truncation before the SOF0 dimensions parses to None, never raises
+    assert multimodal.parse_jpeg_header(jpg[:25]) is None
 
 
 def test_media_metadata_parsed_from_real_bytes(spark, docs):
