@@ -1179,13 +1179,35 @@ def prefix_filter_pairs(
             "_p", F.col("n") - F.expr(f"({tn} * n + 999) DIV 1000") + 1
         )
     )
-    pref = ranked.filter(F.col("_r") <= F.col("_p")).select("id", "g")
-    cand = (
+    pref = ranked.filter(F.col("_r") <= F.col("_p")).select("id", "g", "n", "_r")
+    # positional filter (PPJoin): a shared prefix gram at positions
+    # (r_a, r_b) bounds the overlap by 1 + min(n_a-r_a, n_b-r_b); the
+    # pair survives only if some collision's bound reaches the minimal
+    # overlap ⌈t(n_a+n_b)/(1+t)⌉ — again exact integer arithmetic,
+    # again lossless (Xiao et al. WWW'08, Lemma 1)
+    collide = (
         pref.alias("a")
         .join(pref.alias("b"), "g")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("_na"),
+            F.col("b.n").alias("_nb"),
+            (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a._r"), F.col("b.n") - F.col("b._r")
+                )
+            ).alias("_ub"),
+        )
+    )
+    minov = F.expr(f"({tn} * (_na + _nb) + {1000 + tn} - 1) DIV {1000 + tn}")
+    cand = (
+        collide.groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.max("_ub").alias("_ubmax"))
+        .filter(F.col("_ubmax") >= minov)
+        .select("id_a", "id_b")
     )
     va = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
     vb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
