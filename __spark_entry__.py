@@ -1044,6 +1044,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_parse"] = sitemap_parse
 
+    def feed_parse(spark, sf_dir):
+        """RSS/Atom feed parser (feeds.feed_entries) against an
+        independent SQL reconstruction: even doc_ids carry an RSS 2.0
+        item (RFC-822 pubDate), odd doc_ids an Atom entry (RFC-3339
+        updated, href attribute link) — the oracle recomputes the
+        expected (link, title, published, kind) rows from the same
+        doc_id arithmetic without parsing any XML."""
+        from gocrawl_spark import feeds as fd
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        dd = F.lpad(((d % 28) + 1).cast("string"), 2, "0")
+        rss = F.concat(
+            F.lit("<rss version=\"2.0\"><channel><item><title>doc "), ds,
+            F.lit("</title><link>https://feed.example.com/p/"), ds,
+            F.lit("</link><pubDate>Mon, "), dd,
+            F.lit(" Jan 2026 08:30:45 GMT</pubDate></item></channel></rss>"),
+        )
+        atom = F.concat(
+            F.lit("<feed><entry><title>doc "), ds,
+            F.lit("</title><link href=\"https://feed.example.com/p/"), ds,
+            F.lit("\"/><updated>2026-02-"), dd,
+            F.lit("T08:30:45Z</updated></entry></feed>"),
+        )
+        src = _docs(spark, sf_dir).select(
+            ds.alias("feed_url"),
+            F.when(d % 2 == 0, rss).otherwise(atom).alias("xml"),
+        )
+        return fd.feed_entries(src).select(
+            F.col("feed_url").cast("long").alias("doc_id"),
+            "link", "title", "published", "kind",
+        )
+
+    q["feed_parse"] = feed_parse
+
+    def feed_poll_schedule(spark, sf_dir):
+        """Adaptive feed polling (feeds.poll_intervals): per-feed
+        lower-median inter-entry gap in integer seconds, clamped —
+        feeds = event users, publishes = their click timestamps. All
+        integer epoch-µs math (value-sorted list, element-pick median,
+        DIV), so the DuckDB twin is exact."""
+        from gocrawl_spark import feeds as fd
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        entries = ev.filter(F.col("event_type") == "click").select(
+            F.concat(F.lit("feed-"), F.col("user_id").cast("string")).alias(
+                "feed_url"
+            ),
+            F.col("ts").alias("published"),
+        )
+        return fd.poll_intervals(entries, min_s=30000, max_s=400000)
+
+    q["feed_poll_schedule"] = feed_poll_schedule
+
     # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
     def clean_text_e5(spark, sf_dir):
         dirty = F.concat(
@@ -4644,6 +4698,43 @@ def oracle_sql() -> dict[str, str]:
                     ELSE ('2026-02-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
                           || ' 08:30:45')::TIMESTAMP END AS lastmod
         FROM documents
+    """
+
+    # feed parse: like sitemap_parse, the oracle reconstructs the
+    # expected rows from doc_id arithmetic — RSS (even) and Atom (odd)
+    # entries land in one table with their dialect tag
+    o["feed_parse"] = """
+        SELECT doc_id,
+               'https://feed.example.com/p/' || doc_id::VARCHAR AS link,
+               'doc ' || doc_id::VARCHAR AS title,
+               CASE WHEN doc_id % 2 = 0
+                    THEN ('2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                          || ' 08:30:45')::TIMESTAMP
+                    ELSE ('2026-02-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                          || ' 08:30:45')::TIMESTAMP END AS published,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+        FROM documents
+    """
+
+    # feed poll schedule: integer gap math over the value-sorted click
+    # timestamps per user — element-pick lower median, DIV seconds,
+    # least/greatest clamp (identical op order to feeds.poll_intervals)
+    o["feed_poll_schedule"] = """
+        WITH e AS (
+          SELECT 'feed-' || user_id::VARCHAR AS feed, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'click'),
+        g AS (SELECT feed, list_sort(list(us)) AS ts FROM e GROUP BY feed),
+        m AS (
+          SELECT feed, len(ts) AS n,
+                 list_sort(list_transform(generate_series(1, len(ts) - 1),
+                                          i -> ts[i + 1] - ts[i])) AS gaps
+          FROM g)
+        SELECT feed,
+               (CASE WHEN n < 2 THEN 400000
+                     ELSE least(400000, greatest(30000,
+                          gaps[(len(gaps) + 1) // 2] // 1000000)) END)::BIGINT
+                   AS interval_s
+        FROM m
     """
 
     # snapshot diff: same derived old/new snapshots, same md5-compare
