@@ -1098,6 +1098,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["feed_poll_schedule"] = feed_poll_schedule
 
+    def crawl_aimd_delays(spark, sf_dir):
+        """AIMD per-host politeness adaptation (frontier.aimd_delays):
+        hosts = event users mod 64, outcomes = non-error events in ts
+        order; success shaves 100 ms off the delay (floor 100),
+        failure doubles it (cap 60 s). All-LONG fold over the value-
+        sorted outcome sequence — the DuckDB twin replays the same
+        list_reduce."""
+        from gocrawl_spark import frontier as fr
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        outcomes = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 64).cast("string")).alias(
+                "host"
+            ),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            (F.col("event_type") != "error").alias("ok"),
+        )
+        return fr.aimd_delays(
+            outcomes,
+            base_delay_ms=500,
+            min_delay_ms=100,
+            max_delay_ms=60_000,
+            dec_ms=100,
+        )
+
+    q["crawl_aimd_delays"] = crawl_aimd_delays
+
     # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
     def clean_text_e5(spark, sf_dir):
         dirty = F.concat(
@@ -4735,6 +4762,30 @@ def oracle_sql() -> dict[str, str]:
                           gaps[(len(gaps) + 1) // 2] // 1000000)) END)::BIGINT
                    AS interval_s
         FROM m
+    """
+
+    # AIMD delays: identical integer fold replayed with list_reduce
+    # over the same (ts, ok)-sorted outcome sequence
+    o["crawl_aimd_delays"] = """
+        WITH e AS (
+          SELECT 'h' || (user_id % 64)::VARCHAR AS host,
+                 epoch_us(ts) AS ts_us,
+                 CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ok
+          FROM events),
+        g AS (
+          SELECT host,
+                 list(ok ORDER BY ts_us, ok) AS oks,
+                 sum(ok)::BIGINT AS n_ok,
+                 (count(*) - sum(ok))::BIGINT AS n_err
+          FROM e GROUP BY host)
+        SELECT host,
+               list_reduce(list_prepend(500::BIGINT, oks),
+                 (acc, x) -> CASE WHEN x = 1
+                                  THEN greatest(100::BIGINT, acc - 100)
+                                  ELSE least(60000::BIGINT, acc * 2) END)
+                   AS delay_ms,
+               n_ok, n_err
+        FROM g
     """
 
     # snapshot diff: same derived old/new snapshots, same md5-compare

@@ -513,6 +513,82 @@ def politeness_audit(
     )
 
 
+def aimd_delays(
+    outcomes: DataFrame,
+    base_delay_ms: int = 500,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 60_000,
+    dec_ms: int = 100,
+    host_col: str = "host",
+    ts_col: str = "ts_us",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """AIMD (additive-increase/multiplicative-decrease of the fetch
+    RATE, i.e. additive-decrease/multiplicative-increase of the
+    DELAY) per-host politeness adaptation — the TCP-congestion-control
+    move applied to crawling: each successful fetch shaves ``dec_ms``
+    off the host's delay (down to ``min_delay_ms``); each failure
+    (timeout, 429, 5xx) DOUBLES it (up to ``max_delay_ms``). The
+    reference fixes its delay per LimitRule for the whole run
+    (/root/reference/internal/crawler/crawler.go — colly RandomDelay);
+    at open-web scale hosts differ by orders of magnitude in capacity,
+    and AIMD converges each host to the fastest polite rate without
+    any per-host configuration.
+
+    ``outcomes`` is the round's fetch log: (host, ts_us, ok:boolean).
+    Output, one row per host: (host, delay_ms, n_ok, n_err) where
+    delay_ms is the fold of the AIMD update over the host's outcomes
+    in (ts_us, ok) order, starting from ``base_delay_ms``. Feed it
+    into the next round via :func:`aimd_policy` → CrawlRun(
+    host_policy=...).
+
+    Cross-engine-exact and order-deterministic: all-LONG arithmetic,
+    the outcome sequence is value-sorted (ties carry the ok flag as
+    tiebreak, and equal elements are interchangeable under the fold).
+    Aggregation state is O(outcomes-per-host-per-round) — bounded by
+    the politeness budget the crawl itself enforces (host_budget ×
+    parallelism), the same invariant politeness_audit verifies, so a
+    hot host cannot blow up the fold state.
+    """
+    oks = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).cast("long").alias("ts"),
+                    F.col(ok_col).cast("int").alias("ok"),
+                )
+            )
+        ),
+        lambda s: s.ok,
+    )
+    fold = F.aggregate(
+        oks,
+        F.lit(int(base_delay_ms)).cast("long"),
+        lambda acc, ok: F.when(
+            ok == 1, F.greatest(F.lit(int(min_delay_ms)).cast("long"), acc - dec_ms)
+        ).otherwise(
+            F.least(F.lit(int(max_delay_ms)).cast("long"), acc * 2)
+        ),
+    )
+    return outcomes.groupBy(F.col(host_col).alias("host")).agg(
+        fold.alias("delay_ms"),
+        F.sum(F.col(ok_col).cast("long")).alias("n_ok"),
+        (F.count("*") - F.sum(F.col(ok_col).cast("long"))).alias("n_err"),
+    )
+
+
+def aimd_policy(delays: DataFrame, parallelism: int = 1) -> DataFrame:
+    """aimd_delays output → CrawlRun ``host_policy`` shape
+    (domain, delay_ms, parallelism): the adaptive delays slot into the
+    same per-host override mechanism as robots Crawl-delay and static
+    LimitRules, so all three compose on one code path."""
+    return delays.select(
+        F.col("host").alias("domain"),
+        F.col("delay_ms"),
+        F.lit(int(parallelism)).alias("parallelism"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cuckoo seen-filter (deletion-capable alternative to the Bloom shards)
 # ---------------------------------------------------------------------------

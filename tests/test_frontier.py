@@ -512,3 +512,39 @@ def test_rendezvous_shard_stability(spark):
         for r in rendezvous_shard(urls, "url", 8, "s8").collect()
     }
     assert all(again[r["url"]] == r["s8"] for r in rows)
+
+
+def test_aimd_delays_fold_and_clamps(spark):
+    """AIMD politeness: success shaves dec_ms (floored), failure
+    doubles (capped); the fold replays outcomes in (ts, ok) order with
+    failures first on a timestamp tie — all integer, both engines
+    replay the identical sequence."""
+    from gocrawl_spark.frontier import aimd_delays, aimd_policy
+
+    rows = []
+    # a: ok ok ok → 500-300 = 200
+    rows += [("a", t, True) for t in (1, 2, 3)]
+    # b: ok fail ok → 400 → 800 → 700
+    rows += [("b", 1, True), ("b", 2, False), ("b", 3, True)]
+    # c: 8 failures → doubling capped at 60000
+    rows += [("c", t, False) for t in range(8)]
+    # d: 10 successes → floored at 100
+    rows += [("d", t, True) for t in range(10)]
+    # e: tie at ts=5 — fail sorts before ok: 500→1000→900 (not 400→800)
+    rows += [("e", 5, True), ("e", 5, False)]
+    df = spark.createDataFrame(rows, "host string, ts_us long, ok boolean")
+    got = {
+        r["host"]: (r["delay_ms"], r["n_ok"], r["n_err"])
+        for r in aimd_delays(df).collect()
+    }
+    assert got == {
+        "a": (200, 3, 0),
+        "b": (700, 2, 1),
+        "c": (60000, 0, 8),
+        "d": (100, 10, 0),
+        "e": (900, 1, 1),
+    }
+    pol = aimd_policy(aimd_delays(df), parallelism=2)
+    assert pol.columns == ["domain", "delay_ms", "parallelism"]
+    prow = {r["domain"]: r["parallelism"] for r in pol.collect()}
+    assert set(prow) == set("abcde") and all(v == 2 for v in prow.values())
