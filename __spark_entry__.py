@@ -1125,6 +1125,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_aimd_delays"] = crawl_aimd_delays
 
+    def corpus_overlap_minhash(spark, sf_dir):
+        """Corpus-pair shingle overlap (corpusstats.corpus_overlap):
+        corpus A = docs with doc_id % 3 != 0, B = doc_id % 5 != 1 —
+        overlapping splits of the same table, so true Jaccard is high
+        and the 64-permutation MinHash estimate has signal. exact=True
+        adds the true distinct-shingle Jaccard (integer ppm); the
+        oracle recomputes sketch AND exact from the same md5 formulas."""
+        from gocrawl_spark import corpusstats
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        a = docs.filter(F.col("doc_id") % 3 != 0)
+        b = docs.filter(F.col("doc_id") % 5 != 1)
+        return corpusstats.corpus_overlap(a, b, num_hashes=64, k=5, exact=True)
+
+    q["corpus_overlap_minhash"] = corpus_overlap_minhash
+
     # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
     def clean_text_e5(spark, sf_dir):
         dirty = F.concat(
@@ -4786,6 +4802,38 @@ def oracle_sql() -> dict[str, str]:
                    AS delay_ms,
                n_ok, n_err
         FROM g
+    """
+
+    # corpus-pair overlap: corpus-level minhash per permutation (min
+    # over the corpus's distinct-shingle union — identical to Spark's
+    # min-over-docs of per-doc minima) + exact distinct-shingle Jaccard
+    o["corpus_overlap_minhash"] = f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        sh AS (SELECT doc_id, {_sql_shingles(5)} AS shingles FROM w),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sa AS (SELECT DISTINCT s FROM ex WHERE doc_id % 3 <> 0),
+        sb AS (SELECT DISTINCT s FROM ex WHERE doc_id % 5 <> 1),
+        perms AS (SELECT unnest(range(0, 64)) AS h),
+        siga AS (SELECT h, min(md5(h::VARCHAR || '#' || s)) AS mh_a
+                 FROM sa, perms GROUP BY h),
+        sigb AS (SELECT h, min(md5(h::VARCHAR || '#' || s)) AS mh_b
+                 FROM sb, perms GROUP BY h),
+        m AS (SELECT sum(CASE WHEN mh_a = mh_b THEN 1 ELSE 0 END)::BIGINT
+                     AS matches
+              FROM siga JOIN sigb USING (h)),
+        ha AS (SELECT DISTINCT md5(s) AS hs FROM sa),
+        hb AS (SELECT DISTINCT md5(s) AS hs FROM sb),
+        exj AS (SELECT sum(CASE WHEN ha.hs IS NOT NULL AND hb.hs IS NOT NULL
+                                THEN 1 ELSE 0 END)::BIGINT AS n_inter,
+                       count(*)::BIGINT AS n_union
+                FROM ha FULL OUTER JOIN hb ON ha.hs = hb.hs)
+        SELECT 64::BIGINT AS n_hashes, m.matches,
+               (m.matches * 1000000 // 64)::BIGINT AS est_jaccard_ppm,
+               exj.n_inter, exj.n_union,
+               (CASE WHEN exj.n_union > 0
+                     THEN exj.n_inter * 1000000 // exj.n_union
+                     ELSE 0 END)::BIGINT AS exact_jaccard_ppm
+        FROM m, exj
     """
 
     # snapshot diff: same derived old/new snapshots, same md5-compare

@@ -35,11 +35,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gocrawl_spark.textstats import norm_words, shingles_of_words
+from gocrawl_spark.textstats import norm_words, shingles, shingles_of_words
 
 __all__ = [
     "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
-    "key_skew_audit",
+    "key_skew_audit", "corpus_minhash", "corpus_overlap",
 ]
 
 
@@ -449,3 +449,108 @@ def hll_estimate(
     return withs.select(
         *g, "n_buckets", F.round(est, 6).alias("estimate")
     )
+
+
+def corpus_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-LEVEL MinHash signature, one row per permutation:
+    (h, minhash) where minhash = min over every shingle IN THE WHOLE
+    CORPUS of md5('<h>#'<shingle>) — i.e. the MinHash signature of the
+    corpus's shingle SET, not of any document. Two corpora's
+    signatures estimate their shingle-set Jaccard (see
+    :func:`corpus_overlap`), the dataset-card number for "how much
+    does my new crawl overlap the last one / the training mix".
+
+    Scale shape: the per-document signature is the existing Arrow UDF
+    (dedup.minhash_signature_udf — embarrassingly parallel, never
+    shuffles), and the corpus fold is min per permutation — summable,
+    so map-side combine reduces every task's contribution to
+    num_hashes rows. Total shuffle for 100 TB: num_hashes rows/task.
+    """
+    from gocrawl_spark import dedup
+
+    sig = dedup.minhash_signature_udf(num_hashes=num_hashes, k=k)
+    per_doc = docs.select(F.posexplode(sig(F.col(text_col))).alias("h", "mh"))
+    return per_doc.groupBy("h").agg(F.min("mh").alias("minhash"))
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 5,
+    exact: bool = False,
+) -> DataFrame:
+    """Shingle-set overlap between two corpora, one output row:
+    (n_hashes, matches, est_jaccard_ppm[, n_inter, n_union,
+    exact_jaccard_ppm]).
+
+    The estimate is the standard MinHash identity — P[min_A = min_B] =
+    J(A, B) — averaged over ``num_hashes`` md5 permutations; ppm uses
+    integer DIV so the number is engine-exact. ``exact=True`` adds the
+    true Jaccard over distinct shingle hashes: a full distinct+join
+    over the corpus shingle space — the EVALUATION twin (what
+    emb_dup_recall is to emb_dup_pairs), not the 100 TB path; the
+    sketch path's total shuffle stays at num_hashes rows/task
+    regardless of corpus size."""
+    sa = corpus_minhash(a, text_col, num_hashes, k).withColumnRenamed(
+        "minhash", "mh_a"
+    )
+    sb = corpus_minhash(b, text_col, num_hashes, k).withColumnRenamed(
+        "minhash", "mh_b"
+    )
+    out = (
+        sa.join(sb, "h")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).cast("long").alias("matches")
+        )
+        .select(
+            F.lit(num_hashes).cast("long").alias("n_hashes"),
+            "matches",
+            F.expr(f"matches * 1000000 DIV {num_hashes}").alias(
+                "est_jaccard_ppm"
+            ),
+        )
+    )
+    if not exact:
+        return out
+
+    def sset(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(shingles(F.col(text_col), k)).alias("sh")
+            )
+            .select(F.md5("sh").alias("s"))
+            .distinct()
+        )
+
+    ja = sset(a).withColumn("_a", F.lit(1))
+    jb = sset(b).withColumn("_b", F.lit(1))
+    ex = (
+        ja.join(jb, "s", "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_inter"),
+            F.count("*").cast("long").alias("n_union"),
+        )
+        .select(
+            "n_inter",
+            "n_union",
+            F.expr(
+                "CASE WHEN n_union > 0 THEN n_inter * 1000000 DIV n_union"
+                " ELSE 0 END"
+            ).alias("exact_jaccard_ppm"),
+        )
+    )
+    # both sides are single aggregate rows — metadata-sized join
+    return out.crossJoin(ex)

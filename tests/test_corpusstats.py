@@ -157,3 +157,33 @@ def test_hll_estimate_accuracy_and_merge(spark):
         merged.exceptAll(one_shot).count() == 0
         and one_shot.exceptAll(merged).count() == 0
     )
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    """Corpus-level MinHash: identical corpora estimate Jaccard 1
+    (every permutation's min agrees); token-disjoint corpora estimate
+    ~0; the exact path reports the true distinct-shingle Jaccard."""
+    from gocrawl_spark import corpusstats as cs
+
+    rows_a = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}") for i in range(30)]
+    rows_b = [(i, f"omega{i} psi{i} chi{i} phi{i} ups{i} tau{i}") for i in range(30)]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+
+    same = cs.corpus_overlap(a, a, num_hashes=16, exact=True).collect()[0]
+    assert same["matches"] == 16
+    assert same["est_jaccard_ppm"] == 1_000_000
+    assert same["exact_jaccard_ppm"] == 1_000_000
+    assert same["n_inter"] == same["n_union"]
+
+    diff = cs.corpus_overlap(a, b, num_hashes=16, exact=True).collect()[0]
+    assert diff["n_inter"] == 0 and diff["exact_jaccard_ppm"] == 0
+    assert diff["matches"] <= 1  # sketch noise at H=16, truth is 0
+
+    # half-overlapping: exact jaccard = |A∩B|/|A∪B| = 15/45; the H=64
+    # estimate lands within ±3 stddev (σ = sqrt(J(1-J)/64) ≈ 0.059)
+    c = spark.createDataFrame(rows_a[:15] + rows_b[:30], "doc_id long, text string")
+    half = cs.corpus_overlap(a, c, num_hashes=64, exact=True).collect()[0]
+    true_j = half["exact_jaccard_ppm"] / 1e6
+    est_j = half["est_jaccard_ppm"] / 1e6
+    assert abs(est_j - true_j) < 0.18
