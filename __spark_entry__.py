@@ -1141,6 +1141,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_overlap_minhash"] = corpus_overlap_minhash
 
+    def emb_pca_cov(spark, sf_dir):
+        """Distributed integer covariance (similarity.pca_covariance):
+        vectors quantize to the 10⁴ grid, and the full dim×dim matrix
+        of exact LONG numerators n·Σqᵢqⱼ − Σqᵢ·Σqⱼ comes out of ONE
+        map-side-combining pass (≤ dim² rows shipped per task). All
+        integer, so the oracle equality is exact, not rounded."""
+        return similarity.pca_covariance(_emb(spark, sf_dir))
+
+    q["emb_pca_cov"] = emb_pca_cov
+
+    def emb_pca_power(spark, sf_dir):
+        """Top-principal-component projection (similarity.
+        pca_power_component + pca_project): 6 power sweeps over the
+        integer covariance matrix with per-sweep max-normalization and
+        ITER_DIGITS rounding (the graphrank determinism scheme),
+        sign-fixed, then every vector's pc1 coordinate as a j-ordered
+        fold. The oracle unrolls the identical 6 sweeps in SQL."""
+        emb = _emb(spark, sf_dir)
+        cov = similarity.pca_covariance(emb)
+        axis = similarity.pca_power_component(cov, sweeps=6)
+        return similarity.pca_project(emb, axis)
+
+    q["emb_pca_power"] = emb_pca_power
+
     # -- scalar extraction ops that are SQL-expressible (E5, E11, V6) ------
     def clean_text_e5(spark, sf_dir):
         dirty = F.concat(
@@ -4807,6 +4831,68 @@ def oracle_sql() -> dict[str, str]:
     # corpus-pair overlap: corpus-level minhash per permutation (min
     # over the corpus's distinct-shingle union — identical to Spark's
     # min-over-docs of per-doc minima) + exact distinct-shingle Jaccard
+    # PCA: integer covariance numerators are exact in both engines;
+    # the power iteration unrolls sweep-by-sweep with the same
+    # max-normalize + round(·, 9) and the same j-ordered folds
+    _pca_cov_ctes = """
+        q AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> floor(x::DOUBLE * 10000 + 0.5)::BIGINT) AS q
+              FROM embeddings),
+        pos AS (SELECT unnest(range(0, 64))::INT AS i),
+        tri AS (SELECT pi.i AS i, pj.i AS j,
+                       sum(q[pi.i + 1] * q[pj.i + 1])::BIGINT AS sxy,
+                       count(*)::BIGINT AS n
+                FROM q, pos pi, pos pj WHERE pj.i >= pi.i
+                GROUP BY 1, 2),
+        fm AS (SELECT i, sum(q[i + 1])::BIGINT AS s FROM q, pos GROUP BY i),
+        ut AS (SELECT t.i, t.j, (t.n * t.sxy - fi.s * fj.s)::BIGINT AS cov_num,
+                      t.n
+               FROM tri t JOIN fm fi ON fi.i = t.i JOIN fm fj ON fj.i = t.j),
+        cov AS (SELECT i, j, cov_num, n FROM ut
+                UNION ALL
+                SELECT j AS i, i AS j, cov_num, n FROM ut WHERE i <> j)
+    """
+
+    o["emb_pca_cov"] = f"""
+        WITH {_pca_cov_ctes}
+        SELECT i, j, cov_num, n FROM cov
+    """
+
+    _pca_sweeps = []
+    _prev = "v0"
+    for _s in range(1, 7):
+        # DuckDB forbids subqueries inside lambdas — the carried
+        # vector/scalar join in via a 1-row cross join instead
+        _pca_sweeps.append(f"""
+        w{_s} AS (SELECT i, list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(generate_series(0, 63),
+                      j -> row[j + 1]::DOUBLE * vv.v[j + 1])),
+                    (a, b) -> a + b) AS w
+                  FROM mat, {_prev} vv),
+        m{_s} AS (SELECT max(abs(w)) AS m FROM w{_s}),
+        v{_s} AS (SELECT list_transform(list(w ORDER BY i),
+                    x -> round(x / mm.m, 9)) AS v
+                  FROM w{_s}, m{_s} mm GROUP BY mm.m)""")
+        _prev = f"v{_s}"
+    o["emb_pca_power"] = f"""
+        WITH {_pca_cov_ctes},
+        mat AS (SELECT i, list(cov_num ORDER BY j) AS row FROM cov GROUP BY i),
+        v0 AS (SELECT list_transform(generate_series(0, 63),
+                                     x -> 1.0::DOUBLE) AS v),
+        {",".join(_pca_sweeps)},
+        vf AS (SELECT CASE WHEN list_filter(v, x -> abs(x) =
+                             list_max(list_transform(v, y -> abs(y))))[1] < 0
+                           THEN list_transform(v, x -> -x) ELSE v END AS v
+               FROM v6)
+        SELECT vec_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(0, 63),
+                   i -> q[i + 1]::DOUBLE * vv.v[i + 1])),
+                 (a, b) -> a + b), 6) AS pc1
+        FROM q, vf vv
+    """
+
     o["corpus_overlap_minhash"] = f"""
         WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
         sh AS (SELECT doc_id, {_sql_shingles(5)} AS shingles FROM w),

@@ -1069,3 +1069,191 @@ def mine_bitext(
     return scored.filter(F.col("margin") >= F.lit(margin_threshold)).select(
         "src_id", "tgt_id", "score", "margin"
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: distributed integer moments → power-iteration top component
+# ---------------------------------------------------------------------------
+#
+# Embedding-table dimensionality reduction with LEARNED axes (the
+# variance-optimal complement to project_embeddings' data-oblivious JL
+# projection). The decomposition follows the same scale split as
+# k-means/sq_stats: the corpus-sized work (second moments) is one
+# map-side-combining aggregation whose shuffle is O(dim²) rows per
+# task regardless of corpus size; the dim×dim eigen step is
+# metadata-sized and runs as tiny Spark jobs over the moment matrix
+# (power iteration with per-sweep ITER_DIGITS rounding, the
+# graphrank determinism scheme, so the component is bit-equal across
+# engines and parallelism levels).
+#
+# All corpus-touching arithmetic is INTEGER: vectors quantize to a
+# fixed grid (floor(x·scale + 0.5), the sq_encode convention) and the
+# covariance NUMERATOR n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is exact LONG math — no
+# float summation order to pin. scale=10⁴ holds 64-dim unit-norm
+# embeddings up to ~10⁹ rows inside int64; drop to 10² for a
+# trillion-row corpus (documented trade: 2 fewer grid digits).
+
+PCA_SCALE = 10_000
+
+
+def pca_quantize(vec: Column, scale: int = PCA_SCALE) -> Column:
+    """array<long>: the integer grid the moment math runs on
+    (floor(x·scale + 0.5) — sq_encode's engine-exact rounding)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def pca_moments(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = PCA_SCALE,
+) -> DataFrame:
+    """Exact integer covariance numerators, one row per (i, j) with
+    j ≥ i: (i, j, cov_num, n) where cov_num = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ over
+    the quantized vectors (the covariance matrix times n², exactly).
+
+    ONE pass over the corpus: each row expands to its dim·(dim+1)/2
+    upper-triangle products; the groupBy on (i, j) partial-aggregates
+    map-side, so every task ships ≤ dim² rows no matter how many
+    vectors it scanned. The first moments ride along as j = i rows'
+    companions (s_i), aggregated in the same shuffle."""
+    q = pca_quantize(F.col(vec_col), scale)
+    tri = F.flatten(
+        F.transform(
+            q,
+            lambda xi, i: F.transform(
+                # upper triangle only: slice the tail from position i
+                F.slice(q, i + 1, F.size(q) - i),
+                lambda xj, j: F.struct(
+                    i.alias("i"),
+                    (i + j).alias("j"),
+                    (xi * xj).alias("p"),
+                    # first moment of the ROW coordinate rides along;
+                    # only the diagonal's copy is used downstream
+                    xi.alias("x"),
+                ),
+            ),
+        )
+    )
+    mom = (
+        corpus.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(
+            F.sum("t.p").alias("sxy"),
+            F.sum("t.x").alias("sx"),
+            F.count("*").alias("n"),
+        )
+    )
+    # s_i per coordinate = the diagonal's sx; join it back to both
+    # ends of every (i, j) cell — a dim²-row broadcast join
+    diag = mom.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_k"), F.col("sx").alias("_s")
+    )
+    out = (
+        mom.join(F.broadcast(diag.withColumnRenamed("_k", "i").withColumnRenamed("_s", "_si")), "i")
+        .join(F.broadcast(diag.withColumnRenamed("_k", "j").withColumnRenamed("_s", "_sj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("_si") * F.col("_sj")).alias(
+                "cov_num"
+            ),
+            "n",
+        )
+    )
+    return out
+
+
+def pca_covariance(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = PCA_SCALE,
+) -> DataFrame:
+    """Full symmetric (i, j, cov_num, n) matrix — the upper triangle
+    mirrored. dim² rows of LONGs: metadata-sized, engine-exact."""
+    tri = pca_moments(corpus, vec_col, scale=scale)
+    lower = tri.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov_num", "n"
+    )
+    return tri.unionByName(lower)
+
+
+def pca_power_component(
+    cov: DataFrame, sweeps: int = 6, digits: int = 9
+) -> list[float]:
+    """Top principal axis of the (i, j, cov_num) matrix by power
+    iteration: v₀ = 1⃗; each sweep computes w = C·v with a j-sorted
+    sequential fold per row (engine-replayable order), normalizes by
+    max|w| (an order-free pick, never an L1/L2 float sum), and rounds
+    to ``digits`` (graphrank's ITER_DIGITS scheme). The returned axis
+    is sign-fixed: the first coordinate with |v| = 1 is made positive,
+    so the component is unique, not just unique-up-to-sign.
+
+    Each sweep is two tiny Spark jobs over the dim²-row matrix (the
+    k-means-style O(dim) driver collect); nothing corpus-sized is
+    touched. Returns a python list — axis METADATA for
+    :func:`pca_project`."""
+    rows_df = cov.groupBy("i").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("j"), F.col("cov_num")))
+        ).alias("row")
+    )
+    rows_df = rows_df.localCheckpoint(eager=True)
+    dim = rows_df.count()
+    v = [1.0] * dim
+    for _ in range(sweeps):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        w = rows_df.select(
+            "i",
+            F.aggregate(
+                F.col("row"),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s.cov_num.cast("double") * F.element_at(varr, s.j + 1),
+            ).alias("w"),
+        )
+        w = w.localCheckpoint(eager=True)
+        m = w.agg(F.max(F.abs(F.col("w")))).collect()[0][0]
+        got = w.select(
+            "i", F.round(F.col("w") / F.lit(float(m)), digits).alias("v")
+        ).collect()
+        nxt = [0.0] * dim
+        for r in got:
+            nxt[r["i"]] = float(r["v"])
+        v = nxt
+    # sign fix: exact comparisons only (no float arithmetic)
+    mx = max(abs(x) for x in v)
+    for x in v:
+        if abs(x) == mx:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return v
+
+
+def pca_project(
+    corpus: DataFrame,
+    axis: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = PCA_SCALE,
+    digits: int = 6,
+) -> DataFrame:
+    """(vec_id, pc1): each vector's coordinate along the learned axis —
+    Σᵢ qᵢ·vᵢ folded in coordinate order over the same integer grid the
+    axis was trained on, rounded to ``digits``. Pure codegen'd
+    expressions in the scan (the axis is a broadcast literal): no
+    shuffle, no UDF — project_embeddings' cost shape with a learned
+    axis instead of JL signs."""
+    varr = F.array(*[F.lit(float(x)) for x in axis])
+    q = pca_quantize(F.col(vec_col), scale)
+    score = F.aggregate(
+        F.zip_with(q, varr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), F.round(score, digits).alias("pc1")
+    )

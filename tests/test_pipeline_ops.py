@@ -3143,3 +3143,42 @@ def test_prefix_filter_equals_full_join_with_fewer_candidates(spark, docs):
         (F.col("n") - F.expr("(400 * n + 999) DIV 1000") + 1).alias("p"),
     ).agg(F.sum("p")).collect()[0][0]
     assert n_prefix < n_full * 0.7
+
+
+def test_pca_power_recovers_dominant_axis(spark):
+    """PCA top component: on points spread along one fixed direction
+    (plus tiny deterministic off-axis jitter), the power iteration
+    recovers that direction — |cosine(axis, truth)| > 0.99 — and the
+    projection separates the two ends of the spread. Covariance is
+    exact integer math, so the matrix is symmetric by construction."""
+    import math
+
+    dim = 8
+    truth = [1.0, 2.0, -1.5, 0.5, 0.0, 3.0, -2.0, 1.0]
+    nrm = math.sqrt(sum(x * x for x in truth))
+    truth = [x / nrm for x in truth]
+    rows = []
+    for t in range(-20, 21):
+        vec = [t * 0.05 * truth[i] + 0.001 * ((t * (i + 3)) % 7 - 3)
+               for i in range(dim)]
+        rows.append((t + 20, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cov = similarity.pca_covariance(df)
+    mat = {(r["i"], r["j"]): r["cov_num"] for r in cov.collect()}
+    assert len(mat) == dim * dim
+    assert all(mat[(i, j)] == mat[(j, i)] for i in range(dim) for j in range(dim))
+
+    axis = similarity.pca_power_component(cov, sweeps=8)
+    dot = sum(a * b for a, b in zip(axis, truth))
+    na = math.sqrt(sum(a * a for a in axis))
+    assert abs(dot) / na > 0.99
+    # sign convention: the first max-|v| coordinate is +1 exactly
+    mx = max(abs(x) for x in axis)
+    first = next(x for x in axis if abs(x) == mx)
+    assert first == mx
+
+    proj = {r["vec_id"]: r["pc1"] for r in similarity.pca_project(df, axis).collect()}
+    # monotone along the generating parameter t (up to overall sign)
+    seq = [proj[i] for i in range(41)]
+    assert seq == sorted(seq) or seq == sorted(seq, reverse=True)
