@@ -1377,6 +1377,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_host_communities"] = crawl_host_communities
 
+    def crawl_hyperball(spark, sf_dir):
+        """HyperBall neighborhood function (graphrank.hyperball, Boldi
+        & Vigna 2013): per (node, r ≤ 3), the HLL estimate of the
+        out-ball {u : dist(v,u) ≤ r} — registers are the corpusstats
+        md5/bit-length integer scheme, grown one hop per sweep by a
+        single (node, bucket)-keyed max-merge shuffle, estimates the
+        exact-DECIMAL harmonic sum. State is ≤ nodes × 2^p LONG rows,
+        which is why this runs on 10^10-node graphs."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        return graphrank.hyperball(graphrank.doc_edges(docs, n), radius=3, p=8)
+
+    q["crawl_hyperball"] = crawl_hyperball
+
+    def crawl_harmonic(spark, sf_dir):
+        """Harmonic centrality from the HyperBall growth curve
+        (graphrank.harmonic_centrality): Σ_r (N_r − N_{r−1})/r in
+        exact integer micro-units — the 6dp estimates lift onto the
+        10⁶ grid and the 1/r discounts become an lcm-weighted LONG
+        sum, so the value is engine-exact (a float fold of /2 deltas
+        sits on 7th-digit rounding ties). The web-graph centrality
+        that needs no dangling-mass hacks."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        anf = graphrank.hyperball(graphrank.doc_edges(docs, n), radius=3, p=8)
+        return graphrank.harmonic_centrality(anf, 3)
+
+    q["crawl_harmonic"] = crawl_harmonic
+
+    def crawl_kcore(spark, sf_dir):
+        """k-core decomposition by h-index iteration
+        (graphrank.core_numbers, Lü et al. 2016): c₀ = undirected
+        degree, then 8 sweeps of c(v) ← H-index of neighbors' values —
+        all-integer, one shuffle per sweep, sort-based window (no
+        collected neighbor lists). The dense-subgraph / link-farm
+        signal; the fixture reaches its fixpoint well inside 8 sweeps
+        (test-pinned)."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        return graphrank.core_numbers(graphrank.doc_edges(docs, n), sweeps=8)
+
+    q["crawl_kcore"] = crawl_kcore
+
     def crawl_robots_meta(spark, sf_dir):
         """Page-level robots directives (robots.meta_directives):
         <meta name="robots"> token parse (none implies both, case/
@@ -5180,6 +5229,116 @@ def oracle_sql() -> dict[str, str]:
         nodes AS MATERIALIZED (SELECT DISTINCT u FROM sym),
         l0 AS (SELECT u, u AS label FROM nodes),{",".join(_lpa_sweeps)}
         SELECT u AS node, label AS community FROM l3
+    """
+
+    # HyperBall: the same md5/bit-length register scheme as the
+    # corpus-cardinality oracle, seeded per node with node::VARCHAR and
+    # max-merged one hop per sweep; estimates reuse the exact DECIMAL
+    # harmonic-sum math. Each regs CTE is read three times (next
+    # sweep's two references + its estimate) → MATERIALIZED.
+    _hb_m, _hb_p = 256, 8
+    _hb_fac = repr((0.7213 / (1.0 + 1.079 / _hb_m)) * _hb_m * _hb_m)
+    _hb_raw = f"({_hb_fac} * 4611686018427387904.0 / tot::DOUBLE)"
+    _hb_est = []
+    for _r in range(4):
+        _hb_est.append(f"""
+        agg{_r} AS (SELECT node, count(*)::BIGINT AS n_buckets,
+                   sum(1::BIGINT << (62 - rho)::INT) AS occ
+                 FROM regs{_r} GROUP BY node),
+        est{_r} AS (SELECT node, {_r} AS r, n_buckets,
+                   round(CASE WHEN {_hb_raw} <= {2.5 * _hb_m!r} AND v > 0
+                              THEN {float(_hb_m)!r} * ln({float(_hb_m)!r} / v::DOUBLE)
+                              ELSE {_hb_raw} END, 6) AS estimate
+                 FROM (SELECT node, n_buckets,
+                              ({_hb_m} - n_buckets)::BIGINT AS v,
+                              occ + (({_hb_m} - n_buckets)::HUGEINT
+                                     * (1::BIGINT << 62)::HUGEINT) AS tot
+                       FROM agg{_r}))""")
+    _hb_sweeps = []
+    for _r in range(1, 4):
+        _hb_sweeps.append(f"""
+        regs{_r} AS MATERIALIZED (
+          SELECT node, bucket, max(rho) AS rho FROM (
+            SELECT node, bucket, rho FROM regs{_r - 1}
+            UNION ALL
+            SELECT eh.src AS node, b.bucket, b.rho
+            FROM eh JOIN regs{_r - 1} b ON b.node = eh.dst)
+          GROUP BY node, bucket)""")
+    _hb_ctes = f"""
+        e0 AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        eh AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS (SELECT DISTINCT src AS node FROM eh
+                  UNION SELECT DISTINCT dst FROM eh),
+        hsh AS (
+          SELECT node,
+                 ('0x' || substr(md5(node::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h_hi,
+                 ('0x' || substr(md5(node::VARCHAR), 16, 1))::UBIGINT::BIGINT AS h_lo
+          FROM nodes),
+        rr AS (
+          SELECT node, (h_hi % 16) * 16 + h_lo AS bucket,
+                 least(CASE WHEN h_hi // 16 > 0
+                            THEN 56 - length(bin(h_hi // 16)) + 1
+                            ELSE 57 END, 62)::BIGINT AS rho
+          FROM hsh),
+        regs0 AS MATERIALIZED (
+          SELECT node, bucket, max(rho) AS rho FROM rr GROUP BY node, bucket),{",".join(_hb_sweeps)},{",".join(_hb_est)}
+    """
+    o["crawl_hyperball"] = f"""
+        WITH {_hb_ctes}
+        SELECT node, r, n_buckets, estimate FROM est0
+        UNION ALL SELECT node, r, n_buckets, estimate FROM est1
+        UNION ALL SELECT node, r, n_buckets, estimate FROM est2
+        UNION ALL SELECT node, r, n_buckets, estimate FROM est3
+    """
+    # harmonic: exact integer micro-units — 6dp estimates lift onto
+    # the 10^6 grid, 1/r discounts become lcm(1..3)=6-weighted LONG
+    # sums, one truncating // lands the result (no float fold)
+    o["crawl_harmonic"] = f"""
+        WITH {_hb_ctes},
+        mu AS (SELECT e0r.node,
+                      round(e0r.estimate * 1000000.0, 0)::BIGINT AS m0,
+                      round(e1r.estimate * 1000000.0, 0)::BIGINT AS m1,
+                      round(e2r.estimate * 1000000.0, 0)::BIGINT AS m2,
+                      round(e3r.estimate * 1000000.0, 0)::BIGINT AS m3
+               FROM est0 e0r
+               JOIN est1 e1r ON e1r.node = e0r.node
+               JOIN est2 e2r ON e2r.node = e0r.node
+               JOIN est3 e3r ON e3r.node = e0r.node)
+        SELECT node,
+               (6 * (m1 - m0) + 3 * (m2 - m1) + 2 * (m3 - m2)) // 6
+                 AS harmonic_micro
+        FROM mu
+    """
+
+    # k-core by h-index iteration: all-integer, 8 unrolled sweeps;
+    # max(least(rank, value)) over the DESC-sorted neighbor values is
+    # tie-order invariant, so the window needs no tiebreak column
+    _kc_sweeps = []
+    for _s in range(1, 9):
+        _kc_sweeps.append(f"""
+        c{_s} AS MATERIALIZED (
+          SELECT src, max(least(rn, c)) AS c FROM (
+            SELECT u.src, p.c,
+                   row_number() OVER (PARTITION BY u.src ORDER BY p.c DESC) AS rn
+            FROM und u JOIN c{_s - 1} p ON p.src = u.dst)
+          GROUP BY src)""")
+    o["crawl_kcore"] = f"""
+        WITH e0 AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        fwd AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        und AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM fwd
+            UNION ALL SELECT dst AS src, src AS dst FROM fwd)),
+        c0 AS (SELECT src, count(*)::BIGINT AS c FROM und GROUP BY src),{",".join(_kc_sweeps)}
+        SELECT src AS node, c AS core FROM c8
     """
 
     # budget allocation: same host arithmetic; the share is integer

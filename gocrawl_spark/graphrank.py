@@ -612,6 +612,9 @@ __all__ = [
     "anchor_pairs",
     "anchor_index",
     "label_propagation",
+    "hyperball",
+    "harmonic_centrality",
+    "core_numbers",
     "ITER_DIGITS",
 ]
 
@@ -727,3 +730,185 @@ def link_reciprocity(host_edges: DataFrame) -> DataFrame:
             F.expr("n_recip * 10000 DIV n_out").alias("reciprocity_bp"),
         )
     )
+
+
+def hyperball(
+    edges: DataFrame, radius: int = 3, p: int = 8
+) -> DataFrame:
+    """Approximate neighborhood function by HyperBall (Boldi & Vigna
+    2013): per node, an HLL counter of the ball {u : dist(v,u) ≤ r}
+    following OUT-edges, grown one hop per sweep by max-merging each
+    node's registers with its successors'. Output one row per
+    (node, r) for r = 0..``radius``:
+
+      (node, r, n_buckets, estimate)
+
+    where estimate is the HLL cardinality of the r-ball (r=0 is always
+    ≈1: the node itself). This is the web-graph centrality workhorse —
+    ball growth curves feed :func:`harmonic_centrality`, spam balls
+    (balls that explode faster than organic hosts') feed frontier
+    deny-lists.
+
+    Scale shape: state is the register table — ≤ nodes × 2^p rows of
+    LONGs, in practice nodes × min(ball, 2^p) — and each sweep is ONE
+    (node, bucket)-keyed shuffle of (edges ⋈ registers); nothing is
+    ever collected and no N² structure exists, which is exactly why
+    HyperBall runs on 10^10-node graphs. Registers use the
+    :func:`gocrawl_spark.corpusstats.hll_registers` md5/bit-length
+    integer scheme and :func:`~gocrawl_spark.corpusstats.hll_estimate`'s
+    exact DECIMAL harmonic sum, so every (node, r, estimate) row is
+    bit-equal across engines and parallelism levels. Lineage is
+    truncated per sweep (localCheckpoint), the pagerank convention.
+    """
+    from gocrawl_spark import corpusstats
+
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = nodes.select("node", F.col("node").cast("string").alias("_v"))
+    regs = corpusstats.hll_registers(seed, "_v", ["node"], p=p)
+    regs = regs.localCheckpoint(eager=True)
+    frames = [
+        corpusstats.hll_estimate(regs, ["node"], p=p).select(
+            "node", F.lit(0).alias("r"), "n_buckets", "estimate"
+        )
+    ]
+    for r in range(1, radius + 1):
+        succ = (
+            e.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "bucket", "rho")
+        )
+        regs = (
+            regs.unionByName(succ)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        regs = regs.localCheckpoint(eager=True)
+        frames.append(
+            corpusstats.hll_estimate(regs, ["node"], p=p).select(
+                "node", F.lit(r).alias("r"), "n_buckets", "estimate"
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def harmonic_centrality(anf: DataFrame, radius: int) -> DataFrame:
+    """(node, harmonic_micro): HyperBall's harmonic-centrality
+    estimate H(v) = Σ_{r=1..R} (N(v,r) − N(v,r−1)) / r from a
+    :func:`hyperball` neighborhood-function table — each hop's
+    newly-reached mass discounted by its distance (Boldi & Vigna's
+    centrality of choice for web graphs: finite under disconnection,
+    no dangling-mass hacks). Emitted in integer MICRO-units
+    (floor(H·10⁶)), the repo's cross-engine convention: the 6dp
+    estimates lift exactly onto the 10⁶ grid, each 1/r discount
+    becomes an exact lcm(1..R)-weighted LONG sum, and one truncating
+    DIV lands the result — no float fold whose half-way roundings an
+    engine could disagree on (a /2 of 6dp deltas sits exactly on the
+    7th-digit tie). One node-keyed rollup of the (R+1)-row groups —
+    output is O(nodes)."""
+    lcm = 1
+    for r in range(2, radius + 1):
+        g, a, b = 1, lcm, r
+        while b:
+            a, b = b, a % b
+        g = a
+        lcm = lcm * r // g
+    arr = anf.groupBy("node").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("r"), F.col("estimate")))
+        ).alias("a")
+    )
+
+    def _micro(r):
+        return F.round(
+            F.element_at(F.col("a"), r).estimate * F.lit(1_000_000.0), 0
+        ).cast("long")
+
+    coeffs = F.array(
+        *[F.lit(lcm // k).cast("long") for k in range(1, radius + 1)]
+    )
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(radius)),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.element_at(coeffs, r) * (_micro(r + 1) - _micro(r)),
+    )
+    return arr.select("node", fold.alias("_h")).select(
+        "node", F.expr(f"_h DIV {lcm}").alias("harmonic_micro")
+    )
+
+
+def core_numbers(
+    edges: DataFrame, sweeps: int = 8, until_stable: bool = False
+) -> DataFrame:
+    """(node, core): k-core decomposition of the UNDIRECTED simple
+    graph under ``edges`` by h-index iteration (Lü, Zhou, Zhang,
+    Stanley 2016): c₀(v) = degree(v); c_{t+1}(v) = H-index of
+    {c_t(u) : u ∼ v} — the largest h with ≥ h neighbors at value ≥ h.
+    The sequence is monotone non-increasing and its fixpoint is
+    exactly the coreness, the classic dense-subgraph / link-farm
+    signal (a mutual-admiration clique of size k+1 pins a k-core
+    however it disguises per-page degree).
+
+    All-integer, so cross-engine equality is exact. Each sweep is one
+    edge⋈values join + one sort-based window (row_number per node over
+    value DESC — O(1) state per task; max(min(rank, value)) is
+    invariant to tie order) + one node rollup: one shuffle per sweep,
+    no collected state. With ``until_stable`` the loop adds an O(1)
+    driver count per sweep and stops at the fixpoint (guaranteed:
+    values are non-increasing non-negative integers); with the default
+    fixed count the op is a pure ``sweeps``-job pipeline whose oracle
+    unrolls identically — tests assert the fixture reaches its
+    fixpoint well inside the default.
+    """
+    from pyspark.sql import Window
+
+    fwd = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    und = und.localCheckpoint(eager=True)
+    cur = und.groupBy("src").agg(F.count("*").cast("long").alias("c"))
+    cur = cur.localCheckpoint(eager=True)
+    w = Window.partitionBy("src").orderBy(F.desc("c"))
+    done = 0
+    while True:
+        nb = und.join(
+            cur.select(F.col("src").alias("dst"), "c"), "dst"
+        ).select("src", "c")
+        nxt = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .select(
+                "src",
+                F.least(F.col("_rn").cast("long"), F.col("c")).alias("_h"),
+            )
+            .groupBy("src")
+            .agg(F.max("_h").alias("c"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        done += 1
+        if until_stable:
+            changed = (
+                nxt.withColumnRenamed("c", "_n")
+                .join(cur, "src")
+                .filter(F.col("_n") != F.col("c"))
+                .count()
+            )
+            cur = nxt
+            if changed == 0:
+                break
+        else:
+            cur = nxt
+            if done >= sweeps:
+                break
+    return cur.select(F.col("src").alias("node"), F.col("c").alias("core"))

@@ -425,3 +425,59 @@ def test_link_reciprocity(spark):
     assert got["b.com"] == (1, 1, 10000)
     assert got["d.com"] == (1, 0, 0)
     assert "c.com" not in got  # only a self-loop -> no out-edges
+
+
+def test_hyperball_ball_growth_on_path(spark):
+    """Path 0→1→2→3→4: node 0's r-ball has exactly r+1 members (up to
+    HLL estimation on ≤5 elements, which the small-range linear branch
+    resolves near-exactly), and every growth curve is monotone."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    anf = graphrank.hyperball(e, radius=3, p=8).collect()
+    by = {(r["node"], r["r"]): r["estimate"] for r in anf}
+    for node in range(5):
+        reach = min(3, 4 - node)
+        for r in range(4):
+            true = 1 + min(r, reach)
+            assert by[(node, r)] == pytest.approx(true, rel=0.05)
+        curve = [by[(node, r)] for r in range(4)]
+        assert curve == sorted(curve)
+
+
+def test_harmonic_centrality_star(spark):
+    """Out-star center→5 leaves: the center reaches 5 nodes at
+    distance 1 → H ≈ 5; leaves reach nothing → H = 0 exactly."""
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    anf = graphrank.hyperball(e, radius=3, p=8)
+    got = {
+        r["node"]: r["harmonic_micro"]
+        for r in graphrank.harmonic_centrality(anf, 3).collect()
+    }
+    assert got[0] == pytest.approx(5_000_000, rel=0.05)
+    assert all(got[i] == 0 for i in range(1, 6))
+
+
+def test_core_numbers_clique_with_tail(spark):
+    """4-clique {0,1,2,3} with a tail 3—4—5: clique coreness 3, tail
+    coreness 1; fixed-sweep result is the until_stable fixpoint and is
+    partitioning-independent. Direction must not matter (symmetrized),
+    and self-loops must not inflate degree."""
+    rows = [
+        (a, b) for a in range(4) for b in range(4) if a < b
+    ] + [(3, 4), (4, 5), (5, 5)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["core"] for r in graphrank.core_numbers(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+    stable = {
+        r["node"]: r["core"]
+        for r in graphrank.core_numbers(e, until_stable=True).collect()
+    }
+    assert stable == got
+    rep = {
+        r["node"]: r["core"]
+        for r in graphrank.core_numbers(e.repartition(7, "dst")).collect()
+    }
+    assert rep == got
