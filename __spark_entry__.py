@@ -2264,6 +2264,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_url_templates"] = crawl_url_templates
 
+    def crawl_trap_rules(spark, sf_dir):
+        """Yield-learned crawl-trap rules (canonicalize.trap_rules):
+        the same template census keyed by content yield — the calendar
+        space mints ~16 URLs/host but only 3 distinct digests
+        (yield ≤ 1875 bp → trap), article and /about spaces hash
+        unique (10000 bp → clean). Exact integer basis points; one
+        (host, template) rollup. Trapped templates feed
+        apply_trap_rules as next-round frontier deny-rules."""
+        from gocrawl_spark import canonicalize as canon
+
+        d = F.col("doc_id")
+        host = F.concat(F.lit("https://h"), (d % 6).cast("string"), F.lit(".com"))
+        url = F.when(
+            d % 5 == 0, F.concat(host, F.lit("/about"))
+        ).when(
+            d % 5 == 1,
+            F.concat(
+                host, F.lit("/cal/2024/"), (d % 12).cast("string"),
+                F.lit("/"), (d % 28).cast("string"),
+            ),
+        ).otherwise(F.concat(host, F.lit("/p/"), d.cast("string")))
+        digest = F.when(
+            d % 5 == 1, F.concat(F.lit("dup"), (d % 3).cast("string"))
+        ).otherwise(F.concat(F.lit("uniq"), d.cast("string")))
+        pages = _docs(spark, sf_dir).select(
+            url.alias("url"), digest.alias("digest")
+        )
+        return canon.trap_rules(pages, min_urls=8, max_yield_bp=3000)
+
+    q["crawl_trap_rules"] = crawl_trap_rules
+
     def crawl_link_reciprocity(spark, sf_dir):
         """Nepotistic-linking census (graphrank.link_reciprocity) over
         a synthesized 12-host graph where hosts 0-3 form a mutual-
@@ -6499,6 +6530,45 @@ def oracle_sql() -> dict[str, str]:
                min(url) AS example_url
         FROM t GROUP BY host, template
         HAVING count(*) >= 2
+    """
+
+    # crawl_trap_rules: same synthesis + a digest that collapses the
+    # calendar space; yield is exact integer basis points (DuckDB //
+    # on positive LONGs ≡ Spark DIV)
+    o["crawl_trap_rules"] = r"""
+        WITH pages AS (
+          SELECT CASE
+                   WHEN doc_id % 5 = 0
+                     THEN 'https://h' || (doc_id % 6)::VARCHAR || '.com/about'
+                   WHEN doc_id % 5 = 1
+                     THEN 'https://h' || (doc_id % 6)::VARCHAR || '.com/cal/2024/'
+                          || (doc_id % 12)::VARCHAR || '/' || (doc_id % 28)::VARCHAR
+                   ELSE 'https://h' || (doc_id % 6)::VARCHAR || '.com/p/'
+                        || doc_id::VARCHAR
+                 END AS url,
+                 CASE WHEN doc_id % 5 = 1
+                      THEN 'dup' || (doc_id % 3)::VARCHAR
+                      ELSE 'uniq' || doc_id::VARCHAR
+                 END AS digest
+          FROM documents),
+        t AS (
+          SELECT url, digest,
+                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                 regexp_replace(
+                     CASE WHEN regexp_extract(url,
+                              '^https?://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+                          ELSE regexp_extract(url,
+                              '^https?://[^/?#]*([^?#]*)', 1) END,
+                     '[0-9]+', 'N', 'g') AS template
+          FROM pages),
+        agg AS (
+          SELECT host, template, count(*)::BIGINT AS n_urls,
+                 count(DISTINCT digest)::BIGINT AS n_digests
+          FROM t GROUP BY host, template)
+        SELECT host, template, n_urls, n_digests,
+               (n_digests * 10000) // n_urls AS yield_bp,
+               (n_urls >= 8 AND (n_digests * 10000) // n_urls <= 3000) AS trap
+        FROM agg
     """
 
     # crawl_link_reciprocity: same 12-host graph with the 0-3 clique

@@ -410,14 +410,11 @@ def url_templates(
     """
     from pyspark.sql import functions as F
 
-    c = F.col(url_col)
-    host = F.regexp_extract(c, r"^https?://([^/?#]+)", 1)
-    path = F.regexp_extract(c, r"^https?://[^/?#]*([^?#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    template = F.regexp_replace(path, r"[0-9]+", "N")
+    host, template = _url_template_cols(url_col)
     return (
         pages.select(
-            host.alias("host"), template.alias("template"), c.alias("url")
+            host.alias("host"), template.alias("template"),
+            F.col(url_col).alias("url"),
         )
         .groupBy("host", "template")
         .agg(
@@ -426,3 +423,108 @@ def url_templates(
         )
         .filter(F.col("n_urls") >= min_count)
     )
+
+
+def _url_template_cols(url_col: str):
+    """(host, template) expressions shared by :func:`url_templates`,
+    :func:`trap_rules`, and :func:`apply_trap_rules` — host from the
+    authority, path with digit runs masked to ``N``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col)
+    host = F.regexp_extract(c, r"^https?://([^/?#]+)", 1)
+    path = F.regexp_extract(c, r"^https?://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return host, F.regexp_replace(path, r"[0-9]+", "N")
+
+
+def trap_rules(
+    pages,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_urls: int = 8,
+    max_yield_bp: int = 3000,
+):
+    """Learned crawl-trap rules from the crawl's own content yield —
+    the template-level complement of the static :func:`is_trap_expr`
+    gate and the path-space analogue of :func:`dust_rules`: an
+    enumerable URL space (calendar pager, faceted listing, session
+    spiral) betrays itself by minting many URLs that hash to few
+    distinct bodies. Per digit-masked (host, template):
+
+      (host, template, n_urls, n_digests, yield_bp, trap)
+
+    yield_bp = n_digests·10⁴ DIV n_urls (exact integer basis points);
+    trap = n_urls ≥ ``min_urls`` AND yield_bp ≤ ``max_yield_bp``.
+    Heritrix-style crawls apply the trapped templates as frontier
+    deny-rules next round (:func:`apply_trap_rules`), so the budget
+    stops feeding spaces that provably return duplicate content.
+
+    Plan shape: one codegen'd projection + one (host, template)
+    rollup with map-side-combining count / count_distinct —
+    hosts×templates output rows, no joins, a single shuffle at 10^10
+    URLs."""
+    from pyspark.sql import functions as F
+
+    host, template = _url_template_cols(url_col)
+    return (
+        pages.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(digest_col).alias("digest"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.count_distinct("digest").cast("long").alias("n_digests"),
+        )
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_digests",
+            F.expr("n_digests * 10000 DIV n_urls").alias("yield_bp"),
+        )
+        .withColumn(
+            "trap",
+            (F.col("n_urls") >= min_urls)
+            & (F.col("yield_bp") <= max_yield_bp),
+        )
+    )
+
+
+def apply_trap_rules(
+    df,
+    rules,
+    url_col: str = "url",
+    out_col: str = "is_trap",
+):
+    """Flag frontier URLs that fall in a learned trap space: adds
+    boolean ``out_col`` = the URL's (host, digit-masked template) has
+    ``trap`` in a :func:`trap_rules` table. Filter on ``~is_trap``
+    before fetch — the yield-learned twin of the static
+    ``is_trap_expr`` frontier gate (rounds.py:305).
+
+    Plan shape: the trapped templates (hosts×templates — metadata-
+    sized at any corpus scale) broadcast-join onto the frontier's
+    derived (host, template); the frontier itself never shuffles."""
+    from pyspark.sql import functions as F
+
+    host, template = _url_template_cols(url_col)
+    trapped = (
+        rules.filter(F.col("trap"))
+        .select(
+            F.col("host").alias("_t_host"),
+            F.col("template").alias("_t_tpl"),
+            F.lit(True).alias("_t_hit"),
+        )
+        .distinct()
+    )
+    out = (
+        df.withColumn("_t_host", host)
+        .withColumn("_t_tpl", template)
+        .join(F.broadcast(trapped), ["_t_host", "_t_tpl"], "left")
+        .withColumn(out_col, F.coalesce(F.col("_t_hit"), F.lit(False)))
+        .drop("_t_host", "_t_tpl", "_t_hit")
+    )
+    return out

@@ -245,3 +245,46 @@ def test_url_templates(spark):
     assert got[("h.com", "/cal/N/N/N")] == (2, "https://h.com/cal/2023/1/2")
     assert ("h.com", "/about") not in got       # singleton dropped
     assert ("other.com", "/p/N") not in got     # singleton dropped
+
+
+def test_trap_rules_learn_low_yield_space(spark):
+    """A calendar space minting 12 URLs with 2 distinct digests is a
+    trap; an article space hashing unique is not; a space under
+    min_urls never trips however low its yield."""
+    from gocrawl_spark.canonicalize import apply_trap_rules, trap_rules
+
+    rows = (
+        [(f"https://a.com/cal/2024/{m}/{d}", "dupA") for m in range(3) for d in range(2)]
+        + [(f"https://a.com/cal/2023/{m}/{d}", "dupB") for m in range(3) for d in range(2)]
+        + [(f"https://a.com/p/{i}", f"u{i}") for i in range(10)]
+        + [("https://b.com/x/1", "z"), ("https://b.com/x/2", "z")]
+    )
+    pages = spark.createDataFrame(rows, "url string, digest string")
+    rules = trap_rules(pages, min_urls=8, max_yield_bp=3000)
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["n_digests"], r["trap"])
+        for r in rules.collect()
+    }
+    assert got[("a.com", "/cal/N/N/N")] == (12, 2, True)
+    assert got[("a.com", "/p/N")] == (10, 10, False)
+    assert got[("b.com", "/x/N")] == (2, 1, False)  # under min_urls
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.com/cal/2025/7/9",),   # unseen member of the space
+            ("https://a.com/p/99",),
+            ("https://b.com/x/3",),
+            ("https://c.com/cal/2024/1/1",),   # other host: no rule
+        ],
+        "url string",
+    )
+    flagged = {
+        r["url"]: r["is_trap"]
+        for r in apply_trap_rules(frontier, rules).collect()
+    }
+    assert flagged == {
+        "https://a.com/cal/2025/7/9": True,
+        "https://a.com/p/99": False,
+        "https://b.com/x/3": False,
+        "https://c.com/cal/2024/1/1": False,
+    }
