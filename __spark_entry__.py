@@ -512,6 +512,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_split_decon"] = train_split_decon
 
+    def train_split_cluster_safe(spark, sf_dir):
+        """Leakage-safe split (curation.split_cluster_safe): documents
+        split by their near-dup cluster REP's hash (min-label
+        components over MinHash-LSH pairs), so paraphrase-level dups
+        can never straddle train/eval — the hole exact-shingle
+        decontamination leaves open. Same near-dup-augmented corpus
+        and pair parameters as dedup_clusters; components run over
+        pair evidence only, never the corpus."""
+        from gocrawl_spark import curation
+
+        docs = _aug_near(_docs(spark, sf_dir))
+        pairs = dedup.minhash_pairs(
+            docs, num_hashes=16, k=5, bands=4, threshold=0.5
+        )
+        return curation.split_cluster_safe(
+            docs, pairs, fracs={"train": 0.75, "val": 0.125, "test": 0.125}
+        ).select("doc_id", "rep", "split")
+
+    q["train_split_cluster_safe"] = train_split_cluster_safe
+
     def train_pack_tokens(spark, sf_dir):
         """Token-level sequence packing
         (curation.pack_token_sequences, L=128, 8 shards): the true GPT
@@ -5656,6 +5676,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.doc_id, l.cluster_id, s.cluster_size,
                l.doc_id = l.cluster_id AS is_canonical
         FROM lab l JOIN sz s USING (cluster_id)
+    """
+
+    # cluster-safe split: dedup_clusters' recursive components give
+    # the rep; docs without pair evidence represent themselves; the
+    # banding is train_split's md5 contract keyed on the REP
+    o["train_split_cluster_safe"] = rf"""
+        WITH RECURSIVE
+        aug AS ({_SQL_AUG_NEAR}),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM aug),
+        sh AS (SELECT id, {_sql_shingles(5)} AS shingles FROM w),
+        sig AS (SELECT id,
+                 [list_min([md5(h::VARCHAR || '#' || s) for s in shingles]) for h in range(0,16)] AS sig
+                FROM sh),
+        bands AS (SELECT id, band,
+                   md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS key
+                  FROM (SELECT id, sig, unnest(range(0,4)) AS band FROM sig)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        prs AS (SELECT c.id_a, c.id_b
+                FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+                WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0::DOUBLE) >= 0.5::DOUBLE),
+        edges AS (SELECT id_a AS u, id_b AS v FROM prs
+                  UNION SELECT id_b AS u, id_a AS v FROM prs),
+        cc AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+               UNION
+               SELECT e.u, c.label FROM edges e JOIN cc c ON c.u = e.v),
+        lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+        rep AS (SELECT a.doc_id, coalesce(l.cluster_id, a.doc_id) AS rep
+                FROM aug a LEFT JOIN lab l ON l.doc_id = a.doc_id),
+        uu AS (SELECT doc_id, rep,
+                 ('0x' || substr(md5(rep::VARCHAR || ':split'), 1, 8))::UBIGINT::DOUBLE
+                   / 4294967296.0 AS u
+               FROM rep)
+        SELECT doc_id, rep,
+               CASE WHEN u < 0.75 THEN 'train'
+                    WHEN u < 0.875 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM uu
     """
 
     o["sample_stratified"] = """

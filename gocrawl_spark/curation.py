@@ -1200,3 +1200,53 @@ def fim_transform(
     return docs.select(
         d.alias("doc_id"), mode.alias("fim_mode"), out.alias("fim_text")
     )
+
+
+def split_cluster_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fracs: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: a document splits by
+    its near-dup CLUSTER representative's hash — the min doc id of its
+    connected component over ``pairs`` (docs with no dup evidence
+    represent themselves) — so two near-duplicates can NEVER straddle
+    splits. This closes the eval-contamination hole a per-doc hash
+    split leaves open even after n-gram decontamination: a paraphrase
+    of a training doc in the test split shares no exact shingle yet
+    leaks the content. Returns the input columns + ``rep`` + ``split``
+    (same banding contract as :func:`split_corpus`; a new ``seed``
+    draws an independent split, and adding documents tomorrow cannot
+    move today's clusters between splits).
+
+    Scale shape: components run over the PAIR evidence only
+    (O(dup-pairs), min-label propagation — never the corpus), one
+    id-keyed left join attaches reps, and the banding is a codegen'd
+    projection; the corpus shuffles once on its id."""
+    from gocrawl_spark import dedup
+
+    fracs = fracs or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(fracs)
+    cc = dedup.connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("_cc")
+    )
+    out = docs.join(cc, id_col, "left").withColumn(
+        "rep", F.coalesce(F.col("_cc"), F.col(id_col))
+    ).drop("_cc")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("rep").cast("string"), F.lit(seed))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("double") / F.lit(4294967296.0)
+    col = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(fracs[name])
+        cond = u < F.lit(cum)
+        col = F.when(cond, F.lit(name)) if col is None else col.when(cond, F.lit(name))
+    col = F.lit(names[-1]) if col is None else col.otherwise(F.lit(names[-1]))
+    return out.withColumn("split", col)

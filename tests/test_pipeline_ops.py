@@ -3182,3 +3182,38 @@ def test_pca_power_recovers_dominant_axis(spark):
     # monotone along the generating parameter t (up to overall sign)
     seq = [proj[i] for i in range(41)]
     assert seq == sorted(seq) or seq == sorted(seq, reverse=True)
+
+
+def test_split_cluster_safe_no_straddle(spark):
+    """Every near-dup pair lands in ONE split (the property the op
+    exists for), docs without pair evidence split by their own id
+    (identical to split_corpus), and the assignment survives
+    repartitioning."""
+    from gocrawl_spark import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # two chains (0-1-2, 10-11) + a pair (20, 21); rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = curation.split_cluster_safe(docs, pairs, fracs=fr)
+    got = {r["doc_id"]: (r["rep"], r["split"]) for r in out.collect()}
+    assert got[0] == got[1] == got[2] and got[0][0] == 0
+    assert got[10] == got[11] and got[10][0] == 10
+    assert got[20] == got[21] and got[20][0] == 20
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_corpus(docs, fracs=fr).collect()
+    }
+    for i in range(22, 40):
+        assert got[i] == (i, plain[i])
+    rep = {
+        r["doc_id"]: (r["rep"], r["split"])
+        for r in curation.split_cluster_safe(
+            docs.repartition(7), pairs.repartition(3), fracs=fr
+        ).collect()
+    }
+    assert rep == got
