@@ -1037,6 +1037,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = decontaminate
 
+    def decontaminate_bloom(spark, sf_dir):
+        """Bloom-gated decontamination (dedup.contamination_bloom):
+        the heldout shingles build a SHARDED (shard, bits) Bloom — the
+        frontier's own machinery over sha256(shingle) — and only
+        Bloom-positive corpus shingles pay the exact join. No false
+        negatives, so the contract (and the oracle) is EXACTLY
+        decontaminate's; the plan is the one that survives a heldout
+        suite too large to broadcast."""
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 50 == 10).select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(
+                F.slice(textstats.norm_words("text"), 3, 10), " "
+            ).alias("bench_text"),
+        )
+        return dedup.contamination_bloom(docs, bench, k=8)
+
+    q["decontaminate_bloom"] = decontaminate_bloom
+
     def sitemap_parse(spark, sf_dir):
         """Sitemap XML parser (sitemap.sitemap_entries) against an
         independent SQL reconstruction: one synthetic urlset per doc
@@ -5568,6 +5587,11 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.doc_id, b.bench_id
         HAVING count(*) >= 1
     """
+
+    # the Bloom gate is lossless (no false negatives; FPs die in the
+    # exact join), so the oracle IS decontaminate's SQL — equality
+    # proves the pruned plan returns the identical contamination table
+    o["decontaminate_bloom"] = o["decontaminate"]
 
     o["clean_text_e5"] = r"""
         SELECT doc_id, trim(regexp_replace(regexp_replace(

@@ -1226,3 +1226,57 @@ def prefix_filter_pairs(
     return verified.filter(
         F.col("jaccard") >= F.lit(float(threshold))
     ).select("id_a", "id_b", "jaccard")
+
+
+def contamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "bench_text",
+    n_shards: int = 16,
+    m_bits: int = 1 << 20,
+    probe_acc=None,
+) -> DataFrame:
+    """:func:`contamination` for heldout suites too large to broadcast
+    — the 100 TB-decon plan. The benchmark's distinct shingles build a
+    SHARDED Bloom filter (the frontier's (shard, bits) machinery over
+    sha256(shingle)); the corpus shingle stream probes it cogrouped
+    per shard (O(1-shard) memory per task, never the whole filter),
+    and only Bloom-POSITIVE rows pay the exact shingle equi-join that
+    removes false positives. Bloom filters have no false negatives, so
+    the result is EXACTLY :func:`contamination`'s (test-pinned): what
+    changes is the plan — the corpus side shuffles only its hit
+    residue (≈ true contamination rate + <1% FP) instead of every
+    shingle, and no executor ever holds the benchmark index.
+
+    ``probe_acc``: optional accumulator recording per-task merged-
+    bitset bytes (the same O(1-shard) instrumentation contract as
+    :func:`gocrawl_spark.frontier.filter_unseen_sharded`)."""
+    from gocrawl_spark import frontier
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingles(text_col, k))).alias("g"),
+    ).withColumn("_h", F.sha2(F.col("g"), 256))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(_shingles(bench_text_col, k))).alias("g"),
+    )
+    bloom_df = frontier.build_bloom_df(
+        b.select(F.sha2(F.col("g"), 256).alias("_h")).distinct(),
+        hash_col="_h", n_shards=n_shards, m_bits=m_bits,
+    )
+    tagged = frontier.tag_maybe_seen_sharded(
+        d, bloom_df, hash_col="_h", n_shards=n_shards, probe_acc=probe_acc
+    )
+    hits = tagged.filter(F.col("_maybe_seen")).select("doc_id", "g")
+    return (
+        hits.join(b, "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

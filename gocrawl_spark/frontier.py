@@ -215,6 +215,27 @@ def filter_unseen_sharded(
     ``probe_acc``: optional Spark accumulator; each task adds the bytes
     it materialized for its shard's merged bitset (test instrumentation
     for the O(1-shard) memory contract)."""
+    tagged = tag_maybe_seen_sharded(
+        candidates, bloom_df, hash_col=hash_col, n_shards=n_shards,
+        probe_acc=probe_acc,
+    )
+    return _split_on_bloom(tagged, seen, hash_col)
+
+
+def tag_maybe_seen_sharded(
+    candidates: DataFrame,
+    bloom_df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    probe_acc=None,
+) -> DataFrame:
+    """The sharded-probe core of :func:`filter_unseen_sharded`, usable
+    on its own: adds boolean ``_maybe_seen`` per candidate by testing
+    ``hash_col`` against ONLY its shard's bitsets in a cogrouped
+    applyInPandas (O(1-shard) peak memory per task). Callers that want
+    HITS rather than unseen rows (e.g. Bloom-gated decontamination,
+    where a positive means "pays the exact join") filter on the tag
+    directly instead of going through the anti-join split."""
     cand = candidates.withColumn("_shard", _shard_expr(hash_col, n_shards))
     out_schema = StructType(
         list(candidates.schema.fields) + [StructField("_maybe_seen", BooleanType())]
@@ -240,12 +261,11 @@ def filter_unseen_sharded(
 
         return out.assign(_maybe_seen=[might(h) for h in out[hash_col]])
 
-    tagged = (
+    return (
         cand.groupBy("_shard")
         .cogroup(bloom_df.groupBy(F.col("shard").cast("int").alias("shard")))
         .applyInPandas(check, schema=out_schema)
     )
-    return _split_on_bloom(tagged, seen, hash_col)
 
 
 def filter_unseen(

@@ -3217,3 +3217,31 @@ def test_split_cluster_safe_no_straddle(spark):
         ).collect()
     }
     assert rep == got
+
+
+def test_contamination_bloom_equals_exact(spark, docs):
+    """Bloom-gated decon returns EXACTLY the broadcast-join result (no
+    false negatives by construction, FPs die in the exact join), and
+    the probe is O(1-shard): each task materializes one shard's
+    bitset, and the residue paying the exact join is far smaller than
+    the corpus shingle stream."""
+    bench = docs.filter(F.col("doc_id") % 40 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 10, 120).alias("bench_text"),
+    )
+    exact = sorted(
+        map(tuple, dedup.contamination(docs, bench, k=8).collect())
+    )
+    acc = spark.sparkContext.accumulator(0)
+    via_bloom = sorted(
+        map(
+            tuple,
+            dedup.contamination_bloom(
+                docs, bench, k=8, n_shards=4, m_bits=1 << 16, probe_acc=acc
+            ).collect(),
+        )
+    )
+    assert via_bloom == exact
+    assert len(exact) > 0
+    # every task's merged bitset is one shard: 2^16 bits = 8 KiB each
+    assert acc.value > 0 and acc.value % (1 << 13) == 0
