@@ -2620,6 +2620,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bm25"] = search_bm25
 
+    def search_bm25_maxscore(spark, sf_dir):
+        """Index-time BM25 with MaxScore pruning (search.build_postings
+        + bm25_index_topk, Turtle & Flood 1995): only the query terms'
+        postings are read (the term-partition-pruned 100 TB plan) and
+        docs whose per-term upper-bound sum can't reach the seed
+        threshold are never fully scored. The prune is lossless — the
+        oracle is literally search_bm25's SQL, and the per-doc score
+        fold replays bm25_topk's term-order IEEE chain."""
+        p, ts, c = search.build_postings(
+            _docs(spark, sf_dir), text_col="text", id_col="doc_id"
+        )
+        return search.bm25_index_topk(p, ts, c, "window batch spark", k=10)
+
+    q["search_bm25_maxscore"] = search_bm25_maxscore
+
     def search_rank_eval(spark, sf_dir):
         """ES `_rank_eval` endpoint (rankeval.rank_eval): all four
         rated requests scored in ONE corpus pass (shared tf/df
@@ -7210,6 +7225,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE round({_score_terms}, 6) > 0
         ORDER BY score DESC, id ASC LIMIT 10
     """
+
+    # MaxScore pruning is lossless, so the index-path oracle IS the
+    # full-scan BM25 SQL — equality proves no document was lost
+    o["search_bm25_maxscore"] = o["search_bm25"]
 
     # search_rank_eval: same one-pass BM25 (generic (id, term, tf)
     # shape instead of per-term columns), same md5 judgment pool, same

@@ -2319,3 +2319,185 @@ def termvectors(
 
 
 __all__.append("termvectors")
+
+
+def build_postings(
+    df: DataFrame, text_col: str = "content", id_col: str = "id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The persisted inverted index behind index-time BM25:
+
+      postings   (term, id, tf, dl)   — one row per distinct doc-term
+      term_stats (term, df)           — document frequency
+      corpus     (n_docs, avgdl)      — one row
+
+    In production the postings table is written ``partitionBy(term
+    bucket)`` so a query reads ONLY its terms' partitions — the
+    100 TB search plan (corpus never rescanned per query); these
+    frames are the exact tables that layout persists. dl rides on
+    every posting so scoring never joins back to the corpus.
+
+    Plan: one tokenize pass, one (id, term) rollup for tf, one term
+    rollup for df, one 1-row agg — all map-side-combining."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).select("id", F.size("_toks").alias("dl"), F.col("_toks"))
+    toked = base.select("id", "dl", F.explode("_toks").alias("term"))
+    postings = toked.groupBy("term", "id", "dl").agg(
+        F.count("*").cast("long").alias("tf")
+    ).select("term", "id", "tf", "dl")
+    term_stats = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # corpus stats come from the PRE-explode frame: a zero-token doc
+    # has no postings but still counts toward n_docs and avgdl
+    # (bm25_topk's contract — it averages over every document)
+    corpus = base.agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return postings, term_stats, corpus
+
+
+def bm25_index_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prune: bool = True,
+    pruned_acc=None,
+) -> DataFrame:
+    """BM25 top-k over a :func:`build_postings` index — EXACTLY
+    :func:`bm25_topk`'s result (same score expression, same per-term
+    fold order via a term-index-sorted sequential fold, same
+    round/filter/tie-break) from a plan that reads only the query
+    terms' postings, with MaxScore pruning (Turtle & Flood 1995, batch
+    form) cutting the docs that get fully scored:
+
+      1. per-term upper bounds UB_t = max posting contribution (an agg
+         over query-term postings only);
+      2. seed threshold θ = k-th exact score among the docs posted
+         under the highest-UB term's top-k contributions;
+      3. a doc whose Σ_{t present} UB_t < θ − 10⁻⁶ can never enter the
+         top k (strict margin of one 6dp rounding quantum keeps the
+         prune LOSSLESS under IEEE reassociation), so only survivors
+         are scored and sorted.
+
+    The two driver hops (UB list, θ) move ≤ |terms| + 1 scalars. At
+    10^10 docs the win is structural: per query, term-partition-pruned
+    posting scans instead of a corpus pass, and a top-k sort over the
+    pruned survivor set. ``pruned_acc`` (optional accumulator) counts
+    docs skipped by the θ-prune — the observability hook the tests
+    assert on."""
+    terms = _terms(query)
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "id long, score double")
+    p = postings.filter(F.col("term").isin(terms))
+    st = term_stats.filter(F.col("term").isin(terms))
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    # one (_ti, term) row per query-term OCCURRENCE: a duplicated
+    # query term contributes once per occurrence, exactly like
+    # bm25_topk's per-position fold (the ES match semantics)
+    terms_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "_ti int, term string"
+    )
+    scored_terms = (
+        p.join(F.broadcast(st), "term")
+        .join(F.broadcast(corpus))
+        .join(F.broadcast(terms_df), "term")
+        .select("id", "_ti", contrib.alias("_c"))
+    )
+    if prune:
+        ubs = {
+            r["_ti"]: r["ub"]
+            for r in scored_terms.groupBy("_ti").agg(F.max("_c").alias("ub")).collect()
+        }
+        if ubs:
+            seed_ti = max(ubs, key=lambda i: (ubs[i], -i))
+            seed_ids = [
+                r["id"]
+                for r in scored_terms.filter(F.col("_ti") == seed_ti)
+                .orderBy(F.desc("_c"), F.asc("id"))
+                .limit(k)
+                .collect()
+            ]
+            seed_scores = _fold_scores(
+                scored_terms.filter(F.col("id").isin(seed_ids))
+            )
+            seeds = sorted(
+                (r["score"] for r in seed_scores.collect()), reverse=True
+            )
+            theta = seeds[k - 1] if len(seeds) >= k else 0.0
+            ubarr = F.array(
+                *[F.lit(float(ubs.get(i, 0.0))) for i in range(len(terms))]
+            )
+            per_doc = scored_terms.groupBy("id").agg(
+                F.array_sort(F.collect_list(F.struct("_ti", "_c"))).alias("_a"),
+                F.collect_set("_ti").alias("_ts"),
+            )
+            ub_sum = F.aggregate(
+                F.col("_ts"),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(ubarr, i + 1),
+            )
+            tagged = per_doc.withColumn("_keep", ub_sum >= F.lit(theta - 1e-6))
+            if pruned_acc is not None:
+                tagged = tagged.withColumn(
+                    "_keep", _count_pruned(pruned_acc)(F.col("_keep"))
+                )
+            survivors = tagged.filter(F.col("_keep")).select("id", "_a")
+            scored = survivors.select(
+                "id", F.round(_fold_col("_a"), 6).alias("score")
+            )
+        else:
+            scored = _fold_scores(scored_terms)
+    else:
+        scored = _fold_scores(scored_terms)
+    return (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _fold_col(arr_col: str) -> Column:
+    """Sequential IEEE fold of (term_index, contribution) structs in
+    term order — bm25_topk's ((0 + c₀) + c₁) + … chain exactly
+    (absent terms contribute +0.0 there, an IEEE no-op)."""
+    return F.aggregate(
+        F.col(arr_col), F.lit(0.0), lambda acc, s: acc + s._c
+    )
+
+
+def _fold_scores(scored_terms: DataFrame) -> DataFrame:
+    return scored_terms.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("_ti", "_c"))).alias("_a")
+    ).select("id", F.round(_fold_col("_a"), 6).alias("score"))
+
+
+def _count_pruned(acc):
+    # local import kept out of the module namespace; the explicit
+    # returnType+evalType pair sidesteps `from __future__ import
+    # annotations` turning the pd.Series hints into unresolvable strings
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    def tag(keep: "pd.Series") -> "pd.Series":
+        acc.add(int((~keep).sum()))
+        return keep
+
+    tag.__annotations__ = {}
+    return F.pandas_udf(tag, returnType=BooleanType())
+
+
+__all__ += ["build_postings", "bm25_index_topk"]

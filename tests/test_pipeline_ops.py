@@ -3245,3 +3245,71 @@ def test_contamination_bloom_equals_exact(spark, docs):
     assert len(exact) > 0
     # every task's merged bitset is one shard: 2^16 bits = 8 KiB each
     assert acc.value > 0 and acc.value % (1 << 13) == 0
+
+
+def test_bm25_maxscore_equals_full_scan(spark, docs):
+    """Index-path MaxScore BM25 ≡ corpus-scan bm25_topk on the same
+    query (lossless prune, identical fold order), the prune actually
+    skips docs on a rare-term query, and prune=False (the pure
+    index path) agrees too."""
+    from gocrawl_spark import search
+
+    full = [
+        tuple(r)
+        for r in search.bm25_topk(
+            docs, "window batch spark", text_col="text", id_col="doc_id", k=10
+        ).collect()
+    ]
+    p, ts, c = search.build_postings(docs, text_col="text", id_col="doc_id")
+    acc = spark.sparkContext.accumulator(0)
+    got = [
+        tuple(r)
+        for r in search.bm25_index_topk(
+            p, ts, c, "window batch spark", k=10, pruned_acc=acc
+        ).collect()
+    ]
+    assert got == full
+    noprune = [
+        tuple(r)
+        for r in search.bm25_index_topk(
+            p, ts, c, "window batch spark", k=10, prune=False
+        ).collect()
+    ]
+    assert noprune == full
+    # duplicated query term: each occurrence contributes, like
+    # bm25_topk's per-position fold (the ES match semantics)
+    dupq = "bank bank spark"
+    gotd = [
+        tuple(r)
+        for r in search.bm25_index_topk(p, ts, c, dupq, k=5).collect()
+    ]
+    fulld = [
+        tuple(r)
+        for r in search.bm25_topk(
+            docs, dupq, text_col="text", id_col="doc_id", k=5
+        ).collect()
+    ]
+    assert gotd == fulld
+    # rare+common corpus: docs holding only the common term can't
+    # reach the rare-term seed threshold and are pruned in bulk
+    big = spark.createDataFrame(
+        [(0, "zebra apple orchard")]
+        + [(i, "apple " * (1 + i % 3)) for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    p2, ts2, c2 = search.build_postings(big, text_col="text", id_col="doc_id")
+    acc2 = spark.sparkContext.accumulator(0)
+    got2 = [
+        tuple(r)
+        for r in search.bm25_index_topk(
+            p2, ts2, c2, "zebra apple", k=1, pruned_acc=acc2
+        ).collect()
+    ]
+    full2 = [
+        tuple(r)
+        for r in search.bm25_topk(
+            big, "zebra apple", text_col="text", id_col="doc_id", k=1
+        ).collect()
+    ]
+    assert got2 == full2 and got2[0][0] == 0
+    assert acc2.value > 20  # the apple-only docs never get fully scored
