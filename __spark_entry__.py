@@ -1056,6 +1056,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_bloom"] = decontaminate_bloom
 
+    def text_script_profile(spark, sf_dir):
+        """Unicode-script profile (textstats.script_profile): per-doc
+        codepoint counts across ten scripts plus the dominant script
+        and its share in exact integer basis points — the multilingual
+        router / mixed-script-spam gate. Fixture appends Cyrillic /
+        Han / Hiragana runs (long enough to flip dominance on half the
+        docs); Java \\p{IsX} and RE2 \\p{X} agree codepoint-for-
+        codepoint, so every column is engine-exact."""
+        d = F.col("doc_id")
+        rep = F.when(d % 8 >= 4, F.lit(30)).otherwise(F.lit(1))
+        snip = (
+            F.when(d % 4 == 0, F.lit(" Привет мир культура слово"))
+            .when(d % 4 == 1, F.lit(" 你好世界 汉字很多"))
+            .when(d % 4 == 2, F.lit(" こんにちは ありがとう"))
+            .otherwise(F.lit(""))
+        )
+        aug = F.concat(F.col("text"), F.repeat(snip, rep))
+        prof = textstats.script_profile(aug)
+        return _docs(spark, sf_dir).select(
+            "doc_id", *[c.alias(n) for n, c in prof.items()]
+        )
+
+    q["text_script_profile"] = text_script_profile
+
     def sitemap_parse(spark, sf_dir):
         """Sitemap XML parser (sitemap.sitemap_entries) against an
         independent SQL reconstruction: one synthetic urlset per doc
@@ -5607,6 +5631,39 @@ def oracle_sql() -> dict[str, str]:
     # exact join), so the oracle IS decontaminate's SQL — equality
     # proves the pruned plan returns the identical contamination table
     o["decontaminate_bloom"] = o["decontaminate"]
+
+    # script profile: RE2 \p{X} ≡ Java \p{IsX} on script classes;
+    # dominance via the same struct-sort, share via exact integer //
+    _scr = ("Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
+            "Han", "Hiragana", "Katakana", "Hangul", "Devanagari")
+    _scr_counts = ", ".join(
+        f"length(regexp_replace(aug, '[^\\p{{{s}}}]', '', 'g'))::BIGINT"
+        f" AS {s.lower()}" for s in _scr
+    )
+    _scr_total = " + ".join(s.lower() for s in _scr)
+    _scr_structs = ", ".join(
+        f"{{'_n': -{s.lower()}, '_s': '{s.lower()}'}}" for s in _scr
+    )
+    o["text_script_profile"] = f"""
+        WITH a AS (
+          SELECT doc_id,
+                 text || repeat(
+                   CASE WHEN doc_id % 4 = 0 THEN ' Привет мир культура слово'
+                        WHEN doc_id % 4 = 1 THEN ' 你好世界 汉字很多'
+                        WHEN doc_id % 4 = 2 THEN ' こんにちは ありがとう'
+                        ELSE '' END,
+                   CASE WHEN doc_id % 8 >= 4 THEN 30 ELSE 1 END) AS aug
+          FROM documents),
+        c AS (SELECT doc_id, {_scr_counts} FROM a),
+        d AS (SELECT *, ({_scr_total})::BIGINT AS _tot,
+                     list_sort([{_scr_structs}])[1] AS _top
+              FROM c)
+        SELECT doc_id, {", ".join(s.lower() for s in _scr)},
+               CASE WHEN _tot = 0 THEN 'none' ELSE _top._s END AS dominant,
+               CASE WHEN _tot = 0 THEN 0
+                    ELSE ((-_top._n) * 10000) // _tot END AS dominant_bp
+        FROM d
+    """
 
     o["clean_text_e5"] = r"""
         SELECT doc_id, trim(regexp_replace(regexp_replace(

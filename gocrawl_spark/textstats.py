@@ -1076,3 +1076,63 @@ def mojibake_stats(
         "mojibake_ppm": ppm,
         "is_clean": ppm <= F.lit(ppm_threshold),
     }
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script profile — multilingual routing / mixed-script spam gate
+# ---------------------------------------------------------------------------
+
+SCRIPTS = (
+    "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
+    "Han", "Hiragana", "Katakana", "Hangul", "Devanagari",
+)
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-Unicode-script codepoint counts (one LONG per script in
+    :data:`SCRIPTS`): length of the text with everything outside the
+    script stripped. Java's ``\\p{IsX}`` and RE2's ``\\p{X}`` agree on
+    script classes (checked codepoint-for-codepoint in the oracle), so
+    the counts are engine-exact. All codegen'd regexp expressions —
+    one scan, no shuffle."""
+    t = F.col(col) if isinstance(col, str) else col
+    return {
+        s.lower(): F.length(
+            F.regexp_replace(t, f"[^\\p{{Is{s}}}]", "")
+        ).cast("long")
+        for s in SCRIPTS
+    }
+
+
+def script_profile(col: Column | str) -> dict[str, Column]:
+    """:func:`script_counts` plus the routing decision: ``dominant``
+    (the max-count script, name-ascending tie-break, 'none' when no
+    scripted codepoint occurs) and ``dominant_bp`` (the dominant's
+    share of all scripted codepoints in exact integer basis points) —
+    the signals multilingual pipelines branch on: per-script tokenizer
+    routing, and mixed-script spam (keyword-stuffed pages interleaving
+    scripts score a low dominant_bp however plausible each slice
+    looks). Integer DIV, so every column is engine-exact."""
+    counts = script_counts(col)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-c).alias("_n"), F.lit(s).alias("_s"))
+                for s, c in counts.items()
+            ]
+        )
+    )
+    top = F.element_at(ranked, 1)
+    out = dict(counts)
+    out["dominant"] = F.when(total == 0, F.lit("none")).otherwise(top["_s"])
+    # exact integer DIV on composed columns: a DIV b ≡ (a − a mod b)/b
+    # — the float division of an exact multiple is exact, so this
+    # matches DuckDB's // bit-for-bit (all values ≪ 2^53)
+    a = (-top["_n"]) * F.lit(10000).cast("long")
+    out["dominant_bp"] = F.when(total == 0, F.lit(0).cast("long")).otherwise(
+        ((a - F.pmod(a, total)) / total).cast("long")
+    )
+    return out

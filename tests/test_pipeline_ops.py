@@ -3313,3 +3313,26 @@ def test_bm25_maxscore_equals_full_scan(spark, docs):
     ]
     assert got2 == full2 and got2[0][0] == 0
     assert acc2.value > 20  # the apple-only docs never get fully scored
+
+
+def test_script_profile_routing(spark):
+    """Dominance flips with script share, ties break name-ascending,
+    and script-free text routes to 'none' with share 0."""
+    rows = [
+        (0, "hello world plain latin text"),
+        (1, "Привет мир Привет мир hi"),          # cyrillic-dominant
+        (2, "你好 hi"),                            # 2 han vs 2 latin: tie
+        (3, "12345 !?. "),                         # no scripted codepoints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = textstats.script_profile(F.col("text"))
+    got = {
+        r["doc_id"]: (r["dominant"], r["dominant_bp"], r["latin"], r["han"])
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in prof.items()]
+        ).collect()
+    }
+    assert got[0][0] == "latin" and got[0][1] == 10000
+    assert got[1][0] == "cyrillic" and 5000 < got[1][1] < 10000
+    assert got[2][0] == "han" and got[2][2] == 2 and got[2][3] == 2
+    assert got[3] == ("none", 0, 0, 0)
