@@ -1972,6 +1972,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup"] = semdedup
 
+    def emb_prototype_select(spark, sf_dir):
+        """SSL-prototypes pruning (similarity.prototype_select,
+        Sorscher et al. 2022): keep the 120 vectors FARTHEST from
+        their cluster prototypes, cluster-balanced via round-robin on
+        within-cell rank — the informative-tail selection, no pairwise
+        work (unlike semdedup). Same deterministic IVF assignment as
+        ann_ivf; every float is the rounded cosine."""
+        return similarity.prototype_select(
+            _emb(spark, sf_dir), n=120, n_centroids=16, mode="hard"
+        )
+
+    q["emb_prototype_select"] = emb_prototype_select
+
     def dsir_select(spark, sf_dir):
         """DSIR (arXiv:2302.03169): hashed unigram+bigram importance
         weights of every doc against the English subset as the target
@@ -6216,6 +6229,29 @@ def oracle_sql() -> dict[str, str]:
             f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
             f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
         )
+
+    # prototype selection: the same seed-centroid assignment as
+    # ann_ivf/semdedup; within-cell rank then global round-robin cut
+    o["emb_prototype_select"] = f"""
+        WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        asgn AS (
+          SELECT vec_id, centroid_id, cs AS centroid_sim FROM (
+            SELECT a.vec_id, b.centroid_id,
+                   {_cos2('a.embedding', 'b.cv')} AS cs,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_cos2('a.embedding', 'b.cv')} DESC, b.centroid_id) AS rn
+            FROM embeddings a JOIN cents b ON true)
+          WHERE rn = 1),
+        rk AS (SELECT vec_id, centroid_id, centroid_sim,
+                      row_number() OVER (PARTITION BY centroid_id
+                          ORDER BY centroid_sim ASC, vec_id) AS r
+               FROM asgn)
+        SELECT vec_id, centroid_id, centroid_sim,
+               row_number() OVER (ORDER BY r, centroid_sim ASC, vec_id)
+                 AS pick_rank
+        FROM rk
+        QUALIFY pick_rank <= 120
+    """
 
     o["semdedup"] = f"""
         WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),

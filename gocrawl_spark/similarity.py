@@ -1257,3 +1257,62 @@ def pca_project(
     return corpus.select(
         F.col(id_col).alias("vec_id"), F.round(score, digits).alias("pc1")
     )
+
+
+def prototype_select(
+    corpus: DataFrame,
+    n: int,
+    n_centroids: int = 16,
+    mode: str = "hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    index_path: str | None = None,
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): rank every vector by cosine to its cluster
+    prototype and keep ``n`` — ``mode="hard"`` keeps the FARTHEST from
+    their prototypes (the informative tail, the right prune when data
+    is abundant), ``mode="easy"`` the closest (when data is scarce).
+    Selection is cluster-BALANCED: the global pick order is
+    (within-cell rank, centroid_sim, vec_id), a round-robin across
+    cells, so one dense cluster cannot monopolize the budget.
+
+    Returns (vec_id, centroid_id, centroid_sim, pick_rank ≤ n).
+
+    Scale shape: the assignment is the IVF machinery (pass
+    ``index_path`` to reuse the persisted centroid_id-partitioned
+    index — a pruned scan, not a recompute; or ``centroids`` from
+    kmeans_centroids); the within-cell rank is a sort-based window
+    keyed on centroid_id, and the global cut is a distributed
+    top-n sort — no pairwise work anywhere, unlike semdedup this
+    never compares vectors to each other. Every float is the rounded
+    cosine, so the selection is engine- and parallelism-exact."""
+    if mode not in ("hard", "easy"):
+        raise ValueError(f"mode must be hard|easy, got {mode!r}")
+    if index_path is not None:
+        assigned = corpus.sparkSession.read.parquet(index_path)
+    else:
+        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    scored = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        cosine_rounded(F.col("embedding"), F.col("centroid_vec")).alias(
+            "centroid_sim"
+        ),
+    )
+    sim_order = (
+        F.asc("centroid_sim") if mode == "hard" else F.desc("centroid_sim")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(sim_order, F.asc("vec_id"))
+    ranked = scored.withColumn("_r", F.row_number().over(w))
+    top = ranked.orderBy(F.asc("_r"), sim_order, F.asc("vec_id")).limit(n)
+    wg = Window.orderBy(F.asc("_r"), sim_order, F.asc("vec_id"))
+    return top.withColumn("pick_rank", F.row_number().over(wg)).select(
+        "vec_id", "centroid_id", "centroid_sim", "pick_rank"
+    )

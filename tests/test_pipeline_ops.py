@@ -3336,3 +3336,41 @@ def test_script_profile_routing(spark):
     assert got[1][0] == "cyrillic" and 5000 < got[1][1] < 10000
     assert got[2][0] == "han" and got[2][2] == 2 and got[2][3] == 2
     assert got[3] == ("none", 0, 0, 0)
+
+
+def test_prototype_select_balances_clusters(spark):
+    """Hard mode keeps the cells' outliers round-robin: with 2 clear
+    clusters and budget 4, each cluster contributes 2 picks and the
+    per-cluster picks are its farthest-from-prototype members; easy
+    mode inverts the within-cell choice."""
+    import math
+
+    rows = []
+    # cluster around +e0 (ids 0..9, id 0 seeds centroid 0), spread by i
+    for i in range(10):
+        v = [1.0, 0.02 * i, 0.0, 0.0]
+        nrm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / nrm for x in v]))
+    # cluster around +e2 (ids 10..19; id 1 is the other seed, so give
+    # id 1 the +e2 direction to seed centroid 1 there)
+    rows[1] = (1, [0.0, 0.0, 1.0, 0.0])
+    for i in range(10, 20):
+        v = [0.0, 0.02 * (i - 10), 1.0, 0.0]
+        nrm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / nrm for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    hard = similarity.prototype_select(df, n=4, n_centroids=2, mode="hard")
+    got = [(r["vec_id"], r["centroid_id"], r["pick_rank"]) for r in hard.collect()]
+    assert len(got) == 4
+    by_cell = {}
+    for vid, cid, _ in got:
+        by_cell.setdefault(cid, []).append(vid)
+    assert sorted(len(v) for v in by_cell.values()) == [2, 2]
+    # hard picks are the max-angle members of each cell
+    assert 9 in by_cell[0] and 19 in by_cell[1]
+
+    easy = similarity.prototype_select(df, n=4, n_centroids=2, mode="easy")
+    easy_ids = {r["vec_id"] for r in easy.collect()}
+    assert 0 in easy_ids and 1 in easy_ids  # the prototypes themselves
+    assert easy_ids.isdisjoint({9, 19})
