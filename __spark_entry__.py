@@ -1080,6 +1080,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_script_profile"] = text_script_profile
 
+    def text_collocations(spark, sf_dir):
+        """Top-25 PMI bigram collocations with a support-5 floor
+        (textstats.collocations): exact DECIMAL products, one double
+        division, one ln — the multi-word-entity / boilerplate-phrase
+        report. Two partial-agged shuffles; the corpus scans once."""
+        return textstats.collocations(
+            _docs(spark, sf_dir), min_count=5, k=25
+        )
+
+    q["text_collocations"] = text_collocations
+
     def sitemap_parse(spark, sf_dir):
         """Sitemap XML parser (sitemap.sitemap_entries) against an
         independent SQL reconstruction: one synthetic urlset per doc
@@ -6229,6 +6240,32 @@ def oracle_sql() -> dict[str, str]:
             f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
             f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
         )
+
+    # PMI collocations: exact HUGEINT products, one double division,
+    # one ln — identical op order to the Spark DECIMAL(38,0) math
+    o["text_collocations"] = f"""
+        WITH w AS (SELECT {_SQL_WORDS} AS w FROM documents),
+        uni AS (SELECT unnest(w) AS w1 FROM w),
+        u AS (SELECT w1, count(*)::BIGINT AS c1 FROM uni GROUP BY w1),
+        bg AS (SELECT unnest({_sql_shingles(2)}) AS bg
+               FROM w WHERE len(w) >= 2),
+        b AS (SELECT string_split(bg, ' ')[1] AS w1,
+                     string_split(bg, ' ')[2] AS w2,
+                     count(*)::BIGINT AS c2
+              FROM bg GROUP BY bg),
+        n1 AS (SELECT sum(c1)::BIGINT AS n1 FROM u),
+        n2 AS (SELECT sum(c2)::BIGINT AS n2 FROM b)
+        SELECT b.w1, b.w2, b.c2,
+               round(ln((b.c2::HUGEINT * n1.n1::HUGEINT * n1.n1::HUGEINT)::DOUBLE
+                        / (n2.n2::HUGEINT * ux.c1::HUGEINT * uy.c1::HUGEINT)::DOUBLE), 6) AS pmi
+        FROM b
+        JOIN u ux ON ux.w1 = b.w1
+        JOIN u uy ON uy.w1 = b.w2
+        CROSS JOIN n1 CROSS JOIN n2
+        WHERE b.c2 >= 5
+        ORDER BY pmi DESC, b.w1, b.w2
+        LIMIT 25
+    """
 
     # prototype selection: the same seed-centroid assignment as
     # ann_ivf/semdedup; within-cell rank then global round-robin cut

@@ -1136,3 +1136,73 @@ def script_profile(col: Column | str) -> dict[str, Column]:
         ((a - F.pmod(a, total)) / total).cast("long")
     )
     return out
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the corpus-analysis workhorse (multi-word entities, template
+    phrases, boilerplate n-grams worth a stoplist):
+
+        pmi(x, y) = ln( c₂(x,y)·N₁² / (N₂·c₁(x)·c₁(y)) )
+
+    over normalized words, with a ``min_count`` support floor (raw PMI
+    promotes hapax pairs; the floor is the standard fix). Output
+    (w1, w2, c2, pmi) ordered (pmi DESC, w1, w2), limit k.
+
+    Engine-exact: both products are exact DECIMAL(38,0)/HUGEINT LONGs
+    (c₂·N₁² ≤ 10³⁶ at a 10¹²-token corpus), then ONE double division
+    and one ln, rounded to 6. Scale shape: two partial-agged shuffles
+    (unigrams, bigrams), two broadcast joins of the vocab-sized count
+    tables onto the bigram table, 1-row total frames cross-joined —
+    the corpus is scanned once."""
+    w = docs.select(norm_words(text_col).alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    bi = (
+        w.filter(F.size("w") >= 2)
+        .select(F.explode(shingles_of_words(F.col("w"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+            "c2",
+        )
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    n2 = bi.agg(F.sum("c2").alias("n2"))
+    dec = "decimal(38,0)"
+    num = (
+        F.col("c2").cast(dec) * F.col("n1").cast(dec) * F.col("n1").cast(dec)
+    )
+    den = (
+        F.col("n2").cast(dec) * F.col("cx").cast(dec) * F.col("cy").cast(dec)
+    )
+    return (
+        bi.filter(F.col("c2") >= min_count)
+        .join(F.broadcast(uni.select(F.col("w1"), F.col("c1").alias("cx"))), "w1")
+        .join(
+            F.broadcast(
+                uni.select(F.col("w1").alias("w2"), F.col("c1").alias("cy"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1", "w2", "c2",
+            F.round(
+                F.log(num.cast("double") / den.cast("double")), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

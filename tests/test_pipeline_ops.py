@@ -3374,3 +3374,22 @@ def test_prototype_select_balances_clusters(spark):
     easy_ids = {r["vec_id"] for r in easy.collect()}
     assert 0 in easy_ids and 1 in easy_ids  # the prototypes themselves
     assert easy_ids.isdisjoint({9, 19})
+
+
+def test_collocations_rank_fixed_phrases(spark):
+    """A glued phrase ('hong kong': always together, rare parts)
+    outranks a chance pairing of frequent words; the support floor
+    drops hapax pairs entirely."""
+    rows = [(i, "hong kong " + ("alpha beta " * 3) + "beta alpha") for i in range(6)]
+    rows.append((99, "unique hapax"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["w1"], r["w2"], r["c2"], r["pmi"])
+        for r in textstats.collocations(df, min_count=5, k=10).collect()
+    ]
+    assert got[0][:2] == ("hong", "kong")
+    pairs = {(a, b) for a, b, _, _ in got}
+    assert ("unique", "hapax") not in pairs
+    assert ("alpha", "beta") in pairs
+    pmi = {(a, b): p for a, b, _, p in got}
+    assert pmi[("hong", "kong")] > pmi[("alpha", "beta")]
