@@ -1091,6 +1091,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_collocations"] = text_collocations
 
+    def search_term_suggest(spark, sf_dir):
+        """ES term suggester / did-you-mean (search.term_suggest):
+        misspelled query terms get vocabulary corrections scored
+        1 − d/max(len) (plain Levenshtein, the fuzzy_expansions
+        divergence contract), (score DESC, freq DESC, term ASC),
+        suggest_mode=missing so in-vocabulary terms stay quiet. The
+        prefix + length-band equi-join prunes the vocab before any
+        distance is computed."""
+        return search.term_suggest(
+            _docs(spark, sf_dir),
+            "windoq batchs spark",
+            text_col="text",
+            size=3,
+        )
+
+    q["search_term_suggest"] = search_term_suggest
+
     def sitemap_parse(spark, sf_dir):
         """Sitemap XML parser (sitemap.sitemap_entries) against an
         independent SQL reconstruction: one synthetic urlset per doc
@@ -7212,6 +7229,46 @@ def oracle_sql() -> dict[str, str]:
 
     def _antf(toks: str, term: str) -> str:
         return f"len(list_filter({toks}, x -> x = '{term}'))"
+
+    # term suggester: same analyzer vocab, same prefix/length-band
+    # pruning, plain levenshtein, score = 1 − d/max(len) rounded 6
+    from gocrawl_spark.search import analyze_query as _ts_analyze
+
+    _ts_terms = ", ".join(
+        f"('{t}')"
+        for t in _ts_analyze("windoq batchs spark")
+        if len(t) >= 4
+    )
+    o["search_term_suggest"] = f"""
+        WITH qt(term) AS (VALUES {_ts_terms}),
+        vocab AS (
+          SELECT v, count(*)::BIGINT AS freq FROM (
+            SELECT unnest({_antoks("text")}) AS v FROM documents)
+          GROUP BY v),
+        missing AS (
+          SELECT term FROM qt
+          WHERE term NOT IN (SELECT v FROM vocab)),
+        cand AS (
+          SELECT m.term, v.v AS suggestion, v.freq,
+                 levenshtein(m.term, v.v) AS d
+          FROM missing m JOIN vocab v
+            ON substr(v.v, 1, 1) = substr(m.term, 1, 1)
+           AND abs(length(v.v) - length(m.term)) <= 2
+           AND v.v <> m.term
+          WHERE levenshtein(m.term, v.v) <= 2),
+        scored AS (
+          SELECT term, suggestion, freq,
+                 round(1.0 - d::DOUBLE
+                       / greatest(length(term), length(suggestion))::DOUBLE,
+                       6) AS score
+          FROM cand)
+        SELECT term, suggestion, score, freq FROM (
+          SELECT *, row_number() OVER (PARTITION BY term
+                      ORDER BY score DESC, freq DESC, suggestion) AS rn
+          FROM scored)
+        WHERE rn <= 3
+    """
+
 
     o["search_match_topk"] = f"""
         WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents)

@@ -2501,3 +2501,89 @@ def _count_pruned(acc):
 
 
 __all__ += ["build_postings", "bm25_index_topk"]
+
+
+def term_suggest(
+    df: DataFrame,
+    text: str,
+    text_col: str = "content",
+    size: int = 3,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_word_length: int = 4,
+    suggest_mode: str = "missing",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """ES ``term`` suggester (the spell-checker behind "did you
+    mean"): per analyzed input term, up to ``size`` corpus-vocabulary
+    corrections within ``max_edits``, scored like Lucene's
+    DirectSpellChecker — score = 1 − distance/max(len) — and ordered
+    (score DESC, freq DESC, suggestion ASC). Output
+    (term, suggestion, score, freq). Plain Levenshtein, not Lucene's
+    transposition variant — a transposition counts 2; the same
+    documented divergence as :func:`fuzzy_expansions`, fixed
+    identically in Spark and DuckDB.
+
+    ``suggest_mode`` (the ES modes): ``missing`` suggests only for
+    terms absent from the index, ``popular`` only corrections more
+    frequent than the input term, ``always`` everything. Terms shorter
+    than ``min_word_length`` are skipped (the ES default guard).
+
+    Scale shape: ONE distinct-vocab aggregation (or a precomputed
+    ``vocab`` (term, freq) index table), then an equi-join of the
+    query terms on the ``prefix_length``-char prefix plus a ±max_edits
+    length band BEFORE any distance is computed — the vocab never
+    fans out per query term, and the result is ≤ terms × size rows."""
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"bad suggest_mode: {suggest_mode!r}")
+    spark = df.sparkSession
+    terms = [t for t in _terms(text) if len(t) >= min_word_length]
+    if not terms:
+        return spark.createDataFrame(
+            [], "term string, suggestion string, score double, freq long"
+        )
+    if vocab is None:
+        vocab = (
+            df.select(F.explode(tokens(text_col)).alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("freq"))
+        )
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    plen = prefix_length
+    joined = qt.join(
+        vocab,
+        (F.substring("term", 1, plen) == F.substring("v", 1, plen))
+        & (F.abs(F.length("v") - F.length("term")) <= max_edits)
+        & (F.col("v") != F.col("term")),
+    ).withColumn("_d", F.levenshtein("term", "v"))
+    cand = joined.filter(F.col("_d") <= max_edits)
+    if suggest_mode == "missing":
+        present = vocab.select(F.col("v").alias("term"))
+        cand = cand.join(present, "term", "left_anti")
+    elif suggest_mode == "popular":
+        tf = vocab.select(
+            F.col("v").alias("term"), F.col("freq").alias("_tf")
+        )
+        cand = (
+            cand.join(tf, "term", "left")
+            .filter(F.col("freq") > F.coalesce(F.col("_tf"), F.lit(0)))
+            .drop("_tf")
+        )
+    score = F.round(
+        F.lit(1.0)
+        - F.col("_d").cast("double")
+        / F.greatest(F.length("term"), F.length("v")).cast("double"),
+        6,
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("score"), F.desc("freq"), F.asc("suggestion")
+    )
+    return (
+        cand.select("term", F.col("v").alias("suggestion"), score.alias("score"), "freq")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+    )
+
+
+__all__.append("term_suggest")

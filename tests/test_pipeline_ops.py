@@ -3393,3 +3393,31 @@ def test_collocations_rank_fixed_phrases(spark):
     assert ("alpha", "beta") in pairs
     pmi = {(a, b): p for a, b, _, p in got}
     assert pmi[("hong", "kong")] > pmi[("alpha", "beta")]
+
+
+def test_term_suggest_modes(spark):
+    """missing mode stays quiet for in-vocab terms, popular mode only
+    upgrades to more-frequent spellings, scoring prefers the closer
+    candidate and freq breaks score ties."""
+    from gocrawl_spark import search
+
+    rows = [(i, "spark engine shuffle " + ("sparks " if i % 2 else "")) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'sparc' absent from vocab -> suggested; 'spark' present -> quiet
+    got = search.term_suggest(df, "sparc spark", text_col="text", size=2).collect()
+    by_term = {}
+    for r in got:
+        by_term.setdefault(r["term"], []).append((r["suggestion"], r["score"], r["freq"]))
+    assert "spark" not in by_term
+    sugg = by_term["sparc"]
+    assert sugg[0][0] == "spark"          # d=1 beats d=2 'sparks'
+    assert sugg[0][1] > sugg[1][1]
+    # popular: 'sparks' (freq 5) < 'spark' (freq 10) -> only 'spark'-ward
+    pop = search.term_suggest(
+        df, "sparks", text_col="text", suggest_mode="popular", size=5
+    ).collect()
+    assert {r["suggestion"] for r in pop} == {"spark"}
+    always = search.term_suggest(
+        df, "spark", text_col="text", suggest_mode="always", size=5
+    ).collect()
+    assert {r["suggestion"] for r in always} >= {"sparks"}
