@@ -26,7 +26,11 @@ recursive CTE.
 
 Scale shape: identical to bpe.py — training state is O(distinct
 words), one pair-count aggregation + one codegen'd rewrite per merge,
-driver traffic is one scalar row per merge; greedy encode runs once
+driver traffic is one scalar row per merge; at real vocab sizes use
+:func:`train_state_batched` (the bpe.train_state_batched twin: top-B
+mutually non-interacting pairs per sweep, one map-lookup rewrite —
+~B× fewer sequential Spark jobs, sequential semantics preserved by
+the disjointness rule, see its docstring); greedy encode runs once
 per DISTINCT word (Arrow-batched, vocab broadcast as a closure set)
 and documents reassemble by an equi-join, so the 100 TB corpus pays a
 lookup join, not a per-token Python loop.
@@ -106,6 +110,82 @@ def train_state(
         )
         cur = bpe.apply_merge(cur, a, b).localCheckpoint()
     return merges, cur
+
+
+def train_state_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    batch: int = 8,
+    text_col: str = "text",
+    overfetch: int = 4,
+) -> tuple[list[tuple[int, str, str, int, float]], DataFrame, int]:
+    """Batched-sweep WordPiece trainer — the same driver-latency fix as
+    :func:`bpe.train_state_batched`: each sweep scores pairs ONCE,
+    pulls the top candidates, greedily selects ≤ ``batch`` mutually
+    non-interacting pairs (``bpe.select_nonoverlapping`` — no symbol of
+    one pick appears in another pick, nor any pick's merged output),
+    and applies them in one map-lookup rewrite.
+
+    The likelihood score survives batching under the SAME disjointness
+    rule that makes counts safe for BPE: score(c,d) = count(cd) /
+    (count(c)·count(d)), and merging (a,b) with {a,b,ab} ∩ {c,d,cd} = ∅
+    changes neither the (c,d) adjacency count (fusing "a b" elsewhere
+    can't create or destroy a "c d" adjacency) nor the unary counts of
+    c or d (only a- and b-occurrences are consumed). So applying the
+    batch in one rewrite is exactly the sequential application in rank
+    order; across sweeps scores are recomputed from scratch. Recorded
+    (pair_count, score) are the sweep-start values. Returns
+    (merges, final symbol table, n_sweeps)."""
+    cur = bpe.init_symbols(bpe.word_counts(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int, float]] = []
+    sweeps = 0
+    while len(merges) < int(n_merges):
+        want = int(n_merges) - len(merges)
+        take = min(int(batch), want)
+        cand = (
+            pair_scores(cur)
+            .orderBy(F.desc("score"), "lft", "rgt")
+            .limit(max(int(overfetch) * take, 16))
+            .collect()
+        )
+        sweeps += 1
+        if not cand:
+            break
+        picked = bpe.select_nonoverlapping(
+            [
+                (r["lft"], r["rgt"], (int(r["pair_count"]), float(r["score"])))
+                for r in cand
+            ],
+            take,
+        )
+        for lft, rgt, (c, s) in picked:
+            merges.append((len(merges), lft, rgt, c, s))
+        cur = bpe.apply_merge_batch(
+            cur, [(a, b) for a, b, _ in picked]
+        ).localCheckpoint()
+    return merges, cur, sweeps
+
+
+def train_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    batch: int = 8,
+    text_col: str = "text",
+    overfetch: int = 4,
+) -> DataFrame:
+    """Batched-sweep variant of :func:`train` — same output schema
+    (rank, lft, rgt, pair_count, score); see
+    :func:`train_state_batched` for the semantics contract."""
+    merges, symbols, _ = train_state_batched(
+        docs, n_merges, batch, text_col, overfetch
+    )
+    symbols.unpersist()
+    df = docs.sparkSession.createDataFrame(
+        merges, "rank int, lft string, rgt string, pair_count long, score double"
+    )
+    return df.select(
+        "rank", "lft", "rgt", "pair_count", F.round("score", 9).alias("score")
+    )
 
 
 def train(
@@ -224,6 +304,8 @@ __all__ = [
     "train_state",
     "vocab_pieces",
     "segment_word",
+    "train_batched",
+    "train_state_batched",
     "encode_greedy",
     "UNK",
 ]

@@ -286,6 +286,55 @@ def test_wp_likelihood_beats_frequency(spark):
     assert (bpe_first["lft"], bpe_first["rgt"]) == ("a", "b")
 
 
+def test_wp_train_batched_equals_sequential_disjoint_corpus(spark):
+    # disjoint alphabets per word (same corpus shape as the BPE twin):
+    # no two top pairs share a symbol, so one batched sweep must
+    # reproduce the sequential merge list EXACTLY — scores included
+    # (merging (a,b) leaves both the adjacency count and the unary
+    # counts of every symbol-disjoint pair invariant).
+    from gocrawl_spark import wordpiece as wp
+
+    texts = ["ab " * 7 + "cd " * 4 + "ef " * 3, "ab cd ef gh ij"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = [
+        (r["rank"], r["lft"], r["rgt"], r["pair_count"], r["score"])
+        for r in wp.train(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    merges, syms, sweeps = wp.train_state_batched(docs, n_merges=5, batch=5)
+    syms.unpersist()
+    got = [(r, a, b, c, round(s, 9)) for r, a, b, c, s in merges]
+    assert got == want
+    assert sweeps == 1  # 5 merges, ONE pair-score job + ONE rewrite
+
+
+def test_wp_train_batched_batch1_is_sequential_on_real_docs(spark, docs):
+    from gocrawl_spark import wordpiece as wp
+
+    want_merges, want_syms = wp.train_state(docs, n_merges=6)
+    got_merges, got_syms, sweeps = wp.train_state_batched(
+        docs, n_merges=6, batch=1
+    )
+    want_syms.unpersist()
+    got_syms.unpersist()
+    assert got_merges == want_merges
+    assert sweeps >= 6
+
+
+def test_wp_train_batched_fewer_driver_roundtrips(spark, docs):
+    from gocrawl_spark import wordpiece as wp
+
+    merges, syms, sweeps = wp.train_state_batched(
+        docs, n_merges=32, batch=16, overfetch=8
+    )
+    syms.unpersist()
+    assert len(merges) == 32
+    assert sweeps <= 6  # >=5x fewer sweeps than the 32 sequential jobs
+    # every sweep's picks are internally non-interacting
+    assert len({(m[1], m[2]) for m in merges}) == 32
+
+
 def test_wp_greedy_encode_prefix_unk_and_divergence(spark):
     from gocrawl_spark import wordpiece as wp
 
