@@ -4234,6 +4234,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_tophits_a2"] = search_aggs_tophits_a2
 
+    def search_bool_dismax(spark, sf_dir):
+        """ES `dis_max` compound query (search._compile_leaf): best of
+        two match sub-queries + tie_breaker·(other matching scores) —
+        Lucene's disjunction-max scoring for fields/phrasings that
+        shouldn't ADD. Compiles into the same single scan projection +
+        boolean filter as every bool-compositor query."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"dis_max": {
+                    "queries": [
+                        {"match": {"text": "table scan"}},
+                        {"match": {"text": "merge join"}},
+                    ],
+                    "tie_breaker": 0.3,
+                }}],
+                "filter": [{"range": {"doc_id": {"gte": 5, "lt": 480}}}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_bool_dismax"] = search_bool_dismax
+
+    def search_bool_boosting(spark, sf_dir):
+        """ES `boosting` + `constant_score` compounds: positive match
+        TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
+        demoted, never excluded — plus a fixed-boost filter-context
+        should clause (source=src3 → +2.5). One scan, no shuffle
+        beyond the top-k sort."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"boosting": {
+                    "positive": {"match": {"text": "table"}},
+                    "negative": {"term": {"lang": "de"}},
+                    "negative_boost": 0.2,
+                }}],
+                "should": [{"constant_score": {
+                    "filter": {"term": {"source": "src3"}},
+                    "boost": 2.5,
+                }}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_bool_boosting"] = search_bool_boosting
+
+    def search_phrase_prefix(spark, sf_dir):
+        """ES `match_phrase_prefix` (type-ahead phrase): every fifth
+        doc gets the marker phrase injected; the query's last term is
+        a PREFIX of the closing token ('ker' → 'kernel'), score =
+        matching-window count. Same windowed slice scan as
+        match_phrase with a startswith closing position."""
+        d = F.col("doc_id")
+        docs = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(
+                d % 5 == 2,
+                F.concat(F.col("text"), F.lit(" The fused vector kernel wins.")),
+            ).otherwise(F.col("text")),
+        )
+        return search.bool_topk(
+            docs,
+            {"must": [{"match_phrase_prefix": {"text": "fused vector ker"}}]},
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_phrase_prefix"] = search_phrase_prefix
+
+    def search_significant_text(spark, sf_dir):
+        """ES `significant_text` as a request-scoped agg: ANALYZED
+        terms overrepresented in the query's (match merge) docs vs the
+        whole index — JLH over per-doc-distinct tokens, fg flag
+        codegen'd, ONE scan + one term-keyed fold."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        out = search.es_search(docs, {
+            "query": {"match": {"text": "merge"}},
+            "aggs": {"sig": {"significant_text": {
+                "field": "text", "size": 10}}},
+        })
+        return out["aggs"]
+
+    q["search_significant_text"] = search_significant_text
+
+    def search_request_sampler(spark, sf_dir):
+        """ES `diversified_sampler` agg: the terms sub-agg runs over
+        only the top-20 highest-scoring query-matched docs after
+        capping 2 docs per source (field-keyed row_number window on
+        the dedup key only, then one global top-k) — deterministic
+        (score desc, id asc) single-logical-shard semantics. The
+        sampler bucket's doc_count broadcasts onto the inner rows."""
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        out = search.es_search(docs, {
+            "query": {"match": {"text": "table"}},
+            "aggs": {"samp": {
+                "diversified_sampler": {
+                    "shard_size": 20,
+                    "field": "source",
+                    "max_docs_per_value": 2,
+                },
+                "aggs": {"langs": {"terms": {"field": "lang"}}},
+            }},
+        })
+        return out["aggs"]
+
+    q["search_request_sampler"] = search_request_sampler
+
+    def search_aggs_bucketsort_a2(spark, sf_dir):
+        """ES `bucket_sort` pipeline agg: re-orders the histogram
+        bucket series by doc_count desc (key-asc tiebreak) and pages
+        with from=1/size=4 — one row_number window over the ≈#buckets
+        aggregated frame, ES's last-run pipeline."""
+        out = search.es_aggs(
+            _docs(spark, sf_dir),
+            {
+                "chars_hist": {
+                    "histogram": {"field": "n_chars", "interval": 50},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "page": {"bucket_sort": {
+                            "sort": [{"_count": {"order": "desc"}}],
+                            "from": 1,
+                            "size": 4,
+                        }},
+                    },
+                }
+            },
+        )
+        return out.select(
+            "key", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+        )
+
+    q["search_aggs_bucketsort_a2"] = search_aggs_bucketsort_a2
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -9631,6 +9768,135 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard, seq, len(ids) AS n_ids,
                md5(array_to_string(list_transform(ids, x -> x::VARCHAR), ',')) AS ids_md5
         FROM g
+    """
+
+    # dis_max: per-sub-query TF scores (each self-gates to 0 on no
+    # match), score = best + tie_breaker·(sum − best), doc-id range
+    # filter, ES round-6 display
+    o["search_bool_dismax"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks
+                   FROM documents WHERE doc_id >= 5 AND doc_id < 480),
+        s AS (SELECT id,
+                     {_antf("toks", "table")} + {_antf("toks", "scan")} AS m1,
+                     {_antf("toks", "merge")} + {_antf("toks", "join")} AS m2
+              FROM t)
+        SELECT id,
+               round(greatest(m1, m2)
+                     + 0.3::DOUBLE * (m1 + m2 - greatest(m1, m2)),
+                     6)::DOUBLE AS score
+        FROM s WHERE m1 > 0 OR m2 > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # boosting: positive TF ×0.2 when the negative (lang=de) matches;
+    # constant_score should adds a flat 2.5 on source=src3
+    o["search_bool_boosting"] = f"""
+        WITH t AS (SELECT doc_id AS id, lang, source,
+                          {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, lang, source,
+                     {_antf("toks", "table")} AS pos FROM t)
+        SELECT id,
+               round(pos * CASE WHEN lang = 'de' THEN 0.2::DOUBLE
+                           ELSE 1.0::DOUBLE END
+                     + CASE WHEN source = 'src3' THEN 2.5::DOUBLE
+                       ELSE 0.0::DOUBLE END, 6)::DOUBLE AS score
+        FROM s WHERE pos > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # match_phrase_prefix: windows where the head terms match exactly
+    # and the closing token starts with the final (prefix) term
+    o["search_phrase_prefix"] = f"""
+        WITH d AS (
+          SELECT doc_id AS id,
+                 text || CASE WHEN doc_id % 5 = 2
+                              THEN ' The fused vector kernel wins.'
+                              ELSE '' END AS c
+          FROM documents),
+        t AS (SELECT id, {_antoks("c")} AS toks FROM d),
+        s AS (SELECT id, CASE WHEN len(toks) >= 3 THEN
+                 len([i for i in range(1, len(toks) - 1)
+                      if toks[i:i+1] = ['fused', 'vector']
+                         and starts_with(toks[i+2], 'ker')])
+               ELSE 0 END AS ph
+              FROM t)
+        SELECT id, round(ph, 6)::DOUBLE AS score
+        FROM s WHERE ph > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # significant_text: JLH over per-doc-distinct ANALYZED terms,
+    # fg = docs matching the request query (match merge)
+    o["search_significant_text"] = f"""
+        WITH b AS (SELECT list_distinct({_antoks("text")}) AS toks
+                   FROM documents),
+        bf AS (SELECT toks,
+                      CASE WHEN list_contains(toks, 'merge')
+                           THEN 1 ELSE 0 END AS fg
+               FROM b),
+        s AS (SELECT count(*)::DOUBLE AS n_all, sum(fg)::DOUBLE AS n_fg
+              FROM bf),
+        tc AS (SELECT unnest(toks) AS term, fg FROM bf),
+        g AS (SELECT term, count(*)::BIGINT AS bg_count,
+                     sum(fg)::BIGINT AS fg_count
+              FROM tc GROUP BY 1),
+        j AS (SELECT term, fg_count, bg_count,
+                     fg_count / s.n_fg AS fgp,
+                     bg_count / s.n_all AS bgp
+              FROM g, s)
+        SELECT term, fg_count, bg_count,
+               round((fgp - bgp) * (fgp / bgp), 6) AS score
+        FROM j
+        WHERE fgp > bgp AND fg_count >= 3
+              AND round((fgp - bgp) * (fgp / bgp), 6) > 0
+        ORDER BY score DESC, term ASC LIMIT 10
+    """
+
+    # diversified_sampler: cap 2 docs per source by (score desc, id),
+    # global top-20 sample, terms agg over the sample + its doc_count
+    o["search_request_sampler"] = f"""
+        WITH t AS (SELECT doc_id AS id, source, lang,
+                          {_antf(_antoks("text"), "table")} AS sc
+                   FROM documents),
+        m AS (SELECT * FROM t WHERE sc > 0),
+        d AS (SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY sc DESC, id ASC) AS rn
+              FROM m),
+        smp AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (
+                    ORDER BY sc DESC, id ASC) AS gr
+                  FROM d WHERE rn <= 2)
+                WHERE gr <= 20),
+        c AS (SELECT count(*)::BIGINT AS samp_doc_count FROM smp)
+        SELECT lang AS key, count(*)::BIGINT AS doc_count,
+               c.samp_doc_count
+        FROM smp, c GROUP BY lang, c.samp_doc_count
+        ORDER BY doc_count DESC, key ASC LIMIT 10
+    """
+
+    # bucket_sort: histogram series (empty buckets filled), re-ordered
+    # by doc_count desc (key-asc tiebreak), paged from=1 size=4
+    o["search_aggs_bucketsort_a2"] = """
+        WITH b AS MATERIALIZED (
+          SELECT (floor(n_chars / 50.0) * 50.0)::DOUBLE AS key,
+                 count(*) AS doc_count,
+                 round(avg(n_chars), 6) AS avg_chars
+          FROM documents GROUP BY 1),
+        dom AS (
+          SELECT (unnest(range(
+                   (SELECT floor(min(key) / 50.0)::BIGINT FROM b),
+                   (SELECT floor(max(key) / 50.0)::BIGINT FROM b) + 1))
+                  * 50.0)::DOUBLE AS key),
+        f AS (SELECT dom.key, coalesce(b.doc_count, 0) AS doc_count,
+                     b.avg_chars
+              FROM dom LEFT JOIN b ON b.key = dom.key),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY doc_count DESC, key ASC) AS rk
+              FROM f)
+        SELECT key, doc_count, avg_chars
+        FROM r WHERE rk > 1 AND rk <= 5
+        ORDER BY doc_count DESC, key ASC
     """
 
     return o

@@ -557,12 +557,20 @@ def _collect_match_fields(clauses, fields: list[str]) -> None:
         if kind == "bool":
             for ctx in ("must", "should", "must_not", "filter"):
                 _collect_match_fields(body.get(ctx, ()), fields)
-        elif kind in ("match", "match_phrase", "token_wildcard"):
+        elif kind in (
+            "match", "match_phrase", "match_phrase_prefix", "token_wildcard"
+        ):
             ((field, _qs),) = body.items()
             if field not in fields:
                 fields.append(field)
         elif kind == "query_string":
             _collect_match_fields([parse_query_string(body)], fields)
+        elif kind == "dis_max":
+            _collect_match_fields(body.get("queries", ()), fields)
+        elif kind == "constant_score":
+            _collect_match_fields([body["filter"]], fields)
+        elif kind == "boosting":
+            _collect_match_fields([body["positive"], body["negative"]], fields)
 
 
 def _phrase_count(toks, terms: list[str]):
@@ -582,6 +590,28 @@ def _phrase_count(toks, terms: list[str]):
                 lambda i: F.slice(toks, i, n) == phrase,
             )
         ),
+    ).otherwise(F.lit(0))
+
+
+def _phrase_prefix_count(toks, terms: list[str]):
+    """``match_phrase_prefix``: consecutive analyzed terms where the
+    LAST position only needs to START WITH the final term (ES's
+    type-ahead phrase query). Same windowed slice scan as
+    :func:`_phrase_count` with a startswith on the closing position."""
+    n = len(terms)
+    head = F.array(*[F.lit(t) for t in terms[:-1]]).cast("array<string>")
+    last = F.lit(terms[-1])
+    sz = F.size(toks)
+
+    def hit(i):
+        closing = F.startswith(F.element_at(toks, i + n - 1), last)
+        if n == 1:
+            return closing
+        return (F.slice(toks, i, n - 1) == head) & closing
+
+    return F.when(
+        sz >= n,
+        F.size(F.filter(F.sequence(F.lit(1), sz - n + 1, F.lit(1)), hit)),
     ).otherwise(F.lit(0))
 
 
@@ -765,6 +795,35 @@ def _expand_fuzzy_clauses(
         return {"bool": new}
     if kind == "query_string":
         return _expand_fuzzy_clauses(parse_query_string(body), df, _vocabs)
+    if kind == "dis_max":
+        return {
+            "dis_max": {
+                **body,
+                "queries": [
+                    _expand_fuzzy_clauses(c, df, _vocabs)
+                    for c in body.get("queries", ())
+                ],
+            }
+        }
+    if kind == "constant_score":
+        return {
+            "constant_score": {
+                **body,
+                "filter": _expand_fuzzy_clauses(body["filter"], df, _vocabs),
+            }
+        }
+    if kind == "boosting":
+        return {
+            "boosting": {
+                **body,
+                "positive": _expand_fuzzy_clauses(
+                    body["positive"], df, _vocabs
+                ),
+                "negative": _expand_fuzzy_clauses(
+                    body["negative"], df, _vocabs
+                ),
+            }
+        }
     if kind == "match":
         # ES match with fuzziness: each analyzed term becomes a fuzzy
         # leaf (expanded below via the shared vocab); terms combine
@@ -927,6 +986,51 @@ def _compile_leaf(clause: dict, tokcol: dict[str, str]):
             return F.lit(False), F.lit(0.0)
         cnt = _phrase_count(F.col(tokcol[field]), terms)
         return cnt > 0, cnt.cast("double")
+    if kind == "match_phrase_prefix":
+        # ES type-ahead phrase: all terms consecutive, the last one a
+        # token PREFIX; score = matching-window count (match_phrase's
+        # occurrence-count scoring with the relaxed closing position)
+        ((field, qs),) = body.items()
+        if isinstance(qs, dict):
+            qs = qs["query"]
+        terms = _terms(qs)
+        if not terms:
+            return F.lit(False), F.lit(0.0)
+        cnt = _phrase_prefix_count(F.col(tokcol[field]), terms)
+        return cnt > 0, cnt.cast("double")
+    if kind == "dis_max":
+        # ES dis_max: match if ANY sub-query matches; score = best
+        # matching sub-score + tie_breaker · (sum of the other
+        # matching sub-scores). Non-matching sub-queries contribute
+        # nothing (each gated to 0 by _compile_clause).
+        subs = [_compile_clause(c, tokcol) for c in body["queries"]]
+        if not subs:
+            return F.lit(False), F.lit(0.0)
+        tb = float(body.get("tie_breaker", 0.0))
+        pred = subs[0][0]
+        for p, _ in subs[1:]:
+            pred = pred | p
+        gated = [F.when(p, s).otherwise(F.lit(0.0)) for p, s in subs]
+        best = gated[0] if len(gated) == 1 else F.greatest(*gated)
+        total = gated[0]
+        for g in gated[1:]:
+            total = total + g
+        return pred, best + F.lit(tb) * (total - best)
+    if kind == "constant_score":
+        # ES constant_score: filter-context sub-query, fixed boost as
+        # the score — the sub-query's own score is discarded
+        p, _ = _compile_clause(body["filter"], tokcol)
+        boost = float(body.get("boost", 1.0))
+        return p, F.when(p, F.lit(boost)).otherwise(F.lit(0.0))
+    if kind == "boosting":
+        # ES boosting: positive decides matching; docs also matching
+        # the negative query have their score multiplied by
+        # negative_boost (demoted, never excluded)
+        pp, ps = _compile_clause(body["positive"], tokcol)
+        np_, _ = _compile_clause(body["negative"], tokcol)
+        nb = float(body.get("negative_boost", 0.5))
+        demoted = ps * F.when(np_, F.lit(nb)).otherwise(F.lit(1.0))
+        return pp, F.when(pp, demoted).otherwise(F.lit(0.0))
     if kind == "term":
         ((field, val),) = body.items()
         pred = F.col(field) == F.lit(val)
@@ -1248,6 +1352,42 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
                 toked.withColumn("_fg", pred.cast("int")),
                 aspec["significant_terms"],
             )
+        elif akind == "significant_text":
+            # the free-text twin: same two-scope JLH, terms re-analyzed
+            # from the text field instead of read from a keyword field
+            out["aggs"] = _significant_text_scoped(
+                toked.withColumn("_fg", pred.cast("int")),
+                aspec["significant_text"],
+            )
+        elif akind in ("sampler", "diversified_sampler"):
+            # ES sampler: sub-aggs run over only the top shard_size
+            # highest-scoring query-matched docs (one logical shard
+            # here — deterministic: score desc, id asc — vs ES's
+            # per-shard first-N nondeterminism). diversified_sampler
+            # first caps docs per distinct `field` value at
+            # max_docs_per_value via a field-keyed row_number window
+            # (the window shuffles on the dedup key only), THEN takes
+            # the global top shard_size. The sampler bucket's own
+            # doc_count broadcasts onto the inner agg rows as
+            # <name>_doc_count — the flat-table encoding of ES's
+            # single-bucket nesting.
+            sbody = aspec[akind]
+            sorder = [F.desc("_sc"), F.asc("id")]
+            scored = matched.withColumn("_sc", F.round(score, 6))
+            if akind == "diversified_sampler":
+                dfield = sbody["field"]
+                mdv = int(sbody.get("max_docs_per_value", 1))
+                dw = Window.partitionBy(dfield).orderBy(*sorder)
+                scored = (
+                    scored.withColumn("_dv", F.row_number().over(dw))
+                    .filter(F.col("_dv") <= mdv)
+                    .drop("_dv")
+                )
+            shard = int(sbody.get("shard_size", 100))
+            sample = scored.orderBy(*sorder).limit(shard)
+            inner = es_aggs(sample.select("id", *raw), aspec["aggs"])
+            cnt = sample.agg(F.count("*").alias(f"{aname}_doc_count"))
+            out["aggs"] = inner.crossJoin(F.broadcast(cnt))
         else:
             out["aggs"] = es_aggs(matched.select("id", *raw), body["aggs"])
     return out
@@ -1280,6 +1420,44 @@ def _significant_terms_scoped(base: DataFrame, body: dict) -> DataFrame:
         j.select("key", "fg_count", "bg_count", score.alias("score"))
         .filter((F.col("fg_count") >= F.lit(min_dc)) & (F.col("score") > 0))
         .orderBy(F.desc("score"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def _significant_text_scoped(base: DataFrame, body: dict) -> DataFrame:
+    """ES `significant_text` as a request-scoped agg: JLH of ANALYZED
+    terms of a free-text field unusually frequent among query-matched
+    docs vs the whole index (the keyword twin is
+    :func:`_significant_terms_scoped`; the standalone-query twin is
+    :func:`significant_terms`). ONE scan — per-doc distinct terms via
+    array_distinct in the projection, the foreground flag is a
+    codegen'd column, counts fold in one term-keyed aggregation, the
+    two corpus scalars broadcast back as a 1-row cross join."""
+    field = body["field"]
+    k = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    toked = base.select(
+        "_fg", F.array_distinct(tokens(field)).alias("_t")
+    )
+    sizes = toked.agg(
+        F.count("*").cast("double").alias("_n_all"),
+        F.sum("_fg").cast("double").alias("_n_fg"),
+    )
+    tc = (
+        toked.select("_fg", F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("bg_count"), F.sum("_fg").alias("fg_count"))
+    )
+    j = tc.crossJoin(F.broadcast(sizes))
+    fgp = F.col("fg_count") / F.col("_n_fg")
+    bgp = F.col("bg_count") / F.col("_n_all")
+    score = F.when(
+        fgp > bgp, F.round((fgp - bgp) * (fgp / bgp), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select("term", "fg_count", "bg_count", score.alias("score"))
+        .filter((F.col("fg_count") >= F.lit(min_dc)) & (F.col("score") > 0))
+        .orderBy(F.desc("score"), F.asc("term"))
         .limit(k)
     )
 
@@ -1394,6 +1572,7 @@ _PIPELINE_KINDS = (
     "max_bucket",
     "stats_bucket",
     "percentiles_bucket",
+    "bucket_sort",
 )
 # moving_fn scripts the reference surface would pass through to ES
 # (storage.go:212-257 forwards arbitrary DSL) — the stock
@@ -1998,8 +2177,14 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         w = Window.orderBy("key")
         _resolve = lambda p: "doc_count" if p == "_count" else p
         selectors: list[Column] = []
+        bucket_sort_body: dict | None = None
         for pname, sub in pipelines.items():
             (pkind, pbody), = sub.items()
+            if pkind == "bucket_sort":
+                if bucket_sort_body is not None:
+                    raise ValueError("at most one bucket_sort supported")
+                bucket_sort_body = pbody
+                continue
             if pkind == "bucket_selector":
                 selectors.append(_bucket_script_expr(pbody, _resolve))
                 continue
@@ -2082,6 +2267,34 @@ def es_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 )
         for cond in selectors:
             outer = outer.filter(cond)
+        if bucket_sort_body is not None:
+            # ES bucket_sort: re-order the (already filtered) bucket
+            # series by sibling-series columns and truncate with
+            # from/size — runs LAST among pipelines (ES's stated
+            # ordering), over the ≈ #buckets-row aggregated frame. The
+            # sorted order IS the response order, so the key re-sort
+            # below is bypassed. _key auto-tiebreak keeps ties stable.
+            if top_hits or nested:
+                raise ValueError(
+                    "bucket_sort with top_hits/nested buckets unsupported"
+                )
+            bs_order: list[Column] = []
+            for item in bucket_sort_body.get("sort", ()):
+                ((f, d),) = item.items()
+                d = d.get("order", "asc") if isinstance(d, dict) else d
+                col = {"_key": "key", "_count": "doc_count"}.get(f, f)
+                bs_order.append(
+                    F.asc(col) if str(d).lower() == "asc" else F.desc(col)
+                )
+            bs_order.append(F.asc("key"))
+            frm = int(bucket_sort_body.get("from", 0))
+            bsz = bucket_sort_body.get("size")
+            bw = Window.orderBy(*bs_order)
+            outer = outer.withColumn("_bs_rk", F.row_number().over(bw))
+            outer = outer.filter(F.col("_bs_rk") > frm)
+            if bsz is not None:
+                outer = outer.filter(F.col("_bs_rk") <= frm + int(bsz))
+            return outer.drop("_bs_rk").orderBy(*bs_order)
 
     if top_hits:
         # ES top_hits: the top documents of each bucket by the given

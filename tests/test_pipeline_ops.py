@@ -3421,3 +3421,137 @@ def test_term_suggest_modes(spark):
         df, "spark", text_col="text", suggest_mode="always", size=5
     ).collect()
     assert {r["suggestion"] for r in always} >= {"sparks"}
+
+
+def test_dismax_constant_score_boosting_leaves(spark):
+    rows = [
+        (1, "alpha alpha beta", "en", "news"),
+        (2, "alpha gamma gamma gamma", "de", "blog"),
+        (3, "beta beta", "en", "spam"),
+        (4, "delta", "en", "news"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # dis_max: best matching sub-score + tie_breaker * the others
+    got = search.bool_topk(
+        df,
+        {"must": [{"dis_max": {"queries": [
+            {"match": {"text": "alpha beta"}},
+            {"match": {"text": "gamma"}},
+        ], "tie_breaker": 0.5}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    scores = {r["id"]: r["score"] for r in got}
+    # doc1: m1=3, m2=0 -> 3.0; doc2: m1=1, m2=3 -> 3 + 0.5*1 = 3.5;
+    # doc3: m1=2 -> 2.0; doc4: no sub-query matches -> excluded
+    assert scores == {2: 3.5, 1: 3.0, 3: 2.0}
+    # constant_score: flat boost, sub-query TF discarded
+    got2 = search.bool_topk(
+        df,
+        {"must": [{"constant_score": {
+            "filter": {"match": {"text": "alpha"}}, "boost": 1.7}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert {r["id"]: r["score"] for r in got2} == {1: 1.7, 2: 1.7}
+    # boosting: negative-matching docs demoted, never excluded
+    got3 = search.bool_topk(
+        df,
+        {"must": [{"boosting": {
+            "positive": {"match": {"text": "alpha"}},
+            "negative": {"term": {"lang": "de"}},
+            "negative_boost": 0.5}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert {r["id"]: r["score"] for r in got3} == {1: 2.0, 2: 0.5}
+
+
+def test_match_phrase_prefix_semantics(spark):
+    rows = [
+        (1, "fused vector kernel"),
+        (2, "fused vector kern fused vector kersplat"),
+        (3, "fused kernel vector"),
+        (4, "vector kernel"),
+        (5, "fused vector"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = search.bool_topk(
+        df,
+        {"must": [{"match_phrase_prefix": {"text": "fused vector ker"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    # head terms exact + closing token startswith 'ker'; score = windows
+    assert {r["id"]: r["score"] for r in got} == {2: 2.0, 1: 1.0}
+    # single-term phrase prefix = plain token-prefix count
+    # ('ker' hits kernel once in docs 1/3/4, kern + kersplat in doc 2)
+    got2 = search.bool_topk(
+        df,
+        {"must": [{"match_phrase_prefix": {"text": "ker"}}]},
+        id_col="doc_id", k=10,
+    ).collect()
+    assert {r["id"]: r["score"] for r in got2} == {1: 1.0, 2: 2.0, 3: 1.0, 4: 1.0}
+
+
+def test_es_search_diversified_sampler(spark):
+    rows = [
+        (1, "x x x", "a", "en"),
+        (2, "x x", "a", "fr"),
+        (3, "x", "b", "fr"),
+        (4, "x", "c", "de"),
+        (5, "y", "c", "de"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, src string, lang string"
+    )
+    out = search.es_search(
+        df,
+        {"query": {"match": {"text": "x"}},
+         "aggs": {"s": {
+             "diversified_sampler": {
+                 "shard_size": 2, "field": "src", "max_docs_per_value": 1},
+             "aggs": {"by_lang": {"terms": {"field": "lang"}}}}}},
+        id_col="doc_id",
+    )
+    agg = out["aggs"].collect()
+    # dedup by src keeps docs 1 (a, sc 3), 3 (b, sc 1), 4 (c, sc 1);
+    # shard_size 2 keeps the top 2 by (score desc, id asc): docs 1, 3
+    assert [(r["key"], r["doc_count"], r["s_doc_count"]) for r in agg] == [
+        ("en", 1, 2), ("fr", 1, 2),
+    ]
+
+
+def test_es_search_significant_text(spark):
+    rows = [
+        (1, "q zzz alpha"), (2, "q zzz beta"), (3, "q zzz gamma"),
+        (4, "alpha beta"), (5, "beta gamma"), (6, "alpha gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = search.es_search(
+        df,
+        {"query": {"match": {"text": "q"}},
+         "aggs": {"sig": {"significant_text": {
+             "field": "text", "size": 5, "min_doc_count": 2}}}},
+        id_col="doc_id",
+    )
+    got = [(r["term"], r["fg_count"], r["bg_count"], r["score"])
+           for r in out["aggs"].collect()]
+    # q and zzz: fgp=1 vs bgp=0.5 -> JLH (1-0.5)*(1/0.5) = 1.0; every
+    # other term is NOT overrepresented in the foreground
+    assert got == [("q", 3, 3, 1.0), ("zzz", 3, 3, 1.0)]
+
+
+def test_es_aggs_bucket_sort_pages_buckets(spark):
+    vals = [1, 1, 1, 101, 201, 202, 203, 301, 302]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    out = search.es_aggs(
+        df,
+        {"h": {"histogram": {"field": "v", "interval": 100},
+               "aggs": {"pg": {"bucket_sort": {
+                   "sort": [{"_count": {"order": "desc"}}],
+                   "from": 1, "size": 2}}}}},
+    ).collect()
+    # series by count desc (key-asc ties): (0,3),(200,3),(300,2),(100,1)
+    # from=1 size=2 -> (200,3),(300,2), bucket_sort order preserved
+    assert [(r["key"], r["doc_count"]) for r in out] == [(200.0, 3), (300.0, 2)]
