@@ -4371,6 +4371,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_aggs_bucketsort_a2"] = search_aggs_bucketsort_a2
 
+    def dedup_minhash_recall(spark, sf_dir):
+        """Recall of the banded MinHash-LSH near-dup pass vs the exact
+        Jaccard ground truth at the SAME (k=5, t=0.5) operating point
+        — the text twin of emb_dup_recall, making the 16-hash/4-band
+        collision curve visible: P(candidate) = 1-(1-s^4)^4 plus the
+        est-Jaccard ≥ t cut. Both sides are the shipped operators;
+        the three counts and the ratio are metadata-sized."""
+        aug = _aug_near(_docs(spark, sf_dir))
+        lsh = dedup.minhash_pairs(
+            aug, num_hashes=16, k=5, bands=4, threshold=0.5
+        ).select("id_a", "id_b")
+        exact = dedup.ngram_jaccard_pairs(aug, k=5, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        n_exact = exact.agg(F.count("*").alias("n_exact"))
+        n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+        n_common = exact.join(lsh, ["id_a", "id_b"]).agg(
+            F.count("*").alias("n_common")
+        )
+        return (
+            n_exact.crossJoin(n_lsh)
+            .crossJoin(n_common)
+            .select(
+                "n_exact",
+                "n_lsh",
+                "n_common",
+                F.round(F.col("n_common") / F.col("n_exact"), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    q["dedup_minhash_recall"] = dedup_minhash_recall
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -9873,6 +9907,47 @@ def oracle_sql() -> dict[str, str]:
                c.samp_doc_count
         FROM smp, c GROUP BY lang, c.samp_doc_count
         ORDER BY doc_count DESC, key ASC LIMIT 10
+    """
+
+    # minhash recall: both shipped pipelines (banded LSH + exact
+    # inverted-index Jaccard) replayed at the same k=5 / t=0.5 point,
+    # three counts + one rounded ratio
+    o["dedup_minhash_recall"] = rf"""
+        WITH aug AS ({_SQL_AUG_NEAR}),
+        w AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM aug),
+        sh AS (SELECT id, {_sql_shingles(5)} AS shingles FROM w),
+        s AS (SELECT id, list_distinct(shingles) AS shd FROM sh),
+        inv AS (SELECT id, unnest(shd) AS g FROM s),
+        ecand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id),
+        exact AS (SELECT c.id_a, c.id_b
+                  FROM ecand c JOIN s sa ON sa.id = c.id_a
+                               JOIN s sb ON sb.id = c.id_b
+                  WHERE (len(list_intersect(sa.shd, sb.shd))::DOUBLE
+                         / (len(sa.shd) + len(sb.shd)
+                            - len(list_intersect(sa.shd, sb.shd)))::DOUBLE)
+                        >= 0.5::DOUBLE),
+        sig AS (SELECT id,
+                 [list_min([md5(h::VARCHAR || '#' || s) for s in shingles]) for h in range(0,16)] AS sig
+                FROM sh),
+        bands AS (SELECT id, band,
+                   md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS key
+                  FROM (SELECT id, sig, unnest(range(0,4)) AS band FROM sig)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        lsh AS (SELECT c.id_a, c.id_b
+                FROM cand c JOIN sig sa ON sa.id = c.id_a
+                            JOIN sig sb ON sb.id = c.id_b
+                WHERE (len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+                       / 16.0::DOUBLE) >= 0.5::DOUBLE),
+        common AS (SELECT count(*) AS c FROM exact e
+                   JOIN lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b)
+        SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+               (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+               (SELECT c FROM common)::BIGINT AS n_common,
+               round((SELECT c FROM common)::DOUBLE
+                     / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
     """
 
     # bucket_sort: histogram series (empty buckets filled), re-ordered
