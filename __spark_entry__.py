@@ -4405,6 +4405,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_recall"] = dedup_minhash_recall
 
+    def text_c4_span_dedup(spark, sf_dir):
+        """C4's cross-corpus three-sentence span dedup
+        (dedup.span_dedup; Raffel et al. 2020 §2.2 'discarded all but
+        one of any three-sentence span occurring more than once'):
+        every 7th doc gets a shared 4-sentence blurb appended — its
+        trailing 3-sentence window is corpus-duplicated, the FIRST
+        occurrence by (doc_id, start) keeps it, every other loses
+        those sentences. Sentence split is the RE2-safe capture-group
+        transform so the oracle replays it verbatim; duplicate
+        election is ONE span-hash window shuffle."""
+        d = F.col("doc_id")
+        aug = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(
+                d % 7 == 3,
+                F.concat(
+                    F.col("text"),
+                    F.lit(
+                        " Spam alpha beta. Buy gold now."
+                        " Offer ends soon. Act fast today."
+                    ),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return dedup.span_dedup(aug, n=3)
+
+    q["text_c4_span_dedup"] = text_c4_span_dedup
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -9948,6 +9976,57 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM common)::BIGINT AS n_common,
                round((SELECT c FROM common)::DOUBLE
                      / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
+    """
+
+    # C4 span dedup: identical RE2-safe sentence transform, 3-window
+    # md5 keys, (doc_id, start)-first election, anti-join removal
+    o["text_c4_span_dedup"] = r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 3
+                              THEN ' Spam alpha beta. Buy gold now.'
+                                   || ' Offer ends soon. Act fast today.'
+                              ELSE '' END AS text
+          FROM documents),
+        sarr AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     string_split(
+                       regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+                       chr(30)),
+                     x -> trim(x)),
+                   x -> x <> '') AS sents
+          FROM aug),
+        spans AS (
+          SELECT doc_id, i AS start,
+                 md5(lower(array_to_string(sents[i:i+2], ' '))) AS key
+          FROM (SELECT doc_id, sents, unnest(range(1, len(sents) - 1)) AS i
+                FROM sarr WHERE len(sents) >= 3)),
+        marked AS (
+          SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY doc_id, start) AS rn,
+                 count(*) OVER (PARTITION BY key) AS cnt
+          FROM spans),
+        removals AS (
+          SELECT DISTINCT doc_id, unnest(range(start, start + 3)) AS pos
+          FROM marked WHERE cnt >= 2 AND rn > 1),
+        sents AS (
+          SELECT doc_id, i AS pos, sents[i] AS sent
+          FROM (SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i
+                FROM sarr)),
+        kept AS (
+          SELECT s.doc_id, s.pos, s.sent FROM sents s
+          ANTI JOIN removals r ON r.doc_id = s.doc_id AND r.pos = s.pos),
+        rebuilt AS (
+          SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text,
+                 count(*)::INT AS n_kept
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(sents)::INT AS n_sentences FROM sarr)
+        SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_sentences,
+               coalesce(r.n_kept, 0)::INT AS n_kept
+        FROM tot t LEFT JOIN rebuilt r USING (doc_id)
     """
 
     # bucket_sort: histogram series (empty buckets filled), re-ordered

@@ -705,6 +705,115 @@ def line_dedup(
     )
 
 
+# Sentence-boundary separator inserted by the span splitter. \x1e never
+# occurs in the corpus text (record-separator control char).
+_SENT_SEP = "\x1e"
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Deterministic sentence array: a separator is injected AFTER
+    every terminal-punctuation + whitespace boundary, then the text
+    splits on it — capture-group replacement instead of a lookbehind
+    so the IDENTICAL transform runs on RE2 engines (the DuckDB oracle).
+    Sentences are trimmed; empties drop."""
+    marked = F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                              r"([.!?])\s+", "$1" + _SENT_SEP)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_SEP), F.trim),
+        lambda s: s != "",
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """C4's cross-corpus span dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set"): every sliding window of ``n``
+    consecutive sentences is keyed by the md5 of its normalized
+    (lowercased, space-joined) text; for each key occurring more than
+    once corpus-wide, the FIRST occurrence by (doc_id, start) is kept
+    and the sentences of every other occurrence are removed — the
+    deterministic stand-in for the reference pipeline's
+    arbitrary-winner election. Documents with fewer than ``n``
+    sentences contribute no spans and pass through unchanged. Returns
+    (doc_id, text, n_sentences, n_kept) with survivors rejoined by a
+    single space.
+
+    Scale shape (10^10 docs): sentences explode once; span keys are
+    codegen'd md5s over array slices (no UDF); duplicate election is
+    ONE window shuffle on the span hash (high cardinality, balanced —
+    a hot boilerplate span concentrates its own key only, and its
+    partition holds occurrence tuples, not text); removal positions
+    rejoin the sentence table on (doc_id, pos) and documents
+    reassemble with one doc_id-keyed shuffle, exactly line_dedup's
+    plan. No driver hop."""
+    sarr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_sentences(text_col).alias("sents"),
+    )
+    # (doc_id, start, key) for every n-window; start is 1-based
+    spans = sarr.filter(F.size("sents") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("sents") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(
+                        F.lower(F.concat_ws(" ", F.slice("sents", i, n)))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("doc_id", F.col("sp.start").alias("start"), F.col("sp.key").alias("key"))
+    w = Window.partitionBy("key").orderBy("doc_id", "start")
+    marked = spans.select(
+        "doc_id",
+        "start",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(
+            Window.partitionBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_cnt"),
+    )
+    removals = (
+        marked.filter((F.col("_cnt") >= 2) & (F.col("_rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    sents = sarr.select(
+        "doc_id", F.posexplode("sents").alias("pos0", "sent")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    kept = sents.join(removals, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = sarr.select("doc_id", F.size("sents").alias("n_sentences"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_sentences",
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+    )
+
+
 def line_dedup_host(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1049,7 +1158,8 @@ __all__ = [
     "ngram_jaccard_pairs", "containment_pairs", "contamination",
     "simhash_udf", "simhash_pairs", "SIMHASH_BITS",
     "connected_components", "dup_clusters", "cluster_representatives",
-    "line_key", "line_dedup", "line_dedup_host", "substring_spans",
+    "line_key", "line_dedup", "line_dedup_host", "span_dedup",
+    "split_sentences", "substring_spans",
     "MinHashIndex", "mirror_hosts",
 ]
 

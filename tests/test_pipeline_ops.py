@@ -3555,3 +3555,41 @@ def test_es_aggs_bucket_sort_pages_buckets(spark):
     # series by count desc (key-asc ties): (0,3),(200,3),(300,2),(100,1)
     # from=1 size=2 -> (200,3),(300,2), bucket_sort order preserved
     assert [(r["key"], r["doc_count"]) for r in out] == [(200.0, 3), (300.0, 2)]
+
+
+def test_span_dedup_c4_semantics(spark):
+    rows = [
+        (1, "Alpha one. Beta two. Gamma three. Unique closing thought."),
+        (2, "Opening remark here. Alpha one. Beta two. Gamma three."),
+        (3, "Alpha one. Beta two. Gamma three."),
+        (4, "Totally different. Nothing shared here. Stay put. Ok."),
+        (5, "Too short. Just two."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_sentences"], r["n_kept"])
+           for r in dedup.span_dedup(df).collect()}
+    # doc1 is the (doc_id, start)-first occurrence of the shared span
+    # and keeps it; docs 2/3 lose exactly those three sentences; a doc
+    # whose every sentence was duplicated keeps an empty text; <3
+    # sentences -> no spans, untouched
+    assert got == {
+        1: ("Alpha one. Beta two. Gamma three. Unique closing thought.", 4, 4),
+        2: ("Opening remark here.", 4, 1),
+        3: ("", 3, 0),
+        4: ("Totally different. Nothing shared here. Stay put. Ok.", 4, 4),
+        5: ("Too short. Just two.", 2, 2),
+    }
+    # WITHIN-doc duplicate spans: later copy removed too
+    df2 = spark.createDataFrame(
+        [(9, "A one. B two. C three. Filler goes here. A one. B two. C three.")],
+        "doc_id long, text string",
+    )
+    out2 = dedup.span_dedup(df2).collect()[0]
+    assert out2["text"] == "A one. B two. C three. Filler goes here."
+    assert (out2["n_sentences"], out2["n_kept"]) == (7, 4)
+    # determinism across parallelism
+    big = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    a = sorted(map(tuple, dedup.span_dedup(big.repartition(1)).collect()))
+    b = sorted(map(tuple, dedup.span_dedup(big.repartition(8)).collect()))
+    assert a == b
