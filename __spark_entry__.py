@@ -4433,6 +4433,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_c4_span_dedup"] = text_c4_span_dedup
 
+    def wp_coverage(spark, sf_dir):
+        """Tokenizer-card coverage audit (wordpiece.coverage): a
+        WordPiece vocab trained ONLY on the English slice is measured
+        over every language — per lang: word/UNK/piece counts, UNK
+        rate, fertility. Words with any character outside the en
+        training alphabet collapse to [UNK] (BERT's rule). Matcher
+        runs once per distinct word; #langs-row result."""
+        from gocrawl_spark import wordpiece as wp
+
+        docs = _docs(spark, sf_dir)
+        en = docs.filter(F.col("lang") == "en")
+        merges, _ = wp.train_state(en, n_merges=6)
+        return wp.coverage(docs, wp.vocab_pieces(en, merges))
+
+    q["wp_coverage"] = wp_coverage
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -9755,6 +9771,60 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_slice(toks, 1, 10), ' ') AS head_toks,
                md5(array_to_string(toks, ',')) AS toks_md5
         FROM tok
+    """
+    )
+
+    # wp_coverage: the SAME 6-merge trainer replay with W0 filtered to
+    # the English slice; the jump-table segmentation then walks EVERY
+    # language's distinct words — a word whose recursion stalls (some
+    # position has no vocab piece) never reaches pos = length(word),
+    # i.e. LEFT-JOIN-null = [UNK], counted as one piece
+    _W0_EN = _BPE_W0.replace(
+        "FROM documents)", "FROM documents WHERE lang = 'en')"
+    )
+    o["wp_coverage"] = (
+        "WITH RECURSIVE "
+        + _W0_EN
+        + ","
+        + ",".join(_wp_iter(i) for i in range(_n_wp))
+        + f""",
+        vocab AS MATERIALIZED (
+            SELECT DISTINCT sym AS piece FROM e0
+            {"".join(f" UNION SELECT lft || rgt FROM b{i}" for i in range(_n_wp))}),
+        wl AS MATERIALIZED (
+            SELECT DISTINCT unnest(regexp_extract_all(
+                text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS word
+            FROM documents),
+        pos0 AS (SELECT word, unnest(range(0, length(word))) AS pos FROM wl),
+        jmp AS MATERIALIZED (
+            SELECT word, pos, piece FROM (
+              SELECT p.word, p.pos, v.piece,
+                     row_number() OVER (PARTITION BY p.word, p.pos
+                                        ORDER BY length(v.piece) DESC) AS rn
+              FROM pos0 p JOIN vocab v
+                ON substr(p.word, p.pos + 1, length(v.piece)) = v.piece)
+            WHERE rn = 1),
+        seg AS (
+            SELECT word, 0::BIGINT AS pos, 0::BIGINT AS n FROM wl
+            UNION ALL
+            SELECT s.word, s.pos + length(j.piece), s.n + 1
+            FROM seg s JOIN jmp j ON j.word = s.word AND j.pos = s.pos
+            WHERE s.pos < length(s.word)),
+        fin AS MATERIALIZED (
+            SELECT word, n FROM seg WHERE pos = length(word)),
+        stream AS (
+            SELECT lang, unnest(regexp_extract_all(
+                text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS word
+            FROM documents),
+        enc AS (SELECT s.lang, f.n FROM stream s LEFT JOIN fin f USING (word))
+        SELECT lang, count(*)::BIGINT AS n_words,
+               sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unk_words,
+               sum(coalesce(n, 1))::BIGINT AS n_pieces,
+               round(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE, 6) AS unk_rate,
+               round(sum(coalesce(n, 1))::DOUBLE / count(*)::DOUBLE, 6)
+                   AS pieces_per_word
+        FROM enc GROUP BY lang
     """
     )
 

@@ -246,27 +246,13 @@ def segment_word(word: str, vocab: set, max_len: int) -> list[str]:
     return out
 
 
-def encode_greedy(
-    docs: DataFrame,
-    pieces: list[str],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """(doc_id, tokens array<string>): greedy WordPiece encode of every
-    document. The matcher runs once per DISTINCT word (Arrow-batched
-    pandas UDF, vocab broadcast as a closure set), documents reassemble
-    via an equi-join + one per-doc ordered flatten — bpe.encode_corpus'
-    plan with the segmentation swapped for the greedy matcher."""
+def segment_table(words: DataFrame, pieces: list[str]) -> DataFrame:
+    """(word, toks): greedy WordPiece segmentation of each DISTINCT
+    word in `words` — Arrow-batched pandas UDF with an LRU word cache,
+    the vocab broadcast as a closure set. The matcher cost is paid
+    once per distinct word regardless of corpus size."""
     vocab = set(pieces)
     max_len = max((len(p) for p in pieces), default=1)
-
-    pre = F.regexp_extract_all(
-        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
-    )
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(pre).alias("i", "word")
-    )
-    words = exploded.select("word").distinct()
 
     @F.pandas_udf("array<string>")
     def seg(ws: pd.Series) -> pd.Series:
@@ -280,7 +266,27 @@ def encode_greedy(
             out.append(got)
         return pd.Series(out)
 
-    table = words.select("word", seg(F.col("word")).alias("toks"))
+    return words.select("word", seg(F.col("word")).alias("toks"))
+
+
+def encode_greedy(
+    docs: DataFrame,
+    pieces: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, tokens array<string>): greedy WordPiece encode of every
+    document. The matcher runs once per DISTINCT word (Arrow-batched
+    pandas UDF, vocab broadcast as a closure set), documents reassemble
+    via an equi-join + one per-doc ordered flatten — bpe.encode_corpus'
+    plan with the segmentation swapped for the greedy matcher."""
+    pre = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(pre).alias("i", "word")
+    )
+    table = segment_table(exploded.select("word").distinct(), pieces)
     return (
         exploded.join(table, "word")
         .groupBy("doc_id")
@@ -292,6 +298,43 @@ def encode_greedy(
                 )
             ).alias("tokens")
         )
+    )
+
+
+def coverage(
+    docs: DataFrame,
+    pieces: list[str],
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language coverage of a FIXED WordPiece vocabulary over a
+    (possibly out-of-domain) corpus — the tokenizer-card audit a vocab
+    trained on one language mix owes every other: (lang, n_words,
+    n_unk_words, n_pieces, unk_rate, pieces_per_word). A word with any
+    position unmatchable by the vocab encodes to [UNK] whole (BERT's
+    rule) and counts one piece.
+
+    Scale shape: same as encode_greedy — the matcher runs once per
+    DISTINCT word, the (lang, word) stream joins the Heaps-small
+    segmentation table (broadcast by AQE), and everything folds
+    map-side to #langs rows. No per-doc reassembly at all."""
+    pre = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({textstats.BPE_ISH_PATTERN})"), 1
+    )
+    exploded = docs.select(
+        F.col(lang_col).alias("lang"), F.explode(pre).alias("word")
+    )
+    table = segment_table(exploded.select("word").distinct(), pieces)
+    unk = (F.col("toks") == F.array(F.lit(UNK))).cast("long")
+    j = exploded.join(table, "word")
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum(unk).alias("n_unk_words"),
+        F.sum(F.size("toks").cast("long")).alias("n_pieces"),
+        F.round(F.sum(unk) / F.count("*"), 6).alias("unk_rate"),
+        F.round(
+            F.sum(F.size("toks").cast("long")) / F.count("*"), 6
+        ).alias("pieces_per_word"),
     )
 
 
@@ -307,5 +350,7 @@ __all__ = [
     "train_batched",
     "train_state_batched",
     "encode_greedy",
+    "segment_table",
+    "coverage",
     "UNK",
 ]

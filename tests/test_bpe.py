@@ -403,3 +403,29 @@ def test_unigram_seed_and_em(spark):
     # Viterbi never emits single 'a' or 'd' under these scores
     assert "a" not in em and "d" not in em
     assert em["ab"] > 0 and em["cdx"] > 0
+
+
+def test_wp_coverage_unk_and_fertility(spark):
+    from gocrawl_spark import wordpiece as wp
+
+    train = spark.createDataFrame(
+        [(1, "abc abc ab")], "doc_id long, text string"
+    )
+    merges, _ = wp.train_state(train, 2)
+    pieces = wp.vocab_pieces(train, merges)
+    corpus = spark.createDataFrame(
+        [
+            (1, "en", "abc ab a"),
+            (2, "zz", "xyz abc"),  # 'xyz' has chars outside the vocab
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r for r in wp.coverage(corpus, pieces).collect()}
+    en, zz = got["en"], got["zz"]
+    assert (en["n_words"], en["n_unk_words"]) == (3, 0)
+    assert en["unk_rate"] == 0.0
+    # zz: 'xyz' -> [UNK] (one piece), 'abc' segments normally
+    assert (zz["n_words"], zz["n_unk_words"]) == (2, 1)
+    assert zz["unk_rate"] == 0.5
+    for r in (en, zz):
+        assert r["pieces_per_word"] == round(r["n_pieces"] / r["n_words"], 6)
