@@ -4449,6 +4449,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wp_coverage"] = wp_coverage
 
+    def train_curriculum(spark, sf_dir):
+        """Quality-curriculum ordering (curation.curriculum_order):
+        exact decile boundaries from ONE percentile aggregation
+        (9 broadcast scalars), codegen'd comparison-count stage
+        assignment, shuffle_key intra-stage permutation — the
+        easy-first training schedule with no global sort and no rank
+        column (the (stage, sort_key) pair IS the order)."""
+        return curation.curriculum_order(_docs(spark, sf_dir), stages=10)
+
+    q["train_curriculum"] = train_curriculum
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10046,6 +10057,38 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM common)::BIGINT AS n_common,
                round((SELECT c FROM common)::DOUBLE
                      / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
+    """
+
+    # curriculum: same quality expression as text_quality, exact
+    # interpolated decile boundaries (quantile_cont ≡ Spark percentile),
+    # stage = 9 − (#boundaries ≤ score), md5 intra-stage key
+    _q_expr = r"""
+          round(0.5::DOUBLE * least(1.0::DOUBLE, length(text)::DOUBLE / 500.0::DOUBLE)
+              + 0.3::DOUBLE * least(1.0::DOUBLE,
+                  (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+                        THEN len(regexp_extract_all(lower(text), '{stop}', 1))::DOUBLE
+                             / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE
+                        ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+              + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                  (CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '([.,;:!?])', 1))::DOUBLE
+                             / length(text)::DOUBLE
+                        ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)),
+              6)
+    """.replace("{stop}", _stop)
+    _qb = ", ".join(
+        f"quantile_cont(quality, {i / 10}) AS b{i - 1}" for i in range(1, 10)
+    )
+    _qs = " + ".join(
+        f"(CASE WHEN quality >= b.b{i} THEN 1 ELSE 0 END)" for i in range(9)
+    )
+    o["train_curriculum"] = f"""
+        WITH t AS (SELECT doc_id, {_q_expr} AS quality FROM documents),
+        b AS (SELECT {_qb} FROM t)
+        SELECT doc_id, quality,
+               (9 - ({_qs}))::INT AS stage,
+               md5(doc_id::VARCHAR || ':gocrawl') AS sort_key
+        FROM t, b
     """
 
     # C4 span dedup: identical RE2-safe sentence transform, 3-window

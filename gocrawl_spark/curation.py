@@ -191,6 +191,51 @@ def shuffle_shards(
     )
 
 
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stages: int = 10,
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Quality-curriculum ordering for the training feed: documents
+    are bucketed into ``stages`` exact quality quantiles and the
+    loader streams stage 0 (highest quality) first, shuffled WITHIN
+    each stage — curriculum learning's easy-first schedule with
+    shuffle_shards' deterministic intra-stage permutation. Returns
+    (doc_id, quality, stage, sort_key); consumers order by
+    (stage, sort_key, doc_id).
+
+    Scale shape: the stage-1 boundary scalars come from ONE exact
+    percentile aggregation (stages−1 numbers, broadcast back as a
+    1-row cross join); stage assignment is a codegen'd comparison
+    count — no window, no global sort, no shuffle beyond the agg.
+    The (stage, sort_key) pair DEFINES the global order, so no rank
+    column ever materializes."""
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(textstats.quality_score(text_col), 6).alias("quality"),
+    )
+    ps = [i / stages for i in range(1, stages)]
+    bounds = scored.agg(
+        *[
+            F.percentile("quality", F.lit(p)).alias(f"_b{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    j = scored.crossJoin(F.broadcast(bounds))
+    bucket = sum(
+        (F.col("quality") >= F.col(f"_b{i}")).cast("int")
+        for i in range(len(ps))
+    )
+    return j.select(
+        "doc_id",
+        "quality",
+        (F.lit(stages - 1) - bucket).cast("int").alias("stage"),
+        shuffle_key("doc_id", seed).alias("sort_key"),
+    )
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,
@@ -1132,7 +1177,8 @@ def mixture_select(
 
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
-    "shuffle_key", "shard_col", "shuffle_shards", "write_training_shards",
+    "shuffle_key", "shard_col", "shuffle_shards", "curriculum_order",
+    "write_training_shards",
     "pack_sequences",
     "host_suffixes", "blocklist_filter",
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",

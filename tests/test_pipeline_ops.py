@@ -3593,3 +3593,31 @@ def test_span_dedup_c4_semantics(spark):
     a = sorted(map(tuple, dedup.span_dedup(big.repartition(1)).collect()))
     b = sorted(map(tuple, dedup.span_dedup(big.repartition(8)).collect()))
     assert a == b
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    from gocrawl_spark import curation
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    out = curation.curriculum_order(docs, stages=4)
+    rows = out.collect()
+    assert len(rows) == 200
+    # stages partition the corpus into contiguous quality ranges:
+    # every stage-k doc has quality >= every stage-(k+1) doc
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["quality"])
+    stages = sorted(by_stage)
+    assert stages[0] == 0 and stages[-1] <= 3
+    for a, b in zip(stages, stages[1:]):
+        assert min(by_stage[a]) >= max(by_stage[b])
+    # exact quartiles -> roughly balanced stages (ties may skew)
+    for s in stages:
+        assert len(by_stage[s]) >= 200 // 8
+    # bit-equal across parallelism
+    a = sorted(map(tuple,
+        curation.curriculum_order(docs.repartition(1), stages=4).collect()))
+    b = sorted(map(tuple,
+        curation.curriculum_order(docs.repartition(8), stages=4).collect()))
+    assert a == b
