@@ -4460,6 +4460,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_curriculum"] = train_curriculum
 
+    def search_hybrid_rrf(spark, sf_dir):
+        """Hybrid retrieval (search.hybrid_rrf, Cormack et al.
+        SIGIR'09): BM25 top-20 over text fused with exact-cosine
+        top-20 neighbors of embedding 3 by reciprocal-rank fusion
+        (k=60) — the standard lexical+semantic combiner. Both ranked
+        lists are top-N-sized, so the fusion join is metadata-scale."""
+        from pyspark.sql import Window
+
+        docs = _docs(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        lex = search.bm25_topk(
+            docs, "window batch spark", text_col="text",
+            id_col="doc_id", k=20,
+        ).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("id"))
+            ),
+        )
+        sem = similarity.brute_topk(
+            emb, emb.filter(F.col("vec_id") == 3), k=20
+        ).select(F.col("neighbor_id").alias("id"), "rank")
+        return search.hybrid_rrf(lex, sem, k=10)
+
+    q["search_hybrid_rrf"] = search_hybrid_rrf
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10057,6 +10083,41 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM common)::BIGINT AS n_common,
                round((SELECT c FROM common)::DOUBLE
                      / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
+    """
+
+    # hybrid RRF: the SAME bm25 CTE chain (query 'window batch spark',
+    # LIMIT 20) + the brute-cosine chain pinned to query vec 3, fused
+    # by 1/(60+rank) with absent-rank 0
+    o["search_hybrid_rrf"] = rf"""
+        WITH d0 AS (
+          SELECT doc_id AS id, {_antoks("text")} AS toks
+          FROM documents),
+        d AS (SELECT id, len(toks)::DOUBLE AS dl, {_tf_exprs} FROM d0),
+        s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+                     {", ".join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}" for i in range(len(_bm_terms)))}
+              FROM d),
+        lex0 AS (SELECT d.id, round({_score_terms}, 6) AS score
+                 FROM d, s WHERE round({_score_terms}, 6) > 0
+                 ORDER BY score DESC, id ASC LIMIT 20),
+        lex AS (SELECT id, row_number() OVER (
+                  ORDER BY score DESC, id ASC) AS lex_rank FROM lex0),
+        scored AS (
+          SELECT b.vec_id AS id, {_cos} AS score
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id = 3 AND b.vec_id <> a.vec_id),
+        sem AS (SELECT id, sem_rank FROM (
+                  SELECT id, row_number() OVER (
+                    ORDER BY score DESC, id) AS sem_rank FROM scored)
+                WHERE sem_rank <= 20),
+        j AS (SELECT coalesce(l.id, m.id) AS id,
+                     coalesce(l.lex_rank, 0)::INT AS lex_rank,
+                     coalesce(m.sem_rank, 0)::INT AS sem_rank,
+                     round(coalesce(1.0::DOUBLE / (60.0::DOUBLE + l.lex_rank), 0.0::DOUBLE)
+                           + coalesce(1.0::DOUBLE / (60.0::DOUBLE + m.sem_rank), 0.0::DOUBLE),
+                           6) AS rrf_score
+              FROM lex l FULL OUTER JOIN sem m ON l.id = m.id)
+        SELECT id, lex_rank, sem_rank, rrf_score
+        FROM j ORDER BY rrf_score DESC, id ASC LIMIT 10
     """
 
     # curriculum: same quality expression as text_quality, exact

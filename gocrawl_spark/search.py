@@ -1424,6 +1424,43 @@ def _significant_terms_scoped(base: DataFrame, body: dict) -> DataFrame:
     )
 
 
+def hybrid_rrf(
+    lex: DataFrame, sem: DataFrame, k: int = 10, rrf_k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of a lexical
+    and a semantic ranking — the standard hybrid-retrieval combiner
+    (BM25 + ANN): rrf = Σ 1/(rrf_k + rank_i) over the lists containing
+    the doc, rrf_k = 60 per the paper. Inputs are (id, rank)
+    DataFrames with 1-based ranks; a doc absent from one list
+    contributes 0 from it and reports rank 0. Returns
+    (id, lex_rank, sem_rank, rrf_score) top-k by (score desc, id).
+
+    Scale shape: both inputs are already top-N lists (N rows, not
+    corpus-sized), so the full-outer equi-join and the final sort are
+    driver-scale; the heavy lifting lives in the rankers themselves."""
+    left = lex.select("id", F.col("rank").alias("lex_rank"))
+    right = sem.select("id", F.col("rank").alias("sem_rank"))
+    j = left.join(right, "id", "full_outer")
+
+    def contrib(c: str) -> Column:
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c)), F.lit(0.0)
+        )
+
+    return (
+        j.select(
+            "id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+            F.round(contrib("lex_rank") + contrib("sem_rank"), 6).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def _significant_text_scoped(base: DataFrame, body: dict) -> DataFrame:
     """ES `significant_text` as a request-scoped agg: JLH of ANALYZED
     terms of a free-text field unusually frequent among query-matched
@@ -1466,7 +1503,7 @@ __all__ = [
     "tf", "tokens", "analyze_query", "count_where",
     "match_scores", "match_topk", "multi_match_topk", "match_phrase_topk",
     "bm25_topk", "bool_topk", "fuzzy_expansions", "fuzzy_topk",
-    "highlight_topk", "es_search",
+    "highlight_topk", "es_search", "hybrid_rrf",
 ]
 
 

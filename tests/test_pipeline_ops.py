@@ -3621,3 +3621,22 @@ def test_curriculum_order_stages_and_determinism(spark):
     b = sorted(map(tuple,
         curation.curriculum_order(docs.repartition(8), stages=4).collect()))
     assert a == b
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(3, 1), (4, 2)], "id long, rank int"
+    )
+    got = {r["id"]: r for r in search.hybrid_rrf(lex, sem, k=10).collect()}
+    # doc 3 appears in both lists -> 1/63 + 1/61; absences report rank 0
+    assert got[3]["rrf_score"] == round(1 / 63 + 1 / 61, 6)
+    assert (got[3]["lex_rank"], got[3]["sem_rank"]) == (3, 1)
+    assert got[1]["rrf_score"] == round(1 / 61, 6)
+    assert (got[1]["lex_rank"], got[1]["sem_rank"]) == (1, 0)
+    assert got[4]["rrf_score"] == round(1 / 62, 6)
+    # fused order: overlap wins despite middling individual ranks
+    order = [r["id"] for r in search.hybrid_rrf(lex, sem, k=10).collect()]
+    assert order[0] == 3
