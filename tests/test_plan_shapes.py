@@ -709,3 +709,78 @@ def test_stale_candidates_single_equijoin(spark):
     plan = _plan(stale_candidates(crawled, declared))
     assert plan.count("Join") <= 2  # one logical join (+AQE aliasing)
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_no_cartesian_one_span_window(spark, sf_dir):
+    """C4 span dedup: duplicate election is a span-hash window (no
+    join among spans), removal + reassembly are equi-joins — never a
+    cartesian; the sentence text never enters the election shuffle
+    (spans carry (doc_id, start, md5) only)."""
+    from gocrawl_spark.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    plan = _plan(span_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # election window partitions on the span key
+    assert "row_number" in plan
+
+
+def test_significant_text_single_scan_no_corpus_join(spark, sf_dir):
+    """significant_text: one term-keyed fold; the only join is the
+    1-row broadcast of the corpus scalars."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumnRenamed("doc_id", "id")
+    out = search.es_search(docs, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"sig": {"significant_text": {"field": "text"}}},
+    })["aggs"]
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # scalars broadcast, never SMJ
+
+
+def test_diversified_sampler_window_keys_on_dedup_field(spark, sf_dir):
+    """diversified_sampler: the per-value cap is a window partitioned
+    on the diversity field — the exchange keys on it, not on doc id."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumnRenamed("doc_id", "id")
+    out = search.es_search(docs, {
+        "query": {"match": {"text": "table"}},
+        "aggs": {"s": {
+            "diversified_sampler": {"shard_size": 10, "field": "source"},
+            "aggs": {"langs": {"terms": {"field": "lang"}}}}},
+    })["aggs"]
+    plan = _plan(out)
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wp_coverage_folds_to_lang_rows(spark, sf_dir):
+    """wp.coverage: the (lang, word) stream joins the distinct-word
+    segmentation table by equi-join and folds with partial
+    aggregation — no window, no cartesian."""
+    from gocrawl_spark import wordpiece as wp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    plan = _plan(wp.coverage(docs, ["a", "b", "c", "ab"]))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_curriculum_no_global_sort_no_window(spark, sf_dir):
+    """curriculum_order: boundaries broadcast from one agg; stage
+    assignment is codegen'd comparisons — no window, no global sort,
+    no shuffle beyond the percentile aggregation."""
+    from gocrawl_spark.curation import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curriculum_order(docs, stages=10))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()  # no global Sort
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
