@@ -103,6 +103,14 @@ HEADLINE = [
     "unigram_encode_viterbi",
     "corpus_host_cardinality",
     "text_readability",
+    # round-4 session 7: C4 span dedup, ES compound scoring, hybrid
+    # RRF retrieval, LSH recall eval, WP coverage audit (one each)
+    "text_c4_span_dedup",
+    "search_bool_dismax",
+    "search_hybrid_rrf",
+    "dedup_minhash_recall",
+    "wp_coverage",
+    "train_curriculum",
 ]
 
 
