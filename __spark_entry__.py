@@ -4486,6 +4486,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_hybrid_rrf"] = search_hybrid_rrf
 
+    def corpus_mixture_epochs(spark, sf_dir):
+        """Data-constrained mixing recipe (curation.mixture_epochs,
+        Muennighoff et al. 2023): integer 5/2/2/1 weights over a
+        150k-token budget — scarce languages repeat whole epochs up to
+        the cap, the uncoverable remainder reports as deficit. ONE
+        map-side-combined fold to #sources rows, all-integer
+        arithmetic after it."""
+        return curation.mixture_epochs(
+            _docs(spark, sf_dir),
+            weights={"en": 5, "de": 2, "fr": 2, "es": 1},
+            budget=150000,
+            max_epochs=3,
+        )
+
+    q["corpus_mixture_epochs"] = corpus_mixture_epochs
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10083,6 +10099,35 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM common)::BIGINT AS n_common,
                round((SELECT c FROM common)::DOUBLE
                      / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
+    """
+
+    # mixture epochs: one fold to #sources rows, the same exact
+    # floored-DIV / capped-ceil integer arithmetic
+    o["corpus_mixture_epochs"] = r"""
+        WITH avail AS (
+          SELECT lang AS source,
+                 sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x <> '')))::BIGINT AS avail_tokens
+          FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+          GROUP BY 1),
+        t AS (SELECT source, avail_tokens,
+                     floor((150000::BIGINT
+                            * (CASE source WHEN 'en' THEN 5
+                                           WHEN 'de' THEN 2
+                                           WHEN 'fr' THEN 2
+                                           ELSE 1 END)::BIGINT)::DOUBLE
+                           / 10.0::DOUBLE)::BIGINT AS target_tokens
+              FROM avail),
+        e AS (SELECT *,
+                     least(3::BIGINT,
+                           floor((target_tokens + avail_tokens - 1)::DOUBLE
+                                 / avail_tokens::DOUBLE)::BIGINT) AS eps
+              FROM t)
+        SELECT source, avail_tokens, target_tokens, eps::INT AS epochs,
+               least(target_tokens, avail_tokens * eps) AS yield_tokens,
+               target_tokens
+                 - least(target_tokens, avail_tokens * eps) AS deficit
+        FROM e
     """
 
     # hybrid RRF: the SAME bm25 CTE chain (query 'window batch spark',

@@ -1092,6 +1092,66 @@ def temperature_weights(
     return out
 
 
+def mixture_epochs(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained mixing recipe (Muennighoff et al. 2023: repeat
+    scarce sources up to a cap rather than starving the mix): given
+    integer mixing ``weights`` and a total token ``budget``, each
+    source gets target = budget·w DIV Σw tokens; a source whose
+    available tokens fall short repeats whole epochs —
+    epochs = min(max_epochs, ceil(target/available)) — and yields
+    min(target, available·epochs) tokens, the rest reported as
+    deficit. Returns one row per weighted source: (source,
+    avail_tokens, target_tokens, epochs, yield_tokens, deficit).
+    All integer arithmetic (exact DIV/ceil), so the plan is
+    engine-identical.
+
+    Scale shape: ONE map-side-combined groupBy folds the corpus to
+    #sources rows; everything after is constant-time arithmetic on
+    that tiny frame. No window, no join, no driver data."""
+    total_w = sum(int(w) for w in weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum positive")
+    avail = (
+        docs.filter(F.col(source_col).isin(list(weights)))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.sum(textstats.token_count(text_col).cast("long")).alias(
+                "avail_tokens"
+            )
+        )
+    )
+    w_expr = F.lit(0)
+    for k, v in sorted(weights.items()):
+        w_expr = F.when(F.col("source") == k, F.lit(int(v))).otherwise(w_expr)
+    # exact integer DIV/ceil: the doubles below are exact for any
+    # budget < 2^53 (one division each, floored immediately)
+    target = F.floor(
+        (F.lit(int(budget)) * w_expr.cast("long")) / F.lit(total_w)
+    ).cast("long")
+    epochs = F.least(
+        F.lit(int(max_epochs)).cast("long"),
+        F.floor(
+            (target + F.col("avail_tokens") - 1) / F.col("avail_tokens")
+        ).cast("long"),
+    )
+    yielded = F.least(target, F.col("avail_tokens") * epochs)
+    return avail.select(
+        "source",
+        "avail_tokens",
+        target.alias("target_tokens"),
+        epochs.cast("int").alias("epochs"),
+        yielded.alias("yield_tokens"),
+        (target - yielded).alias("deficit"),
+    )
+
+
 def mixture_select(
     docs: DataFrame,
     quotas: dict[str, int],
@@ -1178,6 +1238,7 @@ def mixture_select(
 __all__ = [
     "curate", "sample_stratified", "diff_corpus",
     "shuffle_key", "shard_col", "shuffle_shards", "curriculum_order",
+    "mixture_epochs",
     "write_training_shards",
     "pack_sequences",
     "host_suffixes", "blocklist_filter",

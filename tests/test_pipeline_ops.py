@@ -3640,3 +3640,27 @@ def test_hybrid_rrf_fusion_semantics(spark):
     # fused order: overlap wins despite middling individual ranks
     order = [r["id"] for r in search.hybrid_rrf(lex, sem, k=10).collect()]
     assert order[0] == 3
+
+
+def test_mixture_epochs_repeat_cap_and_deficit(spark):
+    from gocrawl_spark import curation
+
+    rows = [
+        (1, "en", "a b c d e f g h i j"),      # en avail 10
+        (2, "de", "a b"),                       # de avail 2
+        (3, "fr", "a b c d e"),                 # fr avail 5
+        (4, "xx", "ignored words here"),        # unweighted -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["source"]: r for r in curation.mixture_epochs(
+        docs, weights={"en": 2, "de": 1, "fr": 1}, budget=40, max_epochs=3
+    ).collect()}
+    assert set(got) == {"en", "de", "fr"}
+    # en: target 20, avail 10 -> 2 epochs, fully covered
+    assert (got["en"]["target_tokens"], got["en"]["epochs"],
+            got["en"]["yield_tokens"], got["en"]["deficit"]) == (20, 2, 20, 0)
+    # de: target 10, avail 2 -> ceil=5 capped at 3 -> yield 6, deficit 4
+    assert (got["de"]["target_tokens"], got["de"]["epochs"],
+            got["de"]["yield_tokens"], got["de"]["deficit"]) == (10, 3, 6, 4)
+    # fr: target 10, avail 5 -> exactly 2 epochs
+    assert (got["fr"]["epochs"], got["fr"]["deficit"]) == (2, 0)
