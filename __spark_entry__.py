@@ -4502,6 +4502,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_mixture_epochs"] = corpus_mixture_epochs
 
+    def emb_matryoshka_recall(spark, sf_dir):
+        """Matryoshka truncation eval (similarity.matryoshka_recall,
+        Kusupati et al. 2022): recall@10 of exact cosine over the
+        first-8/16/32 prefix dims vs the full 64-dim ranking for the
+        5 eval queries — the serve-short / re-rank-long trade-off
+        card. Each dim is the broadcast brute plan; the recall joins
+        are top-k-sized."""
+        emb = _emb(spark, sf_dir)
+        return similarity.matryoshka_recall(
+            emb, emb.filter(F.col("vec_id") < 5), dims=[8, 16, 32], k=10
+        )
+
+    q["emb_matryoshka_recall"] = emb_matryoshka_recall
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10100,6 +10114,58 @@ def oracle_sql() -> dict[str, str]:
                round((SELECT c FROM common)::DOUBLE
                      / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
     """
+
+    # matryoshka recall: per prefix-dim d the SAME brute-cosine chain
+    # folded over range(1, d+1), top-10 per query, joined against the
+    # full-64-dim list
+    def _mrl_top(d: int, name: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, {d + 1}),"
+            " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+        )
+        na = (
+            f"sqrt(list_sum(list_transform(range(1, {d + 1}),"
+            " i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+        )
+        nb = (
+            f"sqrt(list_sum(list_transform(range(1, {d + 1}),"
+            " i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+        )
+        return f"""
+        scored_{name} AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round({dot} / ({na} * {nb}), 6) AS score
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        top_{name} AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored_{name})
+          WHERE rank <= 10)"""
+
+    _mrl_rows = " UNION ALL ".join(
+        f"""
+        SELECT {d} AS dim,
+               (SELECT count(*) FROM top_full)::BIGINT AS n_full,
+               (SELECT count(*) FROM top_full f
+                 JOIN top_d{d} t ON t.query_id = f.query_id
+                               AND t.neighbor_id = f.neighbor_id)::BIGINT
+                   AS n_common,
+               round((SELECT count(*) FROM top_full f
+                       JOIN top_d{d} t ON t.query_id = f.query_id
+                                     AND t.neighbor_id = f.neighbor_id)::DOUBLE
+                     / (SELECT count(*) FROM top_full)::DOUBLE, 4) AS recall
+        """
+        for d in (8, 16, 32)
+    )
+    o["emb_matryoshka_recall"] = (
+        "WITH "
+        + ",".join(
+            [_mrl_top(64, "full")] + [_mrl_top(d, f"d{d}") for d in (8, 16, 32)]
+        )
+        + _mrl_rows
+    )
 
     # mixture epochs: one fold to #sources rows, the same exact
     # floored-DIV / capped-ceil integer arithmetic

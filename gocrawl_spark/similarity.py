@@ -102,6 +102,58 @@ def brute_topk(
 # ---------------------------------------------------------------------------
 
 
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022): recall@k of
+    exact cosine search over the FIRST-d prefix of each embedding vs
+    the full-dimension ranking — the dimension/quality trade-off card
+    for MRL-style embeddings (serve the short prefix, re-rank with the
+    tail). One row per d: (dim, n_full, n_common, recall).
+
+    Scale shape: each dim runs the brute_topk plan (queries broadcast,
+    corpus never shuffles); the recall joins are top-k-list-sized.
+    len(dims) is a handful, so the union stays metadata-scale."""
+    full = brute_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    out: DataFrame | None = None
+    for d in sorted(int(d) for d in dims):
+        t_c = corpus.select(
+            F.col(id_col), F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        t_q = queries.select(
+            F.col(id_col), F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        tr = brute_topk(t_c, t_q, k=k, id_col=id_col, vec_col=vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        row = (
+            full.agg(F.count("*").alias("n_full"))
+            .crossJoin(
+                full.join(tr, ["query_id", "neighbor_id"]).agg(
+                    F.count("*").alias("n_common")
+                )
+            )
+            .select(
+                F.lit(d).alias("dim"),
+                "n_full",
+                "n_common",
+                F.round(F.col("n_common") / F.col("n_full"), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None, "dims must be non-empty"
+    return out
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -818,6 +870,7 @@ def semdedup(
 __all__ = [
     "dot", "norm", "cosine", "cosine_rounded",
     "brute_topk", "cosine_dup_pairs", "blocked_dup_pairs",
+    "matryoshka_recall",
     "ivf_centroids", "ivf_assign", "ivf_topk", "ivf_write_index",
     "lsh_bucket_udf", "lsh_topk", "rademacher_planes", "banded_keys_udf",
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_write_index",

@@ -3664,3 +3664,17 @@ def test_mixture_epochs_repeat_cap_and_deficit(spark):
             got["de"]["yield_tokens"], got["de"]["deficit"]) == (10, 3, 6, 4)
     # fr: target 10, avail 5 -> exactly 2 epochs
     assert (got["fr"]["epochs"], got["fr"]["deficit"]) == (2, 0)
+
+
+def test_matryoshka_recall_monotone_and_exact_at_full_dim(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = {r["dim"]: r for r in similarity.matryoshka_recall(
+        emb, q, dims=[16, 64], k=5).collect()}
+    # full-dim truncation IS the full ranking -> recall exactly 1.0
+    assert out[64]["recall"] == 1.0
+    assert out[64]["n_common"] == out[64]["n_full"] == 15
+    # shorter prefix can only do as well or worse
+    assert out[16]["recall"] <= 1.0
+    assert out[16]["n_full"] == 15
