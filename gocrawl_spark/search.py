@@ -944,6 +944,13 @@ def _compile_clause(clause: dict, tokcol: dict[str, str]):
       {"exists": {"field": name}}       non-null; score 1.0
       {"prefix": {field: string}}       raw startswith; score 1.0
       {"match_all": {}}                 always true; score 1.0
+      {"match_phrase_prefix": ...}      type-ahead phrase (last term a
+                                        token prefix); score = windows
+      {"dis_max": {"queries": [...]}}   best sub-score + tie_breaker·rest
+      {"constant_score": {"filter": q}} flat boost, filter context
+      {"boosting": {...}}               negative-matching docs demoted
+                                        ×negative_boost, never excluded
+    (plus wildcard/regexp/ids/fuzzy/query_string — see _compile_leaf)
     """
     pred, score = _compile_leaf(clause, tokcol)
     return (
@@ -1206,8 +1213,11 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
     # Extended request surface: "sort" (field/_score entries, auto id
     # tiebreak), "search_after" (keyset cursor — the deep-paging path
     # that stays O(page) at any depth), "post_filter" (narrows hits,
-    # NOT aggs/total), and a "global" top-level agg kind (sub-aggs
-    # over the whole index, escaping the query scope).
+    # NOT aggs/total), and the scope-aware top-level agg kinds:
+    # "global" (whole index, escaping the query scope),
+    # "significant_terms"/"significant_text" (fg = matched docs, bg =
+    # whole index in one pass) and "(diversified_)sampler" (sub-aggs
+    # over only the top shard_size scored hits).
     req_query = body.get("query") or {"match_all": {}}
     vocabs: dict = {}
     clause = _expand_fuzzy_clauses(req_query, df, vocabs)
