@@ -4516,6 +4516,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_matryoshka_recall"] = emb_matryoshka_recall
 
+    def corpus_dup_ngrams(spark, sf_dir):
+        """Corpus-wide duplicated-5-gram audit per language
+        (corpusstats.dup_ngram_mass; Lee et al. 2022 memorization
+        metric): fraction of k-gram mass and of the distinct k-gram
+        vocabulary that repeats corpus-wide. Shuffle keys on md5(gram)
+        — fixed-width, map-side combined; #langs output rows."""
+        from gocrawl_spark import corpusstats
+
+        return corpusstats.dup_ngram_mass(_docs(spark, sf_dir), k=5)
+
+    q["corpus_dup_ngrams"] = corpus_dup_ngrams
+
+    def text_char_entropy(spark, sf_dir):
+        """Per-doc Shannon character entropy (textstats.char_entropy)
+        — the oracle-checkable twin of the zlib compression-ratio
+        gate: sorted-distinct-char fold, zero shuffle, pure codegen."""
+        return textstats.char_entropy(_docs(spark, sf_dir))
+
+    q["text_char_entropy"] = text_char_entropy
+
+    def corpus_doremi_weights(spark, sf_dir):
+        """One-round deterministic DoReMi (curation.doremi_weights,
+        Xie et al. 2023): per-language clipped excess loss of the
+        corpus-trained KN bigram proxy over the en-slice-trained
+        reference, normalized into mixture weights. Two LM passes +
+        one #langs-row aggregate."""
+        docs = _docs(spark, sf_dir)
+        return curation.doremi_weights(
+            docs, docs.filter(F.col("lang") == "en")
+        )
+
+    q["corpus_doremi_weights"] = corpus_doremi_weights
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10336,6 +10369,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT key, doc_count, avg_chars
         FROM r WHERE rk > 1 AND rk <= 5
         ORDER BY doc_count DESC, key ASC
+    """
+
+    # corpus_dup_ngrams: same md5-hashed 5-gram counting; integer
+    # ratios divided once and rounded 6 dp
+    o["corpus_dup_ngrams"] = f"""
+        WITH w AS (SELECT lang, {_SQL_WORDS} AS w FROM documents),
+        g AS (SELECT lang, unnest({_sql_shingles(5)}) AS g FROM w),
+        gg AS (SELECT lang AS grp, md5(g) AS h, count(*) AS c
+               FROM g WHERE g <> '' GROUP BY 1, 2),
+        agg AS (SELECT grp,
+                 sum(c)::BIGINT AS total_grams,
+                 count(*)::BIGINT AS distinct_grams,
+                 sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_mass
+                FROM gg GROUP BY grp)
+        SELECT grp, total_grams, distinct_grams, dup_grams, dup_mass,
+               round(dup_grams::DOUBLE / distinct_grams, 6) AS frac_dup_grams,
+               round(dup_mass::DOUBLE / total_grams, 6) AS frac_dup_mass
+        FROM agg
+    """
+
+    # text_char_entropy: per-doc char histogram; the c·log2(c) fold
+    # runs over SORTED distinct chars in both engines (list_reduce ≡
+    # F.aggregate), so the float op sequence matches bit-for-bit
+    o["text_char_entropy"] = """
+        WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents WHERE length(text) > 0),
+        cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS cnt
+                FROM ch GROUP BY 1, 2),
+        agg AS (SELECT doc_id, count(*) AS nd,
+                       list_reduce(
+                         list_prepend(0.0,
+                           list(cnt * log2(cnt) ORDER BY c)),
+                         (a, x) -> a + x) AS s
+                FROM cnt GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+               length(d.text)::BIGINT AS n_chars,
+               coalesce(agg.nd, 0)::BIGINT AS n_distinct_chars,
+               CASE WHEN length(d.text) > 0
+                    THEN round(log2(length(d.text)::DOUBLE)
+                               - agg.s / length(d.text)::DOUBLE, 6)
+                    ELSE 0.0 END AS entropy_bits
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+    # corpus_doremi_weights: the moore_lewis twin grouped by lang —
+    # per-doc excess from the 6 dp-rounded ml_score, #langs-row window
+    o["corpus_doremi_weights"] = f"""
+        WITH ml AS ({o["text_lm_moore_lewis"]}),
+        ex AS (SELECT d.lang AS grp, greatest(-ml.ml_score, 0.0) AS ex
+               FROM ml JOIN documents d USING (doc_id)),
+        agg AS (SELECT grp, count(*)::BIGINT AS n_docs,
+                       round(sum(ex) / count(*), 6) AS avg_excess
+                FROM ex GROUP BY grp)
+        SELECT grp, n_docs, avg_excess,
+               CASE WHEN sum(avg_excess) OVER () > 0
+                    THEN round(avg_excess / sum(avg_excess) OVER (), 6)
+                    ELSE round(1.0 / count(*) OVER (), 6)
+               END AS weight
+        FROM agg
     """
 
     return o

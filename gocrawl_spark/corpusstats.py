@@ -40,6 +40,7 @@ from gocrawl_spark.textstats import norm_words, shingles, shingles_of_words
 __all__ = [
     "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
     "key_skew_audit", "corpus_minhash", "corpus_overlap",
+    "dup_ngram_mass",
 ]
 
 
@@ -554,3 +555,58 @@ def corpus_overlap(
     )
     # both sides are single aggregate rows — metadata-sized join
     return out.crossJoin(ex)
+
+
+def dup_ngram_mass(
+    docs: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-level duplicated-n-gram audit per ``by`` group — the
+    memorization-risk metric of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): what fraction of the
+    corpus's k-gram MASS (token occurrences) sits in k-grams that
+    appear more than once corpus-wide, and what fraction of the
+    DISTINCT k-gram vocabulary is duplicated. High dup-mass means the
+    model will see (and can memorize) the same spans many times even
+    after document-level dedup — the corpus-wide complement of the
+    per-document ``distinct_ngrams`` audit.
+
+    Returns one row per group:
+
+      (grp, total_grams, distinct_grams, dup_grams, dup_mass,
+       frac_dup_grams, frac_dup_mass)
+
+    Scale shape: k-grams reduce to their md5 before the count, so the
+    only shuffle is keyed on a fixed-width hash (map-side combine
+    applies; the gram strings themselves never shuffle); the second
+    aggregate is keyed on ``by`` (#groups rows). No doc×doc work, no
+    driver-side state. Fractions are exact integer ratios divided once
+    and rounded to 6 dp, so the output is engine-stable.
+    """
+    grams = (
+        docs.select(
+            F.col(by).alias("grp"),
+            F.explode(shingles_of_words(norm_words(text_col), k)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("grp", F.md5("g").alias("h"))
+        .groupBy("grp", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    dup = F.col("c") > 1
+    return (
+        grams.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("total_grams"),
+            F.count("*").cast("long").alias("distinct_grams"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("dup_grams"),
+            F.sum(F.when(dup, F.col("c")).otherwise(0)).cast("long").alias("dup_mass"),
+        )
+        .select(
+            "grp", "total_grams", "distinct_grams", "dup_grams", "dup_mass",
+            F.round(F.col("dup_grams").cast("double") / F.col("distinct_grams"), 6).alias("frac_dup_grams"),
+            F.round(F.col("dup_mass").cast("double") / F.col("total_grams"), 6).alias("frac_dup_mass"),
+        )
+    )

@@ -1247,7 +1247,7 @@ __all__ = [
     "host_stats", "hash_weights", "clf_score", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
-    "chunk_windows", "temperature_weights",
+    "chunk_windows", "temperature_weights", "doremi_weights",
 ]
 
 
@@ -1357,3 +1357,59 @@ def split_cluster_safe(
         col = F.when(cond, F.lit(name)) if col is None else col.when(cond, F.lit(name))
     col = F.lit(names[-1]) if col is None else col.otherwise(F.lit(names[-1]))
     return out.withColumn("split", col)
+
+
+def doremi_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-reweighting via excess loss — a deterministic one-round
+    DoReMi (Xie et al. 2023, "Doremi: Optimizing Data Mixtures Speeds
+    Up Language Model Pretraining"): the reference model is the
+    Kneser-Ney bigram LM trained on the in-domain ``target`` slice,
+    the proxy is the same estimator trained on the whole corpus, and a
+    domain's weight is its average CLIPPED excess loss
+
+        excess(d) = max(0, ce_proxy(d) − ce_reference(d))
+                  = max(0, −ml_score(d))
+
+    normalized across domains (uniform when every domain's excess is
+    0 — nothing is harder under the proxy than the reference, so
+    there is no signal to tilt toward). Domains whose documents the
+    corpus-wide model finds hard relative to the in-domain model are
+    upweighted — the paper's "learnable but not yet learned" signal,
+    with the trained-proxy loop replaced by the closed-form LM pair so
+    the output is engine-reproducible.
+
+    Returns (grp, n_docs, avg_excess, weight), floats at 6 dp.
+
+    Scale shape: exactly the two :func:`textstats.lm_moore_lewis` LM
+    pipelines (vocab-sized joins, one #docs-row id join) plus one
+    ``by``-keyed aggregate (#domains rows) and a #domains-row window
+    for the normalization — nothing driver-side, no new corpus
+    shuffle beyond the LM passes. Per-doc excess is computed from the
+    6 dp-rounded ml_score, so the domain means agree across engines.
+    """
+    ml = textstats.lm_moore_lewis(corpus, target, id_col, text_col)
+    ex = ml.join(
+        corpus.select(F.col(id_col), F.col(by).alias("grp")), id_col
+    ).select(
+        "grp", F.greatest(-F.col("ml_score"), F.lit(0.0)).alias("ex")
+    )
+    agg = ex.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.sum("ex") / F.count("*"), 6).alias("avg_excess"),
+    )
+    w = Window.partitionBy()
+    tot = F.sum("avg_excess").over(w)
+    return agg.select(
+        "grp", "n_docs", "avg_excess",
+        F.when(
+            tot > 0, F.round(F.col("avg_excess") / tot, 6)
+        ).otherwise(
+            F.round(F.lit(1.0) / F.count("*").over(w), 6)
+        ).alias("weight"),
+    )

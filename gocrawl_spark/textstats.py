@@ -991,6 +991,7 @@ __all__ = [
     "c4_line_keep", "c4_clean", "c4_page_keep",
     "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
     "tfidf_keywords", "winnow_fingerprints", "winnow_pairs",
+    "char_entropy",
 ]
 
 
@@ -1205,4 +1206,54 @@ def collocations(
         )
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy in bits — the pure-SQL
+    twin of the zlib `compression_ratio_udf` gate (RefinedWeb /
+    MassiveText filter family): near-zero entropy flags single-char /
+    repeated-pattern spam, abnormally high entropy flags binary junk
+    or encrypted blobs that survived content-type sniffing. Unlike the
+    zlib gate this version is oracle-checkable and never leaves
+    codegen.
+
+    Returns (id, n_chars, n_distinct_chars, entropy_bits) with
+
+      H = log2(n) − (Σ_c cnt_c·log2(cnt_c)) / n
+
+    folded over the doc's distinct characters in SORTED order, so the
+    float op sequence is identical at any parallelism and across
+    engines; rounded to 6 dp. Empty docs get the 0.0 sentinel.
+
+    Scale shape: zero shuffle — the char histogram is a higher-order
+    array expression per row (O(distinct_chars × len), distinct chars
+    are alphabet-bounded), not an explode+groupBy; the whole operator
+    is a projection that pipelines with any surrounding scan.
+    """
+    chars = F.split(F.col(text_col), "")
+    dist = F.array_sort(F.array_distinct(chars))
+    n = F.length(F.col(text_col))
+    sum_clogc = F.aggregate(
+        dist,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        + F.size(F.filter(chars, lambda c: c == ch)).cast("double")
+        * F.log2(F.size(F.filter(chars, lambda c: c == ch)).cast("double")),
+    )
+    h = F.when(
+        n > 0,
+        F.round(F.log2(n.cast("double")) - sum_clogc / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_chars"),
+        F.when(n > 0, F.size(dist)).otherwise(F.lit(0)).cast("long").alias(
+            "n_distinct_chars"
+        ),
+        h.alias("entropy_bits"),
     )

@@ -187,3 +187,41 @@ def test_corpus_overlap_identical_and_disjoint(spark):
     true_j = half["exact_jaccard_ppm"] / 1e6
     est_j = half["est_jaccard_ppm"] / 1e6
     assert abs(est_j - true_j) < 0.18
+
+
+def test_dup_ngram_mass_hand_computed(spark):
+    # k=2 shingles; lang 'a': doc0 "x y x y" -> ["x y","y x","x y"],
+    # doc1 "x y" -> ["x y"]  =>  "x y"×4? no: doc0 gives x y, y x, x y
+    # so counts: "x y"=3, "y x"=1  (total 4, distinct 2, dup 1, mass 3)
+    rows = [
+        (0, "x y x y", "a"),
+        (1, "x y", "a"),
+        (2, "p q", "b"),
+        (3, "r s", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["grp"]: r
+        for r in cs.dup_ngram_mass(df, k=2).collect()
+    }
+    a = out["a"]
+    assert a["total_grams"] == 4
+    assert a["distinct_grams"] == 2
+    assert a["dup_grams"] == 1
+    assert a["dup_mass"] == 3
+    assert a["frac_dup_grams"] == 0.5
+    assert a["frac_dup_mass"] == 0.75
+    b = out["b"]
+    assert b["total_grams"] == 2 and b["dup_grams"] == 0
+    assert b["frac_dup_mass"] == 0.0
+
+
+def test_dup_ngram_mass_short_doc_fallback(spark):
+    # a doc with < k words contributes its whole text as ONE gram
+    # (the shingles_of_words fallback); empty docs contribute nothing
+    rows = [(0, "solo", "a"), (1, "solo", "a"), (2, "", "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    row = cs.dup_ngram_mass(df, k=3).collect()[0]
+    assert row["total_grams"] == 2
+    assert row["distinct_grams"] == 1
+    assert row["dup_mass"] == 2

@@ -3678,3 +3678,42 @@ def test_matryoshka_recall_monotone_and_exact_at_full_dim(spark):
     # shorter prefix can only do as well or worse
     assert out[16]["recall"] <= 1.0
     assert out[16]["n_full"] == 15
+
+
+def test_char_entropy_hand_computed(spark):
+    from gocrawl_spark.textstats import char_entropy
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "aab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_distinct_chars"] == 1
+    assert out[2]["entropy_bits"] == 1.0
+    assert out[3]["entropy_bits"] == 2.0
+    assert out[4]["n_chars"] == 0 and out[4]["entropy_bits"] == 0.0
+    # H(2/3, 1/3) = log2(3) - (2*log2(2))/3 ≈ 0.918296
+    assert abs(out[5]["entropy_bits"] - 0.918296) < 1e-6
+
+
+def test_doremi_weights_sum_and_uniform_fallback(spark):
+    from gocrawl_spark.curation import doremi_weights
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog sat on the rug", "en"),
+        (2, "der hund ist hier und da", "de"),
+        (3, "le chat est ici et la", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = doremi_weights(df, df.filter("lang = 'en'")).collect()
+    assert {r["grp"] for r in out} == {"en", "de", "fr"}
+    total = sum(r["weight"] for r in out)
+    assert abs(total - 1.0) < 1e-4
+    # the en-trained reference beats the corpus proxy ONLY on en docs
+    # (positive clipped excess), so the weight tilts fully toward the
+    # target-like domain; off-target excess clips to 0
+    w = {r["grp"]: r["weight"] for r in out}
+    assert w["en"] == 1.0
+    assert w["de"] == 0.0 and w["fr"] == 0.0
+    # uniform fallback: reference == corpus -> every excess is 0
+    uni = doremi_weights(df, df).collect()
+    assert all(abs(r["weight"] - 1.0 / 3) < 1e-4 for r in uni)
