@@ -4549,6 +4549,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_doremi_weights"] = corpus_doremi_weights
 
+    def corpus_cms_hosts(spark, sf_dir):
+        """Count-Min-Sketch heavy hitters (corpusstats.cms_sketch /
+        cms_estimate): depth-4 × width-32 sketch over a skewed host
+        stream (doc_id%20 < 10 all map to h0 — one host carries half
+        the mass), probed for every distinct host next to its exact
+        count. The narrow width forces collisions, so the min-over-
+        rows bound est ≥ exact is exercised, not vacuous. The only
+        stream shuffle keys on the ≤ depth·width sketch cells."""
+        from gocrawl_spark import corpusstats as cs
+
+        d = F.col("doc_id")
+        hid = F.when(d % 20 < 10, F.lit(0)).otherwise((d % 20).cast("int"))
+        stream = _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), hid.cast("string")).alias("host")
+        )
+        sk = cs.cms_sketch(stream, "host", depth=4, width=32)
+        exact = stream.groupBy("host").agg(
+            F.count("*").cast("long").alias("exact")
+        )
+        est = cs.cms_estimate(sk, exact.select("host"), "host", depth=4, width=32)
+        return exact.join(est, exact["host"] == est["key"]).select(
+            "host", "exact", "est", (F.col("est") - F.col("exact")).alias("over")
+        )
+
+    q["corpus_cms_hosts"] = corpus_cms_hosts
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10412,6 +10438,34 @@ def oracle_sql() -> dict[str, str]:
                                - agg.s / length(d.text)::DOUBLE, 6)
                     ELSE 0.0 END AS entropy_bits
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+    # corpus_cms_hosts: identical md5-row hashing (HLL's hex15->long
+    # convention), min-over-rows probe of the (r,b)-grouped sketch
+    o["corpus_cms_hosts"] = """
+        WITH stream AS (
+          SELECT 'h' || (CASE WHEN doc_id % 20 < 10 THEN 0
+                              ELSE doc_id % 20 END)::VARCHAR AS host
+          FROM documents),
+        cells AS (
+          SELECT r.i AS r,
+                 ('0x' || substr(md5(r.i::VARCHAR || ':' || host), 1, 15))
+                   ::UBIGINT::BIGINT % 32 AS b
+          FROM stream, (SELECT unnest([0, 1, 2, 3]) AS i) r),
+        sk AS (SELECT r, b, count(*)::BIGINT AS c
+               FROM cells GROUP BY r, b),
+        exact AS (SELECT host, count(*)::BIGINT AS exact
+                  FROM stream GROUP BY host),
+        probes AS (
+          SELECT e.host, r.i AS r,
+                 ('0x' || substr(md5(r.i::VARCHAR || ':' || e.host), 1, 15))
+                   ::UBIGINT::BIGINT % 32 AS b
+          FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS i) r),
+        est AS (SELECT p.host, min(coalesce(sk.c, 0))::BIGINT AS est
+                FROM probes p LEFT JOIN sk USING (r, b)
+                GROUP BY p.host)
+        SELECT e.host, e.exact, est.est, est.est - e.exact AS over
+        FROM exact e JOIN est USING (host)
     """
 
     # corpus_doremi_weights: the moore_lewis twin grouped by lang —

@@ -40,7 +40,7 @@ from gocrawl_spark.textstats import norm_words, shingles, shingles_of_words
 __all__ = [
     "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
     "key_skew_audit", "corpus_minhash", "corpus_overlap",
-    "dup_ngram_mass",
+    "dup_ngram_mass", "cms_sketch", "cms_estimate",
 ]
 
 
@@ -609,4 +609,106 @@ def dup_ngram_mass(
             F.round(F.col("dup_grams").cast("double") / F.col("distinct_grams"), 6).alias("frac_dup_grams"),
             F.round(F.col("dup_mass").cast("double") / F.col("total_grams"), 6).alias("frac_dup_mass"),
         )
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key stream
+    — (r, b, c): counter c at bucket b of hash row r. The frequency
+    sketch next to the cardinality one (:func:`hll_registers`): fixed
+    ``depth × width`` counters however large the stream, mergeable by
+    (r, b) sum across shards/rounds.
+
+    Row hashes are md5("{r}:{key}") folded to a long exactly like the
+    HLL hash (first 15 hex chars), so the sketch is engine- and
+    partition-count-stable. One scan: each key explodes to its
+    ``depth`` (row, bucket) cells, and the only shuffle keys on (r, b)
+    — ≤ depth·width distinct values, so map-side combine collapses it
+    to sketch size regardless of stream length.
+    """
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{i}:"), F.col(key_col)
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % width
+                    ).alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cell)
+        .select("cell.r", "cell.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_sketch` — (key,
+    est) with est = min over the sketch's ``depth`` rows of the
+    counter at that key's bucket (the CMS upper bound: est ≥ true
+    count always, with overestimate bounded by collisions). ``keys``
+    is the candidate list (a prior round's top-k, a sample, a
+    blocklist) — bounded, so the probe join broadcasts the ≤
+    depth·width-row sketch; nothing driver-side."""
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{i}:"), F.col(key_col)
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("key", "cell.r", "cell.b")
+    j = probes.join(F.broadcast(sketch), ["r", "b"], "left")
+    return j.groupBy("key").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
     )

@@ -225,3 +225,42 @@ def test_dup_ngram_mass_short_doc_fallback(spark):
     assert row["total_grams"] == 2
     assert row["distinct_grams"] == 1
     assert row["dup_mass"] == 2
+
+
+def test_cms_upper_bound_and_exactness(spark):
+    # skewed stream: key "k0" 30×, k1..k5 3× each
+    rows = [("k0",)] * 30 + [(f"k{i}",) for i in range(1, 6) for _ in range(3)]
+    df = spark.createDataFrame(rows, "host string")
+    keys = df.select("host").distinct()
+    exact = {r["host"]: r["c"] for r in df.groupBy("host").count()
+             .withColumnRenamed("count", "c").collect()}
+    # narrow sketch: collisions possible, but est >= exact ALWAYS
+    sk = cs.cms_sketch(df, "host", depth=4, width=8)
+    est = {r["key"]: r["est"]
+           for r in cs.cms_estimate(sk, keys, "host", depth=4, width=8).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch: 6 keys into 4x1024 cells -> no collisions, est == exact
+    sk2 = cs.cms_sketch(df, "host", depth=4, width=1024)
+    est2 = {r["key"]: r["est"]
+            for r in cs.cms_estimate(sk2, keys, "host", depth=4, width=1024).collect()}
+    assert est2 == exact
+
+
+def test_cms_mergeable_across_shards(spark):
+    rows_a = [(f"k{i % 4}",) for i in range(40)]
+    rows_b = [(f"k{i % 7}",) for i in range(70)]
+    a = spark.createDataFrame(rows_a, "host string")
+    b = spark.createDataFrame(rows_b, "host string")
+    import pyspark.sql.functions as F
+
+    whole = cs.cms_sketch(a.union(b), "host", depth=3, width=16)
+    merged = (
+        cs.cms_sketch(a, "host", depth=3, width=16)
+        .union(cs.cms_sketch(b, "host", depth=3, width=16))
+        .groupBy("r", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
