@@ -4575,6 +4575,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_cms_hosts"] = corpus_cms_hosts
 
+    def train_length_batches(spark, sf_dir):
+        """Length-grouped batch assembly + padding-waste report
+        (curation.length_batches; the HF LengthGroupedSampler shape):
+        per shard, docs sort by (token length, shuffle key) and cut
+        into batches of 8; each batch reports n_seqs·max_len compute
+        vs useful tokens. One per-shard window + a (shard,batch) agg —
+        no global sort."""
+        return curation.length_batches(
+            _docs(spark, sf_dir), batch_size=8, n_shards=8
+        )
+
+    q["train_length_batches"] = train_length_batches
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10438,6 +10451,35 @@ def oracle_sql() -> dict[str, str]:
                                - agg.s / length(d.text)::DOUBLE, 6)
                     ELSE 0.0 END AS entropy_bits
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+    # train_length_batches: the shared shard contract, length-sorted
+    # row_number cut into batches of 8, integer padding arithmetic
+    o["train_length_batches"] = f"""
+        WITH k AS (
+          SELECT doc_id,
+                 len({_SQL_WORDS}) AS n_tokens,
+                 md5(doc_id::VARCHAR || ':' || 'gocrawl') AS key,
+                 (('0x' || substr(md5(doc_id::VARCHAR || ':' || 'gocrawl'), 1, 8))::UBIGINT
+                  % 8)::INTEGER AS shard
+          FROM documents),
+        numbered AS (
+          SELECT shard, n_tokens,
+                 ((row_number() OVER (
+                     PARTITION BY shard ORDER BY n_tokens, key) - 1)
+                  // 8)::INTEGER AS batch
+          FROM k),
+        agg AS (
+          SELECT shard, batch, count(*)::BIGINT AS n_seqs,
+                 max(n_tokens)::BIGINT AS max_len,
+                 sum(n_tokens)::BIGINT AS sum_len
+          FROM numbered GROUP BY shard, batch)
+        SELECT shard, batch, n_seqs, max_len, sum_len,
+               (n_seqs * max_len)::BIGINT AS padded,
+               round(CASE WHEN n_seqs * max_len > 0
+                          THEN 1.0 - sum_len::DOUBLE / (n_seqs * max_len)
+                          ELSE 0.0 END, 6) AS pad_frac
+        FROM agg
     """
 
     # corpus_cms_hosts: identical md5-row hashing (HLL's hex15->long

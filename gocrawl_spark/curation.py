@@ -1248,6 +1248,7 @@ __all__ = [
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
     "chunk_windows", "temperature_weights", "doremi_weights",
+    "length_batches",
 ]
 
 
@@ -1412,4 +1413,61 @@ def doremi_weights(
         ).otherwise(
             F.round(F.lit(1.0) / F.count("*").over(w), 6)
         ).alias("weight"),
+    )
+
+
+def length_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "gocrawl",
+) -> DataFrame:
+    """Length-grouped batch assembly with a padding-waste report — the
+    pad-efficiency counterpart of the packing family (HF
+    LengthGroupedSampler / Tay et al. bucketed batching): sequences in
+    a batch pad to the batch max, so batches of SIMILAR lengths waste
+    the least compute. Each shard orders its docs by (token length,
+    shuffle key) and cuts consecutive runs of ``batch_size`` into
+    batches.
+
+    Emits one row per batch: (shard, batch, n_seqs, max_len, sum_len,
+    padded, pad_frac) where padded = n_seqs·max_len is the compute
+    actually spent and pad_frac = 1 − sum_len/padded the wasted
+    fraction (6 dp). The tail batch of each shard may be short.
+
+    Scale shape: the same shard contract as every packing op
+    (:func:`shard_col` of the md5 shuffle key), one window sort PER
+    SHARD (shard-bounded state, no global sort), then a (shard,
+    batch)-keyed aggregate. Deterministic at any parallelism: length
+    ties break on the shuffle key, which is a pure row function.
+    """
+    key = shuffle_key(id_col, seed)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(textstats.norm_words(text_col)).alias("n_tokens"),
+        key.alias("k"),
+    ).withColumn("shard", shard_col(F.col("k"), n_shards))
+    w = Window.partitionBy("shard").orderBy("n_tokens", "k")
+    numbered = base.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
+    agg = numbered.groupBy("shard", "batch").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_len"),
+    )
+    padded = F.col("n_seqs") * F.col("max_len")
+    return agg.select(
+        "shard", "batch", "n_seqs", "max_len", "sum_len",
+        padded.cast("long").alias("padded"),
+        F.round(
+            F.when(
+                padded > 0,
+                F.lit(1.0) - F.col("sum_len").cast("double") / padded,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pad_frac"),
     )

@@ -3717,3 +3717,37 @@ def test_doremi_weights_sum_and_uniform_fallback(spark):
     # uniform fallback: reference == corpus -> every excess is 0
     uni = doremi_weights(df, df).collect()
     assert all(abs(r["weight"] - 1.0 / 3) < 1e-4 for r in uni)
+
+
+def test_length_batches_grouping_and_pad_math(spark):
+    from gocrawl_spark.curation import length_batches
+
+    # one shard so the grouping is fully visible: 10 docs, lengths 1..10
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_batches(df, batch_size=4, n_shards=1).collect()
+    assert all(r["shard"] == 0 for r in out)
+    by_batch = {r["batch"]: r for r in out}
+    # 10 docs / batch_size 4 -> batches of 4, 4, 2
+    assert [by_batch[b]["n_seqs"] for b in sorted(by_batch)] == [4, 4, 2]
+    for r in out:
+        assert r["padded"] == r["n_seqs"] * r["max_len"]
+        assert r["sum_len"] <= r["padded"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+    # batches are length-sorted: batch maxima are non-decreasing
+    maxes = [by_batch[b]["max_len"] for b in sorted(by_batch)]
+    assert maxes == sorted(maxes)
+    # length grouping beats a round-robin grouping on total padding
+    total_padded = sum(r["padded"] for r in out)
+    # round-robin worst case: every batch pads to the global max
+    assert total_padded < 4 * 10 + 4 * 10 + 2 * 10
+
+
+def test_length_batches_deterministic_across_parallelism(spark):
+    from gocrawl_spark.curation import length_batches
+
+    rows = [(i, " ".join(["tok"] * (1 + (i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, length_batches(df.repartition(1), 8, 4).collect()))
+    b = sorted(map(tuple, length_batches(df.repartition(13), 8, 4).collect()))
+    assert a == b
