@@ -784,3 +784,65 @@ def test_curriculum_no_global_sort_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "rangepartitioning" not in plan.lower()  # no global Sort
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_char_entropy_zero_shuffle(spark, sf_dir):
+    """char_entropy is a pure projection: the histogram fold is a
+    higher-order array expression — no Exchange, no aggregate, no
+    join; it pipelines with the scan."""
+    from gocrawl_spark.textstats import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(char_entropy(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_dup_ngram_mass_shuffles_on_hash_only(spark, sf_dir):
+    """dup_ngram_mass: gram strings reduce to md5 BEFORE the exchange
+    (the shuffle carries fixed-width hashes, never the grams), both
+    aggregations hash-based, no join."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cs.dup_ngram_mass(docs, k=5))
+    assert "Join" not in plan
+    # the first exchange's partitioning expression is the md5 column,
+    # not the raw gram: 'g' appears only below (inside md5), and the
+    # exchange keys contain the hash alias h
+    first_ex = plan[plan.index("Exchange"):][:400]
+    assert "md5" in plan
+    assert "hashpartitioning" in first_ex
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """cms_estimate joins candidates to the <= depth*width sketch via
+    BroadcastHashJoin — the stream-sized side never re-shuffles for
+    the probe."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "cast(doc_id % 9 as string) AS host"
+    )
+    sk = cs.cms_sketch(docs, "host", depth=4, width=32)
+    keys = docs.distinct()
+    plan = _plan(cs.cms_estimate(sk, keys, "host", depth=4, width=32))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_batches_window_keys_on_shard(spark, sf_dir):
+    """length_batches sorts per shard only: every Window/Sort is
+    partitioned by shard (no global Sort), and the batch rollup is a
+    hash aggregate — no join."""
+    from gocrawl_spark.curation import length_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(length_batches(docs, batch_size=8, n_shards=8))
+    assert "Join" not in plan
+    assert "Window" in plan
+    # the sort feeding the window is shard-partitioned, not global
+    for seg in plan.split("\n"):
+        if "Sort " in seg and "global=true" in seg:
+            raise AssertionError(f"global sort found: {seg}")
