@@ -111,6 +111,13 @@ HEADLINE = [
     "dedup_minhash_recall",
     "wp_coverage",
     "train_curriculum",
+    # round-4 session 8: corpus memorization audit, CMS heavy hitters,
+    # char-entropy gate, DoReMi domain weights, length-bucketed batches
+    "corpus_dup_ngrams",
+    "corpus_cms_hosts",
+    "text_char_entropy",
+    "corpus_doremi_weights",
+    "train_length_batches",
 ]
 
 
