@@ -4588,6 +4588,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_length_batches"] = train_length_batches
 
+    def crawl_fetch_gini(spark, sf_dir):
+        """Fetch-concentration audit (corpusstats.fetch_gini): exact
+        Gini / HHI / top-decile share over per-host fetch counts —
+        the politeness-health number a crawl round publishes (the
+        reference's metrics stop at global fetch counters,
+        internal/metrics/metrics.go). Every 4th doc is reassigned to
+        one hot host so the statistic is exercised off the uniform
+        floor; both rank windows run on the #hosts-sized count table,
+        never the fetch log."""
+        from gocrawl_spark import corpusstats as cs
+
+        docs = _docs(spark, sf_dir)
+        skewed = docs.select(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("hot.example"))
+            .otherwise(F.col("source"))
+            .alias("source")
+        )
+        return cs.fetch_gini(skewed, "source")
+
+    q["crawl_fetch_gini"] = crawl_fetch_gini
+
+    def corpus_report_card(spark, sf_dir):
+        """Per-language corpus report card (curation.report_card):
+        docs/hosts/tokens, EXACT lower-median doc length off the
+        (lang, tok) frequency table (the per-lang window sees
+        #distinct-lengths rows, never the corpus), byte-dup rate and
+        mean quality — over documents ∪ exact dups so dup_rate is
+        non-vacuous. The audit page a curation run ships with its
+        training shards."""
+        return curation.report_card(_aug_exact(_docs(spark, sf_dir)))
+
+    q["corpus_report_card"] = corpus_report_card
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10525,6 +10558,77 @@ def oracle_sql() -> dict[str, str]:
                     ELSE round(1.0 / count(*) OVER (), 6)
                END AS weight
         FROM agg
+    """
+
+    # crawl_fetch_gini: identical rank construction (cnt ASC, key ASC) and
+    # operand order in the three ratios; dec_cnt only feeds a division so
+    # its integer width is irrelevant to the stringified compare
+    o["crawl_fetch_gini"] = """
+        WITH s AS (SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot.example'
+                               ELSE source END AS k FROM documents),
+        f AS (SELECT k, count(*) AS cnt FROM s GROUP BY k),
+        r AS (SELECT k, cnt,
+                     row_number() OVER (ORDER BY cnt ASC, k ASC) AS r FROM f),
+        b AS (SELECT count(*)::BIGINT AS n_hosts, sum(cnt)::BIGINT AS n_fetches,
+                     max(cnt)::BIGINT AS max_cnt,
+                     sum(r::DOUBLE * cnt) AS src,
+                     sum(cnt::DOUBLE * cnt) AS sc2 FROM r),
+        d AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS dec_cnt
+              FROM r, b WHERE b.n_hosts - r.r + 1 <= ceil(b.n_hosts / 10.0))
+        SELECT n_hosts, n_fetches, max_cnt,
+               round(2.0 * src / (n_hosts::DOUBLE * n_fetches::DOUBLE)
+                     - (n_hosts + 1.0) / n_hosts, 6) AS gini,
+               round(sc2 / (n_fetches::DOUBLE * n_fetches::DOUBLE), 6) AS hhi,
+               round(dec_cnt::DOUBLE / n_fetches, 6) AS top_decile_share
+        FROM b, d
+    """
+
+    # corpus_report_card: quality expression is the text_quality twin
+    # verbatim (same as curate_host_stats), grouped by lang; the exact
+    # lower median replays the same frequency-table cumulative cut
+    o["corpus_report_card"] = rf"""
+        WITH aug AS ({_SQL_AUG_EXACT}),
+        t AS (
+          SELECT lang, source AS host, doc_id, md5(text) AS th,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) AS tok,
+                 len(regexp_extract_all(lower(text), '{_stop}', 1)) AS stop_hits,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct_cnt,
+                 length(text)::DOUBLE AS n_chars
+          FROM aug),
+        tq AS (
+          SELECT lang, host, th, tok,
+                 round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE,
+                         (CASE WHEN tok > 0 THEN stop_hits / tok::DOUBLE
+                               ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                     + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                         (CASE WHEN n_chars > 0 THEN punct_cnt / n_chars
+                               ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)), 6) AS q
+          FROM t),
+        a AS (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 count(DISTINCT host)::BIGINT AS n_hosts,
+                 sum(tok)::BIGINT AS n_tokens,
+                 count(DISTINCT th)::BIGINT AS n_uniq,
+                 round(avg(tok), 4) AS mean_doc_tokens,
+                 round(avg(q), 4) AS mean_quality,
+                 sum(CASE WHEN tok < 50 THEN 1 ELSE 0 END)::BIGINT AS n_short
+          FROM tq GROUP BY lang),
+        ft AS (SELECT lang, tok, count(*) AS cnt FROM tq GROUP BY lang, tok),
+        cum AS (SELECT lang, tok,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY tok ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM ft),
+        med AS (SELECT c.lang, min(c.tok) AS p50_doc_tokens
+                FROM cum c JOIN a ON c.lang = a.lang
+                WHERE c.cum >= ceil(a.n_docs / 2.0) GROUP BY c.lang)
+        SELECT a.lang, a.n_docs, a.n_hosts, a.n_tokens, a.mean_doc_tokens,
+               m.p50_doc_tokens,
+               round(1.0 - n_uniq::DOUBLE / n_docs, 6) AS dup_rate,
+               a.mean_quality,
+               round(n_short::DOUBLE / n_docs, 6) AS short_frac
+        FROM a JOIN med m ON a.lang = m.lang
     """
 
     return o

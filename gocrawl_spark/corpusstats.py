@@ -40,7 +40,7 @@ from gocrawl_spark.textstats import norm_words, shingles, shingles_of_words
 __all__ = [
     "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
     "key_skew_audit", "corpus_minhash", "corpus_overlap",
-    "dup_ngram_mass", "cms_sketch", "cms_estimate",
+    "dup_ngram_mass", "cms_sketch", "cms_estimate", "fetch_gini",
 ]
 
 
@@ -711,4 +711,74 @@ def cms_estimate(
     j = probes.join(F.broadcast(sketch), ["r", "b"], "left")
     return j.groupBy("key").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fetch-concentration audit (Gini / HHI over the per-host fetch counts)
+# ---------------------------------------------------------------------------
+
+
+def fetch_gini(df: DataFrame, key: str = "source") -> DataFrame:
+    """ONE-row fetch-concentration audit of a crawl (or corpus) over
+    its per-``key`` row counts — the politeness/diversity dual of
+    `key_skew_audit`:
+
+      (n_hosts, n_fetches, max_cnt, gini, hhi, top_decile_share)
+
+    * gini — the Gini coefficient of the count distribution
+      (0 = perfectly even crawl, →1 = one host got everything),
+      computed exactly from ascending integer ranks:
+      G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n. Row-number ties are broken
+      (cnt ASC, key ASC); equal counts make Σ i·cᵢ invariant to tie
+      order, so the statistic is deterministic at any parallelism.
+    * hhi — Herfindahl–Hirschman index Σ (cᵢ/T)², rank-free.
+    * top_decile_share — share of all fetches landing on the top
+      ceil(n/10) hosts by count (DESC rank, ties by key ASC).
+
+    A healthy broad crawl under a politeness budget should sit at low
+    gini/hhi; a trap-dominated or mirror-dominated crawl spikes all
+    three. The reference exposes only global fetch counters
+    (reference internal/metrics/metrics.go); the per-host
+    concentration rollup is part of this repo's pipeline extension.
+
+    Scale shape (10^10 fetches): the count table is ONE map-side-
+    combining groupBy (≈ #hosts rows); both rank windows run on that
+    key table, never on the fetch log — the same #keys-sized
+    single-partition stage contract as `key_skew_audit`. All floats
+    round to 6 dp; numerators/denominators are exact integers up to
+    the final division, so any engine agrees bit-for-bit.
+    """
+    freq = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.asc("cnt"), F.asc("k")))
+    )
+    base = ranked.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("cnt").alias("n_fetches"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("r").cast("double") * F.col("cnt")).alias("_src"),
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("_sc2"),
+    )
+    # top-decile: ASC rank r has DESC rank n−r+1; keep DESC rank ≤ ceil(n/10)
+    dec = (
+        ranked.crossJoin(F.broadcast(base.select("n_hosts")))
+        .filter(
+            F.col("n_hosts") - F.col("r") + 1 <= F.ceil(F.col("n_hosts") / 10.0)
+        )
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_dec_cnt"))
+    )
+    n = F.col("n_hosts").cast("double")
+    t = F.col("n_fetches").cast("double")
+    return base.crossJoin(F.broadcast(dec)).select(
+        "n_hosts",
+        "n_fetches",
+        "max_cnt",
+        F.round(
+            F.lit(2.0) * F.col("_src") / (n * t) - (n + 1.0) / n, 6
+        ).alias("gini"),
+        F.round(F.col("_sc2") / (t * t), 6).alias("hhi"),
+        F.round(F.col("_dec_cnt").cast("double") / t, 6).alias(
+            "top_decile_share"
+        ),
     )

@@ -1248,7 +1248,7 @@ __all__ = [
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
     "chunk_windows", "temperature_weights", "doremi_weights",
-    "length_batches",
+    "length_batches", "report_card",
 ]
 
 
@@ -1470,4 +1470,89 @@ def length_batches(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("pad_frac"),
+    )
+
+
+def report_card(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    short_tokens: int = 50,
+) -> DataFrame:
+    """Per-language corpus report card — the one-page audit a curation
+    run publishes alongside its output shards. One row per language:
+
+      (lang, n_docs, n_hosts, n_tokens, mean_doc_tokens,
+       p50_doc_tokens, dup_rate, mean_quality, short_frac)
+
+    * dup_rate = 1 − distinct(md5(text))/n_docs within the language
+      (byte-copy share, same contract as `host_stats`), 6 dp;
+    * mean_quality = avg of the 6-dp `textstats.quality_score`,
+      rounded to 4 dp (the dsir_weights round(sum,4) stability rule);
+    * p50_doc_tokens — EXACT lower median of the per-doc token count:
+      the smallest token count whose cumulative doc count reaches
+      ceil(n/2). Computed on the (lang, tok) FREQUENCY table, so the
+      per-lang cumulative window only ever sees #distinct-token-count
+      rows (bounded by the max document length), never the 10^10 docs
+      themselves — no interpolated quantiles, any engine agrees;
+    * short_frac — share of docs under ``short_tokens`` tokens, 6 dp.
+
+    Scale shape: ONE corpus scan projects (lang, host, tok, md5, q)
+    codegen-side; the rollup is a map-side-combining groupBy on lang
+    whose two distinct-aggs expand two-phase keyed on (lang, md5) /
+    (lang, host) — a giant language spreads across the cluster instead
+    of hot-spotting one reducer. The median-side frequency table is a
+    second groupBy on (lang, tok) over the same cached projection;
+    both outputs are #langs-sized, joined broadcast.
+    """
+    q6 = F.round(textstats.quality_score(text_col), 6)
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(host_col).alias("_host"),
+        textstats.token_count(text_col).alias("_tok"),
+        F.md5(F.col(text_col)).alias("_th"),
+        q6.alias("_q"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("_host").alias("n_hosts"),
+        F.sum("_tok").alias("n_tokens"),
+        F.count_distinct("_th").alias("_n_uniq"),
+        F.round(F.avg("_tok"), 4).alias("mean_doc_tokens"),
+        F.round(F.avg("_q"), 4).alias("mean_quality"),
+        F.sum(
+            F.when(F.col("_tok") < short_tokens, 1).otherwise(0)
+        ).alias("_n_short"),
+    )
+    ft = per_doc.groupBy("lang", "_tok").agg(F.count("*").alias("_cnt"))
+    cum = ft.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy("lang")
+            .orderBy(F.asc("_tok"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    med = (
+        cum.join(agg.select("lang", "n_docs"), "lang")
+        .filter(F.col("_cum") >= F.ceil(F.col("n_docs") / 2.0))
+        .groupBy("lang")
+        .agg(F.min("_tok").alias("p50_doc_tokens"))
+    )
+    return agg.join(F.broadcast(med), "lang").select(
+        "lang",
+        "n_docs",
+        "n_hosts",
+        "n_tokens",
+        "mean_doc_tokens",
+        "p50_doc_tokens",
+        F.round(
+            F.lit(1.0) - F.col("_n_uniq").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        "mean_quality",
+        F.round(
+            F.col("_n_short").cast("double") / F.col("n_docs"), 6
+        ).alias("short_frac"),
     )

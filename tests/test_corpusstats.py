@@ -264,3 +264,53 @@ def test_cms_mergeable_across_shards(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_fetch_gini_hand_computed(spark):
+    # counts: a=1, b=1, c=2, d=4 → asc ranks 1..4, Σ i·cᵢ = 25, T = 8
+    rows = [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 4
+    df = spark.createDataFrame(rows, "source string")
+    r = cs.fetch_gini(df, "source").collect()[0]
+    assert r["n_hosts"] == 4
+    assert r["n_fetches"] == 8
+    assert r["max_cnt"] == 4
+    assert r["gini"] == pytest.approx(2 * 25 / (4 * 8) - 5 / 4, abs=1e-9)
+    assert r["hhi"] == pytest.approx((1 + 1 + 4 + 16) / 64, abs=1e-9)
+    # top ceil(4/10)=1 host by count → 4 of 8 fetches
+    assert r["top_decile_share"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_fetch_gini_uniform_is_zero(spark):
+    rows = [(f"h{i}",) for i in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "source string")
+    r = cs.fetch_gini(df, "source").collect()[0]
+    assert r["gini"] == pytest.approx(0.0, abs=1e-9)
+    assert r["hhi"] == pytest.approx(0.1, abs=1e-9)
+    assert r["top_decile_share"] == pytest.approx(0.1, abs=1e-9)
+
+
+def test_report_card_medians_and_dups(spark):
+    from gocrawl_spark import curation
+
+    rows = [
+        # en: token counts 1,2,3,4 → lower median at ceil(4/2)=2nd → 2
+        (0, "one", "en", "h1"),
+        (1, "one two", "en", "h1"),
+        (2, "one two three", "en", "h2"),
+        (3, "one two three four", "en", "h2"),
+        # de: two byte-identical docs → dup_rate 0.5; median of [2,2] → 2
+        (4, "ein zwei", "de", "h3"),
+        (5, "ein zwei", "de", "h3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["lang"]: r for r in curation.report_card(df).collect()}
+    en, de = out["en"], out["de"]
+    assert en["n_docs"] == 4 and en["n_hosts"] == 2
+    assert en["n_tokens"] == 10
+    assert en["p50_doc_tokens"] == 2
+    assert en["dup_rate"] == pytest.approx(0.0)
+    assert en["short_frac"] == pytest.approx(1.0)  # all under 50 tokens
+    assert de["n_docs"] == 2 and de["n_hosts"] == 1
+    assert de["p50_doc_tokens"] == 2
+    assert de["dup_rate"] == pytest.approx(0.5)
+    assert de["mean_doc_tokens"] == pytest.approx(2.0)
