@@ -4621,6 +4621,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_report_card"] = corpus_report_card
 
+    def search_hard_negatives(spark, sf_dir):
+        """BM25 hard-negative mining (rankeval.hard_negatives — the
+        DPR/Contriever retriever-training-data step): top-20 BM25 pool
+        per rated request, judged-relevant docs removed, top-5
+        survivors kept as contrastive negatives. The whole request
+        batch shares ONE tokenized corpus pass (rank_eval's
+        constant-scan contract); judgments are the deterministic md5
+        pool."""
+        from gocrawl_spark import rankeval
+
+        return rankeval.hard_negatives(
+            _docs(spark, sf_dir),
+            _RANK_EVAL_REQUESTS,
+            text_col="text",
+            id_col="doc_id",
+            pool_k=20,
+            n_neg=5,
+        )
+
+    q["search_hard_negatives"] = search_hard_negatives
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10629,6 +10650,58 @@ def oracle_sql() -> dict[str, str]:
                a.mean_quality,
                round(n_short::DOUBLE / n_docs, 6) AS short_frac
         FROM a JOIN med m ON a.lang = m.lang
+    """
+
+    # search_hard_negatives: the search_rank_eval pool/rating CTEs with
+    # pool_k=20, rating<1 survivors cut to the top 5 by pool rank
+    o["search_hard_negatives"] = f"""
+        WITH reqs(request_id, pos, term) AS (VALUES {_rq_rows}),
+        d0 AS (SELECT doc_id AS id, {_antoks("text")} AS toks FROM documents),
+        tf AS (
+          SELECT id, dl, term, count(*)::BIGINT AS tf
+          FROM (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM d0)
+          WHERE term IN ({_rq_terms})
+          GROUP BY id, dl, term),
+        s AS (SELECT count(*)::DOUBLE AS n_docs,
+                     avg(len(toks))::DOUBLE AS avgdl
+              FROM d0),
+        dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        lp AS (
+          SELECT r.request_id, t.id, r.pos,
+                 ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+                 * t.tf::DOUBLE
+                 / (t.tf::DOUBLE + 1.2::DOUBLE
+                    * (1.0::DOUBLE - 0.75::DOUBLE
+                       + 0.75::DOUBLE * t.dl::DOUBLE / s.avgdl)) AS lp
+          FROM tf t JOIN reqs r USING (term) JOIN dfq f USING (term), s),
+        sc AS (
+          SELECT request_id, id,
+                 round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                   (acc, x) -> acc + x), 6) AS score
+          FROM lp GROUP BY request_id, id),
+        topk AS (
+          SELECT request_id, id, score,
+                 row_number() OVER (PARTITION BY request_id
+                                    ORDER BY score DESC, id ASC) AS rank
+          FROM sc WHERE score > 0
+          QUALIFY rank <= 20),
+        pool AS (SELECT DISTINCT request_id, id FROM lp),
+        rat AS (
+          SELECT request_id, id,
+                 CASE WHEN h % 10 < 6 THEN ((h // 10) % 3 + 1)::INT
+                      ELSE 0 END AS rating
+          FROM (SELECT request_id, id,
+                       ('0x' || substr(md5(request_id || ':' || id::VARCHAR
+                                           || ':' || 'rank-eval'), 1, 8))::UBIGINT AS h
+                FROM pool))
+        SELECT request_id, id, score, rank,
+               row_number() OVER (PARTITION BY request_id
+                                  ORDER BY rank ASC) AS neg_rank
+        FROM (SELECT t.request_id, t.id, t.score, t.rank,
+                     coalesce(r.rating, 0) AS rating
+              FROM topk t LEFT JOIN rat r USING (request_id, id))
+        WHERE rating < 1
+        QUALIFY neg_rank <= 5
     """
 
     return o

@@ -66,7 +66,7 @@ from pyspark.sql import functions as F
 
 from gocrawl_spark.search import analyze_query, tokens
 
-__all__ = ["rank_eval", "synth_ratings"]
+__all__ = ["rank_eval", "synth_ratings", "hard_negatives"]
 
 
 def _md5_u32(*cols: Column) -> Column:
@@ -108,29 +108,21 @@ def _ln2() -> Column:
     return F.log(F.lit(2.0))
 
 
-def rank_eval(
+def _pooled_scores(
     df: DataFrame,
     requests: list[tuple[str, str]],
-    text_col: str = "content",
-    id_col: str = "id",
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    relevant_at: int = 1,
-    ratings: DataFrame | None = None,
-    rating_seed: str = "rank-eval",
-) -> DataFrame:
-    """Evaluate ``requests`` = [(request_id, query), ...] against
-    ``df`` and return one row per request:
-
-      (request_id, retrieved, precision_k, recall_k, mrr, ndcg_k)
-
-    all metric columns rounded to 6 dp.  ``ratings`` is an optional
-    (request_id, id, rating:int) judgments frame; when omitted the
-    deterministic md5 pool of :func:`synth_ratings` is used.  Requests
-    whose query matches nothing still emit a row (metrics 0.0) — ES
-    does the same.
-    """
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+):
+    """Shared-scan BM25 pool for a request batch — the module-docstring
+    plan: ONE tokenized corpus pass (dl + tf rows for request terms
+    only), tiny broadcast stats, request table broadcast into the
+    scoring join. Returns (req_ids, partials, scores); partials is
+    (request_id, id, pos, lp) for every pooled pair, scores the 6-dp
+    position-ordered fold per (request_id, id). partials/scores are
+    None when no request has an analyzable term."""
     spark = df.sparkSession
     req_rows = []
     for rid, query in requests:
@@ -140,14 +132,7 @@ def rank_eval(
         [(rid,) for rid, _ in requests], "request_id string"
     )
     if not req_rows:
-        return req_ids.select(
-            "request_id",
-            F.lit(0).alias("retrieved"),
-            F.lit(0.0).alias("precision_k"),
-            F.lit(0.0).alias("recall_k"),
-            F.lit(0.0).alias("mrr"),
-            F.lit(0.0).alias("ndcg_k"),
-        )
+        return req_ids, None, None
     reqs = spark.createDataFrame(req_rows, "request_id string, pos int, term string")
     all_terms = sorted({t for _, _, t in req_rows})
 
@@ -187,6 +172,44 @@ def rank_eval(
             6,
         ).alias("score")
     )
+    return req_ids, partials, scores
+
+
+def rank_eval(
+    df: DataFrame,
+    requests: list[tuple[str, str]],
+    text_col: str = "content",
+    id_col: str = "id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    relevant_at: int = 1,
+    ratings: DataFrame | None = None,
+    rating_seed: str = "rank-eval",
+) -> DataFrame:
+    """Evaluate ``requests`` = [(request_id, query), ...] against
+    ``df`` and return one row per request:
+
+      (request_id, retrieved, precision_k, recall_k, mrr, ndcg_k)
+
+    all metric columns rounded to 6 dp.  ``ratings`` is an optional
+    (request_id, id, rating:int) judgments frame; when omitted the
+    deterministic md5 pool of :func:`synth_ratings` is used.  Requests
+    whose query matches nothing still emit a row (metrics 0.0) — ES
+    does the same.
+    """
+    req_ids, partials, scores = _pooled_scores(
+        df, requests, text_col, id_col, k1, b
+    )
+    if partials is None:
+        return req_ids.select(
+            "request_id",
+            F.lit(0).alias("retrieved"),
+            F.lit(0.0).alias("precision_k"),
+            F.lit(0.0).alias("recall_k"),
+            F.lit(0.0).alias("mrr"),
+            F.lit(0.0).alias("ndcg_k"),
+        )
     w = Window.partitionBy("request_id").orderBy(F.desc("score"), F.asc("id"))
     topk = (
         scores.filter(F.col("score") > 0)
@@ -280,3 +303,68 @@ def rank_eval(
         )
     )
     return out
+
+
+def hard_negatives(
+    df: DataFrame,
+    requests: list[tuple[str, str]],
+    text_col: str = "content",
+    id_col: str = "id",
+    pool_k: int = 50,
+    n_neg: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    relevant_at: int = 1,
+    ratings: DataFrame | None = None,
+    rating_seed: str = "rank-eval",
+) -> DataFrame:
+    """BM25 hard-negative mining — the retriever-training-data step
+    (DPR, Karpukhin et al. 2020; Contriever): for each training query,
+    pool the top-``pool_k`` BM25 documents, drop everything judged
+    relevant (rating ≥ ``relevant_at``), and keep the ``n_neg``
+    highest-ranked survivors as contrastive negatives — lexically
+    close to the query yet labeled non-relevant, the hardest kind.
+    Unjudged pool members count as negatives (the standard BM25-negs
+    recipe; judged-0 docs qualify too).
+
+    Output one row per kept negative:
+
+      (request_id, id, score, rank, neg_rank)
+
+    rank = position in the BM25 pool (score DESC, id ASC); neg_rank =
+    1..``n_neg`` within the survivors in pool order.
+
+    Scale shape (10^10 docs × many training queries): the request
+    batch shares ONE tokenized corpus pass (`_pooled_scores`, same
+    constant-scan contract as :func:`rank_eval` — adding a request
+    adds zero corpus scans); per-request state is one top-``pool_k``
+    window keyed on request_id; judgments join on (request_id, id) at
+    qrel scale. When ``ratings`` is omitted the deterministic md5
+    judgment pool of :func:`synth_ratings` stands in.
+    """
+    req_ids, partials, scores = _pooled_scores(
+        df, requests, text_col, id_col, k1, b
+    )
+    if partials is None:
+        return df.sparkSession.createDataFrame(
+            [], "request_id string, id long, score double, rank int, neg_rank int"
+        )
+    w = Window.partitionBy("request_id").orderBy(F.desc("score"), F.asc("id"))
+    topk = (
+        scores.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= pool_k)
+    )
+    if ratings is None:
+        pool = partials.select("request_id", "id").distinct()
+        ratings = pool.select("request_id", "id", _synth_rating_col(rating_seed))
+    rated = topk.join(ratings, ["request_id", "id"], "left").withColumn(
+        "rating", F.coalesce(F.col("rating"), F.lit(0))
+    )
+    wn = Window.partitionBy("request_id").orderBy(F.asc("rank"))
+    return (
+        rated.filter(F.col("rating") < relevant_at)
+        .withColumn("neg_rank", F.row_number().over(wn))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("request_id", "id", "score", "rank", "neg_rank")
+    )

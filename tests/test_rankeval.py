@@ -122,3 +122,59 @@ def test_http_rank_eval_endpoint(spark):
         assert d["mrr"] == 1.0
     finally:
         srv.shutdown()
+
+
+def test_hard_negatives_excludes_relevant(spark, tiny):
+    from gocrawl_spark.rankeval import hard_negatives
+
+    # explicit qrels: doc 1 relevant for r1; docs 2,3 judged 0
+    ratings = spark.createDataFrame(
+        [("r1", 1, 2), ("r1", 2, 0), ("r1", 3, 0)],
+        "request_id string, id long, rating int",
+    )
+    out = hard_negatives(
+        tiny,
+        [("r1", "apple banana")],
+        text_col="text",
+        id_col="doc_id",
+        pool_k=10,
+        n_neg=10,
+        ratings=ratings,
+    ).collect()
+    ids = [r["id"] for r in out]
+    # pool = docs containing apple or banana = {1,2,3}; 1 is relevant
+    assert 1 not in ids
+    assert set(ids) == {2, 3}
+    # neg_rank contiguous from 1 in pool-rank order
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["neg_rank"] for r in by_rank] == [1, 2]
+
+
+def test_hard_negatives_caps_and_orders(spark, tiny):
+    from gocrawl_spark.rankeval import hard_negatives
+
+    # no relevant judgments → every pooled doc is a negative; n_neg caps
+    ratings = spark.createDataFrame(
+        [("r1", 1, 0)], "request_id string, id long, rating int"
+    )
+    out = hard_negatives(
+        tiny,
+        [("r1", "apple banana cherry")],
+        text_col="text",
+        id_col="doc_id",
+        pool_k=10,
+        n_neg=2,
+        ratings=ratings,
+    ).collect()
+    assert len(out) == 2
+    # survivors keep BM25 pool order: scores non-increasing
+    by_neg = sorted(out, key=lambda r: r["neg_rank"])
+    assert by_neg[0]["score"] >= by_neg[1]["score"]
+    assert by_neg[0]["rank"] < by_neg[1]["rank"]
+
+
+def test_hard_negatives_no_terms_is_empty(spark, tiny):
+    from gocrawl_spark.rankeval import hard_negatives
+
+    out = hard_negatives(tiny, [("r1", "?!")], text_col="text", id_col="doc_id")
+    assert out.count() == 0
