@@ -742,35 +742,38 @@ def fetch_gini(df: DataFrame, key: str = "source") -> DataFrame:
     (reference internal/metrics/metrics.go); the per-host
     concentration rollup is part of this repo's pipeline extension.
 
-    Scale shape (10^10 fetches): the count table is ONE map-side-
-    combining groupBy (≈ #hosts rows); both rank windows run on that
-    key table, never on the fetch log — the same #keys-sized
-    single-partition stage contract as `key_skew_audit`. All floats
-    round to 6 dp; numerators/denominators are exact integers up to
-    the final division, so any engine agrees bit-for-bit.
+    Scale shape (10^10 fetches): the fetch log is scanned ONCE into a
+    map-side-combining groupBy (≈ #hosts rows); the ascending rank AND
+    the host count ride the SAME single window stage over that key
+    table (row_number + a full-frame count share one sort — the
+    #keys-sized single-partition contract of `key_skew_audit`), so the
+    decile cut is an ordinary conditional sum inside the ONE final
+    aggregate — no second pass, no self-join. All floats round to
+    6 dp; numerators/denominators are exact integers up to the final
+    division, so any engine agrees bit-for-bit.
     """
     freq = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.asc("cnt"), F.asc("k")))
+    w = Window.orderBy(F.asc("cnt"), F.asc("k"))
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(w).alias("r"),
+        F.count("*")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
     )
+    # top-decile: ASC rank r has DESC rank n−r+1; keep DESC rank ≤ ceil(n/10)
+    in_dec = F.col("n") - F.col("r") + 1 <= F.ceil(F.col("n") / 10.0)
     base = ranked.agg(
         F.count("*").alias("n_hosts"),
         F.sum("cnt").alias("n_fetches"),
         F.max("cnt").alias("max_cnt"),
         F.sum(F.col("r").cast("double") * F.col("cnt")).alias("_src"),
         F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("_sc2"),
-    )
-    # top-decile: ASC rank r has DESC rank n−r+1; keep DESC rank ≤ ceil(n/10)
-    dec = (
-        ranked.crossJoin(F.broadcast(base.select("n_hosts")))
-        .filter(
-            F.col("n_hosts") - F.col("r") + 1 <= F.ceil(F.col("n_hosts") / 10.0)
-        )
-        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_dec_cnt"))
+        F.sum(F.when(in_dec, F.col("cnt")).otherwise(F.lit(0))).alias("_dec_cnt"),
     )
     n = F.col("n_hosts").cast("double")
     t = F.col("n_fetches").cast("double")
-    return base.crossJoin(F.broadcast(dec)).select(
+    return base.select(
         "n_hosts",
         "n_fetches",
         "max_cnt",

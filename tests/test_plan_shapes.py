@@ -846,3 +846,53 @@ def test_length_batches_window_keys_on_shard(spark, sf_dir):
     for seg in plan.split("\n"):
         if "Sort " in seg and "global=true" in seg:
             raise AssertionError(f"global sort found: {seg}")
+
+
+def test_fetch_gini_prunes_to_key_and_bounds_scans(spark, sf_dir):
+    """fetch_gini: every scan of the fetch log reads ONLY the key
+    column (the 1-row stat frames join broadcast, never cartesian),
+    and the log is scanned at most twice (base stats + decile pick —
+    both over the #hosts-sized count table)."""
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cs.fetch_gini(docs, "source"))
+    assert "CartesianProduct" not in plan
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert 0 < len(scans) <= 2
+    for ln in scans:
+        assert "ReadSchema: struct<source:string>" in ln
+
+
+def test_report_card_no_global_sort_window_keys_on_lang(spark, sf_dir):
+    """report_card: the exact-median cumulative window runs on the
+    (lang, tok) frequency table partitioned by lang — no global Sort
+    anywhere — and the corpus scan prunes to (lang, source, text)."""
+    from gocrawl_spark.curation import report_card
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(report_card(docs))
+    for seg in plan.split("\n"):
+        if "Sort " in seg and "global=true" in seg:
+            raise AssertionError(f"global sort found: {seg}")
+    assert "windowspecdefinition(lang" in plan
+    for ln in plan.split("\n"):
+        if "FileScan" in ln:
+            assert "doc_id" not in ln.split("ReadSchema:")[-1]
+
+
+def test_hard_negatives_shares_corpus_scans_across_requests(spark, sf_dir):
+    """hard_negatives: corpus scan count must NOT grow with the number
+    of training queries (rank_eval's constant-scan contract carries
+    over), request/df/stats sides broadcast."""
+    from gocrawl_spark.rankeval import hard_negatives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    few = [("q0", "spark"), ("q1", "window batch")]
+    many = few + [(f"q{i}", t) for i, t in enumerate(
+        ["data", "cluster table", "merge", "scan"], start=2)]
+    p_few = _plan(hard_negatives(docs, few, text_col="text", id_col="doc_id"))
+    p_many = _plan(hard_negatives(docs, many, text_col="text", id_col="doc_id"))
+    assert p_few.count("FileScan") == p_many.count("FileScan")
+    assert "BroadcastHashJoin" in p_many
+    assert "CartesianProduct" not in p_many
