@@ -118,6 +118,11 @@ HEADLINE = [
     "text_char_entropy",
     "corpus_doremi_weights",
     "train_length_batches",
+    # round-4 session 9: fetch-concentration audit, per-lang report
+    # card, BM25 hard-negative mining (one each)
+    "crawl_fetch_gini",
+    "corpus_report_card",
+    "search_hard_negatives",
 ]
 
 
