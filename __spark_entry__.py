@@ -4642,6 +4642,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_hard_negatives"] = search_hard_negatives
 
+    def crawl_ucb_schedule(spark, sf_dir):
+        """UCB1 bandit recrawl ordering (scheduler.ucb_schedule, Auer
+        et al. 2002): mean change-rate + sqrt(2·ln N / n) optimism
+        bonus over a synthesized history where every 4th URL has 6
+        observations and the rest only 3 — the sparsely-observed arms
+        float above equally-changing well-observed ones, fixing the
+        change_rates cold-start. One url-keyed window + groupBy, one
+        1-row scalar broadcast."""
+        from gocrawl_spark import scheduler as sch
+
+        d = F.col("doc_id")
+        n_gen = F.when(d % 4 == 0, F.lit(6)).otherwise(F.lit(3))
+        hist = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), n_gen - 1)).alias("generation"),
+            )
+            .select(
+                F.concat(
+                    F.lit("https://h.example.com/doc/"), d.cast("string")
+                ).alias("url"),
+                "generation",
+                F.when(d % 3 == 0, F.col("generation"))
+                .when((d % 3 == 1) & (F.col("generation") >= 2), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("page_ts"),
+            )
+        )
+        return sch.ucb_schedule(hist)
+
+    q["crawl_ucb_schedule"] = crawl_ucb_schedule
+
+    def text_quality_roc(spark, sf_dir):
+        """Classifier calibration report (curation.clf_roc): exact
+        Mann-Whitney AUC + per-threshold confusion/PRF of the hashed
+        linear classifier (clf_score) against the Gopher rule gate as
+        weak labels — the filter-vs-rules cross-check FineWeb-style
+        pipelines publish before gating a corpus. AUC folds off the
+        ≈#distinct-scores frequency table, never doc pairs; the corpus
+        is scanned once per side."""
+        docs = _docs(spark, sf_dir)
+        w = curation.hash_weights(spark, buckets=1024, seed="quality-clf")
+        scores = curation.clf_score(docs, w, buckets=1024)
+        st = textstats.gopher_stats("text")
+        labels = docs.select(
+            "doc_id", textstats.gopher_keep(st).alias("label")
+        )
+        return curation.clf_roc(scores, labels)
+
+    q["text_quality_roc"] = text_quality_roc
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10702,6 +10754,102 @@ def oracle_sql() -> dict[str, str]:
               FROM topk t LEFT JOIN rat r USING (request_id, id))
         WHERE rating < 1
         QUALIFY neg_rank <= 5
+    """
+
+    # crawl_ucb_schedule: same synthesized variable-depth history, same
+    # lag-based change counting, UCB1 bonus with N folded as a scalar
+    o["crawl_ucb_schedule"] = r"""
+        WITH hist AS (
+          SELECT 'https://h.example.com/doc/' || doc_id::VARCHAR AS url,
+                 g AS generation,
+                 CASE WHEN doc_id % 3 = 0 THEN g
+                      WHEN doc_id % 3 = 1 AND g >= 2 THEN 1
+                      ELSE 0 END AS page_ts
+          FROM documents,
+               unnest(range(0, CASE WHEN doc_id % 4 = 0 THEN 6 ELSE 3 END)) AS t(g)),
+        obs AS (
+          SELECT url, generation, page_ts,
+                 lag(page_ts) OVER (PARTITION BY url ORDER BY generation) AS prev
+          FROM hist),
+        agg AS (
+          SELECT url, count(*) AS n_obs,
+                 sum(CASE WHEN prev IS NOT NULL AND page_ts <> prev
+                          THEN 1 ELSE 0 END)::BIGINT AS n_changes
+          FROM obs GROUP BY url HAVING count(*) >= 2),
+        tot AS (SELECT sum(n_obs - 1)::DOUBLE AS N FROM agg)
+        SELECT url, n_obs, n_changes,
+               round(n_changes::DOUBLE / (n_obs - 1), 6) AS mean_change,
+               round(n_changes::DOUBLE / (n_obs - 1)
+                     + sqrt(2.0 * ln(N) / (n_obs - 1)::DOUBLE), 6) AS ucb
+        FROM agg, tot
+    """
+
+    # text_quality_roc: clf score CTEs (text_quality_clf twin) joined to
+    # the gopher keep verdict (text_gopher twin) as labels; AUC folds off
+    # the score frequency table with the 0.5 tie credit
+    o["text_quality_roc"] = rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        f AS (SELECT doc_id,
+                     unnest(w || [w[i+1] || ' ' || w[i+2] for i in range(0, len(w)-1)]) AS f
+              FROM w),
+        b AS (SELECT doc_id,
+                     (('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024)::INT AS bucket
+              FROM f),
+        wt AS (SELECT i::INT AS bucket,
+                      round((('0x' || substr(md5('quality-clf:' || i), 1, 8))::UBIGINT::DOUBLE
+                             / 4294967296.0) * 2 - 1, 6) AS weight
+               FROM range(0, 1024) t(i)),
+        agg AS (SELECT b.doc_id, count(*) AS n_feats, round(sum(wt.weight), 6) AS s
+                FROM b JOIN wt USING (bucket) GROUP BY b.doc_id),
+        sc AS (SELECT d.doc_id,
+                      round(1.0 / (1.0 + exp(-(coalesce(a.s, 0.0)
+                          / greatest(coalesce(a.n_feats, 0)::DOUBLE, 1.0)))), 6) AS score
+               FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        gt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct
+          FROM documents),
+        lab AS (
+          SELECT doc_id,
+                 (len(ws) >= 50
+                  AND list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                      / len(ws)::DOUBLE BETWEEN 3.0 AND 10.0
+                  AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(ws)::DOUBLE >= 0.8
+                  AND punct::DOUBLE / len(ws)::DOUBLE <= 0.1) AS y
+          FROM gt),
+        j AS (SELECT sc.score AS s, lab.y FROM sc JOIN lab USING (doc_id)),
+        freq AS (SELECT s,
+                        sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+                        sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+                 FROM j GROUP BY s),
+        r AS (SELECT s, np, nn,
+                     coalesce(sum(nn) OVER (ORDER BY s ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+              FROM freq),
+        tot AS (SELECT sum(np)::BIGINT AS P, sum(nn)::BIGINT AS N,
+                       sum(np::DOUBLE * (cnb::DOUBLE + 0.5 * nn)) AS U FROM r),
+        a2 AS (SELECT CASE WHEN P > 0 AND N > 0
+                           THEN round(U / (P::DOUBLE * N::DOUBLE), 6)
+                           ELSE 0.0 END AS auc FROM tot),
+        thr AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]::DOUBLE[]) AS threshold),
+        conf AS (SELECT threshold,
+                        sum(CASE WHEN s >= threshold THEN np ELSE 0 END)::BIGINT AS tp,
+                        sum(CASE WHEN s >= threshold THEN nn ELSE 0 END)::BIGINT AS fp,
+                        sum(CASE WHEN s <  threshold THEN np ELSE 0 END)::BIGINT AS fn,
+                        sum(CASE WHEN s <  threshold THEN nn ELSE 0 END)::BIGINT AS tn
+                 FROM r, thr GROUP BY threshold)
+        SELECT threshold, tp, fp, fn, tn,
+               CASE WHEN tp + fp > 0
+                    THEN round(tp / (tp + fp)::DOUBLE, 6) ELSE 0.0 END AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN round(tp / (tp + fn)::DOUBLE, 6) ELSE 0.0 END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN round(2.0 * tp / (2 * tp + fp + fn)::DOUBLE, 6)
+                    ELSE 0.0 END AS f1,
+               auc
+        FROM conf, a2
     """
 
     return o

@@ -655,6 +655,131 @@ def clf_score(
     )
 
 
+def clf_roc(
+    scores: DataFrame,
+    labels: DataFrame,
+    thresholds: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7),
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classifier-vs-labels evaluation report: exact ROC AUC plus a
+    per-threshold confusion/PRF table — the calibration step a
+    quality-filter pipeline runs before trusting `clf_score` to gate a
+    corpus (e.g. scoring the fasttext-architecture classifier against
+    the Gopher rule gate as weak labels, the cross-check both
+    FineWeb-style and LLaMA-style pipelines report).
+
+    AUC is the exact Mann-Whitney statistic with the standard 0.5 tie
+    credit, computed from the SCORE FREQUENCY TABLE, never from doc
+    pairs: group scores into (score, n_pos, n_neg) rows, order by
+    score ASC, and fold
+
+        AUC = Σ_s n_pos(s) · (cum_neg_below(s) + 0.5 · n_neg(s))
+              / (P · N)
+
+    Scores are already 6-dp-rounded by `clf_score`, so equal floats
+    compare exactly and the statistic is bit-stable at any
+    parallelism. Returns one row per threshold:
+    (threshold, tp, fp, fn, tn, precision, recall, f1, auc) — ratios
+    6 dp, 0.0 when the denominator is 0, `auc` constant across rows.
+    Degenerate labels (P = 0 or N = 0) yield auc = 0.0.
+
+    Scale shape (10^10 docs): one `id`-keyed join scores⋈labels, one
+    map-side-combining groupBy to the ≈#distinct-scores frequency
+    table (6-dp sigmoid scores → ≤10^6 distinct cells regardless of
+    corpus size), then ONE single-partition window over that small
+    table (the `key_skew_audit` contract) and a ≤|thresholds|-row
+    broadcast cross join for the confusion sums. The corpus itself is
+    touched exactly once.
+    """
+    from pyspark.sql import Window as W
+
+    j = scores.select(
+        F.col(id_col).alias("_id"), F.col(score_col).alias("_s")
+    ).join(
+        labels.select(
+            F.col(id_col).alias("_id"), F.col(label_col).cast("boolean").alias("_y")
+        ),
+        "_id",
+    )
+    freq = j.groupBy("_s").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_nn"),
+    )
+    w = W.orderBy(F.asc("_s"))
+    ranked = freq.select(
+        "_s",
+        "_np",
+        "_nn",
+        F.coalesce(
+            F.sum("_nn").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_cnb"),
+    )
+    tot = ranked.agg(
+        F.sum("_np").alias("_P"),
+        F.sum("_nn").alias("_N"),
+        F.sum(
+            F.col("_np").cast("double")
+            * (F.col("_cnb").cast("double") + F.lit(0.5) * F.col("_nn"))
+        ).alias("_u"),
+    )
+    auc = F.when(
+        (F.col("_P") > 0) & (F.col("_N") > 0),
+        F.round(F.col("_u") / (F.col("_P").cast("double") * F.col("_N")), 6),
+    ).otherwise(F.lit(0.0))
+    thr = ranked.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    conf = (
+        ranked.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("_s") >= F.col("threshold"), F.col("_np")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(F.col("_s") >= F.col("threshold"), F.col("_nn")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(F.col("_s") < F.col("threshold"), F.col("_np")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(F.col("_s") < F.col("threshold"), F.col("_nn")).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    z = F.lit(0.0)
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6),
+    ).otherwise(z)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6),
+    ).otherwise(z)
+    f1 = F.when(
+        (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+        F.round(
+            F.lit(2.0)
+            * F.col("tp")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            6,
+        ),
+    ).otherwise(z)
+    return conf.crossJoin(F.broadcast(tot.select(auc.alias("auc")))).select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+        "auc",
+    )
+
+
 def split_corpus(
     docs: DataFrame,
     fracs: dict[str, float] | None = None,

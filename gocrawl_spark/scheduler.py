@@ -175,6 +175,86 @@ def refresh_priorities(rates: DataFrame, base: int = 5) -> DataFrame:
     return udfs.with_url_identity(out).select("url_hash", "priority")
 
 
+def ucb_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "page_ts",
+    gen_col: str = "generation",
+    top_k: int = 0,
+) -> DataFrame:
+    """UCB1 explore/exploit recrawl ordering over the same
+    per-generation observation history `change_rates` consumes.
+
+    `change_rates` is pure exploitation: a URL observed twice with no
+    change gets rate 0 and is never revisited, even though two
+    observations say almost nothing. The bandit view (Auer, Cesa-
+    Bianchi & Fischer, Machine Learning 2002, UCB1) treats each URL as
+    an arm whose reward is "the page had changed when we refetched
+    it", and adds the optimism bonus that shrinks as evidence
+    accumulates:
+
+        ucb = mean_change + sqrt(2 · ln(N) / n)
+
+    with n = the URL's observation intervals (n_obs − 1), mean_change
+    = n_changes / n, and N = Σ n over all URLs (total pulls). Rarely-
+    observed URLs float up until their change behaviour is actually
+    known — the standard fix for the change-rate cold-start, used by
+    freshness crawlers as "optimism in the face of staleness
+    uncertainty". Returns (url, n_obs, n_changes, mean_change, ucb)
+    with mean/ucb rounded to 6 dp; `top_k > 0` keeps only the k best
+    arms (ties broken by url ASC so the cut is deterministic).
+
+    Scale shape (10^10 URLs): the per-URL fold is `change_rates`'
+    one url-keyed window + groupBy; N folds from that ≈#urls-row
+    table into ONE scalar broadcast back as a literal cross join
+    (1-row build side — Spark broadcasts it, no shuffle). The top-k
+    cut is a TakeOrdered-style sort only when requested, and only
+    over the already-aggregated per-URL table.
+    """
+    from pyspark.sql import Window as W
+
+    obs = history.select(
+        F.col(url_col).alias("url"),
+        F.col(gen_col).alias("gen"),
+        F.col(ts_col).alias("ts"),
+    ).withColumn("_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen")))
+    per_url = (
+        obs.groupBy("url")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNotNull() & (F.col("ts") != F.col("_prev")), 1
+                ).otherwise(0)
+            ).alias("n_changes"),
+        )
+        .filter(F.col("n_obs") >= 2)
+    )
+    n_int = (F.col("n_obs") - 1).cast("double")
+    total = per_url.agg(F.sum(F.col("n_obs") - 1).cast("double").alias("_N"))
+    scored = per_url.crossJoin(F.broadcast(total)).select(
+        "url",
+        "n_obs",
+        "n_changes",
+        F.round(F.col("n_changes") / n_int, 6).alias("mean_change"),
+        F.round(
+            F.col("n_changes") / n_int
+            + F.sqrt(F.lit(2.0) * F.log(F.col("_N")) / n_int),
+            6,
+        ).alias("ucb"),
+    )
+    if top_k > 0:
+        scored = (
+            scored.withColumn(
+                "_rk",
+                F.row_number().over(W.orderBy(F.desc("ucb"), F.asc("url"))),
+            )
+            .filter(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return scored
+
+
 def run_schedule(
     spark: SparkSession,
     corpus: DataFrame,
@@ -277,4 +357,5 @@ def run_schedule(
 __all__ = [
     "run_schedule", "generations", "last_finished_generation", "seeds_of",
     "generation_rank", "generation_diff", "change_rates", "refresh_priorities",
+    "ucb_schedule",
 ]

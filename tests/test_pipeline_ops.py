@@ -3751,3 +3751,77 @@ def test_length_batches_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, length_batches(df.repartition(1), 8, 4).collect()))
     b = sorted(map(tuple, length_batches(df.repartition(13), 8, 4).collect()))
     assert a == b
+
+
+def test_ucb_schedule_hand_computed(spark):
+    import math
+
+    from gocrawl_spark import scheduler as sch
+
+    # A: 3 obs, changes both intervals; B: 2 obs, no change; C: 1 obs
+    hist = spark.createDataFrame(
+        [("A", 0, 0), ("A", 1, 1), ("A", 2, 2),
+         ("B", 0, 7), ("B", 1, 7),
+         ("C", 0, 0)],
+        "url string, generation int, page_ts int",
+    )
+    got = {r["url"]: r for r in sch.ucb_schedule(hist).collect()}
+    assert set(got) == {"A", "B"}  # singleton arms drop
+    n_total = 3.0  # (3-1) + (2-1) pulls
+    assert got["A"]["mean_change"] == 1.0
+    assert got["A"]["ucb"] == round(1.0 + math.sqrt(2 * math.log(n_total) / 2), 6)
+    assert got["B"]["mean_change"] == 0.0
+    assert got["B"]["ucb"] == round(math.sqrt(2 * math.log(n_total) / 1), 6)
+    # the barely-observed static arm outranks the fully-known changer
+    # only when its bonus dominates; here A (mean 1) still wins top_k=1
+    top = sch.ucb_schedule(hist, top_k=1).collect()
+    assert [r["url"] for r in top] == ["A"]
+
+
+def test_ucb_bonus_floats_sparse_arms(spark):
+    from gocrawl_spark import scheduler as sch
+
+    # D changed on 1 of 9 intervals (well observed), E on 1 of 1
+    # (barely observed): equal-ish means, E's bonus must rank it first
+    rows = [("D", g, 1 if g == 5 else 0) for g in range(10)]
+    rows += [("E", 0, 0), ("E", 1, 3)]
+    hist = spark.createDataFrame(rows, "url string, generation int, page_ts int")
+    # D's change counting: ts goes 0..1 at g=5 then back 1->0 at g=6
+    got = sch.ucb_schedule(hist, top_k=1).collect()
+    assert [r["url"] for r in got] == ["E"]
+
+
+def test_clf_roc_hand_computed(spark):
+    from gocrawl_spark import curation
+
+    scores = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.8), (4, 0.3)], "doc_id long, score double"
+    )
+    labels = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, False)],
+        "doc_id long, label boolean",
+    )
+    out = {r["threshold"]: r for r in
+           curation.clf_roc(scores, labels, thresholds=(0.5, 0.85)).collect()}
+    # AUC: pairs (pos, neg): (.9,.8)=1, (.9,.3)=1, (.8,.8)=.5, (.8,.3)=1
+    # => 3.5 / 4 = 0.875
+    for r in out.values():
+        assert r["auc"] == 0.875
+    t5 = out[0.5]
+    assert (t5["tp"], t5["fp"], t5["fn"], t5["tn"]) == (2, 1, 0, 1)
+    assert t5["precision"] == 0.666667 and t5["recall"] == 1.0
+    assert t5["f1"] == 0.8
+    t85 = out[0.85]
+    assert (t85["tp"], t85["fp"], t85["fn"], t85["tn"]) == (1, 0, 1, 2)
+    assert t85["precision"] == 1.0 and t85["recall"] == 0.5
+
+
+def test_clf_roc_degenerate_labels(spark):
+    from gocrawl_spark import curation
+
+    scores = spark.createDataFrame([(1, 0.9), (2, 0.1)], "doc_id long, score double")
+    labels = spark.createDataFrame(
+        [(1, True), (2, True)], "doc_id long, label boolean"
+    )
+    rows = curation.clf_roc(scores, labels, thresholds=(0.5,)).collect()
+    assert rows[0]["auc"] == 0.0 and rows[0]["tn"] == 0
