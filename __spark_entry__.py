@@ -4694,6 +4694,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality_roc"] = text_quality_roc
 
+    def corpus_pipeline_funnel(spark, sf_dir):
+        """Dataset-card yield funnel (corpusstats.pipeline_funnel):
+        docs/tokens surviving raw → exact_dedup → Gopher gate →
+        decontamination, cumulatively — the per-stage accounting C4 /
+        MassiveText / RefinedWeb releases publish. Benchmark side =
+        the decontaminate query's 10-word excerpts of every 50th doc.
+        One corpus scan into flags, one text-key window, one broadcast
+        shingle probe, ONE final fold; the 4 rows are a literal
+        unpivot."""
+        from gocrawl_spark import corpusstats as cs
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 50 == 10).select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(
+                F.slice(textstats.norm_words("text"), 3, 10), " "
+            ).alias("bench_text"),
+        )
+        return cs.pipeline_funnel(docs, bench, k=8)
+
+    q["corpus_pipeline_funnel"] = corpus_pipeline_funnel
+
+    def crawl_seed_expansion(spark, sf_dir):
+        """Co-citation seed expansion (graphrank.cocitation_seeds,
+        Small 1973 / Dean & Henzinger WWW8): hosts pages cite
+        alongside the seed hosts site01/site05 become candidate new
+        crawl seeds, scored by distinct co-citing pages. Per-page
+        fan-out capped at 32; seed table broadcast; the pairing is a
+        src-keyed self-join of capped rows."""
+        from gocrawl_spark import graphrank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+
+        def host(c):
+            hi = F.when(c % 4 == 0, F.lit(0)).otherwise(c % 15 + 1)
+            return F.concat(
+                F.lit("site"), F.lpad(hi.cast("string"), 2, "0"),
+                F.lit(".example.com"),
+            )
+
+        e = graphrank.doc_edges(docs, n).select(
+            "src", host(F.col("dst")).alias("dst_host")
+        )
+        seeds = spark.createDataFrame(
+            [("site01.example.com",), ("site05.example.com",)], "host string"
+        )
+        return graphrank.cocitation_seeds(e, seeds, max_out=32)
+
+    q["crawl_seed_expansion"] = crawl_seed_expansion
+
+    def text_para_prune(spark, sf_dir):
+        """Paragraph-level perplexity surgery (textstats.lm_para_prune):
+        every 5th doc gets a doc-unique gibberish paragraph appended;
+        under the corpus-trained bigram LM those paragraphs score
+        ppl ≈ 216 vs ≤ 53 for real text, so max_ppl=100 removes
+        exactly them and re-joins the surviving paragraphs in order —
+        CCNet's LM signal applied at paragraph granularity instead of
+        the whole-document drop."""
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        gib = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(w), F.col("doc_id").cast("string"))
+                for w in ["zz", "qq", "wx", "kv"]
+            ],
+        )
+        noisy = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit("\n"), gib)
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textstats.lm_para_prune(noisy, max_ppl=100.0)
+
+    q["text_para_prune"] = text_para_prune
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -10850,6 +10929,167 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS f1,
                auc
         FROM conf, a2
+    """
+
+    # corpus_pipeline_funnel: exact-survivor election (dedup_exact twin),
+    # gopher verdict (text_gopher twin), contamination shingle join
+    # (decontaminate twin), folded once and unpivoted to 4 stage rows
+    o["corpus_pipeline_funnel"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> ''))::BIGINT AS tok,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS tk
+          FROM documents),
+        surv AS (SELECT doc_id, tok,
+                        row_number() OVER (PARTITION BY tk ORDER BY doc_id) = 1 AS surv
+                 FROM t),
+        gt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct
+          FROM documents),
+        lab AS (
+          SELECT doc_id,
+                 (len(ws) >= 50
+                  AND list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                      / len(ws)::DOUBLE BETWEEN 3.0 AND 10.0
+                  AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(ws)::DOUBLE >= 0.8
+                  AND punct::DOUBLE / len(ws)::DOUBLE <= 0.1) AS y
+          FROM gt),
+        w0 AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS g
+                FROM (SELECT doc_id, CASE WHEN len(w) >= 8
+            THEN [array_to_string(list_slice(w, i+1, i+8), ' ') for i in range(0, len(w)-7)]
+            ELSE [array_to_string(w, ' ')] END AS sh FROM w0)),
+        bw AS (SELECT doc_id AS bench_id, list_slice(w, 3, 12) AS w
+               FROM w0 WHERE doc_id % 50 = 10),
+        bsh AS (SELECT bench_id, unnest(list_distinct(sh)) AS g
+                FROM (SELECT bench_id, CASE WHEN len(w) >= 8
+            THEN [array_to_string(list_slice(w, i+1, i+8), ' ') for i in range(0, len(w)-7)]
+            ELSE [array_to_string(w, ' ')] END AS sh FROM bw)),
+        dirty AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh b USING (g)),
+        fl AS (SELECT s.doc_id, s.tok, s.surv, l.y,
+                      (dy.doc_id IS NOT NULL) AS dirty
+               FROM surv s JOIN lab l USING (doc_id)
+               LEFT JOIN dirty dy USING (doc_id)),
+        agg AS (SELECT
+            count(*)::BIGINT AS n1, sum(tok)::BIGINT AS t1,
+            sum(CASE WHEN surv THEN 1 ELSE 0 END)::BIGINT AS n2,
+            sum(CASE WHEN surv THEN tok ELSE 0 END)::BIGINT AS t2,
+            sum(CASE WHEN surv AND y THEN 1 ELSE 0 END)::BIGINT AS n3,
+            sum(CASE WHEN surv AND y THEN tok ELSE 0 END)::BIGINT AS t3,
+            sum(CASE WHEN surv AND y AND NOT dirty THEN 1 ELSE 0 END)::BIGINT AS n4,
+            sum(CASE WHEN surv AND y AND NOT dirty THEN tok ELSE 0 END)::BIGINT AS t4
+          FROM fl),
+        stages(stage_no, stage) AS (VALUES
+            (1, 'raw'), (2, 'exact_dedup'),
+            (3, 'quality_gate'), (4, 'decontaminated'))
+        SELECT stage_no, stage,
+               CASE stage_no WHEN 1 THEN n1 WHEN 2 THEN n2
+                             WHEN 3 THEN n3 ELSE n4 END AS n_docs,
+               CASE stage_no WHEN 1 THEN t1 WHEN 2 THEN t2
+                             WHEN 3 THEN t3 ELSE t4 END AS n_tokens,
+               round((CASE stage_no WHEN 1 THEN n1 WHEN 2 THEN n2
+                                    WHEN 3 THEN n3 ELSE n4 END)::DOUBLE
+                     / n1::DOUBLE, 6) AS doc_frac,
+               round((CASE stage_no WHEN 1 THEN t1 WHEN 2 THEN t2
+                                    WHEN 3 THEN t3 ELSE t4 END)::DOUBLE
+                     / t1::DOUBLE, 6) AS token_frac
+        FROM stages, agg
+    """
+
+    # crawl_seed_expansion: same doc_edges + host mapping as the host
+    # graph twin, same per-page host-ASC cap, same src-keyed pairing
+    o["crawl_seed_expansion"] = r"""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7 * (j + 1) + 1) % (SELECT count(*) FROM documents) AS dst
+          FROM documents, range(0, 6) t(j)
+          WHERE j < 3 + doc_id % 3),
+        h AS (SELECT DISTINCT src,
+                'site' || lpad((CASE WHEN dst % 4 = 0 THEN 0
+                                     ELSE 1 + dst % 15 END)::VARCHAR, 2, '0')
+                       || '.example.com' AS host
+              FROM e),
+        seeds(host) AS (VALUES ('site01.example.com'), ('site05.example.com')),
+        sc AS (SELECT h.src, h.host AS seed_host
+               FROM h JOIN seeds s ON h.host = s.host),
+        cand AS (SELECT h.src, h.host,
+                        row_number() OVER (PARTITION BY h.src
+                                           ORDER BY h.host ASC) AS rn
+                 FROM h LEFT JOIN seeds s ON h.host = s.host
+                 WHERE s.host IS NULL QUALIFY rn <= 32)
+        SELECT cand.host,
+               count(DISTINCT cand.src)::BIGINT AS n_pages,
+               count(DISTINCT sc.seed_host)::BIGINT AS n_seed_hosts
+        FROM cand JOIN sc ON cand.src = sc.src
+        GROUP BY cand.host
+    """
+
+    # text_para_prune: the text_lm_ppl trainer CTEs over the noisy
+    # corpus, transitions keyed (doc, paragraph), position-ordered
+    # fold, keep = unscoreable OR rounded ppl <= 100, ordered re-join
+    _para_words = _SQL_WORDS.replace("lower(text)", "lower(para)")
+    o["text_para_prune"] = rf"""
+        WITH nd AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || chr(10)
+                        || 'zz' || doc_id::VARCHAR || ' qq' || doc_id::VARCHAR
+                        || ' wx' || doc_id::VARCHAR || ' kv' || doc_id::VARCHAR
+                      ELSE text END AS text
+          FROM documents),
+        w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM nd),
+        uni AS (SELECT u AS w1, count(*) AS c1
+                FROM (SELECT unnest(w) AS u FROM w) GROUP BY u),
+        v AS (SELECT count(*) AS v FROM uni),
+        bgc AS (SELECT bg, count(*) AS c2 FROM (
+                  SELECT unnest([array_to_string(list_slice(w, i+1, i+2), ' ')
+                                 for i in range(0, len(w) - 1)]) AS bg
+                  FROM w WHERE len(w) >= 2) GROUP BY bg),
+        p0 AS (SELECT doc_id, u.pidx, u.para FROM (
+                 SELECT doc_id,
+                        unnest([{{'pidx': i, 'para': parts[i+1]}}
+                                for i in range(0, len(parts))]) AS u
+                 FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                       FROM nd))
+               WHERE trim(u.para) <> ''),
+        pw AS (SELECT doc_id, pidx, {_para_words} AS w FROM p0),
+        trans AS (
+          SELECT doc_id, pidx, u.pos, u.bg,
+                 string_split(u.bg, ' ')[1] AS w1
+          FROM (SELECT doc_id, pidx,
+                       unnest([{{'pos': i,
+                                 'bg': array_to_string(list_slice(w, i+1, i+2), ' ')}}
+                               for i in range(0, len(w) - 1)]) AS u
+                FROM pw WHERE len(w) >= 2)),
+        j AS (SELECT t.doc_id, t.pidx, t.pos,
+                     ln((coalesce(b.c2, 0) + 1.0)
+                        / (coalesce(u.c1, 0) + 1.0 * (SELECT v FROM v))) AS lp
+              FROM trans t
+              LEFT JOIN bgc b ON t.bg = b.bg
+              LEFT JOIN uni u ON t.w1 = u.w1),
+        sc AS (SELECT doc_id, pidx, count(*) AS n_trans,
+                      list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                                  (acc, x) -> acc + x) AS sum_lp
+               FROM j GROUP BY doc_id, pidx),
+        fl AS (SELECT p.doc_id, p.pidx, p.para,
+                      (s.n_trans IS NULL
+                       OR round(exp(-s.sum_lp / s.n_trans), 6) <= 100.0) AS keep
+               FROM p0 p LEFT JOIN sc s USING (doc_id, pidx))
+        SELECT doc_id,
+               count(*)::BIGINT AS n_paras,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               array_to_string(
+                 list_transform(
+                   list_filter(
+                     list(struct_pack(pidx := pidx, para := para, keep := keep)
+                          ORDER BY pidx),
+                     x -> x.keep),
+                   x -> x.para),
+                 chr(10)) AS text
+        FROM fl GROUP BY doc_id
     """
 
     return o

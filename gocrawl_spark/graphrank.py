@@ -603,9 +603,93 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16) -> DataFrame:
     )
 
 
+def cocitation_seeds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    host_col: str = "dst_host",
+    seed_col: str = "host",
+    max_out: int = 32,
+    top_k: int = 0,
+) -> DataFrame:
+    """Seed-set expansion by co-citation: hosts that pages cite
+    ALONGSIDE known-good seed hosts are the best candidates for new
+    crawl seeds — co-citation similarity (Small, JASIS 1973) applied
+    to the web's link graph the way Dean & Henzinger's "related
+    pages" algorithm does (WWW8 1999, the co-citation half). The
+    reference's seed list is static YAML (internal/sources); this is
+    the feedback loop that grows it from crawl evidence, the
+    focused-crawl sibling of `focused_priorities` (anchor-text
+    relevance) working off link STRUCTURE instead of anchor WORDS.
+
+    `edges` is page-level (src page id/url, dst host); `seeds` a
+    1-column host table. Seed citations are detected on the UNCAPPED
+    distinct host set (a page that cites a seed is a seed-citing page
+    no matter how farm-y it is — that side is bounded by the seed
+    list anyway); the CANDIDATE hosts per page are capped at
+    `max_out` (row_number by host ASC — deterministic), so a
+    link-farm page contributes a bounded candidate set. A page citing
+    ≥1 seed host contributes each of its capped candidate hosts one
+    co-citation. Returns
+    (host, n_pages = distinct co-citing pages,
+     n_seed_hosts = distinct seed hosts it was co-cited with),
+    seed hosts themselves excluded; `top_k > 0` cuts to the k best by
+    (n_pages DESC, n_seed_hosts DESC, host ASC).
+
+    Scale shape (10^10 edges): one (src, host) distinct + one
+    src-keyed window for the candidate cap; the seed table is
+    seed-list-sized — broadcast to tag rows in the scan; the
+    co-citation pairing is a src-keyed join of capped candidates ×
+    per-page seed hits (≤ max_out·|seeds| pairs per page, a
+    constant), then one host-keyed groupBy. No uncapped fan-out
+    anywhere; the candidate table is #hosts-sized.
+    """
+    from pyspark.sql import Window as W
+
+    per_page = edges.select(
+        F.col(src_col).alias("src"), F.col(host_col).alias("host")
+    ).distinct()
+    seed_tbl = F.broadcast(
+        seeds.select(F.col(seed_col).alias("host")).distinct()
+    )
+    tagged = per_page.join(
+        seed_tbl.withColumn("_is_seed", F.lit(True)), "host", "left"
+    ).withColumn("_is_seed", F.coalesce(F.col("_is_seed"), F.lit(False)))
+    seed_cites = tagged.filter(F.col("_is_seed")).select(
+        "src", F.col("host").alias("_seed_host")
+    )
+    cands = (
+        tagged.filter(~F.col("_is_seed"))
+        .withColumn(
+            "_rn", F.row_number().over(W.partitionBy("src").orderBy(F.asc("host")))
+        )
+        .filter(F.col("_rn") <= max_out)
+        .select("src", "host")
+    )
+    out = (
+        cands.join(seed_cites, "src")
+        .groupBy("host")
+        .agg(
+            F.countDistinct("src").alias("n_pages"),
+            F.countDistinct("_seed_host").alias("n_seed_hosts"),
+        )
+    )
+    if top_k > 0:
+        w = W.orderBy(
+            F.desc("n_pages"), F.desc("n_seed_hosts"), F.asc("host")
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return out
+
+
 __all__ = [
     "doc_edges",
     "link_rank",
+    "cocitation_seeds",
     "resolve_redirects",
     "rank_from_extracted",
     "rank_priorities",

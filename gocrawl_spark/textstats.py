@@ -980,6 +980,108 @@ def tfidf_keywords(
     )
 
 
+def lm_para_prune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    alpha: float = 1.0,
+    max_ppl: float = 10000.0,
+) -> DataFrame:
+    """Paragraph-granularity perplexity surgery: instead of dropping a
+    whole document whose LM score is poor (`lm_perplexity` +
+    `lm_buckets`, the CCNet document decision), score each PARAGRAPH
+    (newline-delimited, the WET-extract convention CCNet itself works
+    in) under the same add-α bigram LM and remove only the paragraphs
+    above `max_ppl` — navigation soup and template debris die, the
+    prose around them survives. The LM trains on `train` (default:
+    the full `df` text stream, word stream uninterrupted by paragraph
+    boundaries); each paragraph is scored independently.
+
+    Keep rule: a paragraph survives iff n_trans == 0 (too short to
+    score — never punished) or its 6-dp-rounded ppl ≤ `max_ppl`.
+    Returns (doc_id, n_paras, n_kept, text) with `text` the kept
+    paragraphs re-joined by '\\n' IN ORIGINAL ORDER (empty string if
+    everything died); blank/whitespace-only paragraphs are not
+    paragraphs (line_dedup's convention) and are dropped before
+    counting. Per-paragraph log-probs fold position-ordered (the
+    lm_perplexity bit-stability contract), so output text is
+    byte-identical at any parallelism.
+
+    Scale shape (10^10 docs): paragraphs explode to (doc, pidx) rows
+    — one row per corpus paragraph; transitions one row per token,
+    joined against the two vocab-sized count tables (AQE broadcasts
+    them when they fit); ONE (doc, pidx)-keyed fold scores
+    paragraphs, ONE doc-keyed fold reassembles text. Per-task state
+    is bounded by a single document's length, exactly like
+    line_dedup's reassembly.
+    """
+    if train is None:
+        train = df
+    unigrams, bigrams, vocab = lm_bigram_counts(train, text_col)
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pidx", "para"),
+    ).filter(F.trim("para") != "")
+    trans = (
+        paras.select("id", "pidx", norm_words("para").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "id",
+            "pidx",
+            F.posexplode(shingles_of_words(F.col("w"), 2)).alias("pos", "bg"),
+        )
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+    )
+    a = float(alpha)
+    j = trans.join(bigrams, "bg", "left").join(unigrams, "w1", "left")
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(a))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a * vocab))
+    )
+    scored = j.groupBy("id", "pidx").agg(
+        F.count("*").alias("n_trans"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", logp.alias("lp")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("sum_lp"),
+    )
+    ppl = F.round(F.exp(-F.col("sum_lp") / F.col("n_trans")), 6)
+    flagged = paras.join(scored, ["id", "pidx"], "left").withColumn(
+        "_keep",
+        F.col("n_trans").isNull() | (ppl <= F.lit(float(max_ppl))),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pidx",
+                                    F.col("para").alias("para"),
+                                    F.col("_keep").alias("keep"),
+                                )
+                            )
+                        ),
+                        lambda x: x["keep"],
+                    ),
+                    lambda x: x["para"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        .select(F.col("id").alias(id_col), "n_paras", "n_kept", "text")
+    )
+
+
 __all__ = [
     "tokens", "token_count", "bpeish_count", "BPE_ISH_PATTERN",
     "STOPWORDS", "stopword_hits", "punct_count", "quality_score",
@@ -989,7 +1091,8 @@ __all__ = [
     "gopher_stats", "gopher_keep", "repetition_stats",
     "compression_ratio_udf", "compression_keep",
     "c4_line_keep", "c4_clean", "c4_page_keep",
-    "lm_bigram_counts", "lm_perplexity", "lm_buckets", "lm_buckets_approx",
+    "lm_bigram_counts", "lm_perplexity", "lm_para_prune",
+    "lm_buckets", "lm_buckets_approx",
     "tfidf_keywords", "winnow_fingerprints", "winnow_pairs",
     "char_entropy",
 ]

@@ -3825,3 +3825,117 @@ def test_clf_roc_degenerate_labels(spark):
     )
     rows = curation.clf_roc(scores, labels, thresholds=(0.5,)).collect()
     assert rows[0]["auc"] == 0.0 and rows[0]["tn"] == 0
+
+
+def test_pipeline_funnel_hand_computed(spark):
+    from gocrawl_spark import corpusstats as cs
+
+    good = " ".join(f"word{i % 7}" for i in range(60))          # 60 tokens, passes gopher
+    poison = "zebra quark nebula ostrich velvet cobalt meadow turbine"
+    dirty = good + " " + poison                                  # 68 tokens, contaminated
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, "too short"), (4, dirty)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, poison)], "bench_id long, bench_text string"
+    )
+    out = {r["stage_no"]: r for r in cs.pipeline_funnel(docs, bench, k=8).collect()}
+    assert [out[i]["stage"] for i in (1, 2, 3, 4)] == [
+        "raw", "exact_dedup", "quality_gate", "decontaminated"
+    ]
+    # raw: 4 docs, 60+60+2+68 tokens
+    assert (out[1]["n_docs"], out[1]["n_tokens"]) == (4, 190)
+    # doc 2 is a byte-copy of doc 1 -> dropped
+    assert (out[2]["n_docs"], out[2]["n_tokens"]) == (3, 130)
+    # doc 3 fails the 50-word gopher floor
+    assert (out[3]["n_docs"], out[3]["n_tokens"]) == (2, 128)
+    # doc 4 shares an 8-gram with the benchmark -> dirty
+    assert (out[4]["n_docs"], out[4]["n_tokens"]) == (1, 60)
+    assert out[4]["doc_frac"] == 0.25
+    assert out[4]["token_frac"] == round(60 / 190, 6)
+    assert out[1]["doc_frac"] == 1.0 and out[1]["token_frac"] == 1.0
+
+
+def test_cocitation_seeds_hand_computed(spark):
+    from gocrawl_spark import graphrank
+
+    edges = spark.createDataFrame(
+        [(1, "seedA"), (1, "x.com"), (1, "y.com"),
+         (2, "seedA"), (2, "seedB"), (2, "x.com"),
+         (3, "y.com"),                      # no seed on this page
+         (2, "x.com")],                     # duplicate edge collapses
+        "src long, dst_host string",
+    )
+    seeds = spark.createDataFrame([("seedA",), ("seedB",)], "host string")
+    got = {r["host"]: r for r in
+           graphrank.cocitation_seeds(edges, seeds).collect()}
+    assert set(got) == {"x.com", "y.com"}  # seeds excluded, page 3 mute
+    assert (got["x.com"]["n_pages"], got["x.com"]["n_seed_hosts"]) == (2, 2)
+    assert (got["y.com"]["n_pages"], got["y.com"]["n_seed_hosts"]) == (1, 1)
+    top = graphrank.cocitation_seeds(edges, seeds, top_k=1).collect()
+    assert [r["host"] for r in top] == ["x.com"]
+
+
+def test_cocitation_seeds_fanout_cap(spark):
+    from gocrawl_spark import graphrank
+
+    # link-farm page cites the seed plus 50 hosts; the seed citation
+    # is detected UNCAPPED, then cap=8 bounds the candidate fan-out
+    # to the 8 host-ASC smallest
+    rows = [(1, "seedA")] + [(1, f"h{i:02d}.com") for i in range(50)]
+    edges = spark.createDataFrame(rows, "src long, dst_host string")
+    seeds = spark.createDataFrame([("seedA",)], "host string")
+    got = {r["host"] for r in
+           graphrank.cocitation_seeds(edges, seeds, max_out=8).collect()}
+    assert got == {f"h{i:02d}.com" for i in range(8)}
+    got_all = {r["host"] for r in
+               graphrank.cocitation_seeds(edges, seeds, max_out=50).collect()}
+    assert len(got_all) == 50
+
+
+def test_lm_para_prune_drops_gibberish_paragraph(spark):
+    from gocrawl_spark import textstats
+
+    common = " ".join(["alpha beta gamma delta"] * 6)
+    docs = spark.createDataFrame(
+        [(1, common + "\nxq1 qx1 zv1 vz1\n" + common),
+         (2, common),
+         (3, common + "\n\n  \n" + common)],       # blank paras vanish
+        "doc_id long, text string",
+    )
+    # measured under the self-trained LM: prose paragraphs score
+    # ppl 1.263179, the gibberish one 4.5 — prune between them
+    out = {r["doc_id"]: r for r in
+           textstats.lm_para_prune(docs, max_ppl=3.0).collect()}
+    # doc 1: gibberish middle paragraph dies, prose rejoins in order
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["text"] == common + "\n" + common
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (1, 1)
+    # whitespace-only paragraphs are not paragraphs
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 2)
+    assert out[3]["text"] == common + "\n" + common
+
+
+def test_lm_para_prune_short_paragraphs_never_punished(spark):
+    from gocrawl_spark import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta\nsolo")], "doc_id long, text string"
+    )
+    out = textstats.lm_para_prune(docs, max_ppl=0.001).collect()[0]
+    # 1-word paragraph has no transitions: kept even at an absurd bar
+    assert out["n_paras"] == 2 and out["n_kept"] == 1
+    assert out["text"] == "solo"
+
+
+def test_lm_para_prune_deterministic_across_parallelism(spark):
+    from gocrawl_spark import textstats
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 11}" for j in range(30))
+             + "\n" + " ".join(f"g{i}x{j}" for j in range(6)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textstats.lm_para_prune(df.repartition(1), max_ppl=80.0).collect()))
+    b = sorted(map(tuple, textstats.lm_para_prune(df.repartition(13), max_ppl=80.0).collect()))
+    assert a == b
