@@ -690,8 +690,10 @@ def clf_roc(
     table (6-dp sigmoid scores → ≤10^6 distinct cells regardless of
     corpus size), then ONE single-partition window over that small
     table (the `key_skew_audit` contract) and a ≤|thresholds|-row
-    broadcast cross join for the confusion sums. The corpus itself is
-    touched exactly once.
+    broadcast cross join for the confusion sums — AUC folds inside
+    the SAME per-threshold aggregate (its numerator is threshold-
+    independent), so the frequency-table pipeline runs once. The
+    corpus itself is touched exactly once per input side.
     """
     from pyspark.sql import Window as W
 
@@ -716,21 +718,15 @@ def clf_roc(
             F.sum("_nn").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
         ).alias("_cnb"),
     )
-    tot = ranked.agg(
-        F.sum("_np").alias("_P"),
-        F.sum("_nn").alias("_N"),
-        F.sum(
-            F.col("_np").cast("double")
-            * (F.col("_cnb").cast("double") + F.lit(0.5) * F.col("_nn"))
-        ).alias("_u"),
-    )
-    auc = F.when(
-        (F.col("_P") > 0) & (F.col("_N") > 0),
-        F.round(F.col("_u") / (F.col("_P").cast("double") * F.col("_N")), 6),
-    ).otherwise(F.lit(0.0))
     thr = ranked.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
+    # the Mann-Whitney numerator is threshold-independent, so folding
+    # it INSIDE the per-threshold aggregate (every group sees every
+    # score row once and computes the same value) costs nothing and
+    # avoids a second pass over the frequency-table pipeline — without
+    # this, a separate totals aggregate recomputes the whole
+    # scores⋈labels subtree
     conf = (
         ranked.crossJoin(F.broadcast(thr))
         .groupBy("threshold")
@@ -747,8 +743,18 @@ def clf_roc(
             F.sum(F.when(F.col("_s") < F.col("threshold"), F.col("_nn")).otherwise(0))
             .cast("long")
             .alias("tn"),
+            F.sum(
+                F.col("_np").cast("double")
+                * (F.col("_cnb").cast("double") + F.lit(0.5) * F.col("_nn"))
+            ).alias("_u"),
         )
     )
+    _P = F.col("tp") + F.col("fn")
+    _N = F.col("fp") + F.col("tn")
+    auc = F.when(
+        (_P > 0) & (_N > 0),
+        F.round(F.col("_u") / (_P.cast("double") * _N.cast("double")), 6),
+    ).otherwise(F.lit(0.0))
     z = F.lit(0.0)
     prec = F.when(
         F.col("tp") + F.col("fp") > 0,
@@ -767,7 +773,7 @@ def clf_roc(
             6,
         ),
     ).otherwise(z)
-    return conf.crossJoin(F.broadcast(tot.select(auc.alias("auc")))).select(
+    return conf.select(
         "threshold",
         "tp",
         "fp",
@@ -776,7 +782,7 @@ def clf_roc(
         prec.alias("precision"),
         rec.alias("recall"),
         f1.alias("f1"),
-        "auc",
+        auc.alias("auc"),
     )
 
 

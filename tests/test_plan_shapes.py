@@ -896,3 +896,96 @@ def test_hard_negatives_shares_corpus_scans_across_requests(spark, sf_dir):
     assert p_few.count("FileScan") == p_many.count("FileScan")
     assert "BroadcastHashJoin" in p_many
     assert "CartesianProduct" not in p_many
+
+
+def test_clf_roc_single_corpus_scan_per_side(spark, sf_dir):
+    """clf_roc: the AUC/threshold report folds off the score frequency
+    table — the corpus parquet is scanned once for the score side and
+    once for the label side (no per-threshold rescans: thresholds join
+    as a BroadcastExchange of the literal table), no cartesian."""
+    from gocrawl_spark import curation, textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = curation.hash_weights(spark, buckets=1024, seed="quality-clf")
+    scores = curation.clf_score(docs, w, buckets=1024)
+    st = textstats.gopher_stats("text")
+    labels = docs.select("doc_id", textstats.gopher_keep(st).alias("label"))
+    plan = _plan(curation.clf_roc(scores, labels))
+    assert "CartesianProduct" not in plan
+    # clf_score reads the parquet twice (features + id base), labels
+    # once; clf_roc itself adds NO rescans (AUC folds inside the
+    # per-threshold aggregate)
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert len(scans) <= 3
+    assert "BroadcastExchange" in plan
+
+
+def test_pipeline_funnel_one_scan_into_flags(spark, sf_dir):
+    """pipeline_funnel: per-stage counts come from ONE flagged scan of
+    the corpus folded once — the only extra corpus reads are the two
+    sides of the contamination shingle join (corpus + benchmark), so
+    the parquet appears at most 3 times; the benchmark side meets the
+    corpus in a broadcast join, never cartesian; no global sort."""
+    import pyspark.sql.functions as F
+
+    from gocrawl_spark import corpusstats as cs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from gocrawl_spark.textstats import norm_words
+
+    bench = docs.filter(F.col("doc_id") % 50 == 10).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(norm_words("text"), 3, 10), " ").alias("bench_text"),
+    )
+    plan = _plan(cs.pipeline_funnel(docs, bench, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert len(scans) <= 3
+    for seg in plan.split("\n"):
+        if "Sort " in seg and "global=true" in seg:
+            raise AssertionError(f"global sort found: {seg}")
+
+
+def test_cocitation_seeds_broadcasts_seed_table(spark, sf_dir):
+    """cocitation_seeds: the seed table joins broadcast (tagging rides
+    the scan), the candidate cap window keys on src, and the pairing
+    is an equi-join — no cartesian, no nested-loop join."""
+    import pyspark.sql.functions as F
+
+    from gocrawl_spark import graphrank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    e = graphrank.doc_edges(docs, n).select(
+        "src",
+        F.concat(F.lit("site"), (F.col("dst") % 15).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    seeds = spark.createDataFrame([("site1",), ("site5",)], "host string")
+    plan = _plan(graphrank.cocitation_seeds(e, seeds, max_out=32))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition(src" in plan
+
+
+def test_lm_para_prune_windows_key_on_doc(spark, sf_dir):
+    """lm_para_prune: no global sort (the position-ordered fold is an
+    in-aggregate array_sort, not a Sort node over the corpus); the
+    paragraph score fold and the reassembly both shuffle keyed on the
+    doc id; count-table joins are equi-joins, never cartesian."""
+    from gocrawl_spark import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(textstats.lm_para_prune(docs, max_ppl=100.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("\n"):
+        if "Sort " in seg and "global=true" in seg:
+            raise AssertionError(f"global sort found: {seg}")
