@@ -123,6 +123,14 @@ HEADLINE = [
     "crawl_fetch_gini",
     "corpus_report_card",
     "search_hard_negatives",
+    # round-4 session 10: UCB recrawl bandit, classifier ROC report,
+    # curation yield funnel, co-citation seed expansion, paragraph
+    # perplexity surgery (one each)
+    "crawl_ucb_schedule",
+    "text_quality_roc",
+    "corpus_pipeline_funnel",
+    "crawl_seed_expansion",
+    "text_para_prune",
 ]
 
 

@@ -105,22 +105,30 @@ def test_salted_pop_exchange_bounds_hot_domain_task(spark):
         salted = frontier.repartition(64, "domain", _salt(8))
         u_rows, u_secs, u_max = _ratios(_task_profile(unsalted, "url"))
         s_rows, s_secs, s_max = _ratios(_task_profile(salted, "url"))
+        fair = (576 * 100 + 6400) / 64  # total rows / partitions
+        # unsalted: the hub domain IS one task — max holds all 6400 hub
+        # rows (plus colliding cold hosts), >=5x over both median and fair
+        assert u_rows >= 5.0, u_rows
+        assert u_max >= 6400, u_max
+        # salted: the hub spreads over 8 salt groups; the max task is a
+        # bounded multiple of FAIR SHARE (a few 800-row salt chunks can
+        # still co-hash with cold hosts — bounded, not perfectly uniform)
+        assert s_rows <= 3.5, s_rows
+        assert s_max <= 4 * fair, (s_max, fair)
+        assert s_max * 2 <= u_max, (s_max, u_max)
+        # task-TIME follows rows. Row ratios above are deterministic;
+        # wall time on a loaded shared host is not (a preempted task
+        # inflates either ratio arbitrarily), so give the TIMING leg
+        # alone a couple of fresh measurements before failing.
+        for attempt in range(3):
+            if u_secs >= 3.0 and s_secs <= 4.0:
+                break
+            _, u_secs, _ = _ratios(_task_profile(unsalted, "url"))
+            _, s_secs, _ = _ratios(_task_profile(salted, "url"))
+        assert u_secs >= 3.0, u_secs
+        assert s_secs <= 4.0, s_secs
     finally:
         frontier.unpersist()
-    fair = (576 * 100 + 6400) / 64  # total rows / partitions
-    # unsalted: the hub domain IS one task — max holds all 6400 hub
-    # rows (plus colliding cold hosts), >=5x over both median and fair
-    assert u_rows >= 5.0, u_rows
-    assert u_max >= 6400, u_max
-    # salted: the hub spreads over 8 salt groups; the max task is a
-    # bounded multiple of FAIR SHARE (a few 800-row salt chunks can
-    # still co-hash with cold hosts — bounded, not perfectly uniform)
-    assert s_rows <= 3.5, s_rows
-    assert s_max <= 4 * fair, (s_max, fair)
-    assert s_max * 2 <= u_max, (s_max, u_max)
-    # task-TIME follows rows (loose bounds: timing on a shared host)
-    assert u_secs >= 3.0, u_secs
-    assert s_secs <= 4.0, s_secs
 
 
 def test_minhash_band_join_aqe_skew_split(spark):
