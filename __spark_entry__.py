@@ -4773,6 +4773,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_para_prune"] = text_para_prune
 
+    def crawl_refetch_waste(spark, sf_dir):
+        """Revalidation audit (scheduler.refetch_waste): per-host
+        share of refetches that brought back an unchanged page — the
+        fetches conditional GETs would have turned into 304s. Same
+        synthesized 4-generation history as crawl_change_rates, hosts
+        assigned doc_id % 7; one lag window + one host rollup."""
+        from gocrawl_spark import scheduler as sch
+
+        d = F.col("doc_id")
+        hist = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("generation"),
+            )
+            .select(
+                F.concat(
+                    F.lit("https://h.example.com/doc/"), d.cast("string")
+                ).alias("url"),
+                F.concat(
+                    F.lit("h"), (d % 7).cast("string"), F.lit(".example.com")
+                ).alias("host"),
+                "generation",
+                F.when(d % 3 == 0, F.col("generation"))
+                .when((d % 3 == 1) & (F.col("generation") >= 2), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("page_ts"),
+            )
+        )
+        return sch.refetch_waste(hist)
+
+    q["crawl_refetch_waste"] = crawl_refetch_waste
+
+    def curate_host_cap(spark, sf_dir):
+        """Per-host document cap with quality-ranked retention
+        (curation.host_cap): keep the top-10 quality_score docs per
+        source host (25 per host in the testdata, so the cut binds) —
+        FineWeb/MassiveText per-domain limiting. One
+        codegen'd quality projection + one host-partitioned
+        row_number window, filter before anything downstream."""
+        docs = _docs(spark, sf_dir)
+        return curation.host_cap(docs, cap=10, host_col="source")
+
+    q["curate_host_cap"] = curate_host_cap
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -11090,6 +11135,62 @@ def oracle_sql() -> dict[str, str]:
                    x -> x.para),
                  chr(10)) AS text
         FROM fl GROUP BY doc_id
+    """
+
+    # crawl_refetch_waste: same synthesized history + hosts, lag-based
+    # unchanged counting, one host rollup
+    o["crawl_refetch_waste"] = r"""
+        WITH hist AS (
+          SELECT 'https://h.example.com/doc/' || doc_id::VARCHAR AS url,
+                 'h' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+                 g AS generation,
+                 CASE WHEN doc_id % 3 = 0 THEN g
+                      WHEN doc_id % 3 = 1 AND g >= 2 THEN 1
+                      ELSE 0 END AS page_ts
+          FROM documents, unnest(range(0, 4)) AS t(g)),
+        obs AS (
+          SELECT url, host, page_ts,
+                 lag(page_ts) OVER (PARTITION BY url ORDER BY generation) AS prev
+          FROM hist),
+        agg AS (
+          SELECT host,
+                 count(DISTINCT url)::BIGINT AS n_urls,
+                 sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_refetches,
+                 sum(CASE WHEN prev IS NOT NULL AND page_ts = prev
+                          THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+          FROM obs GROUP BY host)
+        SELECT host, n_urls, n_refetches, n_unchanged,
+               CASE WHEN n_refetches > 0
+                    THEN round(n_unchanged::DOUBLE / n_refetches, 6)
+                    ELSE 0.0 END AS waste_share
+        FROM agg
+    """
+
+    # curate_host_cap: the text_quality score twin ranked per host,
+    # (quality DESC, doc_id ASC) election cut at 30
+    o["curate_host_cap"] = rf"""
+        WITH t AS (
+          SELECT doc_id, source AS host,
+                 len(regexp_extract_all(lower(text), '{_stop}', 1)) AS stop_hits,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct_cnt,
+                 length(text)::DOUBLE AS n_chars,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> ''))::DOUBLE AS n_tok
+          FROM documents),
+        q AS (
+          SELECT doc_id, host,
+                 round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+                     + 0.3::DOUBLE * least(1.0::DOUBLE,
+                         (CASE WHEN n_tok > 0 THEN stop_hits / n_tok
+                               ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                     + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                         (CASE WHEN n_chars > 0 THEN punct_cnt / n_chars
+                               ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)), 6) AS quality
+          FROM t)
+        SELECT doc_id, host, quality,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY quality DESC, doc_id ASC) AS host_rank
+        FROM q QUALIFY host_rank <= 10
     """
 
     return o

@@ -131,6 +131,8 @@ HEADLINE = [
     "corpus_pipeline_funnel",
     "crawl_seed_expansion",
     "text_para_prune",
+    "crawl_refetch_waste",
+    "curate_host_cap",
 ]
 
 

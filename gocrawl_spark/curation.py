@@ -786,6 +786,54 @@ def clf_roc(
     )
 
 
+def host_cap(
+    docs: DataFrame,
+    cap: int = 1000,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host document cap with quality-ranked retention — the
+    domain-diversity step web-corpus pipelines apply so one mega-host
+    (a wiki mirror, a forum archive) cannot dominate the training
+    mix: keep at most `cap` documents per host, electing the
+    HIGHEST-QUALITY ones rather than an arbitrary subset. FineWeb's
+    URL-dedup + per-domain limiting and MassiveText's per-domain
+    subsampling are this operation; the host-reputation rollup
+    (`host_quality_stats`) gates whole hosts, this bounds the
+    survivors of hosts that pass.
+
+    Ranking: (quality_score DESC, id ASC) — the same 6-dp
+    `textstats.quality_score` the curation gates use, id tiebreak so
+    the cut is deterministic at any parallelism. Returns the
+    surviving rows as (doc_id, host, quality, host_rank), host_rank
+    1-based in election order.
+
+    Scale shape (10^10 docs): quality is a codegen'd projection in
+    the scan; the election is ONE host-partitioned row_number window
+    (sort-based, O(1) state per row) and the filter drops everything
+    past the cap before any further stage sees it. A pathological
+    mega-host makes one big sort partition — the standard AQE
+    skew-split handles it, and no state accumulates per key (this is
+    exactly the anchor_index pre-cut shape).
+    """
+    from pyspark.sql import Window as W
+
+    from gocrawl_spark import textstats
+
+    q6 = F.round(textstats.quality_score(text_col), 6)
+    w = W.partitionBy("host").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(host_col).alias("host"),
+            q6.alias("quality"),
+        )
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+    )
+
+
 def split_corpus(
     docs: DataFrame,
     fracs: dict[str, float] | None = None,
@@ -1375,7 +1423,8 @@ __all__ = [
     "host_suffixes", "blocklist_filter",
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
     "dsir_sample",
-    "host_stats", "hash_weights", "clf_score", "mixture_select",
+    "host_stats", "hash_weights", "clf_score", "clf_roc", "host_cap",
+    "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
     "chunk_windows", "temperature_weights", "doremi_weights",

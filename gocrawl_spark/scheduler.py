@@ -255,6 +255,72 @@ def ucb_schedule(
     return scored
 
 
+def refetch_waste(
+    history: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    ts_col: str = "page_ts",
+    gen_col: str = "generation",
+) -> DataFrame:
+    """Revalidation audit: per host, how many refetches brought back
+    an UNCHANGED page — the fetches a conditional-GET (If-None-Match /
+    If-Modified-Since, RFC 9110 §13) or a smarter `change_rates`-fed
+    schedule would have turned into 304s. The reference refetches
+    unconditionally on its 1-minute ticker (internal/job/
+    scheduler.go:78); this quantifies what that costs per host, the
+    ops report that justifies turning the UCB/change-rate scheduling
+    on.
+
+    Input is the change_rates observation history plus a host column:
+    one row per (url, generation) with any comparable version stamp.
+    A row with a predecessor is a REFETCH; unchanged = stamp equal to
+    the previous generation's. Returns
+    (host, n_urls, n_refetches, n_unchanged, waste_share) with
+    waste_share = n_unchanged / n_refetches rounded to 6 dp (0.0 when
+    a host was never refetched — first-visit-only hosts are not
+    "wasteful", just new).
+
+    Scale shape (10^10 rows): change_rates' one url-keyed lag window,
+    then ONE host-keyed map-side-combining groupBy — output ≈ #hosts
+    rows. No driver state, no second scan.
+    """
+    from pyspark.sql import Window as W
+
+    obs = history.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(gen_col).alias("gen"),
+        F.col(ts_col).alias("ts"),
+    ).withColumn("_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen")))
+    agg = obs.groupBy("host").agg(
+        F.count_distinct("url").alias("n_urls"),
+        F.sum(F.when(F.col("_prev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_refetches"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col("ts") == F.col("_prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unchanged"),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_refetches",
+        "n_unchanged",
+        F.when(
+            F.col("n_refetches") > 0,
+            F.round(
+                F.col("n_unchanged") / F.col("n_refetches").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("waste_share"),
+    )
+
+
 def run_schedule(
     spark: SparkSession,
     corpus: DataFrame,
@@ -357,5 +423,5 @@ def run_schedule(
 __all__ = [
     "run_schedule", "generations", "last_finished_generation", "seeds_of",
     "generation_rank", "generation_diff", "change_rates", "refresh_priorities",
-    "ucb_schedule",
+    "ucb_schedule", "refetch_waste",
 ]

@@ -3939,3 +3939,46 @@ def test_lm_para_prune_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, textstats.lm_para_prune(df.repartition(1), max_ppl=80.0).collect()))
     b = sorted(map(tuple, textstats.lm_para_prune(df.repartition(13), max_ppl=80.0).collect()))
     assert a == b
+
+
+def test_refetch_waste_hand_computed(spark):
+    from gocrawl_spark import scheduler as sch
+
+    hist = spark.createDataFrame(
+        # host X: url A seen 3 times never changing (2 wasted refetches),
+        # url B changes each time (2 useful). host Y: first visits only.
+        [("A", "X", 0, 5), ("A", "X", 1, 5), ("A", "X", 2, 5),
+         ("B", "X", 0, 1), ("B", "X", 1, 2), ("B", "X", 2, 3),
+         ("C", "Y", 0, 9)],
+        "url string, host string, generation int, page_ts int",
+    )
+    got = {r["host"]: r for r in sch.refetch_waste(hist).collect()}
+    x = got["X"]
+    assert (x["n_urls"], x["n_refetches"], x["n_unchanged"]) == (2, 4, 2)
+    assert x["waste_share"] == 0.5
+    y = got["Y"]
+    assert (y["n_urls"], y["n_refetches"], y["n_unchanged"]) == (1, 0, 0)
+    assert y["waste_share"] == 0.0
+
+
+def test_host_cap_elects_best_quality(spark):
+    from gocrawl_spark import curation
+
+    rich = ("the data and the table for it is that " * 12).strip()
+    docs = spark.createDataFrame(
+        [(1, "h1", rich), (2, "h1", "x y"), (3, "h1", rich + " extra"),
+         (4, "h2", "solo")],
+        "doc_id long, source string, text string",
+    )
+    out = curation.host_cap(docs, cap=2, host_col="source")
+    got = {r["doc_id"]: r for r in out.collect()}
+    # h1 keeps its 2 best-quality docs; the junk doc 2 is cut
+    assert set(got) == {1, 3, 4}
+    assert got[4]["host_rank"] == 1
+    assert {got[1]["host_rank"], got[3]["host_rank"]} == {1, 2}
+    # deterministic across parallelism
+    a = sorted(map(tuple, curation.host_cap(docs.repartition(1), cap=2,
+                                            host_col="source").collect()))
+    b = sorted(map(tuple, curation.host_cap(docs.repartition(7), cap=2,
+                                            host_col="source").collect()))
+    assert a == b
