@@ -10953,9 +10953,9 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
               FROM freq),
         tot AS (SELECT sum(np)::BIGINT AS P, sum(nn)::BIGINT AS N,
-                       sum(np::DOUBLE * (cnb::DOUBLE + 0.5 * nn)) AS U FROM r),
+                       sum((np * (2 * cnb + nn))::HUGEINT) AS U2 FROM r),
         a2 AS (SELECT CASE WHEN P > 0 AND N > 0
-                           THEN round(U / (P::DOUBLE * N::DOUBLE), 6)
+                           THEN round(U2::DOUBLE / 2.0 / (P::DOUBLE * N::DOUBLE), 6)
                            ELSE 0.0 END AS auc FROM tot),
         thr AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]::DOUBLE[]) AS threshold),
         conf AS (SELECT threshold,
@@ -11122,19 +11122,25 @@ def oracle_sql() -> dict[str, str]:
         fl AS (SELECT p.doc_id, p.pidx, p.para,
                       (s.n_trans IS NULL
                        OR round(exp(-s.sum_lp / s.n_trans), 6) <= 100.0) AS keep
-               FROM p0 p LEFT JOIN sc s USING (doc_id, pidx))
-        SELECT doc_id,
-               count(*)::BIGINT AS n_paras,
-               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-               array_to_string(
-                 list_transform(
-                   list_filter(
-                     list(struct_pack(pidx := pidx, para := para, keep := keep)
-                          ORDER BY pidx),
-                     x -> x.keep),
-                   x -> x.para),
-                 chr(10)) AS text
-        FROM fl GROUP BY doc_id
+               FROM p0 p LEFT JOIN sc s USING (doc_id, pidx)),
+        g AS (
+          SELECT doc_id,
+                 count(*)::BIGINT AS n_paras,
+                 sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                 array_to_string(
+                   list_transform(
+                     list_filter(
+                       list(struct_pack(pidx := pidx, para := para, keep := keep)
+                            ORDER BY pidx),
+                       x -> x.keep),
+                     x -> x.para),
+                   chr(10)) AS text
+          FROM fl GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(g.n_paras, 0)::BIGINT AS n_paras,
+               coalesce(g.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(g.text, '') AS text
+        FROM documents d LEFT JOIN g USING (doc_id)
     """
 
     # crawl_refetch_waste: same synthesized history + hosts, lag-based
@@ -11167,7 +11173,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # curate_host_cap: the text_quality score twin ranked per host,
-    # (quality DESC, doc_id ASC) election cut at 30
+    # (quality DESC, doc_id ASC) election cut at 10
     o["curate_host_cap"] = rf"""
         WITH t AS (
           SELECT doc_id, source AS host,

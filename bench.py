@@ -125,7 +125,8 @@ HEADLINE = [
     "search_hard_negatives",
     # round-4 session 10: UCB recrawl bandit, classifier ROC report,
     # curation yield funnel, co-citation seed expansion, paragraph
-    # perplexity surgery (one each)
+    # perplexity surgery, revalidation waste audit, per-host quality
+    # cap (one each)
     "crawl_ucb_schedule",
     "text_quality_roc",
     "corpus_pipeline_funnel",

@@ -679,8 +679,10 @@ def clf_roc(
               / (P · N)
 
     Scores are already 6-dp-rounded by `clf_score`, so equal floats
-    compare exactly and the statistic is bit-stable at any
-    parallelism. Returns one row per threshold:
+    compare exactly; the numerator accumulates in exact integer
+    half-units (decimal), so the statistic is bit-stable at any
+    parallelism and corpus size. Rows whose label is NULL are
+    EXCLUDED (unlabeled ≠ negative). Returns one row per threshold:
     (threshold, tp, fp, fn, tn, precision, recall, f1, auc) — ratios
     6 dp, 0.0 when the denominator is 0, `auc` constant across rows.
     Degenerate labels (P = 0 or N = 0) yield auc = 0.0.
@@ -704,7 +706,7 @@ def clf_roc(
             F.col(id_col).alias("_id"), F.col(label_col).cast("boolean").alias("_y")
         ),
         "_id",
-    )
+    ).filter(F.col("_y").isNotNull())  # unlabeled docs are excluded, not negatives
     freq = j.groupBy("_s").agg(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_np"),
         F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_nn"),
@@ -743,17 +745,32 @@ def clf_roc(
             F.sum(F.when(F.col("_s") < F.col("threshold"), F.col("_nn")).otherwise(0))
             .cast("long")
             .alias("tn"),
+            # Mann-Whitney numerator in EXACT half-units: each term
+            # n_pos·(cum_neg + 0.5·n_neg) is a half-integer, so 2·term
+            # is an integer — summed as decimal(38,0) it is exact and
+            # order-free at any corpus size, where a double running sum
+            # would lose bits past 2^52 and make the 6-dp round
+            # parallelism-dependent
             F.sum(
-                F.col("_np").cast("double")
-                * (F.col("_cnb").cast("double") + F.lit(0.5) * F.col("_nn"))
-            ).alias("_u"),
+                (
+                    F.col("_np").cast("decimal(38,0)")
+                    * (F.lit(2) * F.col("_cnb") + F.col("_nn")).cast(
+                        "decimal(38,0)"
+                    )
+                )
+            ).alias("_u2"),
         )
     )
     _P = F.col("tp") + F.col("fn")
     _N = F.col("fp") + F.col("tn")
     auc = F.when(
         (_P > 0) & (_N > 0),
-        F.round(F.col("_u") / (_P.cast("double") * _N.cast("double")), 6),
+        F.round(
+            F.col("_u2").cast("double")
+            / F.lit(2.0)
+            / (_P.cast("double") * _N.cast("double")),
+            6,
+        ),
     ).otherwise(F.lit(0.0))
     z = F.lit(0.0)
     prec = F.when(

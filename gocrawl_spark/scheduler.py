@@ -104,6 +104,33 @@ def generation_diff(
     return diff_corpus(snap(gen_a), snap(gen_b), key="url", content="content")
 
 
+def _lagged_obs(
+    history: DataFrame,
+    url_col: str,
+    ts_col: str,
+    gen_col: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared change-detection fold: one row per observation as
+    (url[, extra...], gen, ts, _prev) with `_prev` the previous
+    generation's version stamp (url-keyed lag window). change_rates,
+    ucb_schedule and refetch_waste all start here, so the
+    change-counting convention lives in exactly one place."""
+    from pyspark.sql import Window as W
+
+    cols = [F.col(url_col).alias("url")]
+    cols += [F.col(c).alias(c) for c in extra]
+    cols += [F.col(gen_col).alias("gen"), F.col(ts_col).alias("ts")]
+    return history.select(*cols).withColumn(
+        "_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen"))
+    )
+
+
+def _changed():
+    """An observation that is a refetch AND came back different."""
+    return F.col("_prev").isNotNull() & (F.col("ts") != F.col("_prev"))
+
+
 def change_rates(
     history: DataFrame,
     url_col: str = "url",
@@ -125,17 +152,10 @@ def change_rates(
     two observations are dropped. One url-keyed window + one groupBy —
     O(history) at any scale. Returns
     (url, n_obs, n_changes, change_rate)."""
-    from pyspark.sql import Window as W
-
-    obs = history.select(
-        F.col(url_col).alias("url"), F.col(gen_col).alias("gen"), F.col(ts_col).alias("ts")
-    ).withColumn("_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen")))
+    obs = _lagged_obs(history, url_col, ts_col, gen_col)
     agg = obs.groupBy("url").agg(
         F.count("*").alias("n_obs"),
-        F.sum(
-            F.when(F.col("_prev").isNotNull() & (F.col("ts") != F.col("_prev")), 1)
-            .otherwise(0)
-        ).alias("n_changes"),
+        F.sum(F.when(_changed(), 1).otherwise(0)).alias("n_changes"),
     )
     n_int = (F.col("n_obs") - 1).cast("double")
     x = F.col("n_changes").cast("double")
@@ -213,20 +233,12 @@ def ucb_schedule(
     """
     from pyspark.sql import Window as W
 
-    obs = history.select(
-        F.col(url_col).alias("url"),
-        F.col(gen_col).alias("gen"),
-        F.col(ts_col).alias("ts"),
-    ).withColumn("_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen")))
+    obs = _lagged_obs(history, url_col, ts_col, gen_col)
     per_url = (
         obs.groupBy("url")
         .agg(
             F.count("*").alias("n_obs"),
-            F.sum(
-                F.when(
-                    F.col("_prev").isNotNull() & (F.col("ts") != F.col("_prev")), 1
-                ).otherwise(0)
-            ).alias("n_changes"),
+            F.sum(F.when(_changed(), 1).otherwise(0)).alias("n_changes"),
         )
         .filter(F.col("n_obs") >= 2)
     )
@@ -284,14 +296,9 @@ def refetch_waste(
     then ONE host-keyed map-side-combining groupBy — output ≈ #hosts
     rows. No driver state, no second scan.
     """
-    from pyspark.sql import Window as W
-
-    obs = history.select(
-        F.col(url_col).alias("url"),
-        F.col(host_col).alias("host"),
-        F.col(gen_col).alias("gen"),
-        F.col(ts_col).alias("ts"),
-    ).withColumn("_prev", F.lag("ts").over(W.partitionBy("url").orderBy("gen")))
+    obs = _lagged_obs(history, url_col, ts_col, gen_col, extra=(host_col,))
+    if host_col != "host":
+        obs = obs.withColumnRenamed(host_col, "host")
     agg = obs.groupBy("host").agg(
         F.count_distinct("url").alias("n_urls"),
         F.sum(F.when(F.col("_prev").isNotNull(), 1).otherwise(0))

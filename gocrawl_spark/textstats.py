@@ -1000,11 +1000,12 @@ def lm_para_prune(
 
     Keep rule: a paragraph survives iff n_trans == 0 (too short to
     score — never punished) or its 6-dp-rounded ppl ≤ `max_ppl`.
-    Returns (doc_id, n_paras, n_kept, text) with `text` the kept
-    paragraphs re-joined by '\\n' IN ORIGINAL ORDER (empty string if
-    everything died); blank/whitespace-only paragraphs are not
-    paragraphs (line_dedup's convention) and are dropped before
-    counting. Per-paragraph log-probs fold position-ordered (the
+    Returns one row per INPUT document — (doc_id, n_paras, n_kept,
+    text) with `text` the kept paragraphs re-joined by '\\n' IN
+    ORIGINAL ORDER (empty string if everything died);
+    blank/whitespace-only paragraphs are not paragraphs (line_dedup's
+    convention) and are dropped before counting, and a doc with no
+    non-blank paragraphs at all still folds to (0, 0, ''). Per-paragraph log-probs fold position-ordered (the
     lm_perplexity bit-stability contract), so output text is
     byte-identical at any parallelism.
 
@@ -1052,33 +1053,38 @@ def lm_para_prune(
         "_keep",
         F.col("n_trans").isNull() | (ppl <= F.lit(float(max_ppl))),
     )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.count("*").cast("long").alias("n_paras"),
-            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    "pidx",
-                                    F.col("para").alias("para"),
-                                    F.col("_keep").alias("keep"),
-                                )
+    folded = flagged.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pidx",
+                                F.col("para").alias("para"),
+                                F.col("_keep").alias("keep"),
                             )
-                        ),
-                        lambda x: x["keep"],
+                        )
                     ),
-                    lambda x: x["para"],
+                    lambda x: x["keep"],
                 ),
-                "\n",
-            ).alias("text"),
-        )
-        .select(F.col("id").alias(id_col), "n_paras", "n_kept", "text")
+                lambda x: x["para"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    # every input doc gets an output row — a doc with no non-blank
+    # paragraphs folds to (0, 0, ''), the line_dedup cardinality rule
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(folded, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text", F.lit("")).alias("text"),
     )
 
 

@@ -3781,14 +3781,18 @@ def test_ucb_schedule_hand_computed(spark):
 def test_ucb_bonus_floats_sparse_arms(spark):
     from gocrawl_spark import scheduler as sch
 
-    # D changed on 1 of 9 intervals (well observed), E on 1 of 1
-    # (barely observed): equal-ish means, E's bonus must rank it first
-    rows = [("D", g, 1 if g == 5 else 0) for g in range(10)]
-    rows += [("E", 0, 0), ("E", 1, 3)]
+    # IDENTICAL mean change-rate 0.5 on both arms, so only the
+    # sqrt(2 ln N / n) bonus can separate them: D is well observed
+    # (11 obs, 5 changes / 10 intervals), E barely (3 obs, 1 change /
+    # 2 intervals) — E must rank first on the bonus alone
+    rows = [("D", g, g // 2) for g in range(11)]
+    rows += [("E", 0, 0), ("E", 1, 3), ("E", 2, 3)]
     hist = spark.createDataFrame(rows, "url string, generation int, page_ts int")
-    # D's change counting: ts goes 0..1 at g=5 then back 1->0 at g=6
-    got = sch.ucb_schedule(hist, top_k=1).collect()
-    assert [r["url"] for r in got] == ["E"]
+    got = {r["url"]: r for r in sch.ucb_schedule(hist).collect()}
+    assert got["D"]["mean_change"] == got["E"]["mean_change"] == 0.5
+    assert got["E"]["ucb"] > got["D"]["ucb"]
+    top = sch.ucb_schedule(hist, top_k=1).collect()
+    assert [r["url"] for r in top] == ["E"]
 
 
 def test_clf_roc_hand_computed(spark):
@@ -3825,6 +3829,16 @@ def test_clf_roc_degenerate_labels(spark):
     )
     rows = curation.clf_roc(scores, labels, thresholds=(0.5,)).collect()
     assert rows[0]["auc"] == 0.0 and rows[0]["tn"] == 0
+    # NULL labels are excluded, not counted as negatives
+    labels3 = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "doc_id long, label boolean"
+    )
+    scores3 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.1), (3, 0.5)], "doc_id long, score double"
+    )
+    r3 = curation.clf_roc(scores3, labels3, thresholds=(0.5,)).collect()[0]
+    assert (r3["tp"], r3["fp"], r3["fn"], r3["tn"]) == (1, 0, 0, 1)
+    assert r3["auc"] == 1.0
 
 
 def test_pipeline_funnel_hand_computed(spark):
@@ -3901,7 +3915,8 @@ def test_lm_para_prune_drops_gibberish_paragraph(spark):
     docs = spark.createDataFrame(
         [(1, common + "\nxq1 qx1 zv1 vz1\n" + common),
          (2, common),
-         (3, common + "\n\n  \n" + common)],       # blank paras vanish
+         (3, common + "\n\n  \n" + common),        # blank paras vanish
+         (4, "\n \n")],                            # no real paragraphs at all
         "doc_id long, text string",
     )
     # measured under the self-trained LM: prose paragraphs score
@@ -3915,6 +3930,8 @@ def test_lm_para_prune_drops_gibberish_paragraph(spark):
     # whitespace-only paragraphs are not paragraphs
     assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 2)
     assert out[3]["text"] == common + "\n" + common
+    # a doc with no non-blank paragraphs still gets a row
+    assert (out[4]["n_paras"], out[4]["n_kept"], out[4]["text"]) == (0, 0, "")
 
 
 def test_lm_para_prune_short_paragraphs_never_punished(spark):
