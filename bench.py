@@ -134,6 +134,7 @@ HEADLINE = [
     "text_para_prune",
     "crawl_refetch_waste",
     "curate_host_cap",
+    "train_quality_clf",
 ]
 
 

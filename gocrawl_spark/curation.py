@@ -21,6 +21,8 @@ generation pays per-pair cost.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -653,6 +655,141 @@ def clf_score(
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def clf_train(
+    docs: DataFrame,
+    labels: DataFrame,
+    buckets: int = 1024,
+    sweeps: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Distributed logistic-regression training for the `clf_score`
+    quality filter — full-batch gradient descent over the hashed
+    unigram+bigram mean-pooled bag (the fasttext architecture,
+    Joulin et al. 2016), the step FineWeb-Edu-style pipelines run to
+    turn weak labels (a rule gate, an LLM judge) into a cheap
+    corpus-scale scorer. Produces a (bucket, weight) table that plugs
+    straight into `clf_score`; `hash_weights` is the untrained
+    stand-in this replaces.
+
+    Model matches clf_score's inference exactly: score_d =
+    σ(mean weight of the doc's feature occurrences); per sweep the
+    full-batch gradient of log-loss is
+
+        grad_b = Σ_d (σ_d − y_d) / n_d   over occurrences of b in d
+        w_b   ← w_b − lr · grad_b
+
+    **Determinism contract (integer micro-units):** weights live as
+    exact 1e-6 integers; the per-doc weight sum is a LONG sum (exact,
+    order-free), σ_d is one rounded float op from exact integers, the
+    per-occurrence gradient contribution rounds to an integer
+    micro-unit BEFORE the exact long fold, and the update rounds
+    lr·grad once. No floating accumulation anywhere — bit-equal at
+    any parallelism and corpus size, and the DuckDB oracle replays
+    the sweeps in the same integer arithmetic. Docs with no features
+    contribute nothing (their σ is constant and their gradient has no
+    bucket to land on). NULL labels are excluded (clf_roc's rule).
+
+    Scale shape (10^10 docs): per sweep, ONE doc_id-keyed fold for
+    scores (features explode in the scan, weights are a ≤`buckets`-row
+    broadcast) and ONE bucket-keyed fold for the gradient (map-side
+    combined, output ≤`buckets` rows collected to the driver — the
+    k-means-centroid O(k·dim) pattern). `sweeps` is a small constant
+    (full-batch GD converges fast on a 1024-dim mean-pooled model),
+    so the driver loop is bounded like the Lloyd sweeps, not like a
+    per-merge BPE loop.
+    """
+    spark = docs.sparkSession
+    feats = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"),
+    ).persist()
+    lab = labels.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    # integer micro-unit weight state, driver-side (≤ buckets entries)
+    w_int: dict[int, int] = {}
+    try:
+        for _ in range(int(sweeps)):
+            if w_int:
+                wdf = spark.createDataFrame(
+                    [(b, w) for b, w in sorted(w_int.items())],
+                    "bucket int, w_int long",
+                )
+            else:
+                wdf = spark.range(0).select(
+                    F.col("id").cast("int").alias("bucket"),
+                    F.col("id").alias("w_int"),
+                )
+            per_doc = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy("_id")
+                .agg(
+                    F.count("*").alias("_n"),
+                    F.sum(F.coalesce("w_int", F.lit(0))).alias("_s_int"),
+                )
+            )
+            sig = F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.col("_s_int").cast("double")
+                            / F.lit(1e6)
+                            / F.col("_n").cast("double")
+                        )
+                    )
+                ),
+                6,
+            )
+            resid = per_doc.join(lab, "_id").select(
+                "_id",
+                "_n",
+                # residual (σ − y) in exact micro-units: σ is 6 dp so
+                # σ·1e6 is integral up to float representation — round
+                # snaps it back to the exact integer
+                F.round(
+                    (sig - F.when(F.col("_y"), 1.0).otherwise(0.0)) * 1e6
+                )
+                .cast("long")
+                .alias("_r_int"),
+            )
+            grad = (
+                feats.join(resid, "_id")
+                .select(
+                    "bucket",
+                    # per-occurrence contribution r/n, rounded to an
+                    # integer micro-unit BEFORE the exact long fold
+                    F.round(
+                        F.col("_r_int").cast("double") / F.col("_n")
+                    )
+                    .cast("long")
+                    .alias("_g"),
+                )
+                .groupBy("bucket")
+                .agg(F.sum("_g").alias("_g_int"))
+                .collect()
+            )
+            for row in grad:
+                b = int(row["bucket"])
+                delta = lr * row["_g_int"]
+                # round half AWAY FROM ZERO — the SQL round() rule the
+                # engine-side folds use; Python's round() is banker's
+                # and would disagree on odd gradients at lr=0.5
+                d_int = int(math.floor(abs(delta) + 0.5))
+                w_int[b] = w_int.get(b, 0) - (d_int if delta >= 0 else -d_int)
+    finally:
+        feats.unpersist()
+    rows = [(b, w / 1e6) for b, w in sorted(w_int.items())]
+    if not rows:
+        return spark.createDataFrame([], "bucket int, weight double")
+    return spark.createDataFrame(rows, "bucket int, weight double")
 
 
 def clf_roc(
@@ -1440,8 +1577,8 @@ __all__ = [
     "host_suffixes", "blocklist_filter",
     "hashed_ngram_buckets", "dsir_log_ratios", "dsir_weights", "dsir_select",
     "dsir_sample",
-    "host_stats", "hash_weights", "clf_score", "clf_roc", "host_cap",
-    "mixture_select",
+    "host_stats", "hash_weights", "clf_score", "clf_train", "clf_roc",
+    "host_cap", "mixture_select",
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
     "chunk_windows", "temperature_weights", "doremi_weights",

@@ -3999,3 +3999,61 @@ def test_host_cap_elects_best_quality(spark):
     b = sorted(map(tuple, curation.host_cap(docs.repartition(7), cap=2,
                                             host_col="source").collect()))
     assert a == b
+
+
+def test_clf_train_single_sweep_hand_computed(spark):
+    import hashlib
+
+    from gocrawl_spark import curation
+
+    # one doc, one feature, label positive: sigma0 = 0.5, residual
+    # -0.5e6 micro, gradient -500000, update w = +round(0.5*500000)
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    labels = spark.createDataFrame([(1, True)], "doc_id long, label boolean")
+    out = curation.clf_train(docs, labels, sweeps=1, lr=0.5).collect()
+    assert len(out) == 1
+    bucket = int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 1024
+    assert out[0]["bucket"] == bucket
+    assert out[0]["weight"] == 0.25
+
+
+def test_clf_train_learns_separable_labels(spark):
+    from gocrawl_spark import curation
+
+    # two disjoint vocabularies, labels follow the vocabulary: the
+    # trained scorer must separate them (untrained cannot)
+    rows = [(i, "good fine nice clean solid " * 4, True) for i in range(30)]
+    rows += [(100 + i, "junk spam trash noise mess " * 4, False) for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in rows], "doc_id long, label boolean"
+    )
+    w = curation.clf_train(docs, labels, sweeps=3, lr=0.5)
+    roc = curation.clf_roc(
+        curation.clf_score(docs, w), labels, thresholds=(0.5,)
+    ).collect()[0]
+    assert roc["auc"] == 1.0
+    assert roc["tp"] == 30 and roc["tn"] == 30 and roc["fp"] == 0
+
+
+def test_clf_train_deterministic_and_ignores_unlabeled(spark):
+    from gocrawl_spark import curation
+
+    rows = [(i, f"w{i % 9} common text body here number {i % 4}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(i, (i % 3 == 0) if i % 5 else None) for i in range(40)],
+        "doc_id long, label boolean",
+    )
+    a = sorted(map(tuple, curation.clf_train(
+        docs.repartition(1), labels, sweeps=2).collect()))
+    b = sorted(map(tuple, curation.clf_train(
+        docs.repartition(11), labels, sweeps=2).collect()))
+    assert a == b
+    # NULL-labeled docs contribute no gradient: training on the
+    # labeled subset alone gives the identical weight table
+    only = labels.filter("label is not null")
+    c = sorted(map(tuple, curation.clf_train(docs, only, sweeps=2).collect()))
+    assert a == c
