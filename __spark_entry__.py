@@ -4837,6 +4837,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_quality_clf"] = train_quality_clf
 
+    def crawl_robots_drift(spark, sf_dir):
+        """Retro robots-compliance audit (robots.drift_audit): the
+        robots_gate_s3 URL mix re-checked as a FETCH LOG against the
+        current synth_robots rules — per host, how many stored pages
+        the present rules disallow (the RFC 9309 purge list the
+        reference never computes). Same parser/evaluator as the
+        fetch-time gate; one join + one #hosts-row rollup."""
+        from gocrawl_spark import robots as rb
+
+        docs = _docs(spark, sf_dir)
+        path = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/article/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/category/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/page/"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/page/1"), F.col("doc_id")))
+        )
+        host = F.concat(
+            F.lit("site"), F.lpad((F.col("doc_id") % 16).cast("string"), 2, "0"),
+            F.lit(".example.com"),
+        )
+        fetched = docs.select(
+            F.concat(F.lit("https://"), host, path).alias("url"),
+            host.alias("host"),
+        )
+        return rb.drift_audit(fetched, rb.synth_robots(spark))
+
+    q["crawl_robots_drift"] = crawl_robots_drift
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -11283,6 +11311,37 @@ def oracle_sql() -> dict[str, str]:
                       (coalesce(w2.wv, 0) - round(0.5 * coalesce(g3.g, 0))::BIGINT)::BIGINT AS wv
                FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket)
         SELECT bucket, wv / 1e6 AS weight FROM w3
+    """
+
+    # crawl_robots_drift: the robots_gate_s3 longest-match CASE as a
+    # per-host disallowed rollup over the same URL mix
+    o["crawl_robots_drift"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 doc_id % 16 AS hi,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '/article/' || doc_id
+                   WHEN 1 THEN '/category/' || doc_id
+                   WHEN 2 THEN '/page/' || doc_id
+                   ELSE '/page/1' || doc_id
+                 END AS path
+          FROM documents),
+        v AS (
+          SELECT 'site' || lpad(hi::VARCHAR, 2, '0') || '.example.com' AS host,
+                 CASE
+                   WHEN path LIKE '/category/%' THEN FALSE
+                   WHEN hi % 3 = 0 AND path LIKE '/page/1%' THEN TRUE
+                   WHEN hi % 3 = 0 AND path LIKE '/page/%' THEN FALSE
+                   WHEN hi % 5 = 2 THEN FALSE
+                   ELSE TRUE END AS ok
+          FROM u),
+        agg AS (
+          SELECT host, count(*)::BIGINT AS n_fetched,
+                 sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_disallowed
+          FROM v GROUP BY host)
+        SELECT host, n_fetched, n_disallowed,
+               round(n_disallowed::DOUBLE / n_fetched, 6) AS disallowed_share
+        FROM agg
     """
 
     return o

@@ -135,6 +135,7 @@ HEADLINE = [
     "crawl_refetch_waste",
     "curate_host_cap",
     "train_quality_clf",
+    "crawl_robots_drift",
 ]
 
 

@@ -191,6 +191,63 @@ def gate(
     return kept.drop("_robots_host", "_robots_rules")
 
 
+def drift_audit(
+    fetched: DataFrame,
+    robots: DataFrame,
+    ua: str = DEFAULT_UA,
+    host_col: str = "host",
+    url_col: str = "url",
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Retro-compliance audit: which ALREADY-FETCHED URLs does the
+    CURRENT robots table disallow? robots.txt files change between
+    crawls; RFC 9309 operators are expected to honor the new rules
+    for stored content too (purge / noindex on new Disallow), and
+    search engines run exactly this re-check. The reference
+    re-fetches robots per crawl but never re-audits what it already
+    indexed (internal/crawler applies robots at fetch time only);
+    this is the batch re-check that feeds a purge list.
+
+    Per host: (host, n_fetched, n_disallowed, disallowed_share) with
+    the share rounded to 6 dp (integer ratio); hosts with no robots
+    row audit as fully allowed (RFC 9309 §2.3.1: no file = no
+    restrictions). The verdict is the SAME parser + longest-match
+    evaluator the fetch-time gate uses (`allowed_udf`), so gate and
+    audit can never disagree on a rule.
+
+    Scale shape (10^10 fetched rows): identical join shape to `gate`
+    — the robots side broadcasts when site-scoped, falls back to a
+    host-keyed shuffle join for open-web rule corpora (AQE decides
+    unless forced) — then ONE host-keyed map-side-combined rollup to
+    ≈#hosts rows. The fetch log is scanned once.
+    """
+    robots_small = robots.select(
+        F.col("host").alias("_robots_host"), F.col("rules").alias("_robots_rules")
+    )
+    if broadcast:
+        right = F.broadcast(robots_small)
+    elif broadcast is False:
+        right = robots_small.hint("shuffle_hash")
+    else:
+        right = robots_small
+    joined = fetched.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).join(right, F.col("host") == F.col("_robots_host"), "left")
+    ok = allowed_udf(ua)(F.col("url"), F.col("_robots_rules"))
+    agg = joined.groupBy("host").agg(
+        F.count("*").alias("n_fetched"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_disallowed"),
+    )
+    return agg.select(
+        "host",
+        "n_fetched",
+        "n_disallowed",
+        F.round(
+            F.col("n_disallowed") / F.col("n_fetched").cast("double"), 6
+        ).alias("disallowed_share"),
+    )
+
+
 # ----------------------------------------------------------- crawl-delay
 
 

@@ -4057,3 +4057,31 @@ def test_clf_train_deterministic_and_ignores_unlabeled(spark):
     only = labels.filter("label is not null")
     c = sorted(map(tuple, curation.clf_train(docs, only, sweeps=2).collect()))
     assert a == c
+
+
+def test_robots_drift_audit_hand_computed(spark):
+    from gocrawl_spark import robots as rb
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n"),
+         ("b.com", "User-agent: *\nDisallow: /\nAllow: /public/\n")],
+        "host string, rules string",
+    )
+    fetched = spark.createDataFrame(
+        [("a.com", "https://a.com/ok"), ("a.com", "https://a.com/private/x"),
+         ("b.com", "https://b.com/public/y"), ("b.com", "https://b.com/hidden"),
+         ("c.com", "https://c.com/anything")],  # no robots row: allowed
+        "host string, url string",
+    )
+    got = {r["host"]: r for r in rb.drift_audit(fetched, robots).collect()}
+    assert (got["a.com"]["n_fetched"], got["a.com"]["n_disallowed"]) == (2, 1)
+    assert got["a.com"]["disallowed_share"] == 0.5
+    assert (got["b.com"]["n_fetched"], got["b.com"]["n_disallowed"]) == (2, 1)
+    assert (got["c.com"]["n_fetched"], got["c.com"]["n_disallowed"]) == (1, 0)
+    # the audit verdict is the fetch-time gate's verdict: gate keeps
+    # exactly the rows the audit counts as allowed
+    kept = rb.gate(fetched, robots).count()
+    total_allowed = sum(
+        r["n_fetched"] - r["n_disallowed"] for r in got.values()
+    )
+    assert kept == total_allowed
