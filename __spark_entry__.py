@@ -4258,6 +4258,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bool_dismax"] = search_bool_dismax
 
+    def search_function_score(spark, sf_dir):
+        """ES `function_score` compound (search._compile_leaf): a
+        match sub-query decides matching; a filtered weight function
+        (lang=en → 2.0) and an unfiltered field_value_factor
+        (sqrt(0.01·n_chars)) combine per score_mode=sum, then multiply
+        the query's TF score (boost_mode=multiply). sqrt keeps the
+        oracle bit-equal (IEEE-exact in both engines). Pure column
+        arithmetic on the same single-scan bool_topk plan."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"function_score": {
+                    "query": {"match": {"text": "table scan"}},
+                    "functions": [
+                        {"filter": {"term": {"lang": "en"}}, "weight": 2.0},
+                        {"field_value_factor": {
+                            "field": "n_chars", "factor": 0.01,
+                            "modifier": "sqrt", "missing": 1.0}},
+                    ],
+                    "score_mode": "sum",
+                    "boost_mode": "multiply",
+                }}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_function_score"] = search_function_score
+
+    def search_terms_set(spark, sf_dir):
+        """ES `terms_set` leaf: analyzed-term membership where each
+        document carries its own required match count
+        (minimum_should_match_field) — here a derived req_terms column
+        (doc_id mod 3 + 1). Score = Σ TF of present query terms (the
+        match leaf's TF scoring)."""
+        docs = _docs(spark, sf_dir).withColumn(
+            "req_terms", (F.col("doc_id") % 3 + 1).cast("int")
+        )
+        return search.bool_topk(
+            docs,
+            {
+                "must": [{"terms_set": {"text": {
+                    "terms": ["table", "merge", "vector"],
+                    "minimum_should_match_field": "req_terms",
+                }}}],
+                "filter": [{"range": {"doc_id": {"lt": 400}}}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_terms_set"] = search_terms_set
+
+    def search_pinned(spark, sf_dir):
+        """ES `pinned` query: promoted ids rank first in list order
+        (score base 1e6 − position, dominating any organic score),
+        organic hits follow under their own match scores — ES's
+        searchable-ads primitive, one CASE column, no extra plan
+        nodes."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"pinned": {
+                    "ids": [42, 7, 99],
+                    "organic": {"match": {"text": "merge join"}},
+                }}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_pinned"] = search_pinned
+
+    def search_span_near(spark, sf_dir):
+        """Lucene `span_near` (in_order=true): 'table' then 'scan'
+        within slop 2 intervening positions; score = anchored
+        matching-window count via a greedy subsequence fold
+        (search._subseq_window_count) — per-row column expression,
+        no join, codegen-able; slop=0 degenerates to match_phrase."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "table"}},
+                        {"span_term": {"text": "scan"}},
+                    ],
+                    "slop": 2,
+                    "in_order": True,
+                }}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_span_near"] = search_span_near
+
+    def search_rank_feature(spark, sf_dir):
+        """ES `rank_feature` should-clause shaping a relevance boost
+        from a numeric feature: saturation n_chars/(n_chars+pivot)
+        × boost added to the match TF score — the static-quality-
+        signal ranking pattern (pagerank/freshness boosting) as pure
+        IEEE-exact column arithmetic."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"match": {"text": "table"}}],
+                "should": [{"rank_feature": {
+                    "field": "n_chars",
+                    "saturation": {"pivot": 300},
+                    "boost": 5.0,
+                }}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_rank_feature"] = search_rank_feature
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -10333,6 +10452,96 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3::DOUBLE * (m1 + m2 - greatest(m1, m2)),
                      6)::DOUBLE AS score
         FROM s WHERE m1 > 0 OR m2 > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # function_score: match TF (table+scan, OR) × [2.0 if lang=en] +
+    # sqrt(0.01·n_chars) summed over matching functions (the fvf
+    # function always matches so the no-match→1 fallback never fires);
+    # sqrt is IEEE-exact in both engines so the hash compares bit-equal
+    o["search_function_score"] = f"""
+        WITH t AS (SELECT doc_id AS id, lang, n_chars,
+                          {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, lang, n_chars,
+                     {_antf("toks", "table")} + {_antf("toks", "scan")} AS q
+              FROM t)
+        SELECT id,
+               round(q::DOUBLE *
+                     (CASE WHEN lang = 'en' THEN 2.0::DOUBLE
+                           ELSE 0.0::DOUBLE END
+                      + sqrt(coalesce(n_chars::DOUBLE, 1.0) * 0.01)),
+                     6)::DOUBLE AS score
+        FROM s WHERE q > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # terms_set: per-doc required count req_terms = doc_id%3+1;
+    # matches when #distinct present query terms ≥ req; score = Σ TF
+    o["search_terms_set"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks
+                   FROM documents WHERE doc_id < 400),
+        s AS (SELECT id,
+                     {_antf("toks", "table")} AS tf1,
+                     {_antf("toks", "merge")} AS tf2,
+                     {_antf("toks", "vector")} AS tf3
+              FROM t)
+        SELECT id, round(tf1 + tf2 + tf3, 6)::DOUBLE AS score
+        FROM s
+        WHERE (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+               + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+               + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) >= (id % 3 + 1)
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # pinned: ids [42,7,99] score 1e6−position; organic = match
+    # "merge join" under its TF score; pinned ∪ organic matches
+    o["search_pinned"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id,
+                     {_antf("toks", "merge")} + {_antf("toks", "join")} AS q
+              FROM t)
+        SELECT id,
+               round(CASE id WHEN 42 THEN 1000000.0::DOUBLE
+                             WHEN 7  THEN  999999.0::DOUBLE
+                             WHEN 99 THEN  999998.0::DOUBLE
+                     ELSE q::DOUBLE END, 6)::DOUBLE AS score
+        FROM s WHERE q > 0 OR id IN (42, 7, 99)
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # span_near in_order slop=2: anchors at 'table' whose 3-position
+    # lookahead window holds a 'scan' (window n+slop=4 ⇔ gap ≤ slop);
+    # score = anchor count
+    o["search_span_near"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id,
+                     len(list_filter(range(1, len(toks) + 1),
+                         i -> toks[i] = 'table'
+                              AND list_contains(toks[i+1:i+3], 'scan')))
+                       AS cnt
+              FROM t)
+        SELECT id, round(cnt, 6)::DOUBLE AS score
+        FROM s WHERE cnt > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # rank_feature (saturation, pivot 300, boost 5): match TF +
+    # 5·v/(v+300) where the feature is positive — IEEE division only
+    o["search_rank_feature"] = f"""
+        WITH t AS (SELECT doc_id AS id, n_chars,
+                          {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id, n_chars, {_antf("toks", "table")} AS q FROM t)
+        SELECT id,
+               round(q::DOUBLE
+                     + CASE WHEN n_chars > 0 THEN
+                         5.0::DOUBLE * (n_chars::DOUBLE
+                                        / (n_chars::DOUBLE + 300.0))
+                       ELSE 0.0::DOUBLE END, 6)::DOUBLE AS score
+        FROM s WHERE q > 0
         ORDER BY score DESC, id ASC LIMIT 15
     """
 

@@ -136,6 +136,10 @@ HEADLINE = [
     "curate_host_cap",
     "train_quality_clf",
     "crawl_robots_drift",
+    # round-4 session 11: ES DSL tail — function_score ranking and the
+    # span_near ordered-proximity leaf (one representative each)
+    "search_function_score",
+    "search_span_near",
 ]
 
 

@@ -68,6 +68,11 @@ def _eq(term_lit: Column):
     return lambda x: x == term_lit
 
 
+# pinned-query score base: pinned doc #i scores _PIN_BASE − i, far above
+# any organic TF-derived score at any corpus size the compositor serves
+_PIN_BASE = 1_000_000
+
+
 def tf(col: Column | str, term: str) -> Column:
     """Occurrences of analyzer-token `term` in the analyzed column."""
     return F.size(F.filter(tokens(col), _eq(F.lit(term))))
@@ -571,6 +576,24 @@ def _collect_match_fields(clauses, fields: list[str]) -> None:
             _collect_match_fields([body["filter"]], fields)
         elif kind == "boosting":
             _collect_match_fields([body["positive"], body["negative"]], fields)
+        elif kind == "function_score":
+            subs = [body.get("query", {"match_all": {}})]
+            for fn in body.get("functions", ()):
+                if "filter" in fn:
+                    subs.append(fn["filter"])
+            _collect_match_fields(subs, fields)
+        elif kind == "pinned":
+            _collect_match_fields([body["organic"]], fields)
+        elif kind == "terms_set":
+            ((field, _spec),) = body.items()
+            if field not in fields:
+                fields.append(field)
+        elif kind == "span_near":
+            for sub in body.get("clauses", ()):
+                ((_k2, b2),) = sub.items()
+                ((field, _t),) = b2.items()
+                if field not in fields:
+                    fields.append(field)
 
 
 def _phrase_count(toks, terms: list[str]):
@@ -629,6 +652,45 @@ def _wildcard_regex(pattern: str) -> str:
         else:
             out.append(_re.escape(ch))
     return "^" + "".join(out) + "$"
+
+
+def _subseq_window_count(toks, terms: list[str], slop: int):
+    """Anchored ordered-subsequence window count for `span_near`
+    (in_order=true): the number of positions i with toks[i] ==
+    terms[0] such that the window toks[i .. i+n+slop-1] contains
+    `terms` as an in-order subsequence. Lucene's slop counts the
+    intervening positions, i_n − i_1 − (n−1) ≤ slop, which is exactly
+    a window of length n + slop anchored at the first term.
+
+    The subsequence check is a greedy left-to-right fold over the
+    window (aggregate carrying "how many terms matched so far") —
+    greedy earliest-next matching is exact for subsequence
+    containment, so no backtracking is needed. Everything stays a
+    per-row column expression: no join, no shuffle, whole-stage
+    codegen-able, same plan shape as _phrase_count (which is the
+    slop=0 special case)."""
+    n = len(terms)
+    win = n + slop
+    ta = F.array(*[F.lit(t) for t in terms])
+    sz = F.size(toks)
+    first = F.lit(terms[0])
+
+    def _ok(i):
+        return (F.element_at(toks, i) == first) & (
+            F.aggregate(
+                F.slice(toks, i, win),
+                F.lit(0),
+                lambda acc, x: F.when(
+                    (acc < n) & (x == F.element_at(ta, acc + 1)), acc + 1
+                ).otherwise(acc),
+            )
+            == n
+        )
+
+    return F.when(
+        sz >= n,
+        F.size(F.filter(F.sequence(F.lit(1), sz - n + 1, F.lit(1)), _ok)),
+    ).otherwise(F.lit(0))
 
 
 # --- query_string mini-parser ----------------------------------------------
@@ -824,6 +886,28 @@ def _expand_fuzzy_clauses(
                 ),
             }
         }
+    if kind == "function_score":
+        new_fs = {
+            **body,
+            "query": _expand_fuzzy_clauses(
+                body.get("query", {"match_all": {}}), df, _vocabs
+            ),
+        }
+        if "functions" in body:
+            new_fs["functions"] = [
+                {**fn, "filter": _expand_fuzzy_clauses(fn["filter"], df, _vocabs)}
+                if "filter" in fn
+                else fn
+                for fn in body["functions"]
+            ]
+        return {"function_score": new_fs}
+    if kind == "pinned":
+        return {
+            "pinned": {
+                **body,
+                "organic": _expand_fuzzy_clauses(body["organic"], df, _vocabs),
+            }
+        }
     if kind == "match":
         # ES match with fuzziness: each analyzed term becomes a fuzzy
         # leaf (expanded below via the shared vocab); terms combine
@@ -950,6 +1034,17 @@ def _compile_clause(clause: dict, tokcol: dict[str, str]):
       {"constant_score": {"filter": q}} flat boost, filter context
       {"boosting": {...}}               negative-matching docs demoted
                                         ×negative_boost, never excluded
+      {"function_score": {...}}         per-function weight / field_
+                                        value_factor, score_mode +
+                                        boost_mode combiners, max_boost,
+                                        min_score
+      {"rank_feature": {...}}           saturation / log / sigmoid
+                                        shaping of a numeric feature
+      {"terms_set": {field: {...}}}     per-doc required match count
+                                        (minimum_should_match_field)
+      {"pinned": {"ids": [...], ...}}   promoted ids first, organic after
+      {"span_near": {...}}              ordered span_term chain within
+                                        slop (in_order=true)
     (plus wildcard/regexp/ids/fuzzy/query_string — see _compile_leaf)
     """
     pred, score = _compile_leaf(clause, tokcol)
@@ -1095,6 +1190,202 @@ def _compile_leaf(clause: dict, tokcol: dict[str, str]):
         # compositor's id alias — bool_topk projects id_col to it)
         pred = F.col("id").isin(list(body["values"]))
         return pred, F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    if kind == "rank_feature":
+        # ES rank_feature query: numeric feature field, matches where
+        # the feature is present and positive; score by the chosen
+        # shaping function — saturation v/(v+pivot) (the default),
+        # log log10(scaling_factor + v) (Lucene FeatureField uses
+        # log10), sigmoid v^e/(v^e + pivot^e) — times boost
+        field = body["field"]
+        v = F.col(field).cast("double")
+        pred = v.isNotNull() & (v > 0)
+        boost = float(body.get("boost", 1.0))
+        if "log" in body:
+            sf_ = float(body["log"].get("scaling_factor", 1.0))
+            shaped = F.log10(F.lit(sf_) + v)
+        elif "sigmoid" in body:
+            pivot = float(body["sigmoid"]["pivot"])
+            exp = float(body["sigmoid"]["exponent"])
+            ve = F.pow(v, F.lit(exp))
+            shaped = ve / (ve + F.lit(pivot**exp))
+        else:
+            sat = body.get("saturation") or {}
+            pivot = float(sat.get("pivot", 1.0))
+            shaped = v / (v + F.lit(pivot))
+        return pred, F.when(pred, F.lit(boost) * shaped).otherwise(F.lit(0.0))
+    if kind == "terms_set":
+        # ES terms_set: analyzed-term membership with a per-document
+        # match threshold — minimum_should_match_field names a numeric
+        # column holding each doc's required count (or a constant
+        # minimum_should_match). Score = Σ TF of the present query
+        # terms, the same TF scoring as the match leaf (ES scores it
+        # as a bool-of-terms; the TF part of that, deterministic here)
+        ((field, spec),) = body.items()
+        qterms = [t for q in spec["terms"] for t in _terms(str(q))]
+        if not qterms:
+            return F.lit(False), F.lit(0.0)
+        toks = tokcol[field]
+        n_present: Column = F.lit(0)
+        tf_sum: Column = F.lit(0)
+        for t in qterms:
+            tf_t = F.size(F.filter(toks, _eq(F.lit(t))))
+            n_present = n_present + (tf_t > 0).cast("int")
+            tf_sum = tf_sum + tf_t
+        if "minimum_should_match_field" in spec:
+            req = F.col(spec["minimum_should_match_field"]).cast("int")
+        else:
+            req = F.lit(int(spec.get("minimum_should_match", 1)))
+        pred = n_present >= req
+        return pred, F.when(pred, tf_sum.cast("double")).otherwise(F.lit(0.0))
+    if kind == "pinned":
+        # ES pinned query: the listed ids rank first, in list order,
+        # ahead of every organic hit; organic matches keep their own
+        # scores. ES implements this with a huge per-position boost —
+        # same here: pinned doc #i scores _PIN_BASE − i, which
+        # dominates any organic score under the (score DESC, id ASC)
+        # ordering
+        ids = list(body["ids"])
+        op, os_ = _compile_clause(body["organic"], tokcol)
+        pred = F.col("id").isin(ids) | op
+        organic_score = F.when(op, os_).otherwise(F.lit(0.0))
+        if not ids:
+            return pred, organic_score
+        score = F.when(F.col("id") == F.lit(ids[0]), F.lit(float(_PIN_BASE)))
+        for i, v in enumerate(ids[1:], 1):
+            score = score.when(F.col("id") == F.lit(v), F.lit(float(_PIN_BASE - i)))
+        return pred, score.otherwise(organic_score)
+    if kind == "span_near":
+        # Lucene span_near over span_term clauses (in_order=true):
+        # terms appear in order within slop intervening positions;
+        # score = anchored matching-window count (the occurrence-count
+        # scoring _phrase_count uses — span_near slop=0 IS
+        # match_phrase). in_order=false is not compiled (would need
+        # permutation enumeration; unsupported, loudly)
+        clauses_sn = body.get("clauses", ())
+        if not bool(body.get("in_order", False)):
+            raise ValueError("span_near supports in_order=true only")
+        field = None
+        sn_terms: list[str] = []
+        for sub in clauses_sn:
+            ((k2, b2),) = sub.items()
+            if k2 != "span_term":
+                raise ValueError("span_near supports span_term clauses only")
+            ((f2, t2),) = b2.items()
+            if field is None:
+                field = f2
+            elif f2 != field:
+                raise ValueError("span_near clauses must share one field")
+            sn_terms.extend(_terms(str(t2)))
+        if not sn_terms:
+            return F.lit(False), F.lit(0.0)
+        cnt = _subseq_window_count(
+            F.col(tokcol[field]), sn_terms, int(body.get("slop", 0))
+        )
+        return cnt > 0, cnt.cast("double")
+    if kind == "function_score":
+        # ES function_score: the sub-query decides matching; each
+        # function applies where its filter matches (no filter =
+        # everywhere) and yields weight × field_value_factor (or just
+        # weight). Matching functions combine per score_mode
+        # (multiply/sum/avg/max/min/first; no matching function → 1,
+        # as in ES), clamp at max_boost, then combine with the query
+        # score per boost_mode (multiply/sum/replace/max/min/avg).
+        # min_score drops matches below the threshold. All column
+        # arithmetic — one scan, no extra plan nodes.
+        qp, qs = _compile_clause(
+            body.get("query", {"match_all": {}}), tokcol
+        )
+        funcs = body.get("functions")
+        if funcs is None:
+            shorthand = {
+                k: v
+                for k, v in body.items()
+                if k in ("field_value_factor", "weight", "filter")
+            }
+            funcs = [shorthand] if shorthand else []
+        compiled: list[tuple[Column, Column]] = []
+        for fn in funcs:
+            if "filter" in fn:
+                fp, _fs = _compile_clause(fn["filter"], tokcol)
+            else:
+                fp = F.lit(True)
+            if "field_value_factor" in fn:
+                fvf = fn["field_value_factor"]
+                v = F.col(fvf["field"]).cast("double")
+                if "missing" in fvf:
+                    v = F.coalesce(v, F.lit(float(fvf["missing"])))
+                v = v * F.lit(float(fvf.get("factor", 1.0)))
+                mod = str(fvf.get("modifier", "none"))
+                if mod == "log1p":      # ES log modifiers are log10
+                    v = F.log10(F.lit(1.0) + v)
+                elif mod == "log":
+                    v = F.log10(v)
+                elif mod == "ln1p":
+                    v = F.log(F.lit(1.0) + v)
+                elif mod == "ln":
+                    v = F.log(v)
+                elif mod == "sqrt":
+                    v = F.sqrt(v)
+                elif mod == "square":
+                    v = v * v
+                elif mod == "reciprocal":
+                    v = F.lit(1.0) / v
+                elif mod != "none":
+                    raise ValueError(f"bad fvf modifier: {mod!r}")
+                fscore = v
+            else:
+                fscore = F.lit(1.0)
+            fscore = fscore * F.lit(float(fn.get("weight", 1.0)))
+            compiled.append((fp, fscore))
+        score_mode = str(body.get("score_mode", "multiply"))
+        if not compiled:
+            combined = F.lit(1.0)
+        elif score_mode == "first":
+            combined = F.lit(1.0)
+            for fp, fs_ in reversed(compiled):
+                combined = F.when(fp, fs_).otherwise(combined)
+        else:
+            n_match = compiled[0][0].cast("int")
+            for fp, _ in compiled[1:]:
+                n_match = n_match + fp.cast("int")
+            if score_mode == "multiply":
+                raw = F.when(compiled[0][0], compiled[0][1]).otherwise(F.lit(1.0))
+                for fp, fs_ in compiled[1:]:
+                    raw = raw * F.when(fp, fs_).otherwise(F.lit(1.0))
+            elif score_mode in ("sum", "avg"):
+                raw = F.when(compiled[0][0], compiled[0][1]).otherwise(F.lit(0.0))
+                for fp, fs_ in compiled[1:]:
+                    raw = raw + F.when(fp, fs_).otherwise(F.lit(0.0))
+                if score_mode == "avg":
+                    raw = raw / n_match.cast("double")
+            elif score_mode in ("max", "min"):
+                gated = [F.when(fp, fs_) for fp, fs_ in compiled]  # NULL skipped
+                pick = F.greatest if score_mode == "max" else F.least
+                raw = gated[0] if len(gated) == 1 else pick(*gated)
+            else:
+                raise ValueError(f"bad score_mode: {score_mode!r}")
+            combined = F.when(n_match > 0, raw).otherwise(F.lit(1.0))
+        if "max_boost" in body:
+            combined = F.least(combined, F.lit(float(body["max_boost"])))
+        boost_mode = str(body.get("boost_mode", "multiply"))
+        if boost_mode == "multiply":
+            final = qs * combined
+        elif boost_mode == "sum":
+            final = qs + combined
+        elif boost_mode == "replace":
+            final = combined
+        elif boost_mode == "max":
+            final = F.greatest(qs, combined)
+        elif boost_mode == "min":
+            final = F.least(qs, combined)
+        elif boost_mode == "avg":
+            final = (qs + combined) / F.lit(2.0)
+        else:
+            raise ValueError(f"bad boost_mode: {boost_mode!r}")
+        pred = qp
+        if "min_score" in body:
+            pred = pred & (final >= F.lit(float(body["min_score"])))
+        return pred, F.when(pred, final).otherwise(F.lit(0.0))
     raise ValueError(f"unsupported bool clause: {kind}")
 
 

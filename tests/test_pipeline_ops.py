@@ -4085,3 +4085,210 @@ def test_robots_drift_audit_hand_computed(spark):
         r["n_fetched"] - r["n_disallowed"] for r in got.values()
     )
     assert kept == total_allowed
+
+
+def test_bool_function_score_modes(spark):
+    """function_score: score_mode multiply/max/avg/first combine over
+    MATCHING functions only (no matching function → 1, as in ES);
+    boost_mode sum/replace; max_boost clamps; min_score filters."""
+    rows = [
+        (1, "alpha alpha", "news", 100.0),
+        (2, "alpha", "blog", 400.0),
+        (3, "beta", "news", 50.0),   # query no-match
+        (4, "alpha", "wire", 900.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, boost_val double"
+    )
+
+    def run(body):
+        return {
+            r["id"]: r["score"]
+            for r in search.bool_topk(
+                df, {"must": [{"function_score": body}]},
+                id_col="doc_id", k=10,
+            ).collect()
+        }
+
+    # multiply over matching fns; the news-filtered fn skips non-news
+    got = run({
+        "query": {"match": {"text": "alpha"}},
+        "functions": [
+            {"filter": {"term": {"source": "news"}}, "weight": 3.0},
+            {"field_value_factor": {"field": "boost_val", "factor": 0.01}},
+        ],
+        "score_mode": "multiply",
+    })
+    # doc1: 2 × (3·1.0) = 6; doc2: 1 × 4 = 4; doc4: 1 × 9 = 9
+    assert got == {1: 6.0, 2: 4.0, 4: 9.0}
+
+    # max picks the best matching function; boost_mode=sum adds it
+    got = run({
+        "query": {"match": {"text": "alpha"}},
+        "functions": [
+            {"filter": {"term": {"source": "news"}}, "weight": 3.0},
+            {"field_value_factor": {"field": "boost_val", "factor": 0.01}},
+        ],
+        "score_mode": "max", "boost_mode": "sum",
+    })
+    # doc1: 2 + max(3,1) = 5; doc2: 1 + 4 = 5; doc4: 1 + 9 = 10
+    assert got == {1: 5.0, 2: 5.0, 4: 10.0}
+
+    # first = first matching function in list order; replace drops the
+    # query score; max_boost clamps the combined function score
+    got = run({
+        "query": {"match": {"text": "alpha"}},
+        "functions": [
+            {"filter": {"term": {"source": "news"}}, "weight": 3.0},
+            {"field_value_factor": {"field": "boost_val", "factor": 0.01}},
+        ],
+        "score_mode": "first", "boost_mode": "replace", "max_boost": 5.0,
+    })
+    # doc1: first matching = 3; doc2: fvf 4; doc4: fvf 9 → clamp 5
+    assert got == {1: 3.0, 2: 4.0, 4: 5.0}
+
+    # no functions at all → combined 1.0; min_score filters matches
+    got = run({
+        "query": {"match": {"text": "alpha"}},
+        "min_score": 1.5,
+    })
+    assert got == {1: 2.0}
+
+    # avg over matching functions
+    got = run({
+        "query": {"match": {"text": "alpha"}},
+        "functions": [
+            {"filter": {"term": {"source": "news"}}, "weight": 3.0},
+            {"field_value_factor": {"field": "boost_val", "factor": 0.01}},
+        ],
+        "score_mode": "avg", "boost_mode": "replace",
+    })
+    # doc1: (3+1)/2 = 2; doc2: 4/1 = 4; doc4: 9/1 = 9
+    assert got == {1: 2.0, 2: 4.0, 4: 9.0}
+
+
+def test_bool_span_near_semantics(spark):
+    """span_near in_order: anchored ordered-subsequence windows with
+    Lucene slop (intervening positions); 3-term chains fold greedily;
+    in_order=false and non-span_term clauses raise."""
+    rows = [
+        (1, "a x b y c"),        # a..b gap1, b..c gap1 → total 2
+        (2, "a b c"),            # adjacent
+        (3, "c b a"),            # wrong order
+        (4, "a x x x b c"),      # a..c spread 3 intervening
+        (5, "a b"),              # missing c
+        (6, "a c b a x c b"),    # windows: anchor@1 fails (c before b
+                                 # consumed? greedy: a,c? need b first →
+                                 # a@1: window a c b a → b@3, then c in
+                                 # window? window len 3+slop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(slop):
+        return {
+            r["id"]: r["score"]
+            for r in search.bool_topk(
+                df,
+                {"must": [{"span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "a"}},
+                        {"span_term": {"text": "b"}},
+                        {"span_term": {"text": "c"}},
+                    ],
+                    "slop": slop, "in_order": True,
+                }}]},
+                id_col="doc_id", k=10,
+            ).collect()
+        }
+
+    assert run(0) == {2: 1.0}            # only the adjacent chain
+    got2 = run(2)
+    # slop 2: doc1 (2 intervening) matches, doc2 matches, doc4 (3) not
+    assert got2[1] == 1.0 and got2[2] == 1.0
+    assert 4 not in got2 and 3 not in got2 and 5 not in got2
+    got3 = run(3)
+    assert 4 in got3                      # 3 intervening fits slop 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="in_order"):
+        search.bool_topk(
+            df,
+            {"must": [{"span_near": {
+                "clauses": [{"span_term": {"text": "a"}},
+                            {"span_term": {"text": "b"}}],
+                "slop": 1,
+            }}]},
+            id_col="doc_id", k=5,
+        )
+
+
+def test_bool_terms_set_pinned_rank_feature(spark):
+    """terms_set constant-msm form; pinned ordering ahead of organic;
+    rank_feature log and sigmoid shapers."""
+    rows = [
+        (1, "alpha beta", 10.0),
+        (2, "alpha", 99.0),
+        (3, "beta gamma delta", 0.0),
+        (4, "delta", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, feat double")
+
+    # constant minimum_should_match
+    got = {
+        r["id"]: r["score"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"terms_set": {"text": {
+                "terms": ["alpha", "beta", "gamma"],
+                "minimum_should_match": 2,
+            }}}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    }
+    assert got == {1: 2.0, 3: 2.0}
+
+    # pinned: promoted ids first in list order, organic afterwards
+    ids = [
+        r["id"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"pinned": {
+                "ids": [4, 3],
+                "organic": {"match": {"text": "alpha"}},
+            }}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    ]
+    assert ids == [4, 3, 1, 2]
+
+    # rank_feature log: log10(scaling_factor + v); zero feature no match
+    import math
+
+    got = {
+        r["id"]: r["score"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"rank_feature": {
+                "field": "feat", "log": {"scaling_factor": 1.0},
+            }}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    }
+    assert 3 not in got
+    assert got[2] == round(math.log10(100.0), 6)
+
+    # rank_feature sigmoid: v^e/(v^e+pivot^e)
+    got = {
+        r["id"]: r["score"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"rank_feature": {
+                "field": "feat",
+                "sigmoid": {"pivot": 10.0, "exponent": 2.0},
+            }}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    }
+    assert got[1] == 0.5
+    assert got[4] == round(25.0 / 125.0, 6)

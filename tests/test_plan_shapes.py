@@ -989,3 +989,47 @@ def test_lm_para_prune_windows_key_on_doc(spark, sf_dir):
     for seg in plan.split("\n"):
         if "Sort " in seg and "global=true" in seg:
             raise AssertionError(f"global sort found: {seg}")
+
+
+def test_dsl_tail_leaves_single_scan_no_join(spark, sf_dir):
+    """function_score / terms_set / pinned / span_near / rank_feature
+    compile to pure column arithmetic on the one-scan bool_topk plan:
+    no join of any kind, exactly one file scan, and the top-k as a
+    TakeOrderedAndProject (no extra Exchange)."""
+    from gocrawl_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = search.bool_topk(
+        docs,
+        {
+            "must": [{"function_score": {
+                "query": {"span_near": {
+                    "clauses": [{"span_term": {"text": "table"}},
+                                {"span_term": {"text": "scan"}}],
+                    "slop": 2, "in_order": True}},
+                "functions": [
+                    {"filter": {"term": {"lang": "en"}}, "weight": 2.0},
+                    {"field_value_factor": {"field": "n_chars",
+                                            "factor": 0.01,
+                                            "modifier": "sqrt"}},
+                ],
+                "score_mode": "sum", "boost_mode": "multiply",
+            }}],
+            "should": [
+                {"rank_feature": {"field": "n_chars",
+                                  "saturation": {"pivot": 300}}},
+                {"terms_set": {"text": {"terms": ["merge", "vector"],
+                                        "minimum_should_match": 1}}},
+                {"pinned": {"ids": [1, 2],
+                            "organic": {"match": {"text": "join"}}}},
+            ],
+        },
+        id_col="doc_id", k=15,
+    )
+    plan = _plan(out)
+    for marker in ("SortMergeJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct",
+                   "ShuffledHashJoin"):
+        assert marker not in plan, marker
+    assert plan.count("FileScan") == 1
+    assert "TakeOrderedAndProject" in plan
