@@ -4377,6 +4377,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_rank_feature"] = search_rank_feature
 
+    def events_asof_join(spark, sf_dir):
+        """As-of join (timeops.asof_join): each click event matched to
+        the latest view at-or-before it by the same user — the
+        state-at-event-time primitive (which robots snapshot / host
+        config was live at fetch time). Tagged UNION + one window
+        carry-forward: ONE key shuffle, no join operator, no pair
+        explosion; DuckDB's native ASOF JOIN is the oracle. gap_us is
+        exact integer microseconds."""
+        from gocrawl_spark import timeops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        )
+        out = timeops.asof_join(
+            clicks, views, on="user_id", how="inner"
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "view_id",
+            (
+                timeops._epoch_us(F.col("ts"))
+                - timeops._epoch_us(F.col("ts_r"))
+            ).alias("gap_us"),
+        )
+
+    q["events_asof_join"] = events_asof_join
+
+    def events_interval_join(spark, sf_dir):
+        """Interval containment join (timeops.interval_join): error
+        events open 600 s incident windows per user; click events
+        inside each window aggregate to an order-exact integer-cents
+        total. The non-equi containment join runs as a granule-
+        bucketed EQUI-join (each window explodes into ≤2 600 s
+        granules, each event maps to exactly 1) — shuffled hash/sort-
+        merge, never BroadcastNestedLoop, the property the plan
+        contract pins."""
+        from gocrawl_spark import timeops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        incidents = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        joined = timeops.interval_join(
+            clicks, incidents, on="user_id", granule_s=600, how="left"
+        )
+        return joined.groupBy("incident_id", "user_id").agg(
+            F.count("event_id").alias("n_clicks"),
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+                    F.lit(0),
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+
+    q["events_interval_join"] = events_interval_join
+
+    def events_time_rollup(spark, sf_dir):
+        """One-pass multi-granularity rollup (timeops.time_rollup):
+        hour and day buckets × event_type in a single GROUPING SETS
+        aggregate — Expand + ONE shuffle with map-side combine,
+        versus a scan+shuffle per granularity if spelled as a UNION
+        of group-bys. Sums go through integer cents so they are
+        order-exact at any parallelism."""
+        from gocrawl_spark import timeops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return timeops.time_rollup(
+            ev,
+            keys=["event_type"],
+            value="value",
+            granularities=("hour", "day"),
+        )
+
+    q["events_time_rollup"] = events_time_rollup
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -10543,6 +10631,59 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 0.0::DOUBLE END, 6)::DOUBLE AS score
         FROM s WHERE q > 0
         ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # as-of join: DuckDB's native ASOF JOIN is the differential twin;
+    # views pre-deduped to the max view_id per (user, ts) so both
+    # engines resolve equal-timestamp duplicates identically
+    o["events_asof_join"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts, max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, v.view_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        FROM clicks c ASOF JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    # interval join: plain BETWEEN containment join in SQL (the
+    # granule bucketing is a physical rewrite only); empty incident
+    # windows keep a zero row via LEFT JOIN
+    o["events_interval_join"] = """
+        WITH err AS (
+          SELECT event_id AS incident_id, user_id, ts AS s,
+                 ts + INTERVAL 600 SECOND AS e
+          FROM events WHERE event_type = 'error'),
+        clk AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'click')
+        SELECT err.incident_id, err.user_id,
+               count(clk.event_id) AS n_clicks,
+               coalesce(sum(round(clk.value * 100)::BIGINT), 0) / 100.0
+                 AS sum_value
+        FROM err LEFT JOIN clk
+          ON err.user_id = clk.user_id AND clk.ts BETWEEN err.s AND err.e
+        GROUP BY 1, 2
+    """
+
+    # time rollup: UNION of per-granularity GROUP BYs (the GROUPING
+    # SETS single-pass is a physical rewrite only); integer-cents sums
+    o["events_time_rollup"] = """
+        SELECT 'hour' AS granularity,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+               event_type,
+               count(*) AS n_events,
+               sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day',
+               strftime(date_trunc('day', ts), '%Y-%m-%d'),
+               event_type, count(*),
+               sum(round(value * 100)::BIGINT) / 100.0
+        FROM events GROUP BY 2, 3
     """
 
     # boosting: positive TF ×0.2 when the negative (lang=de) matches;

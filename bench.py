@@ -140,6 +140,12 @@ HEADLINE = [
     # span_near ordered-proximity leaf (one representative each)
     "search_function_score",
     "search_span_near",
+    # round-4 session 11: temporal operators (as-of join via window
+    # carry-forward, granule-bucketed interval join, GROUPING SETS
+    # rollup)
+    "events_asof_join",
+    "events_interval_join",
+    "events_time_rollup",
 ]
 
 

@@ -1,0 +1,332 @@
+"""Temporal join & rollup operators Spark's DataFrame API lacks.
+
+Three operators a crawl/event warehouse needs constantly and vanilla
+Spark expresses badly (the naive spellings are non-equi joins that
+plan as BroadcastNestedLoopJoin / CartesianProduct — quadratic at any
+real scale):
+
+- :func:`asof_join` — for each left row, the latest right row at or
+  before its timestamp per key (pandas ``merge_asof`` / DuckDB
+  ``ASOF JOIN`` semantics). Implemented as a tagged UNION + one
+  window pass: ONE hash shuffle on the key, a per-partition sort,
+  and a last-non-null carry-forward — O(n log n) per key group, no
+  join operator at all, no row explosion. This is the
+  state-at-fetch-time primitive: "which robots snapshot / host
+  config / rate budget was live when this URL was fetched".
+
+- :func:`interval_join` — events joined to the intervals containing
+  them. Implemented by exploding each interval into fixed-width time
+  granules and equi-joining on (key, granule) before the exact
+  bounds filter — Spark gets a shuffled hash/sort-merge join with
+  partial pushdown instead of a nested-loop scan. Granule width is
+  the scale dial: explosion factor = interval_length/granule, so
+  pick granule ≈ the p95 interval length (each interval lands in
+  O(1) granules, each event in exactly 1).
+
+- :func:`time_rollup` — one-pass multi-granularity aggregate
+  (minute/hour/day hypertable-style continuous-aggregate shape) via
+  GROUPING SETS: Spark's Expand replicates each row once per
+  granularity BEFORE partial aggregation, so the plan stays a single
+  shuffle with map-side combine — versus one scan+shuffle per
+  granularity for the UNION-of-group-bys spelling.
+
+The reference has no temporal-join surface (its crawler joins state
+imperatively in Go); these follow the warehouse idioms its event log
+would need at 10^10-row scale. Sums over double columns go through
+integer cents (round(value·100)) so every aggregate is order-exact:
+bit-equal across parallelism levels and against the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join", "time_rollup"]
+
+
+def _epoch_us(c: Column) -> Column:
+    """Epoch microseconds for TIMESTAMP_NTZ columns (the parquet-naive
+    type the event tables carry) WITHOUT a session-timezone cast —
+    unix_micros rejects NTZ, and casting NTZ→TIMESTAMP goes through
+    the session zone, which is non-monotonic across a DST gap (02:59
+    → 03:59 but 03:00 → 03:00), enough to mis-bucket a granule.
+    timestamp_diff against the NTZ epoch is zone-free and exactly
+    DuckDB's epoch_us(naive) semantics."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (direction="backward"; with
+    "forward", the least ``right_ts`` ≥ ``left_ts``) sharing the join
+    key(s).
+
+    Plan shape: tag each side, UNION, repartition by key (ONE
+    Exchange), sort within partitions by (key, ts, side, right-row
+    order), carry the right payload forward with last(ignorenulls)
+    over the window — then keep only left rows. No join operator, no
+    candidate-pair explosion; a hot key costs one partition-local
+    sort, the same cost profile as any windowed aggregate.
+
+    Determinism: at equal timestamps the right row sorts BEFORE the
+    left row (non-strict match, as in DuckDB ASOF and pandas
+    merge_asof) and right-side duplicates at the same (key, ts) are
+    resolved to the row that sorts last by the remaining projected
+    columns — the carry-forward therefore picks a unique winner.
+
+    ``tolerance`` (seconds) drops matches farther than the bound.
+    ``how="left"`` keeps unmatched left rows with NULL right columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction: {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"bad how: {how!r}")
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    out_right = [f"{c}{suffix}" if c in left.columns else c for c in right_cols]
+    rts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns],
+    )
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tag.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    unioned = r_tag.unionByName(l_tag)
+
+    if direction == "backward":
+        order = [F.asc("__t"), F.asc("__side"), F.asc("__p")]
+    else:
+        # forward: scan time-descending so the carry-forward holds the
+        # EARLIEST right row at-or-after each left row; right rows
+        # still sort before left rows at equal ts (non-strict match),
+        # and same-ts right duplicates resolve to the same last-by-
+        # payload winner as backward (asc __p ⇒ carry sees the largest
+        # payload last)
+        order = [F.desc("__t"), F.asc("__side"), F.asc("__p")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+
+    rows = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        tol_us = int(tolerance) * 1_000_000
+        gap = _epoch_us(F.col("__t")) - _epoch_us(F.col("__m.__ts"))
+        if direction == "forward":
+            gap = -gap
+        rows = rows.withColumn(
+            "__m", F.when(gap <= F.lit(tol_us), F.col("__m"))
+        )
+    if how == "inner":
+        rows = rows.filter(F.col("__m").isNotNull())
+    return rows.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        F.col("__m.__ts").alias(rts_out),
+        *[F.col(f"__m.{c}").alias(o) for c, o in zip(right_cols, out_right)],
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    event_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    granule_s: int = 600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join events to every interval containing them (``start`` ≤ ts ≤
+    ``end``, inclusive both ends) sharing the key(s) — as an
+    EQUI-join: intervals explode into the fixed-width time granules
+    they cover, events map to their single granule, the join runs on
+    (keys…, granule), and the exact bounds apply as a post-join
+    filter. Each qualifying (event, interval) pair surfaces exactly
+    once (an event has one granule; an interval covers it once), so
+    no dedup pass is needed.
+
+    ``granule_s`` is the scale dial: an interval spanning L seconds
+    lands in ⌈L/granule⌉+1 granule rows. Set it near the typical
+    interval length so the explosion factor stays O(1); too small
+    explodes the build side, too large degrades the join's
+    selectivity (more pairs killed only by the bounds filter).
+
+    Output: every interval column, then the event columns (suffixed
+    ``_e`` on collision). ``how="left"`` keeps empty intervals with
+    NULL event columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"bad how: {how!r}")
+    g = int(granule_s)
+    ev_cols = [c for c in events.columns if c not in keys]
+    out_ev = [f"{c}_e" if c in intervals.columns else c for c in ev_cols]
+
+    iv = intervals.withColumn(
+        "__granule",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_us(F.col(start)) / (g * 1_000_000)),
+                F.floor(_epoch_us(F.col(end)) / (g * 1_000_000)),
+                F.lit(1),
+            )
+        ),
+    )
+    ev = events.withColumn(
+        "__eg", F.floor(_epoch_us(F.col(event_ts)) / (g * 1_000_000))
+    ).select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        "__eg",
+        *[F.col(c).alias(f"__e_{c}") for c in ev_cols],
+        F.col(event_ts).alias("__et"),
+    )
+    cond = [iv["__granule"] == ev["__eg"]] + [
+        iv[k] == ev[f"__k_{k}"] for k in keys
+    ]
+    in_bounds = (F.col("__et") >= F.col(start)) & (F.col("__et") <= F.col(end))
+    if how == "inner":
+        joined = iv.join(ev, cond, "inner").filter(in_bounds)
+    else:
+        joined = iv.join(ev, cond, "left").withColumns(
+            {
+                f"__e_{c}": F.when(in_bounds, F.col(f"__e_{c}"))
+                for c in ev_cols
+            }
+        )
+        # collapse granule rows: an interval with no in-bounds event
+        # in ANY granule keeps one NULL row; matched granule rows that
+        # lost their event to the bounds filter drop unless they are
+        # that only-NULL survivor
+        joined = joined.withColumn(
+            "__keep",
+            in_bounds
+            | (
+                F.count(F.when(in_bounds, F.lit(1))).over(
+                    Window.partitionBy(*[intervals[c] for c in intervals.columns])
+                )
+                == 0
+            )
+            & (
+                F.row_number().over(
+                    Window.partitionBy(
+                        *[intervals[c] for c in intervals.columns]
+                    ).orderBy(F.asc("__granule"))
+                )
+                == 1
+            ),
+        ).filter(F.col("__keep"))
+    return joined.select(
+        *[iv[c] for c in intervals.columns],
+        *[F.col(f"__e_{c}").alias(o) for c, o in zip(ev_cols, out_ev)],
+    )
+
+
+_TRUNCS = {
+    "minute": ("minute", "yyyy-MM-dd HH:mm"),
+    "hour": ("hour", "yyyy-MM-dd HH:00"),
+    "day": ("day", "yyyy-MM-dd"),
+    "week": ("week", "yyyy-MM-dd"),
+    "month": ("month", "yyyy-MM"),
+}
+
+
+def time_rollup(
+    events: DataFrame,
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    value: str | None = None,
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Multi-granularity rollup in ONE pass: for each granularity g,
+    (bucket=date_trunc(g, ts), keys…) → count + order-exact value sum
+    (integer cents: round(value·100) summed as BIGINT, re-scaled) —
+    the hypertable continuous-aggregate shape.
+
+    GROUPING SETS compiles to a single Expand (+1 row copy per
+    granularity) feeding ONE partial+final aggregate — one shuffle
+    total, map-side combine intact, versus one scan and shuffle per
+    granularity if spelled as a UNION of group-bys.
+
+    Output: granularity (string), bucket (formatted string — minute
+    'yyyy-MM-dd HH:mm', hour 'yyyy-MM-dd HH:00', day 'yyyy-MM-dd'),
+    keys…, n_events, sum_value (NULL when no value column).
+    """
+    keys = list(keys or [])
+    for gname in granularities:
+        if gname not in _TRUNCS:
+            raise ValueError(f"bad granularity: {gname!r}")
+    pre = events.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.date_format(
+                F.date_trunc(_TRUNCS[gname][0], F.col(ts)), _TRUNCS[gname][1]
+            ).alias(f"__b_{gname}")
+            for gname in granularities
+        ],
+        *(
+            [F.round(F.col(value) * 100, 0).cast("long").alias("__cents")]
+            if value
+            else []
+        ),
+    )
+    bucket_cols = [f"__b_{g}" for g in granularities]
+    sets = [[F.col(b)] + [F.col(k) for k in keys] for b in bucket_cols]
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value:
+        aggs.append(
+            (F.sum("__cents") / F.lit(100.0)).alias("sum_value")
+        )
+    rolled = pre.groupingSets(
+        sets, *[F.col(c) for c in bucket_cols + keys]
+    ).agg(*aggs)
+    # each grouping set leaves the other bucket columns NULL — fold
+    # them into (granularity, bucket)
+    gran = F.coalesce(
+        *[
+            F.when(F.col(b).isNotNull(), F.lit(g))
+            for g, b in zip(granularities, bucket_cols)
+        ]
+    )
+    bucket = F.coalesce(*[F.col(b) for b in bucket_cols])
+    return rolled.select(
+        gran.alias("granularity"),
+        bucket.alias("bucket"),
+        *keys,
+        "n_events",
+        *(["sum_value"] if value else []),
+    ).filter(F.col("bucket").isNotNull())

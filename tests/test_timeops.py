@@ -1,0 +1,207 @@
+"""timeops: as-of join, interval containment join, multi-granularity
+rollup — semantics (vs hand-computed and pandas-style expectations)
+and the plan properties their 100 TB story rests on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from gocrawl_spark import timeops
+
+
+def T(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "h1", T(10)), (2, "h1", T(20)), (3, "h2", T(5)), (4, "h3", T(30))],
+        "id long, host string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("h1", T(8), 100), ("h1", T(10), 101), ("h1", T(25), 102),
+         ("h2", T(7), 200), ("h1", T(10), 103)],
+        "host string, ts timestamp, ver long",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, asof_frames):
+    """Backward: latest right at-or-before; equal ts matches
+    (non-strict); same-(key,ts) right duplicates resolve to the
+    payload-largest row; left rows with no prior right drop on inner
+    and survive as NULL on left."""
+    left, right = asof_frames
+    got = {
+        r["id"]: r["ver"]
+        for r in timeops.asof_join(left, right, on="host", how="left").collect()
+    }
+    assert got == {1: 103, 2: 103, 3: None, 4: None}
+    inner = timeops.asof_join(left, right, on="host").collect()
+    assert {r["id"] for r in inner} == {1, 2}
+    # matched right timestamp is surfaced (suffixed on collision)
+    assert {r["id"]: r["ts_r"] for r in inner} == {1: T(10), 2: T(10)}
+
+
+def test_asof_forward_and_tolerance(spark, asof_frames):
+    """Forward: earliest right at-or-after, same duplicate winner rule;
+    tolerance bounds the gap in seconds (backward: left-right)."""
+    left, right = asof_frames
+    got = {
+        r["id"]: r["ver"]
+        for r in timeops.asof_join(
+            left, right, on="host", direction="forward", how="left"
+        ).collect()
+    }
+    # id1 at ts10: equal-ts duplicates → payload-largest (103), same
+    # winner as backward; id2 → first later (ts25); id3 → ts7
+    assert got == {1: 103, 2: 102, 3: 200, 4: None}
+    got = {
+        r["id"]: r["ver"]
+        for r in timeops.asof_join(
+            left, right, on="host", tolerance=5, how="left"
+        ).collect()
+    }
+    assert got == {1: 103, 2: None, 3: None, 4: None}
+
+
+def test_asof_plan_no_join_one_shuffle(spark, asof_frames):
+    """The as-of join compiles to union + window: NO join operator of
+    any kind and exactly ONE hash exchange (the key repartition)."""
+    left, right = asof_frames
+    plan = (
+        timeops.asof_join(left, right, on="host")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("SortMergeJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct",
+                   "ShuffledHashJoin"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_interval_join_bounds_and_left(spark):
+    """Containment is inclusive on both ends; granule boundaries do
+    not lose or duplicate pairs; how='left' keeps empty intervals as
+    one NULL row."""
+    iv = spark.createDataFrame(
+        [(10, "h1", T(5), T(15)), (11, "h1", T(50), T(55)),
+         (12, "h2", T(0), T(59))],
+        "iid long, host string, start timestamp, end timestamp",
+    )
+    ev = spark.createDataFrame(
+        [("h1", T(5), 1.0), ("h1", T(15), 2.0), ("h1", T(16), 3.0),
+         ("h2", T(30), 4.0)],
+        "host string, ts timestamp, v double",
+    )
+    got = sorted(
+        (r["iid"], r["v"])
+        for r in timeops.interval_join(
+            ev, iv, on="host", granule_s=10, how="left"
+        ).collect()
+    )
+    # iid10: both endpoint events (5 and 15, inclusive); 16 excluded;
+    # iid11: empty → one NULL row; iid12: the h2 event
+    assert got == [(10, 1.0), (10, 2.0), (11, None), (12, 4.0)]
+    inner = timeops.interval_join(ev, iv, on="host", granule_s=10).count()
+    assert inner == 3
+    # granule much larger than every interval: same result
+    coarse = sorted(
+        (r["iid"], r["v"])
+        for r in timeops.interval_join(
+            ev, iv, on="host", granule_s=3600, how="left"
+        ).collect()
+    )
+    assert coarse == got
+
+
+def test_interval_join_overlapping_windows(spark):
+    """An event inside two overlapping same-key intervals pairs with
+    both (exactly once each)."""
+    iv = spark.createDataFrame(
+        [(1, "h", T(0), T(30)), (2, "h", T(10), T(40))],
+        "iid long, host string, start timestamp, end timestamp",
+    )
+    ev = spark.createDataFrame(
+        [("h", T(20), 7.0)], "host string, ts timestamp, v double"
+    )
+    got = sorted(
+        r["iid"]
+        for r in timeops.interval_join(ev, iv, on="host", granule_s=7).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_interval_join_plan_equi_join(spark):
+    """The containment join must plan as an equi-join (sort-merge or
+    shuffled hash) — never the BroadcastNestedLoopJoin a naive
+    non-equi spelling produces."""
+    iv = spark.createDataFrame(
+        [(1, "h", T(0), T(30))],
+        "iid long, host string, start timestamp, end timestamp",
+    )
+    ev = spark.createDataFrame(
+        [("h", T(20), 7.0)], "host string, ts timestamp, v double"
+    )
+    plan = (
+        timeops.interval_join(ev, iv, on="host")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        m in plan
+        for m in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+
+
+def test_time_rollup_values_and_plan(spark):
+    """Hour+day buckets from one pass agree with per-granularity
+    group-bys; sums are integer-cents exact; the plan carries ONE
+    Expand and ONE hash exchange (map-side combine intact)."""
+    events = spark.createDataFrame(
+        [(T(10), "click", 1.25), (T(50), "click", 2.50),
+         (dt.datetime(2024, 1, 1, 1, 0, 5), "view", 3.0),
+         (dt.datetime(2024, 1, 2, 0, 0, 1), "click", 0.10)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = timeops.time_rollup(
+        events, keys=["event_type"], value="value",
+        granularities=("hour", "day"),
+    )
+    # plan first: after execution AQE's toString repeats the plan in an
+    # "Initial Plan" section, doubling substring counts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = {
+        (r["granularity"], r["bucket"], r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert rows[("hour", "2024-01-01 00:00", "click")] == (2, 3.75)
+    assert rows[("hour", "2024-01-01 01:00", "view")] == (1, 3.0)
+    assert rows[("day", "2024-01-01", "click")] == (2, 3.75)
+    assert rows[("day", "2024-01-02", "click")] == (1, 0.10)
+    assert len(rows) == 6
+
+    # count-only rollup (no value column)
+    out2 = timeops.time_rollup(events, granularities=("day",))
+    assert {(r["bucket"], r["n_events"]) for r in out2.collect()} == {
+        ("2024-01-01", 3), ("2024-01-02", 1)
+    }
+
+
+def test_timeops_bad_args(spark):
+    df = spark.createDataFrame([("h", T(0), 1.0)],
+                               "host string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="direction"):
+        timeops.asof_join(df, df, on="host", direction="nearest")
+    with pytest.raises(ValueError, match="how"):
+        timeops.asof_join(df, df, on="host", how="outer")
+    with pytest.raises(ValueError, match="granularity"):
+        timeops.time_rollup(df, granularities=("decade",))
