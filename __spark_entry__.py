@@ -4465,6 +4465,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_time_rollup"] = events_time_rollup
 
+    def events_funnel(spark, sf_dir):
+        """Ordered-step conversion funnel (eventops.funnel):
+        view → click → purchase, step k counted only at-or-after step
+        k−1's earliest completion. The chained recurrence folds into
+        ONE window pass + a same-partitioning aggregate — one user
+        Exchange total, versus a shuffle per step for the
+        join-per-stage spelling."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.funnel(ev, ["view", "click", "purchase"])
+
+    q["events_funnel"] = events_funnel
+
+    def events_cohort_retention(spark, sf_dir):
+        """Day-grain cohort retention (eventops.cohort_retention):
+        users bucketed by first-active day, activity counted per day
+        offset with exact integer counts and an exact-ratio retention
+        column."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.cohort_retention(ev, max_offset_days=30)
+
+    q["events_cohort_retention"] = events_cohort_retention
+
+    def events_transitions(spark, sf_dir):
+        """First-order event-type transition matrix
+        (eventops.transitions): lag over each user's time-ordered
+        stream (event_id tie-break), exact pair counts, probabilities
+        as exact-integer ratios."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.transitions(ev)
+
+    q["events_transitions"] = events_transitions
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -10684,6 +10722,89 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*),
                sum(round(value * 100)::BIGINT) / 100.0
         FROM events GROUP BY 2, 3
+    """
+
+    # funnel: the same chained running-earliest-completion windows,
+    # layered CTEs so each step's window scans the previous step's
+    # per-row prefix value (identical tie order: ts, event_type)
+    o["events_funnel"] = """
+        WITH s0 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS d0
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        s1 AS (
+          SELECT user_id, ts, event_type, d0,
+                 min(CASE WHEN event_type = 'click'
+                          AND d0 IS NOT NULL AND ts >= d0
+                     THEN ts END) OVER w AS d1
+          FROM s0
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        s2 AS (
+          SELECT user_id, d0, d1,
+                 min(CASE WHEN event_type = 'purchase'
+                          AND d1 IS NOT NULL AND ts >= d1
+                     THEN ts END) OVER w AS d2
+          FROM s1
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        u AS (
+          SELECT user_id,
+                 max(CASE WHEN d0 IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+                 max(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+                 max(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS c2
+          FROM s2 GROUP BY user_id),
+        t AS (SELECT sum(c0) AS n0, sum(c1) AS n1, sum(c2) AS n2 FROM u)
+        SELECT 0 AS step_index, 'view' AS step, n0::BIGINT AS n_users FROM t
+        UNION ALL SELECT 1, 'click', n1::BIGINT FROM t
+        UNION ALL SELECT 2, 'purchase', n2::BIGINT FROM t
+    """
+
+    # cohort retention: first-active day per user, distinct active
+    # days, integer counts, exact-ratio retention
+    o["events_cohort_retention"] = """
+        WITH days AS (
+          SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+        first AS (
+          SELECT u, min(d) AS cohort_day FROM days GROUP BY u),
+        sizes AS (
+          SELECT cohort_day, count(*) AS cohort_size FROM first
+          GROUP BY cohort_day),
+        grid AS (
+          SELECT f.cohort_day, (dy.d - f.cohort_day) AS offset_days,
+                 count(*) AS n_active
+          FROM days dy JOIN first f ON dy.u = f.u
+          WHERE (dy.d - f.cohort_day) <= 30
+          GROUP BY 1, 2)
+        SELECT strftime(g.cohort_day, '%Y-%m-%d') AS cohort_day,
+               g.offset_days::INT AS offset_days,
+               g.n_active,
+               s.cohort_size,
+               g.n_active / s.cohort_size::DOUBLE AS retention
+        FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day
+    """
+
+    # transition matrix: lag over (ts, event_id) per user, exact pair
+    # counts, row-normalized exact-integer probabilities
+    o["events_transitions"] = """
+        WITH p AS (
+          SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events),
+        c AS (
+          SELECT prev_type, next_type, count(*) AS n FROM p
+          WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               n / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE AS p
+        FROM c
     """
 
     # boosting: positive TF ×0.2 when the negative (lang=de) matches;

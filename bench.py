@@ -146,6 +146,11 @@ HEADLINE = [
     "events_asof_join",
     "events_interval_join",
     "events_time_rollup",
+    # round-4 session 11: event-log analytics (one-Exchange ordered
+    # funnel; cohort retention; transition matrix)
+    "events_funnel",
+    "events_cohort_retention",
+    "events_transitions",
 ]
 
 

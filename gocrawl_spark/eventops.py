@@ -1,0 +1,179 @@
+"""Event-log analytics: ordered-step funnels, cohort retention,
+transition matrices.
+
+The behavioral-analytics triple every event warehouse runs daily,
+expressed so each is ONE key shuffle (vs the join-per-step spelling
+that shuffles once per funnel stage):
+
+- :func:`funnel` — ordered-step conversion (step k counts a user only
+  after steps 1..k-1 completed, in timestamp order). The chained
+  "earliest qualifying event per step" recurrence folds into a single
+  window pass: a running earliest-completion time per step over the
+  user's prefix, then one aggregate on the SAME partitioning — so
+  Catalyst plans one Exchange for both the window and the groupBy.
+
+- :func:`cohort_retention` — users grouped by first-active period,
+  activity counted per day offset. Two aggregations over the same
+  user-keyed shuffle.
+
+- :func:`transitions` — first-order event-type transition counts and
+  exact-ratio probabilities from consecutive same-user events.
+
+All counts are integers (order-exact at any parallelism); probability
+columns divide two exact integers, so they are bit-equal across
+engines too. Complements streaming.sessionize_events (the gap-based
+session op) and timeops.time_rollup (the bucketed rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "cohort_retention", "transitions"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user completes step k at the
+    earliest event of type ``steps[k]`` at-or-after their step-k-1
+    completion time. Output one row per step: (step_index, step,
+    n_users) with n_users monotonically non-increasing.
+
+    Single window pass: for each event row, a running
+    earliest-completion timestamp per step over the user's
+    time-ordered prefix — step k's running value fills in only once
+    step k-1's is set, which is exactly the chained recurrence — then
+    max(per-step completion flags) per user and one count per step.
+    The window and the per-user aggregate share the user-hash
+    partitioning: ONE Exchange total (the plan contract).
+
+    Ties: an event at exactly the prior step's completion time
+    qualifies (at-or-after), and a single event can complete several
+    consecutive steps when their types coincide — matching the
+    standard windowed-funnel semantics.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc(ts_col), F.asc(type_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = events.select(user_col, ts_col, type_col)
+    prev_done: Column | None = None
+    done_cols = []
+    for i, step in enumerate(steps):
+        qualifies = F.col(type_col) == F.lit(step)
+        if prev_done is not None:
+            qualifies = qualifies & prev_done.isNotNull() & (
+                F.col(ts_col) >= prev_done
+            )
+        cur = cur.withColumn(
+            f"__done_{i}",
+            F.min(F.when(qualifies, F.col(ts_col))).over(w),
+        )
+        prev_done = F.col(f"__done_{i}")
+        done_cols.append(f"__done_{i}")
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(F.col(c).isNotNull().cast("int")).alias(f"__c_{i}")
+          for i, c in enumerate(done_cols)]
+    )
+    counts = per_user.agg(
+        *[F.sum(f"__c_{i}").alias(f"__n_{i}") for i in range(len(steps))]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("step_index"),
+            F.lit(step).alias("step"),
+            F.col(f"__n_{i}").cast("long").alias("n_users"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return counts.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.step_index", "r.step", "r.n_users")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Day-grain cohort retention: cohort_day = a user's first active
+    calendar day; for every (cohort_day, offset_days ≤ max) the count
+    of cohort users active exactly offset days later, plus
+    cohort_size and the exact retention ratio.
+
+    Two aggregations on the user key (first-day, then distinct
+    activity) followed by a small (cohort, offset) rollup — the heavy
+    shuffles are both user-keyed, the final rollup's cardinality is
+    days × offsets.
+    """
+    days = events.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    joined = days.join(first, "u").withColumn(
+        "offset_days", F.datediff(F.col("d"), F.col("cohort_day"))
+    ).filter(F.col("offset_days") <= max_offset_days)
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    grid = joined.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        grid.join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
+def transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over consecutive same-user
+    events: (prev_type, next_type, n, p) where p = n / Σ n over the
+    prev_type row — the behavior-model input (and, on a crawl log,
+    the fetch-outcome chain: ok→retry→ok…). ``order_col`` breaks
+    equal-timestamp ties deterministically.
+
+    One window pass (lag over the user's time-ordered events) + one
+    small aggregate on (prev, next); probabilities divide two exact
+    counts.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(user_col, ts_col, type_col,
+                      *([order_col] if order_col else []))
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("__prev").alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(totals)).alias("p"),
+    )

@@ -1,0 +1,125 @@
+"""eventops: ordered-step funnel, cohort retention, transition
+matrix — semantics on hand-built streams plus the one-Exchange funnel
+plan contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from gocrawl_spark import eventops
+
+
+def T(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_ordered_steps(spark):
+    """Step k requires steps 1..k−1 completed first, in time order; a
+    conversion out of order does not count; equal-ts completion is
+    at-or-after (inclusive)."""
+    ev = _ev(spark, [
+        # u1 completes all three in order
+        (1, 1, T(0), "view"), (2, 1, T(5), "click"), (3, 1, T(9), "purchase"),
+        # u2: purchase BEFORE click → stops at click
+        (4, 2, T(0), "view"), (5, 2, T(3), "purchase"), (6, 2, T(7), "click"),
+        # u3: click before any view → stops at view
+        (7, 3, T(0), "click"), (8, 3, T(2), "view"),
+        # u4: view only
+        (9, 4, T(1), "view"),
+        # u5: no view at all
+        (10, 5, T(1), "click"), (11, 5, T(2), "purchase"),
+    ])
+    got = {
+        r["step"]: r["n_users"]
+        for r in eventops.funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+    # equal timestamps: click at exactly the view's ts counts
+    # (window tie order is ts then type: 'click' < 'view', so the
+    # click row's prefix lacks the view — NOT counted; this pins the
+    # deterministic tie rule both engines share)
+    ev2 = _ev(spark, [(1, 1, T(0), "view"), (2, 1, T(0), "click")])
+    got2 = {
+        r["step"]: r["n_users"]
+        for r in eventops.funnel(ev2, ["view", "click"]).collect()
+    }
+    assert got2 == {"view": 1, "click": 0}
+    # …whereas a click one tick later does count
+    ev3 = _ev(spark, [(1, 1, T(0), "view"), (2, 1, T(1), "click")])
+    got3 = {
+        r["step"]: r["n_users"]
+        for r in eventops.funnel(ev3, ["view", "click"]).collect()
+    }
+    assert got3 == {"view": 1, "click": 1}
+
+    with pytest.raises(ValueError, match="at least one step"):
+        eventops.funnel(ev, [])
+
+
+def test_funnel_plan_one_hash_exchange(spark):
+    """The chained step recurrence runs the window AND the per-user
+    aggregate on the same user-hash partitioning: exactly ONE hash
+    Exchange, no join operator."""
+    ev = _ev(spark, [(1, 1, T(0), "view")])
+    plan = (
+        eventops.funnel(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert marker not in plan, marker
+
+
+def test_cohort_retention_grid(spark):
+    """cohort_day = first active day; offsets count distinct active
+    days; retention is the exact ratio."""
+    D = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    ev = _ev(spark, [
+        # u1 first active day1, returns day2 (twice → one distinct)
+        (1, 1, D(1), "view"), (2, 1, D(2), "view"), (3, 1, D(2, 5), "click"),
+        # u2 first active day1 only
+        (4, 2, D(1, 3), "view"),
+        # u3 first active day2, returns day4
+        (5, 3, D(2), "view"), (6, 3, D(4), "view"),
+    ])
+    got = {
+        (r["cohort_day"], r["offset_days"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in eventops.cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-02", 2)] == (1, 1, 1.0)
+    assert len(got) == 4
+
+
+def test_transitions_counts_and_probs(spark):
+    """Consecutive same-user pairs only; counts exact; rows normalize
+    to probability 1 per prev_type; event_id breaks equal-ts ties."""
+    ev = _ev(spark, [
+        (1, 1, T(0), "a"), (2, 1, T(1), "b"), (3, 1, T(2), "a"),
+        (4, 1, T(3), "b"),
+        (5, 2, T(0), "a"), (6, 2, T(1), "b"),
+        # u3: equal timestamps — event_id orders c before d
+        (7, 3, T(0), "c"), (8, 3, T(0), "d"),
+    ])
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in eventops.transitions(ev).collect()
+    }
+    assert got[("a", "b")] == (3, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert got[("c", "d")] == (1, 1.0)
+    assert ("d", "c") not in got
+    assert len(got) == 3
