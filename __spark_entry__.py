@@ -3004,6 +3004,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q1_lite"] = tpch_q1_lite
 
+    def tpch_q3_lite(spark, sf_dir):
+        """TPC-H Q3 shape (shipping priority): broadcast the filtered
+        customer dim into orders, shuffle-join the lineitem fact ONCE
+        on l_orderkey, decimal-exact revenue, top-10. The join order
+        matters at 100 TB: customer×orders first (broadcast, no
+        shuffle) so the single big exchange is the fact join."""
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderdate") < F.lit("1997-06-01")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+            F.col("l_shipdate") > F.lit("1997-06-01")
+        )
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).cast("decimal(18,4)")
+        return (
+            li.join(
+                orders.join(
+                    F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey,
+                ).select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "revenue",
+            )
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3_lite"] = tpch_q3_lite
+
+    def tpch_q5_lite(spark, sf_dir):
+        """TPC-H Q5 shape (local supplier volume): region→nation→
+        supplier and customer are all broadcast dims; lineitem joins
+        orders in the one big exchange, then the tiny dims prune it.
+        The c_nationkey = s_nationkey 'local supplier' constraint
+        rides the broadcast joins."""
+        region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+            F.col("r_name") == "ASIA"
+        )
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).cast("decimal(18,4)")
+        nations_in = nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(
+                F.broadcast(cust),
+                (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == supp.s_nationkey),
+            )
+            .join(
+                F.broadcast(nations_in),
+                supp.s_nationkey == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+        )
+
+    q["tpch_q5_lite"] = tpch_q5_lite
+
+    def tpch_q10_lite(spark, sf_dir):
+        """TPC-H Q10 shape (returned-item reporting): one quarter of
+        orders, returned lineitems only, customer+nation broadcast,
+        revenue per customer, top-20 — the classic fact-to-dim star
+        shape with a selective fact filter that must reach the scan."""
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+            F.col("l_returnflag") == "R"
+        )
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).cast("decimal(18,4)")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+            )
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+        )
+
+    q["tpch_q10_lite"] = tpch_q10_lite
+
     # -- multimodal plumbing (payload bytes never shuffle; features do) ----
     def media_features(spark, sf_dir):
         media = mm.synth_media(spark, _docs(spark, sf_dir), modality="video")
@@ -8654,6 +8765,47 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["tpch_q3_lite"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               sum(round(l_extendedprice * (1 - l_discount), 4)
+                   ::DECIMAL(18,4))::DOUBLE AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """
+
+    o["tpch_q5_lite"] = """
+        SELECT n_name,
+               sum(round(l_extendedprice * (1 - l_discount), 4)
+                   ::DECIMAL(18,4))::DOUBLE AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """
+
+    o["tpch_q10_lite"] = """
+        SELECT c_custkey, c_name, n_name,
+               sum(round(l_extendedprice * (1 - l_discount), 4)
+                   ::DECIMAL(18,4))::DOUBLE AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
     """
 
     o["search_aggs_terms_a2"] = """

@@ -151,6 +151,9 @@ HEADLINE = [
     "events_funnel",
     "events_cohort_retention",
     "events_transitions",
+    # round-4 session 11: star-join analytics (broadcast dims, single
+    # fact shuffle — one representative)
+    "tpch_q3_lite",
 ]
 
 

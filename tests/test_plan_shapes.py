@@ -1033,3 +1033,22 @@ def test_dsl_tail_leaves_single_scan_no_join(spark, sf_dir):
         assert marker not in plan, marker
     assert plan.count("FileScan") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_star_joins_broadcast_dims_one_fact_shuffle(spark, sf_dir):
+    """Q3/Q5/Q10 shapes: every dimension join is a BroadcastHashJoin,
+    the ONLY shuffle join is the lineitem-orders fact join, and the
+    selective fact filters are pushed to the parquet scans."""
+    import __spark_entry__ as entry
+
+    for name in ("tpch_q3_lite", "tpch_q5_lite", "tpch_q10_lite"):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+            "ShuffledHashJoin"
+        )
+        assert n_shuffle_joins <= 1, f"{name}: {n_shuffle_joins}\n{plan}"
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "PushedFilters: [" in plan, name
