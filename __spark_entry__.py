@@ -4614,6 +4614,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_transitions"] = events_transitions
 
+    def search_intervals(spark, sf_dir):
+        """ES `intervals` query (search._compile_leaf): any_of over
+        two ordered match rules with max_gaps — proximity search as
+        the same anchored greedy-subsequence fold as span_near
+        (slop ≡ max_gaps), best-rule count as the score. Single-scan
+        column expression."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"intervals": {"text": {
+                    "any_of": {"intervals": [
+                        {"match": {"query": "table scan",
+                                   "max_gaps": 1, "ordered": True}},
+                        {"match": {"query": "merge join",
+                                   "max_gaps": 1, "ordered": True}},
+                    ]},
+                }}}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_intervals"] = search_intervals
+
+    def search_combined_fields(spark, sf_dir):
+        """ES `combined_fields` (search._compile_leaf): term-centric
+        scoring over a virtual combined field — each query term's
+        frequency is the boost-weighted sum of its per-field TFs
+        (source^2 doubles source hits); operator=or. One scan, both
+        fields analyzed once."""
+        return search.bool_topk(
+            _docs(spark, sf_dir),
+            {
+                "must": [{"combined_fields": {
+                    "query": "table src3",
+                    "fields": ["text", "source^2"],
+                    "operator": "or",
+                }}],
+            },
+            id_col="doc_id",
+            k=15,
+        )
+
+    q["search_combined_fields"] = search_combined_fields
+
+    def corpus_kmv_users(spark, sf_dir):
+        """Bottom-k (KMV) set-resemblance sketch
+        (corpusstats.kmv_jaccard): Jaccard of the first-half vs
+        second-half active-user sets from the k=64 smallest md5-order
+        members of the union — Broder's estimator, the
+        URL-seen-set-overlap primitive across crawl generations at
+        scale (each side reduces to ≤k rows, mergeable by
+        construction). exact=True adds the full-join truth as the
+        evaluation twin."""
+        from gocrawl_spark import corpusstats as cs
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        wk1 = ev.filter(F.col("ts") < F.lit("2024-01-16")).select("user_id")
+        wk2 = ev.filter(F.col("ts") >= F.lit("2024-01-16")).select("user_id")
+        return cs.kmv_jaccard(wk1, wk2, "user_id", k=64, exact=True)
+
+    q["corpus_kmv_users"] = corpus_kmv_users
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -10874,6 +10937,74 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*),
                sum(round(value * 100)::BIGINT) / 100.0
         FROM events GROUP BY 2, 3
+    """
+
+    # intervals any_of: best of the two anchored ordered-proximity
+    # counts (window n+max_gaps ⇒ 2-position lookahead for 2 terms)
+    o["search_intervals"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_antoks("text")} AS toks
+                   FROM documents),
+        s AS (SELECT id,
+                     len(list_filter(range(1, len(toks) + 1),
+                         i -> toks[i] = 'table'
+                              AND list_contains(toks[i+1:i+2], 'scan')))
+                       AS c1,
+                     len(list_filter(range(1, len(toks) + 1),
+                         i -> toks[i] = 'merge'
+                              AND list_contains(toks[i+1:i+2], 'join')))
+                       AS c2
+              FROM t)
+        SELECT id, round(greatest(c1, c2), 6)::DOUBLE AS score
+        FROM s WHERE greatest(c1, c2) > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # combined_fields: per-term boost-weighted TF sums across the two
+    # analyzed fields, OR semantics
+    o["search_combined_fields"] = f"""
+        WITH t AS (SELECT doc_id AS id,
+                          {_antoks("text")} AS toks,
+                          {_antoks("source")} AS stoks
+                   FROM documents),
+        s AS (SELECT id,
+                     1.0::DOUBLE * {_antf("toks", "table")}
+                       + 2.0::DOUBLE * {_antf("stoks", "table")} AS tf1,
+                     1.0::DOUBLE * {_antf("toks", "src3")}
+                       + 2.0::DOUBLE * {_antf("stoks", "src3")} AS tf2
+              FROM t)
+        SELECT id, round(tf1 + tf2, 6)::DOUBLE AS score
+        FROM s WHERE tf1 + tf2 > 0
+        ORDER BY score DESC, id ASC LIMIT 15
+    """
+
+    # KMV bottom-k resemblance: same md5 hash order in both engines,
+    # integer DIV ppm; exact twin via the full outer join
+    o["corpus_kmv_users"] = """
+        WITH a AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+                   FROM events
+                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        m AS (SELECT coalesce(a.v, b.v) AS v, md5(coalesce(a.v, b.v)) AS h,
+                     CASE WHEN a.v IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+                     CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END AS in_b
+              FROM a FULL OUTER JOIN b ON a.v = b.v),
+        bk AS (SELECT * FROM m ORDER BY h ASC, v ASC LIMIT 64),
+        s AS (SELECT count(*) AS k_used, sum(in_a * in_b) AS n_both FROM bk),
+        e AS (SELECT sum(in_a) AS n_a, sum(in_b) AS n_b,
+                     sum(in_a * in_b) AS n_inter, count(*) AS n_union
+              FROM m)
+        SELECT s.k_used::BIGINT AS k_used, s.n_both::BIGINT AS n_both,
+               (CASE WHEN s.k_used > 0
+                     THEN s.n_both * 1000000 // s.k_used
+                ELSE 0 END)::BIGINT AS est_jaccard_ppm,
+               e.n_a::BIGINT AS n_a, e.n_b::BIGINT AS n_b,
+               e.n_inter::BIGINT AS n_inter, e.n_union::BIGINT AS n_union,
+               (CASE WHEN e.n_union > 0
+                     THEN e.n_inter * 1000000 // e.n_union
+                ELSE 0 END)::BIGINT AS exact_jaccard_ppm
+        FROM s, e
     """
 
     # funnel: the same chained running-earliest-completion windows,

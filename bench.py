@@ -154,6 +154,10 @@ HEADLINE = [
     # round-4 session 11: star-join analytics (broadcast dims, single
     # fact shuffle — one representative)
     "tpch_q3_lite",
+    # round-4 session 11: intervals proximity + KMV set-resemblance
+    # sketch (one representative each)
+    "search_intervals",
+    "corpus_kmv_users",
 ]
 
 

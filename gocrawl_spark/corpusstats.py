@@ -41,7 +41,7 @@ __all__ = [
     "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
     "key_skew_audit", "corpus_minhash", "corpus_overlap",
     "dup_ngram_mass", "cms_sketch", "cms_estimate", "fetch_gini",
-    "pipeline_funnel",
+    "pipeline_funnel", "kmv_jaccard",
 ]
 
 
@@ -907,3 +907,81 @@ def pipeline_funnel(
             ),
         )
     )
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    k: int = 256,
+    exact: bool = False,
+) -> DataFrame:
+    """Bottom-k (KMV) resemblance sketch between two ID sets — the
+    set-cardinality twin of :func:`corpus_overlap` (which sketches
+    shingle CONTENT similarity; this sketches membership of an
+    explicit key column: URL-seen sets across generations, active
+    users across windows, hosts across crawls).
+
+    Broder's estimator: take the k smallest elements of A∪B under a
+    uniform hash order (md5 hex — the engine-shared order the whole
+    repo uses); the fraction of them belonging to A∩B is an unbiased
+    Jaccard estimate with SE ≈ 1/√k. One row out: (k_used, n_both,
+    est_jaccard_ppm[, n_a, n_b, n_inter, n_union, exact_jaccard_ppm]).
+
+    Scale shape: each side reduces to ≤k (hash, flags) rows via a
+    TakeOrdered-style per-partition bottom-k + driver merge — never a
+    global sort — and a sketch is mergeable by construction (bottom-k
+    of concatenated sketches). ``exact=True`` adds the true Jaccard
+    via a full distinct + outer join: the EVALUATION twin, not the
+    100 TB path. ppm values use integer DIV so both engines agree
+    bit-for-bit.
+    """
+    ha = (
+        a.select(F.col(col).cast("string").alias("v"))
+        .distinct()
+        .withColumn("h", F.md5("v"))
+        .withColumn("in_a", F.lit(1))
+        .withColumn("in_b", F.lit(0))
+    )
+    hb = (
+        b.select(F.col(col).cast("string").alias("v"))
+        .distinct()
+        .withColumn("h", F.md5("v"))
+        .withColumn("in_a", F.lit(0))
+        .withColumn("in_b", F.lit(1))
+    )
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("v", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    bottomk = merged.orderBy(F.asc("h"), F.asc("v")).limit(k)
+    out = bottomk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    ).select(
+        "k_used",
+        "n_both",
+        F.expr(
+            "CASE WHEN k_used > 0 THEN n_both * 1000000 DIV k_used"
+            " ELSE 0 END"
+        ).cast("long").alias("est_jaccard_ppm"),
+    )
+    if not exact:
+        return out
+    ex = merged.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.expr(
+            "CASE WHEN n_union > 0 THEN n_inter * 1000000 DIV n_union"
+            " ELSE 0 END"
+        ).cast("long").alias("exact_jaccard_ppm"),
+    )
+    return out.crossJoin(ex)

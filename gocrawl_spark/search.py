@@ -588,6 +588,15 @@ def _collect_match_fields(clauses, fields: list[str]) -> None:
             ((field, _spec),) = body.items()
             if field not in fields:
                 fields.append(field)
+        elif kind == "intervals":
+            ((field, _spec),) = body.items()
+            if field not in fields:
+                fields.append(field)
+        elif kind == "combined_fields":
+            for f in body.get("fields", ()):
+                base = f.split("^", 1)[0]
+                if base not in fields:
+                    fields.append(base)
         elif kind == "span_near":
             for sub in body.get("clauses", ()):
                 ((_k2, b2),) = sub.items()
@@ -1282,6 +1291,67 @@ def _compile_leaf(clause: dict, tokcol: dict[str, str]):
             F.col(tokcol[field]), sn_terms, int(body.get("slop", 0))
         )
         return cnt > 0, cnt.cast("double")
+    if kind == "intervals":
+        # ES intervals query, the `match` rule (ordered=true):
+        # analyzed terms within max_gaps intervening positions, in
+        # order — exactly the span_near fold with slop=max_gaps; an
+        # `any_of` combinator ORs sub-rules (best sub-score, count
+        # scoring as elsewhere). Unordered rules are not compiled
+        # (same permutation-enumeration cost span_near declines).
+        ((field, spec),) = body.items()
+
+        def _compile_rule(rule: dict):
+            ((rk, rb),) = rule.items()
+            if rk == "match":
+                if not bool(rb.get("ordered", False)):
+                    raise ValueError("intervals match supports ordered=true only")
+                terms_iv = _terms(str(rb["query"]))
+                if not terms_iv:
+                    return F.lit(0)
+                return _subseq_window_count(
+                    F.col(tokcol[field]), terms_iv, int(rb.get("max_gaps", 0))
+                )
+            if rk == "any_of":
+                counts = [_compile_rule(r) for r in rb["intervals"]]
+                return counts[0] if len(counts) == 1 else F.greatest(*counts)
+            raise ValueError(f"unsupported intervals rule: {rk}")
+
+        cnt = _compile_rule(spec)
+        return cnt > 0, cnt.cast("double")
+    if kind == "combined_fields":
+        # ES combined_fields: term-centric scoring over a virtual
+        # combined field — each term's frequency is the boost-weighted
+        # sum of its per-field TFs ("title^2" doubles title hits);
+        # operator=and requires every term somewhere in the combined
+        # field. Score = Σ weighted TFs (the match leaf's TF idiom).
+        weights = []
+        for f in body.get("fields", ()):
+            if "^" in f:
+                base, b = f.split("^", 1)
+                weights.append((base, float(b)))
+            else:
+                weights.append((f, 1.0))
+        if not weights:
+            raise ValueError("combined_fields needs fields")
+        cf_terms = _terms(str(body["query"]))
+        if not cf_terms:
+            return F.lit(False), F.lit(0.0)
+        operator = str(body.get("operator", "or")).lower()
+        score = F.lit(0.0)
+        pred = F.lit(True) if operator == "and" else None
+        for t in cf_terms:
+            tf_t = F.lit(0.0)
+            for base, wgt in weights:
+                tf_f = F.size(F.filter(tokcol[base], _eq(F.lit(t))))
+                tf_t = tf_t + F.lit(wgt) * F.coalesce(
+                    tf_f.cast("double"), F.lit(0.0)
+                )
+            score = score + tf_t
+            if operator == "and":
+                pred = pred & (tf_t > 0)
+        if operator == "and":
+            return pred, score
+        return score > 0, score
     if kind == "function_score":
         # ES function_score: the sub-query decides matching; each
         # function applies where its filter matches (no filter =

@@ -314,3 +314,40 @@ def test_report_card_medians_and_dups(spark):
     assert de["p50_doc_tokens"] == 2
     assert de["dup_rate"] == pytest.approx(0.5)
     assert de["mean_doc_tokens"] == pytest.approx(2.0)
+
+
+def test_kmv_jaccard_estimate_and_exact(spark):
+    """Bottom-k resemblance: exact twin is the true Jaccard; the
+    estimate is n_both/k over the k smallest union hashes; disjoint
+    sets give 0, identical sets give 1e6 ppm; the bottom-k plan is a
+    TakeOrdered, not a global sort exchange."""
+    from gocrawl_spark import corpusstats
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(50, 150)], "u long")
+    r = corpusstats.kmv_jaccard(a, b, "u", k=32, exact=True).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_inter"], r["n_union"]) == (100, 100, 50, 150)
+    assert r["exact_jaccard_ppm"] == 333333
+    assert r["k_used"] == 32
+    # unbiased estimator, SE ≈ 1/√32 ≈ 0.18: accept a generous band
+    assert 100000 <= r["est_jaccard_ppm"] <= 600000
+
+    same = corpusstats.kmv_jaccard(a, a, "u", k=16).collect()[0]
+    assert same["est_jaccard_ppm"] == 1000000
+    c = spark.createDataFrame([(i,) for i in range(1000, 1100)], "u long")
+    disj = corpusstats.kmv_jaccard(a, c, "u", k=16).collect()[0]
+    assert disj["est_jaccard_ppm"] == 0
+
+    # k larger than the union: k_used clamps, estimate becomes exact
+    small_a = spark.createDataFrame([(1,), (2,), (3,)], "u long")
+    small_b = spark.createDataFrame([(2,), (3,), (4,)], "u long")
+    sm = corpusstats.kmv_jaccard(small_a, small_b, "u", k=64).collect()[0]
+    assert (sm["k_used"], sm["n_both"]) == (4, 2)
+    assert sm["est_jaccard_ppm"] == 500000
+
+    plan = (
+        corpusstats.kmv_jaccard(a, b, "u", k=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -4292,3 +4292,71 @@ def test_bool_terms_set_pinned_rank_feature(spark):
     }
     assert got[1] == 0.5
     assert got[4] == round(25.0 / 125.0, 6)
+
+
+def test_bool_intervals_and_combined_fields(spark):
+    """intervals: ordered match rules with max_gaps ≡ span_near slop,
+    any_of takes the best sub-count; combined_fields: term-centric
+    boost-weighted TF sums across fields, and-operator gating."""
+    rows = [
+        (1, "alpha beta gamma alpha", "big data"),
+        (2, "alpha x beta", "data"),
+        (3, "beta gamma", "big alpha"),
+        (4, "alpha b c beta", "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, title string")
+
+    got = {
+        r["id"]: r["score"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"intervals": {"text": {"match": {
+                "query": "alpha beta", "max_gaps": 1, "ordered": True,
+            }}}}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    }
+    # gap 0 (doc1) and gap 1 (doc2) match; gap 2 (doc4) does not
+    assert got == {1: 1.0, 2: 1.0}
+
+    got = {
+        r["id"]: r["score"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"intervals": {"text": {"any_of": {"intervals": [
+                {"match": {"query": "alpha beta",
+                           "max_gaps": 0, "ordered": True}},
+                {"match": {"query": "beta gamma",
+                           "max_gaps": 0, "ordered": True}},
+            ]}}}}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    }
+    assert got == {1: 1.0, 3: 1.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ordered"):
+        search.bool_topk(
+            df,
+            {"must": [{"intervals": {"text": {"match": {
+                "query": "alpha beta", "max_gaps": 1,
+            }}}}]},
+            id_col="doc_id", k=10,
+        )
+
+    got = {
+        r["id"]: r["score"]
+        for r in search.bool_topk(
+            df,
+            {"must": [{"combined_fields": {
+                "query": "alpha data",
+                "fields": ["text", "title^2"],
+                "operator": "and",
+            }}]},
+            id_col="doc_id", k=10,
+        ).collect()
+    }
+    # doc1: alpha 2 (text) + data 2 (title×2) = 4; doc2: 1 + 2 = 3;
+    # doc3/doc4 fail the and-gate (one term absent everywhere)
+    assert got == {1: 4.0, 2: 3.0}
