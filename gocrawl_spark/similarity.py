@@ -78,15 +78,30 @@ def brute_topk(
     broadcast — the corpus never shuffles; the only wide op is the
     per-query top-k, which AQE folds into a partial/final TakeOrdered.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms precomputed ONCE per row before the pair join — the per-
+    # pair expression then folds a single dot instead of three (dot +
+    # both norms), 3× less HOF work with bit-identical output: the
+    # per-row norm is the same expression tree, so the division sees
+    # the same IEEE operands
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -1072,44 +1087,66 @@ def mine_bitext(
     average folds a SORTED score list sequentially (IEEE order fixed
     across engines/parallelism) then rounds to 6.
 
-    Scale shape: built on brute_topk (query side broadcast, corpus
-    never shuffles) — the exact twin; at 10^8+ rows per side swap in
-    the IVF/LSH probes (ann_ivf/ann_lsh) for candidate generation and
-    keep this scoring tail. Top-1/avg-k are per-query window/rollup
-    over k·|queries| rows, no all-pairs materialization.
+    Scale shape: the candidate pair table is scored ONCE (src side
+    broadcast, norms precomputed per row) and persisted; both
+    directions' top-1/avg-k reduce from it as windows — half the
+    cosine work of a two-pass fwd/bwd spelling, bit-identical output
+    (dot and the norm product are IEEE-commutative). This is the
+    exact twin: at 10^8+ rows per side swap in the IVF/LSH probes
+    (ann_ivf/ann_lsh) for candidate generation and keep this scoring
+    tail over the (much smaller) candidate table.
     """
-    fwd = brute_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
-    bwd = brute_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("tv"),
+        norm(F.col(vec_col)).alias("tn"),
+    )
+    pairs = (
+        t.join(F.broadcast(s))
+        .filter(F.col("tgt_id") != F.col("src_id"))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")), 6
+            ).alias("score"),
+        )
+        .persist()
+    )
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.desc("score"), F.asc("tgt_id")
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.desc("score"), F.asc("src_id")
+    )
+    fwd = pairs.withColumn("rank", F.row_number().over(w_f)).filter(
+        F.col("rank") <= k
+    )
+    bwd = pairs.withColumn("rank", F.row_number().over(w_b)).filter(
+        F.col("rank") <= k
+    )
 
-    def _avg(nn: DataFrame, out: str) -> DataFrame:
+    def _avg(nn: DataFrame, key: str, out: str) -> DataFrame:
         fold = F.aggregate(
             F.array_sort(F.collect_list("score")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return nn.groupBy("query_id").agg(
+        return nn.groupBy(key).agg(
             F.round(fold / F.lit(float(k)), 6).alias(out)
         )
 
-    f1 = fwd.filter(F.col("rank") == 1).select(
-        F.col("query_id").alias("src_id"),
-        F.col("neighbor_id").alias("tgt_id"),
-        "score",
-    )
-    b1 = bwd.filter(F.col("rank") == 1).select(
-        F.col("neighbor_id").alias("src_id"),
-        F.col("query_id").alias("tgt_id"),
-    )
+    f1 = fwd.filter(F.col("rank") == 1).select("src_id", "tgt_id", "score")
+    b1 = bwd.filter(F.col("rank") == 1).select("src_id", "tgt_id")
     mutual = f1.join(b1, ["src_id", "tgt_id"], "left_semi")
-    scored = (
-        mutual.join(
-            _avg(fwd, "avg_f").withColumnRenamed("query_id", "src_id"),
-            "src_id",
-        )
-        .join(
-            _avg(bwd, "avg_b").withColumnRenamed("query_id", "tgt_id"),
-            "tgt_id",
-        )
+    out = (
+        mutual.join(_avg(fwd, "src_id", "avg_f"), "src_id")
+        .join(_avg(bwd, "tgt_id", "avg_b"), "tgt_id")
         .withColumn(
             "margin",
             F.round(
@@ -1119,7 +1156,7 @@ def mine_bitext(
             ),
         )
     )
-    return scored.filter(F.col("margin") >= F.lit(margin_threshold)).select(
+    return out.filter(F.col("margin") >= F.lit(margin_threshold)).select(
         "src_id", "tgt_id", "score", "margin"
     )
 
