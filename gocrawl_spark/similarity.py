@@ -181,11 +181,25 @@ def cosine_dup_pairs(
     verify stage after blocking; at corpus scale run it only on LSH/IVF
     candidate pairs (compose with lsh buckets or ivf cells).
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_rounded(F.col("va"), F.col("vb")).alias("score"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
     )
 
@@ -208,12 +222,21 @@ def _nearest_cells(
     vecs: DataFrame, cents: DataFrame, n: int, id_alias: str, vec_alias: str
 ) -> DataFrame:
     """Per vector: its n nearest centroids by (rounded cosine DESC,
-    centroid_id ASC)."""
-    scored = vecs.join(F.broadcast(cents)).select(
-        F.col(id_alias),
-        F.col(vec_alias),
-        F.col("centroid_id"),
-        cosine_rounded(F.col(vec_alias), F.col("centroid_vec")).alias("_cs"),
+    centroid_id ASC). Norms hoisted per side (bit-identical scores:
+    same expression trees into the same division)."""
+    scored = (
+        vecs.withColumn("_vn", norm(F.col(vec_alias)))
+        .join(F.broadcast(cents.withColumn("_cn", norm(F.col("centroid_vec")))))
+        .select(
+            F.col(id_alias),
+            F.col(vec_alias),
+            F.col("centroid_id"),
+            F.round(
+                dot(F.col(vec_alias), F.col("centroid_vec"))
+                / (F.col("_vn") * F.col("_cn")),
+                6,
+            ).alias("_cs"),
+        )
     )
     w = Window.partitionBy(id_alias).orderBy(F.desc("_cs"), F.asc("centroid_id"))
     return (
@@ -280,12 +303,17 @@ def _probe_cells(
 
 def _rank_probed(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
     scored = (
-        probes.join(assigned, "centroid_id")
+        probes.withColumn("_qn", norm(F.col("qv")))
+        .join(assigned.withColumn("_en", norm(F.col("embedding"))), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_rounded(F.col("qv"), F.col("embedding")).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("_qn") * F.col("_en")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -462,12 +490,26 @@ def blocked_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_rounded(F.col("va"), F.col("vb")).alias("score"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
     )
 
@@ -490,15 +532,23 @@ def lsh_topk(
     oracle-reproducible projection."""
     b = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), b(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        b(F.col(vec_col)).alias("bucket"), norm(F.col(vec_col)).alias("cn"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), b(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        b(F.col(vec_col)).alias("bucket"), norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_rounded(F.col("qv"), F.col("cv")).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -840,33 +890,53 @@ def semdedup(
         if centroids is not None
         else ivf_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    scored = assigned.join(F.broadcast(cents), "centroid_id").select(
-        "vec_id",
-        "embedding",
-        "centroid_id",
-        cosine_rounded(F.col("embedding"), F.col("centroid_vec")).alias("centroid_sim"),
+    scored = (
+        assigned.withColumn("_n", norm(F.col("embedding")))
+        .join(
+            F.broadcast(cents.withColumn("_cn", norm(F.col("centroid_vec")))),
+            "centroid_id",
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "_n",
+            "centroid_id",
+            F.round(
+                dot(F.col("embedding"), F.col("centroid_vec"))
+                / (F.col("_n") * F.col("_cn")),
+                6,
+            ).alias("centroid_sim"),
+        )
     )
     x = scored.select(
         F.col("centroid_id"),
         F.col("vec_id"),
         F.col("embedding").alias("vx"),
+        F.col("_n").alias("nx"),
         F.col("centroid_sim").alias("sx"),
     )
     y = scored.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("y_id"),
         F.col("embedding").alias("vy"),
+        F.col("_n").alias("ny"),
         F.col("centroid_sim").alias("sy"),
     )
     # y dominates x: same cell, y farther from the centroid (or tied and
-    # smaller id), and the pair is a semantic dup.
+    # smaller id), and the pair is a semantic dup. Norms ride the cell
+    # rows, so the quadratic in-cell check folds one dot per pair.
     dominated = (
         x.join(y, "centroid_id")
         .filter(
             (F.col("sy") < F.col("sx"))
             | ((F.col("sy") == F.col("sx")) & (F.col("y_id") < F.col("vec_id")))
         )
-        .filter(cosine_rounded(F.col("vx"), F.col("vy")) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny")), 6
+            )
+            >= threshold
+        )
         .select("vec_id")
         .distinct()
         .withColumn("_pruned", F.lit(True))
@@ -1036,18 +1106,24 @@ def sq_topk(
     same broadcast-queries / corpus-never-shuffles plan; score is the
     6-dp-rounded cosine of the reconstruction, and rank ties break on
     neighbor_id so the list is deterministic."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     c = codes.select(
         F.col("vec_id").alias("neighbor_id"),
         sq_reconstruct(F.col("codes"), stats).alias("rv"),
-    )
+    ).withColumn("rn", norm(F.col("rv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_rounded(F.col("qv"), F.col("rv")).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
