@@ -4677,6 +4677,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_kmv_users"] = corpus_kmv_users
 
+    def events_json_props(spark, sf_dir):
+        """Semi-structured column handling: JSON-path extraction from
+        the events `props` payload (get_json_object — JVM-side JSON,
+        no UDF) rolled up per event_type with exact integer sums and
+        an exact-ratio mean."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return (
+            ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count("k").alias("n_k"),
+                F.sum("k").cast("long").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+                (F.sum("k").cast("long") / F.count("k")).alias("avg_k"),
+            )
+        )
+
+    q["events_json_props"] = events_json_props
+
+    def curate_bitext_filters(spark, sf_dir):
+        """Bitext-pair hygiene battery (curation.bitext_filters — the
+        ParaCrawl/CCMatrix post-mining pass): even-id docs paired with
+        odd-id docs as candidate (src, tgt); per-pair token-ratio
+        check in exact integer math, identical-copy flag, token-set
+        Jaccard overlap in integer ppm, empty-side flag, and the
+        combined keep verdict plus a lang-agreement column. Pure
+        per-row projection after the pair join."""
+        from gocrawl_spark import curation
+
+        docs = _docs(spark, sf_dir)
+        src = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.expr("doc_id DIV 2").alias("pair_id"),
+            F.col("text").alias("src_text"),
+            F.col("lang").alias("src_lang"),
+        )
+        tgt = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.expr("doc_id DIV 2").alias("pair_id"),
+            F.col("text").alias("tgt_text"),
+            F.col("lang").alias("tgt_lang"),
+        )
+        out = curation.bitext_filters(
+            src.join(tgt, "pair_id"), max_overlap_ppm=600_000
+        )
+        return out.select(
+            "pair_id",
+            "n_tok_src",
+            "n_tok_tgt",
+            "ratio_ok",
+            "identical",
+            "overlap_ppm",
+            "empty",
+            "keep",
+            (F.col("src_lang") == F.col("tgt_lang")).alias("lang_match"),
+        )
+
+    q["curate_bitext_filters"] = curate_bitext_filters
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11005,6 +11065,76 @@ def oracle_sql() -> dict[str, str]:
                      THEN e.n_inter * 1000000 // e.n_union
                 ELSE 0 END)::BIGINT AS exact_jaccard_ppm
         FROM s, e
+    """
+
+    # JSON-path extraction parity: json_extract_string ≡
+    # get_json_object; integer sums, exact-ratio mean
+    o["events_json_props"] = """
+        WITH e AS (
+          SELECT event_type,
+                 json_extract_string(props, '$.k')::INT AS k
+          FROM events)
+        SELECT event_type,
+               count(*) AS n_events,
+               count(k) AS n_k,
+               sum(k)::BIGINT AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               sum(k)::BIGINT / count(k)::DOUBLE AS avg_k
+        FROM e GROUP BY 1
+    """
+
+    # bitext filter battery: same norm_words stream per side, exact
+    # integer ratio bounds, distinct-token Jaccard in integer-ppm
+    def _bt_words(col: str) -> str:
+        return (
+            r"list_filter(regexp_split_to_array(trim(regexp_replace("
+            rf"lower({col}), '[^a-z0-9\s]', ' ', 'g')), '\s+'),"
+            r" x -> x <> '')"
+        )
+
+    o["curate_bitext_filters"] = f"""
+        WITH src AS (
+          SELECT doc_id // 2 AS pair_id, text AS src_text,
+                 lang AS src_lang
+          FROM documents WHERE doc_id % 2 = 0),
+        tgt AS (
+          SELECT doc_id // 2 AS pair_id, text AS tgt_text,
+                 lang AS tgt_lang
+          FROM documents WHERE doc_id % 2 = 1),
+        p AS (SELECT * FROM src JOIN tgt USING (pair_id)),
+        w AS (
+          SELECT pair_id, src_text, tgt_text, src_lang, tgt_lang,
+                 list_distinct({_bt_words("src_text")}) AS ds,
+                 list_distinct({_bt_words("tgt_text")}) AS dt,
+                 len({_bt_words("src_text")}) AS n_tok_src,
+                 len({_bt_words("tgt_text")}) AS n_tok_tgt
+          FROM p),
+        f AS (
+          SELECT pair_id, n_tok_src, n_tok_tgt,
+                 (src_text = tgt_text) AS identical,
+                 len(list_filter(ds, x -> list_contains(dt, x)))::BIGINT
+                   AS inter,
+                 (len(ds) + len(dt)
+                  - len(list_filter(ds, x -> list_contains(dt, x))))::BIGINT
+                   AS un,
+                 (src_lang = tgt_lang) AS lang_match
+          FROM w)
+        SELECT pair_id, n_tok_src, n_tok_tgt,
+               (n_tok_src * 2 >= n_tok_tgt * 1
+                AND n_tok_src * 2 <= n_tok_tgt * 4) AS ratio_ok,
+               identical,
+               (CASE WHEN un > 0 THEN inter * 1000000 // un
+                ELSE 0 END)::BIGINT AS overlap_ppm,
+               (n_tok_src = 0 OR n_tok_tgt = 0) AS empty,
+               ((n_tok_src * 2 >= n_tok_tgt * 1
+                 AND n_tok_src * 2 <= n_tok_tgt * 4)
+                AND NOT identical
+                AND NOT (n_tok_src = 0 OR n_tok_tgt = 0)
+                AND (CASE WHEN un > 0 THEN inter * 1000000 // un
+                     ELSE 0 END) <= 600000) AS keep,
+               lang_match
+        FROM f
     """
 
     # funnel: the same chained running-earliest-completion windows,

@@ -158,6 +158,10 @@ HEADLINE = [
     # sketch (one representative each)
     "search_intervals",
     "corpus_kmv_users",
+    # round-4 session 11: JSON-path props rollup + bitext hygiene
+    # battery (one representative each)
+    "events_json_props",
+    "curate_bitext_filters",
 ]
 
 

@@ -1582,7 +1582,7 @@ __all__ = [
     "tokenize_ids", "write_token_shards", "split_corpus",
     "split_decontaminated", "pack_token_sequences", "pack_greedy_bins",
     "chunk_windows", "temperature_weights", "doremi_weights",
-    "length_batches", "report_card",
+    "length_batches", "report_card", "bitext_filters",
 ]
 
 
@@ -1889,4 +1889,71 @@ def report_card(
         F.round(
             F.col("_n_short").cast("double") / F.col("n_docs"), 6
         ).alias("short_frac"),
+    )
+
+
+def bitext_filters(
+    pairs: DataFrame,
+    src_col: str = "src_text",
+    tgt_col: str = "tgt_text",
+    min_ratio_x2: int = 1,
+    max_ratio_x2: int = 4,
+    max_overlap_ppm: int = 800_000,
+) -> DataFrame:
+    """The standard bitext-pair filter battery (the ParaCrawl/CCMatrix
+    hygiene pass that follows margin mining — Bañón et al. 2020): for
+    each candidate (src, tgt) text pair emit the per-rule verdicts and
+    the final keep decision:
+
+    - ``ratio_ok``    — token-count ratio within [min_ratio_x2/2,
+      max_ratio_x2/2]; checked as 2·n_src ≥ min·n_tgt ∧ 2·n_src ≤
+      max·n_tgt in EXACT integer math (no float ratio);
+    - ``identical``   — raw string equality (untranslated copies);
+    - ``overlap_ppm`` — token-set Jaccard in ppm (integer DIV); pairs
+      above ``max_overlap_ppm`` are near-copies (boilerplate or
+      untranslated chrome with punctuation noise);
+    - ``empty``       — either side tokenizes to nothing;
+    - ``keep``        — ratio_ok ∧ ¬identical ∧ ¬empty ∧ overlap ≤ max.
+
+    Everything is a per-row column expression over the pair table —
+    no joins, no shuffle; at mining scale this runs as a projection on
+    mine_bitext's output joined to the text store.
+    """
+    ws = textstats.norm_words(src_col)
+    wt = textstats.norm_words(tgt_col)
+    n_s = F.size(ws)
+    n_t = F.size(wt)
+    ds = F.array_distinct(ws)
+    dt_ = F.array_distinct(wt)
+    inter = F.size(F.array_intersect(ds, dt_))
+    union = F.size(ds) + F.size(dt_) - inter
+    staged = pairs.select(
+        "*",
+        n_s.alias("n_tok_src"),
+        n_t.alias("n_tok_tgt"),
+        (F.col(src_col) == F.col(tgt_col)).alias("identical"),
+        inter.cast("long").alias("_inter"),
+        union.cast("long").alias("_union"),
+    )
+    out = staged.select(
+        "*",
+        (
+            (F.col("n_tok_src") * 2
+             >= F.col("n_tok_tgt") * F.lit(int(min_ratio_x2)))
+            & (F.col("n_tok_src") * 2
+               <= F.col("n_tok_tgt") * F.lit(int(max_ratio_x2)))
+        ).alias("ratio_ok"),
+        # exact integer DIV — bit-equal to DuckDB's // by construction
+        F.expr(
+            "CASE WHEN _union > 0 THEN _inter * 1000000 DIV _union"
+            " ELSE 0 END"
+        ).cast("long").alias("overlap_ppm"),
+        ((F.col("n_tok_src") == 0) | (F.col("n_tok_tgt") == 0)).alias("empty"),
+    ).drop("_inter", "_union")
+    return out.withColumn(
+        "keep",
+        F.col("ratio_ok")
+        & ~F.col("identical")
+        & ~F.col("empty")
+        & (F.col("overlap_ppm") <= F.lit(int(max_overlap_ppm))),
     )

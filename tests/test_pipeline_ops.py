@@ -4360,3 +4360,34 @@ def test_bool_intervals_and_combined_fields(spark):
     # doc1: alpha 2 (text) + data 2 (title×2) = 4; doc2: 1 + 2 = 3;
     # doc3/doc4 fail the and-gate (one term absent everywhere)
     assert got == {1: 4.0, 2: 3.0}
+
+
+def test_bitext_filters_battery(spark):
+    """Per-rule verdicts: integer ratio bounds, identical-copy flag,
+    token-set overlap ppm, empty side, combined keep."""
+    from gocrawl_spark import curation
+
+    rows = [
+        (1, "the quick brown fox", "le renard brun rapide"),        # keep
+        (2, "hello world", "hello world"),                          # identical
+        (3, "a b c d e f g h i j", "x y"),                          # ratio
+        (4, "shared tokens here mostly", "shared tokens here too"), # overlap
+        (5, "something", ""),                                       # empty
+        (6, "Hello, WORLD!", "hello world"),                        # same tokens,
+                                                                    # different raw
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, src_text string, tgt_text string")
+    got = {
+        r["pair_id"]: r
+        for r in curation.bitext_filters(df, max_overlap_ppm=500_000).collect()
+    }
+    assert got[1]["keep"] and got[1]["overlap_ppm"] == 0
+    assert got[2]["identical"] and not got[2]["keep"]
+    assert not got[3]["ratio_ok"] and not got[3]["keep"]
+    # 3 shared of 5 distinct union = 600000 ppm > 500000
+    assert got[4]["overlap_ppm"] == 600000 and not got[4]["keep"]
+    assert got[5]["empty"] and not got[5]["ratio_ok"]
+    # normalized tokens identical but raw strings differ: not
+    # `identical`, but overlap 1e6 kills it
+    assert not got[6]["identical"] and got[6]["overlap_ppm"] == 1000000
+    assert not got[6]["keep"]
