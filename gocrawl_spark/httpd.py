@@ -71,9 +71,56 @@ class SearchBackend:
         self,
         tables: "dict[str, tuple[DataFrame, str]]",
         cdx: "DataFrame | None" = None,
+        metrics: "DataFrame | None" = None,
     ):
         self.tables = tables
         self.cdx = cdx
+        self.metrics_df = metrics
+
+    def metrics_summary(self) -> dict:
+        """The reference's metrics surface
+        (internal/metrics/metrics.go:9-46) over the run's per-round
+        metric rows: processed_count ≡ fetched, error_count ≡ the
+        validation skip counters, successful_requests ≡ fetched,
+        rate_limited_requests ≡ the politeness deferrals (popped −
+        fetched − retried floor at 0), plus the raw per-metric totals
+        so nothing the rounds recorded is hidden. Counters-only (the
+        reference's wall-clock fields are process-lifetime state a
+        batch engine reports per round in the manifests instead)."""
+        base = {
+            "processed_count": 0,
+            "error_count": 0,
+            "successful_requests": 0,
+            "failed_requests": 0,
+            "rate_limited_requests": 0,
+            "rounds": 0,
+            "by_metric": {},
+        }
+        if self.metrics_df is None:
+            return base
+        rows = (
+            self.metrics_df.groupBy("metric")
+            .sum("value")
+            .collect()
+        )
+        totals = {r["metric"]: int(r["sum(value)"]) for r in rows}
+        n_rounds = self.metrics_df.select("round").distinct().count()
+        errors = sum(v for k, v in totals.items() if k.startswith("skip:"))
+        fetched = totals.get("fetched", 0)
+        deferred = max(
+            0,
+            totals.get("popped", 0) - fetched - totals.get("retried", 0),
+        )
+        return {
+            **base,
+            "processed_count": fetched,
+            "error_count": errors,
+            "successful_requests": fetched,
+            "failed_requests": totals.get("retried", 0),
+            "rate_limited_requests": deferred,
+            "rounds": n_rounds,
+            "by_metric": totals,
+        }
 
     def search(self, index: str, query: str, size: int) -> tuple[list[dict], int]:
         if index not in self.tables:
@@ -276,6 +323,7 @@ class SearchBackend:
         return cls(
             {"articles": (crawl.articles(), "body"), "pages": (crawl.pages(), "content")},
             cdx=cdx,
+            metrics=crawl.metrics(),
         )
 
     @classmethod
@@ -362,6 +410,11 @@ def make_handler(backend: SearchBackend, api_key: str | None, limiter: _RateLimi
         def do_GET(self) -> None:
             if self.path == "/health":
                 self._json(200, {"status": "ok"}, secure=False)
+                return
+            if self.path == "/metrics":
+                if not self._guard():
+                    return
+                self._json(200, _plain(backend.metrics_summary()))
                 return
             from urllib.parse import parse_qs, urlsplit
 

@@ -315,3 +315,40 @@ def test_msearch_endpoint(server):
     # odd line count → 400 for the whole batch
     code, _, _ = _post(server, "/msearch", b'{"index": "articles"}\n')
     assert code == 400
+
+
+def test_metrics_endpoint(server, spark, corpus_df):
+    """GET /metrics without a run attached returns the zeroed counter
+    shape; with per-round metric rows it rolls them up into the
+    reference's counter fields (metrics.go:9-46)."""
+    with urllib.request.urlopen(server + "/metrics") as resp:
+        assert resp.status == 200
+        body = json.loads(resp.read())
+    assert body["processed_count"] == 0 and body["rounds"] == 0
+    assert body["by_metric"] == {}
+
+    mdf = spark.createDataFrame(
+        [
+            (0, "popped", 10), (0, "fetched", 8), (0, "retried", 1),
+            (0, "skip:too_short", 2),
+            (1, "popped", 5), (1, "fetched", 5), (1, "skip:no_title", 1),
+        ],
+        "round int, metric string, value long",
+    )
+    backend = httpd.SearchBackend(
+        {"articles": (corpus_df, "body")}, metrics=mdf
+    )
+    srv = httpd.serve(backend, port=0)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        with urllib.request.urlopen(base + "/metrics") as resp:
+            got = json.loads(resp.read())
+    finally:
+        srv.shutdown()
+    assert got["processed_count"] == 13
+    assert got["successful_requests"] == 13
+    assert got["error_count"] == 3
+    assert got["failed_requests"] == 1
+    assert got["rate_limited_requests"] == 1   # 15 popped − 13 − 1
+    assert got["rounds"] == 2
+    assert got["by_metric"]["fetched"] == 13
