@@ -4737,6 +4737,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_bitext_filters"] = curate_bitext_filters
 
+    def events_rollup_merge(spark, sf_dir):
+        """Incremental-view maintenance (timeops.rollup_merge): the
+        rollup of the first half-month MERGED with the rollup of the
+        rest must equal the direct full rollup — counts and integer-
+        cent sums are associative, so a day's delta folds into the
+        materialized aggregate without re-scanning history. The oracle
+        IS the direct full rollup, so a green row proves merge
+        correctness, not just shape."""
+        from gocrawl_spark import timeops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cut = F.lit("2024-01-16")
+        half1 = timeops.time_rollup(
+            ev.filter(F.col("ts") < cut), keys=["event_type"],
+            value="value", granularities=("hour", "day"), as_cents=True,
+        )
+        half2 = timeops.time_rollup(
+            ev.filter(F.col("ts") >= cut), keys=["event_type"],
+            value="value", granularities=("hour", "day"), as_cents=True,
+        )
+        merged = timeops.rollup_merge(half1, half2)
+        return merged.select(
+            "granularity",
+            "bucket",
+            "event_type",
+            "n_events",
+            (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        )
+
+    q["events_rollup_merge"] = events_rollup_merge
+
+    def events_rate_anomaly(spark, sf_dir):
+        """Hourly-rate anomaly audit (eventops.rate_anomaly): per-type
+        bucket counts flagged when |n − median| > 3·MAD, both order
+        statistics rank-selected lower medians in exact integer math —
+        the fetch-burst/dead-feed ops alarm."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.rate_anomaly(ev)
+
+    q["events_rate_anomaly"] = events_rate_anomaly
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11135,6 +11178,55 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END) <= 600000) AS keep,
                lang_match
         FROM f
+    """
+
+    # rollup merge: the oracle is the DIRECT full rollup — green ⇔
+    # the two half-rollups merged associatively to the truth
+    o["events_rollup_merge"] = """
+        SELECT 'hour' AS granularity,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+               event_type,
+               count(*) AS n_events,
+               sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day',
+               strftime(date_trunc('day', ts), '%Y-%m-%d'),
+               event_type, count(*),
+               sum(round(value * 100)::BIGINT) / 100.0
+        FROM events GROUP BY 2, 3
+    """
+
+    # rate anomaly: identical rank-selected lower medians (rank
+    # (m+1)//2 under the (value, bucket) order) for median and MAD
+    o["events_rate_anomaly"] = """
+        WITH c AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n ASC, bucket ASC) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS m
+          FROM c),
+        med AS (
+          SELECT *, max(CASE WHEN rn = (m + 1) // 2 THEN n END)
+                      OVER (PARTITION BY event_type) AS median_n
+          FROM r),
+        d AS (
+          SELECT *, abs(n - median_n) AS dev,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(n - median_n) ASC,
+                                                bucket ASC) AS rn2
+          FROM med),
+        mad AS (
+          SELECT *, max(CASE WHEN rn2 = (m + 1) // 2 THEN dev END)
+                      OVER (PARTITION BY event_type) AS mad
+          FROM d)
+        SELECT event_type, bucket, n, median_n, mad,
+               (dev > 3 * mad) AS anomaly
+        FROM mad
     """
 
     # funnel: the same chained running-earliest-completion windows,

@@ -162,6 +162,10 @@ HEADLINE = [
     # battery (one representative each)
     "events_json_props",
     "curate_bitext_filters",
+    # round-4 session 11: incremental rollup maintenance + rate
+    # anomaly audit (one representative each)
+    "events_rollup_merge",
+    "events_rate_anomaly",
 ]
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "transitions"]
+__all__ = ["funnel", "cohort_retention", "transitions", "rate_anomaly"]
 
 
 def funnel(
@@ -176,4 +176,72 @@ def transitions(
         "next_type",
         "n",
         (F.col("n") / F.sum("n").over(totals)).alias("p"),
+    )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Hourly-rate anomaly audit per event type — the ops alarm for a
+    crawl/event log (a fetch-error burst, a dead feed, a runaway
+    host): bucket counts whose deviation from the type's median
+    exceeds ``k_mad`` × the median-absolute-deviation.
+
+    Everything is EXACT integer order statistics: the median and the
+    MAD are rank-selected lower medians (rank (m+1) DIV 2 under a
+    (value, bucket) total order), never interpolated — bit-equal at
+    any parallelism and in the SQL twin. Output one row per (type,
+    bucket): (event_type, bucket, n, median_n, mad, anomaly).
+
+    Plan: one groupBy to bucket counts, then windows all partitioned
+    by the type — a single hash Exchange on (type, bucket) for the
+    aggregate and one on type for the windows.
+    """
+    bucket = F.date_format(
+        F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00"
+    )
+    counts = events.groupBy(
+        F.col(type_col).alias("event_type"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    wt = Window.partitionBy("event_type")
+    ranked = counts.select(
+        "*",
+        F.row_number()
+        .over(wt.orderBy(F.asc("n"), F.asc("bucket")))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(wt).alias("_m"),
+    )
+    with_med = ranked.select(
+        "*",
+        F.max(
+            F.when(F.col("_rn") == F.expr("(_m + 1) DIV 2"), F.col("n"))
+        )
+        .over(wt)
+        .alias("median_n"),
+    ).withColumn("_dev", F.abs(F.col("n") - F.col("median_n")))
+    with_mad = with_med.select(
+        "*",
+        F.row_number()
+        .over(wt.orderBy(F.asc("_dev"), F.asc("bucket")))
+        .alias("_rn2"),
+    )
+    out = with_mad.select(
+        "*",
+        F.max(
+            F.when(F.col("_rn2") == F.expr("(_m + 1) DIV 2"), F.col("_dev"))
+        )
+        .over(wt)
+        .alias("mad"),
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "n",
+        "median_n",
+        "mad",
+        (F.col("_dev") > F.lit(int(k_mad)) * F.col("mad")).alias("anomaly"),
     )

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "time_rollup"]
+__all__ = ["asof_join", "interval_join", "time_rollup", "rollup_merge"]
 
 
 def _epoch_us(c: Column) -> Column:
@@ -271,6 +271,7 @@ def time_rollup(
     keys: list[str] | None = None,
     value: str | None = None,
     granularities: tuple[str, ...] = ("hour", "day"),
+    as_cents: bool = False,
 ) -> DataFrame:
     """Multi-granularity rollup in ONE pass: for each granularity g,
     (bucket=date_trunc(g, ts), keys…) → count + order-exact value sum
@@ -308,9 +309,16 @@ def time_rollup(
     sets = [[F.col(b)] + [F.col(k) for k in keys] for b in bucket_cols]
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value:
-        aggs.append(
-            (F.sum("__cents") / F.lit(100.0)).alias("sum_value")
-        )
+        # as_cents keeps the sum in exact integer cents — the MERGEABLE
+        # form (cents add associatively; the /100.0 re-scale does not:
+        # 10¢/100 is not an exact double, so deltas must merge BEFORE
+        # the re-scale — see rollup_merge)
+        if as_cents:
+            aggs.append(F.sum("__cents").cast("long").alias("sum_cents"))
+        else:
+            aggs.append(
+                (F.sum("__cents") / F.lit(100.0)).alias("sum_value")
+            )
     rolled = pre.groupingSets(
         sets, *[F.col(c) for c in bucket_cols + keys]
     ).agg(*aggs)
@@ -328,5 +336,26 @@ def time_rollup(
         bucket.alias("bucket"),
         *keys,
         "n_events",
-        *(["sum_value"] if value else []),
+        *((["sum_cents"] if as_cents else ["sum_value"]) if value else []),
     ).filter(F.col("bucket").isNotNull())
+
+
+def rollup_merge(*rollups: DataFrame) -> DataFrame:
+    """Incremental-view maintenance for :func:`time_rollup` outputs in
+    cents form (``as_cents=True``): counts and integer-cent sums are
+    associative, so the rollup of a day's delta merges into yesterday's
+    materialized rollup with ONE small aggregate over bucket rows —
+    never re-scanning history. Re-scale ``sum_cents/100.0`` only at
+    read time (the double re-scale is NOT associative).
+
+    All inputs must share the same schema (granularity, bucket, keys…,
+    n_events[, sum_cents])."""
+    if not rollups:
+        raise ValueError("rollup_merge needs at least one rollup")
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    measure_cols = [c for c in ("n_events", "sum_cents") if c in out.columns]
+    group_cols = [c for c in out.columns if c not in measure_cols]
+    agg = [F.sum(c).cast("long").alias(c) for c in measure_cols]
+    return out.groupBy(*group_cols).agg(*agg)

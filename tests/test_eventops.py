@@ -123,3 +123,33 @@ def test_transitions_counts_and_probs(spark):
     assert got[("c", "d")] == (1, 1.0)
     assert ("d", "c") not in got
     assert len(got) == 3
+
+
+def test_rate_anomaly_median_mad(spark):
+    """Rank-selected lower medians; a burst bucket flags, steady
+    buckets do not; all-equal counts give MAD 0 (any deviation
+    flags)."""
+    H = lambda d, h: dt.datetime(2024, 1, d, h)
+    rows = []
+    eid = 0
+    # type 'a': five steady hours of 2 events, one burst hour of 50
+    for h in range(5):
+        for _ in range(2):
+            rows.append((eid, 1, H(1, h), "a")); eid += 1
+    for _ in range(50):
+        rows.append((eid, 1, H(1, 6), "a")); eid += 1
+    # type 'b': three hours of exactly 3 events — MAD 0, no anomalies
+    for h in range(3):
+        for _ in range(3):
+            rows.append((eid, 2, H(2, h), "b")); eid += 1
+    ev = _ev(spark, rows)
+    got = {
+        (r["event_type"], r["bucket"]): r
+        for r in __import__("gocrawl_spark.eventops", fromlist=["eventops"])
+        .rate_anomaly(ev).collect()
+    }
+    burst = got[("a", "2024-01-01 06:00")]
+    assert burst["n"] == 50 and burst["median_n"] == 2 and burst["anomaly"]
+    steady = got[("a", "2024-01-01 00:00")]
+    assert steady["mad"] == 0 and not steady["anomaly"]
+    assert all(not got[k]["anomaly"] for k in got if k[0] == "b")

@@ -205,3 +205,38 @@ def test_timeops_bad_args(spark):
         timeops.asof_join(df, df, on="host", how="outer")
     with pytest.raises(ValueError, match="granularity"):
         timeops.time_rollup(df, granularities=("decade",))
+
+
+def test_rollup_merge_associative(spark):
+    """Split rollups in cents form merge to exactly the full rollup;
+    the double re-scale happens only after the merge."""
+    events = spark.createDataFrame(
+        [(T(10), "click", 0.10), (T(50), "click", 0.20),
+         (dt.datetime(2024, 1, 2, 0, 0, 1), "click", 0.30)],
+        "ts timestamp, event_type string, value double",
+    )
+    full = timeops.time_rollup(
+        events, keys=["event_type"], value="value",
+        granularities=("day",), as_cents=True,
+    )
+    h1 = timeops.time_rollup(
+        events.filter("ts < '2024-01-02'"), keys=["event_type"],
+        value="value", granularities=("day",), as_cents=True,
+    )
+    h2 = timeops.time_rollup(
+        events.filter("ts >= '2024-01-02'"), keys=["event_type"],
+        value="value", granularities=("day",), as_cents=True,
+    )
+    merged = timeops.rollup_merge(h1, h2)
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in merged.collect()}
+    assert a == b
+    # 0.10+0.20 cents-exact: the per-half re-scaled doubles would NOT
+    # have added exactly (0.1 is not a binary double)
+    day1 = {r["bucket"]: r["sum_cents"] for r in merged.collect()}
+    assert day1["2024-01-01"] == 30
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        timeops.rollup_merge()
