@@ -4780,6 +4780,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rate_anomaly"] = events_rate_anomaly
 
+    def events_m4_downsample(spark, sf_dir):
+        """M4 downsampling (timeops.m4_downsample — Jugel et al.,
+        PVLDB'14): per (event_type, 6 h bucket) the four extreme
+        points (first/last/min/max), the pixel-perfect reduction for
+        charting a billion-point series — one map-side-combining
+        groupBy, struct-ordered deterministic ties."""
+        from gocrawl_spark import timeops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return timeops.m4_downsample(
+            ev, keys=["event_type"], bucket_s=21600
+        )
+
+    q["events_m4_downsample"] = events_m4_downsample
+
+    def events_asof_nearest(spark, sf_dir):
+        """asof_join direction='nearest' (pandas merge_asof's third
+        mode): each click matched to the CLOSER of its latest prior /
+        earliest later view, backward on ties, within a 1-day
+        tolerance — both carries computed over one key Exchange.
+        The oracle picks the same winner via explicit lead/lag
+        window logic."""
+        from gocrawl_spark import timeops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        )
+        out = timeops.asof_join(
+            clicks, views, on="user_id", direction="nearest",
+            tolerance=86400, how="inner",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "view_id",
+            (
+                timeops._epoch_us(F.col("ts"))
+                - timeops._epoch_us(F.col("ts_r"))
+            ).alias("gap_us"),
+        )
+
+    q["events_asof_nearest"] = events_asof_nearest
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11227,6 +11274,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, n, median_n, mad,
                (dev > 3 * mad) AS anomaly
         FROM mad
+    """
+
+    # M4: rank-1 rows under the four struct orders; bucket via exact
+    # integer // on epoch microseconds
+    o["events_m4_downsample"] = """
+        WITH e AS (
+          SELECT event_type, epoch_us(ts)::BIGINT AS t,
+                 value::DOUBLE AS v
+          FROM events WHERE value IS NOT NULL),
+        b AS (SELECT event_type, t // 21600000000 AS bucket, t, v FROM e),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY t ASC, v ASC) AS rf,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY t DESC, v DESC) AS rl,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY v ASC, t ASC) AS rmn,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY v DESC, t DESC) AS rmx,
+            count(*) OVER (PARTITION BY event_type, bucket) AS n
+          FROM b)
+        SELECT event_type, bucket, n::BIGINT AS n,
+               max(CASE WHEN rf = 1 THEN t END) AS t_first,
+               max(CASE WHEN rf = 1 THEN v END) AS v_first,
+               max(CASE WHEN rl = 1 THEN t END) AS t_last,
+               max(CASE WHEN rl = 1 THEN v END) AS v_last,
+               max(CASE WHEN rmn = 1 THEN t END) AS t_min,
+               max(CASE WHEN rmn = 1 THEN v END) AS v_min,
+               max(CASE WHEN rmx = 1 THEN t END) AS t_max,
+               max(CASE WHEN rmx = 1 THEN v END) AS v_max
+        FROM r GROUP BY event_type, bucket, n
+    """
+
+    # asof nearest: backward and forward ASOF candidates, closer gap
+    # wins (backward on ties), 120 s tolerance on the winner
+    o["events_asof_nearest"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts, max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        back AS (
+          SELECT c.event_id, v.view_id AS b_id, v.ts AS b_ts
+          FROM clicks c ASOF JOIN views v
+            ON c.user_id = v.user_id AND c.ts >= v.ts),
+        fwd AS (
+          SELECT c.event_id, v.view_id AS f_id, v.ts AS f_ts
+          FROM clicks c ASOF JOIN views v
+            ON c.user_id = v.user_id AND c.ts <= v.ts),
+        m AS (
+          SELECT c.event_id, c.user_id, c.ts,
+                 b.b_id, b.b_ts, f.f_id, f.f_ts,
+                 epoch_us(c.ts) - epoch_us(b.b_ts) AS bgap,
+                 epoch_us(f.f_ts) - epoch_us(c.ts) AS fgap
+          FROM clicks c
+          LEFT JOIN back b ON b.event_id = c.event_id
+          LEFT JOIN fwd f ON f.event_id = c.event_id),
+        pick AS (
+          SELECT event_id, user_id,
+                 CASE WHEN b_id IS NULL THEN f_id
+                      WHEN f_id IS NULL THEN b_id
+                      WHEN bgap <= fgap THEN b_id ELSE f_id END AS view_id,
+                 CASE WHEN b_id IS NULL THEN -fgap
+                      WHEN f_id IS NULL THEN bgap
+                      WHEN bgap <= fgap THEN bgap ELSE -fgap END AS gap_us
+          FROM m)
+        SELECT event_id, user_id, view_id, gap_us
+        FROM pick
+        WHERE view_id IS NOT NULL AND abs(gap_us) <= 86400000000
     """
 
     # funnel: the same chained running-earliest-completion windows,

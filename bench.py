@@ -166,6 +166,9 @@ HEADLINE = [
     # anomaly audit (one representative each)
     "events_rollup_merge",
     "events_rate_anomaly",
+    # round-4 session 11: M4 chart downsampling + nearest-mode as-of
+    "events_m4_downsample",
+    "events_asof_nearest",
 ]
 
 

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "time_rollup", "rollup_merge"]
+__all__ = ["asof_join", "interval_join", "time_rollup", "rollup_merge", "m4_downsample"]
 
 
 def _epoch_us(c: Column) -> Column:
@@ -74,8 +74,9 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     greatest ``right_ts`` ≤ ``left_ts`` (direction="backward"; with
-    "forward", the least ``right_ts`` ≥ ``left_ts``) sharing the join
-    key(s).
+    "forward", the least ``right_ts`` ≥ ``left_ts``; with "nearest",
+    whichever of the two is closer, backward on ties) sharing the
+    join key(s).
 
     Plan shape: tag each side, UNION, repartition by key (ONE
     Exchange), sort within partitions by (key, ts, side, right-row
@@ -94,7 +95,7 @@ def asof_join(
     ``how="left"`` keeps unmatched left rows with NULL right columns.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction: {direction!r}")
     if how not in ("inner", "left"):
         raise ValueError(f"bad how: {how!r}")
@@ -126,22 +127,46 @@ def asof_join(
     )
     unioned = r_tag.unionByName(l_tag)
 
-    if direction == "backward":
-        order = [F.asc("__t"), F.asc("__side"), F.asc("__p")]
-    else:
-        # forward: scan time-descending so the carry-forward holds the
-        # EARLIEST right row at-or-after each left row; right rows
-        # still sort before left rows at equal ts (non-strict match),
-        # and same-ts right duplicates resolve to the same last-by-
-        # payload winner as backward (asc __p ⇒ carry sees the largest
-        # payload last)
-        order = [F.desc("__t"), F.asc("__side"), F.asc("__p")]
-    w = (
+    # backward: scan time-ascending, carry the LATEST right row at-or-
+    # before. forward: scan time-descending so the carry holds the
+    # EARLIEST right row at-or-after. In both, right rows sort before
+    # left rows at equal ts (non-strict match) and same-ts right
+    # duplicates resolve to the same last-by-payload winner (asc __p ⇒
+    # carry sees the largest payload last). nearest: BOTH carries over
+    # the same key partitioning (one Exchange, two in-partition
+    # sorts), then the smaller absolute gap wins, backward on ties —
+    # pandas merge_asof's nearest rule.
+    w_back = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.asc("__t"), F.asc("__side"), F.asc("__p"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("__t"), F.asc("__side"), F.asc("__p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "backward":
+        carried = unioned.withColumn(
+            "__m", F.last("__p", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        carried = unioned.withColumn(
+            "__m", F.last("__p", ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest
+        both = unioned.withColumn(
+            "__mb", F.last("__p", ignorenulls=True).over(w_back)
+        ).withColumn("__mf", F.last("__p", ignorenulls=True).over(w_fwd))
+        bgap = _epoch_us(F.col("__t")) - _epoch_us(F.col("__mb.__ts"))
+        fgap = _epoch_us(F.col("__mf.__ts")) - _epoch_us(F.col("__t"))
+        carried = both.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(bgap <= fgap, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        ).drop("__mb", "__mf")
 
     rows = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
@@ -149,6 +174,8 @@ def asof_join(
         gap = _epoch_us(F.col("__t")) - _epoch_us(F.col("__m.__ts"))
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         rows = rows.withColumn(
             "__m", F.when(gap <= F.lit(tol_us), F.col("__m"))
         )
@@ -359,3 +386,63 @@ def rollup_merge(*rollups: DataFrame) -> DataFrame:
     group_cols = [c for c in out.columns if c not in measure_cols]
     agg = [F.sum(c).cast("long").alias(c) for c in measure_cols]
     return out.groupBy(*group_cols).agg(*agg)
+
+
+def m4_downsample(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., PVLDB 2014): per
+    (keys…, fixed-width time bucket) keep exactly the four extreme
+    points — first, last, min, max — the smallest reduction that
+    renders a pixel-perfect line chart at the bucket resolution, and
+    the standard way to ship a billion-point series to a dashboard.
+
+    Unlike LTTB (sequential, depends on the previously selected
+    point), M4 is embarrassingly parallel: ONE map-side-combining
+    groupBy. Ties resolve by struct ordering — first/last by
+    (epoch, value), min/max by (value, epoch) — so the output is
+    bit-deterministic at any parallelism and in the SQL twin (rows
+    with NULL values are excluded).
+
+    Output: (keys…, bucket, n, t_first, v_first, t_last, v_last,
+    t_min, v_min, t_max, v_max) with t_* as epoch microseconds.
+    """
+    keys = list(keys or [])
+    staged = events.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        _epoch_us(F.col(ts_col)).alias("__ep"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    st_tv = F.struct(F.col("__ep").alias("t"), F.col("__v").alias("v"))
+    st_vt = F.struct(F.col("__v").alias("v"), F.col("__ep").alias("t"))
+    # exact integer DIV for the bucket index (a double division could
+    # drift one ulp at a bucket edge; DuckDB's // is exact)
+    bucket = F.expr(f"__ep DIV {int(bucket_s) * 1_000_000}")
+    agg = (
+        staged
+        .groupBy(*keys, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(st_tv).alias("_f"),
+            F.max(st_tv).alias("_l"),
+            F.min(st_vt).alias("_mn"),
+            F.max(st_vt).alias("_mx"),
+        )
+    )
+    return agg.select(
+        *keys,
+        "bucket",
+        "n",
+        F.col("_f.t").alias("t_first"),
+        F.col("_f.v").alias("v_first"),
+        F.col("_l.t").alias("t_last"),
+        F.col("_l.v").alias("v_last"),
+        F.col("_mn.t").alias("t_min"),
+        F.col("_mn.v").alias("v_min"),
+        F.col("_mx.t").alias("t_max"),
+        F.col("_mx.v").alias("v_max"),
+    )

@@ -200,7 +200,7 @@ def test_timeops_bad_args(spark):
     df = spark.createDataFrame([("h", T(0), 1.0)],
                                "host string, ts timestamp, v double")
     with pytest.raises(ValueError, match="direction"):
-        timeops.asof_join(df, df, on="host", direction="nearest")
+        timeops.asof_join(df, df, on="host", direction="sideways")
     with pytest.raises(ValueError, match="how"):
         timeops.asof_join(df, df, on="host", how="outer")
     with pytest.raises(ValueError, match="granularity"):
@@ -240,3 +240,59 @@ def test_rollup_merge_associative(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         timeops.rollup_merge()
+
+
+def test_asof_nearest(spark, asof_frames):
+    """nearest: closer of backward/forward wins, backward on ties;
+    tolerance bounds the absolute gap."""
+    left, right = asof_frames
+    got = {
+        r["id"]: r["ver"]
+        for r in timeops.asof_join(
+            left, right, on="host", direction="nearest", how="left"
+        ).collect()
+    }
+    # id1 ts10: backward gap 0 → 103; id2 ts20: back gap 10 vs fwd
+    # gap 5 → 102; id3 ts5: only forward (ts7) → 200; id4: none
+    assert got == {1: 103, 2: 102, 3: 200, 4: None}
+    got = {
+        r["id"]: r["ver"]
+        for r in timeops.asof_join(
+            left, right, on="host", direction="nearest",
+            tolerance=1, how="left",
+        ).collect()
+    }
+    assert got == {1: 103, 2: None, 3: None, 4: None}
+    # exact tie: equidistant backward/forward rows → backward wins
+    l2 = spark.createDataFrame([(1, "h", T(10))], "id long, host string, ts timestamp")
+    r2 = spark.createDataFrame(
+        [("h", T(5), 1), ("h", T(15), 2)], "host string, ts timestamp, ver long"
+    )
+    tie = timeops.asof_join(l2, r2, on="host", direction="nearest").collect()
+    assert tie[0]["ver"] == 1
+
+
+def test_m4_downsample_extremes(spark):
+    """Per bucket: first/last by time, min/max by value, struct-order
+    deterministic ties; NULL values excluded; bucket via exact DIV."""
+    rows = [
+        ("a", T(1), 5.0), ("a", T(3), 1.0), ("a", T(5), 9.0), ("a", T(8), 4.0),
+        ("a", T(11), 7.0),           # second bucket (10 s buckets)
+        ("a", T(12), None),          # excluded
+        ("b", T(2), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        (r["k"], r["bucket"]): r
+        for r in timeops.m4_downsample(
+            df, keys=["k"], bucket_s=10
+        ).collect()
+    }
+    a0 = got[("a", T(1).timestamp().__trunc__() // 10)]
+    assert a0["n"] == 4
+    assert (a0["v_first"], a0["v_last"]) == (5.0, 4.0)
+    assert (a0["v_min"], a0["v_max"]) == (1.0, 9.0)
+    assert a0["t_min"] == int(T(3).timestamp() * 1_000_000)
+    a1 = got[("a", T(11).timestamp().__trunc__() // 10)]
+    assert a1["n"] == 1 and a1["v_first"] == a1["v_max"] == 7.0
+    assert got[("b", T(2).timestamp().__trunc__() // 10)]["n"] == 1
