@@ -4827,6 +4827,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof_nearest"] = events_asof_nearest
 
+    def corpus_judge_agreement(spark, sf_dir):
+        """Filter-ensemble agreement (curation.judge_agreement): do
+        the Gopher rule gate, the quality heuristic, and a length gate
+        actually agree before their votes gate the corpus? Pairwise
+        Cohen's κ + Fleiss' κ over all three, exact integer
+        contingency mass in ONE aggregation pass."""
+        from gocrawl_spark import curation
+
+        docs = _docs(spark, sf_dir)
+        st = textstats.gopher_stats("text")
+        verdicts = docs.select(
+            "doc_id",
+            textstats.gopher_keep(st).alias("j_gopher"),
+            (F.round(textstats.quality_score("text"), 6) >= 0.5).alias(
+                "j_quality"
+            ),
+            (F.col("n_chars") >= 200).alias("j_len"),
+        )
+        return curation.judge_agreement(
+            verdicts, ["j_gopher", "j_quality", "j_len"]
+        )
+
+    q["corpus_judge_agreement"] = corpus_judge_agreement
+
+    def text_clf_reliability(spark, sf_dir):
+        """Calibration-reliability table (curation.clf_reliability):
+        the hashed linear classifier's scores vs the Gopher gate as
+        weak labels, ten equal-count rank bins with integer-ppm
+        positive rates — the FineWeb-style calibration card that
+        complements text_quality_roc's AUC."""
+        from gocrawl_spark import curation
+
+        docs = _docs(spark, sf_dir)
+        w = curation.hash_weights(spark, buckets=1024, seed="quality-clf")
+        scores = curation.clf_score(docs, w, buckets=1024)
+        st = textstats.gopher_stats("text")
+        labels = docs.select(
+            "doc_id", textstats.gopher_keep(st).alias("label")
+        )
+        return curation.clf_reliability(scores, labels, n_bins=10)
+
+    q["text_clf_reliability"] = text_clf_reliability
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11274,6 +11317,151 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, n, median_n, mad,
                (dev > 3 * mad) AS anomaly
         FROM mad
+    """
+
+    # judge agreement: identical per-doc verdicts, one contingency
+    # pass, κ arithmetic in the same double operand order
+    o["corpus_judge_agreement"] = rf"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS ws,
+                 len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct,
+                 len(regexp_extract_all(lower(text), '{_stop}', 1))
+                   AS stop_hits
+          FROM documents),
+        v AS (
+          SELECT doc_id,
+                 (len(ws) >= 50
+                  AND (list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                       / len(ws)::DOUBLE) BETWEEN 3.0 AND 10.0
+                  AND (len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                       / len(ws)::DOUBLE) >= 0.8
+                  AND (punct::DOUBLE / len(ws)::DOUBLE) <= 0.1) AS ja,
+                 (round(0.5::DOUBLE * least(1.0::DOUBLE, n_chars::DOUBLE / 500.0::DOUBLE)
+                   + 0.3::DOUBLE * least(1.0::DOUBLE,
+                       (CASE WHEN len(ws) > 0
+                             THEN stop_hits / len(ws)::DOUBLE
+                        ELSE 0.0::DOUBLE END) / 0.4::DOUBLE)
+                   + 0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE,
+                       (CASE WHEN n_chars > 0
+                             THEN punct / n_chars::DOUBLE
+                        ELSE 0.0::DOUBLE END) * 5.0::DOUBLE)), 6)
+                  >= 0.5) AS jb,
+                 (n_chars >= 200) AS jc
+          FROM t),
+        agg AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN ja AND jb THEN 1 ELSE 0 END) AS ab_tt,
+                 sum(CASE WHEN ja AND NOT jb THEN 1 ELSE 0 END) AS ab_tf,
+                 sum(CASE WHEN NOT ja AND jb THEN 1 ELSE 0 END) AS ab_ft,
+                 sum(CASE WHEN ja AND jc THEN 1 ELSE 0 END) AS ac_tt,
+                 sum(CASE WHEN ja AND NOT jc THEN 1 ELSE 0 END) AS ac_tf,
+                 sum(CASE WHEN NOT ja AND jc THEN 1 ELSE 0 END) AS ac_ft,
+                 sum(CASE WHEN jb AND jc THEN 1 ELSE 0 END) AS bc_tt,
+                 sum(CASE WHEN jb AND NOT jc THEN 1 ELSE 0 END) AS bc_tf,
+                 sum(CASE WHEN NOT jb AND jc THEN 1 ELSE 0 END) AS bc_ft,
+                 sum(ja::INT + jb::INT + jc::INT) AS fl_t,
+                 sum((ja::INT + jb::INT + jc::INT) * (ja::INT + jb::INT + jc::INT)
+                     + (3 - ja::INT - jb::INT - jc::INT)
+                       * (3 - ja::INT - jb::INT - jc::INT)) AS fl_sq
+          FROM v),
+        pairs AS (
+          SELECT 'j_gopher' AS judge_a, 'j_quality' AS judge_b,
+                 n, ab_tt AS tt, ab_tf AS tf, ab_ft AS ft FROM agg
+          UNION ALL
+          SELECT 'j_gopher', 'j_len', n, ac_tt, ac_tf, ac_ft FROM agg
+          UNION ALL
+          SELECT 'j_quality', 'j_len', n, bc_tt, bc_tf, bc_ft FROM agg),
+        pk AS (
+          SELECT judge_a, judge_b, n::BIGINT AS n_items,
+                 (tt + (n - tt - tf - ft))::BIGINT AS n_agree,
+                 ((tt + (n - tt - tf - ft)) * 1000000 // n)::BIGINT
+                   AS agree_ppm,
+                 round(
+                   ((tt::DOUBLE + (n::DOUBLE - tt::DOUBLE - tf::DOUBLE
+                                   - ft::DOUBLE)) / n::DOUBLE
+                    - ((tt::DOUBLE + tf::DOUBLE) * (tt::DOUBLE + ft::DOUBLE)
+                       + (ft::DOUBLE + (n::DOUBLE - tt::DOUBLE - tf::DOUBLE
+                                        - ft::DOUBLE))
+                         * (tf::DOUBLE + (n::DOUBLE - tt::DOUBLE
+                                          - tf::DOUBLE - ft::DOUBLE)))
+                      / (n::DOUBLE * n::DOUBLE))
+                   / (1.0::DOUBLE
+                      - ((tt::DOUBLE + tf::DOUBLE) * (tt::DOUBLE + ft::DOUBLE)
+                         + (ft::DOUBLE + (n::DOUBLE - tt::DOUBLE - tf::DOUBLE
+                                          - ft::DOUBLE))
+                           * (tf::DOUBLE + (n::DOUBLE - tt::DOUBLE
+                                            - tf::DOUBLE - ft::DOUBLE)))
+                        / (n::DOUBLE * n::DOUBLE)), 6) AS kappa
+          FROM pairs),
+        fl AS (
+          SELECT 'fleiss' AS judge_a, 'all' AS judge_b,
+                 n::BIGINT AS n_items,
+                 NULL::BIGINT AS n_agree, NULL::BIGINT AS agree_ppm,
+                 round(
+                   ((fl_sq::DOUBLE - n::DOUBLE * 3.0::DOUBLE)
+                    / (n::DOUBLE * 3.0::DOUBLE * 2.0::DOUBLE)
+                    - ((fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))
+                         * (fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))
+                       + (1.0::DOUBLE - fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))
+                         * (1.0::DOUBLE - fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))))
+                   / (1.0::DOUBLE
+                      - ((fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))
+                           * (fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))
+                         + (1.0::DOUBLE - fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE))
+                           * (1.0::DOUBLE - fl_t::DOUBLE / (n::DOUBLE * 3.0::DOUBLE)))),
+                   6) AS kappa
+          FROM agg)
+        SELECT * FROM pk UNION ALL SELECT * FROM fl
+    """
+
+    # reliability: same clf scores and gopher labels, rank bins by
+    # (score, id), integer-ppm positive rates
+    o["text_clf_reliability"] = rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        f AS (SELECT doc_id,
+                     unnest(w || [w[i+1] || ' ' || w[i+2] for i in range(0, len(w)-1)]) AS f
+              FROM w),
+        b AS (SELECT doc_id,
+                     (('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024)::INT AS bucket
+              FROM f),
+        wt AS (SELECT i::INT AS bucket,
+                      round((('0x' || substr(md5('quality-clf:' || i), 1, 8))::UBIGINT::DOUBLE
+                             / 4294967296.0) * 2 - 1, 6) AS weight
+               FROM range(0, 1024) t(i)),
+        agg AS (SELECT b.doc_id, count(*) AS n_feats, round(sum(wt.weight), 6) AS s
+                FROM b JOIN wt USING (bucket) GROUP BY b.doc_id),
+        sc AS (SELECT d.doc_id AS id,
+                      round(1.0 / (1.0 + exp(-(coalesce(a.s, 0.0)
+                          / greatest(coalesce(a.n_feats, 0)::DOUBLE, 1.0)))), 6) AS score
+               FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        lab AS (
+          SELECT doc_id AS id,
+                 (len(ws) >= 50
+                  AND (list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                       / len(ws)::DOUBLE) BETWEEN 3.0 AND 10.0
+                  AND (len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                       / len(ws)::DOUBLE) >= 0.8
+                  AND (punct::DOUBLE / len(ws)::DOUBLE) <= 0.1) AS label
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS ws,
+                       len(regexp_extract_all(text, '([.,;:!?])', 1)) AS punct
+                FROM documents)),
+        j AS (SELECT sc.id, sc.score, lab.label
+              FROM sc JOIN lab ON sc.id = lab.id),
+        r AS (SELECT *,
+                     row_number() OVER (ORDER BY score ASC, id ASC) AS rn,
+                     count(*) OVER () AS nn
+              FROM j)
+        SELECT ((rn - 1) * 10 // nn)::BIGINT AS bin,
+               count(*)::BIGINT AS n,
+               sum(label::INT)::BIGINT AS n_pos,
+               (sum(label::INT) * 1000000 // count(*))::BIGINT AS pos_ppm,
+               min(score) AS min_score,
+               max(score) AS max_score
+        FROM r GROUP BY 1
     """
 
     # M4: rank-1 rows under the four struct orders; bucket via exact

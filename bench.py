@@ -169,6 +169,9 @@ HEADLINE = [
     # round-4 session 11: M4 chart downsampling + nearest-mode as-of
     "events_m4_downsample",
     "events_asof_nearest",
+    # round-4 session 11: filter-ensemble agreement + calibration card
+    "corpus_judge_agreement",
+    "text_clf_reliability",
 ]
 
 

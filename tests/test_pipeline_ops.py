@@ -4391,3 +4391,65 @@ def test_bitext_filters_battery(spark):
     # `identical`, but overlap 1e6 kills it
     assert not got[6]["identical"] and got[6]["overlap_ppm"] == 1000000
     assert not got[6]["keep"]
+
+
+def test_judge_agreement_kappas(spark):
+    """Cohen's κ against the textbook contingency formula; NULL
+    verdicts drop from that pair only; Fleiss row covers complete
+    items; perfect agreement → κ 1.0."""
+    from gocrawl_spark import curation
+
+    rows = [
+        (1, True, True, True), (2, True, True, False),
+        (3, False, False, False), (4, False, True, False),
+        (5, True, True, True), (6, False, False, True),
+        (7, True, False, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ja boolean, jb boolean, jc boolean"
+    )
+    got = {
+        (r["judge_a"], r["judge_b"]): r
+        for r in curation.judge_agreement(df, ["ja", "jb", "jc"]).collect()
+    }
+    # (ja,jb): tt=3 tf=1 ft=1 ff=2 → po=5/7, pe=(4·4+3·3)/49, κ≈0.4167
+    ab = got[("ja", "jb")]
+    assert (ab["n_items"], ab["n_agree"], ab["kappa"]) == (7, 5, 0.416667)
+    # jc NULL on doc 7 → those pairs see 6 items
+    assert got[("ja", "jc")]["n_items"] == 6
+    fl = got[("fleiss", "all")]
+    assert fl["n_items"] == 6 and abs(fl["kappa"] - 0.325) < 1e-9
+
+    same = spark.createDataFrame(
+        [(1, True, True), (2, False, False), (3, True, True)],
+        "doc_id long, a boolean, b boolean",
+    )
+    perfect = curation.judge_agreement(same, ["a", "b"]).collect()
+    assert {r["kappa"] for r in perfect if r["judge_a"] == "a"} == {1.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two judges"):
+        curation.judge_agreement(same, ["a"])
+
+
+def test_clf_reliability_bins(spark):
+    """Rank-based equal-count bins; a perfectly-ranked score gives a
+    step-function pos_ppm; bin edges are exact integer ranks."""
+    from gocrawl_spark import curation
+
+    scored = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "doc_id long, score double"
+    )
+    labels = spark.createDataFrame(
+        [(i, i >= 50) for i in range(100)], "doc_id long, label boolean"
+    )
+    got = {
+        r["bin"]: r
+        for r in curation.clf_reliability(scored, labels, n_bins=5).collect()
+    }
+    assert all(got[b]["n"] == 20 for b in range(5))
+    assert [got[b]["pos_ppm"] for b in range(5)] == [
+        0, 0, 500000, 1000000, 1000000
+    ]
+    assert got[2]["min_score"] == 0.4 and got[2]["max_score"] == 0.59
