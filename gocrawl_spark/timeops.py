@@ -215,7 +215,10 @@ def interval_join(
 
     Output: every interval column, then the event columns (suffixed
     ``_e`` on collision). ``how="left"`` keeps empty intervals with
-    NULL event columns.
+    NULL event columns; the empty-interval collapse groups by the full
+    interval row, so byte-identical duplicate interval rows collapse
+    to one NULL row (give intervals an id column if duplicates are
+    meaningful).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left"):
