@@ -100,6 +100,11 @@ def main() -> int:
             print(f"ok    {name}: {len(sdf)} rows [spark {spark_s:.1f}s, oracle {oracle_s:.1f}s]")
         else:
             failures += 1
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"# sweep: {n_run - failures}/{n_run} ok, {failures} failures")
+    # explicit stop so the gateway JVM tears down and the process can
+    # exit (a full-registry sweep otherwise parks in wait4 at exit)
+    spark.stop()
     return 1 if failures else 0
 
 
