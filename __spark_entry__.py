@@ -4870,6 +4870,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_clf_reliability"] = text_clf_reliability
 
+    def crawl_rule_attribution(spark, sf_dir):
+        """Per-rule robots hit attribution (robots.rule_attribution):
+        for every synthetic URL the WINNING robots.txt line under RFC
+        9309 longest-match (Allow wins ties, no match ⇒ NULL rule),
+        rolled up to (host, pattern, allow, verdict, n_urls) — the
+        coverage-cost audit showing which Disallow line blocks how
+        much of each host. Exploded rule table (metadata-small,
+        broadcast join) + one winner window per URL."""
+        from gocrawl_spark import robots as rb
+
+        docs = _docs(spark, sf_dir)
+        path = (
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("/article/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("/category/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/page/"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/page/1"), F.col("doc_id")))
+        )
+        host = F.concat(
+            F.lit("site"),
+            F.lpad((F.col("doc_id") % 16).cast("string"), 2, "0"),
+            F.lit(".example.com"),
+        )
+        urls = docs.select(
+            F.concat(F.lit("https://"), host, path).alias("url"),
+            host.alias("host"),
+        )
+        return rb.rule_attribution(urls, rb.synth_robots(spark))
+
+    q["crawl_rule_attribution"] = crawl_rule_attribution
+
+    def events_cusum(spark, sf_dir):
+        """One-sided CUSUM level-shift detection
+        (eventops.cusum_changepoints): the sequential recurrence
+        rewritten as prefix-sum − running-min (two windows, no
+        recursion), allowance and threshold from rank-selected
+        integer median/MAD — the sustained-drift complement to the
+        pointwise rate_anomaly alarm."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.cusum_changepoints(ev)
+
+    q["events_cusum"] = events_cusum
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11317,6 +11364,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, n, median_n, mad,
                (dev > 3 * mad) AS anomaly
         FROM mad
+    """
+
+    # rule attribution: winner per URL hardcoded for synth_robots'
+    # literal-prefix ruleset (longest match, Allow wins ties)
+    o["crawl_rule_attribution"] = """
+        WITH u AS (
+          SELECT doc_id, doc_id % 16 AS hi,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '/article/' || doc_id
+                   WHEN 1 THEN '/category/' || doc_id
+                   WHEN 2 THEN '/page/' || doc_id
+                   ELSE '/page/1' || doc_id
+                 END AS path
+          FROM documents),
+        w AS (
+          SELECT 'site' || lpad(hi::VARCHAR, 2, '0') || '.example.com'
+                   AS host,
+                 CASE
+                   WHEN path LIKE '/category/%' THEN '/category/'
+                   WHEN hi % 3 = 0 AND path LIKE '/page/1%' THEN '/page/1'
+                   WHEN hi % 3 = 0 AND path LIKE '/page/%' THEN '/page/'
+                   WHEN hi % 5 = 2 THEN '/'
+                   ELSE NULL END AS pattern,
+                 CASE
+                   WHEN path LIKE '/category/%' THEN FALSE
+                   WHEN hi % 3 = 0 AND path LIKE '/page/1%' THEN TRUE
+                   WHEN hi % 3 = 0 AND path LIKE '/page/%' THEN FALSE
+                   WHEN hi % 5 = 2 THEN FALSE
+                   ELSE NULL END AS allow
+          FROM u)
+        SELECT host, pattern,
+               coalesce(allow, TRUE) AS verdict_allowed,
+               count(*)::BIGINT AS n_urls
+        FROM w GROUP BY 1, 2, 3
+    """
+
+    # CUSUM: same rank-selected median/MAD, prefix sum − running min
+    o["events_cusum"] = """
+        WITH c AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n ASC, bucket ASC) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS m
+          FROM c),
+        med AS (
+          SELECT *, max(CASE WHEN rn = (m + 1) // 2 THEN n END)
+                      OVER (PARTITION BY event_type) AS med
+          FROM r),
+        d AS (
+          SELECT *, abs(n - med) AS dev,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(n - med) ASC,
+                                                bucket ASC) AS rn2
+          FROM med),
+        mad AS (
+          SELECT *, max(CASE WHEN rn2 = (m + 1) // 2 THEN dev END)
+                      OVER (PARTITION BY event_type) AS mad
+          FROM d),
+        st AS (
+          SELECT *, n - med - mad AS x FROM mad),
+        p0 AS (
+          SELECT *,
+                 sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS pp
+          FROM st),
+        p AS (
+          SELECT *,
+                 min(pp) OVER (PARTITION BY event_type ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS pmin
+          FROM p0)
+        SELECT event_type, bucket, n,
+               (pp - least(0, pmin))::BIGINT AS cusum,
+               ((pp - least(0, pmin)) > 5 * mad) AS alarm
+        FROM p
     """
 
     # judge agreement: identical per-doc verdicts, one contingency

@@ -172,6 +172,9 @@ HEADLINE = [
     # round-4 session 11: filter-ensemble agreement + calibration card
     "corpus_judge_agreement",
     "text_clf_reliability",
+    # round-4 session 11: robots rule attribution + CUSUM drift alarm
+    "crawl_rule_attribution",
+    "events_cusum",
 ]
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "transitions", "rate_anomaly"]
+__all__ = ["funnel", "cohort_retention", "transitions", "rate_anomaly", "cusum_changepoints"]
 
 
 def funnel(
@@ -244,4 +244,77 @@ def rate_anomaly(
         "median_n",
         "mad",
         (F.col("_dev") > F.lit(int(k_mad)) * F.col("mad")).alias("anomaly"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    k_h: int = 5,
+) -> DataFrame:
+    """One-sided CUSUM change detection over hourly counts per type —
+    the sequential complement to :func:`rate_anomaly` (which flags
+    isolated outlier buckets, CUSUM accumulates evidence of a
+    SUSTAINED level shift: a crawl source going quiet, a host ramping
+    errors).
+
+    The textbook recurrence S_i = max(0, S_{i−1} + (n_i − median −
+    allowance)) looks sequential, but with P_i the prefix sum of
+    (n_i − median − allowance) it equals P_i − min_{j≤i} P_j — two
+    window passes (running sum, running min) over each type's
+    time-ordered buckets, no recursion, no UDF. Allowance = the
+    rank-selected MAD, alarm when S_i > ``k_h``·MAD — every quantity
+    an exact integer, so the report is bit-equal across engines and
+    parallelism. Output: (event_type, bucket, n, cusum, alarm).
+    """
+    bucket = F.date_format(
+        F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00"
+    )
+    counts = events.groupBy(
+        F.col(type_col).alias("event_type"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    wt = Window.partitionBy("event_type")
+    ranked = counts.select(
+        "*",
+        F.row_number()
+        .over(wt.orderBy(F.asc("n"), F.asc("bucket")))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(wt).alias("_m"),
+    )
+    with_med = ranked.select(
+        "*",
+        F.max(
+            F.when(F.col("_rn") == F.expr("(_m + 1) DIV 2"), F.col("n"))
+        ).over(wt).alias("_med"),
+    ).withColumn("_dev", F.abs(F.col("n") - F.col("_med")))
+    with_mad = with_med.select(
+        "*",
+        F.row_number()
+        .over(wt.orderBy(F.asc("_dev"), F.asc("bucket")))
+        .alias("_rn2"),
+    ).select(
+        "*",
+        F.max(
+            F.when(F.col("_rn2") == F.expr("(_m + 1) DIV 2"), F.col("_dev"))
+        ).over(wt).alias("_mad"),
+    )
+    wo = wt.orderBy(F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = with_mad.withColumn(
+        "_x", F.col("n") - F.col("_med") - F.col("_mad")
+    ).withColumn("_p", F.sum("_x").over(wo)).withColumn(
+        "_pmin", F.min("_p").over(wo)
+    )
+    # S_i = P_i − min(0, running-min P): the implicit S_0 = 0 start
+    # means the reference minimum includes the empty prefix
+    s = F.col("_p") - F.least(F.lit(0), F.col("_pmin"))
+    return stepped.select(
+        "event_type",
+        "bucket",
+        "n",
+        s.cast("long").alias("cusum"),
+        (s > F.lit(int(k_h)) * F.col("_mad")).alias("alarm"),
     )

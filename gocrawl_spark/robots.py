@@ -31,7 +31,7 @@ import re
 from functools import lru_cache
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
@@ -428,4 +428,97 @@ def meta_directives(
         gen,
         schema="url string, noindex boolean, nofollow boolean, "
         "n_links long, n_nofollow_links long",
+    )
+
+
+def rules_table(
+    robots: DataFrame,
+    ua: str = DEFAULT_UA,
+    host_col: str = "host",
+    rules_col: str = "rules",
+) -> DataFrame:
+    """Exploded parsed-rule table: (host, rule_idx, allow, pattern, rx)
+    for the best-matching UA group of every host's robots.txt —
+    rule_idx preserves file order, rx is the compiled wildcard/$
+    pattern as an anchored regex string (the same conversion
+    rule_matches uses). Arrow-batched mapInPandas over the robots
+    rows: the robots table is host-dimension metadata, tiny next to
+    any URL side, so parsing cost is negligible and the output stays
+    a distributed table (no driver collect)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"host": [], "rule_idx": [], "allow": [],
+                   "pattern": [], "rx": []}
+            for h, txt in zip(pdf[host_col], pdf[rules_col]):
+                for i, (al, pat) in enumerate(parse_robots(txt or "", ua)):
+                    out["host"].append(h)
+                    out["rule_idx"].append(i)
+                    out["allow"].append(bool(al))
+                    out["pattern"].append(pat)
+                    out["rx"].append(_pattern_re(pat).pattern)
+            yield pd.DataFrame(out)
+
+    return robots.mapInPandas(
+        gen, "host string, rule_idx int, allow boolean, pattern string, rx string"
+    )
+
+
+def rule_attribution(
+    urls: DataFrame,
+    robots: DataFrame,
+    ua: str = DEFAULT_UA,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-rule hit attribution — WHICH robots.txt line is doing the
+    work: for every URL the winning rule under RFC 9309 longest-match
+    (Allow wins length ties; no match ⇒ allowed, attributed to a NULL
+    pattern), aggregated to one row per (host, pattern, allow):
+    (host, pattern, allow, verdict_allowed, n_urls). The coverage-cost
+    audit ("this one Disallow blocks 40 % of the host's URLs") that
+    robots gating alone never surfaces.
+
+    Plan: host-keyed equi-join of the URL side against the exploded
+    rule table (rules are metadata-small — Catalyst broadcasts),
+    per-row regexp match of the precompiled rx, then ONE window per
+    URL electing the winner by (pattern length DESC, allow DESC,
+    rule_idx ASC) and a (host, rule) rollup. The URL side never
+    shuffles on anything but its own aggregate key.
+    """
+    path = F.regexp_replace(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    u = urls.select(
+        F.col(host_col).alias("_h"), F.col(url_col).alias("_u"),
+        path.alias("_p"),
+    )
+    r = rules_table(robots, ua)
+    cand = u.join(
+        r, (F.col("_h") == F.col("host"))
+        & F.expr("regexp_like(_p, rx)"),
+        "left",
+    )
+    w = Window.partitionBy("_u").orderBy(
+        F.desc(F.length("pattern")),
+        F.desc("allow"),
+        F.asc("rule_idx"),
+    )
+    winner = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_h",
+            "pattern",
+            # verdict carries the allow bit; unmatched URLs (NULL
+            # pattern) are allowed — no nullable boolean in the output
+            F.coalesce(F.col("allow"), F.lit(True)).alias("verdict_allowed"),
+        )
+    )
+    return (
+        winner.groupBy(
+            F.col("_h").alias("host"), "pattern", "verdict_allowed"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
     )

@@ -153,3 +153,37 @@ def test_rate_anomaly_median_mad(spark):
     steady = got[("a", "2024-01-01 00:00")]
     assert steady["mad"] == 0 and not steady["anomaly"]
     assert all(not got[k]["anomaly"] for k in got if k[0] == "b")
+
+
+def test_cusum_level_shift(spark):
+    """A sustained +4 shift accumulates linearly and alarms from the
+    first shifted bucket (MAD 0 on a majority-steady series); the
+    steady prefix stays at 0; prefix-sum−running-min reproduces the
+    max(0, ...) recurrence including recovery after a dip."""
+    rows, eid = [], 0
+    for h in range(10):
+        for _ in range(5):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1, h), "a")); eid += 1
+    for h in range(10, 16):
+        for _ in range(9):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1, h), "a")); eid += 1
+    ev = _ev(spark, rows)
+    got = {
+        r["bucket"]: (r["cusum"], r["alarm"])
+        for r in eventops.cusum_changepoints(ev).collect()
+    }
+    assert got["2024-01-01 05:00"] == (0, False)
+    assert got["2024-01-01 10:00"] == (4, True)
+    assert got["2024-01-01 15:00"] == (24, True)
+
+    # dip below baseline resets the statistic to 0 (never negative)
+    rows2, eid = [], 0
+    for h, n in enumerate([5, 5, 5, 1, 5, 5]):
+        for _ in range(n):
+            rows2.append((eid, 1, dt.datetime(2024, 1, 2, h), "b")); eid += 1
+    got2 = {
+        r["bucket"]: r["cusum"]
+        for r in eventops.cusum_changepoints(_ev(spark, rows2)).collect()
+    }
+    assert got2["2024-01-02 03:00"] == 0   # max(0, −4) = 0
+    assert got2["2024-01-02 04:00"] == 0   # recovered, not −4 + 0

@@ -346,3 +346,40 @@ def test_ttl_refetch_unreachable_keeps_cached_rules(spark, tmp_path, monkeypatch
     run._discover_robots(cand3, rnd=5)
     got = {r["host"]: r["rules"] for r in run.robots.collect()}
     assert "Disallow: /" in got["c.com"] and len(got) == 3
+
+
+def test_rule_attribution_winners(spark):
+    """RFC 9309 winner election per URL: longest pattern, Allow wins
+    ties, unmatched URLs attributed to a NULL rule; counts agree with
+    the gate's verdicts."""
+    from gocrawl_spark import robots as rb
+
+    robots = rb.synth_robots(spark)
+    urls = spark.createDataFrame(
+        [
+            ("site00.example.com", "https://site00.example.com/article/5"),
+            ("site00.example.com", "https://site00.example.com/category/9"),
+            ("site00.example.com", "https://site00.example.com/page/7"),
+            ("site00.example.com", "https://site00.example.com/page/17"),
+            ("site02.example.com", "https://site02.example.com/article/5"),
+            ("site01.example.com", "https://site01.example.com/article/5"),
+        ],
+        "host string, url string",
+    )
+    got = {
+        (r["host"], r["pattern"]): (r["verdict_allowed"], r["n_urls"])
+        for r in rb.rule_attribution(urls, robots).collect()
+    }
+    # site00 (hi%3=0): /page/7 → Disallow /page/; /page/17 → the
+    # LONGER Allow /page/1; /category/9 → Disallow /category/;
+    # /article/5 matches nothing
+    assert got[("site00.example.com", "/page/")] == (False, 1)
+    assert got[("site00.example.com", "/page/1")] == (True, 1)
+    assert got[("site00.example.com", "/category/")] == (False, 1)
+    assert got[("site00.example.com", None)] == (True, 1)
+    # site02 (hi%5=2): Disallow / catches everything unhandled
+    assert got[("site02.example.com", "/")] == (False, 1)
+    assert got[("site01.example.com", None)] == (True, 1)
+    # attribution's allowed mass equals the gate's kept count
+    kept = rb.gate(urls, robots).count()
+    assert kept == sum(n for (ok, n) in got.values() if ok)
