@@ -4917,6 +4917,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cusum"] = events_cusum
 
+    def events_funnel_durations(spark, sf_dir):
+        """Time-to-convert (eventops.funnel_durations): per adjacent
+        funnel-step pair the converting-user count and the exact
+        rank-selected median gap — same chained completion windows as
+        the funnel, gaps in integer microseconds DIV'd to seconds so
+        both engines agree bit-for-bit."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.funnel_durations(ev, ["view", "click", "purchase"])
+
+    q["events_funnel_durations"] = events_funnel_durations
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11442,6 +11455,66 @@ def oracle_sql() -> dict[str, str]:
                (pp - least(0, pmin))::BIGINT AS cusum,
                ((pp - least(0, pmin)) > 5 * mad) AS alarm
         FROM p
+    """
+
+    # funnel durations: the events_funnel chained windows + per-user
+    # completion minima, µs gaps DIV'd to seconds, rank-lower medians
+    o["events_funnel_durations"] = """
+        WITH s0 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS d0
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        s1 AS (
+          SELECT user_id, ts, event_type, d0,
+                 min(CASE WHEN event_type = 'click'
+                          AND d0 IS NOT NULL AND ts >= d0
+                     THEN ts END) OVER w AS d1
+          FROM s0
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        s2 AS (
+          SELECT user_id, d0, d1,
+                 min(CASE WHEN event_type = 'purchase'
+                          AND d1 IS NOT NULL AND ts >= d1
+                     THEN ts END) OVER w AS d2
+          FROM s1
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        u AS (
+          SELECT user_id, min(d0) AS t0, min(d1) AS t1, min(d2) AS t2
+          FROM s2 GROUP BY user_id),
+        g01 AS (
+          SELECT user_id AS u,
+                 (epoch_us(t1) - epoch_us(t0)) // 1000000 AS gap_s
+          FROM u WHERE t1 IS NOT NULL),
+        g12 AS (
+          SELECT user_id AS u,
+                 (epoch_us(t2) - epoch_us(t1)) // 1000000 AS gap_s
+          FROM u WHERE t2 IS NOT NULL),
+        r01 AS (
+          SELECT *, row_number() OVER (ORDER BY gap_s ASC, u ASC) AS rn,
+                    count(*) OVER () AS m
+          FROM g01),
+        r12 AS (
+          SELECT *, row_number() OVER (ORDER BY gap_s ASC, u ASC) AS rn,
+                    count(*) OVER () AS m
+          FROM g12)
+        SELECT 0 AS step_index, 'view' AS step_from, 'click' AS step_to,
+               count(*)::BIGINT AS n_converted,
+               max(CASE WHEN rn = (m + 1) // 2 THEN gap_s END)::BIGINT
+                 AS median_gap_s
+        FROM r01
+        UNION ALL
+        SELECT 1, 'click', 'purchase',
+               count(*)::BIGINT,
+               max(CASE WHEN rn = (m + 1) // 2 THEN gap_s END)::BIGINT
+        FROM r12
     """
 
     # judge agreement: identical per-doc verdicts, one contingency

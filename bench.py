@@ -175,6 +175,7 @@ HEADLINE = [
     # round-4 session 11: robots rule attribution + CUSUM drift alarm
     "crawl_rule_attribution",
     "events_cusum",
+    "events_funnel_durations",
 ]
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "transitions", "rate_anomaly", "cusum_changepoints"]
+__all__ = ["funnel", "cohort_retention", "transitions", "rate_anomaly", "cusum_changepoints", "funnel_durations"]
 
 
 def funnel(
@@ -318,3 +318,90 @@ def cusum_changepoints(
         s.cast("long").alias("cusum"),
         (s > F.lit(int(k_h)) * F.col("_mad")).alias("alarm"),
     )
+
+
+def funnel_durations(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert between adjacent funnel steps: for each (step
+    k → step k+1) pair, how many users completed both and the EXACT
+    rank-selected median seconds between their completion times — the
+    metric product funnels report next to the counts.
+
+    Reuses :func:`funnel`'s chained running-earliest-completion
+    windows; because the prefix is time-ordered, each step's running
+    value is stable once set, so the per-user completion time is just
+    min(done_k). Gaps are integer seconds (epoch diff), medians are
+    lower medians at rank (m+1) DIV 2 under a (gap, user) total
+    order — bit-equal at any parallelism and in the SQL twin. Output:
+    (step_index, step_from, step_to, n_converted, median_gap_s).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_durations needs at least two steps")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc(ts_col), F.asc(type_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = events.select(user_col, ts_col, type_col)
+    prev_done: Column | None = None
+    for i, step in enumerate(steps):
+        qualifies = F.col(type_col) == F.lit(step)
+        if prev_done is not None:
+            qualifies = qualifies & prev_done.isNotNull() & (
+                F.col(ts_col) >= prev_done
+            )
+        cur = cur.withColumn(
+            f"__done_{i}", F.min(F.when(qualifies, F.col(ts_col))).over(w)
+        )
+        prev_done = F.col(f"__done_{i}")
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(f"__done_{i}").alias(f"__t_{i}") for i in range(len(steps))]
+    )
+    outs = []
+    for i in range(len(steps) - 1):
+        # exact integer microseconds, then DIV to whole seconds — the
+        # only gap arithmetic both engines share bit-for-bit (DuckDB's
+        # date_diff('second',…) counts boundary CROSSINGS, not floored
+        # difference)
+        gap_us = F.timestamp_diff(
+            "MICROSECOND",
+            F.col(f"__t_{i}").cast("timestamp_ntz"),
+            F.col(f"__t_{i + 1}").cast("timestamp_ntz"),
+        )
+        pair = (
+            per_user.filter(F.col(f"__t_{i + 1}").isNotNull())
+            .select(F.col(user_col).alias("u"), gap_us.alias("_gus"))
+            .select("u", F.expr("_gus DIV 1000000").alias("gap_s"))
+        )
+        wp = Window.partitionBy()
+        ranked = pair.select(
+            "*",
+            F.row_number()
+            .over(wp.orderBy(F.asc("gap_s"), F.asc("u")))
+            .alias("_rn"),
+            F.count(F.lit(1)).over(wp).alias("_m"),
+        )
+        agg = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("(_m + 1) DIV 2"), F.col("gap_s")
+                )
+            ).cast("long").alias("median_gap_s"),
+        ).select(
+            F.lit(i).alias("step_index"),
+            F.lit(steps[i]).alias("step_from"),
+            F.lit(steps[i + 1]).alias("step_to"),
+            "n_converted",
+            "median_gap_s",
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out

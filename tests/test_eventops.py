@@ -187,3 +187,27 @@ def test_cusum_level_shift(spark):
     }
     assert got2["2024-01-02 03:00"] == 0   # max(0, −4) = 0
     assert got2["2024-01-02 04:00"] == 0   # recovered, not −4 + 0
+
+
+def test_funnel_durations_medians(spark):
+    """Per-pair converting counts and rank-lower-median gaps in whole
+    seconds; non-converting users excluded from that pair only."""
+    ev = _ev(spark, [
+        (1, 1, T(0), "view"), (2, 1, T(5), "click"), (3, 1, T(9), "purchase"),
+        (4, 2, T(0), "view"), (5, 2, T(1), "click"),
+        (6, 3, T(0), "view"), (7, 3, T(11), "click"),
+        (8, 4, T(2), "view"),
+    ])
+    got = {
+        r["step_index"]: r
+        for r in eventops.funnel_durations(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    # view→click gaps 300/60/660 s → lower median (rank 2 of 3) = 300
+    assert (got[0]["n_converted"], got[0]["median_gap_s"]) == (3, 300)
+    assert (got[1]["n_converted"], got[1]["median_gap_s"]) == (1, 240)
+    assert got[0]["step_from"] == "view" and got[1]["step_to"] == "purchase"
+
+    with pytest.raises(ValueError, match="two steps"):
+        eventops.funnel_durations(ev, ["view"])
