@@ -4930,6 +4930,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel_durations"] = events_funnel_durations
 
+    def corpus_dup_rate_curve(spark, sf_dir):
+        """Duplicate-rate growth curve (corpusstats.dup_rate_curve):
+        cumulative exact-dup share of the corpus at 10 evenly spaced
+        id checkpoints over the dup-injected corpus — the
+        "re-reading the web" freshness KPI next to the Heaps
+        vocabulary curve; MIN(id)-per-content-hash + integer
+        checkpoint math, content never shuffles."""
+        from gocrawl_spark import corpusstats as cs
+
+        return cs.dup_rate_curve(_aug_exact(_docs(spark, sf_dir)))
+
+    q["corpus_dup_rate_curve"] = corpus_dup_rate_curve
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11455,6 +11468,44 @@ def oracle_sql() -> dict[str, str]:
                (pp - least(0, pmin))::BIGINT AS cusum,
                ((pp - least(0, pmin)) > 5 * mad) AS alarm
         FROM p
+    """
+
+    # dup-rate curve: first id per content md5, integer checkpoint
+    # bucketing (ceil(id·cp/mx)), cumulative over 10 rows, ppm DIV
+    o["corpus_dup_rate_curve"] = f"""
+        WITH aug AS ({_SQL_AUG_EXACT}),
+        mx AS (SELECT max(doc_id) AS mx FROM aug),
+        h AS (SELECT doc_id AS id, md5(text) AS h FROM aug),
+        first AS (SELECT h, min(id) AS first_id FROM h GROUP BY h),
+        grid AS (
+          SELECT i::INT AS checkpoint, (i * mx.mx) // 10 AS id_bound
+          FROM range(1, 11) t(i), mx),
+        up AS (
+          SELECT greatest(1, (first_id * 10 + mx.mx - 1) // mx.mx)
+                   AS checkpoint,
+                 count(*) AS new_uniques
+          FROM first, mx GROUP BY 1),
+        dp AS (
+          SELECT greatest(1, (id * 10 + mx.mx - 1) // mx.mx) AS checkpoint,
+                 count(*) AS new_docs
+          FROM h, mx GROUP BY 1),
+        cum AS (
+          SELECT g.checkpoint, g.id_bound,
+                 sum(coalesce(dp.new_docs, 0))
+                   OVER (ORDER BY g.checkpoint
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs,
+                 sum(coalesce(up.new_uniques, 0))
+                   OVER (ORDER BY g.checkpoint
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_uniques
+          FROM grid g
+          LEFT JOIN up ON up.checkpoint = g.checkpoint
+          LEFT JOIN dp ON dp.checkpoint = g.checkpoint)
+        SELECT checkpoint, id_bound, cum_docs, cum_uniques,
+               (cum_docs - cum_uniques)::BIGINT AS cum_dups,
+               (CASE WHEN cum_docs > 0
+                     THEN (cum_docs - cum_uniques) * 1000000 // cum_docs
+                ELSE 0 END)::BIGINT AS dup_ppm
+        FROM cum ORDER BY checkpoint
     """
 
     # funnel durations: the events_funnel chained windows + per-user

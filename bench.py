@@ -176,6 +176,7 @@ HEADLINE = [
     "crawl_rule_attribution",
     "events_cusum",
     "events_funnel_durations",
+    "corpus_dup_rate_curve",
 ]
 
 

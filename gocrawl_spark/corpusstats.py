@@ -41,7 +41,7 @@ __all__ = [
     "zipf_fit", "heaps_curve", "distinct_ngrams", "length_histogram",
     "key_skew_audit", "corpus_minhash", "corpus_overlap",
     "dup_ngram_mass", "cms_sketch", "cms_estimate", "fetch_gini",
-    "pipeline_funnel", "kmv_jaccard",
+    "pipeline_funnel", "kmv_jaccard", "dup_rate_curve",
 ]
 
 
@@ -985,3 +985,86 @@ def kmv_jaccard(
         ).cast("long").alias("exact_jaccard_ppm"),
     )
     return out.crossJoin(ex)
+
+
+def dup_rate_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Duplicate-rate growth curve — the crawl-freshness KPI next to
+    :func:`heaps_curve`'s vocabulary view: at ``checkpoints`` evenly
+    spaced id thresholds, how much of the corpus ingested SO FAR is an
+    exact duplicate of something already held (by content md5). A
+    rising curve says the frontier is feeding the crawler pages it
+    already has — the document-level "re-reading the web" signal, the
+    operational trigger for tightening the seen filter or the DUST
+    rules.
+
+    Returns (checkpoint, id_bound, cum_docs, cum_uniques, cum_dups,
+    dup_ppm) — integers plus an integer-DIV ppm ratio, engine-stable
+    by construction. Same shape as heaps_curve: one MIN(id) per
+    distinct content hash (map-side combining groupBy on the md5 —
+    content never shuffles), integer-math checkpoint bucketing (no
+    non-equi join), and a ``checkpoints``-row cumulative window.
+    """
+    spark = docs.sparkSession
+    cp = int(checkpoints)
+    max_id = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    grid = (
+        spark.range(1, cp + 1)
+        .select(F.col("id").cast("int").alias("checkpoint"))
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "checkpoint",
+            F.expr(f"checkpoint * mx DIV {cp}").alias("id_bound"),
+        )
+    )
+
+    def bucket(id_expr: str) -> Column:
+        return F.greatest(
+            F.lit(1), F.expr(f"({id_expr} * {cp} + mx - 1) DIV mx")
+        ).alias("checkpoint")
+
+    hashes = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h")
+    )
+    first = hashes.groupBy("h").agg(F.min("id").alias("first_id"))
+    uniques_per = (
+        first.crossJoin(F.broadcast(max_id))
+        .groupBy(bucket("first_id"))
+        .agg(F.count("*").alias("new_uniques"))
+    )
+    docs_per = (
+        hashes.crossJoin(F.broadcast(max_id))
+        .groupBy(bucket("id"))
+        .agg(F.count("*").alias("new_docs"))
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.join(uniques_per, "checkpoint", "left")
+        .join(docs_per, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "id_bound",
+            F.sum(F.coalesce("new_docs", F.lit(0))).over(w)
+            .cast("long").alias("cum_docs"),
+            F.sum(F.coalesce("new_uniques", F.lit(0))).over(w)
+            .cast("long").alias("cum_uniques"),
+        )
+    )
+    return cum.select(
+        "checkpoint",
+        "id_bound",
+        "cum_docs",
+        "cum_uniques",
+        (F.col("cum_docs") - F.col("cum_uniques")).alias("cum_dups"),
+        F.expr(
+            "CASE WHEN cum_docs > 0 THEN"
+            " (cum_docs - cum_uniques) * 1000000 DIV cum_docs"
+            " ELSE 0 END"
+        ).cast("long").alias("dup_ppm"),
+    ).orderBy("checkpoint")

@@ -351,3 +351,30 @@ def test_kmv_jaccard_estimate_and_exact(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dup_rate_curve_monotone_ingest(spark):
+    """Exact-dup share accumulates correctly: a corpus whose second
+    half repeats the first half climbs to 50% by the last checkpoint;
+    a dup-free corpus stays at 0."""
+    from gocrawl_spark import corpusstats
+
+    rows = [(i, f"unique text {i}") for i in range(50)] + [
+        (50 + i, f"unique text {i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["checkpoint"]: r for r in corpusstats.dup_rate_curve(df).collect()}
+    last = got[10]
+    assert (last["cum_docs"], last["cum_uniques"], last["cum_dups"]) == (100, 50, 50)
+    assert last["dup_ppm"] == 500000
+    # early checkpoints (first half only) are dup-free
+    assert got[5]["cum_dups"] == 0 and got[5]["dup_ppm"] == 0
+    # cumulative counts never decrease
+    docs_seq = [got[c]["cum_docs"] for c in range(1, 11)]
+    assert docs_seq == sorted(docs_seq)
+
+    clean = spark.createDataFrame(
+        [(i, f"only once {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = corpusstats.dup_rate_curve(clean).collect()
+    assert all(r["dup_ppm"] == 0 for r in out)
