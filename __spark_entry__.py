@@ -4943,6 +4943,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_dup_rate_curve"] = corpus_dup_rate_curve
 
+    def events_funnel_windowed(spark, sf_dir):
+        """Deadline-bounded funnel (eventops.funnel within_s): step k
+        counts only within 24 h of the step-k−1 completion (exact
+        integer-microsecond bound) — the conversion-window semantics
+        analytics funnels default to, same one-Exchange chained-window
+        plan as the unbounded funnel."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return eventops.funnel(
+            ev, ["view", "click", "purchase"], within_s=86400
+        )
+
+    q["events_funnel_windowed"] = events_funnel_windowed
+
     def search_bool_boosting(spark, sf_dir):
         """ES `boosting` + `constant_score` compounds: positive match
         TF scoring demoted ×0.2 on negative-matching (lang=de) docs —
@@ -11506,6 +11521,49 @@ def oracle_sql() -> dict[str, str]:
                      THEN (cum_docs - cum_uniques) * 1000000 // cum_docs
                 ELSE 0 END)::BIGINT AS dup_ppm
         FROM cum ORDER BY checkpoint
+    """
+
+    # windowed funnel: the same chained CTE windows with a 24 h
+    # integer-µs gap bound on each transition
+    o["events_funnel_windowed"] = """
+        WITH s0 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS d0
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        s1 AS (
+          SELECT user_id, ts, event_type, d0,
+                 min(CASE WHEN event_type = 'click'
+                          AND d0 IS NOT NULL AND ts >= d0
+                          AND epoch_us(ts) - epoch_us(d0) <= 86400000000
+                     THEN ts END) OVER w AS d1
+          FROM s0
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        s2 AS (
+          SELECT user_id, d0, d1,
+                 min(CASE WHEN event_type = 'purchase'
+                          AND d1 IS NOT NULL AND ts >= d1
+                          AND epoch_us(ts) - epoch_us(d1) <= 86400000000
+                     THEN ts END) OVER w AS d2
+          FROM s1
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_type
+                       ROWS UNBOUNDED PRECEDING)),
+        u AS (
+          SELECT user_id,
+                 max(CASE WHEN d0 IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+                 max(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+                 max(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS c2
+          FROM s2 GROUP BY user_id),
+        t AS (SELECT sum(c0) AS n0, sum(c1) AS n1, sum(c2) AS n2 FROM u)
+        SELECT 0 AS step_index, 'view' AS step, n0::BIGINT AS n_users FROM t
+        UNION ALL SELECT 1, 'click', n1::BIGINT FROM t
+        UNION ALL SELECT 2, 'purchase', n2::BIGINT FROM t
     """
 
     # funnel durations: the events_funnel chained windows + per-user

@@ -177,6 +177,7 @@ HEADLINE = [
     "events_cusum",
     "events_funnel_durations",
     "corpus_dup_rate_curve",
+    "events_funnel_windowed",
 ]
 
 

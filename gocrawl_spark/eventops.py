@@ -39,6 +39,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_s: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: a user completes step k at the
     earliest event of type ``steps[k]`` at-or-after their step-k-1
@@ -57,6 +58,13 @@ def funnel(
     qualifies (at-or-after), and a single event can complete several
     consecutive steps when their types coincide — matching the
     standard windowed-funnel semantics.
+
+    ``within_s`` adds the conversion DEADLINE analytics funnels
+    default to: step k counts only if it lands at most ``within_s``
+    seconds after the step-k−1 completion (exact integer microsecond
+    bound). A too-late event does not complete the step, but a later
+    in-window event still can — the deadline is per-transition, not a
+    give-up-after cursor.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -74,6 +82,15 @@ def funnel(
             qualifies = qualifies & prev_done.isNotNull() & (
                 F.col(ts_col) >= prev_done
             )
+            if within_s is not None:
+                gap_us = F.timestamp_diff(
+                    "MICROSECOND",
+                    prev_done.cast("timestamp_ntz"),
+                    F.col(ts_col).cast("timestamp_ntz"),
+                )
+                qualifies = qualifies & (
+                    gap_us <= F.lit(int(within_s) * 1_000_000)
+                )
         cur = cur.withColumn(
             f"__done_{i}",
             F.min(F.when(qualifies, F.col(ts_col))).over(w),

@@ -211,3 +211,34 @@ def test_funnel_durations_medians(spark):
 
     with pytest.raises(ValueError, match="two steps"):
         eventops.funnel_durations(ev, ["view"])
+
+
+def test_funnel_conversion_deadline(spark):
+    """within_s: a step completing after the deadline does not count,
+    a later in-window event still can, and the deadline applies per
+    transition from the PREVIOUS step's completion."""
+    ev = _ev(spark, [
+        # u1: click 5 min after view — inside a 10-min window
+        (1, 1, T(0), "view"), (2, 1, T(5), "click"),
+        # u2: click 30 min after view — outside
+        (3, 2, T(0), "view"), (4, 2, T(30), "click"),
+        # u3: late click at 30 min, then another at 8 min? order forces
+        # in-window click FIRST at 8 then late at 30 — completes at 8
+        (5, 3, T(0), "view"), (6, 3, T(8), "click"), (7, 3, T(30), "click"),
+        # u4: purchase 9 min after click which was 9 min after view —
+        # both transitions inside the window even though total is 18
+        (8, 4, T(0), "view"), (9, 4, T(9), "click"), (10, 4, T(18), "purchase"),
+    ])
+    got = {
+        r["step"]: r["n_users"]
+        for r in eventops.funnel(
+            ev, ["view", "click", "purchase"], within_s=600
+        ).collect()
+    }
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+    # without the deadline u2 converts too
+    got2 = {
+        r["step"]: r["n_users"]
+        for r in eventops.funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got2["click"] == 4
