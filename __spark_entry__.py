@@ -5565,6 +5565,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_robots_drift"] = crawl_robots_drift
 
+    def events_cusum_twosided(spark, sf_dir):
+        """Two-sided CUSUM with hourly densification
+        (eventops.cusum_changepoints two_sided=True): the error
+        stream is cut off after Jan 20 — a source going QUIET — and
+        the downward statistic accumulates over the densified zero
+        hours; the sparse one-sided detector is structurally blind to
+        this (no bucket rows exist). Grid = #types × span hours
+        (metadata-sized); same exact integer median/MAD arithmetic on
+        both engines."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            ~(
+                (F.col("event_type") == "error")
+                & (F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+            )
+        )
+        return eventops.cusum_changepoints(ev, two_sided=True)
+
+    q["events_cusum_twosided"] = events_cusum_twosided
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -11532,7 +11553,11 @@ def oracle_sql() -> dict[str, str]:
                    OVER w AS d0
           FROM events
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         s1 AS (
           SELECT user_id, ts, event_type, d0,
@@ -11542,7 +11567,11 @@ def oracle_sql() -> dict[str, str]:
                      THEN ts END) OVER w AS d1
           FROM s0
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         s2 AS (
           SELECT user_id, d0, d1,
@@ -11552,7 +11581,11 @@ def oracle_sql() -> dict[str, str]:
                      THEN ts END) OVER w AS d2
           FROM s1
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         u AS (
           SELECT user_id,
@@ -11575,7 +11608,11 @@ def oracle_sql() -> dict[str, str]:
                    OVER w AS d0
           FROM events
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         s1 AS (
           SELECT user_id, ts, event_type, d0,
@@ -11584,7 +11621,11 @@ def oracle_sql() -> dict[str, str]:
                      THEN ts END) OVER w AS d1
           FROM s0
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         s2 AS (
           SELECT user_id, d0, d1,
@@ -11593,7 +11634,11 @@ def oracle_sql() -> dict[str, str]:
                      THEN ts END) OVER w AS d2
           FROM s1
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         u AS (
           SELECT user_id, min(d0) AS t0, min(d1) AS t1, min(d2) AS t2
@@ -11852,7 +11897,11 @@ def oracle_sql() -> dict[str, str]:
                    OVER w AS d0
           FROM events
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         s1 AS (
           SELECT user_id, ts, event_type, d0,
@@ -11861,7 +11910,11 @@ def oracle_sql() -> dict[str, str]:
                      THEN ts END) OVER w AS d1
           FROM s0
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         s2 AS (
           SELECT user_id, d0, d1,
@@ -11870,7 +11923,11 @@ def oracle_sql() -> dict[str, str]:
                      THEN ts END) OVER w AS d2
           FROM s1
           WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts, event_type
+                       ORDER BY ts,
+                         CASE event_type WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2 ELSE 3 END,
+                         event_type
                        ROWS UNBOUNDED PRECEDING)),
         u AS (
           SELECT user_id,
@@ -12931,6 +12988,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, n_fetched, n_disallowed,
                round(n_disallowed::DOUBLE / n_fetched, 6) AS disallowed_share
         FROM agg
+    """
+
+    # two-sided CUSUM: densified hourly grid (types × span hours),
+    # same integer median/MAD + prefix-sum/running-extreme recurrences
+    # in both directions
+    o["events_cusum_twosided"] = """
+        WITH ev AS (
+          SELECT * FROM events
+          WHERE NOT (event_type = 'error'
+                     AND ts >= TIMESTAMP '2024-01-20 00:00:00')),
+        span AS (
+          SELECT date_trunc('hour', min(ts)) AS t0,
+                 date_trunc('hour', max(ts)) AS t1
+          FROM ev),
+        grid AS (
+          SELECT t.event_type,
+                 strftime(unnest(generate_series(span.t0, span.t1,
+                                                 INTERVAL 1 HOUR)),
+                          '%Y-%m-%d %H:00') AS bucket
+          FROM (SELECT DISTINCT event_type FROM ev) t, span),
+        c0 AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+                 count(*)::BIGINT AS n
+          FROM ev GROUP BY 1, 2),
+        c AS (
+          SELECT g.event_type, g.bucket, coalesce(c0.n, 0)::BIGINT AS n
+          FROM grid g LEFT JOIN c0
+            ON g.event_type = c0.event_type AND g.bucket = c0.bucket),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n ASC, bucket ASC) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS m
+          FROM c),
+        med AS (
+          SELECT *, max(CASE WHEN rn = (m + 1) // 2 THEN n END)
+                      OVER (PARTITION BY event_type) AS med
+          FROM r),
+        d AS (
+          SELECT *, abs(n - med) AS dev,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(n - med) ASC,
+                                                bucket ASC) AS rn2
+          FROM med),
+        mad AS (
+          SELECT *, max(CASE WHEN rn2 = (m + 1) // 2 THEN dev END)
+                      OVER (PARTITION BY event_type) AS mad
+          FROM d),
+        st AS (
+          SELECT *, n - med - mad AS x, med - n - mad AS xd FROM mad),
+        p0 AS (
+          SELECT *,
+                 sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS pp,
+                 sum(xd) OVER (PARTITION BY event_type ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS ppd
+          FROM st),
+        p AS (
+          SELECT *,
+                 min(pp) OVER (PARTITION BY event_type ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS pmin,
+                 min(ppd) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS pdmin
+          FROM p0)
+        SELECT event_type, bucket, n,
+               (pp - least(0, pmin))::BIGINT AS cusum,
+               (ppd - least(0, pdmin))::BIGINT AS cusum_down,
+               ((pp - least(0, pmin)) > 5 * mad
+                OR (ppd - least(0, pdmin)) > 5 * mad) AS alarm
+        FROM p
     """
 
     return o

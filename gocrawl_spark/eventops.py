@@ -33,6 +33,22 @@ from pyspark.sql import functions as F
 __all__ = ["funnel", "cohort_retention", "transitions", "rate_anomaly", "cusum_changepoints", "funnel_durations"]
 
 
+def _step_rank(steps: list[str], type_col: str) -> Column:
+    """Equal-timestamp tie key for the funnel windows: an event's step
+    index (first occurrence for repeated types), non-step events after
+    all steps. Makes equal-ts completion step-aware — the prior step's
+    row always precedes the next step's row in the prefix — instead of
+    depending on how the type STRINGS happen to sort."""
+    rank: Column = F.lit(len(steps))
+    seen: set[str] = set()
+    for i, s in enumerate(steps):
+        if s in seen:
+            continue
+        seen.add(s)
+        rank = F.when(F.col(type_col) == F.lit(s), F.lit(i)).otherwise(rank)
+    return rank
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],
@@ -55,9 +71,13 @@ def funnel(
     partitioning: ONE Exchange total (the plan contract).
 
     Ties: an event at exactly the prior step's completion time
-    qualifies (at-or-after), and a single event can complete several
-    consecutive steps when their types coincide — matching the
-    standard windowed-funnel semantics.
+    qualifies (at-or-after), uniformly — equal-timestamp rows order by
+    STEP INDEX (earlier funnel stages sort first, non-step events
+    last, type name as the final key), so a step-k event at the same
+    ts as the step-k−1 completion sees that completion in its prefix
+    regardless of how the type strings compare lexicographically. A
+    single event can complete several consecutive steps when their
+    types coincide — matching the standard windowed-funnel semantics.
 
     ``within_s`` adds the conversion DEADLINE analytics funnels
     default to: step k counts only if it lands at most ``within_s``
@@ -70,7 +90,7 @@ def funnel(
         raise ValueError("funnel needs at least one step")
     w = (
         Window.partitionBy(user_col)
-        .orderBy(F.asc(ts_col), F.asc(type_col))
+        .orderBy(F.asc(ts_col), F.asc(_step_rank(steps, type_col)), F.asc(type_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cur = events.select(user_col, ts_col, type_col)
@@ -269,21 +289,36 @@ def cusum_changepoints(
     ts_col: str = "ts",
     type_col: str = "event_type",
     k_h: int = 5,
+    two_sided: bool = False,
 ) -> DataFrame:
-    """One-sided CUSUM change detection over hourly counts per type —
-    the sequential complement to :func:`rate_anomaly` (which flags
+    """CUSUM change detection over hourly counts per type — the
+    sequential complement to :func:`rate_anomaly` (which flags
     isolated outlier buckets, CUSUM accumulates evidence of a
-    SUSTAINED level shift: a crawl source going quiet, a host ramping
-    errors).
+    SUSTAINED level shift).
+
+    Default (``two_sided=False``): the UPWARD one-sided detector over
+    the hours the type was ACTIVE — it accumulates only positive
+    deviations (a host ramping errors, a scraper going hot) and,
+    because empty hours produce no bucket rows, a source going quiet
+    cannot raise an alarm in this mode.
+
+    ``two_sided=True`` adds the quiet-source direction: the hourly
+    grid is DENSIFIED to the corpus's full span per type (zero-count
+    hours become real n=0 rows — grid size = #types × #hours in span,
+    metadata-sized next to the events), and a downward CUSUM
+    S⁻_i = max(0, S⁻_{i−1} + (median − n_i − allowance)) runs next to
+    the upward one; either side alarms. Output gains ``cusum_down``.
 
     The textbook recurrence S_i = max(0, S_{i−1} + (n_i − median −
     allowance)) looks sequential, but with P_i the prefix sum of
     (n_i − median − allowance) it equals P_i − min_{j≤i} P_j — two
     window passes (running sum, running min) over each type's
     time-ordered buckets, no recursion, no UDF. Allowance = the
-    rank-selected MAD, alarm when S_i > ``k_h``·MAD — every quantity
-    an exact integer, so the report is bit-equal across engines and
-    parallelism. Output: (event_type, bucket, n, cusum, alarm).
+    rank-selected MAD (over the densified series when two-sided),
+    alarm when S_i > ``k_h``·MAD — every quantity an exact integer,
+    so the report is bit-equal across engines and parallelism.
+    Output: (event_type, bucket, n, cusum, alarm) plus ``cusum_down``
+    when two-sided.
     """
     bucket = F.date_format(
         F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00"
@@ -291,6 +326,30 @@ def cusum_changepoints(
     counts = events.groupBy(
         F.col(type_col).alias("event_type"), bucket.alias("bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    if two_sided:
+        # densify: one broadcast 1-row global span × distinct types,
+        # sequence-exploded to the hourly grid, counts left-joined in
+        span = events.agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("_t0"),
+            F.date_trunc("hour", F.max(ts_col)).alias("_t1"),
+        )
+        grid = (
+            events.select(F.col(type_col).alias("event_type")).distinct()
+            .join(F.broadcast(span))
+            .select(
+                "event_type",
+                F.explode(
+                    F.sequence("_t0", "_t1", F.expr("INTERVAL 1 HOUR"))
+                ).alias("_h"),
+            )
+            .select(
+                "event_type",
+                F.date_format("_h", "yyyy-MM-dd HH:00").alias("bucket"),
+            )
+        )
+        counts = grid.join(counts, ["event_type", "bucket"], "left").select(
+            "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+        )
 
     wt = Window.partitionBy("event_type")
     ranked = counts.select(
@@ -328,12 +387,28 @@ def cusum_changepoints(
     # S_i = P_i − min(0, running-min P): the implicit S_0 = 0 start
     # means the reference minimum includes the empty prefix
     s = F.col("_p") - F.least(F.lit(0), F.col("_pmin"))
+    if not two_sided:
+        return stepped.select(
+            "event_type",
+            "bucket",
+            "n",
+            s.cast("long").alias("cusum"),
+            (s > F.lit(int(k_h)) * F.col("_mad")).alias("alarm"),
+        )
+    stepped = stepped.withColumn(
+        "_xd", F.col("_med") - F.col("n") - F.col("_mad")
+    ).withColumn("_pd", F.sum("_xd").over(wo)).withColumn(
+        "_pdmin", F.min("_pd").over(wo)
+    )
+    sd = F.col("_pd") - F.least(F.lit(0), F.col("_pdmin"))
+    bar = F.lit(int(k_h)) * F.col("_mad")
     return stepped.select(
         "event_type",
         "bucket",
         "n",
         s.cast("long").alias("cusum"),
-        (s > F.lit(int(k_h)) * F.col("_mad")).alias("alarm"),
+        sd.cast("long").alias("cusum_down"),
+        ((s > bar) | (sd > bar)).alias("alarm"),
     )
 
 
@@ -350,18 +425,19 @@ def funnel_durations(
     metric product funnels report next to the counts.
 
     Reuses :func:`funnel`'s chained running-earliest-completion
-    windows; because the prefix is time-ordered, each step's running
-    value is stable once set, so the per-user completion time is just
-    min(done_k). Gaps are integer seconds (epoch diff), medians are
-    lower medians at rank (m+1) DIV 2 under a (gap, user) total
-    order — bit-equal at any parallelism and in the SQL twin. Output:
+    windows (including the step-aware equal-ts tie order); because the
+    prefix is time-ordered, each step's running value is stable once
+    set, so the per-user completion time is just min(done_k). Gaps are
+    integer seconds (epoch diff), medians are lower medians at rank
+    (m+1) DIV 2 under a (gap, user) total order — bit-equal at any
+    parallelism and in the SQL twin. Output:
     (step_index, step_from, step_to, n_converted, median_gap_s).
     """
     if len(steps) < 2:
         raise ValueError("funnel_durations needs at least two steps")
     w = (
         Window.partitionBy(user_col)
-        .orderBy(F.asc(ts_col), F.asc(type_col))
+        .orderBy(F.asc(ts_col), F.asc(_step_rank(steps, type_col)), F.asc(type_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cur = events.select(user_col, ts_col, type_col)

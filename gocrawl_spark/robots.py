@@ -482,9 +482,12 @@ def rule_attribution(
     Plan: host-keyed equi-join of the URL side against the exploded
     rule table (rules are metadata-small — Catalyst broadcasts),
     per-row regexp match of the precompiled rx, then ONE window per
-    URL electing the winner by (pattern length DESC, allow DESC,
-    rule_idx ASC) and a (host, rule) rollup. The URL side never
-    shuffles on anything but its own aggregate key.
+    INPUT ROW electing the winner by (pattern length DESC, allow
+    DESC, rule_idx ASC) and a (host, rule) rollup. The winner window
+    partitions on a per-row id (not the URL string), so crawl-log
+    input with repeated URLs counts every row — n_urls is a row
+    count, not a distinct-URL count. The URL side never shuffles on
+    anything but its own aggregate key.
     """
     path = F.regexp_replace(
         F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
@@ -493,14 +496,14 @@ def rule_attribution(
     u = urls.select(
         F.col(host_col).alias("_h"), F.col(url_col).alias("_u"),
         path.alias("_p"),
-    )
+    ).withColumn("_rid", F.monotonically_increasing_id())
     r = rules_table(robots, ua)
     cand = u.join(
         r, (F.col("_h") == F.col("host"))
         & F.expr("regexp_like(_p, rx)"),
         "left",
     )
-    w = Window.partitionBy("_u").orderBy(
+    w = Window.partitionBy("_rid").orderBy(
         F.desc(F.length("pattern")),
         F.desc("allow"),
         F.asc("rule_idx"),

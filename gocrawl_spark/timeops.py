@@ -218,7 +218,9 @@ def interval_join(
     NULL event columns; the empty-interval collapse groups by the full
     interval row, so byte-identical duplicate interval rows collapse
     to one NULL row (give intervals an id column if duplicates are
-    meaningful).
+    meaningful). Malformed rows with ``end < start`` match nothing
+    (zero pairs in inner mode, an empty interval in left mode) rather
+    than failing the job.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left"):
@@ -227,13 +229,21 @@ def interval_join(
     ev_cols = [c for c in events.columns if c not in keys]
     out_ev = [f"{c}_e" if c in intervals.columns else c for c in ev_cols]
 
+    # inverted rows (end < start) guard: sequence() with a negative
+    # range and positive step throws at runtime — such rows instead
+    # take a NULL granule (explode_outer), which can never equi-match
+    # an event granule: they contribute zero pairs in inner mode and
+    # surface as an empty interval in left mode.
     iv = intervals.withColumn(
         "__granule",
-        F.explode(
-            F.sequence(
-                F.floor(_epoch_us(F.col(start)) / (g * 1_000_000)),
-                F.floor(_epoch_us(F.col(end)) / (g * 1_000_000)),
-                F.lit(1),
+        F.explode_outer(
+            F.when(
+                F.col(end) >= F.col(start),
+                F.sequence(
+                    F.floor(_epoch_us(F.col(start)) / (g * 1_000_000)),
+                    F.floor(_epoch_us(F.col(end)) / (g * 1_000_000)),
+                    F.lit(1),
+                ),
             )
         ),
     )

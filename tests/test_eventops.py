@@ -43,16 +43,23 @@ def test_funnel_ordered_steps(spark):
     }
     assert got == {"view": 4, "click": 2, "purchase": 1}
 
-    # equal timestamps: click at exactly the view's ts counts
-    # (window tie order is ts then type: 'click' < 'view', so the
-    # click row's prefix lacks the view — NOT counted; this pins the
-    # deterministic tie rule both engines share)
+    # equal timestamps: the tie order is STEP-AWARE (ts, step index,
+    # type), so a click at exactly the view's ts sees the view in its
+    # prefix and counts — regardless of how the type strings sort
     ev2 = _ev(spark, [(1, 1, T(0), "view"), (2, 1, T(0), "click")])
     got2 = {
         r["step"]: r["n_users"]
         for r in eventops.funnel(ev2, ["view", "click"]).collect()
     }
-    assert got2 == {"view": 1, "click": 0}
+    assert got2 == {"view": 1, "click": 1}
+    # …and symmetrically when the step names sort the other way
+    # ('apple' < 'zebra'): equal-ts completion still counts
+    ev2b = _ev(spark, [(1, 1, T(0), "zebra"), (2, 1, T(0), "apple")])
+    got2b = {
+        r["step"]: r["n_users"]
+        for r in eventops.funnel(ev2b, ["zebra", "apple"]).collect()
+    }
+    assert got2b == {"zebra": 1, "apple": 1}
     # …whereas a click one tick later does count
     ev3 = _ev(spark, [(1, 1, T(0), "view"), (2, 1, T(1), "click")])
     got3 = {
@@ -187,6 +194,46 @@ def test_cusum_level_shift(spark):
     }
     assert got2["2024-01-02 03:00"] == 0   # max(0, −4) = 0
     assert got2["2024-01-02 04:00"] == 0   # recovered, not −4 + 0
+
+
+def test_cusum_two_sided_quiet_source(spark):
+    """two_sided=True densifies the hourly grid to the corpus span and
+    runs a downward CUSUM, so a source going QUIET (zero-count hours,
+    invisible to the sparse one-sided detector) accumulates and
+    alarms; the steady type alarms on neither side."""
+    rows, eid = [], 0
+    # 'a' is steady at 5/h for the whole 16-hour span
+    for h in range(16):
+        for _ in range(5):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1, h), "a")); eid += 1
+    # 'b' runs at 5/h for 10 hours, then dies — no 'b' rows after h=9
+    for h in range(10):
+        for _ in range(5):
+            rows.append((eid, 2, dt.datetime(2024, 1, 1, h), "b")); eid += 1
+    ev = _ev(spark, rows)
+
+    # sparse one-sided mode: 'b' simply has no rows after 09:00 —
+    # nothing to alarm on (the documented blind spot)
+    sparse = eventops.cusum_changepoints(ev).filter("event_type = 'b'")
+    assert sparse.count() == 10
+    assert not any(r["alarm"] for r in sparse.collect())
+
+    dense = {
+        (r["event_type"], r["bucket"]): r
+        for r in eventops.cusum_changepoints(ev, two_sided=True).collect()
+    }
+    # grid densified: 'b' now has 16 hourly rows, zeros in the tail
+    assert len([k for k in dense if k[0] == "b"]) == 16
+    assert dense[("b", "2024-01-01 12:00")]["n"] == 0
+    # median over 16 rows (10×5, 6×0) = lower median 5, MAD 0 →
+    # downward statistic climbs 5/quiet-hour and alarms immediately
+    assert dense[("b", "2024-01-01 10:00")]["cusum_down"] == 5
+    assert dense[("b", "2024-01-01 10:00")]["alarm"]
+    assert dense[("b", "2024-01-01 15:00")]["cusum_down"] == 30
+    # steady 'a': flat on both sides, never alarms
+    assert not any(r["alarm"] for (t, _), r in dense.items() if t == "a")
+    assert all(r["cusum"] == 0 and r["cusum_down"] == 0
+               for (t, _), r in dense.items() if t == "a")
 
 
 def test_funnel_durations_medians(spark):

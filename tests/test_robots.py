@@ -383,3 +383,15 @@ def test_rule_attribution_winners(spark):
     # attribution's allowed mass equals the gate's kept count
     kept = rb.gate(urls, robots).count()
     assert kept == sum(n for (ok, n) in got.values() if ok)
+
+    # crawl-log-shaped input: repeated URL rows each count — n_urls
+    # is a ROW count (the winner window partitions on a per-row id,
+    # not the URL string)
+    dup = urls.unionAll(
+        urls.filter("url = 'https://site00.example.com/page/7'")
+    )
+    got_dup = {
+        (r["host"], r["pattern"]): r["n_urls"]
+        for r in rb.rule_attribution(dup, robots).collect()
+    }
+    assert got_dup[("site00.example.com", "/page/")] == 2

@@ -118,6 +118,28 @@ def test_interval_join_bounds_and_left(spark):
     )
     assert coarse == got
 
+    # malformed interval (end < start): contributes zero matches
+    # instead of blowing up sequence() — inner drops it, left keeps
+    # it as an empty interval
+    bad = iv.unionAll(
+        spark.createDataFrame(
+            [(13, "h1", T(20), T(10))],
+            "iid long, host string, start timestamp, end timestamp",
+        )
+    )
+    inner_bad = sorted(
+        (r["iid"], r["v"])
+        for r in timeops.interval_join(ev, bad, on="host", granule_s=10).collect()
+    )
+    assert inner_bad == [(10, 1.0), (10, 2.0), (12, 4.0)]
+    left_bad = sorted(
+        (r["iid"], r["v"])
+        for r in timeops.interval_join(
+            ev, bad, on="host", granule_s=10, how="left"
+        ).collect()
+    )
+    assert left_bad == [(10, 1.0), (10, 2.0), (11, None), (12, 4.0), (13, None)]
+
 
 def test_interval_join_overlapping_windows(spark):
     """An event inside two overlapping same-key intervals pairs with
