@@ -1956,6 +1956,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_bitext_margin"] = emb_bitext_margin
 
+    def _bitext_halves_and_candidates(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        ia, ib = F.col("id_a"), F.col("id_b")
+        cand_all = similarity.blocked_dup_pairs(
+            emb, threshold=-1.0, bands=4, planes_per_band=4, dim=64
+        )
+        cand = (
+            cand_all.filter((ia % 2 == 0) & (ib % 2 == 1))
+            .select(ia.alias("src_id"), ib.alias("tgt_id"))
+            .unionAll(
+                cand_all.filter((ia % 2 == 1) & (ib % 2 == 0))
+                .select(ib.alias("src_id"), ia.alias("tgt_id"))
+            )
+        )
+        return (
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            cand,
+        )
+
+    def emb_bitext_blocked(spark, sf_dir):
+        """Scale-safe bitext mining (similarity.mine_bitext with
+        candidates=): banded sign-LSH collisions across the even/odd
+        halves feed the same ratio-margin scoring tail — ID-keyed
+        equi-joins only, no full-side broadcast, no O(n²) pair table
+        (the plan contract in tests/test_pipeline_ops.py). Margins
+        average each side's available candidate neighbors (÷ actual
+        count ≤ k)."""
+        even, odd, cand = _bitext_halves_and_candidates(spark, sf_dir)
+        return similarity.mine_bitext(
+            even, odd, k=4, margin_threshold=1.0, candidates=cand
+        )
+
+    q["emb_bitext_blocked"] = emb_bitext_blocked
+
+    def emb_bitext_recall(spark, sf_dir):
+        """Recall of the candidate-blocked miner vs the exact twin at
+        the shipped threshold — the emb_dup_recall pattern applied to
+        bitext: |blocked ∩ exact| / |exact| over accepted (src, tgt)
+        pairs, making the LSH banding trade visible."""
+        even, odd, cand = _bitext_halves_and_candidates(spark, sf_dir)
+        blocked = similarity.mine_bitext(
+            even, odd, k=4, margin_threshold=1.0, candidates=cand
+        ).select("src_id", "tgt_id")
+        exact = similarity.mine_bitext(
+            even, odd, k=4, margin_threshold=1.0
+        ).select("src_id", "tgt_id")
+        n_exact = exact.agg(F.count("*").alias("n_exact"))
+        n_blocked = blocked.agg(F.count("*").alias("n_blocked"))
+        n_common = exact.join(blocked, ["src_id", "tgt_id"]).agg(
+            F.count("*").alias("n_common")
+        )
+        return (
+            n_exact.crossJoin(n_blocked)
+            .crossJoin(n_common)
+            .select(
+                "n_exact",
+                "n_blocked",
+                "n_common",
+                F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recall"),
+            )
+        )
+
+    q["emb_bitext_recall"] = emb_bitext_recall
+
     def ann_recall(spark, sf_dir):
         """Probe-path recall@k of the IVF index vs exact brute-force
         top-k at the bench's k (nprobe=4 of 16 cells) — the eval that
@@ -8555,6 +8620,116 @@ def oracle_sql() -> dict[str, str]:
           FROM mut m JOIN favg fa ON fa.query_id = m.src_id
                      JOIN bavg ba ON ba.query_id = m.tgt_id)
         SELECT src_id, tgt_id, score, margin FROM fin WHERE margin >= 1.0
+    """
+
+    # blocked bitext: cross-half LSH band collisions (the emb_dup_pairs
+    # banding) as candidates, ONE scored pair table, integer-rational
+    # margins over the AVAILABLE candidate neighbors — micro-unit
+    # score lifts, exact long sums/counts, one double division (the
+    # repo-wide probability-column determinism scheme)
+    _bitext_blocked_body = f"""
+        keys AS (
+        {_band_rows}
+        ),
+        colls AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        cand AS (
+          SELECT id_a AS src_id, id_b AS tgt_id FROM colls
+          WHERE id_a % 2 = 0 AND id_b % 2 = 1
+          UNION ALL
+          SELECT id_b, id_a FROM colls
+          WHERE id_a % 2 = 1 AND id_b % 2 = 0),
+        bscored AS MATERIALIZED (
+          SELECT c.src_id, c.tgt_id, {_cos} AS score,
+                 CAST(round({_cos} * 1000000.0) AS BIGINT) AS si
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.src_id
+          JOIN embeddings b ON b.vec_id = c.tgt_id),
+        bfr AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                     PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rnk
+          FROM bscored),
+        bbr AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                     PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rnk
+          FROM bscored),
+        bfagg AS (SELECT src_id, sum(si)::BIGINT AS sum_f,
+                         count(*)::BIGINT AS n_f
+                  FROM bfr WHERE rnk <= 4 GROUP BY src_id),
+        bbagg AS (SELECT tgt_id, sum(si)::BIGINT AS sum_b,
+                         count(*)::BIGINT AS n_b
+                  FROM bbr WHERE rnk <= 4 GROUP BY tgt_id),
+        bf1 AS (SELECT src_id, tgt_id, score, si FROM bfr WHERE rnk = 1),
+        bb1 AS (SELECT src_id, tgt_id FROM bbr WHERE rnk = 1),
+        bmut AS (SELECT bf1.* FROM bf1 JOIN bb1 USING (src_id, tgt_id)),
+        blocked_fin AS (
+          SELECT m.src_id, m.tgt_id, m.score,
+                 round((2 * m.si * fa.n_f * ba.n_b)::DOUBLE
+                       / (fa.sum_f * ba.n_b + ba.sum_b * fa.n_f)::DOUBLE,
+                       6) AS margin
+          FROM bmut m JOIN bfagg fa ON fa.src_id = m.src_id
+                      JOIN bbagg ba ON ba.tgt_id = m.tgt_id)"""
+
+    o["emb_bitext_blocked"] = f"""
+        WITH {_bitext_blocked_body}
+        SELECT src_id, tgt_id, score, margin FROM blocked_fin
+        WHERE margin >= 1.0
+    """
+
+    # exact chain with e-prefixed CTE names so the recall oracle can
+    # hold both pipelines in one statement
+    _bitext_exact_body = f"""
+        eev AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        eod AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        efwd AS MATERIALIZED (
+          SELECT q.query_id, k.vec_id AS neighbor_id,
+                 round({_qdot} / ({_qnorm} * {_knorm}), 6) AS score
+          FROM (SELECT vec_id AS query_id, embedding AS qv FROM eev) q, eod k),
+        efr AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                     AS rnk
+          FROM efwd),
+        ebwd AS MATERIALIZED (
+          SELECT q.query_id, k.vec_id AS neighbor_id,
+                 round({_qdot} / ({_qnorm} * {_knorm}), 6) AS score
+          FROM (SELECT vec_id AS query_id, embedding AS qv FROM eod) q, eev k),
+        ebr AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                     AS rnk
+          FROM ebwd),
+        efavg AS (SELECT query_id, {_bitext_avg} AS avg_f
+                  FROM efr WHERE rnk <= 4 GROUP BY query_id),
+        ebavg AS (SELECT query_id, {_bitext_avg} AS avg_b
+                  FROM ebr WHERE rnk <= 4 GROUP BY query_id),
+        ef1 AS (SELECT query_id AS src_id, neighbor_id AS tgt_id, score
+                FROM efr WHERE rnk = 1),
+        eb1 AS (SELECT neighbor_id AS src_id, query_id AS tgt_id
+                FROM ebr WHERE rnk = 1),
+        emut AS (SELECT ef1.* FROM ef1 JOIN eb1 USING (src_id, tgt_id)),
+        exact_fin AS (
+          SELECT m.src_id, m.tgt_id, m.score,
+                 round(m.score / ((fa.avg_f + ba.avg_b) / 2.0), 6) AS margin
+          FROM emut m JOIN efavg fa ON fa.query_id = m.src_id
+                      JOIN ebavg ba ON ba.query_id = m.tgt_id)"""
+
+    o["emb_bitext_recall"] = f"""
+        WITH {_bitext_blocked_body},
+        {_bitext_exact_body},
+        bl AS (SELECT src_id, tgt_id FROM blocked_fin WHERE margin >= 1.0),
+        ex AS (SELECT src_id, tgt_id FROM exact_fin WHERE margin >= 1.0),
+        common AS (
+          SELECT count(*) AS c FROM ex JOIN bl USING (src_id, tgt_id))
+        SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+               (SELECT count(*) FROM bl)::BIGINT AS n_blocked,
+               (SELECT c FROM common)::BIGINT AS n_common,
+               round((SELECT c FROM common)::DOUBLE
+                     / (SELECT count(*) FROM ex)::DOUBLE, 4) AS recall
     """
 
     o["ann_lsh"] = f"""

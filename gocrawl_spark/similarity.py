@@ -1146,6 +1146,7 @@ def mine_bitext(
     margin_threshold: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Ratio-margin bitext mining (Artetxe & Schwenk, ACL'19 — the
     LASER/CCMatrix recipe): a (src, tgt) sentence/doc pair is accepted
@@ -1163,14 +1164,37 @@ def mine_bitext(
     average folds a SORTED score list sequentially (IEEE order fixed
     across engines/parallelism) then rounds to 6.
 
-    Scale shape: the candidate pair table is scored ONCE (src side
-    broadcast, norms precomputed per row) and persisted; both
-    directions' top-1/avg-k reduce from it as windows — half the
+    Scale shape: WITHOUT ``candidates`` this is the EXACT twin — the
+    candidate pair table is the full cross product (src side
+    broadcast, norms precomputed per row), scored ONCE and persisted;
+    both directions' top-1/avg-k reduce from it as windows — half the
     cosine work of a two-pass fwd/bwd spelling, bit-identical output
-    (dot and the norm product are IEEE-commutative). This is the
-    exact twin: at 10^8+ rows per side swap in the IVF/LSH probes
-    (ann_ivf/ann_lsh) for candidate generation and keep this scoring
-    tail over the (much smaller) candidate table.
+    (dot and the norm product are IEEE-commutative). The broadcast and
+    the O(|src|·|tgt|) pair table make the exact form an EVAL-ONLY
+    path past ~10^6 rows per side.
+
+    ``candidates`` is the production path at 10^8+ rows per side: a
+    (src_id, tgt_id) pair DataFrame from any blocked generator —
+    banded sign-LSH collisions (:func:`blocked_dup_pairs` across the
+    two halves), IVF probes (:func:`ivf_topk`) — joined back to the
+    vectors by ID (equi-joins only, no full-side broadcast, no
+    nested-loop join: the plan contract in
+    tests/test_pipeline_ops.py). The same scoring tail runs over the
+    much smaller candidate table; margins then average each side's
+    AVAILABLE candidate neighbors (÷ actual count ≤ k, not ÷ k — a
+    side with fewer than k candidates would otherwise understate its
+    neighborhood density and inflate every margin), the standard
+    approximate-margin trade: pairs whose true neighbors were never
+    candidates can score optimistic margins, which the recall query
+    (emb_bitext_recall) makes visible against the exact twin.
+
+    Candidate-path determinism: with variable neighbor counts the
+    margin is computed as a RATIONAL over exact integers — scores
+    lift to micro-units (round(score·10⁶), exact in int64), and
+    margin = 2·s·n_f·n_b / (sum_f·n_b + sum_b·n_f): one double
+    division of two exact integers, bit-equal across engines and
+    parallelism (the repo-wide probability-column scheme). The exact
+    path keeps its sorted-IEEE-fold ÷k spelling unchanged.
     """
     s = src.select(
         F.col(id_col).alias("src_id"),
@@ -1182,9 +1206,13 @@ def mine_bitext(
         F.col(vec_col).alias("tv"),
         norm(F.col(vec_col)).alias("tn"),
     )
+    if candidates is None:
+        scored_src = t.join(F.broadcast(s))
+    else:
+        cand = candidates.select("src_id", "tgt_id").distinct()
+        scored_src = cand.join(s, "src_id").join(t, "tgt_id")
     pairs = (
-        t.join(F.broadcast(s))
-        .filter(F.col("tgt_id") != F.col("src_id"))
+        scored_src.filter(F.col("tgt_id") != F.col("src_id"))
         .select(
             "src_id",
             "tgt_id",
@@ -1220,14 +1248,43 @@ def mine_bitext(
     f1 = fwd.filter(F.col("rank") == 1).select("src_id", "tgt_id", "score")
     b1 = bwd.filter(F.col("rank") == 1).select("src_id", "tgt_id")
     mutual = f1.join(b1, ["src_id", "tgt_id"], "left_semi")
+    if candidates is None:
+        out = (
+            mutual.join(_avg(fwd, "src_id", "avg_f"), "src_id")
+            .join(_avg(bwd, "tgt_id", "avg_b"), "tgt_id")
+            .withColumn(
+                "margin",
+                F.round(
+                    F.col("score")
+                    / ((F.col("avg_f") + F.col("avg_b")) / F.lit(2.0)),
+                    6,
+                ),
+            )
+        )
+        return out.filter(F.col("margin") >= F.lit(margin_threshold)).select(
+            "src_id", "tgt_id", "score", "margin"
+        )
+    # candidate path: integer-rational margin (see docstring) —
+    # scores in micro-units, exact long sums/counts per side, one
+    # double division of two exact integers
+    si = F.round(F.col("score") * F.lit(1_000_000.0)).cast("long")
+    f_agg = fwd.groupBy("src_id").agg(
+        F.sum(si).alias("sum_f"), F.count(F.lit(1)).alias("n_f")
+    )
+    b_agg = bwd.groupBy("tgt_id").agg(
+        F.sum(si).alias("sum_b"), F.count(F.lit(1)).alias("n_b")
+    )
     out = (
-        mutual.join(_avg(fwd, "src_id", "avg_f"), "src_id")
-        .join(_avg(bwd, "tgt_id", "avg_b"), "tgt_id")
+        mutual.join(f_agg, "src_id")
+        .join(b_agg, "tgt_id")
         .withColumn(
             "margin",
             F.round(
-                F.col("score")
-                / ((F.col("avg_f") + F.col("avg_b")) / F.lit(2.0)),
+                (F.lit(2) * si * F.col("n_f") * F.col("n_b")).cast("double")
+                / (
+                    F.col("sum_f") * F.col("n_b")
+                    + F.col("sum_b") * F.col("n_f")
+                ).cast("double"),
                 6,
             ),
         )

@@ -3076,6 +3076,31 @@ def test_mine_bitext_mutual_margin(spark):
     # the hub-adjacent one
     assert got[(0, 1)] > got[(4, 5)] and got[(2, 3)] > got[(4, 5)]
 
+    # candidate path: with the COMPLETE candidate set the miner
+    # accepts the same pairs (margins agree to the integer-rational
+    # vs ÷k rounding, ≤1e-5)
+    full_cand = (
+        src.selectExpr("vec_id AS src_id")
+        .crossJoin(tgt.selectExpr("vec_id AS tgt_id"))
+    )
+    got_cand = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in similarity.mine_bitext(
+            src, tgt, k=2, margin_threshold=1.0, candidates=full_cand
+        ).collect()
+    }
+    assert set(got_cand) == set(got)
+    assert all(abs(got_cand[p] - got[p]) <= 1e-5 for p in got)
+    # a pruned candidate table drops pairs it never proposed
+    pruned = full_cand.filter("NOT (src_id = 0 AND tgt_id = 1)")
+    got_pruned = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.mine_bitext(
+            src, tgt, k=2, margin_threshold=1.0, candidates=pruned
+        ).collect()
+    }
+    assert (0, 1) not in got_pruned
+
 
 def test_cdc_chunks_shift_stable(spark):
     """The defining CDC property: prepending text to a document shifts

@@ -679,6 +679,36 @@ def test_bitext_broadcasts_query_side(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_bitext_candidates_equijoins_only(spark, sf_dir):
+    """The production miner path: candidates= supplied → vectors
+    attach by ID-keyed EQUI-joins only — no nested-loop join, no
+    cartesian, no full-side broadcast of the vector table (the exact
+    twin's O(n²) scored table never materializes)."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    cand_all = similarity.blocked_dup_pairs(
+        emb, threshold=-1.0, bands=4, planes_per_band=4, dim=64
+    )
+    ia, ib = F.col("id_a"), F.col("id_b")
+    cand = (
+        cand_all.filter((ia % 2 == 0) & (ib % 2 == 1))
+        .select(ia.alias("src_id"), ib.alias("tgt_id"))
+        .unionAll(
+            cand_all.filter((ia % 2 == 1) & (ib % 2 == 0))
+            .select(ib.alias("src_id"), ia.alias("tgt_id"))
+        )
+    )
+    out = similarity.mine_bitext(even, odd, k=2, candidates=cand)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_colocated_budgets_equijoins_only(spark):
     """Server-level budgets: host- and block-keyed equi-joins, never a
     cartesian; the split is integer arithmetic in the plan."""
