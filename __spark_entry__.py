@@ -3243,6 +3243,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs
 
+    def media_decode(spark, sf_dir):
+        """REAL pixel/sample decode (mm.decode_media): uncompressed
+        24-bit BMP + binary PPM pixels and 16-bit PCM-WAV samples
+        decoded from the raw payload bytes — exact integer value and
+        per-channel sums the DuckDB twin reproduces closed-form from
+        the synth's digest tiling. NotImplementedError stays reserved
+        for entropy-coded payloads (PNG/JPEG/video) only."""
+        docs = _docs(spark, sf_dir)
+        media = (
+            mm.synth_media(spark, docs, "bmp")
+            .unionByName(mm.synth_media(spark, docs, "ppm"))
+            .unionByName(mm.synth_media(spark, docs, "audio"))
+        )
+        d = mm.decode_media(media)
+        return d.select(
+            "media_id",
+            "modality",
+            "codec",
+            F.coalesce("width", F.lit(-1)).alias("width"),
+            F.coalesce("height", F.lit(-1)).alias("height"),
+            "n_values",
+            "value_sum",
+            "value_min",
+            "value_max",
+            F.coalesce("sum_c0", F.lit(-1)).cast("long").alias("sum_c0"),
+            F.coalesce("sum_c1", F.lit(-1)).cast("long").alias("sum_c1"),
+            F.coalesce("sum_c2", F.lit(-1)).cast("long").alias("sum_c2"),
+        )
+
+    q["media_decode"] = media_decode
+
     def search_aggs_pipeline_a2(spark, sf_dir):
         """ES pipeline aggs (A2 tail): cumulative_sum + derivative
         over a numeric-histogram bucket series — one ordered window
@@ -10321,6 +10352,69 @@ def oracle_sql() -> dict[str, str]:
           JOIN h ha ON ha.media_id = cand.id_a
           JOIN h hb ON hb.media_id = cand.id_b)
         SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+    """
+
+    # media_decode: the decoder's integer stats, closed-form — the
+    # synth tiles the md5 digest into the pixel array (3·w·h bytes,
+    # both dims multiples of 32 so the 48-byte channel cycle and the
+    # 16-byte digest cycle divide it exactly) and into 2000·reps WAV
+    # data bytes (8-sample digest cycle)
+    _db = (
+        "list_transform(range(0, 16), i ->"
+        " (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1))"
+    )
+
+    def _chsum(c: int) -> str:
+        return (
+            f"list_sum(list_transform(list_filter(range(0, 48),"
+            f" q -> q % 3 = {c}), q -> db[(q % 16) + 1]))::BIGINT"
+        )
+
+    o["media_decode"] = f"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, {_db} AS db FROM documents),
+        img AS (
+          SELECT doc_id, db,
+                 (64 + (doc_id % 8) * 32) AS w,
+                 (64 + (doc_id % 5) * 32) AS h
+          FROM d),
+        imgstats AS (
+          SELECT doc_id, w, h, (3 * w * h)::BIGINT AS p,
+                 list_sum(db)::BIGINT AS dsum,
+                 list_aggregate(db, 'min')::INT AS dmin,
+                 list_aggregate(db, 'max')::INT AS dmax,
+                 {_chsum(0)} AS s0, {_chsum(1)} AS s1, {_chsum(2)} AS s2
+          FROM img),
+        aud AS (
+          SELECT doc_id, (4 + doc_id % 13) AS reps,
+                 list_transform(range(0, 8), j ->
+                   CASE WHEN db[2*j + 1] + 256 * db[2*j + 2] >= 32768
+                        THEN db[2*j + 1] + 256 * db[2*j + 2] - 65536
+                        ELSE db[2*j + 1] + 256 * db[2*j + 2] END) AS sv
+          FROM d)
+        SELECT doc_id * 10 + 5 AS media_id, 'bmp' AS modality,
+               'bmp' AS codec, w::INT AS width, h::INT AS height,
+               p AS n_values, (p // 16 * dsum)::BIGINT AS value_sum,
+               dmin AS value_min, dmax AS value_max,
+               (p // 48 * s0)::BIGINT AS sum_c0,
+               (p // 48 * s1)::BIGINT AS sum_c1,
+               (p // 48 * s2)::BIGINT AS sum_c2
+        FROM imgstats
+        UNION ALL
+        SELECT doc_id * 10 + 6, 'ppm', 'ppm', w::INT, h::INT,
+               p, (p // 16 * dsum)::BIGINT, dmin, dmax,
+               (p // 48 * s0)::BIGINT, (p // 48 * s1)::BIGINT,
+               (p // 48 * s2)::BIGINT
+        FROM imgstats
+        UNION ALL
+        SELECT doc_id * 10 + 2, 'audio', 'pcm_wav', -1, -1,
+               (1000 * reps)::BIGINT,
+               (125 * reps * list_sum(sv))::BIGINT,
+               list_aggregate(sv, 'min')::INT,
+               list_aggregate(sv, 'max')::INT,
+               (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT
+        FROM aud
     """
 
     o["media_parse"] = """

@@ -1102,10 +1102,83 @@ def test_media_metadata_parsed_from_real_bytes(spark, docs):
 
 
 def test_media_real_decode_is_gated(spark, docs):
+    """NotImplementedError is reserved for GENUINELY compressed
+    payloads (PNG entropy coding) — uncompressed containers decode."""
     media = multimodal.synth_media(spark, docs.select("doc_id", "text").limit(1), "image")
     feats = multimodal.extract_features(media, fake_decode=False)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         feats.collect()
+
+
+def test_media_real_decode_uncompressed(spark, docs):
+    """fake_decode=False is a REAL decode for BMP/PPM/PCM-WAV: the
+    engine-side statistics equal a plain-Python decode of the same
+    payload, per media row, and the feature vector derives from the
+    decoded values (not the digest)."""
+    import numpy as np
+
+    d2 = docs.select("doc_id", "text").limit(6)
+    for modality in ("bmp", "ppm", "audio"):
+        media = multimodal.synth_media(spark, d2, modality)
+        payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+        stats = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+        feats = {r["media_id"]: r for r in
+                 multimodal.extract_features(media, fake_decode=False).collect()}
+        for mid, payload in payloads.items():
+            codec, vals = multimodal._decoded_values(payload)
+            r = stats[mid]
+            assert r["codec"] == codec
+            assert r["n_values"] == vals.size
+            assert r["value_sum"] == int(vals.sum(dtype=np.int64))
+            assert r["value_min"] == int(vals.min())
+            assert r["value_max"] == int(vals.max())
+            if codec in ("bmp", "ppm"):
+                ch = vals.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                assert (r["sum_c0"], r["sum_c1"], r["sum_c2"]) == tuple(
+                    int(x) for x in ch
+                )
+            else:
+                assert r["sum_c0"] is None
+            # features come from the real values (float32 storage),
+            # and differ from the digest-derived fake path
+            assert feats[mid]["feat"] == pytest.approx(
+                multimodal._real_features(vals), abs=1e-5
+            )
+            assert feats[mid]["feat"] != pytest.approx(
+                multimodal._fake_features(payload), abs=1e-3
+            )
+
+
+def test_bmp_ppm_roundtrip():
+    import hashlib
+
+    seed = hashlib.md5(b"roundtrip").digest()
+    w, h = 8, 4  # stride 24 — already 4-aligned
+    pix = (seed * (3 * w * h // 16 + 1))[: 3 * w * h]
+    bmp = multimodal.build_bmp(w, h, pix)
+    assert multimodal.parse_bmp_header(bmp) == (w, h)
+    dec = multimodal.decode_bmp_pixels(bmp)
+    rows = [pix[i * 24 : (i + 1) * 24] for i in range(h)]
+    assert dec == b"".join(reversed(rows))  # bottom-up file → top-down
+    # non-4-aligned width: padding added on build, stripped on decode
+    w2 = 5
+    stride2 = (3 * w2 + 3) // 4 * 4
+    pad_rows = b"".join(
+        (seed * 2)[: 3 * w2].ljust(stride2, b"\x00") for _ in range(3)
+    )
+    b2 = multimodal.build_bmp(w2, 3, pad_rows)
+    assert len(multimodal.decode_bmp_pixels(b2)) == 3 * w2 * 3
+    ppm = multimodal.build_ppm(w, h, pix)
+    assert multimodal.parse_ppm_header(ppm) == (w, h)
+    assert multimodal.decode_ppm_pixels(ppm) == pix
+    wav = multimodal.build_wav(seed * 4)
+    assert multimodal.decode_wav_samples(wav) == seed * 4
+    # sniffing routes each container to its decoder
+    assert multimodal.sniff_codec(bmp) == "bmp"
+    assert multimodal.sniff_codec(ppm) == "ppm"
+    assert multimodal.sniff_codec(wav) == "pcm_wav"
+    assert multimodal.sniff_codec(multimodal.build_png(4, 4, b"x")) == "png"
+    assert multimodal.sniff_codec(b"junk") == "opaque"
 
 
 def test_es_aggs_terms_and_metrics(spark, sf_dir):
