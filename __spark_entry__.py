@@ -5682,6 +5682,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cusum_twosided"] = events_cusum_twosided
 
+    def search_knn(spark, sf_dir):
+        """ES `knn` retrieval section (search.knn_topk → es_search):
+        dense-vector top-10 for the vec_id-7 query vector through the
+        IVF probe path (16 deterministic centroids, nprobe 4) — the
+        modern query-DSL surface the bool tail lacked. The oracle
+        replays the identical deterministic IVF assignment + probe in
+        SQL (the ann_ivf twin), so the APPROXIMATE path itself is
+        verified, not just a lucky exact agreement."""
+        emb = _emb(spark, sf_dir)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+        res = search.es_search(
+            emb.select(F.col("vec_id").alias("id"), "embedding"),
+            {
+                "knn": {
+                    "field": "embedding",
+                    "query_vector": qv,
+                    "k": 10,
+                    "n_centroids": 16,
+                    "nprobe": 4,
+                },
+                "size": 10,
+            },
+        )
+        return res["hits"]
+
+    q["search_knn"] = search_knn
+
+    def search_knn_hybrid(spark, sf_dir):
+        """Hybrid knn + query (ES's pre-retriever combination): match
+        scoring over the text field SUMS with the cosine similarity
+        over the union of both hit sets. Run on documents joined with
+        their embedding rows (doc_id ≡ vec_id)."""
+        emb = _emb(spark, sf_dir)
+        docs = _docs(spark, sf_dir).join(
+            emb, F.col("doc_id") == F.col("vec_id")
+        )
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+        res = search.es_search(
+            docs.select(F.col("doc_id").alias("id"), "text", "embedding"),
+            {
+                "query": {"match": {"text": "table"}},
+                "knn": {
+                    "field": "embedding",
+                    "query_vector": qv,
+                    "k": 10,
+                    "n_centroids": 16,
+                    "nprobe": 4,
+                },
+                "size": 15,
+            },
+        )
+        return res["hits"]
+
+    q["search_knn_hybrid"] = search_knn_hybrid
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -13257,6 +13312,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, n_fetched, n_disallowed,
                round(n_disallowed::DOUBLE / n_fetched, 6) AS disallowed_share
         FROM agg
+    """
+
+    # search_knn: the deterministic IVF assignment + probe replayed in
+    # SQL (the ann_ivf twin) for the vec_id-7 query vector
+    def _qcos(x: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, 65), i -> q.v[i]::DOUBLE * {x}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i]::DOUBLE * q.v[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(range(1, 65), i -> {x}[i]::DOUBLE * {x}[i]::DOUBLE)))), 6)"
+        )
+
+    _knn_chain = f"""
+        cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+                  WHERE vec_id < 16),
+        qvq AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+        kprobes AS (
+          SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   row_number() OVER (ORDER BY {_qcos("c.embedding")} DESC,
+                                      c.centroid_id) AS rn
+            FROM qvq q, cents c)
+          WHERE rn <= 4),
+        kasgn AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT a.vec_id, a.embedding, b.centroid_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_cos} DESC, b.centroid_id) AS rn
+            FROM embeddings a
+            JOIN (SELECT centroid_id, embedding FROM cents) b ON true)
+          WHERE rn = 1),
+        kscored AS (
+          SELECT v.vec_id AS id, {_qcos("v.embedding")} AS kscore
+          FROM qvq q, kasgn v JOIN kprobes p USING (centroid_id)),
+        ktop AS (
+          SELECT id, kscore FROM (
+            SELECT *, row_number() OVER (ORDER BY kscore DESC, id) AS rn
+            FROM kscored)
+          WHERE rn <= 10)"""
+
+    o["search_knn"] = f"""
+        WITH {_knn_chain}
+        SELECT id, kscore AS score FROM ktop
+    """
+
+    o["search_knn_hybrid"] = f"""
+        WITH {_knn_chain},
+        qh AS (
+          SELECT d.doc_id AS id,
+                 {_antf(_antoks("d.text"), "table")}::DOUBLE AS qscore
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          WHERE {_antf(_antoks("d.text"), "table")} > 0),
+        merged AS (
+          SELECT coalesce(qh.id, ktop.id) AS id,
+                 round(coalesce(qh.qscore, 0) + coalesce(ktop.kscore, 0), 6)
+                   AS score
+          FROM qh FULL OUTER JOIN ktop ON qh.id = ktop.id)
+        SELECT id, score FROM (
+          SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn
+          FROM merged)
+        WHERE rn <= 15
     """
 
     # two-sided CUSUM: densified hourly grid (types × span hours),

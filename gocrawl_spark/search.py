@@ -1558,6 +1558,58 @@ def bool_topk(
     )
 
 
+def knn_topk(df: DataFrame, knn: dict, id_col: str = "id") -> DataFrame:
+    """ES ``knn`` search section (the modern dense-vector retrieval
+    leaf the query DSL tail would otherwise lack): ``{"field": ...,
+    "query_vector": [...], "k": N, "num_candidates": M}`` → the
+    global top-k of the corpus by rounded cosine similarity.
+
+    Engine mapping: the probe runs through the IVF path
+    (similarity.ivf_topk) — ``num_candidates`` is the examined-
+    candidate budget, translated to the probe width as
+    nprobe ≈ ⌈num_candidates · n_centroids / N⌉ under balanced cells
+    (exactly ES's contract: score num_candidates per shard, keep k).
+    Explicit ``nprobe``/``n_centroids``/``index_path`` keys override —
+    with ``index_path`` the scan partition-prunes to the probed cells
+    of the persisted centroid_id-partitioned index (the 100 TB
+    layout; plan-pinned in tests/test_pipeline_ops.py). Setting
+    nprobe = n_centroids degrades gracefully to exact brute search.
+
+    Returns DF(id, _kscore), one row per top-k neighbor."""
+    from gocrawl_spark import similarity
+
+    field = knn["field"]
+    qv = [float(x) for x in knn["query_vector"]]
+    k = int(knn.get("k", 10))
+    n_centroids = int(knn.get("n_centroids", 16))
+    corpus = df.select(
+        F.col(id_col).alias("vec_id"), F.col(field).alias("embedding")
+    ).filter(F.col("embedding").isNotNull())
+    if "nprobe" in knn:
+        nprobe = int(knn["nprobe"])
+    else:
+        num_candidates = int(knn.get("num_candidates", max(100, 10 * k)))
+        # one metadata-sized count; at scale this reads the index
+        # manifest, not the vectors
+        n = corpus.count()
+        cell = max(1, n // n_centroids)
+        nprobe = min(n_centroids, max(1, -(-num_candidates // cell)))
+    queries = df.sparkSession.createDataFrame(
+        [(-1, qv)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.ivf_topk(
+        corpus,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        index_path=knn.get("index_path"),
+    )
+    return out.select(
+        F.col("neighbor_id").alias("id"), F.col("score").alias("_kscore")
+    )
+
+
 def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
     """ES ``_search`` REQUEST BODY in one call — the exact shape the
     reference's storage layer forwards verbatim
@@ -1695,16 +1747,56 @@ def es_search(df: DataFrame, body: dict, id_col: str = "id") -> dict:
             ),
         )
 
-    hits = (
-        hit_src.orderBy(*order)
-        .limit(size)
-        .select(
-            "id", *sort_fields, F.col("_score").alias("score")
+    # knn section: dense-vector retrieval (knn_topk) — alone, hits =
+    # the vector top-k; next to a query, scores SUM over the union of
+    # both hit sets (ES's pre-retriever combination rule). Aggs/total
+    # keep the query scope.
+    knn_spec = body.get("knn")
+    if knn_spec is None:
+        hits = (
+            hit_src.orderBy(*order)
+            .limit(size)
+            .select(
+                "id", *sort_fields, F.col("_score").alias("score")
+            )
         )
-    )
+        total_df = matched.agg(F.count("*").alias("total"))
+    else:
+        if (
+            body.get("sort") or body.get("collapse")
+            or body.get("rescore") or body.get("search_after")
+            or body.get("post_filter")
+        ):
+            raise ValueError(
+                "knn composes with the default _score ranking only"
+            )
+        knn_hits = knn_topk(df, knn_spec, id_col=id_col)
+        if body.get("query"):
+            merged = (
+                hit_src.select("id", "_score")
+                .join(knn_hits, "id", "full_outer")
+                .select(
+                    "id",
+                    F.round(
+                        F.coalesce(F.col("_score"), F.lit(0.0))
+                        + F.coalesce(F.col("_kscore"), F.lit(0.0)),
+                        6,
+                    ).alias("_score"),
+                )
+            )
+        else:
+            merged = knn_hits.select(
+                "id", F.col("_kscore").alias("_score")
+            )
+        total_df = merged.agg(F.count("*").alias("total"))
+        hits = (
+            merged.orderBy(F.desc("_score"), F.asc("id"))
+            .limit(size)
+            .select("id", F.col("_score").alias("score"))
+        )
     out = {
         "hits": hits,
-        "total": matched.agg(F.count("*").alias("total")),
+        "total": total_df,
     }
     if body.get("aggs"):
         (aname, aspec), = body["aggs"].items()

@@ -1228,6 +1228,91 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_search_knn_section(spark, sf_dir, tmp_path):
+    """ES `knn` retrieval: top-k by rounded cosine through the IVF
+    probe path; num_candidates maps to the probe width; with an
+    index_path the probe partition-prunes the persisted index scan;
+    hybrid knn+query SUMS scores over the union of hit sets."""
+    from pyspark.sql import functions as F
+
+    from gocrawl_spark import search
+    from gocrawl_spark import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), "embedding")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+
+    # knn-only: the query vector's own row ranks first at cosine 1.0
+    res = search.es_search(
+        base,
+        {"knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                 "n_centroids": 16, "nprobe": 4}, "size": 5},
+    )
+    hits = res["hits"].collect()
+    assert len(hits) == 5 and res["total"].head()["total"] == 5
+    assert hits[0]["id"] == 7 and hits[0]["score"] == 1.0
+    assert [h["score"] for h in hits] == sorted(
+        (h["score"] for h in hits), reverse=True
+    )
+
+    # nprobe = n_centroids degrades to exact brute top-k
+    exact = sim.brute_topk(emb, emb.filter(F.col("vec_id") == 7), k=5)
+    res_all = search.es_search(
+        base,
+        {"knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                 "n_centroids": 16, "nprobe": 16}, "size": 5},
+    )
+    got_ids = [h["id"] for h in res_all["hits"].collect() if h["id"] != 7]
+    want_ids = [r["neighbor_id"] for r in exact.collect()]
+    assert got_ids == want_ids[: len(got_ids)]
+
+    # num_candidates budget: large budget → all cells probed (exact)
+    n = base.count()
+    res_budget = search.es_search(
+        base,
+        {"knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                 "n_centroids": 16, "num_candidates": int(n)}, "size": 5},
+    )
+    assert [h["id"] for h in res_budget["hits"].collect()] == [
+        h["id"] for h in res_all["hits"].collect()
+    ]
+
+    # persisted index: identical hits, partition-pruned scan
+    idx = str(tmp_path / "knn_index")
+    sim.ivf_write_index(emb, idx, n_centroids=16)
+    knn_df = search.knn_topk(
+        base,
+        {"field": "embedding", "query_vector": qv, "k": 5,
+         "n_centroids": 16, "nprobe": 4, "index_path": idx},
+    )
+    plan = knn_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert [r["id"] for r in knn_df.collect()] == [h["id"] for h in hits]
+
+    # hybrid: scores sum over the union; a doc in both sets scores
+    # higher than its knn score alone
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = docs.join(emb, F.col("doc_id") == F.col("vec_id")).select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+    hy = search.es_search(
+        both,
+        {"query": {"match": {"text": "the"}},
+         "knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                 "n_centroids": 16, "nprobe": 4}, "size": 10},
+    )
+    hymap = {h["id"]: h["score"] for h in hy["hits"].collect()}
+    if 7 in hymap:
+        assert hymap[7] >= 1.0
+    # unsupported compositions raise
+    with pytest.raises(ValueError, match="knn"):
+        search.es_search(
+            base,
+            {"knn": {"field": "embedding", "query_vector": qv, "k": 5},
+             "sort": [{"id": "asc"}]},
+        )
+
+
 def test_ivfpq_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ index (codes partitioned by centroid_id)
     returns exactly the in-memory composition's result and the probe
