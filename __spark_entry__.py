@@ -4686,6 +4686,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel"] = events_funnel
 
+    def events_funnel_skewed(spark, sf_dir):
+        """Adversarial-skew funnel leg (VERDICT r4 item 7): one
+        synthetic bot user re-keyed to hold 10% of ALL events
+        (event_id % 10 = 0 → user 0) before the user-keyed chained
+        window — regressions in the window plan under hot-key
+        pressure show up here while the uniform events_funnel stays
+        flat. Identical funnel semantics on the re-keyed stream."""
+        from gocrawl_spark import eventops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        return eventops.funnel(ev, ["view", "click", "purchase"])
+
+    q["events_funnel_skewed"] = events_funnel_skewed
+
     def events_cohort_retention(spark, sf_dir):
         """Day-grain cohort retention (eventops.cohort_retention):
         users bucketed by first-active day, activity counted per day
@@ -13443,5 +13462,14 @@ def oracle_sql() -> dict[str, str]:
                 OR (ppd - least(0, pdmin)) > 5 * mad) AS alarm
         FROM p
     """
+
+    # skewed funnel: the events_funnel recursion verbatim over the
+    # bot-rekeyed stream (event_id % 10 = 0 → user 0) — derived from
+    # the funnel oracle so the two can never drift apart
+    o["events_funnel_skewed"] = o["events_funnel"].replace(
+        "FROM events",
+        "FROM (SELECT * REPLACE (CASE WHEN event_id % 10 = 0 THEN 0 "
+        "ELSE user_id END AS user_id) FROM events)",
+    )
 
     return o

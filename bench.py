@@ -178,6 +178,13 @@ HEADLINE = [
     "events_funnel_durations",
     "corpus_dup_rate_curve",
     "events_funnel_windowed",
+    # round-5: advisor/judge follow-ups — hot-key funnel leg, blocked
+    # bitext miner, real media decode, knn retrieval, two-sided CUSUM
+    "events_funnel_skewed",
+    "emb_bitext_blocked",
+    "media_decode",
+    "search_knn",
+    "events_cusum_twosided",
 ]
 
 

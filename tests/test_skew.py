@@ -131,6 +131,84 @@ def test_salted_pop_exchange_bounds_hot_domain_task(spark):
         frontier.unpersist()
 
 
+def test_event_funnel_hot_user_task_bounds(spark):
+    """Event ops shuffle on the user key (funnel's chained window +
+    same-partition aggregate; transitions' lag window). The
+    adversarial-but-realistic hot key — ONE user holding 1% of all
+    events (a bot account; no real log concentrates more into a
+    single user id) — must stay within a bounded multiple of the fair
+    task share under the hash(user_id) exchange layout both operators
+    use: 1% ≪ the ~1.6% fair share at 64 partitions, so the hot user
+    never dominates a task the way an unsalted hub domain does.
+    Rows are the deterministic signal; the timing leg retries, as in
+    the frontier-pop test."""
+    import datetime as dt
+
+    from gocrawl_spark import eventops
+
+    hot_n, cold_users, cold_n = 1000, 495, 200
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # the hot user cycles the funnel steps in order, seconds apart
+    for i in range(hot_n):
+        rows.append(
+            (i, 0, base + dt.timedelta(seconds=i),
+             ("view", "click", "purchase")[i % 3])
+        )
+    for u in range(1, cold_users + 1):
+        for j in range(cold_n):
+            rows.append(
+                (hot_n + u * cold_n + j, u,
+                 base + dt.timedelta(seconds=u * 7 + j * 11),
+                 ("view", "click", "purchase", "error")[j % 4])
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    ).persist()
+    try:
+        total = hot_n + cold_users * cold_n
+        assert abs(hot_n / total - 0.01) < 0.001  # the 1% hot user
+        layout = ev.repartition(64, "user_id")
+        r_rows, r_secs, r_max = _ratios(_task_profile(layout, "event_type"))
+        fair = total / 64
+        # bounded: the hot user's 1000 rows plus co-hashed cold users
+        # stay within a few fair shares — no pathological task
+        assert r_max <= 4 * fair, (r_max, fair)
+        assert r_rows <= 3.5, r_rows
+        for _ in range(3):
+            if r_secs <= 4.0:
+                break
+            _, r_secs, _ = _ratios(_task_profile(layout, "event_type"))
+        assert r_secs <= 4.0, r_secs
+
+        # the operators stay CORRECT on the skewed stream, and funnel
+        # keeps its one-Exchange contract under skew
+        fun = eventops.funnel(ev, ["view", "click", "purchase"])
+        got = {r["step"]: r["n_users"] for r in fun.collect()}
+        # every user views; every user click-converts (cold users see
+        # view→click→purchase inside their first four events)
+        assert got["view"] == cold_users + 1
+        assert got["click"] == cold_users + 1
+        assert got["purchase"] == cold_users + 1
+        # plan contract on an un-executed twin (post-collect AQE
+        # output repeats the plan in its Initial Plan section)
+        plan = (
+            eventops.funnel(ev, ["view", "click", "purchase"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+        tr = eventops.transitions(ev)
+        by_pair = {
+            (r["prev_type"], r["next_type"]): r["n"] for r in tr.collect()
+        }
+        # hot user: strict view→click→purchase cycle, 999 transitions
+        assert by_pair[("view", "click")] >= 333
+        assert sum(by_pair.values()) == total - (cold_users + 1)
+    finally:
+        ev.unpersist()
+
+
 def test_minhash_band_join_aqe_skew_split(spark):
     """A duplicate cluster of identical text → every band hashes those
     docs into ONE bucket on both sides of the band self-join. With the
