@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gocrawl_spark import frontier as fr
-from gocrawl_spark import udfs
+from gocrawl_spark import tableformat, udfs
 from gocrawl_spark.schema import FRONTIER
 
 SEQ_STRIDE = 1024  # > max links/page; keeps child seq a pure function
@@ -89,6 +89,12 @@ class CrawlConfig:
     # O(total-seen), data movement per round)
     seen_store: str = "deltas"
     seen_buckets: int = 64
+    # round-commit protocol (tableformat): "manifest" = MANIFEST.json
+    # written last (historical layout); "snapshot" = the Iceberg-shaped
+    # append-only metadata log with an atomic version-hint pointer
+    # swap. Same crash/resume semantics; docs/ICEBERG.md maps both
+    # onto a real Iceberg catalog.
+    table_format: str = "manifest"
     # S3: the reference's respect_robots_txt flag is ON in config but
     # the collectors pass colly.IgnoreRobotsTxt() (crawler.go:201), so
     # runtime behavior is OFF — we default to match (SURVEY.md §7.3.7)
@@ -203,6 +209,11 @@ class CrawlConfig:
             problems.append(
                 f"seen_filter must be bloom|cuckoo, got {self.seen_filter!r}"
             )
+        if self.table_format not in tableformat.PROTOCOLS:
+            problems.append(
+                f"table_format must be one of {sorted(tableformat.PROTOCOLS)},"
+                f" got {self.table_format!r}"
+            )
         if self.cuckoo_buckets < 2 or self.cuckoo_buckets & (self.cuckoo_buckets - 1):
             problems.append(
                 f"cuckoo_buckets must be a power of two >= 2, got {self.cuckoo_buckets}"
@@ -226,15 +237,9 @@ def _manifest_path(run_dir: str, rnd: int) -> str:
 
 
 def last_committed_round(run_dir: str) -> int | None:
-    base = os.path.join(run_dir, "rounds")
-    if not os.path.isdir(base):
-        return None
-    rounds = [
-        int(d.split("=")[1])
-        for d in os.listdir(base)
-        if d.startswith("round=") and os.path.exists(os.path.join(base, d, "MANIFEST.json"))
-    ]
-    return max(rounds) if rounds else None
+    """Last committed round under whichever commit protocol the run
+    used (tableformat.ManifestLast / SnapshotLog)."""
+    return tableformat.detect_last_committed(run_dir)
 
 
 def init_frontier_df(urls: DataFrame) -> DataFrame:
@@ -333,6 +338,9 @@ class CrawlRun:
         self.run_dir = run_dir
         self.cfg = cfg or CrawlConfig()
         self.cfg.validate()  # V10: reject invalid jobs up front
+        # round-commit protocol: the only seam between the sandbox's
+        # parquet-dir layout and a production Iceberg catalog
+        self.fmt = tableformat.make_protocol(self.cfg.table_format, run_dir)
         # live robots discovery (http mode, no static table): state
         # lives in per-round parquet deltas under run_dir/robots/ —
         # fully distributed, never a driver-side host set (an open-web
@@ -1070,8 +1078,10 @@ class CrawlRun:
             rnd,
             "metrics",
         )
-        with open(_manifest_path(self.run_dir, rnd), "w") as f:
-            json.dump({"stats": stats, "config": asdict(self.cfg)}, f, default=str)
+        # round commit: visibility flips only at the protocol's atomic
+        # marker/pointer step (tableformat; Iceberg snapshot commit in
+        # production — docs/ICEBERG.md)
+        self.fmt.commit(rnd, {"stats": stats, "config": asdict(self.cfg)})
         batch.unpersist()
         if cand is not None:
             cand.unpersist()
@@ -1102,7 +1112,7 @@ class CrawlRun:
             parts.append(base)
         for r in range(base_upto + 1, rnd + 1):
             d = os.path.join(_round_dir(self.run_dir, r), "opic")
-            if os.path.exists(_manifest_path(self.run_dir, r)) and os.path.exists(d):
+            if self.fmt.is_committed(r) and os.path.exists(d):
                 parts.append(d)
         return parts
 
@@ -1122,7 +1132,7 @@ class CrawlRun:
     def opic_cash(self) -> DataFrame:
         """Public view: (url_hash, cash_u) accumulated importance cash
         (micro-units) as of the last committed round."""
-        last = last_committed_round(self.run_dir)
+        last = self.fmt.last_committed()
         if last is None:
             return self.spark.createDataFrame([], "url_hash string, cash_u long")
         return self._opic_cash_upto(last)
@@ -1202,7 +1212,7 @@ class CrawlRun:
         dirs = [
             os.path.join(_round_dir(self.run_dir, r), "seen")
             for r in range(base_upto + 1, rnd + 1)
-            if os.path.exists(_manifest_path(self.run_dir, r))  # committed only
+            if self.fmt.is_committed(r)  # committed only
         ]
         parts = []
         if marker is not None and base_upto <= rnd:
@@ -1262,7 +1272,7 @@ class CrawlRun:
                 return None
             parts.append(base)
         for r in range(base_upto + 1, rnd + 1):
-            if not os.path.exists(_manifest_path(self.run_dir, r)):
+            if not self.fmt.is_committed(r):
                 continue
             d = os.path.join(_round_dir(self.run_dir, r), "bloom")
             if not os.path.isdir(d):
@@ -1384,7 +1394,7 @@ class CrawlRun:
                 return None
             parts.append(base)
         for r in range(base_upto + 1, rnd + 1):
-            if not os.path.exists(_manifest_path(self.run_dir, r)):
+            if not self.fmt.is_committed(r):
                 continue
             d = os.path.join(_round_dir(self.run_dir, r), "cuckoo")
             if not os.path.isdir(d):
@@ -1432,7 +1442,7 @@ class CrawlRun:
         metrics) and the commit manifests stay; resume still works
         because the latest rounds are untouched. Returns the compacted
         upper bound round, or None if there was nothing to do."""
-        last = last_committed_round(self.run_dir)
+        last = self.fmt.last_committed()
         if last is None:
             return None
         upto = last - keep_rounds
@@ -1541,7 +1551,7 @@ class CrawlRun:
         dirs = [
             os.path.join(_round_dir(self.run_dir, r), "host_state")
             for r in range(base_upto + 1, rnd + 1)
-            if os.path.exists(_manifest_path(self.run_dir, r))
+            if self.fmt.is_committed(r)
         ]
         parts = []
         if marker is not None and base_upto <= rnd:
@@ -1576,7 +1586,7 @@ class CrawlRun:
         rounds = [
             r
             for r in range(wm + 1, last + 1)
-            if os.path.exists(_manifest_path(self.run_dir, r))
+            if self.fmt.is_committed(r)
         ]
         paths = [os.path.join(_round_dir(self.run_dir, r), "seen") for r in rounds]
         if any(not os.path.isdir(p) for p in paths):
@@ -1607,7 +1617,7 @@ class CrawlRun:
         bloom: "fr.BloomFilter | DataFrame | None" = None
         cuckoo = self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo"
         sharded = self.cfg.use_bloom and not cuckoo and self._bloom_sharded
-        last = last_committed_round(self.run_dir) if resume else None
+        last = self.fmt.last_committed() if resume else None
         if self._seen_index is not None:
             self._sync_seen_index(last)
         if last is not None:
@@ -1700,7 +1710,7 @@ class CrawlRun:
         return ex.filter(F.col("content_type") == "page").select("page.*", "crawl_round")
 
     def seen_final(self) -> DataFrame:
-        last = last_committed_round(self.run_dir)
+        last = self.fmt.last_committed()
         if last is None:
             return self._empty_seen()
         return self._seen_upto(last)
@@ -1709,7 +1719,7 @@ class CrawlRun:
         """Cumulative per-host token-bucket view over committed rounds:
         total fetches, last active round, and the effective politeness
         contract (delay/parallelism of the latest round)."""
-        last = last_committed_round(self.run_dir)
+        last = self.fmt.last_committed()
         if last is None:
             return self.spark.createDataFrame(
                 [],
