@@ -5756,6 +5756,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_knn_hybrid"] = search_knn_hybrid
 
+    def update_document_partial(spark, sf_dir):
+        """ES partial-document update through the REAL warehouse path
+        (catalog.Warehouse.update ↔ reference DocumentManager.Update,
+        indexing.go:18-19): every 7th doc gets source patched and lang
+        explicitly nulled; untouched columns and unmatched docs keep
+        their stored values — distinct from upsert's whole-row
+        overwrite."""
+        import tempfile
+
+        from gocrawl_spark.catalog import Warehouse
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_update_"))
+        wh.upsert("docs", docs, key="doc_id")
+        patch = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.lit("patched").alias("source"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        wh.update("docs", patch, key="doc_id")
+        return wh.table("docs").select("doc_id", "source", "lang", "n_chars")
+
+    q["update_document_partial"] = update_document_partial
+
     # -- gate ordering ------------------------------------------------------
     # A budget-limited correctness gate sweeps a PREFIX of this dict, so
     # least-recently-gate-verified entries lead. Computed dynamically from
@@ -13461,6 +13485,17 @@ def oracle_sql() -> dict[str, str]:
                ((pp - least(0, pmin)) > 5 * mad
                 OR (ppd - least(0, pdmin)) > 5 * mad) AS alarm
         FROM p
+    """
+
+    # partial update: field-level CASE on the patched keys, stored
+    # values elsewhere — upsert's keep-latest-whole-row this is not
+    o["update_document_partial"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'patched' ELSE source END
+                 AS source,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+               n_chars
+        FROM documents
     """
 
     # skewed funnel: the events_funnel recursion verbatim over the

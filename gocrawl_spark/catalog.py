@@ -357,6 +357,74 @@ class Warehouse:
         shutil.rmtree(p, ignore_errors=True)
         os.rename(tmp, p)
 
+    def update(
+        self, name: str, df: DataFrame, key: str = "id", upsert: bool = False
+    ) -> int:
+        """ES partial-document update (reference DocumentManager.Update,
+        /root/reference/internal/api/indexing.go:18-19 — distinct from
+        Index/upsert): merge the INCOMING COLUMNS into the existing
+        doc; columns absent from ``df`` keep their stored values (an
+        explicitly provided NULL cell sets NULL, ES's partial-doc
+        rule). A key with no stored doc raises (ES
+        document_missing_exception) unless ``upsert=True``
+        (doc_as_upsert: the partial doc inserts, absent columns NULL).
+        Returns the number of incoming rows applied.
+
+        Plan: one key-equi join of the store against the (small)
+        update batch + per-column coalesce-by-hit — the Iceberg
+        ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET col = ...``
+        with an explicit column list, vs upsert's ``UPDATE SET *``."""
+        members = self.aliases().get(name)
+        if members is not None:
+            if len(members) != 1:
+                raise ValueError(
+                    f"cannot write through multi-index alias: {name}"
+                )
+            name = members[0]
+        stored = self.table(name)
+        extra = [c for c in df.columns if c not in stored.columns]
+        if extra:
+            raise ValueError(f"unknown columns in partial update: {extra}")
+        if key not in df.columns:
+            raise ValueError(f"partial update needs the {key!r} column")
+        n_inc = df.count()
+        if not upsert:
+            missing = df.select(key).join(
+                stored.select(key), key, "left_anti"
+            )
+            miss_rows = [r[key] for r in missing.limit(5).collect()]
+            if miss_rows:
+                raise ValueError(
+                    f"document(s) missing for partial update: {miss_rows}"
+                    " (pass upsert=True for doc_as_upsert)"
+                )
+        inc = df.withColumn("_hit", F.lit(1))
+        how = "full_outer" if upsert else "left"
+        joined = stored.alias("s").join(
+            inc.alias("i"), F.col(f"s.{key}") == F.col(f"i.{key}"), how
+        )
+        cols = []
+        for c in stored.columns:
+            if c == key:
+                cols.append(
+                    F.coalesce(F.col(f"s.{key}"), F.col(f"i.{key}")).alias(key)
+                )
+            elif c in df.columns:
+                cols.append(
+                    F.when(F.col("i._hit") == 1, F.col(f"i.{c}"))
+                    .otherwise(F.col(f"s.{c}"))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(f"s.{c}").alias(c))
+        out = joined.select(*cols)
+        p = self._path(name)
+        tmp = p + "._tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p, ignore_errors=True)
+        os.rename(tmp, p)
+        return n_inc
+
     def get(self, name: str, doc_id: str, key: str = "id"):
         """S8 point lookup; returns Row or None."""
         rows = self.table(name).filter(F.col(key) == doc_id).limit(1).collect()

@@ -208,3 +208,46 @@ def test_index_aliases(spark, tmp_path):
         wh.put_alias("x", "missing")
     wh.delete_alias("content")
     assert wh.resolve("content") == ["content"]
+
+
+def test_partial_document_update(spark, wh):
+    """Warehouse.update = ES's partial-document Update (reference
+    DocumentManager.Update, indexing.go:18-19): provided columns
+    replace (explicit NULL sets NULL), absent columns and unmatched
+    docs keep stored values; missing keys raise unless doc_as_upsert."""
+    base = spark.createDataFrame(
+        [("d1", "t1", "en", 10), ("d2", "t2", "de", 20), ("d3", "t3", "fr", 30)],
+        "id string, title string, lang string, n int",
+    )
+    wh.upsert("docs", base)
+    n = wh.update(
+        "docs",
+        spark.createDataFrame(
+            [("d1", "T1!", None), ("d3", "T3!", "es")],
+            "id string, title string, lang string",
+        ),
+    )
+    assert n == 2
+    rows = {r["id"]: r for r in wh.table("docs").collect()}
+    assert rows["d1"]["title"] == "T1!" and rows["d1"]["lang"] is None
+    assert rows["d1"]["n"] == 10          # absent column kept
+    assert rows["d2"] == ("d2", "t2", "de", 20)  # unmatched untouched
+    assert rows["d3"]["title"] == "T3!" and rows["d3"]["lang"] == "es"
+
+    # missing doc: document_missing_exception unless doc_as_upsert
+    patch_new = spark.createDataFrame([("d9", "T9")], "id string, title string")
+    with pytest.raises(ValueError, match="missing"):
+        wh.update("docs", patch_new)
+    wh.update("docs", patch_new, upsert=True)
+    rows = {r["id"]: r for r in wh.table("docs").collect()}
+    assert rows["d9"]["title"] == "T9" and rows["d9"]["lang"] is None
+
+    # schema hygiene + alias routing
+    with pytest.raises(ValueError, match="unknown columns"):
+        wh.update("docs", spark.createDataFrame([("d1", 1)], "id string, bogus int"))
+    with pytest.raises(ValueError, match="needs the 'id'"):
+        wh.update("docs", spark.createDataFrame([("x",)], "title string"))
+    wh.put_alias("write_docs", "docs")
+    wh.update("write_docs", spark.createDataFrame(
+        [("d2", "via-alias")], "id string, title string"))
+    assert wh.get("docs", "d2")["title"] == "via-alias"
