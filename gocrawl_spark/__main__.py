@@ -88,6 +88,7 @@ def cmd_crawl(args) -> int:
         respect_robots=args.respect_robots,
         fetch_mode="http" if args.fetch_http else "corpus",
         http_proxy_base=args.proxy_base,
+        table_format=args.table_format,
     )
     robots = rb.synth_robots(spark) if args.respect_robots and args.synth_robots else None
     crawl = CrawlRun(spark, corpus, seeds, args.run_dir, cfg, robots=robots, sources=sources)
@@ -457,6 +458,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--proxy-base",
                    help="rewrite https://host/path onto BASE/host/path (loopback/forward proxy)")
     c.add_argument("--synth-robots", action="store_true")
+    c.add_argument("--table-format", default="manifest",
+                   choices=["manifest", "snapshot"],
+                   help="round-commit protocol: MANIFEST-last parquet "
+                        "layout or the Iceberg-shaped snapshot log")
     c.add_argument("--publish", help="warehouse dir to upsert articles/pages into")
     c.set_defaults(fn=cmd_crawl)
 
